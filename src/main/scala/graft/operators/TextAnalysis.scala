@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over a `text` column:
+  * tokenization, token counting (whitespace + BPE-ish regex), quality
+  * scoring, n-gram language ID, document fingerprinting, and tf-idf.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split/filter/transform/aggregate higher-order functions) — no UDFs, so
+  * the whole stage stays inside WholeStageCodegen and scales linearly with
+  * input: per-document work only, no shuffle except the tf-idf aggregates
+  * (which do map-side partial aggregation on (doc, term) / (term) keys).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased, trimmed text. */
+  def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single other
+    * glyphs — the standard pre-tokenizer shape (e.g. GPT-2's regex family),
+    * reduced to character classes so the count is engine-portable.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCountCol(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Per-language marker stopwords for the n-gram-heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ein", "ist", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "los", "las", "y", "que", "de", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "que", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+      "on", "for", "with", "as", "at", "by")
+
+  /** Count of tokens that appear in `markers`. */
+  def scoreCol(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax of per-language marker-token counts,
+    * ties broken by language-code order (deterministic — required by the
+    * hash-compare oracle).
+    */
+  def langIdCol(tokens: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> scoreCol(tokens, ms) }
+    // lang L wins if its score is >= every later language's score and
+    // strictly > none before it beat it — expressed as a first-match CASE
+    // chain in declared (alphabetical) order.
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        when(rest.map(s >= _).reduce(_ && _), lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-scoring features: char/token counts, average token length,
+    * punctuation ratio, stopword ratio, alpha ratio. All exact-integer
+    * divisions of counts → bit-identical doubles across engines.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val nPunct = size(regexp_extract_all(t, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("long")
+    val nStop = scoreCol(toks, EnglishStopwords).cast("long")
+    val nAlpha = size(regexp_extract_all(lower(t), lit("[a-z]"), lit(0))).cast("long")
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        (sum_chars_of(toks).cast("double") / greatest(nTokens, lit(1L))))
+      .withColumn("punct_ratio", nPunct.cast("double") / greatest(nChars, lit(1L)))
+      .withColumn("stopword_ratio", nStop.cast("double") / greatest(nTokens, lit(1L)))
+      .withColumn("alpha_ratio", nAlpha.cast("double") / greatest(nChars, lit(1L)))
+  }
+
+  private def sum_chars_of(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, tk) => acc + length(tk).cast("long"))
+
+  /** Document fingerprints: a portable content hash (md5 hex — identical
+    * in every engine) plus a 64-bit polynomial rolling hash over tokens
+    * (order-sensitive, computed with codegen'd higher-order functions).
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val rolling = aggregate(tokensCol(t), lit(0L),
+      (acc, tk) => acc * lit(1000003L) + xxhash64(tk))
+    df.withColumn("fp_md5", md5(t.cast("binary")))
+      .withColumn("fp_rolling", rolling)
+  }
+
+  /** Term frequencies per (doc, term) — the relational backbone for
+    * tf-idf and n-gram Jaccard. Map-side combine applies on the
+    * (doc_id, term) groupBy; at 100 TB this is the standard
+    * explode→partial-agg→shuffle-once shape.
+    */
+  def docTerms(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Corpus-level tf-idf statistics per term: total tf, document
+    * frequency, idf = ln((N+1)/(df+1)), summed tf-idf weight.
+    */
+  def termStats(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val dt = docTerms(df, idCol, textCol)
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    dt.groupBy(col("term"))
+      .agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)))
+      .withColumn("sum_tfidf", round(col("total_tf") * col("idf"), 6))
+      .drop("n_docs")
+  }
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver testdata layout
+  * (`/root/testdata/sf*/<name>.parquet`, see TESTDATA.md).
+  *
+  * Scale notes: `spark.read.parquet` is the Spark-native columnar scan —
+  * vectorized reader, predicate pushdown and column pruning apply
+  * automatically, so every downstream operator inherits
+  * `PushedFilters`/`ReadSchema` pruning for free. At 100 TB the same call
+  * works unchanged over a partitioned directory tree; nothing here assumes
+  * single-file inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame   = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}
