@@ -1,13 +1,662 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB oracle SQL where ANSI-SQL-expressible
+  * (hash-based ops — minhash/simhash/LSH — get rows-only checks; they are
+  * deterministic and are cross-verified against exact variants in the
+  * ScalaTest specs instead).
+  *
+  * Determinism rules applied throughout (the driver hash-compares values):
+  *  - every query ends in an explicit orderBy on a key;
+  *  - double sums go through DECIMAL(18,6) (exact, order-independent) and
+  *    are cast back to double at the end on both sides;
+  *  - ratios divide exact integers/decimals in double (bit-identical in
+  *    both engines); only transcendental outputs (ln, cosine) are rounded;
+  *  - timestamps never appear raw in outputs — epoch micros (bigint) only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: revenue by nation (lineitem⋈orders⋈customer⋈nation⋈region,
+    * group-agg, order). Driver smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenueByNation(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact, order-independent sum of a double column: accumulate in
+    * DECIMAL(18,6), cast back to double (identical in Spark and DuckDB).
+    */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  private def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Recursively delete-and-recreate a scratch dir for sink round-trips. */
+  private def freshDir(s: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- B7 core relational backbone ------------------------------------
+    "q01_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01") && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q02_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q03_revenue_by_nation" -> ((s, dir) => revenueByNation(s, dir)),
+
+    "q04_top_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))),
+
+    "q05_cust_order_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    "q06_mktsegment_stats" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy(col("c_mktsegment"))),
+
+    "q07_customers_no_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q08_rollup_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("priority"), col("status"))),
+
+    "q09_monthly_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("month"))),
+
+    // ---- B6 sessionization ----------------------------------------------
+    "q10_sessions" -> ((s, dir) =>
+      Sessionize.sessionStats(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))),
+
+    "q11_session_window_batch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))),
+
+    // ---- B1 exact dedup --------------------------------------------------
+    "q12_dedup_exact_summary" -> ((s, dir) =>
+      Dedup.exactSummary(t(s, dir, "documents"),
+          md5(col("text").cast("binary")), col("doc_id"))
+        .orderBy(col("dedup_key"))),
+
+    "q13_dedup_exact_rows" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // ---- B2 near-dup dedup ----------------------------------------------
+    // Deterministic but xxhash64-based → rows-only driver check; recall is
+    // cross-verified against ngram-jaccard ground truth in DedupSpec.
+    "q14_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q15_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q16_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, shingleSize = 3, maxDf = 20)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q17_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDups(
+          t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+          threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- B3 similarity search -------------------------------------------
+    "q18_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q19_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5, numBits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q20_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- B4 text analysis -----------------------------------------------
+    "q21_quality_features" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+          col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
+          col("alpha_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "q22_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdCol(TextAnalysis.tokensCol(col("text"))).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    "q23_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokensCol(col("text"))).as("ws_tokens"),
+          TextAnalysis.bpeTokenCountCol(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q24_fingerprint_md5" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fp_md5"))
+        .orderBy(col("doc_id"))),
+
+    // rows-only: 64-bit rolling hash uses xxhash64 (not expressible in SQL)
+    "q25_fingerprint_rolling" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fp_rolling"))
+        .orderBy(col("doc_id"))),
+
+    "q26_doc_terms" -> ((s, dir) =>
+      TextAnalysis.docTerms(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("term"))),
+
+    "q27_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(t(s, dir, "documents"))
+        .select(col("term"), col("total_tf"), col("doc_freq"),
+          round(col("idf"), 6).as("idf"), col("sum_tfidf"))
+        .orderBy(col("term"))),
+
+    // ---- reference surface: serialization / sink / catalog --------------
+    "q28_serialize_lines" -> ((s, dir) =>
+      LineSerializer.toLines(t(s, dir, "nation"), separator = "|",
+          outputSchema = Some(StructType(Seq(
+            StructField("n_name", StringType),
+            StructField("n_nationkey", IntegerType)))))
+        .orderBy(col("line"))),
+
+    "q29_append_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_scratch/append_roundtrip"
+      freshDir(s, out)
+      val src = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      AppendFileSink.write(src, AppendSinkConfig(outputDir = out),
+        logicalStartTime = 1700000000000L)
+      AppendFileSink.readCsv(s, out, ",", StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_mktsegment", StringType))))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q30_catalog_table" -> ((s, dir) => {
+      val out = s"/tmp/graft_scratch/catalog_table"
+      freshDir(s, out)
+      val nation = t(s, dir, "nation")
+      AppendFileSink.write(nation, AppendSinkConfig(outputDir = out),
+        logicalStartTime = 1700000000000L)
+      CatalogRegistration.registerTextTable(s, "graft_nation_text", out, ",",
+        Some(nation.schema))
+      s.sql("""SELECT n_nationkey, n_name, n_regionkey
+              |FROM graft_nation_text ORDER BY n_nationkey""".stripMargin)
+    }),
+
+    "q31_schema_validation" -> ((s, dir) => {
+      val conf = AppendSinkConfig(outputDir = "/tmp/unused",
+        sizeThresholdMb = -1,
+        outputSchema = Some(StructType(Seq(
+          StructField("c_name", StringType),
+          StructField("c_acctbal", StringType),  // type mismatch: double in input
+          StructField("c_missing", LongType))))) // absent from input
+      val failures = conf.validateAll(t(s, dir, "customer").schema)
+      s.createDataFrame(failures.map(f => Row(f.message, f.cause)).asJava,
+          StructType(Seq(StructField("message", StringType),
+            StructField("cause", StringType))))
+        .orderBy(col("cause"), col("message"))
+    }),
+
+    // ---- B5 multimodal ---------------------------------------------------
+    "q32_multimodal_meta" -> ((s, dir) =>
+      Multimodal.fromDocuments(t(s, dir, "documents"))
+        .select(col("asset_id"), col("media_type"),
+          col("meta").getItem("lang").as("meta_lang"),
+          col("meta").getItem("source").as("meta_source"),
+          length(col("payload")).as("payload_bytes"))
+        .orderBy(col("asset_id"))),
+
+    // rows-only: decode/feature stages are deterministic fakes (container
+    // has no codecs); plumbing verified in MultimodalSpec
+    "q33_multimodal_decode" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.decode(Multimodal.fromDocuments(t(s, dir, "documents"))), dim = 8)
+        .select(col("asset_id"), col("width"), col("height"), col("channels"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("emb0"))
+        .orderBy(col("asset_id"))),
+
+    "q34_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(t(s, dir, "documents")).filter(col("asset_id") < 50),
+          n = 4)
+        .select(col("asset_id"), col("media_type"), col("frame_no"))
+        .orderBy(col("asset_id"), col("frame_no")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB equivalents over the same parquet tables. Keys absent here get
+    * the driver's weaker rows-only check (all of them hash-based or
+    * stub-based, called out above).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q05_cust_order_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q06_mktsegment_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal,
+        |  count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_rollup_orders" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
+    "q09_monthly_orders" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+
+    "q10_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS newf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q11_session_window_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS newf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(ts_us) AS start_us,
+        |  max(ts_us) + 30*60*1000000 AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q12_dedup_exact_summary" ->
+      """SELECT md5(text) AS dedup_key, min(doc_id) AS survivor_id,
+        |  count(*) AS dup_count
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY dedup_key""".stripMargin,
+
+    "q13_dedup_exact_rows" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q16_ngram_jaccard" -> ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = 20),
+
+    "q17_cosine_neardups" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q18_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q21_quality_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |    / greatest(len(toks), 1) AS avg_token_len,
+        |  CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,
+        |  CAST(len(list_filter(toks, t -> t IN
+        |    ('the','a','an','of','and','to','in','is','that','it','on','for','with','as','at','by')))
+        |    AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+        |  CAST(n_alpha AS DOUBLE) / greatest(n_chars_m, 1) AS alpha_ratio
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" -> langIdOracle,
+
+    "q23_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint_md5" ->
+      """SELECT doc_id, md5(text) AS fp_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q26_doc_terms" ->
+      """SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |WHERE term <> ''
+        |GROUP BY doc_id, term
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q27_term_stats" ->
+      """WITH dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY doc_id, term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT term, sum(tf) AS total_tf, count(*) AS doc_freq,
+        |  round(ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS idf,
+        |  round(sum(tf) * ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS sum_tfidf
+        |FROM dt, n
+        |GROUP BY term, n_docs
+        |ORDER BY term""".stripMargin,
+
+    "q28_serialize_lines" ->
+      """SELECT concat_ws('|', coalesce(n_name, ''), coalesce(CAST(n_nationkey AS VARCHAR), '')) AS line
+        |FROM nation
+        |ORDER BY line""".stripMargin,
+
+    "q29_append_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q30_catalog_table" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q31_schema_validation" ->
+      """SELECT * FROM (VALUES
+        |  ('Output field ''c_acctbal'' has type string but input has type double.', 'c_acctbal'),
+        |  ('Output field ''c_missing'' does not exist in the input schema.', 'c_missing'),
+        |  ('Size threshold must be at least 0, got -1.', 'sizeThresholdMb')
+        |) t(message, cause)
+        |ORDER BY cause, message""".stripMargin,
+
+    "q32_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'text' AS media_type,
+        |  lang AS meta_lang, source AS meta_source,
+        |  CAST(length(text) AS INT) AS payload_bytes
+        |FROM documents
+        |ORDER BY asset_id""".stripMargin,
+
+    "q34_frame_sample" ->
+      """SELECT doc_id AS asset_id, 'text' AS media_type, g.frame_no
+        |FROM documents, (SELECT unnest(range(0, 4)) AS frame_no) g
+        |WHERE doc_id < 50
+        |ORDER BY asset_id, frame_no""".stripMargin
+  )
+
+  /** DuckDB SQL mirroring [[Dedup.ngramJaccardPairs]]: shingles via list
+    * comprehension over token positions, rare-term blocking, relational
+    * intersection count.
+    */
+  private def ngramJaccardOracle(threshold: Double, n: Int, maxDf: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= $n
+       |    THEN [array_to_string(tk[i:i+${n - 1}], ' ') FOR i IN range(1, len(tk) - ${n - 2})]
+       |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+       |  FROM toks),
+       |tok AS (
+       |  SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
+       |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |sizes AS (SELECT doc_id, count(*) AS n_terms FROM tokf GROUP BY doc_id),
+       |rare AS (
+       |  SELECT tokf.doc_id, tokf.term FROM tokf
+       |  JOIN (SELECT term, count(*) AS df FROM tokf GROUP BY term
+       |        HAVING count(*) <= $maxDf) d USING (term)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN tokf ta ON ta.doc_id = c.doc_a
+       |  JOIN tokf tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB SQL mirroring [[TextAnalysis.langIdCol]]'s argmax CASE chain
+    * (generated from the same marker table so they cannot drift).
+    */
+  private def langIdOracle: String = {
+    val markers = TextAnalysis.LangMarkers
+    def scoreExpr(ms: Seq[String]): String =
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val scores = markers.map { case (lang, ms) => lang -> s"s_$lang" }
+    val scoreCols = markers.map { case (lang, ms) =>
+      s"${scoreExpr(ms)} AS s_$lang" }.mkString(",\n    ")
+    val caseChain = scores.init.zipWithIndex.map { case ((lang, sc), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      s"WHEN ${rest.map(r => s"$sc >= $r").mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM f)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    $caseChain
+       |    ELSE '${scores.last._1}' END AS lang_guess
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** One collected validation failure (reference accumulates failures in a
   * `FailureCollector` instead of throwing on the first —
@@ -77,5 +77,24 @@ final case class AppendSinkConfig(
     validate() ++ validateOutputSchema(inputSchema)
 
   private def sameTypeIgnoreNullable(a: DataType, b: DataType): Boolean =
-    a.asNullable == b.asNullable
+    AppendSinkConfig.normalizeNullability(a) == AppendSinkConfig.normalizeNullability(b)
+}
+
+object AppendSinkConfig {
+
+  /** Recursively rewrites a DataType with every nullability flag forced to
+    * true, so two types can be compared modulo nullability with a public
+    * API (DataType.asNullable is private[spark]).
+    */
+  private[operators] def normalizeNullability(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map { f =>
+        StructField(f.name, normalizeNullability(f.dataType), nullable = true)
+      })
+    case a: ArrayType => ArrayType(normalizeNullability(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(normalizeNullability(m.keyType), normalizeNullability(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
 }

@@ -62,15 +62,17 @@ object Multimodal {
     (256 + (math.abs(h) % 1024).toInt, 256 + (math.abs(h >> 10) % 1024).toInt, 3)
   }
 
-  private val decodedSchema = schema
-    .add("width", IntegerType).add("height", IntegerType).add("channels", IntegerType)
-
-  /** Decode stage: payload → dimension metadata columns, partition-batched. */
+  /** Decode stage: payload → dimension metadata columns, partition-batched.
+    * Output schema = input schema + (width, height, channels).
+    */
   def decode(assets: DataFrame): DataFrame = {
-    val enc = Encoders.row(decodedSchema)
+    val enc = Encoders.row(assets.schema
+      .add("width", IntegerType).add("height", IntegerType).add("channels", IntegerType))
+    val payloadIdx = assets.schema.fieldIndex("payload")
     assets.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+        val (w, h, c) = fakeDecode(
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(r.toSeq ++ Seq(w, h, c))
       }
     }(enc)
@@ -78,16 +80,23 @@ object Multimodal {
 
   /** Feature-extract stage: payload → fixed-`dim` float embedding via a
     * deterministic rolling-hash projection (FAKE feature extractor with a
-    * real vector shape — swap for a model call in production).
+    * real vector shape — swap for a model call in production). Schema is
+    * taken from the input so the stage composes after [[decode]] (extra
+    * columns pass through untouched).
     */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
-    val enc = Encoders.row(StructType(schema.fields.map {
+    val enc = Encoders.row(StructType(assets.schema.fields.map {
       case f if f.name == "embedding" => f.copy(nullable = true)
       case f => f
     }))
+    val embIdx = assets.schema.fieldIndex("embedding")
+    // Deserialized rows inside mapPartitions may carry no schema — resolve
+    // field positions on the driver, access by index on the executor.
+    val payloadIdx = assets.schema.fieldIndex("payload")
     assets.mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        val payload = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
         val vec = new Array[Float](dim)
         if (payload != null) {
           var h = 1469598103934665603L
@@ -98,7 +107,7 @@ object Multimodal {
             i += 1
           }
         }
-        Row.fromSeq(r.toSeq.updated(4, vec.toSeq))
+        Row.fromSeq(r.toSeq.updated(embIdx, vec.toSeq))
       }
     }(enc)
   }

@@ -83,13 +83,14 @@ object TextAnalysis {
     aggregate(tokens, lit(0L), (acc, tk) => acc + length(tk).cast("long"))
 
   /** Document fingerprints: a portable content hash (md5 hex — identical
-    * in every engine) plus a 64-bit polynomial rolling hash over tokens
-    * (order-sensitive, computed with codegen'd higher-order functions).
+    * in every engine) plus a 64-bit rolling hash over tokens: the fold
+    * `acc = xxhash64(acc, token)` is order-sensitive and cannot overflow
+    * (a polynomial `acc*p + h` fold would trip ANSI-mode long-overflow
+    * checks), computed with codegen'd higher-order functions.
     */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val rolling = aggregate(tokensCol(t), lit(0L),
-      (acc, tk) => acc * lit(1000003L) + xxhash64(tk))
+    val rolling = aggregate(tokensCol(t), lit(0L), (acc, tk) => xxhash64(acc, tk))
     df.withColumn("fp_md5", md5(t.cast("binary")))
       .withColumn("fp_rolling", rolling)
   }

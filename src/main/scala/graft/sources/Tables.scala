@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loaders for the driver testdata layout
-  * (`/root/testdata/sf*/<name>.parquet`, see TESTDATA.md).
+  * (`/root/testdata/sf{N}/<name>.parquet`, see TESTDATA.md).
   *
   * Scale notes: `spark.read.parquet` is the Spark-native columnar scan —
   * vectorized reader, predicate pushdown and column pruning apply
@@ -27,7 +27,20 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+  /** The events table carries a nanosecond-precision parquet timestamp,
+    * which Spark's parquet reader rejects by default
+    * (PARQUET_TYPE_ILLEGAL). Read it as raw bigint nanos via the legacy
+    * conf, then surface `ts` as a TimestampType in microseconds
+    * (`ts div 1000` — integer floor division, matching DuckDB's
+    * `epoch_ns(ts)//1000`), keeping every downstream operator on native
+    * timestamp semantics.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }
