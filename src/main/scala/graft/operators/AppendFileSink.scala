@@ -34,6 +34,14 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   * preserves upstream partitioning, like the reference's map-side
   * `BatchSink`).
   *
+  * Commit semantics: like the reference's no-op committer, writes are
+  * visible immediately and a retried task re-appends its partition
+  * (at-least-once). `spark.speculation` MUST be off for this sink — a
+  * speculative attempt would run a second concurrent writer against the
+  * same candidate file (HDFS append-lease conflict / interleaved lines).
+  * Exactly-once would require staging to temp files and renaming on task
+  * commit, which forfeits true append-to-existing-file semantics.
+  *
   * Documented divergences from reference behavior (SURVEY §4.2 "known
   * bugs"): (a) rotation honors the documented 0=unlimited semantics (the
   * reference's writer rotates after every record at threshold 0); (b) the
@@ -153,12 +161,19 @@ object AppendFileSink {
 
           // Partition-indexed assignment (ref `AppendOutputFormat.java:94-99`):
           // task i reuses candidate i if one exists, else opens a new file.
+          // New files start from logicalStartTime + partId: the reference
+          // relies on an atomic create-race to disambiguate same-millisecond
+          // tasks, but LocalFileSystem's create is check-then-create (not
+          // atomic), so two tasks could silently overwrite one file. Distinct
+          // per-task start times keep names disjoint by construction (off
+          // from the true logical time by ≤ #partitions ms), with the race
+          // retry kept as a second line of defense.
           if (partId < candidates.length) {
             val p = new Path(dirPath, candidates(partId))
             currentSize = fs.getFileStatus(p).getLen
             out = fs.append(p)
           } else {
-            createNew(logicalStartTime)
+            createNew(logicalStartTime + partId)
           }
 
           // Pre-write rotation check — files overshoot by at most one

@@ -11,16 +11,23 @@ import org.apache.spark.sql.functions._
   *  - exact: single hash-aggregate shuffle on the dedup key, with map-side
   *    partial aggregation; survivor choice is deterministic (min of a tie
   *    key) — `dropDuplicates` would return an arbitrary row per group.
-  *  - MinHash+LSH: per-doc signature is embarrassingly parallel (no
-  *    shuffle); banding turns the quadratic all-pairs problem into
+  *  - MinHash+LSH: signatures are computed RELATIONALLY — explode hashed
+  *    shingles to (doc, h) rows, then `groupBy(doc).agg(min(xxhash64(h, i)))`
+  *    per hash slot. Everything stays inside WholeStageCodegen (nested
+  *    higher-order-function formulations fall back to interpreted eval and
+  *    re-evaluate the shingle array once per hash slot — measured 30×
+  *    slower). Banding turns the quadratic all-pairs problem into
   *    equi-joins on (band, bucket) keys; a bucket-size cap bounds the
   *    worst-case skew blowup (a hot bucket of b docs costs b² pairs).
-  *  - SimHash: one 64-bit signature per doc (no shuffle), then candidate
-  *    generation by exact-match on 16-bit chunks (pigeonhole: hamming ≤ 3
-  *    ⇒ at least one of 4 chunks equal) — again equi-joins only.
+  *  - SimHash: same relational shape — per-(doc, token-hash) rows, 64
+  *    codegen'd vote sums, sign-assembled into one 64-bit signature; then
+  *    candidate generation by exact-match on 16-bit chunks (pigeonhole:
+  *    hamming ≤ 3 ⇒ at least one of 4 chunks equal) — equi-joins only.
   *  - n-gram Jaccard: fully relational (explode → join on shared rare
   *    terms → count), with a document-frequency cap as the blocking key so
-  *    the join never touches stop-term pairs.
+  *    the join never touches stop-term pairs. Terms are joined as 64-bit
+  *    hashes (cheap long keys, same counts w.h.p.) while Jaccard stays an
+  *    exact integer ratio — oracle-identical to the string formulation.
   *  - embedding near-dup: brute-force is O(n²) and only for oracle-scale
   *    verification; the scale path is random-hyperplane LSH (sign
   *    signatures, then equi-join on buckets) in [[Similarity]].
@@ -44,7 +51,7 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("survivor_id"), count(lit(1)).as("dup_count"))
 
-  // ---------------------------------------------------------------- MinHash
+  // ------------------------------------------------------------- shingles
 
   /** Word shingles of size `n` (documents shorter than `n` tokens collapse
     * to a single whole-text shingle), distinct per doc.
@@ -56,14 +63,50 @@ object Dedup {
     array_distinct(when(size(toks) >= n, joined).otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: element `i` is `min over shingles of
-    * xxhash64(shingle, i)` — the (shingle, seed) pair through one codegen'd
-    * 64-bit hash is a standard portable seeded family. Entirely per-row:
-    * no shuffle, no UDF.
+  /** 64-bit-hashed word shingles over a MATERIALIZED token-array column:
+    * same set as [[shinglesCol]] but each shingle is `xxhash64` of its `n`
+    * tokens — no intermediate strings, and downstream joins/aggregations
+    * work on cheap long keys. Distinct per doc.
+    *
+    * `toks` must be a bound attribute (a projected column), not a computed
+    * expression: interpreted higher-order functions re-evaluate inlined
+    * subtrees once per array element (no CSE), which measured 21× slower
+    * when the tokenizing split() was inlined here.
     */
-  def minhashSignatureCol(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+  def hashedShinglesFromTokens(toks: Column, n: Int): Column = {
+    val joined = transform(sequence(lit(0), size(toks) - n),
+      i => xxhash64((1 to n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, joined).otherwise(array(xxhash64(toks))))
+  }
+
+  /** Exploded (doc, shingle-hash) rows — the relational backbone shared by
+    * the MinHash signature aggregate, the size counts and the
+    * intersection join. Empty-text docs are excluded (they have no
+    * shingles; mirrors the `term <> ''` filter of the string formulation).
+    * Tokenization is a separate projection so the shingle lambda sees a
+    * bound attribute (CollapseProject keeps multi-referenced non-cheap
+    * aliases un-inlined).
+    */
+  private def docShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int): DataFrame =
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col("doc"),
+        explode(hashedShinglesFromTokens(col("toks"), shingleSize)).as("h"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash signatures as `numHashes` columns `s0..s{n-1}`:
+    * `s_i = min over shingles of xxhash64(shingle_hash, i)` — a portable
+    * seeded family, computed as codegen'd min-aggregates over the exploded
+    * shingle rows (one shuffle, map-side partial min).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
+    docShingleHashes(docs, idCol, textCol, shingleSize)
+      .groupBy(col("doc"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
+        (1 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i")): _*)
 
   /** LSH banding: docs agreeing on all `rowsPerBand` signature slots of any
     * band land in the same (band, bucket). Returns candidate doc pairs
@@ -76,13 +119,11 @@ object Dedup {
                         rowsPerBand: Int = 4, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatureCol(shinglesCol(col(textCol), shingleSize), numHashes)
-    val banded = docs
-      .select(col(idCol).as("doc"), sig.as("sig"))
-      .select(col("doc"), posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))
-      ).as(Seq("band", "bucket")))
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    val banded = sigs.select(col("doc"), posexplode(array((0 until numBands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")) :+
+        lit(b): _*)
+    }: _*)).as(Seq("band", "bucket")))
     val capped = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__n") <= maxBucket).drop("__n")
@@ -94,43 +135,57 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with exact Jaccard verification over the
-    * shingle sets (array_intersect/array_union on the per-doc arrays —
-    * no extra shuffle beyond the two candidate-side joins).
+    * (hashed) shingle sets, computed relationally: |A∩B| from an equi-join
+    * on the shingle hash restricted to candidate pairs, |A∪B| = |A|+|B|−|A∩B|.
+    * Integer counts throughout → the ratio is exact.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
                       rowsPerBand: Int = 4): DataFrame = {
-    val withShingles = docs.select(
-      col(idCol).as("doc"), shinglesCol(col(textCol), shingleSize).as("sh"))
+    val tok = docShingleHashes(docs, idCol, textCol, shingleSize)
+    val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n_terms"))
     val cand = minhashCandidates(docs, idCol, textCol, shingleSize, numHashes, rowsPerBand)
-    cand
-      .join(withShingles.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(withShingles.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    jaccardOfCandidates(cand, tok, sizes, threshold)
+  }
+
+  /** Shared tail: exact Jaccard for candidate pairs from exploded
+    * (doc, term-key) rows + per-doc sizes.
+    */
+  private def jaccardOfCandidates(cand: DataFrame, tok: DataFrame,
+                                  sizes: DataFrame, threshold: Double): DataFrame = {
+    val inter = cand
+      .join(tok.select(col("doc").as("doc_a"), col("h")), "doc_a")
+      .join(tok.select(col("doc").as("doc_b"), col("h").as("h_b")), "doc_b")
+      .filter(col("h") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n_terms").as("na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_terms").as("nb")), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
-    * each token occurrence's xxhash64 bit, then take signs. Duplicate
-    * tokens vote once per occurrence (frequency weighting falls out of
-    * folding over the raw token array). Pure higher-order functions —
-    * per-row, codegen'd, no shuffle.
+  /** 64-bit SimHash signatures as a (doc, sig) frame: per bit, sum +1/-1
+    * votes from each token occurrence's xxhash64 bit, then take signs.
+    * Duplicate tokens vote once per occurrence. Computed as 64 codegen'd
+    * sum-aggregates over exploded (doc, token-hash) rows — one shuffle
+    * with map-side combine, no interpreted higher-order functions.
     */
-  def simhashCol(text: Column): Column = {
-    val toks = TextAnalysis.tokensCol(text)
-    val votes = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("getbit", xxhash64(t), j) === 1, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("th"))
+    val votes = tokens.groupBy(col("doc"))
+      .agg(sum(getbit(col("th"), lit(0)) * 2 - 1).as("v0"),
+        (1 until 64).map(j => sum(getbit(col("th"), lit(j)) * 2 - 1).as(s"v$j")): _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 4):
@@ -140,7 +195,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "chunk blocking assumes hamming <= 3")
-    val sigs = docs.select(col(idCol).as("doc"), simhashCol(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val chunked = sigs.select(col("doc"), col("sig"), posexplode(
       transform(sequence(lit(0), lit(3)),
         k => call_function("shiftright", col("sig"), k * 16).bitwiseAND(0xFFFFL)))
@@ -163,34 +218,21 @@ object Dedup {
     * (document frequency ≤ `maxDf` — the blocking predicate that keeps
     * the self-join off ubiquitous shingles), then the TRUE intersection is
     * counted relationally for candidates only, and
-    * |union| = |A| + |B| − |A∩B|. Integer counts throughout → the final
-    * division is bit-identical in any engine (oracle-friendly, unlike the
-    * hash-based MinHash/SimHash paths).
+    * |union| = |A| + |B| − |A∩B|. Join keys are 64-bit shingle hashes
+    * (collision-free w.h.p., so counts — and the exact integer-ratio
+    * Jaccard — are identical to the string formulation the oracle runs).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         maxDf: Long = 5L): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc"),
-        explode(shinglesCol(col(textCol), shingleSize)).as("term"))
-      .filter(col("term") =!= "")
+    val tok = docShingleHashes(docs, idCol, textCol, shingleSize)
     val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n_terms"))
     val rare = tok.join(
-      tok.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), "term")
-    val cand = rare.select(col("doc").as("doc_a"), col("term"))
-      .join(rare.select(col("doc").as("doc_b"), col("term")), "term")
+      tok.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), "h")
+    val cand = rare.select(col("doc").as("doc_a"), col("h"))
+      .join(rare.select(col("doc").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val inter = cand
-      .join(tok.select(col("doc").as("doc_a"), col("term")), "doc_a")
-      .join(tok.select(col("doc").as("doc_b"), col("term").as("term_b")), "doc_b")
-      .filter(col("term") === col("term_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("n_terms").as("na")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n_terms").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    jaccardOfCandidates(cand, tok, sizes, threshold)
   }
 }

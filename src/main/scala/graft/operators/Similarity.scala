@@ -24,16 +24,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two equal-length float vectors, accumulated in double
-    * in element order.
+    * in element order — a native codegen expression
+    * ([[graft.functions.VectorMath.VecDot]]); the equivalent
+    * `aggregate(zip_with(...))` higher-order-function fold is interpreted
+    * and ~10× slower.
     */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  def dotCol(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
 
-  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+  def normCol(a: Column): Column = graft.functions.VectorMath.norm(a)
 
-  def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+  def cosineCol(a: Column, b: Column): Column = graft.functions.VectorMath.cosine(a, b)
 
   /** Exact top-k nearest neighbors (cosine) of each query vector.
     * The query side is broadcast (small by contract); rank ties break on
@@ -55,39 +55,41 @@ object Similarity {
   }
 
   /** Random-hyperplane (sign) LSH signature: bit `i` is the sign of the
-    * dot product with pseudo-random hyperplane `i`, whose components are
-    * derived deterministically from `xxhash64(planeIdx, componentIdx)` —
-    * reproducible across runs and executors with zero driver state.
+    * dot product with pseudo-random hyperplane `(seed, i)`, components
+    * derived deterministically from a splitmix64 of (seed, plane,
+    * component) — reproducible across runs and executors with zero driver
+    * state, fully code-generated
+    * ([[graft.functions.VectorMath.HyperplaneSig]]).
     */
-  def hyperplaneSignatureCol(vec: Column, numBits: Int): Column =
-    aggregate(
-      zip_with(
-        transform(sequence(lit(0), lit(numBits - 1)),
-          p => aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (x, j) => x.cast("double") *
-                ((xxhash64(p, j) % 10000L).cast("double") / 10000.0d)),
-            lit(0.0d), (acc, v) => acc + v)),
-        sequence(lit(0), lit(numBits - 1)),
-        (dot, p) => when(dot > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  def hyperplaneSignatureCol(vec: Column, numBits: Int, seed: Int = 0): Column =
+    graft.functions.VectorMath.hyperplaneSig(vec, numBits, seed)
 
-  /** Approximate top-k: LSH-bucketed search. Corpus and queries are
-    * signed into `numBits`-bit buckets; search runs only within the
-    * query's bucket (equi-join on the signature — no broadcast needed, so
-    * this shape also works corpus×corpus). Recall < 1 by construction;
-    * verified against [[bruteForceTopK]] in tests rather than an oracle.
+  /** Approximate top-k: multi-table LSH-bucketed search (standard
+    * OR-amplification — a single table's all-bits-equal test has recall
+    * `p^b`, vanishing for any useful `b`; `L` independent tables lift it
+    * to `1-(1-p^b)^L`). Candidates come from equi-joins on
+    * (table, signature) keys — no broadcast needed, so this shape also
+    * works corpus×corpus, and the per-table explode multiplies data by
+    * only `L`. Recall < 1 by construction; verified against
+    * [[bruteForceTopK]] in tests rather than an oracle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numBits: Int = 8,
+              numTables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = hyperplaneSignatureCol(col(vecCol), numBits)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), sig.as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), sig.as("bucket"))
-    val scored = c.join(q, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+    def tabled(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(array((0 until numTables).map(t =>
+            hyperplaneSignatureCol(col(vecCol), numBits, t)): _*)).as(Seq("tbl", "sig")))
+    val q = tabled(queries, "query_id", "qv")
+    val c = tabled(corpus, "neighbor_id", "cv")
+    val cand = c.join(q, Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    cand.withColumn("cosine", cosineCol(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
   }

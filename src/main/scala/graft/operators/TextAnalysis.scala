@@ -64,19 +64,24 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokensCol(t)
+    // materialize the token array once — each feature below references it,
+    // and interpreted HOFs would otherwise re-run the tokenizing split()
+    // per reference (no CSE across expressions)
+    val withToks = df.withColumn("__toks", tokensCol(t))
+    val toks = col("__toks")
     val nChars = length(t).cast("long")
     val nTokens = size(toks).cast("long")
     val nPunct = size(regexp_extract_all(t, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("long")
     val nStop = scoreCol(toks, EnglishStopwords).cast("long")
     val nAlpha = size(regexp_extract_all(lower(t), lit("[a-z]"), lit(0))).cast("long")
-    df.withColumn("n_chars_m", nChars)
+    withToks.withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
         (sum_chars_of(toks).cast("double") / greatest(nTokens, lit(1L))))
       .withColumn("punct_ratio", nPunct.cast("double") / greatest(nChars, lit(1L)))
       .withColumn("stopword_ratio", nStop.cast("double") / greatest(nTokens, lit(1L)))
       .withColumn("alpha_ratio", nAlpha.cast("double") / greatest(nChars, lit(1L)))
+      .drop("__toks")
   }
 
   private def sum_chars_of(tokens: Column): Column =

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat"),          // near dup of 0
+      (3L, "completely different text about spark engines at scale"),
+      (4L, "another unrelated document mentioning nothing similar"),
+      (5L, "the quick brown fox jumps over the lazy dog today")     // near dup of 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps smallest tie key per group") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("exact summary reports survivor and dup count") {
+    val out = Dedup.exactSummary(docs, col("text"), col("doc_id"))
+      .where(col("dup_count") > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("survivor_id") == 0L)
+    assert(out(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("shingles: n-grams over tokens; short docs collapse to whole text") {
+    import spark.implicits._
+    val sh = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shinglesCol(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+    assert(sh(0L) == Seq("a b c", "b c d"))
+    assert(sh(1L) == Seq("a b"))
+  }
+
+  test("minhash finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhash jaccard of exact dup is 1.0") {
+    val j = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .where(col("doc_a") === 0 && col("doc_b") === 1)
+      .head().getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("simhash: exact dups at hamming 0; unrelated docs far apart") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").longValue))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard matches hand-computed value") {
+    // doc0 shingles (7): {the quick brown, quick brown fox, brown fox jumps,
+    //   fox jumps over, jumps over the, over the lazy, the lazy dog}
+    // doc2 replaces dog→cat: intersection 6, union 8 → 0.75
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.3, shingleSize = 3, maxDf = 10)
+      .where(col("doc_a") === 0 && col("doc_b") === 2)
+      .head().getAs[Double]("jaccard")
+    assert(out == 0.75)
+  }
+
+  test("minhash and ngram agree on the high-similarity pairs") {
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.7, shingleSize = 3, maxDf = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == ng)
+  }
+}

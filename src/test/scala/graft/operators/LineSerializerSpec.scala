@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Serialization semantics (ref `FileAppenderSink.java:125-147`):
+  * separator-joined fields, null→"", projection via output schema.
+  */
+class LineSerializerSpec extends SparkSpecBase {
+
+  private lazy val df = {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType)))
+    spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "x", 1.5), Row(2L, null, 2.5), Row(3L, "z", null)),
+      schema)
+  }
+
+  test("joins fields with separator in schema order") {
+    val lines = LineSerializer.toLines(df, ",").collect().map(_.getString(0)).sorted
+    assert(lines(0) == "1,x,1.5")
+  }
+
+  test("null renders as empty string, keeping the slot (ref :144)") {
+    val lines = LineSerializer.toLines(df, ",").collect().map(_.getString(0)).sorted
+    assert(lines(1) == "2,,2.5")
+    assert(lines(2) == "3,z,")
+  }
+
+  test("output schema projects and reorders (documented A3 semantics)") {
+    val out = StructType(Seq(StructField("b", StringType), StructField("a", LongType)))
+    val lines = LineSerializer.toLines(df, "|", Some(out))
+      .collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("x|1", "z|3", "|2")) // '|' (0x7C) sorts after letters
+  }
+
+  test("round-trips through spark csv reader for separator-free values") {
+    val lines = LineSerializer.toLines(df, "\t")
+    val tmp = java.nio.file.Files.createTempDirectory("lineser").toString
+    lines.write.mode("overwrite").text(tmp)
+    val back = spark.read.option("sep", "\t").schema(df.schema).csv(tmp)
+    assert(back.count() == 3)
+    assert(back.where("a = 2").head().isNullAt(1)) // "" reads back as null
+  }
+}

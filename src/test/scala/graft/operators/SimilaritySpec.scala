@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val tiny = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f)),   // closest to 0
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0.9f, 0.1f)),   // closest to 2
+      (4L, Seq(-1f, 0f, 0f))       // opposite of 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine column: hand-checked values") {
+    import spark.implicits._
+    val c = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+        (Seq(1f, 2f, 2f), Seq(1f, 2f, 2f)))
+      .toDF("a", "b")
+      .select(Similarity.cosineCol(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(c(0) == 0.0)
+    assert(math.abs(c(1) - 1.0) < 1e-12)
+  }
+
+  test("brute force top-k ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(tiny, tiny.where(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("lsh top-k recall vs brute force on real embeddings (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus's top-5 neighbors sit at moderate cosine (~0.4), so per-bit
+    // collision p ≈ 0.6: recall needs coarse tables (4 bits → p^4 ≈ 0.16,
+    // 8 tables → ~0.75). numBits trades recall for bucket size.
+    val approx = Similarity.lshTopK(emb, q, k = 5, numBits = 4, numTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"LSH recall $recall too low — bucketing broken?")
+  }
+
+  test("ivf probing every cell equals brute force exactly") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 10 labels in the data → nProbe = 10 probes every inverted list
+    val all = Similarity.ivfTopK(emb, q, k = 5, nProbe = 10)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all == exact, "IVF with all cells probed must be exhaustive")
+  }
+
+  test("ivf partial probe keeps useful recall (data-dependent)") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, q, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall $recall below 4-of-10-cells floor")
+  }
+
+  test("cosine near-dups: opposite vectors never pair, identical ones do") {
+    import spark.implicits._
+    val corpus = tiny.union(Seq((5L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDups(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

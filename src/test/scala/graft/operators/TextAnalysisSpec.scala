@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpecBase {
+
+  private def oneDoc(text: String) = {
+    import spark.implicits._
+    Seq((0L, text)).toDF("doc_id", "text")
+  }
+
+  test("whitespace tokens lowercase and trim") {
+    val toks = oneDoc("  The QUICK  brown\tFox ")
+      .select(TextAnalysis.tokensCol(col("text"))).head().getSeq[String](0)
+    assert(toks == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("bpe-ish token count: letter runs, digit runs, single punct") {
+    val n = oneDoc("abc123 def!?").select(TextAnalysis.bpeTokenCountCol(col("text")))
+      .head().getInt(0)
+    assert(n == 5) // abc | 123 | def | ! | ?
+  }
+
+  test("language id picks the dominant marker language") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat is on the mat and it is flat"),
+      (1L, "el gato y la casa de los perros"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat et les chiens est un animal")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.langIdCol(TextAnalysis.tokensCol(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("quality features hand-computed") {
+    val r = TextAnalysis.qualityFeatures(oneDoc("The cat, the hat!")).head()
+    assert(r.getAs[Long]("n_chars_m") == 17L)
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    // tokens: the cat, the hat! → lengths 3+4+3+4 = 14 (punct kept in token)
+    assert(r.getAs[Double]("avg_token_len") == 14.0 / 4)
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 17)
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 4)
+  }
+
+  test("fingerprint: rolling hash is order-sensitive, md5 is content hash") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fp_md5"), r.getAs[Long]("fp_rolling"))).toMap
+    assert(fp(0L) == fp(2L))
+    assert(fp(0L)._2 != fp(1L)._2, "token order must change the rolling hash")
+  }
+
+  test("doc terms counts term frequency per doc") {
+    val dt = TextAnalysis.docTerms(oneDoc("a b a c a b"))
+      .collect().map(r => r.getString(1) -> r.getAs[Long]("tf")).toMap
+    assert(dt == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("term stats idf: rare terms weigh more") {
+    import spark.implicits._
+    val docs = Seq((0L, "common rare"), (1L, "common"), (2L, "common")).toDF("doc_id", "text")
+    val ts = TextAnalysis.termStats(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("doc_freq"), r.getAs[Double]("idf"))).toMap
+    assert(ts("common")._1 == 3L)
+    assert(ts("rare")._1 == 1L)
+    assert(ts("rare")._2 > ts("common")._2)
+    assert(math.abs(ts("rare")._2 - math.log(4.0 / 2)) < 1e-9)
+  }
+}
