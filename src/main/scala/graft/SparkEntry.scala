@@ -106,7 +106,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("o_custkey"), col("rnk"))
     }),
 
@@ -228,8 +228,8 @@ object SparkEntry {
     "q23_token_counts" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          size(TextAnalysis.tokensCol(col("text"))).as("ws_tokens"),
-          TextAnalysis.bpeTokenCountCol(col("text")).as("bpe_tokens"))
+          size(TextAnalysis.tokensCol(col("text"))).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeTokenCountCol(col("text")).cast("long").as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
     "q24_fingerprint_md5" -> ((s, dir) =>
@@ -323,8 +323,63 @@ object SparkEntry {
       Multimodal.sampleFrames(
           Multimodal.fromDocuments(t(s, dir, "documents")).filter(col("asset_id") < 50),
           n = 4)
-        .select(col("asset_id"), col("media_type"), col("frame_no"))
-        .orderBy(col("asset_id"), col("frame_no")))
+        .select(col("asset_id"), col("media_type"), col("frame_no").cast("long").as("frame_no"))
+        .orderBy(col("asset_id"), col("frame_no"))),
+
+    // ---- B7 breadth: set ops, scalar functions, having, semi-join -------
+    "q35_set_ops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val active = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(col("c_mktsegment"))
+      val all = cust.select(col("c_mktsegment"))
+      // segments present overall, minus segments with an active customer,
+      // union'd back with the intersection — exercises except/intersect/
+      // union/distinct in one deterministic result
+      all.distinct().except(active.distinct())
+        .withColumn("kind", lit("inactive_only"))
+        .unionByName(all.distinct().intersect(active.distinct())
+          .withColumn("kind", lit("has_active")))
+        .orderBy(col("kind"), col("c_mktsegment"))
+    }),
+
+    "q36_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          abs(col("p_size") - 25).as("size_dist"),
+          (col("p_retailprice") * 1.1).cast("decimal(18,6)").cast("double").as("price_up"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))),
+
+    "q37_group_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))),
+
+    "q38_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      val ord = t(s, dir, "orders")
+      ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q39_date_buckets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("dow")).as("n_dows"))
+        .orderBy(col("yr"), col("qtr")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -582,7 +637,53 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 'text' AS media_type, g.frame_no
         |FROM documents, (SELECT unnest(range(0, 4)) AS frame_no) g
         |WHERE doc_id < 50
-        |ORDER BY asset_id, frame_no""".stripMargin
+        |ORDER BY asset_id, frame_no""".stripMargin,
+
+    "q35_set_ops" ->
+      """WITH active AS (
+        |  SELECT DISTINCT c_mktsegment FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+        |alls AS (SELECT DISTINCT c_mktsegment FROM customer)
+        |SELECT c_mktsegment, 'inactive_only' AS kind FROM (
+        |  SELECT c_mktsegment FROM alls EXCEPT SELECT c_mktsegment FROM active)
+        |UNION ALL
+        |SELECT c_mktsegment, 'has_active' AS kind FROM (
+        |  SELECT c_mktsegment FROM alls INTERSECT SELECT c_mktsegment FROM active)
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+
+    "q36_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  abs(p_size - 25) AS size_dist,
+        |  CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,6)) AS DOUBLE) AS price_up,
+        |  concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q37_group_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q38_semi_join" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q39_date_buckets" ->
+      """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT dayofweek(o_orderdate)) AS n_dows
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY yr, qtr""".stripMargin
   )
 
   /** DuckDB SQL mirroring [[Dedup.ngramJaccardPairs]]: shingles via list

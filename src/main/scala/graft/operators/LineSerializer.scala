@@ -23,18 +23,41 @@ import org.apache.spark.sql.types.StructType
   */
 object LineSerializer {
 
-  /** Column expression producing one separator-joined line per row. */
-  def lineColumn(fields: Seq[String], separator: String): Column = {
+  /** Column expression producing one separator-joined line per row.
+    *
+    * Raw mode (`quoted = false`, the reference's behavior): values
+    * containing the separator, quote char, or newlines are written
+    * UNESCAPED — such rows mis-split on a CSV read-back. This matches the
+    * reference exactly (it never escapes); read raw output back with
+    * `spark.read.text` + a plain split, or serialize with `quoted = true`
+    * when round-trip fidelity matters.
+    *
+    * Quoted mode (`quoted = true`): values containing the separator, a
+    * double quote, or CR/LF are wrapped in double quotes with inner
+    * quotes doubled (RFC-4180), making the output safe for any quoting
+    * CSV reader including [[AppendFileSink.readCsv]].
+    */
+  def lineColumn(fields: Seq[String], separator: String,
+                 quoted: Boolean = false): Column = {
     require(fields.nonEmpty, "at least one field required")
-    concat_ws(separator, fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+    def render(f: String): Column = {
+      val s = coalesce(col(f).cast("string"), lit(""))
+      if (!quoted) s
+      else when(
+        s.contains(separator) || s.contains("\"") || s.contains("\n") || s.contains("\r"),
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s)
+    }
+    concat_ws(separator, fields.map(render): _*)
   }
 
   /** Serialize `df` to a single-column ("line") DataFrame. `outputSchema`
     * (if set) projects to that subset, in output-schema field order.
     */
   def toLines(df: DataFrame, separator: String = ",",
-              outputSchema: Option[StructType] = None): DataFrame = {
+              outputSchema: Option[StructType] = None,
+              quoted: Boolean = false): DataFrame = {
     val fields = outputSchema.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
-    df.select(lineColumn(fields, separator).as("line"))
+    df.select(lineColumn(fields, separator, quoted).as("line"))
   }
 }

@@ -37,6 +37,23 @@ class LineSerializerSpec extends SparkSpecBase {
     assert(lines.toSeq == Seq("x|1", "z|3", "|2")) // '|' (0x7C) sorts after letters
   }
 
+  test("quoted mode escapes separator/quote/newline values (RFC-4180)") {
+    import org.apache.spark.sql.Row
+    val risky = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a,b", 0.0), Row(2L, "say \"hi\"", 0.0),
+        Row(3L, "line\nbreak", 0.0)),
+      df.schema)
+    val lines = LineSerializer.toLines(risky, ",", quoted = true)
+      .collect().map(_.getString(0)).sorted
+    assert(lines(0) == "1,\"a,b\",0.0")
+    assert(lines(1) == "2,\"say \"\"hi\"\"\",0.0")
+    assert(lines(2) == "3,\"line\nbreak\",0.0")
+    // raw mode (reference behavior) leaves them unescaped
+    val raw = LineSerializer.toLines(risky, ",")
+      .collect().map(_.getString(0)).sorted
+    assert(raw(0) == "1,a,b,0.0")
+  }
+
   test("round-trips through spark csv reader for separator-free values") {
     val lines = LineSerializer.toLines(df, "\t")
     val tmp = java.nio.file.Files.createTempDirectory("lineser").toString
