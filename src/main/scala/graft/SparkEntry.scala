@@ -189,7 +189,7 @@ object SparkEntry {
     "q17_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(
           t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
-          threshold = 0.9)
+          threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- B3 similarity search -------------------------------------------
@@ -379,7 +379,16 @@ object SparkEntry {
         .groupBy(col("yr"), col("qtr"))
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("dow")).as("n_dows"))
-        .orderBy(col("yr"), col("qtr")))
+        .orderBy(col("yr"), col("qtr"))),
+
+    // rows-only: LSH-blocked scale path of q17 (xxhash-free but
+    // splitmix-seeded buckets — not SQL-expressible); recall vs the exact
+    // variant is asserted in SimilaritySpec
+    "q40_cosine_neardups_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupsLsh(
+          t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+          threshold = 0.4, numBits = 4)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -531,7 +540,7 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q18_ann_bruteforce" ->

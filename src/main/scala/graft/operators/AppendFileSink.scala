@@ -197,6 +197,20 @@ object AppendFileSink {
     }
   }
 
+  /** Structured-Streaming form of the sink: each micro-batch appends into
+    * the same directory with the batch epoch as its logical start time —
+    * exactly the reference's deployment pattern of repeated pipeline runs
+    * appending to one FileSet (ref `PipelineTest.java:163-187`), expressed
+    * as `writeStream.foreachBatch`. Usage:
+    * {{{
+    *   df.writeStream.foreachBatch(AppendFileSink.foreachBatchWriter(conf)).start()
+    * }}}
+    */
+  def foreachBatchWriter(conf: AppendSinkConfig,
+                         batchTime: Long => Long = _ => System.currentTimeMillis())
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => write(batch, conf, batchTime(batchId))
+
   /** Readback source (ref `FileAppenderSink.java:93`, A15): scan what the
     * sink wrote as a DataFrame of lines, or separator-split with a schema.
     */

@@ -135,7 +135,7 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (corpus×corpus, cosine ≥
     * `threshold`). Brute-force variant for oracle-scale verification; at
-    * scale, run [[lshTopK]]-style bucketing first.
+    * scale use [[cosineNearDupsLsh]].
     */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
                      idCol: String = "vec_id",
@@ -143,6 +143,31 @@ object Similarity {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Scale path for corpus×corpus cosine near-dup: candidates from
+    * multi-table hyperplane-LSH buckets (equi-joins only — the quadratic
+    * term is confined to within-bucket work, and high-cosine pairs almost
+    * surely share at least one of the `numTables` buckets), then exact
+    * cosine verification per candidate. Recall < 1 by construction;
+    * verified against [[cosineNearDups]] in tests.
+    */
+  def cosineNearDupsLsh(corpus: DataFrame, threshold: Double,
+                        numBits: Int = 8, numTables: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val tabled = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(array((0 until numTables).map(t =>
+        hyperplaneSignatureCol(col(vecCol), numBits, t)): _*)).as(Seq("tbl", "sig")))
+    tabled.as("l").join(tabled.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosineCol(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

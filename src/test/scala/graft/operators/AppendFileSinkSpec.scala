@@ -83,6 +83,25 @@ class AppendFileSinkSpec extends SparkSpecBase {
     assert(e.getMessage.contains("Size threshold"))
   }
 
+  test("streaming foreachBatch appends each micro-batch into the same files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir()
+    val conf = AppendSinkConfig(outputDir = dir)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val query = input.toDF().select(col("value").as("id"))
+      .writeStream
+      .foreachBatch(AppendFileSink.foreachBatchWriter(conf, batchId => 1000L + batchId))
+      .start()
+    try {
+      input.addData(1L, 2L); query.processAllAvailable()
+      val files1 = listFiles(dir)
+      input.addData(3L, 4L); query.processAllAvailable()
+      assert(listFiles(dir) == files1, "second batch must append, not create")
+      assert(allLines(dir).sorted == Seq("1", "2", "3", "4"))
+    } finally query.stop()
+  }
+
   test("readback parses what the sink wrote (ref FileAppenderSink.java:93)") {
     val dir = tmpDir()
     AppendFileSink.write(src, AppendSinkConfig(dir), logicalStartTime = 1000L)

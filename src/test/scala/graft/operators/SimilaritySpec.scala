@@ -77,6 +77,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.3, s"IVF recall $recall below 4-of-10-cells floor")
   }
 
+  test("lsh-blocked cosine near-dups find what brute force finds") {
+    // the synthetic corpus has no high-cosine pairs (max ≈ 0.45), so probe
+    // at 0.4 with coarse 4-bit tables
+    val emb = Tables.embeddings(spark, sf())
+    val exact = Similarity.cosineNearDups(emb, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupsLsh(emb, threshold = 0.4, numBits = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs (cosine is re-verified)")
+    assert(exact.nonEmpty, "corpus should have pairs above 0.4")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall > 0.3, s"0.4-cosine pairs should often share a bucket; recall $recall")
+  }
+
   test("cosine near-dups: opposite vectors never pair, identical ones do") {
     import spark.implicits._
     val corpus = tiny.union(Seq((5L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"))
