@@ -388,7 +388,40 @@ object SparkEntry {
       Similarity.cosineNearDupsLsh(
           t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
           threshold = 0.4, numBits = 4)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      AsOfJoin.asOf(purchases, signups, "user_id", "ts",
+          payloadCols = Seq("signup_id"), rightTieCol = Some("signup_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("asof_signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q42_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q43_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+          col("P").as("n_p"))
+        .orderBy(col("o_orderpriority")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -692,7 +725,34 @@ object SparkEntry {
         |  count(DISTINCT dayofweek(o_orderdate)) AS n_dows
         |FROM orders
         |GROUP BY 1, 2
-        |ORDER BY yr, qtr""".stripMargin
+        |ORDER BY yr, qtr""".stripMargin,
+
+    "q41_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000 AS ts_us,
+        |  s.event_id AS asof_signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 
   /** DuckDB SQL mirroring [[Dedup.ngramJaccardPairs]]: shingles via list

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpecBase {
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("attaches the most recent right row at or before each left ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(0), 100.0), (1L, ts(10), 110.0), (1L, ts(20), 120.0),
+      (2L, ts(5), 200.0)).toDF("key", "ts", "price")
+    val trades = Seq(
+      (1L, ts(10), "a"),   // exact-tie → inclusive match at 110
+      (1L, ts(15), "b"),   // between → 110
+      (1L, ts(25), "c"),   // after last → 120
+      (2L, ts(1), "d"),    // before any quote → null
+      (3L, ts(9), "e")     // key with no quotes → null
+    ).toDF("key", "ts", "tag")
+
+    val out = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("price"))
+      .select("tag", "asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map("a" -> Some(110.0), "b" -> Some(110.0), "c" -> Some(120.0),
+      "d" -> None, "e" -> None))
+  }
+
+  test("ties among right rows at one timestamp resolve to greatest tie key") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(10), 1L, 50.0), (1L, ts(10), 2L, 60.0)).toDF("key", "ts", "qid", "price")
+    val trades = Seq((1L, ts(12), "x")).toDF("key", "ts", "tag")
+    val out = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("price"),
+      rightTieCol = Some("qid")).select("asof_price").head().getDouble(0)
+    assert(out == 60.0)
+  }
+
+  test("left columns pass through unchanged") {
+    import spark.implicits._
+    val quotes = Seq((1L, ts(0), 9.0)).toDF("key", "ts", "v")
+    val trades = Seq((1L, ts(1), "t", 42)).toDF("key", "ts", "tag", "extra")
+    val row = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("v")).head()
+    assert(row.getAs[String]("tag") == "t")
+    assert(row.getAs[Int]("extra") == 42)
+    assert(row.getAs[Double]("asof_v") == 9.0)
+  }
+}
