@@ -421,7 +421,18 @@ object SparkEntry {
         .na.fill(0L)
         .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
           col("P").as("n_p"))
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // SQL surface of the custom codegen expressions (SparkSessionExtensions)
+    "q44_sql_vector_funcs" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql("""SELECT vec_id,
+              |  round(graft_vec_dot(embedding, embedding), 4) AS self_dot
+              |FROM graft_emb
+              |WHERE vec_id < 100
+              |ORDER BY vec_id""".stripMargin)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -752,7 +763,14 @@ object SparkEntry {
         |  count(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q44_sql_vector_funcs" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS self_dot
+        |FROM embeddings
+        |WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin
   )
 
   /** DuckDB SQL mirroring [[Dedup.ngramJaccardPairs]]: shingles via list

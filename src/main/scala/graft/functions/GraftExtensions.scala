@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native Catalyst expressions as SQL functions, so SQL
+  * users get the codegen'd vector math too:
+  *
+  *   SELECT graft_vec_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_hyperplane_sig(embedding, 8, 0) AS bucket FROM ...
+  *
+  * Production path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (the standard `SparkSessionExtensions` injection point). For an
+  * already-running session, call [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.VectorMath", null, name, usage, "")
+
+  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", "graft_vec_dot(a, b) - dot product of two float/double vectors"),
+      { args =>
+        require(args.length == 2, "graft_vec_dot takes (vector, vector)")
+        VectorMath.VecDot(args(0), args(1))
+      })
+
+  val hyperplaneSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig",
+        "graft_hyperplane_sig(vec, numBits, seed) - random-hyperplane LSH bucket"),
+      { args =>
+        require(args.length == 3, "graft_hyperplane_sig takes (vector, numBits, seed)")
+        def intArg(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"$what must be an integer literal, got $other")
+        }
+        VectorMath.HyperplaneSig(args(0),
+          intArg(args(1), "numBits"), intArg(args(2), "seed"))
+      })
+
+  val all = Seq(vecDot, hyperplaneSig)
+
+  /** Idempotently register on a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import graft.SparkSpecBase
+
+class GraftFunctionsSpec extends SparkSpecBase {
+
+  test("graft_vec_dot is callable from SQL and codegen'd") {
+    GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_vec_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F))")
+      .head().getDouble(0)
+    assert(v == 32.0)
+  }
+
+  test("graft_hyperplane_sig produces stable buckets from SQL") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_hyperplane_sig(array(1.0F, 0.0F), 8, 0) AS a,
+        |       graft_hyperplane_sig(array(1.0F, 0.0F), 8, 0) AS b,
+        |       graft_hyperplane_sig(array(0.0F, 1.0F), 8, 0) AS c""".stripMargin)
+      .head()
+    assert(rows.getLong(0) == rows.getLong(1), "deterministic")
+    assert(rows.getLong(0) != rows.getLong(2), "distinct vectors bucket apart")
+  }
+
+  test("non-literal numBits is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_sig(array(1.0F), cast(rand()*8 AS INT), 0)")
+        .head()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
