@@ -103,17 +103,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
               coarseCol: String = "label", idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    // Centroid = per-cell mean vector. Aggregates cannot appear inside a
-    // transform() lambda, so average per (cell, pos) after posexplode, then
-    // reassemble the array in position order (array_sort on (pos, mean)
-    // structs orders by pos, the first field).
+    // Centroid = per-cell mean vector via the typed VectorAvg UDAF — one
+    // shuffle row per (cell) instead of posexplode's dim rows per vector.
     val centroids = corpus
-      .select(col(coarseCol).as("cell"), posexplode(col(vecCol)))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      .groupBy(col(coarseCol).as("cell"))
+      .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
