@@ -23,7 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.VectorMath", null, name, usage, "")
+    new ExpressionInfo("graft.functions.VectorMath", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_vec_dot"),
