@@ -423,6 +423,21 @@ object SparkEntry {
           col("P").as("n_p"))
         .orderBy(col("o_orderpriority"))),
 
+    // the reference-user switchover surface: string properties → full
+    // lifecycle (validate → project via output schema → register → append)
+    "q45_fileappender_lifecycle" -> ((s, dir) => {
+      val out = "/tmp/graft_scratch/fileappender_lifecycle"
+      freshDir(s, out)
+      FileAppender.run(t(s, dir, "nation"), Map(
+          "outputDir" -> out,
+          "fieldSeparator" -> "|",
+          "schema" -> "n_name STRING, n_nationkey INT"),
+        tableName = Some("graft_fileappender_q45"),
+        logicalStartTime = 1700000000000L)
+      s.sql("""SELECT n_name, n_nationkey FROM graft_fileappender_q45
+              |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -764,6 +779,11 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q45_fileappender_lifecycle" ->
+      """SELECT n_name, n_nationkey
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q44_sql_vector_funcs" ->
       """SELECT vec_id,
