@@ -96,17 +96,21 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** MinHash signatures as `numHashes` columns `s0..s{n-1}`:
-    * `s_i = min over shingles of xxhash64(shingle_hash, i)` — a portable
-    * seeded family, computed as codegen'd min-aggregates over the exploded
-    * shingle rows (one shuffle, map-side partial min).
+  /** MinHash signatures as one `array<long>` column `sig`:
+    * `sig(i) = min over shingles of XXH64(shingle_hash, seed = i)` — a
+    * portable seeded family, computed per row by the native
+    * [[graft.functions.TextHashes.MinHashSigs]] codegen expression (zero
+    * shuffle, zero intermediate rows; the relational
+    * explode → 32-min-aggregate alternative costs a shuffle of
+    * |shingles| rows).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
-    docShingleHashes(docs, idCol, textCol, shingleSize)
-      .groupBy(col("doc"))
-      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
-        (1 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i")): _*)
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col("doc"), hashedShinglesFromTokens(col("toks"), shingleSize).as("hsh"))
+      .select(col("doc"),
+        graft.functions.TextHashes.minhashSigs(col("hsh"), numHashes).as("sig"))
 
   /** LSH banding: docs agreeing on all `rowsPerBand` signature slots of any
     * band land in the same (band, bucket). Returns candidate doc pairs
@@ -121,8 +125,7 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
     val banded = sigs.select(col("doc"), posexplode(array((0 until numBands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i")) :+
-        lit(b): _*)
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }: _*)).as(Seq("band", "bucket")))
     val capped = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
@@ -178,22 +181,14 @@ object Dedup {
 
   /** 64-bit SimHash signatures as a (doc, sig) frame: per bit, sum +1/-1
     * votes from each token occurrence's xxhash64 bit, then take signs.
-    * Duplicate tokens vote once per occurrence. Computed as 64 codegen'd
-    * sum-aggregates over exploded (doc, token-hash) rows — one shuffle
-    * with map-side combine, no interpreted higher-order functions.
+    * Duplicate tokens vote once per occurrence. Computed per row by the
+    * native [[graft.functions.TextHashes.SimHash64]] codegen expression
+    * (zero shuffle; bit-identical to the relational 64-vote-sum
+    * formulation since both hash tokens with XXH64 seed 42).
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol).as("doc"),
-      explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("th"))
-    val votes = tokens.groupBy(col("doc"))
-      .agg(sum(getbit(col("th"), lit(0)) * 2 - 1).as("v0"),
-        (1 until 64).map(j => sum(getbit(col("th"), lit(j)) * 2 - 1).as(s"v$j")): _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("doc"), sig.as("sig"))
-  }
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col("doc"), graft.functions.TextHashes.simhash64(col("toks")).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 4):
     * candidates via the 4×16-bit-chunk pigeonhole (equi-join per chunk),
