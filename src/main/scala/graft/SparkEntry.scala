@@ -438,6 +438,19 @@ object SparkEntry {
               |ORDER BY n_nationkey""".stripMargin)
     }),
 
+    // salted join: result must equal the plain join (oracle runs the
+    // unsalted SQL) — the skew tool changes the plan, not the answer
+    "q46_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("k"), col("l_quantity"))
+      val small = t(s, dir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      SkewJoin.saltedJoin(big, small, "k", saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -784,6 +797,15 @@ object SparkEntry {
       """SELECT n_name, n_nationkey
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q46_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 5) p
+        |  ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q44_sql_vector_funcs" ->
       """SELECT vec_id,
