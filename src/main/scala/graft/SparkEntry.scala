@@ -451,6 +451,26 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // bucket-co-located join: write both sides bucketed on the join key,
+    // then join shuffle-free; answer equals the plain-join oracle
+    "q47_bucketed_join" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/bucketed"
+      freshDir(s, base)
+      graft.sources.Bucketed.save(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_q47_li", s"$base/li", "l_orderkey", 8)
+      graft.sources.Bucketed.save(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_q47_ord", s"$base/ord", "o_orderkey", 8)
+      graft.sources.Bucketed.read(s, "graft_q47_li")
+        .join(graft.sources.Bucketed.read(s, "graft_q47_ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -806,6 +826,13 @@ object SparkEntry {
         |  ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "q47_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q44_sql_vector_funcs" ->
       """SELECT vec_id,
