@@ -1,0 +1,30 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PartitionedSpec extends SparkSpecBase {
+
+  test("a filter on the partition column prunes to one directory") {
+    val base = Files.createTempDirectory("partitioned").toString
+    val ev = Tables.events(spark, sf())
+    Partitioned.save(ev, base, Seq("event_type"))
+
+    val pruned = Partitioned.read(spark, base)
+      .filter(col("event_type") === "purchase")
+    val files = Partitioned.filesActuallyRead(pruned)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("event_type=purchase")),
+      s"scan touched non-matching partitions: ${files.filterNot(_.contains("event_type=purchase"))}")
+
+    // PartitionFilters carries the predicate (not PushedFilters — the
+    // column doesn't exist inside the files)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+
+    val expected = ev.filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected)
+  }
+}
