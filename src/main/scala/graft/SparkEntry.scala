@@ -295,6 +295,7 @@ object SparkEntry {
           StructField("c_acctbal", StringType),  // type mismatch: double in input
           StructField("c_missing", LongType))))) // absent from input
       val failures = conf.validateAll(t(s, dir, "customer").schema)
+      import scala.jdk.CollectionConverters._
       s.createDataFrame(failures.map(f => Row(f.message, f.cause)).asJava,
           StructType(Seq(StructField("message", StringType),
             StructField("cause", StringType))))
@@ -570,13 +571,13 @@ object SparkEntry {
         |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
         |  FROM events),
         |flagged AS (
-        |  SELECT user_id, ts_us, value,
+        |  SELECT user_id, event_id, ts_us, value,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
         |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS newf
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |sess AS (
         |  SELECT user_id, ts_us, value,
-        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
@@ -592,13 +593,13 @@ object SparkEntry {
         |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
         |  FROM events),
         |flagged AS (
-        |  SELECT user_id, ts_us, value,
+        |  SELECT user_id, event_id, ts_us, value,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
         |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS newf
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |sess AS (
         |  SELECT user_id, ts_us, value,
-        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                    ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM flagged)
         |SELECT user_id,
@@ -730,7 +731,7 @@ object SparkEntry {
     "q32_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS media_type,
         |  lang AS meta_lang, source AS meta_source,
-        |  CAST(length(text) AS INT) AS payload_bytes
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes
         |FROM documents
         |ORDER BY asset_id""".stripMargin,
 
@@ -909,11 +910,4 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private implicit class SeqAsJava[A](s: Seq[A]) {
-    def asJava: java.util.List[A] = {
-      val l = new java.util.ArrayList[A](s.size)
-      s.foreach(l.add)
-      l
-    }
-  }
 }

@@ -183,7 +183,10 @@ object AppendFileSink {
             iter.foreach { line =>
               if (sizeThreshold > 0 && currentSize > sizeThreshold) {
                 out.close(); out = null
-                createNew(System.currentTimeMillis())
+                // partId offset: like the initial create, keeps concurrent
+                // same-millisecond rotations on non-atomic local FS from
+                // silently overwriting each other's file
+                createNew(System.currentTimeMillis() + partId)
               }
               val bytes = line.getBytes(StandardCharsets.UTF_8)
               out.write(bytes)

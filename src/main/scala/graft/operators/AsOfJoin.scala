@@ -32,35 +32,40 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val outPayload = payloadCols.map(c => s"asof_$c")
 
-    // left rows keep their columns; right rows contribute only key, ts and
-    // (renamed) payload; each side gets nulls for the other's columns
+    // Left rows keep their columns; right rows contribute key, ts and
+    // their payload wrapped in ONE struct — the struct is non-null for
+    // every right row even when individual payload fields are null, so
+    // `last(ignoreNulls)` selects the most recent right ROW (a per-column
+    // carry would skip genuinely-null payload values and could stitch
+    // fields from different right rows).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val tieType = rightTieCol.map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.StringType)
     val l = left
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col(tsCol).as("__ts"), col("__side"),
-        lit(null).cast(tieType).as("__tie")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        outPayload.map(c => lit(null).cast(
-          right.schema(payloadCols(outPayload.indexOf(c))).dataType).as(c)): _*)
+        lit(null).cast(tieType).as("__tie"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
     val r = right
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(tsCol).as("__ts"), col("__side"),
-        rightTieCol.map(col).getOrElse(lit(null).cast(tieType)).as("__tie")) ++
+        rightTieCol.map(col).getOrElse(lit(null).cast(tieType)).as("__tie"),
+        struct(payloadCols.map(col): _*).as("__payload")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.zip(outPayload).map { case (c, o) => col(c).as(o) }: _*)
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__side"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     l.unionByName(r)
-      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        outPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .withColumnRenamed("__ts", tsCol)
-      .drop("__side")
+      .select(Seq(col(keyCol), col("__ts").as(tsCol)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        payloadCols.zip(outPayload).map { case (c, o) =>
+          col("__matched").getField(c).as(o) }: _*)
   }
 }

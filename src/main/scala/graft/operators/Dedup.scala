@@ -159,18 +159,18 @@ object Dedup {
       .select(col("doc"), hashedShinglesFromTokens(col("toks"), shingleSize).as("sh"))
 
   /** Shared tail: exact Jaccard for candidate pairs via `array_intersect`
-    * over per-doc shingle arrays. The doc→array frame is tiny relative to
-    * the candidate set (one row per doc), so both joins broadcast and the
-    * intersection runs codegen'd per pair — the exploded relational
-    * alternative (cand ⋈ tok ⋈ tok on the shingle key) materializes
-    * |cand| × |shingles/doc| rows and measured 4× slower.
+    * over per-doc shingle arrays (one row per doc — Spark auto-broadcasts
+    * below the threshold and shuffle-joins above it; no explicit hint,
+    * which would force an over-cap broadcast on a billion-doc corpus).
+    * The exploded relational alternative (cand ⋈ tok ⋈ tok on the shingle
+    * key) materializes |cand| × |shingles/doc| rows and measured 4× slower.
     * |union| = |A| + |B| − |A∩B|; integer counts → the ratio is exact.
     */
   private def jaccardOfCandidates(cand: DataFrame, shingles: DataFrame,
                                   threshold: Double): DataFrame =
     cand
-      .join(broadcast(shingles.select(col("doc").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
-      .join(broadcast(shingles.select(col("doc").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
+      .join(shingles.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -17,17 +17,20 @@ import org.apache.spark.sql.functions._
   * for correctness of joins that need co-location) or for
   * aggregate-then-join shapes.
   *
-  * The salt is derived from a hash of the big side's whole row, so the
-  * join result is identical to the unsalted join and no RNG state is
-  * involved.
+  * The salt must differ across a hot key's ROWS, not its values — hashing
+  * the row contents would collapse identical duplicate rows (common for a
+  * hot key after a projection) onto one salt and silently undo the
+  * mitigation. It is derived from `monotonically_increasing_id()`: which
+  * salt a row gets varies with physical partitioning, but the JOIN RESULT
+  * is salt-independent (every salt matches the replicated small side), so
+  * the output stays deterministic.
   */
 object SkewJoin {
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val saltCol: Column = pmod(
-      xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(saltFactor))
+    val saltCol: Column = pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
     val b = big.withColumn("__salt", saltCol)
     val s = small
       .withColumn("__salt_i", explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -39,6 +39,19 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out == 60.0)
   }
 
+  test("a null payload in the most recent right row is returned as null, not skipped") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(0), Some(10.0), Some("x")),
+      (1L, ts(10), None, Some("y"))).toDF("key", "ts", "price", "tag")
+    val trades = Seq((1L, ts(20), "t")).toDF("key", "ts", "side")
+    val row = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("price", "tag")).head()
+    // most recent right row is (ts 10, price=null, tag=y): both fields must
+    // come from THAT row (DuckDB ASOF semantics), no per-column carry
+    assert(row.isNullAt(row.fieldIndex("asof_price")))
+    assert(row.getAs[String]("asof_tag") == "y")
+  }
+
   test("left columns pass through unchanged") {
     import spark.implicits._
     val quotes = Seq((1L, ts(0), 9.0)).toDF("key", "ts", "v")

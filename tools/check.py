@@ -10,6 +10,15 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
 
+# a query that crashed writes no output dir — that must FAIL, not vanish
+expected = []
+try:
+    expected = json.load(open(f'{out_dir}/queries.json'))
+except FileNotFoundError:
+    pass
+present = {os.path.basename(d) for d in glob.glob(f'{out_dir}/q*') if os.path.isdir(d)}
+missing = sorted(set(expected) - present)
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return 'NaN'
@@ -18,6 +27,8 @@ def norm(v):
 
 ok = fail = 0
 for d in sorted(glob.glob(f'{out_dir}/q*')):
+    if not os.path.isdir(d):
+        continue
     name = os.path.basename(d)
     try:
         spark_tbl = con.sql(f"SELECT * FROM '{d}/*.parquet'")
@@ -45,5 +56,8 @@ for d in sorted(glob.glob(f'{out_dir}/q*')):
         fail += 1
     else:
         print(f'OK   {name}: {len(spark_rows)} rows'); ok += 1
+for name in missing:
+    print(f'FAIL {name}: query produced no output (crashed in Verify)')
+    fail += 1
 print(f'\n{ok} ok, {fail} fail')
 sys.exit(1 if fail else 0)
