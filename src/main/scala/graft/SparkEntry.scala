@@ -458,7 +458,8 @@ object SparkEntry {
       val base = "/tmp/graft_scratch/bucketed"
       freshDir(s, base)
       graft.sources.Bucketed.save(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 40)
+          .select(col("l_orderkey"), col("l_extendedprice")),
         "graft_q47_li", s"$base/li", "l_orderkey", 8)
       graft.sources.Bucketed.save(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
@@ -832,6 +833,7 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity >= 40
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
