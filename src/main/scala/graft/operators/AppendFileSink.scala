@@ -200,6 +200,41 @@ object AppendFileSink {
     }
   }
 
+  /** Compact the sink directory's many small files (the operational cost
+    * of append-with-rotation at scale: every run leaves ≤ #partitions
+    * part-files) into files of at most `maxRecordsPerFile` lines, named in
+    * the sink's own `prefix-<createTime>` format so subsequent appends
+    * discover and reuse them. MUST NOT run concurrently with writers
+    * (same single-writer constraint as the sink itself: no commit
+    * protocol, writes visible immediately).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, conf: AppendSinkConfig,
+              maxRecordsPerFile: Long = 1000000L,
+              compactTime: Long = System.currentTimeMillis()): Unit = {
+    val dir = new Path(conf.outputDir)
+    val fs = appendableFs(dir, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val originals = fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith(conf.fileNamePrefix + "-"))
+    if (originals.isEmpty) return
+    val tmp = new Path(conf.outputDir + "__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val lines = spark.read.textFile(originals.map(_.toString): _*)
+    // maxRecordsPerFile only SPLITS oversized partitions; merging the
+    // small ones needs an explicit coalesce to the target file count
+    val nFiles = math.max(1L, math.ceil(
+      lines.count().toDouble / maxRecordsPerFile).toLong).toInt
+    lines.coalesce(nFiles)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile).text(tmp.toString)
+    val parts = fs.listStatus(tmp).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    originals.foreach(p => fs.delete(p, false))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      fs.rename(p, new Path(dir, s"${conf.fileNamePrefix}-${compactTime + i}"))
+    }
+    fs.delete(tmp, true)
+  }
+
   /** Structured-Streaming form of the sink: each micro-batch appends into
     * the same directory with the batch epoch as its logical start time —
     * exactly the reference's deployment pattern of repeated pipeline runs

@@ -83,6 +83,25 @@ class AppendFileSinkSpec extends SparkSpecBase {
     assert(e.getMessage.contains("Size threshold"))
   }
 
+  test("compaction merges small files, preserves lines, stays appendable") {
+    val dir = tmpDir()
+    val conf = AppendSinkConfig(outputDir = dir)
+    AppendFileSink.write(src, conf, logicalStartTime = 1000L)
+    AppendFileSink.write(src, conf, logicalStartTime = 2000L)
+    val before = allLines(dir).sorted
+    assert(listFiles(dir).size > 1)
+
+    AppendFileSink.compact(spark, conf, maxRecordsPerFile = 1000L,
+      compactTime = 5000L)
+    assert(listFiles(dir).size == 1, s"expected one compacted file: ${listFiles(dir)}")
+    assert(allLines(dir).sorted == before)
+
+    // compacted files are discovered and reused by the next append
+    AppendFileSink.write(src.coalesce(1), conf, logicalStartTime = 6000L)
+    assert(listFiles(dir).size == 1, "append must reuse the compacted file")
+    assert(allLines(dir).size == before.size + 30)
+  }
+
   test("streaming foreachBatch appends each micro-batch into the same files") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
