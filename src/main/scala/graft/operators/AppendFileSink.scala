@@ -211,27 +211,40 @@ object AppendFileSink {
   def compact(spark: org.apache.spark.sql.SparkSession, conf: AppendSinkConfig,
               maxRecordsPerFile: Long = 1000000L,
               compactTime: Long = System.currentTimeMillis()): Unit = {
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     val dir = new Path(conf.outputDir)
     val fs = appendableFs(dir, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
+    // only files the sink itself would recognize (same parse as candidate
+    // discovery) — a foreign `part-<uuid>` from a plain df.write must not
+    // be absorbed and deleted
     val originals = fs.listStatus(dir).toSeq.filter(_.isFile)
-      .map(_.getPath).filter(_.getName.startsWith(conf.fileNamePrefix + "-"))
+      .filter(st => parseFileInfo(conf.fileNamePrefix, st.getPath.getName,
+        st.getLen).isDefined)
     if (originals.isEmpty) return
     val tmp = new Path(conf.outputDir + "__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val lines = spark.read.textFile(originals.map(_.toString): _*)
-    // maxRecordsPerFile only SPLITS oversized partitions; merging the
-    // small ones needs an explicit coalesce to the target file count
-    val nFiles = math.max(1L, math.ceil(
-      lines.count().toDouble / maxRecordsPerFile).toLong).toInt
-    lines.coalesce(nFiles)
+    // fan-in from the already-listed sizes (no extra read pass): aim for
+    // files around the sink's own rotation threshold
+    val targetBytes = if (conf.sizeThresholdBytes > 0) conf.sizeThresholdBytes
+      else 128L * 1024 * 1024
+    val totalBytes = originals.map(_.getLen).sum
+    val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetBytes).toLong).toInt
+    spark.read.textFile(originals.map(_.getPath.toString): _*)
+      .coalesce(nFiles)
       .write.option("maxRecordsPerFile", maxRecordsPerFile).text(tmp.toString)
     val parts = fs.listStatus(tmp).toSeq.filter(_.isFile)
       .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    originals.foreach(p => fs.delete(p, false))
+    // crash-safety order: move the compacted copies IN first, delete the
+    // originals after — any crash window leaves duplication (the sink's
+    // documented at-least-once semantics), never loss. A failed rename
+    // must abort before the deletes.
     parts.zipWithIndex.foreach { case (p, i) =>
-      fs.rename(p, new Path(dir, s"${conf.fileNamePrefix}-${compactTime + i}"))
+      val dest = new Path(dir, s"${conf.fileNamePrefix}-${compactTime + i}")
+      if (!fs.rename(p, dest))
+        throw new IOException(s"compact: rename $p -> $dest failed; originals untouched")
     }
+    originals.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
   }
 

@@ -127,25 +127,35 @@ object Dedup {
     val banded = sigs.select(col("doc"), posexplode(array((0 until numBands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }: _*)).as(Seq("band", "bucket")))
-    groupedPairs(banded.groupBy(col("band"), col("bucket")), maxBucket)
+    groupedPairs(banded, Seq("band", "bucket"), maxBucket)
   }
 
-  /** Candidate pairs from grouped doc lists: one groupBy shuffle +
-    * double-explode (codegen'd Generate) — replaces the
-    * window-count-cap + self-join formulation, which shuffles the
-    * exploded rows three times and measured ~1.5× slower. The group-size
-    * cap IS the skew guard: a hot bucket above `maxGroup` is dropped
-    * before its quadratic pair blowup is ever generated.
+  /** Candidate pairs from grouped doc lists: window-count cap →
+    * collect_list → double-explode (codegen'd Generate). Replaces the
+    * rare-side self-join formulation, which shuffles the exploded rows
+    * three times and measured ~1.5× slower; the groupBy reuses the
+    * window's hash partitioning, so the whole stage costs ONE exchange.
+    *
+    * Order matters for the skew guard: the cap is applied by the
+    * O(1)-state (spillable) window COUNT before collect_list ever runs,
+    * so a degenerate hot group never materializes its doc list in an
+    * aggregation buffer — capping on size(ds) after collecting would
+    * bound the quadratic pair blowup but not the O(group) single-buffer
+    * array.
     */
-  private def groupedPairs(grouped: org.apache.spark.sql.RelationalGroupedDataset,
-                           maxGroup: Long): DataFrame =
-    grouped.agg(collect_list(col("doc")).as("ds"))
-      .filter(size(col("ds")).between(2, maxGroup))
+  private def groupedPairs(df: DataFrame, groupCols: Seq[String],
+                           maxGroup: Long): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxGroup)).drop("__n")
+      .groupBy(groupCols.map(col): _*)
+      .agg(collect_list(col("doc")).as("ds"))
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
 
   /** MinHash near-dup pairs with exact Jaccard verification over the
     * (hashed) shingle sets, computed relationally: |A∩B| from an equi-join
@@ -238,7 +248,7 @@ object Dedup {
                         threshold: Double, shingleSize: Int = 3,
                         maxDf: Long = 5L): DataFrame = {
     val tok = docShingleHashes(docs, idCol, textCol, shingleSize)
-    val cand = groupedPairs(tok.groupBy(col("h")), maxDf)
+    val cand = groupedPairs(tok, Seq("h"), maxDf)
     jaccardOfCandidates(cand, docShingleArrays(docs, idCol, textCol, shingleSize), threshold)
   }
 }
