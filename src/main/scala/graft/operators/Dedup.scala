@@ -211,23 +211,23 @@ object Dedup {
       .select(col("doc"), graft.functions.TextHashes.simhash64(col("toks")).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 4):
-    * candidates via the 4×16-bit-chunk pigeonhole (equi-join per chunk),
+    * candidates via the 4×16-bit-chunk pigeonhole (shared
+    * [[groupedPairs]] path — `maxChunkBucket` caps a degenerate chunk
+    * value shared by a huge doc population, the same skew guard as the
+    * MinHash bands; capped chunks trade recall for boundedness),
     * verified with `bit_count(a XOR b)`.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxChunkBucket: Long = 100000L): DataFrame = {
     require(maxHamming < 4, "chunk blocking assumes hamming <= 3")
     val sigs = simhashSignatures(docs, idCol, textCol)
-    val chunked = sigs.select(col("doc"), col("sig"), posexplode(
+    val chunked = sigs.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(3)),
         k => call_function("shiftright", col("sig"), k * 16).bitwiseAND(0xFFFFL)))
       .as(Seq("chunk", "ck")))
-    chunked.as("l").join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .distinct()
+    groupedPairs(chunked, Seq("chunk", "ck"), maxChunkBucket)
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
