@@ -35,6 +35,21 @@ object Similarity {
 
   def cosineCol(a: Column, b: Column): Column = graft.functions.VectorMath.cosine(a, b)
 
+  /** Per-query top-k from (query_id, neighbor_id, cosine) scored rows via
+    * the bounded [[graft.functions.TopKAgg]] aggregate — each map task
+    * pre-reduces to ≤ k rows per query BEFORE the shuffle (the
+    * window/row_number formulation shuffles and sorts the full scored
+    * set). Element order of the aggregate equals
+    * `row_number() OVER (ORDER BY cosine DESC, neighbor_id)`.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cosine"), col("neighbor_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.score"), 6).as("cosine"))
+
   /** Exact top-k nearest neighbors (cosine) of each query vector.
     * The query side is broadcast (small by contract); rank ties break on
     * neighbor id for determinism. Self-matches are excluded when query ids
@@ -47,11 +62,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineCol(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane (sign) LSH signature: bit `i` is the sign of the
@@ -86,12 +97,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("cosine", cosineCol(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(cand.withColumn("cosine", cosineCol(col("qv"), col("cv"))), k)
   }
 
   /** IVF-style search: centroids are the per-`coarseCol` mean vectors
@@ -120,11 +126,7 @@ object Similarity {
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineCol(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (corpus×corpus, cosine ≥

@@ -56,11 +56,11 @@ class SimilaritySpec extends SparkSpecBase {
     val q = emb.where(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, k = 5)
       .select("query_id", "neighbor_id", "rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // 10 labels in the data → nProbe = 10 probes every inverted list
     val all = Similarity.ivfTopK(emb, q, k = 5, nProbe = 10)
       .select("query_id", "neighbor_id", "rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(all == exact, "IVF with all cells probed must be exhaustive")
   }
 
