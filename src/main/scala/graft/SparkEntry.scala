@@ -473,6 +473,30 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // deterministic md5-hex-threshold splitting/sampling — stable under
+    // reruns/repartitioning and bit-identical in any engine
+    "q48_deterministic_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(t(s, dir, "documents"), "doc_id",
+          trainFraction = 0.8, valFraction = 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
+    "q49_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "orders"), "o_orderkey", fraction = 0.25)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q50_pii_redaction" -> ((s, dir) =>
+      t(s, dir, "documents")
+        // the corpus has no PII, so inject a deterministic specimen per
+        // row (same construction in the oracle) before redacting
+        .select(col("doc_id"),
+          TextAnalysis.redactPiiCol(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            lit(" or 555-123-4567 ssn 123-45-6789"))).as("clean"))
+        .orderBy(col("doc_id"))),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -836,6 +860,38 @@ object SparkEntry {
         |WHERE l_quantity >= 40
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q48_deterministic_split" -> {
+      val b = Sampling.bucketSql("doc_id")
+      s"""SELECT CASE WHEN $b < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |  WHEN $b < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |  ELSE 'test' END AS split,
+         |  count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin
+    },
+
+    "q49_hash_sample" -> {
+      val b = Sampling.bucketSql("o_orderkey")
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM orders
+         |WHERE $b < '${Sampling.hexThreshold(0.25)}'
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q50_pii_redaction" ->
+      ("""SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat(text, ' contact user', doc_id, '@example.com',
+        |               ' or 555-123-4567 ssn 123-45-6789'),
+        |        '""" + TextAnalysis.EmailPattern + """', '<EMAIL>', 'g'),
+        |      '""" + TextAnalysis.SsnPattern + """', '<SSN>', 'g'),
+        |    '""" + TextAnalysis.PhonePattern + """', '<PHONE>', 'g') AS clean
+        |FROM documents
+        |ORDER BY doc_id""").stripMargin,
 
     "q44_sql_vector_funcs" ->
       """SELECT vec_id,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting — the
+  * train/val/test assignment every training-data pipeline needs, with
+  * three properties `rand()` cannot give:
+  *  - stable under reruns, repartitioning and cluster size (a pure
+  *    function of the row's id);
+  *  - consistent across engines (md5 is bit-identical everywhere, and the
+  *    threshold test compares hex PREFIXES lexicographically — no
+  *    hex-to-int parsing, which SQL dialects disagree on);
+  *  - exact joinability: the same id lands in the same split in every
+  *    table that derives from it.
+  *
+  * An id's bucket is the first 4 hex chars of `md5(id)` (16 bits uniform);
+  * split boundaries are hex-string thresholds, so `fraction` resolution
+  * is 1/65536.
+  */
+object Sampling {
+
+  /** Lowercase 4-hex-digit threshold for a fraction in [0, 1]. */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    f"${math.round(fraction * 65536).min(65535)}%04x"
+  }
+
+  private def bucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 4)
+
+  /** Keep a deterministic `fraction` of rows by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(bucket(col(idCol)) < lit(hexThreshold(fraction)))
+
+  /** Assign `split` ∈ {train, val, test} with the given fractions
+    * (test = remainder). Emits the split column; rows keep their data.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         trainFraction: Double = 0.8,
+                         valFraction: Double = 0.1): DataFrame = {
+    require(trainFraction + valFraction <= 1.0, "fractions exceed 1")
+    val b = bucket(col(idCol))
+    df.withColumn("split",
+      when(b < lit(hexThreshold(trainFraction)), "train")
+        .when(b < lit(hexThreshold(trainFraction + valFraction)), "val")
+        .otherwise("test"))
+  }
+
+  /** The oracle-side SQL for the same bucket (kept adjacent so the two
+    * cannot drift): `substr(md5(CAST(id AS VARCHAR)), 1, 4)`.
+    */
+  private[graft] def bucketSql(idCol: String): String =
+    s"substr(md5(CAST($idCol AS VARCHAR)), 1, 4)"
+}

@@ -100,6 +100,23 @@ object TextAnalysis {
       .withColumn("fp_rolling", rolling)
   }
 
+  /** PII redaction over free text: emails, dashed/dotted phone numbers
+    * and SSN-shaped ids replaced with type tags. Patterns stick to the
+    * regex subset with identical semantics in Java regex and RE2
+    * (character classes, counted repetition, word boundaries), so the
+    * oracle can replay them (DuckDB needs the 'g' flag for replace-all).
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def redactPiiCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        SsnPattern, "<SSN>"),
+      PhonePattern, "<PHONE>")
+
   /** Term frequencies per (doc, term) — the relational backbone for
     * tf-idf and n-gram Jaccard. Map-side combine applies on the
     * (doc_id, term) groupBy; at 100 TB this is the standard

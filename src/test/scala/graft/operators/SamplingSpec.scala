@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpecBase {
+
+  private lazy val ids = spark.range(0, 10000).select(col("id"))
+
+  test("split fractions land near targets and are exhaustive") {
+    val counts = Sampling.deterministicSplit(ids, "id", 0.8, 0.1)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 200, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val ${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 150, s"test ${counts("test")}")
+  }
+
+  test("assignment is stable under repartitioning and reruns") {
+    def splits() = Sampling.deterministicSplit(ids.repartition(7), "id", 0.5, 0.25)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits() == splits())
+  }
+
+  test("hash sample is a subset consistent with the split buckets") {
+    val sampled = Sampling.hashSample(ids, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val again = Sampling.hashSample(ids, "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == again)
+    assert(math.abs(sampled.size - 3000) < 200, s"got ${sampled.size}")
+    // smaller fraction ⊂ larger fraction (threshold monotonicity)
+    val small = Sampling.hashSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(sampled))
+  }
+
+  test("pii redaction replaces emails, phones and ssns, leaves text alone") {
+    import spark.implicits._
+    val out = Seq(
+      "mail me at jane.doe+x@corp.example.org thanks",
+      "call 555-123-4567 or 555.987.6543",
+      "ssn 123-45-6789 on file",
+      "nothing sensitive here 12345"
+    ).toDF("text").select(TextAnalysis.redactPiiCol(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> thanks")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "ssn <SSN> on file")
+    assert(out(3) == "nothing sensitive here 12345")
+  }
+}
