@@ -497,6 +497,17 @@ object SparkEntry {
             lit(" or 555-123-4567 ssn 123-45-6789"))).as("clean"))
         .orderBy(col("doc_id"))),
 
+    "q51_normalize_truncate" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeTextCol(
+            // inject messy whitespace/control chars so normalization has
+            // something to do (same construction in the oracle)
+            concat(lit("  MiXeD\tCase "), col("text"), lit("   end  ")))
+            .as("normalized"),
+          TextAnalysis.truncateTokensCol(col("text"), maxTokens = 5).as("first5"))
+        .orderBy(col("doc_id"))),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -892,6 +903,16 @@ object SparkEntry {
         |    '""" + TextAnalysis.PhonePattern + """', '<PHONE>', 'g') AS clean
         |FROM documents
         |ORDER BY doc_id""").stripMargin,
+
+    "q51_normalize_truncate" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(regexp_replace(
+        |    concat('  MiXeD', chr(9), 'Case', chr(1), ' ', text, '   end  '),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS normalized,
+        |  array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS first5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q44_sql_vector_funcs" ->
       """SELECT vec_id,

@@ -117,6 +117,22 @@ object TextAnalysis {
         SsnPattern, "<SSN>"),
       PhonePattern, "<PHONE>")
 
+  /** Text normalization for training corpora: strip control characters,
+    * collapse whitespace runs to single spaces, trim, lowercase — all
+    * dialect-portable regex/string builtins.
+    */
+  def normalizeTextCol(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " ")))
+
+  /** Token-budget truncation: keep the first `maxTokens` whitespace
+    * tokens, rejoined with single spaces (the cheap pre-tokenizer cap
+    * applied before expensive BPE tokenization at scale).
+    */
+  def truncateTokensCol(text: Column, maxTokens: Int): Column =
+    concat_ws(" ", slice(tokensCol(text), 1, maxTokens))
+
   /** Term frequencies per (doc, term) — the relational backbone for
     * tf-idf and n-gram Jaccard. Map-side combine applies on the
     * (doc_id, term) groupBy; at 100 TB this is the standard
