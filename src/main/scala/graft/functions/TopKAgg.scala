@@ -19,6 +19,10 @@ import org.apache.spark.sql.types._
   * network instead of the full scored set — the difference between a
   * shuffle bounded by k and one bounded by the corpus at 100 TB.
   *
+  * Rows with a null score or id are SKIPPED (undefined similarity does
+  * not compete for the top-k) — a row_number window would instead rank
+  * nulls last and still emit them within k.
+  *
   * Output: `array<struct<id bigint, score double>>`, sorted best-first —
   * element i is exactly the rank-(i+1) row of the equivalent
   * `row_number() OVER (ORDER BY score DESC, id)` window (the q18 oracle
@@ -29,11 +33,23 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
                    inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKAgg.Buffer] {
 
+  require(k > 0, s"k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckFailure(s"score must be double, got ${scoreExpr.dataType.simpleString}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"id must be bigint, got ${idExpr.dataType.simpleString}")
+    else TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): TopKAgg.Buffer = new TopKAgg.Buffer(k)
 
@@ -52,7 +68,12 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def eval(b: TopKAgg.Buffer): Any = {
-    val order = (0 until b.size).sortBy(j => (-b.scores(j), b.ids(j)))
+    // sort with the Buffer's own comparator so NaN ordering stays
+    // consistent with insertion/eviction (Double.compare: NaN greatest,
+    // matching Spark's DESC window ordering)
+    val order = (0 until b.size).sortWith { (x, y) =>
+      TopKAgg.better(b.scores(x), b.ids(x), b.scores(y), b.ids(y))
+    }
     new GenericArrayData(order.map { j =>
       InternalRow(b.ids(j), b.scores(j))
     }.toArray[Any])
@@ -86,16 +107,28 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
 
 object TopKAgg {
 
+  /** Total order matching Spark's `ORDER BY score DESC, id` window
+    * semantics including NaN (Double.compare ranks NaN above +Inf, as
+    * Spark's DESC ordering does — a plain `>` would make NaN both
+    * unevictable and uninsertable).
+    */
+  @inline private[functions] def better(s1: Double, i1: Long,
+                                        s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
+
   /** O(k) insertion buffer: plain parallel arrays with worst-slot
     * tracking. "Better" = higher score, then smaller id.
     */
   final class Buffer(k: Int) {
+    require(k > 0, s"k must be positive, got $k")
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)
     var size: Int = 0
 
-    @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      TopKAgg.better(s1, i1, s2, i2)
 
     private def worstIdx: Int = {
       var w = 0

@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Lowercase 4-hex-digit threshold for a fraction in [0, 1]. */
+  /** Lowercase 4-hex-digit threshold for a fraction in [0, 1]. Fraction
+    * 1.0 returns "g", which sorts above every hex string — capping at
+    * "ffff" would silently exclude the bucket-"ffff" rows from a
+    * fraction-1.0 sample or make an 80/20 split leak a phantom test set.
+    */
   private[graft] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
-    f"${math.round(fraction * 65536).min(65535)}%04x"
+    val n = math.round(fraction * 65536)
+    if (n >= 65536) "g" else f"$n%04x"
   }
 
+  /** Null ids hash to the top bucket ("ffff"): excluded from any
+    * sample/split fraction below 1.0, included at exactly 1.0 — the same
+    * behavior from [[hashSample]] and [[deterministicSplit]].
+    */
   private def bucket(id: Column): Column =
-    substring(md5(id.cast("string").cast("binary")), 1, 4)
+    coalesce(substring(md5(id.cast("string").cast("binary")), 1, 4), lit("ffff"))
 
   /** Keep a deterministic `fraction` of rows by id. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =

@@ -35,18 +35,4 @@ class SamplingSpec extends SparkSpecBase {
     assert(small.subsetOf(sampled))
   }
 
-  test("pii redaction replaces emails, phones and ssns, leaves text alone") {
-    import spark.implicits._
-    val out = Seq(
-      "mail me at jane.doe+x@corp.example.org thanks",
-      "call 555-123-4567 or 555.987.6543",
-      "ssn 123-45-6789 on file",
-      "nothing sensitive here 12345"
-    ).toDF("text").select(TextAnalysis.redactPiiCol(col("text")).as("c"))
-      .collect().map(_.getString(0))
-    assert(out(0) == "mail me at <EMAIL> thanks")
-    assert(out(1) == "call <PHONE> or <PHONE>")
-    assert(out(2) == "ssn <SSN> on file")
-    assert(out(3) == "nothing sensitive here 12345")
-  }
 }
