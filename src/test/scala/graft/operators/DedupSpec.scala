@@ -73,6 +73,22 @@ class DedupSpec extends SparkSpecBase {
     assert(out == 0.75)
   }
 
+  test("ubiquitous shingles are dropped by the df cap, not joined (skew guard)") {
+    import spark.implicits._
+    // 50 docs sharing one identical text: every shingle has df=50 > maxDf,
+    // so blocking produces NO candidates — the hot group is dropped before
+    // any quadratic pair generation (precision/recall trade documented on
+    // ngramJaccardPairs; near-dup detection for such corpora belongs to
+    // exact dedup, which these docs trivially hit)
+    val clones = (0L until 50L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(clones, "doc_id", "text",
+      threshold = 0.1, shingleSize = 3, maxDf = 5)
+    assert(pairs.isEmpty, "hot shingle groups must be capped out")
+    // exact dedup catches them instead
+    assert(Dedup.exact(clones, Seq("text"), "doc_id").count() == 1)
+  }
+
   test("minhash and ngram agree on the high-similarity pairs") {
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
