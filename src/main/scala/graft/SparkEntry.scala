@@ -329,18 +329,21 @@ object SparkEntry {
 
     // ---- B7 breadth: set ops, scalar functions, having, semi-join -------
     "q35_set_ops" -> ((s, dir) => {
+      // Same result as the oracle's EXCEPT/INTERSECT pair, but single-pass:
+      // one scan of each table and two shuffles total. orders is collapsed
+      // to distinct custkeys (the "exists an order" aggregate), customer is
+      // left-joined once, and the per-segment existence flag is a map-side
+      // partial max — the final exchange carries one row per segment. The
+      // naive except/intersect formulation scans customer 4x and shuffles 6x.
       val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      val active = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
-        .select(col("c_mktsegment"))
-      val all = cust.select(col("c_mktsegment"))
-      // segments present overall, minus segments with an active customer,
-      // union'd back with the intersection — exercises except/intersect/
-      // union/distinct in one deterministic result
-      all.distinct().except(active.distinct())
-        .withColumn("kind", lit("inactive_only"))
-        .unionByName(all.distinct().intersect(active.distinct())
-          .withColumn("kind", lit("has_active")))
+      val activeKeys = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      cust.select(col("c_mktsegment"), col("c_custkey"))
+        .join(activeKeys, cust("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("o_custkey").isNotNull).as("__has_active"))
+        .select(col("c_mktsegment"),
+          when(col("__has_active"), lit("has_active"))
+            .otherwise(lit("inactive_only")).as("kind"))
         .orderBy(col("kind"), col("c_mktsegment"))
     }),
 
@@ -613,8 +616,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |sess AS (
         |  SELECT user_id, ts_us, value,
-        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
@@ -625,13 +628,16 @@ object SparkEntry {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q11_session_window_batch" ->
+      // `>=` (not `>`): Spark session windows are end-exclusive [ts, ts+gap),
+      // so an event exactly `gap` after the previous one starts a NEW session.
+      // q10's oracle keeps `>` because Sessionize.assignSessions uses `> gapUs`.
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
         |  FROM events),
         |flagged AS (
         |  SELECT user_id, event_id, ts_us, value,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS newf
+        |           OR ts_us - lag(ts_us) OVER w >= 30*60*1000000 THEN 1 ELSE 0 END AS newf
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |sess AS (
         |  SELECT user_id, ts_us, value,
@@ -734,7 +740,7 @@ object SparkEntry {
         |  WHERE term <> ''
         |  GROUP BY doc_id, term),
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-        |SELECT term, sum(tf) AS total_tf, count(*) AS doc_freq,
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf, count(*) AS doc_freq,
         |  round(ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS idf,
         |  round(sum(tf) * ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS sum_tfidf
         |FROM dt, n

@@ -144,9 +144,68 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** Distinct 64-bit-hashed word shingles over a token array: window `i`
+    * hashes tokens `i..i+n-1` with the exact multi-argument `xxhash64`
+    * chaining (seed 42, each token's hash seeds the next), so values are
+    * bit-identical to the HOF formulation
+    * `transform(sequence(...), i => xxhash64(element_at…))` this replaces.
+    * That HOF is CodegenFallback (interpreted per element); this runs
+    * inside WholeStageCodegen. First-occurrence order, like
+    * `array_distinct`. Arrays shorter than `n` yield an empty result —
+    * callers wrap with the whole-text fallback at the Column level.
+    */
+  case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string>, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashes.hashedShinglesImpl(a.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.hashedShinglesImpl($a, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shared impl for [[HashedShingles]] eval + codegen (called from
+    * generated Java via the static forwarder). Matches Spark's
+    * `xxhash64(tok_i, …, tok_{i+n-1})`: seed 42, null arguments skipped.
+    */
+  def hashedShinglesImpl(arr: ArrayData, n: Int): ArrayData = {
+    val numWindows = arr.numElements() - n + 1
+    if (numWindows <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](numWindows)
+    val seen = new java.util.HashSet[java.lang.Long](numWindows * 2)
+    var cnt = 0
+    var i = 0
+    while (i < numWindows) {
+      var h = seed
+      var o = 0
+      while (o < n) {
+        if (!arr.isNullAt(i + o)) {
+          val s = arr.getUTF8String(i + o)
+          h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+        }
+        o += 1
+      }
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (cnt == numWindows) out else java.util.Arrays.copyOf(out, cnt))
+  }
+
   def simhash64(tokens: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(tokens)))
 
   def minhashSigs(shingleHashes: Column, numHashes: Int): Column =
     GraftColumnShim.column(MinHashSigs(GraftColumnShim.expression(shingleHashes), numHashes))
+
+  def hashedShingles(tokens: Column, n: Int): Column =
+    GraftColumnShim.column(HashedShingles(GraftColumnShim.expression(tokens), n))
 }

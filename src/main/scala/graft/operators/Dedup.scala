@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   *  - exact: single hash-aggregate shuffle on the dedup key, with map-side
   *    partial aggregation; survivor choice is deterministic (min of a tie
   *    key) — `dropDuplicates` would return an arbitrary row per group.
-  *  - MinHash+LSH: signatures are computed RELATIONALLY — explode hashed
-  *    shingles to (doc, h) rows, then `groupBy(doc).agg(min(xxhash64(h, i)))`
-  *    per hash slot. Everything stays inside WholeStageCodegen (nested
-  *    higher-order-function formulations fall back to interpreted eval and
-  *    re-evaluate the shingle array once per hash slot — measured 30×
-  *    slower). Banding turns the quadratic all-pairs problem into
-  *    equi-joins on (band, bucket) keys; a bucket-size cap bounds the
-  *    worst-case skew blowup (a hot bucket of b docs costs b² pairs).
+  *  - MinHash+LSH: shingle hashing and signatures are native codegen
+  *    expressions ([[graft.functions.TextHashes]]) — zero shuffle, zero
+  *    intermediate rows, inside WholeStageCodegen (HOF formulations fall
+  *    back to interpreted eval — measured 30× slower). The per-doc shingle
+  *    arrays are persisted and shared by the candidate and verify sides,
+  *    so the corpus is tokenized once per query. Banding turns the
+  *    quadratic all-pairs problem into equi-joins on (band, bucket) keys;
+  *    a bucket-size cap bounds the worst-case skew blowup (a hot bucket of
+  *    b docs costs b² pairs).
   *  - SimHash: same relational shape — per-(doc, token-hash) rows, 64
   *    codegen'd vote sums, sign-assembled into one 64-bit signature; then
   *    candidate generation by exact-match on 16-bit chunks (pigeonhole:
@@ -63,36 +64,20 @@ object Dedup {
     array_distinct(when(size(toks) >= n, joined).otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** 64-bit-hashed word shingles over a MATERIALIZED token-array column:
-    * same set as [[shinglesCol]] but each shingle is `xxhash64` of its `n`
-    * tokens — no intermediate strings, and downstream joins/aggregations
-    * work on cheap long keys. Distinct per doc.
-    *
-    * `toks` must be a bound attribute (a projected column), not a computed
-    * expression: interpreted higher-order functions re-evaluate inlined
-    * subtrees once per array element (no CSE), which measured 21× slower
-    * when the tokenizing split() was inlined here.
+  /** 64-bit-hashed word shingles over a token-array column: same set as
+    * [[shinglesCol]] but each shingle is `xxhash64` of its `n` tokens — no
+    * intermediate strings, and downstream joins/aggregations work on cheap
+    * long keys. Distinct per doc, first-occurrence order. The n-token
+    * window hashing runs in the native
+    * [[graft.functions.TextHashes.HashedShingles]] codegen expression
+    * (bit-identical values to the multi-arg `xxhash64` HOF formulation it
+    * replaced, which was interpreted per array element and dominated the
+    * near-dup queries' runtime); only the rare short-doc fallback stays a
+    * plain SQL expression.
     */
-  def hashedShinglesFromTokens(toks: Column, n: Int): Column = {
-    val joined = transform(sequence(lit(0), size(toks) - n),
-      i => xxhash64((1 to n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, joined).otherwise(array(xxhash64(toks))))
-  }
-
-  /** Exploded (doc, shingle-hash) rows — the relational backbone shared by
-    * the MinHash signature aggregate, the size counts and the
-    * intersection join. Empty-text docs are excluded (they have no
-    * shingles; mirrors the `term <> ''` filter of the string formulation).
-    * Tokenization is a separate projection so the shingle lambda sees a
-    * bound attribute (CollapseProject keeps multi-referenced non-cheap
-    * aliases un-inlined).
-    */
-  private def docShingleHashes(docs: DataFrame, idCol: String, textCol: String,
-                               shingleSize: Int): DataFrame =
-    docs.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col("doc"),
-        explode(hashedShinglesFromTokens(col("toks"), shingleSize)).as("h"))
+  def hashedShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n, graft.functions.TextHashes.hashedShingles(toks, n))
+      .otherwise(array(xxhash64(toks)))
 
   // ---------------------------------------------------------------- MinHash
 
@@ -106,11 +91,11 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
-    docs.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col("doc"), hashedShinglesFromTokens(col("toks"), shingleSize).as("hsh"))
-      .select(col("doc"),
-        graft.functions.TextHashes.minhashSigs(col("hsh"), numHashes).as("sig"))
+    signaturesFromShingleArrays(docShingleArrays(docs, idCol, textCol, shingleSize), numHashes)
+
+  private def signaturesFromShingleArrays(arrays: DataFrame, numHashes: Int): DataFrame =
+    arrays.select(col("doc"),
+      graft.functions.TextHashes.minhashSigs(col("sh"), numHashes).as("sig"))
 
   /** LSH banding: docs agreeing on all `rowsPerBand` signature slots of any
     * band land in the same (band, bucket). Returns candidate doc pairs
@@ -120,10 +105,14 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 32,
-                        rowsPerBand: Int = 4, maxBucket: Int = 1000): DataFrame = {
+                        rowsPerBand: Int = 4, maxBucket: Int = 1000): DataFrame =
+    candidatesFromSigs(minhashSignatures(docs, idCol, textCol, shingleSize, numHashes),
+      numHashes, rowsPerBand, maxBucket)
+
+  private def candidatesFromSigs(sigs: DataFrame, numHashes: Int,
+                                 rowsPerBand: Int, maxBucket: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
     val banded = sigs.select(col("doc"), posexplode(array((0 until numBands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }: _*)).as(Seq("band", "bucket")))
@@ -165,8 +154,10 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
                       rowsPerBand: Int = 4): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, shingleSize, numHashes, rowsPerBand)
-    jaccardOfCandidates(cand, docShingleArrays(docs, idCol, textCol, shingleSize), threshold)
+    val arrays = sharedShingleArrays(docs, idCol, textCol, shingleSize)
+    val sigs = signaturesFromShingleArrays(arrays, numHashes)
+    jaccardOfCandidates(candidatesFromSigs(sigs, numHashes, rowsPerBand, maxBucket = 1000),
+      arrays, threshold)
   }
 
   /** Per-doc hashed-shingle ARRAYS (doc, sh) — compact verification-side
@@ -177,6 +168,20 @@ object Dedup {
     docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
       .select(col("doc"), hashedShinglesFromTokens(col("toks"), shingleSize).as("sh"))
+
+  /** [[docShingleArrays]] persisted for reuse by both the candidate and the
+    * verify side of a near-dup query — the tokenize+shingle pass over the
+    * corpus runs once instead of once per plan subtree. MEMORY_AND_DISK:
+    * the frame is one compact row per doc, but at 100 TB it can exceed
+    * executor memory, so spill rather than recompute. Spark's CacheManager
+    * keys on the logical plan, so a second operator over the same corpus
+    * and shingle size (e.g. MinHash then n-gram Jaccard in one pipeline)
+    * reuses the same cache entry instead of stacking a new one.
+    */
+  private def sharedShingleArrays(docs: DataFrame, idCol: String, textCol: String,
+                                  shingleSize: Int): DataFrame =
+    docShingleArrays(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Shared tail: exact Jaccard for candidate pairs via `array_intersect`
     * over per-doc shingle arrays (one row per doc — Spark auto-broadcasts
@@ -247,8 +252,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         maxDf: Long = 5L): DataFrame = {
-    val tok = docShingleHashes(docs, idCol, textCol, shingleSize)
+    val arrays = sharedShingleArrays(docs, idCol, textCol, shingleSize)
+    val tok = arrays.select(col("doc"), explode(col("sh")).as("h"))
     val cand = groupedPairs(tok, Seq("h"), maxDf)
-    jaccardOfCandidates(cand, docShingleArrays(docs, idCol, textCol, shingleSize), threshold)
+    jaccardOfCandidates(cand, arrays, threshold)
   }
 }

@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Assign `session_id` (0-based per user) to each event. */
+  /** Assign `session_id` (0-based per user) to each event.
+    *
+    * `tiebreakCol` makes the within-timestamp ordering deterministic; it must
+    * be a unique-per-user column (default matches the `events` testdata).
+    */
   def assignSessions(events: DataFrame, gapMinutes: Long,
                      userCol: String = "user_id",
-                     tsCol: String = "ts"): DataFrame = {
+                     tsCol: String = "ts",
+                     tiebreakCol: String = "event_id"): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
-    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_us"), col(tiebreakCol))
     events
       .withColumn("ts_us", unix_micros(col(tsCol)))
       .withColumn("__prev", lag(col("ts_us"), 1).over(w))
@@ -40,8 +45,9 @@ object Sessionize {
     */
   def sessionStats(events: DataFrame, gapMinutes: Long,
                    userCol: String = "user_id",
-                   tsCol: String = "ts"): DataFrame =
-    assignSessions(events, gapMinutes, userCol, tsCol)
+                   tsCol: String = "ts",
+                   tiebreakCol: String = "event_id"): DataFrame =
+    assignSessions(events, gapMinutes, userCol, tsCol, tiebreakCol)
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
