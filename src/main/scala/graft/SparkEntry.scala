@@ -63,6 +63,9 @@ object SparkEntry {
     val p = new Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // recreate empty: CREATE TABLE ... LOCATION on a missing dir logs a
+    // (non-fatal) FileNotFoundException stack during its initial listing
+    fs.mkdirs(p)
   }
 
   // ---------------------------------------------------------------- queries

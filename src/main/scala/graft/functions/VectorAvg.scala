@@ -19,11 +19,16 @@ object VectorAvg {
     new Aggregator[Seq[Float], Buf, Seq[Double]] {
       override def zero: Buf = Buf(Array.empty, 0L)
 
+      // Ragged inputs fail loudly: a silently truncated sum would skew the
+      // centroid with a plausible-but-wrong value instead of surfacing the
+      // corrupt embedding.
       override def reduce(b: Buf, v: Seq[Float]): Buf = {
         if (v == null) return b
         if (b.sum.isEmpty) b.sum = new Array[Double](v.length)
+        require(v.length == b.sum.length,
+          s"vectorAvg: mismatched vector length ${v.length}, expected ${b.sum.length}")
         var i = 0
-        while (i < b.sum.length && i < v.length) { b.sum(i) += v(i); i += 1 }
+        while (i < b.sum.length) { b.sum(i) += v(i); i += 1 }
         b.n += 1
         b
       }
@@ -31,8 +36,10 @@ object VectorAvg {
       override def merge(a: Buf, b: Buf): Buf = {
         if (a.sum.isEmpty) return b
         if (b.sum.isEmpty) return a
+        require(a.sum.length == b.sum.length,
+          s"vectorAvg: mismatched buffer lengths ${a.sum.length} vs ${b.sum.length}")
         var i = 0
-        while (i < a.sum.length && i < b.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+        while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
         a.n += b.n
         a
       }

@@ -31,9 +31,14 @@ object VectorMath {
       s"$side must be array<float> or array<double>, got ${other.simpleString}")
   }
 
-  /** Σ a(i)·b(i), accumulated in double in element order. */
+  /** Σ a(i)·b(i), accumulated in double in element order. Mismatched vector
+    * lengths yield NULL — exactly like the `aggregate(zip_with(a, b, _*_))`
+    * fold, where `zip_with` pads with null and the sum nulls out. A corrupt
+    * embedding must surface as null, never as a plausible partial product.
+    */
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       checkVec(left.dataType, "left") match {
         case TypeCheckResult.TypeCheckSuccess => checkVec(right.dataType, "right")
@@ -43,9 +48,10 @@ object VectorMath {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val av = a.asInstanceOf[ArrayData]
       val bv = b.asInstanceOf[ArrayData]
+      if (av.numElements() != bv.numElements()) return null
       val leftDouble = left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
       val rightDouble = right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
-      val n = math.min(av.numElements(), bv.numElements())
+      val n = av.numElements()
       var s = 0.0d
       var i = 0
       while (i < n) {
@@ -64,12 +70,16 @@ object VectorMath {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += (double) $a.$ga($i) * (double) $b.$gb($i);
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += (double) $a.$ga($i) * (double) $b.$gb($i);
+           |  }
+           |  ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
     }

@@ -48,7 +48,11 @@ object AsOfJoin {
         lit(null).cast(tieType).as("__tie"),
         lit(null).cast(payloadType).as("__payload")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
+    // Null-ts right rows can never satisfy `right.ts <= left.ts` (DuckDB
+    // ASOF agrees); left in, they'd sort nulls-first and become a bogus
+    // "most recent" payload for left rows with no true predecessor.
     val r = right
+      .filter(col(tsCol).isNotNull)
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(tsCol).as("__ts"), col("__side"),
         rightTieCol.map(col).getOrElse(lit(null).cast(tieType)).as("__tie"),

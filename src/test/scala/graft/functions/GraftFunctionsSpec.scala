@@ -23,6 +23,17 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(rows.getLong(0) != rows.getLong(2), "distinct vectors bucket apart")
   }
 
+  test("graft_vec_dot of mismatched lengths is NULL, matching the HOF fold") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_vec_dot(array(1.0F, 2.0F), array(3.0F)) AS native,
+        |  aggregate(zip_with(array(1.0F, 2.0F), array(3.0F),
+        |    (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),
+        |    cast(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof""".stripMargin).head()
+    assert(rows.isNullAt(0), "native dot must be null on ragged input")
+    assert(rows.isNullAt(1), "HOF reference semantics: ragged -> null")
+  }
+
   test("non-literal numBits is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -23,4 +23,16 @@ class VectorAvgSpec extends SparkSpecBase {
       .head().getSeq[Double](1)
     assert(out == Seq(2.0, 4.0))
   }
+
+  test("ragged vector lengths fail loudly instead of silently truncating") {
+    import spark.implicits._
+    val df = Seq((0, Seq(1f, 2f)), (0, Seq(3f))).toDF("g", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      df.groupBy("g").agg(VectorAvg.vectorAvg(col("v")).as("c")).collect()
+    }
+    // surfaces via reduce ("vector length") or merge ("buffer lengths")
+    // depending on which partitions the two rows land in
+    assert(e.getMessage.contains("vectorAvg: mismatched")
+      || Option(e.getCause).exists(_.getMessage.contains("vectorAvg: mismatched")))
+  }
 }

@@ -52,6 +52,20 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(row.getAs[String]("asof_tag") == "y")
   }
 
+  test("right rows with a null timestamp never match (DuckDB ASOF agrees)") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, None, 666.0),           // null-ts: must never be carried
+      (1L, Some(ts(10)), 110.0)).toDF("key", "ts", "price")
+    val trades = Seq((1L, ts(5), "early"), (1L, ts(15), "late"))
+      .toDF("key", "ts", "tag")
+    val out = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("price"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.get(r.fieldIndex("asof_price")))).toMap
+    assert(out("early").isEmpty, "null-ts right row must not be a match")
+    assert(out("late").contains(110.0))
+  }
+
   test("left columns pass through unchanged") {
     import spark.implicits._
     val quotes = Seq((1L, ts(0), 9.0)).toDF("key", "ts", "v")
