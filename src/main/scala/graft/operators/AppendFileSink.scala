@@ -98,6 +98,16 @@ object AppendFileSink {
       case fs => fs
     }
 
+  /** Fail fast, not just document: a speculative attempt is a second
+    * concurrent writer on the same candidate file (lease conflict on HDFS,
+    * interleaved/duplicated lines on local FS). Speculation is a static
+    * SparkContext conf, so checking once at write() entry is sound.
+    */
+  private[graft] def requireNoSpeculation(conf: org.apache.spark.SparkConf): Unit =
+    require(!conf.getBoolean("spark.speculation", defaultValue = false),
+      "AppendFileSink requires spark.speculation=false: a speculative task " +
+        "attempt would append the same partition into the same file concurrently")
+
   /** Serialize `df` per [[LineSerializer]] and append the lines into
     * `conf.outputDir`, reusing eligible files. Throws on validation
     * failure (all failures accumulated into the message, mirroring the
@@ -117,20 +127,24 @@ object AppendFileSink {
         "Invalid append sink config: " + failures.map(_.message).mkString(" "))
 
     val spark = df.sparkSession
+    requireNoSpeculation(spark.sparkContext.getConf)
     val dir = new Path(conf.outputDir)
     val hconfDriver = spark.sparkContext.hadoopConfiguration
     val driverFs = appendableFs(dir, hconfDriver)
     if (!driverFs.exists(dir)) driverFs.mkdirs(dir)
     val candidates = discoverCandidates(driverFs, dir, conf, logicalStartTime)
 
-    val lines = LineSerializer.toLines(df, conf.fieldSeparator, conf.outputSchema)
+    val lines = LineSerializer.toLines(df, conf.fieldSeparator, conf.outputSchema,
+      conf.quoted)
     val serConf = new SerializableConf(hconfDriver)
     val outputDir = conf.outputDir
     val prefix = conf.fileNamePrefix
     val sizeThreshold = conf.sizeThresholdBytes
     val lineDelim = "\n".getBytes(StandardCharsets.UTF_8)
 
-    lines.select("line").as(Encoders.STRING).foreachPartition {
+    val ds = lines.select("line").as(Encoders.STRING)
+    val nParts = math.max(1, ds.rdd.getNumPartitions)
+    ds.foreachPartition {
       iter: Iterator[String] =>
         if (iter.hasNext) {
           val partId = TaskContext.getPartitionId()
@@ -140,11 +154,22 @@ object AppendFileSink {
           var out: org.apache.hadoop.fs.FSDataOutputStream = null
           var currentSize = 0L
 
-          // Create a fresh `prefix-<time>` file; on a create race another
-          // task won the name — retry with a fresh timestamp
+          // Every name task `partId` creates — initial AND rotation — is
+          // aligned to the residue class `t ≡ partId (mod nParts)`, so
+          // concurrent tasks of one job can NEVER pick the same name even
+          // when their wall-clocks coincide (LocalFileSystem create is
+          // check-then-create, not atomic; T1+p1 == T2+p2 collisions were
+          // possible with plain time+partId names). Names stay parseable
+          // `prefix-<long>` and within nParts ms of the true time.
+          def alignUp(t0: Long): Long =
+            t0 + (((partId - t0) % nParts + nParts) % nParts)
+
+          // Create a fresh `prefix-<time>` file; on a create race (a file
+          // from a PREVIOUS run owns the name — same-run tasks are disjoint
+          // by residue) retry with the next timestamp in this task's class
           // (ref `AppendOutputFormat.java:227-241`).
           def createNew(firstTime: Long): Unit = {
-            var t = firstTime
+            var t = alignUp(firstTime)
             var attempts = 0
             while (out == null) {
               val p = new Path(dirPath, s"$prefix-$t")
@@ -154,26 +179,20 @@ object AppendFileSink {
               } catch {
                 case _: IOException if attempts < 10000 =>
                   attempts += 1
-                  t = math.max(System.currentTimeMillis(), t + 1)
+                  t = alignUp(math.max(System.currentTimeMillis(), t + 1))
               }
             }
           }
 
           // Partition-indexed assignment (ref `AppendOutputFormat.java:94-99`):
-          // task i reuses candidate i if one exists, else opens a new file.
-          // New files start from logicalStartTime + partId: the reference
-          // relies on an atomic create-race to disambiguate same-millisecond
-          // tasks, but LocalFileSystem's create is check-then-create (not
-          // atomic), so two tasks could silently overwrite one file. Distinct
-          // per-task start times keep names disjoint by construction (off
-          // from the true logical time by ≤ #partitions ms), with the race
-          // retry kept as a second line of defense.
+          // task i reuses candidate i if one exists, else creates a new
+          // timestamped file in its own residue class.
           if (partId < candidates.length) {
             val p = new Path(dirPath, candidates(partId))
             currentSize = fs.getFileStatus(p).getLen
             out = fs.append(p)
           } else {
-            createNew(logicalStartTime + partId)
+            createNew(logicalStartTime)
           }
 
           // Pre-write rotation check — files overshoot by at most one
@@ -183,10 +202,7 @@ object AppendFileSink {
             iter.foreach { line =>
               if (sizeThreshold > 0 && currentSize > sizeThreshold) {
                 out.close(); out = null
-                // partId offset: like the initial create, keeps concurrent
-                // same-millisecond rotations on non-atomic local FS from
-                // silently overwriting each other's file
-                createNew(System.currentTimeMillis() + partId)
+                createNew(System.currentTimeMillis())
               }
               val bytes = line.getBytes(StandardCharsets.UTF_8)
               out.write(bytes)
@@ -239,10 +255,27 @@ object AppendFileSink {
     // originals after — any crash window leaves duplication (the sink's
     // documented at-least-once semantics), never loss. A failed rename
     // must abort before the deletes.
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val dest = new Path(dir, s"${conf.fileNamePrefix}-${compactTime + i}")
+    //
+    // Dest names must not collide with any ORIGINAL: rename() on
+    // RawLocalFileSystem silently overwrites, so a dest that matched an
+    // original's timestamp would clobber it and the delete pass below would
+    // then remove the just-renamed compacted file — permanent loss. Start
+    // past every original createTime (they can run ahead of the wall clock:
+    // create names are time+residue, or a caller's future logicalStartTime)
+    // and skip any name that still exists.
+    val maxOrigTime = originals
+      .flatMap(st => parseFileInfo(conf.fileNamePrefix, st.getPath.getName,
+        st.getLen).map(_.createTime)).max
+    var destTime = math.max(compactTime, maxOrigTime + 1)
+    parts.foreach { p =>
+      var dest = new Path(dir, s"${conf.fileNamePrefix}-$destTime")
+      while (fs.exists(dest)) {
+        destTime += 1
+        dest = new Path(dir, s"${conf.fileNamePrefix}-$destTime")
+      }
       if (!fs.rename(p, dest))
         throw new IOException(s"compact: rename $p -> $dest failed; originals untouched")
+      destTime += 1
     }
     originals.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
@@ -270,5 +303,8 @@ object AppendFileSink {
 
   def readCsv(spark: org.apache.spark.sql.SparkSession, dir: String,
               sep: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.option("sep", sep).schema(schema).csv(dir)
+    // escape = '"' : RFC-4180 doubled-quote unescaping, matching what
+    // LineSerializer's quoted mode writes (Spark's default escape is '\')
+    spark.read.option("sep", sep).option("escape", "\"")
+      .schema(schema).csv(dir)
 }

@@ -23,6 +23,13 @@ final case class ValidationFailure(message: String, cause: String)
   * @param fieldSeparator separator between field values in a line
   * @param outputSchema   optional projection schema (must be a subset of
   *                       the input schema, equal types modulo nullability)
+  * @param quoted         RFC-4180-quote values containing the separator, a
+  *                       double quote, or CR/LF (see [[LineSerializer]]).
+  *                       Default false = the reference's raw, never-escaped
+  *                       lines; set true when the directory is read back
+  *                       through a quoting CSV reader (readCsv / the
+  *                       registered catalog table) and values may contain
+  *                       the separator.
   */
 final case class AppendSinkConfig(
     outputDir: String,
@@ -30,7 +37,8 @@ final case class AppendSinkConfig(
     sizeThresholdMb: Long = 100L,
     ageThresholdMin: Long = 60L,
     fieldSeparator: String = ",",
-    outputSchema: Option[StructType] = None) {
+    outputSchema: Option[StructType] = None,
+    quoted: Boolean = false) {
 
   def sizeThresholdBytes: Long = sizeThresholdMb * 1024L * 1024L
   def ageThresholdMs: Long = ageThresholdMin * 60L * 1000L

@@ -31,10 +31,13 @@ object CatalogRegistration {
   def registerTextTable(spark: SparkSession, table: String, dir: String,
                         separator: String, schema: Option[StructType]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // escape '"' = RFC-4180 doubled-quote unescaping, consistent with the
+    // sink's quoted mode and AppendFileSink.readCsv
     spark.sql(
       s"""CREATE TABLE `$table` (${toDDL(schema)})
          |USING CSV
-         |OPTIONS (sep '${separator.replace("'", "\\'")}', header 'false')
+         |OPTIONS (sep '${separator.replace("'", "\\'")}', header 'false',
+         |         escape '"')
          |LOCATION '$dir'""".stripMargin)
   }
 }

@@ -59,13 +59,21 @@ object FileAppender {
       case Some(Right(s)) => Some(s)
       case None => None
     }
+    val quoted = props.get("quoted") match {
+      case None => false
+      case Some(v) => v.toBooleanOption.getOrElse {
+        failures += ValidationFailure(s"quoted must be true/false, got '$v'.", "quoted")
+        false
+      }
+    }
     val conf = AppendSinkConfig(
       outputDir = outputDir.getOrElse(""),
       fileNamePrefix = props.getOrElse("fileNamePrefix", "part"),
       sizeThresholdMb = longProp("sizeThreshold", 100L),
       ageThresholdMin = longProp("ageThreshold", 60L),
       fieldSeparator = props.getOrElse("fieldSeparator", ","),
-      outputSchema = schema)
+      outputSchema = schema,
+      quoted = quoted)
     val all = failures.result() ++ conf.validate()
     if (all.nonEmpty) Left(all) else Right(conf)
   }

@@ -75,6 +75,33 @@ class AppendFileSinkSpec extends SparkSpecBase {
       Long.MaxValue / 2).size == 1)
   }
 
+  test("speculation on is rejected; write() checks the context conf at entry") {
+    val on = new org.apache.spark.SparkConf(false).set("spark.speculation", "true")
+    val e = intercept[IllegalArgumentException] {
+      AppendFileSink.requireNoSpeculation(on)
+    }
+    assert(e.getMessage.contains("spark.speculation"))
+    // off / unset both pass — this session's writes all exercise the guard
+    AppendFileSink.requireNoSpeculation(new org.apache.spark.SparkConf(false))
+    AppendFileSink.requireNoSpeculation(
+      new org.apache.spark.SparkConf(false).set("spark.speculation", "false"))
+  }
+
+  test("compact never clobbers an original whose timestamp-name is ahead of compactTime") {
+    val dir = tmpDir()
+    val conf = AppendSinkConfig(outputDir = dir)
+    AppendFileSink.write(src, conf, logicalStartTime = 1000L)
+    // a later run whose 1-minute age threshold rejects the run-1 files, so
+    // it CREATES a file named part-121000 — exactly the compactTime below
+    AppendFileSink.write(src.coalesce(1), conf.copy(ageThresholdMin = 1),
+      logicalStartTime = 121000L)
+    val before = allLines(dir).sorted
+    AppendFileSink.compact(spark, conf, maxRecordsPerFile = 1000L,
+      compactTime = 121000L)
+    assert(allLines(dir).sorted == before,
+      "compact dest rename must not overwrite-then-delete an original")
+  }
+
   test("invalid config throws with accumulated failures") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException] {
@@ -119,6 +146,31 @@ class AppendFileSinkSpec extends SparkSpecBase {
       assert(listFiles(dir) == files1, "second batch must append, not create")
       assert(allLines(dir).sorted == Seq("1", "2", "3", "4"))
     } finally query.stop()
+  }
+
+  test("quoted mode round-trips values containing the separator and quotes") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val hostile = Seq(
+      (1L, "plain"),
+      (2L, "has,comma"),
+      (3L, "has \"quotes\" inside"),
+      (4L, "both,\"at,once\"")).toDF("id", "name")
+    AppendFileSink.write(hostile, AppendSinkConfig(dir, quoted = true),
+      logicalStartTime = 1000L)
+    val back = AppendFileSink.readCsv(spark, dir, ",", hostile.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "plain", 2L -> "has,comma",
+      3L -> "has \"quotes\" inside", 4L -> "both,\"at,once\""))
+  }
+
+  test("raw mode (reference behavior) mis-splits hostile values — documented divergence") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val hostile = Seq((2L, "has,comma")).toDF("id", "name")
+    AppendFileSink.write(hostile, AppendSinkConfig(dir), logicalStartTime = 1000L)
+    // raw line is `2,has,comma` — exactly what the reference writes
+    assert(allLines(dir) == Seq("2,has,comma"))
   }
 
   test("readback parses what the sink wrote (ref FileAppenderSink.java:93)") {
