@@ -8,6 +8,52 @@ class MultimodalSpec extends SparkSpecBase {
 
   private lazy val assets = Multimodal.fromDocuments(Tables.documents(spark, sf()))
 
+  /** A real in-memory PNG: `w`×`h`, left half black, right half white. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def imageAssets(ws: (Long, Int, Int)*) = {
+    import org.apache.spark.sql.{Row => R}
+    val rows = ws.map { case (id, w, h) =>
+      R(id, pngBytes(w, h), "image", Map.empty[String, String], null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.schema)
+  }
+
+  test("decode reads REAL png dimensions via ImageIO") {
+    val out = Multimodal.decode(imageAssets((1L, 64, 48), (2L, 10, 200)))
+      .select("asset_id", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((64, 48, 3)))
+    assert(out(2L) == ((10, 200, 3)))
+  }
+
+  test("resize really rescales the image payload and re-encodes png") {
+    val out = Multimodal.resize(imageAssets((1L, 64, 48)), 224, 112)
+    val r = out.head()
+    assert(r.getAs[Map[String, String]]("meta")("resized") == "true")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+    assert(img.getWidth == 224 && img.getHeight == 112)
+  }
+
+  test("extractFeatures computes a REAL grayscale grid for images") {
+    val out = Multimodal.extractFeatures(imageAssets((1L, 64, 64)), dim = 4)
+    val vec = out.head().getSeq[Float](Multimodal.schema.fieldIndex("embedding"))
+    // left half black (luma 0), right half white (luma 1), 2x2 grid
+    assert(vec.length == 4)
+    assert(vec(0) < 0.05f && vec(2) < 0.05f, s"left cells dark: $vec")
+    assert(vec(1) > 0.95f && vec(3) > 0.95f, s"right cells bright: $vec")
+  }
+
   test("documents lift to the multimodal schema") {
     assert(assets.schema.fieldNames.toSeq ==
       Seq("asset_id", "payload", "media_type", "meta", "embedding"))
