@@ -172,8 +172,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // ---- B2 near-dup dedup ----------------------------------------------
-    // Deterministic but xxhash64-based → rows-only driver check; recall is
-    // cross-verified against ngram-jaccard ground truth in DedupSpec.
+    // Oracle-gated against EXHAUSTIVE exact-jaccard ground truth: the
+    // verify side emits exact jaccard, so rows match iff LSH candidate
+    // recall is 1.0 (true on this corpus; DedupSpec checks the same).
+    // q15 stays rows-only: simhash signatures are xxhash64-based and
+    // xxhash64 has no DuckDB equivalent.
     "q14_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
@@ -244,6 +247,14 @@ object SparkEntry {
     "q25_fingerprint_rolling" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fp_rolling"))
+        .orderBy(col("doc_id"))),
+
+    // the oracle-checkable order-sensitive fingerprint: md5 over the
+    // space-joined token stream (same order sensitivity as fp_rolling,
+    // portable md5 instead of xxhash64 so DuckDB can replay it)
+    "q52_fingerprint_ordered" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fp_ordered"))
         .orderBy(col("doc_id"))),
 
     "q26_doc_terms" -> ((s, dir) =>
@@ -671,7 +682,14 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
-    "q16_ngram_jaccard" -> ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = 20),
+    // q14's gate: exhaustive exact-jaccard ground truth (no df blocking) —
+    // valid because the LSH verify side emits exact jaccard and candidate
+    // recall is 1.0 on this corpus (checked at sf0.001/0.01/0.1)
+    "q14_minhash_neardups" ->
+      ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None),
+
+    "q16_ngram_jaccard" ->
+      ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20)),
 
     "q17_cosine_neardups" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
@@ -724,6 +742,13 @@ object SparkEntry {
 
     "q24_fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS fp_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_fingerprint_ordered" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '))
+        |    AS fp_ordered
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
@@ -935,7 +960,30 @@ object SparkEntry {
     * comprehension over token positions, rare-term blocking, relational
     * intersection count.
     */
-  private def ngramJaccardOracle(threshold: Double, n: Int, maxDf: Long): String =
+  /** Shared n-gram-Jaccard oracle SQL. `maxDf = Some(d)` mirrors the
+    * rare-shingle blocking of [[Dedup.ngramJaccardPairs]] (q16); `None`
+    * blocks on ANY shared shingle — exhaustive for jaccard ≥ threshold > 0,
+    * the ground truth that q14's MinHash-LSH path is gated against (its
+    * verify side already computes exact Jaccard, so the gate is exactly
+    * "candidate recall is 1.0" — empirically true on this corpus at
+    * sf0.001/0.01/0.1; DedupSpec cross-checks the same property).
+    */
+  private def ngramJaccardOracle(threshold: Double, n: Int,
+                                 maxDf: Option[Long]): String = {
+    val candSource = maxDf match {
+      case Some(d) =>
+        s"""rare AS (
+           |  SELECT tokf.doc_id, tokf.term FROM tokf
+           |  JOIN (SELECT term, count(*) AS df FROM tokf GROUP BY term
+           |        HAVING count(*) <= $d) d USING (term)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),""".stripMargin
+      case None =>
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM tokf a JOIN tokf b ON a.term = b.term AND a.doc_id < b.doc_id),""".stripMargin
+    }
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
        |  FROM documents),
@@ -948,13 +996,7 @@ object SparkEntry {
        |  SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
        |sizes AS (SELECT doc_id, count(*) AS n_terms FROM tokf GROUP BY doc_id),
-       |rare AS (
-       |  SELECT tokf.doc_id, tokf.term FROM tokf
-       |  JOIN (SELECT term, count(*) AS df FROM tokf GROUP BY term
-       |        HAVING count(*) <= $maxDf) d USING (term)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
+       |$candSource
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i
        |  FROM cand c
@@ -968,6 +1010,7 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** DuckDB SQL mirroring [[TextAnalysis.langIdCol]]'s argmax CASE chain
     * (generated from the same marker table so they cannot drift).

@@ -88,16 +88,20 @@ object TextAnalysis {
     aggregate(tokens, lit(0L), (acc, tk) => acc + length(tk).cast("long"))
 
   /** Document fingerprints: a portable content hash (md5 hex — identical
-    * in every engine) plus a 64-bit rolling hash over tokens: the fold
+    * in every engine), a 64-bit rolling hash over tokens — the fold
     * `acc = xxhash64(acc, token)` is order-sensitive and cannot overflow
     * (a polynomial `acc*p + h` fold would trip ANSI-mode long-overflow
-    * checks), computed with codegen'd higher-order functions.
+    * checks), computed with codegen'd higher-order functions — and
+    * `fp_ordered`, an order-sensitive portable variant (md5 of the
+    * space-joined token stream) whose order sensitivity any SQL engine can
+    * replay, giving the fingerprint family a value-checked oracle gate.
     */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val rolling = aggregate(tokensCol(t), lit(0L), (acc, tk) => xxhash64(acc, tk))
     df.withColumn("fp_md5", md5(t.cast("binary")))
       .withColumn("fp_rolling", rolling)
+      .withColumn("fp_ordered", md5(concat_ws(" ", tokensCol(t)).cast("binary")))
   }
 
   /** PII redaction over free text: emails, dashed/dotted phone numbers
