@@ -38,9 +38,14 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
       "on", "for", "with", "as", "at", "by")
 
-  /** Count of tokens that appear in `markers`. */
+  /** Count of tokens that appear in `markers` (with multiplicity) — the
+    * native [[graft.functions.ArraySetOps.CountInSet]] codegen expression:
+    * one hash probe per token. The `size(filter(toks, k-way OR))` HOF
+    * formulation it replaces is CodegenFallback and re-ran an interpreted
+    * OR chain per element (dominated q21/q22's runtime).
+    */
   def scoreCol(tokens: Column, markers: Seq[String]): Column =
-    size(filter(tokens, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+    graft.functions.ArraySetOps.countInSet(tokens, markers)
 
   /** Heuristic language ID: argmax of per-language marker-token counts,
     * ties broken by language-code order (deterministic — required by the
