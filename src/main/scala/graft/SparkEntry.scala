@@ -192,6 +192,17 @@ object SparkEntry {
           threshold = 0.5, shingleSize = 3, maxDf = 20)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // cluster formation over the near-dup pairs: (A,B),(B,C) → one
+    // component, survivor = min id. Input is the LSH scale path (cheap
+    // candidates, exact-jaccard verify); the oracle replays exhaustive
+    // exact-jaccard pairs through a recursive transitive closure — rows
+    // match iff LSH recall is 1.0, same gate logic as q14.
+    "q53_neardup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.5))
+        .orderBy(col("doc"))),
+
     "q17_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(
           t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
@@ -504,6 +515,14 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // per-source quota cap — "at most N docs per source" training mix;
+    // deterministic md5 rank within group, one shuffle on the group key
+    "q54_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(t(s, dir, "documents"), "source", "doc_id",
+          quota = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     "q50_pii_redaction" -> ((s, dir) =>
       t(s, dir, "documents")
         // the corpus has no PII, so inject a deterministic specimen per
@@ -690,6 +709,25 @@ object SparkEntry {
 
     "q16_ngram_jaccard" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20)),
+
+    // exhaustive exact-jaccard pairs (q14's oracle) fed through a
+    // recursive transitive closure; cluster = min reachable id
+    "q53_neardup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None)}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src)
+         |SELECT src AS doc, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src
+         |ORDER BY doc""".stripMargin,
 
     "q17_cosine_neardups" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
@@ -924,6 +962,15 @@ object SparkEntry {
          |WHERE $b < '${Sampling.hexThreshold(0.25)}'
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    "q54_quota_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15
+        |ORDER BY doc_id""".stripMargin,
 
     "q50_pii_redaction" ->
       ("""SELECT doc_id,

@@ -262,4 +262,65 @@ object Dedup {
     val cand = groupedPairs(tok, Seq("h"), maxDf)
     jaccardOfCandidates(cand, arrays, threshold)
   }
+
+  // ------------------------------------------------- cluster formation
+
+  /** Connected components over near-dup pairs — the step AFTER pair
+    * finding that every dedup pipeline needs: pairs (A,B),(B,C) must
+    * collapse to ONE surviving document, not two independent removals.
+    * Returns `(doc, cluster)` for every doc appearing in a pair, where
+    * `cluster` is the smallest doc id in the component — which is also
+    * the deterministic survivor, so `docs.join(cc.filter(doc =!= cluster),
+    * "anti")` drops exactly the non-survivors.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round is two
+    * shuffles (join labels to edges + min-aggregate) and rounds =
+    * component diameter. Near-dup components are template families —
+    * dense, near-clique, tiny diameter — so 3-4 rounds close virtually
+    * any real corpus; `maxIter` bounds adversarial chains and the
+    * operator THROWS if not converged (silently partial clusters would
+    * under-dedup). Label state is one row per distinct doc — linear,
+    * spillable, no driver-side structures; the fixpoint (min id reachable)
+    * is unique, so the result is independent of partitioning and
+    * iteration order.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    // label(d) = min(d, min neighbor)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
+      .withColumnRenamed("src", "doc")
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for d: min over neighbors of their current label
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc", "dst"), "dst")
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds - " +
+          "component diameter exceeds maxIter; raise it")
+    labels
+  }
 }

@@ -61,4 +61,25 @@ object Sampling {
     */
   private[graft] def bucketSql(idCol: String): String =
     s"substr(md5(CAST($idCol AS VARCHAR)), 1, 4)"
+
+  /** Per-group quota sampling: keep at most `quota` rows per `groupCol`
+    * value — the "at most N documents per source/domain" cap every
+    * training-data mix needs. Selection is deterministic and engine
+    * portable: rows rank by (md5 of id, id) within their group, so the
+    * kept set is stable under reruns, repartitioning, and engines, and
+    * uniformly "random" in id. One shuffle on the group key; per-group
+    * state in the window sort is the group's rows (spillable sort, no
+    * aggregation buffer). A skew-heavy group costs its own sort only —
+    * no cross-group interaction.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
 }

@@ -89,6 +89,38 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.exact(clones, Seq("text"), "doc_id").count() == 1)
   }
 
+  test("connectedComponents collapses chained pairs into min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive via 2), island 5-6, chain 10-11-12-13
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L),
+      (12L, 13L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("connectedComponents result is independent of pair orientation/partitioning") {
+    import spark.implicits._
+    val pairs = Seq((3L, 2L), (1L, 2L), (9L, 4L)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(pairs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 4L))
+  }
+
+  test("connectedComponents throws rather than return partial clusters") {
+    import spark.implicits._
+    // a 12-long chain cannot converge in 2 rounds of min propagation
+    val chain = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   test("minhash and ngram agree on the high-similarity pairs") {
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

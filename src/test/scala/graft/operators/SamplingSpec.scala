@@ -23,6 +23,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(splits() == splits())
   }
 
+  test("quota sample keeps at most N per group, deterministically") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val out = Sampling.quotaSample(df, "src", "id", quota = 30)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 30L), counts.toString)
+    // small groups keep everything
+    val small = Sampling.quotaSample(df.limit(3), "src", "id", quota = 30)
+    assert(small.count() == 3)
+    // deterministic under repartitioning
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaSample(df.repartition(7), "src", "id", quota = 30)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("hash sample is a subset consistent with the split buckets") {
     val sampled = Sampling.hashSample(ids, "id", 0.3)
       .collect().map(_.getLong(0)).toSet
