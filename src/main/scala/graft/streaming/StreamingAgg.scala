@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative Structured-Streaming aggregation and ingest-dedup — the
+  * continuous counterparts of the batch group-aggregates and
+  * [[graft.operators.Dedup.exact]].
+  *
+  * Everything here is `readStream`-source-agnostic (file / kafka / memory)
+  * and watermark-driven: state eviction is Spark's, sharded by the group
+  * key across executors, so a 1000-executor cluster holds the window /
+  * seen-key state horizontally with no driver-side structures.
+  */
+object StreamingAgg {
+
+  /** Tumbling (or, with `slide`, sliding) event-time window aggregation
+    * with watermarked late-data handling: per (window, extra keys) event
+    * counts and value sums, emitted once the watermark passes the window
+    * end (append mode) — the standard throughput/quality dashboard shape.
+    */
+  def windowedStats(events: DataFrame, windowLength: String,
+                    slide: Option[String] = None,
+                    watermarkDelay: String = "10 minutes",
+                    tsCol: String = "ts", valueCol: String = "value",
+                    extraKeys: Seq[String] = Seq.empty): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowLength, s)
+      case None => window(col(tsCol), windowLength)
+    }
+    val keys: Seq[Column] = w.as("w") +: extraKeys.map(col)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select((Seq(col("w.start").as("window_start"),
+        col("w.end").as("window_end")) ++
+        extraKeys.map(col) ++
+        Seq(col("n_events"), col("sum_value"))): _*)
+  }
+
+  /** Streaming exact dedup for ingest: drop rows whose `keys` were already
+    * seen within the watermark horizon (`dropDuplicatesWithinWatermark`,
+    * so the seen-key state is EVICTED once the watermark passes — bounded
+    * state, unlike plain `dropDuplicates` whose state grows forever on an
+    * unbounded stream). The at-scale contract every continuous
+    * training-data ingest needs: re-delivered payloads (at-least-once
+    * sources) are dropped while state stays O(keys per horizon).
+    *
+    * Exactly-once caveat: duplicates farther apart than the watermark
+    * horizon survive; the terminal batch [[graft.operators.Dedup.exact]]
+    * pass over the landed corpus removes those.
+    */
+  def dedupedStream(events: DataFrame, keys: Seq[String],
+                    watermarkDelay: String = "10 minutes",
+                    tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+}
