@@ -523,6 +523,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // greedy sequence packing per source shard: running ws-token total
+    // (same tokenization q23 gates), reset at the 300-token budget
+    // (~4 sequences per source at sf0.01, so the reset path is exercised)
+    "q55_sequence_packing" -> ((s, dir) =>
+      Packing.packSequences(
+          t(s, dir, "documents")
+            .withColumn("ws_tokens", size(TextAnalysis.tokensCol(col("text"))).cast("long")),
+          "source", "doc_id", "ws_tokens", budget = 300)
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("n_tokens"), col("seq_no"))
+        .orderBy(col("doc_id"))),
+
     "q50_pii_redaction" -> ((s, dir) =>
       t(s, dir, "documents")
         // the corpus has no PII, so inject a deterministic specimen per
@@ -970,6 +982,32 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 15
+        |ORDER BY doc_id""".stripMargin,
+
+    // greedy reset-packing replayed exactly by a recursive CTE walking
+    // each source's docs in id order
+    "q55_sequence_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |rec AS (
+        |  SELECT source, doc_id, rn, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq_no, n_tokens AS acc
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.doc_id, o.rn, o.n_tokens,
+        |    CASE WHEN r.acc + o.n_tokens > 300 THEN r.seq_no + 1
+        |         ELSE r.seq_no END,
+        |    CASE WHEN r.acc + o.n_tokens > 300 THEN o.n_tokens
+        |         ELSE r.acc + o.n_tokens END
+        |  FROM rec r JOIN ord o ON o.source = r.source AND o.rn = r.rn + 1)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, seq_no
+        |FROM rec
         |ORDER BY doc_id""".stripMargin,
 
     "q50_pii_redaction" ->

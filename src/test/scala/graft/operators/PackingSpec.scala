@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpecBase {
+
+  private def pack(rows: Seq[(String, Long, Long)], budget: Long) = {
+    import spark.implicits._
+    Packing.packSequences(rows.toDF("src", "id", "n"), "src", "id", "n", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+  }
+
+  test("greedy packing resets when the budget would be exceeded") {
+    // 3+4 fit in 10; +5 overflows -> seq 1; 9 overflows again -> seq 2
+    val out = pack(Seq(("a", 1L, 3L), ("a", 2L, 4L), ("a", 3L, 5L), ("a", 4L, 9L)),
+      budget = 10)
+    assert(out == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("a", 4L) -> 2L))
+  }
+
+  test("groups pack independently and oversize docs get their own sequence") {
+    val out = pack(Seq(("a", 1L, 99L), ("a", 2L, 1L), ("b", 5L, 2L), ("b", 6L, 2L)),
+      budget = 10)
+    // doc 1 oversize: alone in seq 0; doc 2 can't join it -> seq 1
+    assert(out(("a", 1L)) == 0L && out(("a", 2L)) == 1L)
+    assert(out(("b", 5L)) == 0L && out(("b", 6L)) == 0L)
+  }
+
+  test("packing is deterministic under repartitioning") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (s"s${i % 3}", i, 1L + i % 7))
+      .toDF("src", "id", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(d, "src", "id", "n", budget = 20)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(run(df) == run(df.repartition(13)))
+  }
+
+  test("every sequence except possibly a group's last is within budget and maximal") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => ("s", i, 1L + (i * 7) % 50)).toDF("src", "id", "n")
+    val out = Packing.packSequences(df, "src", "id", "n", budget = 100)
+      .orderBy("id").collect()
+    val bySeq = out.groupBy(_.getLong(3)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val maxSeq = bySeq.keys.max
+    // within budget always (no row here is oversize)
+    assert(bySeq.values.forall(_ <= 100L))
+    // maximality: adding the first doc of seq k+1 to seq k would overflow
+    val firstOfNext = out.groupBy(_.getLong(3)).view
+      .mapValues(_.minBy(_.getLong(1)).getLong(2)).toMap
+    (0L until maxSeq).foreach { k =>
+      assert(bySeq(k) + firstOfNext(k + 1) > 100L, s"seq $k not maximal")
+    }
+  }
+}
