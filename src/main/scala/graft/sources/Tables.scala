@@ -20,6 +20,23 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** [[load]] memoized per (session, path): every `spark.read.parquet`
+    * call builds a fresh InMemoryFileIndex (a directory listing) and
+    * re-reads the footer schema — measurable fixed cost when a harness
+    * runs 50+ queries over the same ten immutable tables, and pure waste
+    * at 1000-executor scale where the listing is a namenode round-trip
+    * per table per query. Reusing the analyzed relation also makes
+    * `persist()` plan-cache hits reliable across queries (the CacheManager
+    * keys on the logical plan). ONLY for immutable snapshot inputs: files
+    * appended to the directory after first load are not picked up.
+    */
+  def loadCached(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      (k: (SparkSession, String)) => k._1.read.parquet(k._2))
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")
@@ -37,7 +54,7 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
+    loadCached(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
