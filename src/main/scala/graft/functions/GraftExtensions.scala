@@ -16,8 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * already-running session, call [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // operatorOptimization: runs inside the main optimizer batch, so the
+    // rewrite composes with constant folding / pruning in either order
+    ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectionSize)
+  }
 }
 
 object GraftFunctions {
@@ -49,7 +53,37 @@ object GraftFunctions {
           intArg(args(1), "numBits"), intArg(args(2), "seed"))
       })
 
-  val all = Seq(vecDot, hyperplaneSig)
+  val intersectCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_intersect_count"),
+      info("graft_intersect_count",
+        "graft_intersect_count(a, b) - |a ∩ b| for two bigint arrays, no array materialization"),
+      { args =>
+        require(args.length == 2, "graft_intersect_count takes (array, array)")
+        ArraySetOps.IntersectCount(args(0), args(1))
+      })
+
+  val countInSet: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_count_in_set"),
+      info("graft_count_in_set",
+        "graft_count_in_set(tokens, array('a','b')) - tokens present in the literal set, with multiplicity"),
+      { args =>
+        require(args.length == 2, "graft_count_in_set takes (tokens, set literal)")
+        val set = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+              if elems.forall(_.foldable) =>
+            elems.map(_.eval() match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              case s: String => s
+              case other => throw new IllegalArgumentException(
+                s"set elements must be strings, got $other")
+            })
+          case other => throw new IllegalArgumentException(
+            s"the set must be a literal array of strings, got $other")
+        }
+        ArraySetOps.CountInSet(args(0), set)
+      })
+
+  val all = Seq(vecDot, hyperplaneSig, intersectCount, countInSet)
 
   /** Idempotently register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

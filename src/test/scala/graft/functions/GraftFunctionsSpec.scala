@@ -42,4 +42,23 @@ class GraftFunctionsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("graft_intersect_count and graft_count_in_set work from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
+        |  graft_count_in_set(array('the', 'cat', 'the'), array('the', 'a')) AS cs
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("graft_count_in_set rejects a non-literal set with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_count_in_set(array('x'), split(string(rand()), ','))")
+        .head()
+    }
+    assert(e.getMessage.contains("literal array"))
+  }
 }
