@@ -248,7 +248,7 @@ object SparkEntry {
     "q23_token_counts" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          size(TextAnalysis.tokensCol(col("text"))).cast("long").as("ws_tokens"),
+          TextAnalysis.wsTokenCountCol(col("text")).cast("long").as("ws_tokens"),
           TextAnalysis.bpeTokenCountCol(col("text")).cast("long").as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
@@ -532,7 +532,7 @@ object SparkEntry {
     "q55_sequence_packing" -> ((s, dir) =>
       Packing.packSequences(
           t(s, dir, "documents")
-            .withColumn("ws_tokens", size(TextAnalysis.tokensCol(col("text"))).cast("long")),
+            .withColumn("ws_tokens", TextAnalysis.wsTokenCountCol(col("text")).cast("long")),
           "source", "doc_id", "ws_tokens", budget = 300)
         .select(col("id").as("doc_id"), col("group").as("source"),
           col("n_tokens"), col("seq_no"))

@@ -20,11 +20,19 @@ object TextAnalysis {
 
   /** BPE-ish subword segmentation: letter runs, digit runs, single other
     * glyphs — the standard pre-tokenizer shape (e.g. GPT-2's regex family),
-    * reduced to character classes so the count is engine-portable.
+    * reduced to character classes so the count is engine-portable. Counted
+    * by the single-pass [[graft.functions.TextScan.BpeTokenCount]] scanner
+    * (equivalent to `size(regexp_extract_all(lower(text), BpePattern))`,
+    * asserted in `TextScanSpec` — no regex engine, no match-list
+    * allocation).
     */
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   def bpeTokenCountCol(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+    graft.functions.TextScan.bpeTokenCount(text)
+
+  /** `size(tokensCol(text))` as a single scan (no array allocation). */
+  def wsTokenCountCol(text: Column): Column =
+    graft.functions.TextScan.wsTokenCount(text)
 
   /** Per-language marker stopwords for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -72,25 +80,27 @@ object TextAnalysis {
     // materialize the token array once — each feature below references it,
     // and interpreted HOFs would otherwise re-run the tokenizing split()
     // per reference (no CSE across expressions)
+    // the token ARRAY is built once for the set-membership stopword count;
+    // every pure COUNT is a TextScan single-pass scanner instead of a
+    // regex match-list or an interpreted aggregate-HOF fold (equivalence
+    // asserted in TextScanSpec)
+    import graft.functions.TextScan
     val withToks = df.withColumn("__toks", tokensCol(t))
     val toks = col("__toks")
     val nChars = length(t).cast("long")
     val nTokens = size(toks).cast("long")
-    val nPunct = size(regexp_extract_all(t, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("long")
+    val nPunct = TextScan.asciiSetCount(t, ".,;:!?'\"()[]{}-").cast("long")
     val nStop = scoreCol(toks, EnglishStopwords).cast("long")
-    val nAlpha = size(regexp_extract_all(lower(t), lit("[a-z]"), lit(0))).cast("long")
+    val nAlpha = TextScan.asciiSetCount(t, "abcdefghijklmnopqrstuvwxyz").cast("long")
     withToks.withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
-        (sum_chars_of(toks).cast("double") / greatest(nTokens, lit(1L))))
+        (TextScan.wsCharCount(t).cast("double") / greatest(nTokens, lit(1L))))
       .withColumn("punct_ratio", nPunct.cast("double") / greatest(nChars, lit(1L)))
       .withColumn("stopword_ratio", nStop.cast("double") / greatest(nTokens, lit(1L)))
       .withColumn("alpha_ratio", nAlpha.cast("double") / greatest(nChars, lit(1L)))
       .drop("__toks")
   }
-
-  private def sum_chars_of(tokens: Column): Column =
-    aggregate(tokens, lit(0L), (acc, tk) => acc + length(tk).cast("long"))
 
   /** Document fingerprints: a portable content hash (md5 hex — identical
     * in every engine), a 64-bit rolling hash over tokens — the fold

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Every scanner must be value-identical to the regex / HOF formulation it
+  * replaced — asserted over the whole sf corpus AND hostile edge strings
+  * (empty, whitespace-only, untrimmed tabs, unicode, mixed case).
+  */
+class TextScanSpec extends SparkSpecBase {
+
+  import TextScan._
+
+  private val edge = Seq("", " ", "   ", "\ta b\t", "a", "a b  c",
+    "àé 中文 mixed", "A1.b!!", "tab\tsep", "nl\nsep", "'quoted' (paren)",
+    "1234 5a6b", "trailing space ", " leading", "ALL CAPS RUN 99")
+
+  private def corpus = {
+    import spark.implicits._
+    Tables.documents(spark, sf()).select(col("text"))
+      .union(edge.toDF("text"))
+  }
+
+  test("wsTokenCount == size(split(trim(text), ws+))") {
+    val bad = corpus.select(
+      wsTokenCount(col("text")).as("a"),
+      size(split(trim(col("text")), "\\s+")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("wsCharCount == aggregate(tokens, sum of lengths)") {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val bad = corpus.select(
+      wsCharCount(col("text")).as("a"),
+      aggregate(toks, lit(0L), (acc, tk) => acc + length(tk).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("bpeTokenCount == size(regexp_extract_all(lower, bpe pattern))") {
+    val bad = corpus.select(
+      bpeTokenCount(col("text")).as("a"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("asciiSetCount matches the punct and alpha regex classes") {
+    val bad = corpus.select(
+      asciiSetCount(col("text"), ".,;:!?'\"()[]{}-").as("a"),
+      size(regexp_extract_all(col("text"),
+        lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).as("b"),
+      asciiSetCount(col("text"), "abcdefghijklmnopqrstuvwxyz").as("c"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]"), lit(0))).as("d"))
+      .filter(col("a") =!= col("b") || col("c") =!= col("d"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("scanners run inside WholeStageCodegen") {
+    val q = spark.range(4).select(concat(lit("a b"), col("id").cast("string")).as("t"))
+      .select(wsTokenCount(col("t")), wsCharCount(col("t")),
+        bpeTokenCount(col("t")), asciiSetCount(col("t"), "ab"))
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+}
