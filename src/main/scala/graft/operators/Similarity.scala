@@ -58,10 +58,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // norms factored out per ROW (bit-identical double arithmetic to
+    // cosineCol, which would recompute both norms per PAIR - 3 array
+    // passes per scored pair instead of 1)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normCol(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", normCol(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -87,17 +92,20 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numBits: Int = 8,
               numTables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def tabled(df: DataFrame, id: String, vec: String): DataFrame =
+    // norm computed once per vector BEFORE the L-way posexplode
+    def tabled(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
+          normCol(col(vecCol)).as(nrm),
           posexplode(array((0 until numTables).map(t =>
             hyperplaneSignatureCol(col(vecCol), numBits, t)): _*)).as(Seq("tbl", "sig")))
-    val q = tabled(queries, "query_id", "qv")
-    val c = tabled(corpus, "neighbor_id", "cv")
+    val q = tabled(queries, "query_id", "qv", "qn")
+    val c = tabled(corpus, "neighbor_id", "cv", "cn")
     val cand = c.join(q, Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
-    topKPerQuery(cand.withColumn("cosine", cosineCol(col("qv"), col("cv"))), k)
+    topKPerQuery(cand.withColumn("cosine",
+      dotCol(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** IVF-style search: centroids are the per-`coarseCol` mean vectors
@@ -115,17 +123,18 @@ object Similarity {
       .groupBy(col(coarseCol).as("cell"))
       .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normCol(col("qv")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
     val probed = q.join(broadcast(centroids), lit(true))
       .withColumn("cdist", cosineCol(col("qv"), col("centroid")))
       .withColumn("prank", row_number().over(probeW)).filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(coarseCol).as("cell"))
+      col(coarseCol).as("cell")).withColumn("cn", normCol(col("cv")))
     val scored = c.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -137,9 +146,11 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", normCol(col("va")))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", normCol(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .withColumn("cosine", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -156,15 +167,17 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val tabled = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normCol(col(vecCol)).as("n"),
       posexplode(array((0 until numTables).map(t =>
         hyperplaneSignatureCol(col(vecCol), numBits, t)): _*)).as(Seq("tbl", "sig")))
     tabled.as("l").join(tabled.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+        col("l.v").as("va"), col("r.v").as("vb"),
+        col("l.n").as("na"), col("r.n").as("nb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .withColumn("cosine", dotCol(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
