@@ -230,6 +230,12 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxChunkBucket: Long = 100000L): DataFrame = {
     require(maxHamming < 4, "chunk blocking assumes hamming <= 3")
+    // The plan references sigs three times (chunk explode + both verify
+    // joins) and recomputes the signature each time — deliberately NOT
+    // persisted: SimHash64 is one codegen pass over the row, and caching
+    // here measured ~2× SLOWER (materialization barrier + lost pipeline
+    // fusion outweigh the recompute; unlike the shingle ARRAYS, which are
+    // expensive to build and large enough to matter).
     val sigs = simhashSignatures(docs, idCol, textCol)
     val chunked = sigs.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(3)),
