@@ -59,6 +59,32 @@ class TextScanSpec extends SparkSpecBase {
     assert(bad.isEmpty, bad.collect().mkString(","))
   }
 
+  test("fuzz: 500 seeded random strings agree with the regex formulations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab z09.,;:!?'\"()[]{}-\t\n\f\r  éàß中文ABC"
+    val fuzz = (0 until 500).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = fuzz.toDF("text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val bad = df.select(col("text"),
+      wsTokenCount(col("text")).as("a1"),
+      size(split(trim(col("text")), "\\s+")).as("b1"),
+      wsCharCount(col("text")).as("a2"),
+      aggregate(toks, lit(0L), (acc, tk) => acc + length(tk).cast("long")).as("b2"),
+      bpeTokenCount(col("text")).as("a3"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("b3"),
+      asciiSetCount(col("text"), ".,;:!?'\"()[]{}-").as("a4"),
+      size(regexp_extract_all(col("text"),
+        lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).as("b4"))
+      .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
+        col("a3") =!= col("b3") || col("a4") =!= col("b4"))
+    assert(bad.isEmpty, bad.collect().take(5).mkString("\n"))
+  }
+
   test("scanners run inside WholeStageCodegen") {
     val q = spark.range(4).select(concat(lit("a b"), col("id").cast("string")).as("t"))
       .select(wsTokenCount(col("t")), wsCharCount(col("t")),
