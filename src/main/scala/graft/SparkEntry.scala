@@ -231,6 +231,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // int8 embedding quantization, flattened to (vec_id, pos, q) scalars
+    // so the hash gate compares element-wise; scale exactness: maxAbs of
+    // float32 inputs widened to double matches DuckDB's ::DOUBLE[] walk
+    "q56_vector_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("quant")).as(Seq("pos", "q")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("q"), col("scale"))
+        .orderBy(col("vec_id"), col("pos"))),
+
     // ---- B4 text analysis -----------------------------------------------
     "q21_quality_features" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"))
@@ -763,6 +774,23 @@ object SparkEntry {
         |  WHERE q.vec_id < 20)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // symmetric int8 quantization replayed element-wise: unnest +
+    // generate_subscripts co-unnest positionally in DuckDB
+    "q56_vector_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM v)
+        |SELECT vec_id,
+        |  CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(round(unnest(e) * 127.0 / scale) AS BIGINT) END AS q,
+        |  round(scale, 6) AS scale
+        |FROM s
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q21_quality_features" ->
       """WITH f AS (

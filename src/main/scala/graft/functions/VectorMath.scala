@@ -162,6 +162,102 @@ object VectorMath {
       copy(child = newChild)
   }
 
+  /** max |x_i| — the symmetric-quantization scale of a vector. */
+  case class VecMaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "vec")
+    override protected def nullSafeEval(a: Any): Any = {
+      val av = a.asInstanceOf[ArrayData]
+      val isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+      var m = 0.0d
+      var i = 0
+      while (i < av.numElements()) {
+        val x = math.abs(if (isDouble) av.getDouble(i) else av.getFloat(i).toDouble)
+        if (x > m) m = x
+        i += 1
+      }
+      m
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val g = elemGetter(child.dataType)
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val m = ctx.freshName("m")
+        val x = ctx.freshName("x")
+        s"""
+           |double $m = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $x = java.lang.Math.abs((double) $a.$g($i));
+           |  if ($x > $m) $m = $x;
+           |}
+           |${ev.value} = $m;
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Symmetric int8 quantization: `round(x_i * 127 / scale)` per element
+    * (zero vector → all zeros), emitted as `array<long>` so SQL engines
+    * compare it natively — the 4× storage/IO lever for embedding stores;
+    * dequantize is `q_i * scale / 127` with ≤ scale/254 per-element error.
+    * Rounding is half-away-from-zero — DuckDB's and Spark SQL's
+    * `round(DOUBLE)` behavior, including for negative components.
+    */
+  case class VecQuantize8(child: Expression, scale: Expression)
+      extends BinaryExpression {
+    override def left: Expression = child
+    override def right: Expression = scale
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVec(child.dataType, "vec") match {
+        case TypeCheckResult.TypeCheckSuccess => scale.dataType match {
+          case DoubleType => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"scale must be double, got ${other.simpleString}")
+        }
+        case f => f
+      }
+    override protected def nullSafeEval(a: Any, s: Any): Any = {
+      val av = a.asInstanceOf[ArrayData]
+      val sc = s.asInstanceOf[Double]
+      val isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+      val out = new Array[Long](av.numElements())
+      if (sc != 0.0) {
+        var i = 0
+        while (i < out.length) {
+          val x = if (isDouble) av.getDouble(i) else av.getFloat(i).toDouble
+          val v = x * 127.0 / sc
+          out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+          i += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val g = elemGetter(child.dataType)
+      nullSafeCodeGen(ctx, ev, (a, s) => {
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |long[] $out = new long[$a.numElements()];
+           |if ($s != 0.0) {
+           |  for (int $i = 0; $i < $a.numElements(); $i++) {
+           |    double v = (double) $a.$g($i) * 127.0 / $s;
+           |    $out[$i] = (long) (v >= 0 ? java.lang.Math.floor(v + 0.5)
+           |                              : java.lang.Math.ceil(v - 0.5));
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(child = newLeft, scale = newRight)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -169,6 +265,13 @@ object VectorMath {
       GraftColumnShim.expression(b)))
 
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  def maxAbs(a: Column): Column =
+    GraftColumnShim.column(VecMaxAbs(GraftColumnShim.expression(a)))
+
+  def quantize8(a: Column, scale: Column): Column =
+    GraftColumnShim.column(VecQuantize8(GraftColumnShim.expression(a),
+      GraftColumnShim.expression(scale)))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -138,6 +138,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage/IO lever for a 100 TB embedding store: per vector, `scale =
+    * max |x_i|` and `q_i = round(x_i · 127 / scale)` (half away from
+    * zero; zero vector → zeros). Dequantize with `q_i · scale / 127`;
+    * per-element error ≤ scale/254. Pure per-row codegen — zero shuffle.
+    * Emits the input columns minus `vecCol` plus (scale, quant).
+    */
+  def quantizeEmbeddings(corpus: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val sc = graft.functions.VectorMath.maxAbs(col(vecCol))
+    corpus
+      .withColumn("scale", sc)
+      .withColumn("quant", graft.functions.VectorMath.quantize8(col(vecCol), col("scale")))
+      .drop(vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs (corpus×corpus, cosine ≥
     * `threshold`). Brute-force variant for oracle-scale verification; at
     * scale use [[cosineNearDupsLsh]].

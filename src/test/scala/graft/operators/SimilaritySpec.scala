@@ -91,6 +91,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.3, s"0.4-cosine pairs should often share a bucket; recall $recall")
   }
 
+  test("int8 quantization round-trips within scale/254 per element") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf())
+    val q = Similarity.quantizeEmbeddings(emb)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"), col("quant"), col("embedding"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val quant = r.getSeq[Long](2)
+      val orig = r.getSeq[Float](3)
+      assert(quant.length == orig.length)
+      assert(quant.forall(v => v >= -127 && v <= 127), s"int8 range: $quant")
+      val maxErr = quant.zip(orig).map { case (qv, x) =>
+        math.abs(qv * scale / 127.0 - x) }.max
+      assert(maxErr <= scale / 254.0 + 1e-12, s"round-trip err $maxErr vs ${scale / 254}")
+    }
+  }
+
+  test("quantization: zero vector yields zeros; negatives round away from zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(0f, 0f)),
+      (2L, Seq(-1f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("quant"))).toMap
+    assert(out(1L) == Seq(0L, 0L))
+    assert(out(2L) == Seq(-127L, 64L)) // 0.5*127/1 = 63.5 -> 64
+  }
+
   test("cosine near-dups: opposite vectors never pair, identical ones do") {
     import spark.implicits._
     val corpus = tiny.union(Seq((5L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding"))
