@@ -282,6 +282,16 @@ object SparkEntry {
         .select(col("doc_id"), col("fp_ordered"))
         .orderBy(col("doc_id"))),
 
+    // intra-doc repetition: duplicate n-gram fractions n=1..3 (quality
+    // filter signal; per-row codegen, zero shuffle)
+    "q57_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("total_1gram"), col("distinct_1gram"), col("dup_1gram_ratio"),
+          col("total_2gram"), col("distinct_2gram"), col("dup_2gram_ratio"),
+          col("total_3gram"), col("distinct_3gram"), col("dup_3gram_ratio"))
+        .orderBy(col("doc_id"))),
+
     "q26_doc_terms" -> ((s, dir) =>
       TextAnalysis.docTerms(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("term"))),
@@ -831,6 +841,33 @@ object SparkEntry {
         |  md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '))
         |    AS fp_ordered
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // distinct n-gram counts mirror the hashed-shingle counts exactly
+    // w.h.p. (64-bit hash collisions — the q16 precedent); ratios are
+    // exact-integer divisions in double
+    "q57_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS total_1gram,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS distinct_1gram,
+        |  CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+        |    / greatest(len(t), 1) AS dup_1gram_ratio,
+        |  CAST(greatest(len(t) - 1, 0) AS BIGINT) AS total_2gram,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+1], ' ')))) AS BIGINT) AS distinct_2gram,
+        |  CAST(greatest(len(t) - 1, 0) - len(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))))
+        |    AS DOUBLE) / greatest(len(t) - 1, 1) AS dup_2gram_ratio,
+        |  CAST(greatest(len(t) - 2, 0) AS BIGINT) AS total_3gram,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS BIGINT) AS distinct_3gram,
+        |  CAST(greatest(len(t) - 2, 0) - len(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))))
+        |    AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_3gram_ratio
+        |FROM toks
         |ORDER BY doc_id""".stripMargin,
 
     "q26_doc_terms" ->

@@ -152,6 +152,32 @@ object TextAnalysis {
   def truncateTokensCol(text: Column, maxTokens: Int): Column =
     concat_ws(" ", slice(tokensCol(text), 1, maxTokens))
 
+  /** Intra-document repetition features (Gopher/C4-style quality
+    * signals): for n ∈ {1, 2, 3}, the total n-gram count, the distinct
+    * n-gram count, and the duplicate fraction
+    * `(total − distinct) / total` — high values flag boilerplate and
+    * degenerate repetition that near-dup dedup (cross-document) never
+    * sees. Per-row, zero shuffle: distinct counts come from the
+    * [[graft.functions.TextHashes.HashedShingles]] codegen expression
+    * (already distinct per doc; 64-bit hashes give the same counts as
+    * string n-grams w.h.p. — the q16 oracle precedent), totals are plain
+    * arithmetic on the token count. Ratios divide exact integers in
+    * double → bit-identical across engines.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withToks = df.withColumn("__toks", tokensCol(col(textCol)))
+    val toks = col("__toks")
+    Seq(1, 2, 3).foldLeft(withToks) { (acc, n) =>
+      val total = greatest(size(toks) - (n - 1), lit(0)).cast("long")
+      val dist = size(graft.functions.TextHashes.hashedShingles(toks, n)).cast("long")
+      acc.withColumn(s"total_${n}gram", total)
+        .withColumn(s"distinct_${n}gram", dist)
+        .withColumn(s"dup_${n}gram_ratio",
+          (col(s"total_${n}gram") - col(s"distinct_${n}gram")).cast("double") /
+            greatest(col(s"total_${n}gram"), lit(1L)))
+    }.drop("__toks")
+  }
+
   /** Term frequencies per (doc, term) — the relational backbone for
     * tf-idf and n-gram Jaccard. Map-side combine applies on the
     * (doc_id, term) groupBy; at 100 TB this is the standard

@@ -55,6 +55,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fp(0L)._2 != fp(1L)._2, "token order must change the rolling hash")
   }
 
+  test("repetition features hand-computed, n-grams overlap windows") {
+    // tokens [a b a b a]: 1-grams 5/2, 2-grams [ab ba ab ba] 4/2,
+    // 3-grams [aba bab aba] 3/2
+    val r = TextAnalysis.repetitionFeatures(oneDoc("a b a b a")).head()
+    assert(r.getAs[Long]("total_1gram") == 5L)
+    assert(r.getAs[Long]("distinct_1gram") == 2L)
+    assert(r.getAs[Double]("dup_1gram_ratio") == 3.0 / 5)
+    assert(r.getAs[Long]("total_2gram") == 4L)
+    assert(r.getAs[Long]("distinct_2gram") == 2L)
+    assert(r.getAs[Double]("dup_2gram_ratio") == 2.0 / 4)
+    assert(r.getAs[Long]("total_3gram") == 3L)
+    assert(r.getAs[Long]("distinct_3gram") == 2L)
+    assert(r.getAs[Double]("dup_3gram_ratio") == 1.0 / 3)
+  }
+
+  test("repetition features: docs shorter than n yield zero counts and ratio") {
+    val r = TextAnalysis.repetitionFeatures(oneDoc("hello")).head()
+    assert(r.getAs[Long]("total_2gram") == 0L)
+    assert(r.getAs[Long]("distinct_2gram") == 0L)
+    assert(r.getAs[Double]("dup_2gram_ratio") == 0.0)
+    assert(r.getAs[Long]("total_3gram") == 0L)
+    assert(r.getAs[Double]("dup_3gram_ratio") == 0.0)
+  }
+
   test("pii redaction replaces emails, phones and ssns, leaves text alone") {
     import spark.implicits._
     val out = Seq(
