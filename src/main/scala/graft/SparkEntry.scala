@@ -539,6 +539,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // benchmark decontamination: train docs sharing an exact 8-gram with
+    // the held-out test split (broadcast eval shingles — one corpus scan)
+    "q58_decontamination" -> ((s, dir) => {
+      val labeled = Sampling.deterministicSplit(t(s, dir, "documents"),
+        "doc_id", trainFraction = 0.8, valFraction = 0.1)
+      Decontamination.contaminationPairs(
+          labeled.filter(col("split") === "train"),
+          labeled.filter(col("split") === "test"),
+          shingleSize = 8)
+        .orderBy(col("train_doc"), col("eval_doc"))
+    }),
+
     // per-source quota cap — "at most N docs per source" training mix;
     // deterministic md5 rank within group, one shuffle on the group key
     "q54_quota_sample" -> ((s, dir) =>
@@ -1041,6 +1053,32 @@ object SparkEntry {
          |FROM orders
          |WHERE $b < '${Sampling.hexThreshold(0.25)}'
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // string shingles mirror the 64-bit hashed shingles' counts w.h.p.
+    // (q16 precedent); split thresholds reuse the q48 mirror
+    "q58_decontamination" -> {
+      val b = Sampling.bucketSql("doc_id")
+      val w = 8 - 1
+      s"""WITH lab AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |    CASE WHEN $b < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |      WHEN $b < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents),
+         |arr AS (
+         |  SELECT doc_id, split, list_distinct(list_transform(
+         |    generate_series(1, len(t) - $w),
+         |    i -> array_to_string(t[i:i+$w], ' '))) AS gs
+         |  FROM lab WHERE split IN ('train', 'test')),
+         |sh AS (SELECT doc_id, split, len(gs) AS n_sh, unnest(gs) AS g FROM arr)
+         |SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+         |  CAST(count(*) AS BIGINT) AS n_shared,
+         |  CAST(count(*) AS DOUBLE) / max(ev.n_sh) AS overlap_frac
+         |FROM (SELECT * FROM sh WHERE split = 'train') tr
+         |JOIN (SELECT * FROM sh WHERE split = 'test') ev USING (g)
+         |GROUP BY 1, 2
+         |ORDER BY train_doc, eval_doc""".stripMargin
     },
 
     "q54_quota_sample" ->

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share long
+  * n-gram spans with an evaluation set — the overlap check every LLM
+  * training pipeline runs before a benchmark score means anything
+  * (verbatim eval text inside the training corpus inflates the score).
+  *
+  * Method: exact n-token shingle collision (the published GPT-3/PaLM
+  * recipe uses 8-13-gram overlap). Both sides hash shingles to 64-bit
+  * keys with the [[graft.functions.TextHashes.HashedShingles]] codegen
+  * expression — per-row, zero shuffle, distinct per doc — then collide
+  * on the long key.
+  *
+  * Scale design (100 TB train side, MB-scale eval side): the eval
+  * benchmark is structurally tiny, so its exploded shingle set is
+  * broadcast — the train side is scanned ONCE with a map-side hash-join
+  * probe, no shuffle of the corpus; only the matching (train, eval)
+  * rows shuffle into the pair-count aggregate (map-side combine
+  * applies). Documents shorter than `shingleSize` tokens have no
+  * shingles and drop out on either side. If the "eval" side ever grows
+  * past broadcast range, remove the hint and the same plan degrades
+  * gracefully to a shuffle join on the shingle key.
+  */
+object Decontamination {
+
+  /** Pairs (train_doc, eval_doc) sharing ≥ `minShared` distinct
+    * `shingleSize`-gram shingles, with the shared count and the fraction
+    * of the eval doc's shingles found in the train doc
+    * (`overlap_frac` = n_shared / |eval shingles| — exact integer ratio
+    * in double, engine-portable).
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleSize: Int = 8, minShared: Long = 1L): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def shingles(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+        graft.functions.TextHashes.hashedShingles(
+          TextAnalysis.tokensCol(col(textCol)), shingleSize).as("sh"))
+    val evalSh = shingles(eval, "eval_doc")
+      .select(col("eval_doc"), size(col("sh")).cast("long").as("n_eval"),
+        explode(col("sh")).as("h"))
+    val trainSh = shingles(train, "train_doc")
+      .select(col("train_doc"), explode(col("sh")).as("h"))
+    trainSh.join(broadcast(evalSh), "h")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      // n_eval is constant per eval_doc; max() just carries it through
+      .agg(count(lit(1)).as("n_shared"), max(col("n_eval")).as("n_eval"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("overlap_frac", col("n_shared").cast("double") / col("n_eval"))
+      .drop("n_eval")
+  }
+}

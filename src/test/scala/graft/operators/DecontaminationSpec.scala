@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("shared shingles counted, overlap fraction over eval shingles") {
+    // shingleSize=2: train "a b c" → {ab, bc}; eval "b c d" → {bc, cd}
+    // shared = {bc} → n_shared=1, overlap = 1/2
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "b c d")).toDF("doc_id", "text")
+    val out = Decontamination.contaminationPairs(train, eval_, shingleSize = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("train_doc") == 1L)
+    assert(r.getAs[Long]("eval_doc") == 100L)
+    assert(r.getAs[Long]("n_shared") == 1L)
+    assert(r.getAs[Double]("overlap_frac") == 0.5)
+  }
+
+  test("disjoint docs produce no pair; repeated shingles count once") {
+    val train = Seq(
+      (1L, "x y z"),            // no overlap with eval
+      (2L, "a b a b a b")).toDF("doc_id", "text") // {ab, ba} distinct
+    val eval_ = Seq((100L, "a b")).toDF("doc_id", "text") // {ab}
+    val out = Decontamination.contaminationPairs(train, eval_, shingleSize = 2)
+      .collect()
+    assert(out.length == 1, "only the overlapping train doc pairs up")
+    assert(out.head.getAs[Long]("train_doc") == 2L)
+    assert(out.head.getAs[Long]("n_shared") == 1L, "distinct shingles, not occurrences")
+    assert(out.head.getAs[Double]("overlap_frac") == 1.0)
+  }
+
+  test("docs shorter than the shingle size drop out of both sides") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b")).toDF("doc_id", "text") // 2 toks < 3
+    assert(Decontamination.contaminationPairs(train, eval_, shingleSize = 3)
+      .isEmpty)
+  }
+
+  test("minShared filters weak overlaps") {
+    // train/eval share two 2-grams {ab, bc} but minShared=3 rejects
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c")).toDF("doc_id", "text")
+    assert(Decontamination.contaminationPairs(train, eval_, shingleSize = 2,
+      minShared = 3L).isEmpty)
+    assert(Decontamination.contaminationPairs(train, eval_, shingleSize = 2,
+      minShared = 2L).count() == 1)
+  }
+}
