@@ -539,6 +539,14 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
+    // single-pass column profile (counts/nulls/distincts/numeric stats)
+    // — the data-drop health check; one agg, Expand for exact distincts
+    "q59_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("col_name"))),
+
     // benchmark decontamination: train docs sharing an exact 8-gram with
     // the held-out test split (broadcast eval shingles — one corpus scan)
     "q58_decontamination" -> ((s, dir) => {
@@ -1053,6 +1061,29 @@ object SparkEntry {
          |FROM orders
          |WHERE $b < '${Sampling.hexThreshold(0.25)}'
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q59_profile" -> {
+      def numeric(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num,
+           |  CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c) AS mean_num
+           |FROM orders""".stripMargin
+      def nonNumeric(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num,
+           |  CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(NULL AS DOUBLE) AS mean_num
+           |FROM orders""".stripMargin
+      Seq(numeric("o_orderkey"), numeric("o_custkey"),
+        nonNumeric("o_orderstatus"), numeric("o_totalprice"),
+        nonNumeric("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
     // string shingles mirror the 64-bit hashed shingles' counts w.h.p.

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass data profiling (the Deequ/"dataset statistics" shape):
+  * per column, row/null/distinct counts plus numeric min/max/mean — the
+  * health check a pipeline runs over every new data drop before it
+  * enters the training mix.
+  *
+  * One aggregation over the input computes every statistic for every
+  * profiled column (the exact-distinct counts make Catalyst plan an
+  * Expand — k+1 copies of each row for k distinct-aggregates — then ONE
+  * shuffle with map-side partial aggregation; there is no per-column
+  * scan). The single result row is exploded into long format
+  * (one row per column) at zero cost.
+  *
+  * 100 TB note: exact distinct counts are the expensive part (the
+  * Expand multiplies scan output k+1×). `approxDistinct = true` swaps
+  * them for HyperLogLog++ `approx_count_distinct` (no Expand, constant
+  * sketch state per column) — the right default at petabyte scale when
+  * the count feeds a dashboard rather than an exactness gate.
+  *
+  * Numeric statistics are engine-portable by construction: min/max are
+  * order-independent; the mean divides a DECIMAL(18,6)-exact sum by the
+  * non-null count in double (bit-identical across engines — the same
+  * rule as every other double aggregate in this repo). Non-numeric
+  * columns emit null min/max/mean.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"column $c not in schema ${schema.fieldNames.mkString(", ")}"))
+    def isNumeric(c: String): Boolean = schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs = cols.flatMap { c =>
+      val nd = if (approxDistinct) approx_count_distinct(col(c))
+               else countDistinct(col(c))
+      val numeric = isNumeric(c)
+      def num(f: => org.apache.spark.sql.Column) =
+        if (numeric) f else lit(null).cast("double")
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        nd.cast("long").as(s"__nd_$c"),
+        num(min(col(c)).cast("double")).as(s"__min_$c"),
+        num(max(col(c)).cast("double")).as(s"__max_$c"),
+        num(sum(col(c).cast("decimal(18,6)")).cast("double") /
+          count(col(c))).as(s"__mean_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"),
+        col(s"__max_$c").as("max_num"),
+        col(s"__mean_$c").as("mean_num"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+}
