@@ -456,6 +456,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // range join without an equi-key: late R-flag shipments vs per-order
+    // urgency windows — bucketed equi-join + refine, no nested-loop join
+    "q60_range_join" -> ((s, dir) => {
+      val points = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_discount") > 0.09)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("ship_day"))
+      val intervals = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("win_order"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("win_start"))
+        .withColumn("win_end", col("win_start") + pmod(col("win_order"), lit(14L)))
+      RangeJoin.pointInInterval(points, "ship_day", intervals,
+          "win_start", "win_end", bucketWidth = 16L)
+        .select(col("win_order"), col("l_orderkey"), col("l_linenumber"),
+          col("ship_day"))
+        .orderBy(col("win_order"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q42_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -1002,6 +1021,22 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q60_range_join" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS ship_day
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.09),
+        |w AS (
+        |  SELECT o_orderkey AS win_order,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS win_start
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT win_order, l_orderkey, l_linenumber, ship_day
+        |FROM p JOIN w
+        |  ON ship_day BETWEEN win_start AND win_start + win_order % 14
+        |ORDER BY win_order, l_orderkey, l_linenumber""".stripMargin,
 
     "q42_percentiles" ->
       """SELECT o_orderpriority,

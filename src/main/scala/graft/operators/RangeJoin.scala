@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join WITHOUT an equi-key — "which maintenance
+  * windows / campaign flights / outage intervals does this event fall
+  * in". Spark plans a bare `p BETWEEN s AND e` join as a broadcast
+  * nested-loop (or cartesian) join: O(|points| × |intervals|) compares
+  * and a full broadcast of one side — the classic scale killer.
+  *
+  * This operator makes it an equi-join: points hash into fixed-width
+  * buckets (`bucket = floor(point / bucketWidth)`), each interval is
+  * exploded to the buckets it covers, the two sides equi-join on the
+  * bucket id, and the exact BETWEEN predicate refines. A point's single
+  * bucket appears once in each covering interval's bucket list, so every
+  * true (point, interval) pair joins exactly once — no dedup step.
+  *
+  * Scale properties:
+  *  - shuffle is hash-partitioned on the bucket id — normal exchange,
+  *    no broadcast of a big side, AQE-manageable;
+  *  - interval replication = number of buckets covered; pick
+  *    `bucketWidth` near the typical interval length so replication
+  *    stays a small constant (width much smaller than intervals →
+  *    replication blowup; much larger → every interval in a bucket is
+  *    compared against every point in it);
+  *  - false candidates (same bucket, no containment) are discarded by
+  *    the refine filter at join time — never materialized;
+  *  - a time-skewed workload (all points in one hot bucket) degrades to
+  *    the true-match density of that bucket, which is output the join
+  *    must produce anyway.
+  *
+  * Semantics: inclusive on both ends (`s <= p <= e`, SQL BETWEEN). Rows
+  * with a null point or null bound never match; intervals with
+  * `start > end` match nothing (as BETWEEN). Bound columns must be
+  * integral (epoch days/seconds/micros — caller converts timestamps).
+  */
+object RangeJoin {
+
+  /** `floor(c / w)` in exact integer arithmetic: subtracting `pmod`
+    * (always in [0, w)) lands on the floor multiple while staying in
+    * LONG — `floor(col / w)` would round-trip epoch-micros-sized longs
+    * through double and lose low bits; the decimal division of an exact
+    * multiple is exact, and truncation to long equals the floor.
+    */
+  private def bucketOf(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col(startCol), bucketWidth),
+        bucketOf(col(endCol), bucketWidth))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("matches are exact, inclusive, and never duplicated across buckets") {
+    val points = Seq(0L, 5L, 10L, 15L).toDF("p")
+    // b spans buckets 1..3 at width 4 — its matches must appear once
+    val intervals = Seq(("a", 0L, 5L), ("b", 4L, 12L), ("c", 20L, 30L))
+      .toDF("name", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+        bucketWidth = 4)
+      .select(col("p"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((0L, "a"), (5L, "a"), (5L, "b"), (10L, "b")))
+  }
+
+  test("negative values bucket by floor, not truncation") {
+    val points = Seq(-5L).toDF("p")
+    val intervals = Seq(("n", -6L, -3L)).toDF("name", "s", "e")
+    val out = RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+      bucketWidth = 3)
+    assert(out.count() == 1L)
+  }
+
+  test("inverted and null intervals match nothing; null points match nothing") {
+    val points = Seq(Some(5L), None).toDF("p")
+    val intervals = Seq(
+      (Some(10L), Some(0L)),   // inverted
+      (None, Some(10L)),       // null start
+      (Some(0L), None)).toDF("s", "e") // null end
+    assert(RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+      bucketWidth = 4).isEmpty)
+  }
+
+  test("equivalent to the naive BETWEEN join on generated data") {
+    val points = spark.range(0, 500)
+      .select(pmod(xxhash64(col("id")), lit(1000L)).as("p"), col("id").as("pid"))
+    val intervals = spark.range(0, 200)
+      .select(col("id").as("iid"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000L)).as("s"))
+      .withColumn("e", col("s") + pmod(col("iid"), lit(40L)))
+    val fast = RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+        bucketWidth = 32)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e"))
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty, "generated data must produce matches")
+  }
+
+  test("plan is an equi-join on the bucket, not a nested-loop join") {
+    val points = spark.range(0, 100).select(col("id").as("p"))
+    val intervals = spark.range(0, 50)
+      .select(col("id").as("s"), (col("id") + 10).as("e"))
+    val plan = RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+        bucketWidth = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("epoch-micros-scale longs bucket exactly (no double rounding)") {
+    val base = 1700000000000000L // ~1.7e15 micros
+    val points = Seq(base + 1L).toDF("p")
+    val intervals = Seq((base, base + 2L)).toDF("s", "e")
+    assert(RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+      bucketWidth = 3600000000L).count() == 1L)
+  }
+}
