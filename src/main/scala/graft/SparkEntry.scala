@@ -456,6 +456,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // per-group winsorization: clip event values to exact [p01, p99]
+    // (bounds agg broadcast back; value_w rounded — bounds interpolate)
+    "q61_winsorize" -> ((s, dir) =>
+      Outliers.winsorize(t(s, dir, "events"), "value", Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("value_w"), 4).as("value_w"))
+        .orderBy(col("event_id"))),
+
+    // deterministic Pearson corr/cov from DECIMAL-exact sums (builtin
+    // corr is merge-order-dependent in its low bits — not hash-gateable)
+    "q62_exact_corr" -> ((s, dir) =>
+      Profile.exactCorr(t(s, dir, "lineitem"), "l_quantity",
+          "l_extendedprice", Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("corr_xy"), col("cov_samp"))
+        .orderBy(col("l_returnflag"))),
+
     // range join without an equi-key: late R-flag shipments vs per-order
     // urgency windows — bucketed equi-join + refine, no nested-loop join
     "q60_range_join" -> ((s, dir) => {
@@ -1021,6 +1037,38 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q61_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  CASE WHEN value IS NULL THEN NULL
+        |    ELSE round(least(greatest(value, lo), hi), 4) END AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // formula tree mirrors the Spark expression exactly (IEEE double is
+    // non-associative); sums are DECIMAL(30,6)-exact on both sides
+    "q62_exact_corr" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy,
+        |  round((n * sxy - sx * sy) / (n * (n - 1.0)), 6) AS cov_samp
+        |FROM g
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q60_range_join" ->
       """WITH p AS (

@@ -67,4 +67,37 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Exact per-group Pearson correlation and sample covariance of two
+    * numeric columns, computed from DECIMAL(30,6)-exact sums — unlike
+    * the builtin `corr`/`covar_samp` (streaming double accumulation,
+    * merge-order-dependent low bits), this is deterministic under
+    * repartitioning and bit-identical across engines: the five sums are
+    * exact decimals, cast to double once, and the closed-form formula
+    * runs in IEEE double with a fixed expression tree. One shuffle
+    * (map-side partial sums); round(6) on the transcendental outputs.
+    */
+  def exactCorr(df: DataFrame, xCol: String, yCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "exactCorr needs at least one group column")
+    val x = col(xCol)
+    val y = col(yCol)
+    val d = "decimal(30,6)"
+    val g = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d)).cast("double").as("__sx"),
+        sum(y.cast(d)).cast("double").as("__sy"),
+        sum((x * x).cast(d)).cast("double").as("__sxx"),
+        sum((y * y).cast(d)).cast("double").as("__syy"),
+        sum((x * y).cast(d)).cast("double").as("__sxy"))
+    val nd = col("n").cast("double")
+    g.withColumn("corr_xy", round(
+        (nd * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((nd * col("__sxx") - col("__sx") * col("__sx")) *
+            (nd * col("__syy") - col("__sy") * col("__sy"))), 6))
+      .withColumn("cov_samp", round(
+        (nd * col("__sxy") - col("__sx") * col("__sy")) / (nd * (nd - 1)), 6))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
 }

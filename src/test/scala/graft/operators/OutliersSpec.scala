@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class OutliersSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("winsorize clips to interpolated group percentiles, keeps the middle") {
+    // group g: 1..100 → p10 = 1 + 0.1*99 = 10.9, p90 = 1 + 0.9*99 = 90.1
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "value")
+    val out = Outliers.winsorize(df, "value", Seq("k"),
+        lower = 0.1, upper = 0.9)
+      .select(col("value"), col("value_w")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val p10 = 1 + 0.1 * 99 // 10.9 up to double interpolation
+    val p90 = 1 + 0.9 * 99 // 90.10000000000001 — bit-exact interpolation
+    assert(out(1.0) == p10)
+    assert(out(10.0) == p10)
+    assert(out(50.0) == 50.0, "interior values pass through untouched")
+    assert(out(95.0) == p90)
+    assert(out(100.0) == p90)
+  }
+
+  test("groups winsorize independently") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (101 to 110).map(i => ("b", i.toDouble))).toDF("k", "value")
+    val out = Outliers.winsorize(df, "value", Seq("k"), 0.1, 0.9)
+      .groupBy(col("k")).agg(max(col("value_w")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") < 10.0 && out("a") > 9.0)
+    assert(out("b") < 110.0 && out("b") > 109.0)
+  }
+
+  test("approximate mode keeps schema and clips within sketch error") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("k", "value")
+    val out = Outliers.winsorize(df, "value", Seq("k"), 0.01, 0.99,
+      exact = false)
+    assert(out.columns.contains("value_w"))
+    val mx = out.agg(max(col("value_w"))).head().getDouble(0)
+    assert(mx >= 980.0 && mx <= 1000.0, s"p99 clip implausible: $mx")
+  }
+
+  test("null values stay null and do not poison the bounds") {
+    val df = (Seq(("g", Some(1.0)), ("g", None)) ++
+      (2 to 10).map(i => ("g", Some(i.toDouble)))).toDF("k", "value")
+    val out = Outliers.winsorize(df, "value", Seq("k"), 0.1, 0.9)
+    assert(out.filter(col("value").isNull && col("value_w").isNotNull).isEmpty)
+    assert(out.filter(col("value_w").isNotNull).count() == 10)
+  }
+}

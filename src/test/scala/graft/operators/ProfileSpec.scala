@@ -48,6 +48,31 @@ class ProfileSpec extends SparkSpecBase {
     nd.values.foreach(v => assert(v >= 1L && v <= 4L, s"implausible distinct $v"))
   }
 
+  test("exactCorr: linear data hits ±1, matches builtin corr, stable") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .select(lit("g").as("k"), col("id").cast("double").as("x"),
+        pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("y"))
+    val linear = df.withColumn("y", col("x") * 2 + 1)
+    val r1 = Profile.exactCorr(linear, "x", "y", Seq("k")).head()
+    assert(r1.getAs[Double]("corr_xy") == 1.0)
+    val anti = df.withColumn("y", col("x") * -3)
+    assert(Profile.exactCorr(anti, "x", "y", Seq("k")).head()
+      .getAs[Double]("corr_xy") == -1.0)
+    // vs the streaming builtin on hashed noise (tolerance: the builtin
+    // is merge-order dependent, ours is exact)
+    val ours = Profile.exactCorr(df, "x", "y", Seq("k")).head()
+    val builtin = df.groupBy("k")
+      .agg(corr(col("x"), col("y")).as("c"), covar_samp(col("x"), col("y")).as("v"))
+      .head()
+    assert(math.abs(ours.getAs[Double]("corr_xy") - builtin.getAs[Double]("c")) < 1e-6)
+    assert(math.abs(ours.getAs[Double]("cov_samp") - builtin.getAs[Double]("v")) < 1e-3)
+    // deterministic under repartitioning
+    val repart = Profile.exactCorr(df.repartition(7), "x", "y", Seq("k")).head()
+    assert(repart.getAs[Double]("corr_xy") == ours.getAs[Double]("corr_xy"))
+    assert(repart.getAs[Double]("cov_samp") == ours.getAs[Double]("cov_samp"))
+  }
+
   test("unknown column is rejected up front") {
     intercept[IllegalArgumentException] {
       Profile.profile(sample, Seq("id", "nope"))
