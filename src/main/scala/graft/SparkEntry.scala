@@ -491,6 +491,26 @@ object SparkEntry {
         .orderBy(col("win_order"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // interval-overlap join: urgency windows crossing high-priority
+    // windows — bucketed equi-join, pairs emitted at their first shared
+    // bucket (no dedup shuffle)
+    "q63_interval_overlap" -> ((s, dir) => {
+      def windows(priority: String, keyFilter: org.apache.spark.sql.Column,
+                  prefix: String) =
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority") === priority && keyFilter)
+          .select(col("o_orderkey").as(s"${prefix}_order"),
+            unix_date(to_date(col("o_orderdate"))).cast("long").as(s"${prefix}_start"))
+          .withColumn(s"${prefix}_end",
+            col(s"${prefix}_start") + pmod(col(s"${prefix}_order"), lit(14L)))
+      val urgent = windows("1-URGENT", lit(true), "u")
+      val high = windows("2-HIGH", pmod(col("o_orderkey"), lit(10L)) === 0, "h")
+      RangeJoin.intervalOverlap(urgent, "u_start", "u_end",
+          high, "h_start", "h_end", bucketWidth = 16L)
+        .select(col("u_order"), col("h_order"), col("u_start"), col("h_start"))
+        .orderBy(col("u_order"), col("h_order"))
+    }),
+
     "q42_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -581,6 +601,20 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"))
         .orderBy(col("col_name"))),
+
+    // incremental exact dedup: dedup the batch, then drop docs whose
+    // fingerprint is already in the ingested (train) corpus key set
+    "q64_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val known = Sampling.deterministicSplit(docs, "doc_id",
+          trainFraction = 0.8, valFraction = 0.1)
+        .filter(col("split") === "train")
+        .select(md5(col("text").cast("binary")).as("fp"))
+      val batch = docs.withColumn("fp", md5(col("text").cast("binary")))
+      Dedup.incrementalExact(batch, known, "fp", "doc_id")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
 
     // benchmark decontamination: train docs sharing an exact 8-gram with
     // the held-out test split (broadcast eval shingles — one corpus scan)
@@ -1038,6 +1072,24 @@ object SparkEntry {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    "q63_interval_overlap" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS u_order,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS u_start
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (
+        |  SELECT o_orderkey AS h_order,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS h_start
+        |  FROM orders
+        |  WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 10 = 0)
+        |SELECT u_order, h_order, u_start, h_start
+        |FROM u JOIN h
+        |  ON u_start <= h_start + h_order % 14
+        | AND h_start <= u_start + u_order % 14
+        |ORDER BY u_order, h_order""".stripMargin,
+
     "q61_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
@@ -1167,6 +1219,21 @@ object SparkEntry {
         nonNumeric("o_orderstatus"), numeric("o_totalprice"),
         nonNumeric("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q64_incremental_dedup" -> {
+      val b = Sampling.bucketSql("doc_id")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |k AS (
+         |  SELECT fp FROM d
+         |  WHERE $b < '${Sampling.hexThreshold(0.8)}'),
+         |s AS (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM d)
+         |SELECT doc_id, fp FROM s
+         |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM k WHERE k.fp = s.fp)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // string shingles mirror the 64-bit hashed shingles' counts w.h.p.

@@ -52,6 +52,21 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("survivor_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — the production shape: a NEW batch of
+    * documents is deduplicated against itself, then against the key set
+    * of everything already ingested (so the historical corpus is never
+    * rescanned — only its compact one-column key projection is read).
+    * `known` needs a `keyCol` column; duplicate keys in it are harmless
+    * (anti-join semantics ignore right-side multiplicity — no distinct
+    * pass). At 100 TB the anti-join broadcasts when the key set is small
+    * and hash-shuffles both sides on the key otherwise; the batch side
+    * is one window pass on the same key partitioning.
+    */
+  def incrementalExact(batch: DataFrame, known: DataFrame,
+                       keyCol: String, tieKey: String): DataFrame =
+    exact(batch, Seq(keyCol), tieKey)
+      .join(known.select(col(keyCol)), Seq(keyCol), "left_anti")
+
   // ------------------------------------------------------------- shingles
 
   /** Word shingles of size `n` (documents shorter than `n` tokens collapse

@@ -60,4 +60,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval overlap join (`ls <= re AND rs <= le`,
+    * inclusive) — "which outages intersect which deploy windows". Same
+    * bucketing idea as [[pointInInterval]], with one extra subtlety: two
+    * overlapping intervals share EVERY bucket their intersection covers,
+    * so a plain bucket equi-join would emit the pair once per shared
+    * bucket. Instead of a distinct pass (a full extra shuffle of the
+    * output), each pair is kept only at its FIRST shared bucket —
+    * `max(bucket(ls), bucket(rs))`, a value both sides compute locally —
+    * which exists for every truly overlapping pair and is unique per
+    * pair, so each match emits exactly once with no dedup.
+    *
+    * Column names from the two inputs must not collide (callers rename;
+    * the operator's own bucket column is transient).
+    */
+  def intervalOverlap(left: DataFrame, leftStart: String, leftEnd: String,
+                      right: DataFrame, rightStart: String, rightEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) <= col(e))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col(s), bucketWidth), bucketOf(col(e), bucketWidth))))
+    exploded(left, leftStart, leftEnd)
+      .join(exploded(right, rightStart, rightEnd), Seq("__bucket"))
+      .filter(col("__bucket") === greatest(
+        bucketOf(col(leftStart), bucketWidth),
+        bucketOf(col(rightStart), bucketWidth)))
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+      .drop("__bucket")
+  }
 }

@@ -23,6 +23,20 @@ class DedupSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(0L, 2L, 3L, 4L, 5L))
   }
 
+  test("incremental exact dedup: intra-batch dups and known keys drop") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "x"), (2L, "x"),  // intra-batch dup — min id survives
+      (3L, "y"),
+      (4L, "z")              // already ingested — dropped
+    ).toDF("doc_id", "fp")
+    // duplicate known keys must be harmless (anti-join multiplicity)
+    val known = Seq("z", "z").toDF("fp")
+    val out = Dedup.incrementalExact(batch, known, "fp", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("exact summary reports survivor and dup count") {
     val out = Dedup.exactSummary(docs, col("text"), col("doc_id"))
       .where(col("dup_count") > 1).collect()

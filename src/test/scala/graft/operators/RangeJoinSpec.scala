@@ -67,6 +67,45 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval overlap: exact, inclusive, one row per overlapping pair") {
+    // a=[0,10] spans buckets 0..2; b=[8,20] spans 2..5 — they share
+    // buckets 2 only... widen: c=[2,9] shares buckets 0..2 with a: the
+    // pair (a,c) must emit ONCE despite 3 shared buckets
+    val left = Seq(("a", 0L, 10L), ("x", 30L, 31L)).toDF("ln", "ls", "le")
+    val right = Seq(("b", 8L, 20L), ("c", 2L, 9L), ("d", 11L, 12L))
+      .toDF("rn", "rs", "re")
+    val out = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+        bucketWidth = 4)
+      .select(col("ln"), col("rn")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == out.toSet.size, "no pair may emit twice")
+    // a overlaps b (8..10) and c (2..9); touching endpoints are inclusive;
+    // d=[11,12] does not reach a=[0,10]; x matches nothing
+    assert(out.toSet == Set(("a", "b"), ("a", "c")))
+  }
+
+  test("interval overlap equals the naive join on generated data") {
+    val left = spark.range(0, 300)
+      .select(col("id").as("lid"),
+        pmod(xxhash64(col("id")), lit(500L)).as("ls"))
+      .withColumn("le", col("ls") + pmod(col("lid"), lit(30L)))
+    val right = spark.range(0, 300)
+      .select(col("id").as("rid"),
+        pmod(xxhash64(col("id"), lit(7)), lit(500L)).as("rs"))
+      .withColumn("re", col("rs") + pmod(col("rid"), lit(50L)))
+    val fast = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re",
+        bucketWidth = 32)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.join(right,
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.length == fast.toSet.size, "duplicate pairs emitted")
+    assert(fast.toSet == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("epoch-micros-scale longs bucket exactly (no double rounding)") {
     val base = 1700000000000000L // ~1.7e15 micros
     val points = Seq(base + 1L).toDF("p")
