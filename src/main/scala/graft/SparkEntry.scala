@@ -602,6 +602,18 @@ object SparkEntry {
             "o_orderpriority"))
         .orderBy(col("col_name"))),
 
+    // weighted source mix: per-source deterministic sampling fractions
+    // (row-local md5-bucket filter — no shuffle, no join)
+    "q65_weighted_mix" -> ((s, dir) =>
+      Sampling.weightedMix(t(s, dir, "documents"), "source", "doc_id",
+          fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5,
+            "src3" -> 0.1),
+          defaultFraction = 0.25)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))),
+
     // incremental exact dedup: dedup the batch, then drop docs whose
     // fingerprint is already in the ingested (train) corpus key set
     "q64_incremental_dedup" -> ((s, dir) => {
@@ -1219,6 +1231,21 @@ object SparkEntry {
         nonNumeric("o_orderstatus"), numeric("o_totalprice"),
         nonNumeric("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q65_weighted_mix" -> {
+      val b = Sampling.bucketSql("doc_id")
+      s"""SELECT source, count(*) AS n_docs, min(doc_id) AS min_id,
+         |  max(doc_id) AS max_id
+         |FROM documents
+         |WHERE $b < CASE source
+         |  WHEN 'src0' THEN '${Sampling.hexThreshold(1.0)}'
+         |  WHEN 'src1' THEN '${Sampling.hexThreshold(0.5)}'
+         |  WHEN 'src2' THEN '${Sampling.hexThreshold(0.5)}'
+         |  WHEN 'src3' THEN '${Sampling.hexThreshold(0.1)}'
+         |  ELSE '${Sampling.hexThreshold(0.25)}' END
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
     },
 
     "q64_incremental_dedup" -> {

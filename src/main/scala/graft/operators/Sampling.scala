@@ -62,6 +62,28 @@ object Sampling {
   private[graft] def bucketSql(idCol: String): String =
     s"substr(md5(CAST($idCol AS VARCHAR)), 1, 4)"
 
+  /** Weighted dataset mixing: keep a DIFFERENT deterministic fraction of
+    * rows per group — the "40% web, 30% code, 5% forums" mix step of
+    * training-corpus assembly. Same md5-bucket mechanics as
+    * [[hashSample]] (stable under reruns/repartitioning/engines, exactly
+    * joinable), with the per-group threshold resolved by a literal CASE
+    * chain — zero shuffle, zero joins, pure row-local filter; groups
+    * absent from `fractions` use `defaultFraction`. Because the bucket
+    * is a pure function of the id, RAISING a group's fraction later
+    * yields a superset of the earlier sample (monotone, like
+    * [[hashSample]]) — reproducible mix evolution.
+    */
+  def weightedMix(df: DataFrame, groupCol: String, idCol: String,
+                  fractions: Map[String, Double],
+                  defaultFraction: Double = 0.0): DataFrame = {
+    val thresholds = fractions.toSeq.sortBy(_._1)
+    val threshold = thresholds.foldRight(
+      lit(hexThreshold(defaultFraction))) { case ((g, f), elseCol) =>
+      when(col(groupCol) === g, lit(hexThreshold(f))).otherwise(elseCol)
+    }
+    df.filter(bucket(col(idCol)) < threshold)
+  }
+
   /** Per-group quota sampling: keep at most `quota` rows per `groupCol`
     * value — the "at most N documents per source/domain" cap every
     * training-data mix needs. Selection is deterministic and engine

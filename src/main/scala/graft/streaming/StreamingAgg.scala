@@ -58,4 +58,19 @@ object StreamingAgg {
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming counterpart of
+    * [[graft.operators.Dedup.incrementalExact]]: drop streamed rows whose
+    * key already exists in the STATIC ingested-corpus key set (a
+    * stream-static anti-join — stateless on the stream side; Spark
+    * re-plans the static side per micro-batch, so a periodically
+    * refreshed key snapshot is picked up without restarting the query).
+    * Compose with [[dedupedStream]] upstream to also drop within-stream
+    * re-deliveries. The static side is a one-column key projection —
+    * broadcast when small, shuffle-hash otherwise, per normal join
+    * planning.
+    */
+  def dedupedAgainstCorpus(stream: DataFrame, knownKeys: DataFrame,
+                           keyCol: String): DataFrame =
+    stream.join(knownKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
 }

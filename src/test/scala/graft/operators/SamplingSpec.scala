@@ -40,6 +40,31 @@ class SamplingSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("weighted mix: per-group fractions, default, and monotonicity") {
+    val docs = spark.range(0, 8000)
+      .select(col("id"), concat(lit("g"), pmod(col("id"), lit(4))).as("g"))
+    val out = Sampling.weightedMix(docs, "g", "id",
+        Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.1), defaultFraction = 0.25)
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("g0") == 2000L, "fraction 1.0 keeps every row")
+    assert(math.abs(out("g1") - 1000L) < 150, s"g1 ${out("g1")}")
+    assert(math.abs(out("g2") - 200L) < 80, s"g2 ${out("g2")}")
+    assert(math.abs(out("g3") - 500L) < 120, s"default g3 ${out("g3")}")
+    // raising a fraction later must grow a SUPERSET (reproducible mixes)
+    val small = Sampling.weightedMix(docs, "g", "id", Map("g1" -> 0.2),
+        defaultFraction = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.weightedMix(docs, "g", "id", Map("g1" -> 0.6),
+        defaultFraction = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+    // and the same ids as the global hashSample at the same fraction
+    val viaHash = Sampling.hashSample(docs.filter(col("g") === "g1"), "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small == viaHash)
+  }
+
   test("hash sample is a subset consistent with the split buckets") {
     val sampled = Sampling.hashSample(ids, "id", 0.3)
       .collect().map(_.getLong(0)).toSet

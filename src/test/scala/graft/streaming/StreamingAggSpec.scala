@@ -52,6 +52,24 @@ class StreamingAggSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("dedupedAgainstCorpus anti-joins streamed keys with the static set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val known = Seq(2L, 3L).toDF("user_id")
+    val out = StreamingAgg.dedupedAgainstCorpus(input.toDF(), known, "user_id")
+    val query = out.writeStream.format("memory")
+      .queryName("corpus_dedup_out").outputMode("append").start()
+    try {
+      input.addData(Ev(1L, ts(0), 1.0), Ev(2L, ts(1), 2.0), Ev(3L, ts(2), 3.0),
+        Ev(4L, ts(3), 4.0))
+      query.processAllAvailable()
+      val users = spark.table("corpus_dedup_out").collect()
+        .map(_.getAs[Long]("user_id")).sorted.toSeq
+      assert(users == Seq(1L, 4L), users.toString)
+    } finally query.stop()
+  }
+
   test("dedupedStream drops re-delivered keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
