@@ -292,6 +292,12 @@ object SparkEntry {
           col("total_3gram"), col("distinct_3gram"), col("dup_3gram_ratio"))
         .orderBy(col("doc_id"))),
 
+    // lexical corpus search: Okapi BM25 top-k for a fixed term bag
+    // (deterministic fixed-order score tree — see bm25Search scaladoc)
+    "q66_bm25_search" -> ((s, dir) =>
+      TextAnalysis.bm25Search(t(s, dir, "documents"),
+        Seq("hash", "join", "scan"), topK = 25)),
+
     "q26_doc_terms" -> ((s, dir) =>
       TextAnalysis.docTerms(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("term"))),
@@ -970,6 +976,43 @@ object SparkEntry {
         |    AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_3gram_ratio
         |FROM toks
         |ORDER BY doc_id""".stripMargin,
+
+    // constants interpolated from the same Scala doubles the query uses
+    // (shortest-repr round-trip → both engines parse identical values);
+    // expression trees mirror bm25Search exactly (IEEE non-associativity)
+    "q66_bm25_search" -> {
+      val terms = Seq("hash", "join", "scan").sorted
+      val k1 = 1.2
+      val b = 0.75
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val sumExpr = terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0e0)")
+        .mkString("\n      + ")
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+         |dt AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList)
+         |  GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |s AS (
+         |  SELECT dt.doc_id, dt.term,
+         |    ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * (tf * ${k1 + 1}e0) /
+         |      (tf + ${k1}e0 * (1.0e0 - ${b}e0 + ${b}e0 * dl * n_docs / sum_dl)) AS s
+         |  FROM dt JOIN lens USING (doc_id) JOIN dfs USING (term) CROSS JOIN g)
+         |SELECT doc_id,
+         |  round($sumExpr, 6) AS bm25,
+         |  count(*) AS n_matched
+         |FROM s
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 25""".stripMargin
+    },
 
     "q26_doc_terms" ->
       """SELECT doc_id, term, count(*) AS tf FROM (

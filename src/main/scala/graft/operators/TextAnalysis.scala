@@ -189,6 +189,54 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Okapi BM25 scoring of every document against a fixed bag of query
+    * terms — the lexical-retrieval side of corpus search (the dense side
+    * is [[Similarity]]). Returns the `topK` docs by score.
+    *
+    * Relational plan: doc-term frequencies are filtered to the query
+    * terms BEFORE aggregation (the `isin` predicate pushes below the
+    * tf groupBy, so the shuffle carries query-term rows only); per-term
+    * document frequencies and the global (N, Σdl) row are broadcast
+    * back. Scoring arithmetic is all exact-integer inputs in double
+    * with ONE fixed expression tree: per-doc term scores land in k
+    * conditional aggregates (each sums exactly one non-null value) and
+    * the final score adds those k columns in sorted-term order — no
+    * float sum in shuffle-arrival order anywhere, so results are
+    * deterministic and engine-portable (q27's idf convention:
+    * ln((N+1)/(df+1))). Doc length is the whitespace token count.
+    */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String],
+                 idCol: String = "doc_id", textCol: String = "text",
+                 k1: Double = 1.2, b: Double = 0.75,
+                 topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val terms = queryTerms.distinct.sorted
+    val lens = docs.select(col(idCol),
+      wsTokenCountCol(col(textCol)).cast("long").as("dl"))
+    val global = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dt = docTerms(docs, idCol, textCol).filter(col("term").isin(terms: _*))
+    val dfs = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = dt
+      .join(lens, idCol)
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(global))
+      .withColumn("idf",
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl") * col("n_docs") / col("sum_dl"))))
+    val perTerm = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0))
+        .as(s"__s_$t"))
+    scored.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_matched"): _*)
+      .withColumn("bm25",
+        round(terms.map(t => col(s"__s_$t")).reduceLeft(_ + _), 6))
+      .select(col(idCol), col("bm25"), col("n_matched"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Corpus-level tf-idf statistics per term: total tf, document
     * frequency, idf = ln((N+1)/(df+1)), summed tf-idf weight.
     */

@@ -79,6 +79,42 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getAs[Double]("dup_3gram_ratio") == 0.0)
   }
 
+  test("bm25 hand-computed: tf saturation, length norm, idf weighting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, Seq("apple", "banana"),
+        k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_matched"))).toMap
+    // N=3, sum_dl=5; idf_a=ln(4/2), idf_b=ln(4/3)
+    def s(tf: Long, dl: Long, df: Long): Double =
+      math.log(4.0 / (df + 1)) * (tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl * 3 / 5.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == r6(s(2, 3, 1) + s(1, 3, 2)))
+    assert(out(1L)._2 == 2L)
+    assert(out(2L)._1 == r6(s(1, 1, 2)))
+    assert(out(2L)._2 == 1L)
+    assert(!out.contains(3L), "docs matching no query term are absent")
+  }
+
+  test("bm25 ranks higher-tf shorter docs first, topK truncates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark filler filler filler filler filler filler"),
+      (3L, "spark"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, Seq("spark"), topK = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got.length == 2)
+    assert(got.head == 1L || got.head == 3L)
+    assert(!got.contains(2L), "long low-tf doc must rank below topK=2")
+  }
+
   test("pii redaction replaces emails, phones and ssns, leaves text alone") {
     import spark.implicits._
     val out = Seq(
