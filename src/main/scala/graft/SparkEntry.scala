@@ -517,6 +517,17 @@ object SparkEntry {
         .orderBy(col("u_order"), col("h_order"))
     }),
 
+    // semi-structured extraction: JSON props field → typed column →
+    // group stats (get_json_object is codegen'd; malformed JSON → null)
+    "q67_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     "q42_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -1126,6 +1137,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q67_json_extract" ->
+      """SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q63_interval_overlap" ->
       """WITH u AS (
