@@ -517,6 +517,18 @@ object SparkEntry {
         .orderBy(col("u_order"), col("h_order"))
     }),
 
+    // full grouping-sets lattice (CUBE) — q08 covers ROLLUP; together
+    // they exercise Expand-based multi-grouping aggregation
+    "q68_cube_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))),
+
     // semi-structured extraction: JSON props field → typed column →
     // group stats (get_json_object is codegen'd; malformed JSON → null)
     "q67_json_extract" -> ((s, dir) =>
@@ -1137,6 +1149,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q68_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q67_json_extract" ->
       """SELECT event_type, count(k) AS n_with_k,

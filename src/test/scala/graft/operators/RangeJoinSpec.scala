@@ -106,6 +106,36 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(naive.nonEmpty)
   }
 
+  test("bucket width sweep: every width gives the identical result set") {
+    val points = spark.range(0, 400)
+      .select(pmod(xxhash64(col("id")), lit(700L)).as("p"), col("id").as("pid"))
+    val intervals = spark.range(0, 150)
+      .select(col("id").as("iid"),
+        pmod(xxhash64(col("id"), lit(3)), lit(700L)).as("s"))
+      .withColumn("e", col("s") + pmod(col("iid"), lit(45L)))
+    def run(w: Long) = RangeJoin.pointInInterval(points, "p", intervals,
+        "s", "e", bucketWidth = w)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = run(1L)
+    for (w <- Seq(2L, 7L, 32L, 100L, 1000L))
+      assert(run(w) == expected, s"width $w diverged")
+    def runOv(w: Long) = RangeJoin.intervalOverlap(
+        intervals.select(col("iid").as("lid"), col("s").as("ls"), col("e").as("le")),
+        "ls", "le",
+        intervals.select(col("iid").as("rid"), col("s").as("rs"), col("e").as("re")),
+        "rs", "re", bucketWidth = w)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedOv = runOv(1L)
+    assert(expectedOv.length == expectedOv.toSet.size)
+    for (w <- Seq(2L, 7L, 32L, 100L, 1000L)) {
+      val got = runOv(w)
+      assert(got.length == got.toSet.size, s"width $w emitted duplicates")
+      assert(got.toSet == expectedOv.toSet, s"width $w diverged")
+    }
+  }
+
   test("epoch-micros-scale longs bucket exactly (no double rounding)") {
     val base = 1700000000000000L // ~1.7e15 micros
     val points = Seq(base + 1L).toDF("p")
