@@ -132,12 +132,19 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // grouping() (not bare coalesce) so a genuine NULL group can never
+    // conflate with the rollup level — keeps the ORDER BY total
     "q08_rollup_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
-        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderpriority")).as("__gp"),
+          grouping(col("o_orderstatus")).as("__gs"))
+        .select(
+          when(col("__gp") === 1, lit("ALL"))
+            .otherwise(coalesce(col("o_orderpriority"), lit("<NULL>"))).as("priority"),
+          when(col("__gs") === 1, lit("ALL"))
+            .otherwise(coalesce(col("o_orderstatus"), lit("<NULL>"))).as("status"),
           col("n_orders"), col("sum_price"))
         .orderBy(col("priority"), col("status"))),
 
@@ -519,26 +526,40 @@ object SparkEntry {
 
     // full grouping-sets lattice (CUBE) — q08 covers ROLLUP; together
     // they exercise Expand-based multi-grouping aggregation
+    // grouping() disambiguates the rollup level from a genuine NULL
+    // group value — a bare coalesce-'ALL' would conflate them and make
+    // the ORDER BY non-total (the positional hash compare needs total)
     "q68_cube_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("sum_price"))
-        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).as("__gs"),
+          grouping(col("o_orderpriority")).as("__gp"))
+        .select(
+          when(col("__gs") === 1, lit("ALL"))
+            .otherwise(coalesce(col("o_orderstatus"), lit("<NULL>"))).as("status"),
+          when(col("__gp") === 1, lit("ALL"))
+            .otherwise(coalesce(col("o_orderpriority"), lit("<NULL>"))).as("priority"),
           col("n_orders"), col("sum_price"))
         .orderBy(col("status"), col("priority"))),
 
     // semi-structured extraction: JSON props field → typed column →
-    // group stats (get_json_object is codegen'd; malformed JSON → null)
-    "q67_json_extract" -> ((s, dir) =>
+    // group stats. Robust on BOTH sides: get_json_object nulls malformed
+    // JSON, and the integral-string guard nulls non-integer k the same
+    // way the oracle's guard does (DuckDB ->> ERRORS on malformed json
+    // and TRY_CAST('1.5') rounds instead of nulling — without the
+    // mirrored guards one bad row would diverge the engines)
+    "q67_json_extract" -> ((s, dir) => {
+      val kStr = get_json_object(col("props"), "$.k")
       t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          when(kStr.rlike("^-?[0-9]+$"), kStr.cast("long")).as("k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy(col("event_type"))),
+        .orderBy(col("event_type"))
+    }),
 
     "q42_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -788,8 +809,11 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "q08_rollup_orders" ->
-      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-        |  coalesce(o_orderstatus, 'ALL') AS status,
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |    ELSE coalesce(o_orderpriority, '<NULL>') END AS priority,
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |    ELSE coalesce(o_orderstatus, '<NULL>') END AS status,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
@@ -1151,8 +1175,11 @@ object SparkEntry {
         |ORDER BY p.event_id""".stripMargin,
 
     "q68_cube_orders" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |    ELSE coalesce(o_orderstatus, '<NULL>') END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |    ELSE coalesce(o_orderpriority, '<NULL>') END AS priority,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
@@ -1163,7 +1190,12 @@ object SparkEntry {
       """SELECT event_type, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
-        |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props)
+        |           AND regexp_matches(props->>'k', '^-?[0-9]+$')
+        |      THEN CAST(props->>'k' AS BIGINT) END AS k
+        |  FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 

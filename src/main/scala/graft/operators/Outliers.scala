@@ -37,13 +37,20 @@ object Outliers {
         expr(s"approx_percentile($valueCol, $lower, $accuracy)").cast("double").as("__lo"),
         expr(s"approx_percentile($valueCol, $upper, $accuracy)").cast("double").as("__hi"))
     val bounds = df.groupBy(groupCols.map(col): _*).agg(boundsAgg.head, boundsAgg.tail: _*)
-    df.join(broadcast(bounds), groupCols)
+    // null-SAFE join keys: groupBy treats a null key as a real group (so
+    // the bounds frame has a row for it), but a plain equi-join would
+    // silently DROP every null-group input row (null != null) — the
+    // null group must clip against its own bounds like any other
+    val renamedBounds = bounds.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__lo") :+ col("__hi")): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(renamedBounds), joinCond, "left")
       // greatest/least skip nulls (Postgres semantics in Spark AND
       // DuckDB) — they would clip a null value to the lower bound;
       // a null measurement must stay null
       .withColumn(s"${valueCol}_w",
         when(col(valueCol).isNotNull,
           least(greatest(col(valueCol), col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+      .drop(groupCols.map(c => s"__g_$c") :+ "__lo" :+ "__hi": _*)
   }
 }

@@ -79,17 +79,20 @@ object RangeJoin {
                       right: DataFrame, rightStart: String, rightEnd: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def exploded(df: DataFrame, s: String, e: String) = df
+    // each side carries its start bucket as a column so the
+    // first-shared-bucket filter below compares precomputed values —
+    // re-deriving bucketOf per joined candidate would redo the decimal
+    // arithmetic once per candidate pair instead of once per input row
+    def exploded(df: DataFrame, s: String, e: String, b0: String) = df
       .filter(col(s) <= col(e))
+      .withColumn(b0, bucketOf(col(s), bucketWidth))
       .withColumn("__bucket", explode(sequence(
-        bucketOf(col(s), bucketWidth), bucketOf(col(e), bucketWidth))))
-    exploded(left, leftStart, leftEnd)
-      .join(exploded(right, rightStart, rightEnd), Seq("__bucket"))
-      .filter(col("__bucket") === greatest(
-        bucketOf(col(leftStart), bucketWidth),
-        bucketOf(col(rightStart), bucketWidth)))
+        col(b0), bucketOf(col(e), bucketWidth))))
+    exploded(left, leftStart, leftEnd, "__lb0")
+      .join(exploded(right, rightStart, rightEnd, "__rb0"), Seq("__bucket"))
+      .filter(col("__bucket") === greatest(col("__lb0"), col("__rb0")))
       .filter(col(leftStart) <= col(rightEnd) &&
         col(rightStart) <= col(leftEnd))
-      .drop("__bucket")
+      .drop("__bucket", "__lb0", "__rb0")
   }
 }

@@ -57,10 +57,13 @@ object Sampling {
   }
 
   /** The oracle-side SQL for the same bucket (kept adjacent so the two
-    * cannot drift): `substr(md5(CAST(id AS VARCHAR)), 1, 4)`.
+    * cannot drift), INCLUDING the null-id convention: a null id buckets
+    * to 'ffff' on both sides — without the coalesce, `NULL < threshold`
+    * is NULL and the oracle would drop null-id rows that [[bucket]]
+    * keeps at fraction 1.0.
     */
   private[graft] def bucketSql(idCol: String): String =
-    s"substr(md5(CAST($idCol AS VARCHAR)), 1, 4)"
+    s"coalesce(substr(md5(CAST($idCol AS VARCHAR)), 1, 4), 'ffff')"
 
   /** Weighted dataset mixing: keep a DIFFERENT deterministic fraction of
     * rows per group — the "40% web, 30% code, 5% forums" mix step of

@@ -62,10 +62,14 @@ object StreamingAgg {
   /** Streaming counterpart of
     * [[graft.operators.Dedup.incrementalExact]]: drop streamed rows whose
     * key already exists in the STATIC ingested-corpus key set (a
-    * stream-static anti-join — stateless on the stream side; Spark
-    * re-plans the static side per micro-batch, so a periodically
-    * refreshed key snapshot is picked up without restarting the query).
-    * Compose with [[dedupedStream]] upstream to also drop within-stream
+    * stream-static anti-join — stateless on the stream side). Spark
+    * re-executes the static plan per micro-batch, but a FILE-based
+    * frame's directory listing is resolved once at creation
+    * (InMemoryFileIndex) — new snapshot files are NOT picked up until
+    * the caller recreates the frame or, for a catalog table, runs
+    * `REFRESH TABLE`; picking up a refreshed snapshot therefore needs
+    * one of those, not just the next micro-batch. Compose with
+    * [[dedupedStream]] upstream to also drop within-stream
     * re-deliveries. The static side is a one-column key projection —
     * broadcast when small, shuffle-hash otherwise, per normal join
     * planning.

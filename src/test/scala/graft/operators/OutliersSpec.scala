@@ -42,6 +42,19 @@ class OutliersSpec extends SparkSpecBase {
     assert(mx >= 980.0 && mx <= 1000.0, s"p99 clip implausible: $mx")
   }
 
+  test("null GROUP rows survive and clip against the null group's bounds") {
+    val df = ((1 to 100).map(i => (Option("g"), i.toDouble)) ++
+      (1 to 100).map(i => (Option.empty[String], i.toDouble + 1000)))
+      .toDF("k", "value")
+    val out = Outliers.winsorize(df, "value", Seq("k"), 0.1, 0.9)
+    assert(out.count() == 200, "no row may be dropped by the bounds join")
+    val nullGroup = out.filter(col("k").isNull)
+      .agg(min(col("value_w")), max(col("value_w"))).head()
+    // null group's own values are 1001..1100 → p10=1010.9, p90=1090.1
+    assert(nullGroup.getDouble(0) > 1000.0, "clipped by the NULL group's lo")
+    assert(nullGroup.getDouble(1) < 1100.0, "clipped by the NULL group's hi")
+  }
+
   test("null values stay null and do not poison the bounds") {
     val df = (Seq(("g", Some(1.0)), ("g", None)) ++
       (2 to 10).map(i => ("g", Some(i.toDouble)))).toDF("k", "value")
