@@ -299,6 +299,13 @@ object SparkEntry {
           col("total_3gram"), col("distinct_3gram"), col("dup_3gram_ratio"))
         .orderBy(col("doc_id"))),
 
+    // context-window chunking: 32-token windows, 8-token overlap
+    // (per-row generate — no shuffle; rows = Σ chunks)
+    "q69_chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // lexical corpus search: Okapi BM25 top-k for a fixed term bag
     // (deterministic fixed-order score tree — see bm25Search scaladoc)
     "q66_bm25_search" -> ((s, dir) =>
@@ -1023,6 +1030,23 @@ object SparkEntry {
         |    AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_3gram_ratio
         |FROM toks
         |ORDER BY doc_id""".stripMargin,
+
+    // stride = 32 - 8 = 24; chunk starts mirror the Spark formula; DuckDB
+    // list slices clamp at len like Spark's slice
+    "q69_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      (greatest(len(t) - 8, 1) - 1) // 24)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+        |  CAST(len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT) AS n_chunk_tokens
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // constants interpolated from the same Scala doubles the query uses
     // (shortest-repr round-trip → both engines parse identical values);

@@ -189,6 +189,37 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Document chunking: split each doc into `chunkTokens`-token windows
+    * overlapping by `overlapTokens` — the context-window preparation
+    * step of both pretraining and retrieval pipelines. Pure per-row
+    * generate (explode of computed chunk starts + array slices): no
+    * shuffle, output rows = Σ chunks. Chunk starts advance by
+    * `chunkTokens − overlapTokens`; the last window may be short, and a
+    * start is emitted only while it can contribute tokens beyond the
+    * previous chunk's overlap (`start ≤ max(|toks| − overlap, 1)`), so
+    * no trailing chunk is fully contained in its predecessor. Documents
+    * shorter than one chunk yield exactly one chunk.
+    */
+  def chunkDocuments(df: DataFrame, chunkTokens: Int, overlapTokens: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokensCol(col(textCol))
+    val nChunks =
+      (floor((greatest(size(toks) - overlapTokens, lit(1)) - 1) / stride) + 1)
+        .cast("int")
+    val chunk = slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", chunk).as("chunk_text"),
+        size(chunk).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Okapi BM25 scoring of every document against a fixed bag of query
     * terms — the lexical-retrieval side of corpus search (the dense side
     * is [[Similarity]]). Returns the `topK` docs by score.

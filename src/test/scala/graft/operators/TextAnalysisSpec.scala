@@ -79,6 +79,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getAs[Double]("dup_3gram_ratio") == 0.0)
   }
 
+  test("chunking: stride, overlap, short tail, tiny-doc single chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")).toDF("doc_id", "text")             // shorter than a chunk
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4,
+        overlapTokens = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens"))).toMap
+    // stride 3, starts while start <= 10-1: 1, 4, 7 → three chunks
+    assert(out((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(out((1L, 1L)) == (("t4 t5 t6 t7", 4L)))
+    assert(out((1L, 2L)) == (("t7 t8 t9 t10", 4L)))
+    assert(!out.contains((1L, 3L)), "no fully-overlapped trailing chunk")
+    assert(out((2L, 0L)) == (("a b", 2L)), "tiny doc → one short chunk")
+    assert(!out.contains((2L, 1L)))
+  }
+
+  test("chunking covers every token: concatenated strides rebuild the doc") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 23).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, 8, 3)
+      .orderBy(col("chunk_id")).collect()
+      .map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    // dropping each successor's 3-token overlap reproduces the doc
+    val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(3))
+    assert(rebuilt == (1 to 23).map(i => s"w$i"))
+  }
+
   test("bm25 hand-computed: tf saturation, length norm, idf weighting") {
     import spark.implicits._
     val docs = Seq(
