@@ -32,11 +32,16 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ helpers
 
-  // loadCached: the 55 queries read the same ten immutable snapshot
+  // loadCached: the queries read the same ten immutable snapshot
   // tables — one listing + schema read per table per session, and stable
-  // logical plans so persist() reuse hits across queries
+  // logical plans so persist() reuse hits across queries. The events
+  // table MUST go through Tables.events (it sets the ns-timestamp read
+  // conf and converts ts) — reaching it via the plain loader only works
+  // if some earlier query already set the conf, i.e. depends on map
+  // iteration order.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.loadCached(s, dir, name)
+    if (name == "events") Tables.events(s, dir)
+    else Tables.loadCached(s, dir, name)
 
   /** Exact, order-independent sum of a double column: accumulate in
     * DECIMAL(18,6), cast back to double (identical in Spark and DuckDB).
@@ -298,6 +303,44 @@ object SparkEntry {
           col("total_2gram"), col("distinct_2gram"), col("dup_2gram_ratio"),
           col("total_3gram"), col("distinct_3gram"), col("dup_3gram_ratio"))
         .orderBy(col("doc_id"))),
+
+    // heavy hitters: top-5 terms per source (WindowGroupLimit gives
+    // map-side partial top-k below the exchange, as in q54)
+    "q70_top_terms_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val termCounts = docs
+        .select(col("source"), explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("term"))
+      termCounts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("term"), col("n"), col("rk").cast("long").as("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // deterministic z-score normalization per group: mean/stddev from
+    // DECIMAL-exact sums (same exactness contract as q62)
+    "q71_zscore_normalize" -> ((s, dir) => {
+      val d = "decimal(30,6)"
+      val stats = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(d)).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast(d)).cast("double").as("sxx"))
+        .withColumn("mean_v", col("sx") / col("n"))
+        .withColumn("sd_v", sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1)).cast("double"))))
+        .select(col("event_type"), col("mean_v"), col("sd_v"))
+      t(s, dir, "events")
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mean_v")) / col("sd_v"), 6).as("value_z"))
+        .orderBy(col("event_id"))
+    }),
 
     // context-window chunking: 32-token windows, 8-token overlap
     // (per-row generate — no shuffle; rows = Σ chunks)
@@ -1030,6 +1073,38 @@ object SparkEntry {
         |    AS DOUBLE) / greatest(len(t) - 2, 1) AS dup_3gram_ratio
         |FROM toks
         |ORDER BY doc_id""".stripMargin,
+
+    "q70_top_terms_per_source" ->
+      """SELECT source, term, n, rk FROM (
+        |  SELECT source, term, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk
+        |  FROM (
+        |    SELECT source, term, count(*) AS n FROM (
+        |      SELECT source,
+        |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |      FROM documents)
+        |    WHERE term <> ''
+        |    GROUP BY source, term))
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
+
+    // mean/stddev derived from DECIMAL-exact sums with the identical
+    // double expression tree (q62's exactness contract)
+    "q71_zscore_normalize" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type, sx / n AS mean_v,
+        |    sqrt((n * sxx - sx * sx) / (n * CAST(n - 1 AS DOUBLE))) AS sd_v
+        |  FROM g)
+        |SELECT event_id, e.event_type,
+        |  round((value - mean_v) / sd_v, 6) AS value_z
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     // stride = 32 - 8 = 24; chunk starts mirror the Spark formula; DuckDB
     // list slices clamp at len like Spark's slice
