@@ -34,14 +34,10 @@ object SparkEntry {
 
   // loadCached: the queries read the same ten immutable snapshot
   // tables — one listing + schema read per table per session, and stable
-  // logical plans so persist() reuse hits across queries. The events
-  // table MUST go through Tables.events (it sets the ns-timestamp read
-  // conf and converts ts) — reaching it via the plain loader only works
-  // if some earlier query already set the conf, i.e. depends on map
-  // iteration order.
+  // logical plans so persist() reuse hits across queries (events
+  // dispatches to its ns-timestamp loader inside loadCached)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") Tables.events(s, dir)
-    else Tables.loadCached(s, dir, name)
+    Tables.loadCached(s, dir, name)
 
   /** Exact, order-independent sum of a double column: accumulate in
     * DECIMAL(18,6), cast back to double (identical in Spark and DuckDB).
@@ -308,11 +304,12 @@ object SparkEntry {
     // map-side partial top-k below the exchange, as in q54)
     "q70_top_terms_per_source" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val termCounts = docs
-        .select(col("source"), explode(TextAnalysis.tokensCol(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      // docTerms keyed by source IS the (source, term) count — reuse it
+      // so tokenization/empty-filter changes can never diverge from the
+      // tf-idf family
+      val termCounts = TextAnalysis
+        .docTerms(t(s, dir, "documents"), idCol = "source")
+        .withColumnRenamed("tf", "n")
       val w = Window.partitionBy(col("source"))
         .orderBy(col("n").desc, col("term"))
       termCounts.withColumn("rk", row_number().over(w))
@@ -1111,7 +1108,7 @@ object SparkEntry {
     "q69_chunk_documents" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (
         |  SELECT doc_id, t,
         |    unnest(generate_series(0,

@@ -212,7 +212,11 @@ object TextAnalysis {
       (floor((greatest(size(toks) - overlapTokens, lit(1)) - 1) / stride) + 1)
         .cast("int")
     val chunk = slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens))
-    df.select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
+    // null-text docs yield NO chunks (consistent with docTerms); without
+    // the guard, null-skipping greatest() would fabricate one phantom
+    // chunk whose text renders "" here but NULL in a SQL mirror
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), col("__n") - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),

@@ -31,6 +31,15 @@ object Tables {
     * appended to the directory after first load are not picked up.
     */
   def loadCached(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // events dispatches to its ns-timestamp-aware loader HERE, not at
+    // call sites: a raw read of events either crashes
+    // (PARQUET_TYPE_ILLEGAL) or silently yields bigint-nanos ts
+    // depending on whether someone already set the legacy conf — an
+    // iteration-order hazard no caller should be able to reintroduce
+    if (name == "events") events(spark, sfDir)
+    else cachedRaw(spark, sfDir, name)
+
+  private def cachedRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       (k: (SparkSession, String)) => k._1.read.parquet(k._2))
 
@@ -54,7 +63,7 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loadCached(spark, d, "events")
+    cachedRaw(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }

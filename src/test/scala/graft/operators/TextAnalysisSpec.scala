@@ -98,6 +98,15 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains((2L, 1L)))
   }
 
+  test("chunking: null-text docs yield no chunks at all") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ids = TextAnalysis.chunkDocuments(docs, 4, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), "no phantom chunk for null text")
+  }
+
   test("chunking covers every token: concatenated strides rebuild the doc") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 23).map(i => s"w$i").mkString(" ")))
