@@ -77,12 +77,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- B7 core relational backbone ------------------------------------
+    // ORDER BY every output column: lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs with differing payloads, so the
+    // two-key sort is NOT total and the positional hash compare could
+    // see tied rows in engine-dependent order (25,939 such ties inside
+    // this filter at sf0.1); a full-row sort leaves only identical ties
     "q01_filter_project" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1995-06-01") && col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))),
 
     "q02_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -548,7 +554,10 @@ object SparkEntry {
           "win_start", "win_end", bucketWidth = 16L)
         .select(col("win_order"), col("l_orderkey"), col("l_linenumber"),
           col("ship_day"))
-        .orderBy(col("win_order"), col("l_orderkey"), col("l_linenumber"))
+        // ship_day in the sort too: (okey, line) is NOT unique in
+        // lineitem (dup pairs differ in shipdate) — full-row order
+        .orderBy(col("win_order"), col("l_orderkey"), col("l_linenumber"),
+          col("ship_day"))
     }),
 
     // interval-overlap join: urgency windows crossing high-priority
@@ -798,10 +807,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag -- full-row ORDER BY: (okey, line) is NOT unique in lineitem
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag""".stripMargin,
 
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1359,7 +1369,7 @@ object SparkEntry {
         |SELECT win_order, l_orderkey, l_linenumber, ship_day
         |FROM p JOIN w
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 14
-        |ORDER BY win_order, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY win_order, l_orderkey, l_linenumber, ship_day""".stripMargin,
 
     "q42_percentiles" ->
       """SELECT o_orderpriority,
