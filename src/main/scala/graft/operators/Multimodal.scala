@@ -30,11 +30,13 @@ import org.apache.spark.sql.types._
   *
   * Codec status: the IMAGE path is REAL — `javax.imageio` (JDK built-in,
   * headless-safe) decodes/resizes/re-encodes PNG · JPEG · GIF · BMP with
-  * no external libraries. Payloads ImageIO cannot parse (text, audio,
-  * video — no JDK codec exists for those) fall back to a deterministic
-  * fake derived from the payload bytes, clearly marked below, so every
-  * stage stays total and testable on any input; swap the fallback for an
-  * ffmpeg/soundfile binding in production without touching the plumbing.
+  * no external libraries — and so is the AUDIO path for PCM WAV via
+  * `javax.sound.sampled` (decode to mono samples, RMS energy-envelope
+  * features). Payloads with no JDK codec (video, compressed audio, text)
+  * fall back to a deterministic fake derived from the payload bytes,
+  * clearly marked below, so every stage stays total and testable on any
+  * input; swap the fallback for an ffmpeg binding in production without
+  * touching the plumbing.
   */
 object Multimodal {
 
@@ -77,9 +79,67 @@ object Multimodal {
       try Option(ImageIO.read(new ByteArrayInputStream(payload)))
       catch { case _: Exception => None }
 
-  /** DETERMINISTIC FAKE dimensions for payloads with no JDK codec (text /
-    * audio / video): pseudo (width, height, channels) from a byte hash.
-    * Exists so the decode stage is total; the image path never reaches it.
+  /** RIFF/WAVE magic-byte sniff — same O(1) guard role as
+    * [[looksLikeImage]].
+    */
+  private[graft] def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Decoded PCM WAV: format metadata plus channel-averaged samples in
+    * [-1, 1] (capped at `maxFrames` so a corrupt length field cannot
+    * allocate unbounded memory).
+    */
+  private[graft] case class WavInfo(sampleRate: Int, channels: Int,
+                                    frames: Long, samples: Array[Float])
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` for the
+    * standard WAV shape (16-bit signed little-endian PCM); None for
+    * anything else — the stage falls back like a non-image payload does.
+    */
+  private[graft] def decodeWav(payload: Array[Byte],
+                               maxFrames: Int = 1 << 22): Option[WavInfo] =
+    if (!looksLikeWav(payload)) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val pcm16le =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+          if (!pcm16le) None
+          else {
+            val frames = ais.getFrameLength
+            val n = math.min(frames, maxFrames.toLong).toInt
+            val bytes = ais.readNBytes(n * f.getFrameSize)
+            val ch = f.getChannels
+            val got = bytes.length / f.getFrameSize
+            val out = new Array[Float](got)
+            var i = 0
+            while (i < got) {
+              var acc = 0f
+              var c = 0
+              while (c < ch) {
+                val off = i * f.getFrameSize + c * 2
+                val s = (((bytes(off + 1): Int) << 8) | (bytes(off) & 0xff)).toShort
+                acc += s / 32768.0f
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some(WavInfo(f.getSampleRate.toInt, ch, frames, out))
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+  /** DETERMINISTIC FAKE dimensions for payloads with no JDK codec (video,
+    * compressed audio, text): pseudo (width, height, channels) from a
+    * byte hash. Exists so the decode stage is total; the image and WAV
+    * paths never reach it.
     */
   private[graft] def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     if (payload == null || payload.isEmpty) return (0, 0, 0)
@@ -89,9 +149,11 @@ object Multimodal {
   }
 
   /** Decode stage: payload → dimension metadata columns, partition-batched.
-    * Output schema = input schema + (width, height, channels). Real image
-    * payloads report their true dimensions and channel count; non-image
-    * payloads get the documented deterministic fake.
+    * Output schema = input schema + (width, height, channels). The columns
+    * are modality-specific: images report (pixel width, pixel height,
+    * color components); PCM WAV audio reports (sample rate, frame count
+    * capped at Int.MaxValue, channels); payloads with no JDK codec get
+    * the documented deterministic fake.
     */
   def decode(assets: DataFrame): DataFrame = {
     val enc = Encoders.row(assets.schema
@@ -104,7 +166,13 @@ object Multimodal {
         val (w, h, c) = decodeImage(payload) match {
           case Some(img) => (img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents)
-          case None => fakeDecode(payload)
+          case None => decodeWav(payload, maxFrames = 0) match {
+            // maxFrames=0: metadata only, no sample materialization here
+            case Some(wi) =>
+              (wi.sampleRate, math.min(wi.frames, Int.MaxValue.toLong).toInt,
+                wi.channels)
+            case None => fakeDecode(payload)
+          }
         }
         Row.fromSeq(r.toSeq ++ Seq(w, h, c))
       }
@@ -137,13 +205,36 @@ object Multimodal {
     out
   }
 
+  /** RMS energy envelope over `dim` equal windows of the sample stream —
+    * a real, classical audio feature (the audio analogue of [[grayGrid]]).
+    */
+  private[graft] def rmsEnvelope(samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * dim / n).toInt
+      out(w) += samples(i) * samples(i)
+      counts(w) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < dim) {
+      if (counts(j) > 0) out(j) = math.sqrt(out(j) / counts(j)).toFloat
+      j += 1
+    }
+    out
+  }
+
   /** Feature-extract stage: payload → fixed-`dim` float embedding. Image
     * payloads get a real ⌊√dim⌋×⌊√dim⌋ box-averaged grayscale grid
-    * (zero-padded / truncated to exactly `dim`); payloads with no JDK codec
-    * get a deterministic rolling-hash projection (FAKE with a real vector
-    * shape — swap for a model call in production). Schema is taken from the
-    * input so the stage composes after [[decode]] (extra columns pass
-    * through untouched).
+    * (zero-padded / truncated to exactly `dim`); PCM WAV payloads get a
+    * real RMS energy envelope over `dim` windows; payloads with no JDK
+    * codec get a deterministic rolling-hash projection (FAKE with a real
+    * vector shape — swap for a model call in production). Schema is taken
+    * from the input so the stage composes after [[decode]] (extra columns
+    * pass through untouched).
     */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
@@ -162,18 +253,21 @@ object Multimodal {
           else r.getAs[Array[Byte]](payloadIdx)
         val vec = decodeImage(payload) match {
           case Some(img) => java.util.Arrays.copyOf(grayGrid(img, side), dim)
-          case None =>
-            val v = new Array[Float](dim)
-            if (payload != null) {
-              var h = 1469598103934665603L
-              var i = 0
-              while (i < payload.length) {
-                h = (h ^ payload(i)) * 1099511628211L
-                v((i % dim)) += ((h % 1000L) / 1000.0f)
-                i += 1
+          case None => decodeWav(payload) match {
+            case Some(wi) if wi.samples.nonEmpty => rmsEnvelope(wi.samples, dim)
+            case _ =>
+              val v = new Array[Float](dim)
+              if (payload != null) {
+                var h = 1469598103934665603L
+                var i = 0
+                while (i < payload.length) {
+                  h = (h ^ payload(i)) * 1099511628211L
+                  v((i % dim)) += ((h % 1000L) / 1000.0f)
+                  i += 1
+                }
               }
-            }
-            v
+              v
+          }
         }
         Row.fromSeq(r.toSeq.updated(embIdx, vec.toSeq))
       }

@@ -54,6 +54,61 @@ class MultimodalSpec extends SparkSpecBase {
     assert(vec(1) > 0.95f && vec(3) > 0.95f, s"right cells bright: $vec")
   }
 
+  /** A real in-memory PCM WAV: mono 16-bit sine at `freq` Hz. */
+  private def wavBytes(sampleRate: Int, nFrames: Int, freq: Double,
+                       amp: Double = 0.9): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp * 32767).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def audioAssets(ws: (Long, Int, Int)*) = {
+    import org.apache.spark.sql.{Row => R}
+    val rows = ws.map { case (id, sr, n) =>
+      R(id, wavBytes(sr, n, freq = 440.0), "audio", Map.empty[String, String], null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.schema)
+  }
+
+  test("decode reads REAL wav sample rate, frames and channels") {
+    val out = Multimodal.decode(audioAssets((1L, 8000, 4000), (2L, 16000, 800)))
+      .select(col("asset_id"), col("width"), col("height"), col("channels"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((8000, 4000, 1)))
+    assert(out(2L) == ((16000, 800, 1)))
+  }
+
+  test("extractFeatures computes a REAL RMS envelope for wav audio") {
+    val out = Multimodal.extractFeatures(audioAssets((1L, 8000, 8000)), dim = 8)
+      .select(col("embedding")).head().getSeq[Float](0)
+    assert(out.length == 8)
+    // a constant-amplitude sine has RMS ≈ amp/√2 ≈ 0.636 in every window
+    out.foreach(v => assert(math.abs(v - 0.636) < 0.05, s"window rms $v"))
+  }
+
+  test("non-PCM / truncated audio bytes fall back like any unknown payload") {
+    import org.apache.spark.sql.{Row => R}
+    val junkWav = "RIFFxxxxWAVEjunkjunkjunk".getBytes("UTF-8")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(R(9L, junkWav, "audio", Map.empty[String, String], null)), 1),
+      Multimodal.schema)
+    val r = Multimodal.decode(df).select("width", "height", "channels").head()
+    // falls through to the deterministic fake, not a crash
+    assert(r.getInt(0) > 0 && r.getInt(1) > 0)
+  }
+
   test("documents lift to the multimodal schema") {
     assert(assets.schema.fieldNames.toSeq ==
       Seq("asset_id", "payload", "media_type", "meta", "embedding"))
