@@ -88,18 +88,23 @@ object Multimodal {
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
   /** Decoded PCM WAV: format metadata plus channel-averaged samples in
-    * [-1, 1] (capped at `maxFrames` so a corrupt length field cannot
-    * allocate unbounded memory).
+    * [-1, 1]. `headerFrames` is what the RIFF header CLAIMS (may be -1
+    * for streaming-style WAVs, or more than the payload actually holds);
+    * `samples.length` is what was really decodable — stages report the
+    * latter so metadata never promises frames the payload cannot back.
     */
   private[graft] case class WavInfo(sampleRate: Int, channels: Int,
-                                    frames: Long, samples: Array[Float])
+                                    headerFrames: Long, samples: Array[Float])
 
   /** Real audio decode via the JDK's `javax.sound.sampled` for the
     * standard WAV shape (16-bit signed little-endian PCM); None for
     * anything else — the stage falls back like a non-image payload does.
+    * All byte-count arithmetic is in Long and capped at `maxBytes` (so a
+    * header claiming 4-billion frames or a 1000-channel format can
+    * neither overflow an Int nor allocate unboundedly).
     */
   private[graft] def decodeWav(payload: Array[Byte],
-                               maxFrames: Int = 1 << 22): Option[WavInfo] =
+                               maxBytes: Long = 1L << 24): Option[WavInfo] =
     if (!looksLikeWav(payload)) None
     else
       try {
@@ -110,20 +115,24 @@ object Multimodal {
           val pcm16le =
             f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
               f.getSampleSizeInBits == 16 && !f.isBigEndian
-          if (!pcm16le) None
+          val frameSize = f.getFrameSize
+          if (!pcm16le || frameSize <= 0) None
           else {
-            val frames = ais.getFrameLength
-            val n = math.min(frames, maxFrames.toLong).toInt
-            val bytes = ais.readNBytes(n * f.getFrameSize)
+            val headerFrames = ais.getFrameLength // -1 = NOT_SPECIFIED
+            val wantFrames: Long =
+              if (headerFrames < 0) maxBytes / frameSize
+              else math.min(headerFrames, maxBytes / frameSize)
+            val wantBytes = math.min(wantFrames * frameSize, Int.MaxValue.toLong).toInt
+            val bytes = ais.readNBytes(wantBytes)
             val ch = f.getChannels
-            val got = bytes.length / f.getFrameSize
+            val got = bytes.length / frameSize
             val out = new Array[Float](got)
             var i = 0
             while (i < got) {
               var acc = 0f
               var c = 0
               while (c < ch) {
-                val off = i * f.getFrameSize + c * 2
+                val off = i * frameSize + c * 2
                 val s = (((bytes(off + 1): Int) << 8) | (bytes(off) & 0xff)).toShort
                 acc += s / 32768.0f
                 c += 1
@@ -131,7 +140,7 @@ object Multimodal {
               out(i) = acc / ch
               i += 1
             }
-            Some(WavInfo(f.getSampleRate.toInt, ch, frames, out))
+            Some(WavInfo(f.getSampleRate.toInt, ch, headerFrames, out))
           }
         } finally ais.close()
       } catch { case _: Exception => None }
@@ -151,9 +160,10 @@ object Multimodal {
   /** Decode stage: payload → dimension metadata columns, partition-batched.
     * Output schema = input schema + (width, height, channels). The columns
     * are modality-specific: images report (pixel width, pixel height,
-    * color components); PCM WAV audio reports (sample rate, frame count
-    * capped at Int.MaxValue, channels); payloads with no JDK codec get
-    * the documented deterministic fake.
+    * color components); PCM WAV audio reports (sample rate, frames
+    * ACTUALLY decoded — header claims a truncated payload can't back are
+    * not reported, bounded by decodeWav's byte cap, channels); payloads
+    * with no JDK codec get the documented deterministic fake.
     */
   def decode(assets: DataFrame): DataFrame = {
     val enc = Encoders.row(assets.schema
@@ -166,11 +176,11 @@ object Multimodal {
         val (w, h, c) = decodeImage(payload) match {
           case Some(img) => (img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents)
-          case None => decodeWav(payload, maxFrames = 0) match {
-            // maxFrames=0: metadata only, no sample materialization here
-            case Some(wi) =>
-              (wi.sampleRate, math.min(wi.frames, Int.MaxValue.toLong).toInt,
-                wi.channels)
+          case None => decodeWav(payload) match {
+            // frame count = samples actually decoded, NOT the header
+            // claim — a truncated payload must not report phantom frames
+            // that extractFeatures then can't see
+            case Some(wi) => (wi.sampleRate, wi.samples.length, wi.channels)
             case None => fakeDecode(payload)
           }
         }

@@ -105,8 +105,26 @@ class MultimodalSpec extends SparkSpecBase {
         Seq(R(9L, junkWav, "audio", Map.empty[String, String], null)), 1),
       Multimodal.schema)
     val r = Multimodal.decode(df).select("width", "height", "channels").head()
-    // falls through to the deterministic fake, not a crash
-    assert(r.getInt(0) > 0 && r.getInt(1) > 0)
+    // must land on the deterministic fake EXACTLY (not a lucky decode:
+    // fake dims are in [256,1279] and channels is always 3)
+    val (fw, fh, fc) = Multimodal.fakeDecode(junkWav)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((fw, fh, fc)))
+  }
+
+  test("zero-frame wav decodes to empty samples; features fall back, stable") {
+    import org.apache.spark.sql.{Row => R}
+    val empty = wavBytes(8000, 0, 440.0)
+    val wi = Multimodal.decodeWav(empty)
+    assert(wi.isDefined && wi.get.samples.isEmpty)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(R(9L, empty, "audio", Map.empty[String, String], null)), 1),
+      Multimodal.schema)
+    def emb() = Multimodal.extractFeatures(df, dim = 8)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val a = emb()
+    assert(a.length == 8, "hash-fallback vector keeps the requested dim")
+    assert(a == emb(), "fallback embedding is deterministic")
   }
 
   test("documents lift to the multimodal schema") {
