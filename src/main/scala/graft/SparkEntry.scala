@@ -708,6 +708,15 @@ object SparkEntry {
             "o_orderpriority"))
         .orderBy(col("col_name"))),
 
+    // the end-to-end curation pipeline: quality → exact dedup → near-dup
+    // clusters → decontamination → mix, verified via its per-stage
+    // attrition report (the composite oracle replays every stage in SQL)
+    "q72_curation_report" -> ((s, dir) =>
+      Curation.report(t(s, dir, "documents"), Curation.Config(
+        mixFractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5,
+          "src3" -> 0.1),
+        mixDefaultFraction = 0.25))),
+
     // weighted source mix: per-source deterministic sampling fractions
     // (row-local md5-bucket filter — no shuffle, no join)
     "q65_weighted_mix" -> ((s, dir) =>
@@ -1454,6 +1463,66 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
+    // stage formulas are the proven q21/q57/q52/q16/q53/q58/q48/q65
+    // oracle fragments composed over CTEs (the pair CTE reuses the same
+    // generator as q16/q53 pointed at the s2 stage)
+    "q72_curation_report" -> {
+      val b = Sampling.bucketSql("doc_id")
+      s"""WITH RECURSIVE
+         |tokq AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+         |s1 AS (
+         |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |  FROM documents d JOIN tokq q USING (doc_id)
+         |  WHERE len(q.t) >= 20
+         |    AND CAST(len(regexp_extract_all(lower(d.text), '[a-z]')) AS DOUBLE)
+         |      / greatest(length(d.text), 1) >= 0.5
+         |    AND CAST(greatest(len(q.t) - 1, 0) - len(list_distinct(list_transform(
+         |        generate_series(1, len(q.t) - 1), i -> array_to_string(q.t[i:i+1], ' '))))
+         |      AS DOUBLE) / greatest(len(q.t) - 1, 1) <= 0.3),
+         |s2 AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM (
+         |    SELECT s1.*, row_number() OVER (
+         |      PARTITION BY md5(array_to_string(q.t, ' ')) ORDER BY s1.doc_id) AS rn
+         |    FROM s1 JOIN tokq q USING (doc_id))
+         |  WHERE rn = 1),
+         |pairs AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(5L), source = "s2")}
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+         |losers AS (SELECT src AS doc FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc FROM losers)),
+         |tr AS (SELECT * FROM s3 WHERE $b < '${Sampling.hexThreshold(0.8)}'),
+         |ev AS (SELECT * FROM s3 WHERE $b >= '${Sampling.hexThreshold(0.9)}'),
+         |trsh AS (
+         |  SELECT s.doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(q.t) - 7), i -> array_to_string(q.t[i:i+7], ' ')))) AS g
+         |  FROM tr s JOIN tokq q USING (doc_id)),
+         |evsh AS (
+         |  SELECT s.doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(q.t) - 7), i -> array_to_string(q.t[i:i+7], ' ')))) AS g
+         |  FROM ev s JOIN tokq q USING (doc_id)),
+         |contaminated AS (SELECT DISTINCT a.doc_id FROM trsh a JOIN evsh b USING (g)),
+         |s4 AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |s5 AS (SELECT * FROM s4 WHERE $b < CASE source
+         |  WHEN 'src0' THEN '${Sampling.hexThreshold(1.0)}'
+         |  WHEN 'src1' THEN '${Sampling.hexThreshold(0.5)}'
+         |  WHEN 'src2' THEN '${Sampling.hexThreshold(0.5)}'
+         |  WHEN 'src3' THEN '${Sampling.hexThreshold(0.1)}'
+         |  ELSE '${Sampling.hexThreshold(0.25)}' END)
+         |SELECT stage, n_docs FROM (
+         |  SELECT 's0_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT 's1_quality', count(*) FROM s1
+         |  UNION ALL SELECT 's2_exact_dedup', count(*) FROM s2
+         |  UNION ALL SELECT 's3_near_dedup', count(*) FROM s3
+         |  UNION ALL SELECT 's4_decontaminated', count(*) FROM s4
+         |  UNION ALL SELECT 's5_mixed', count(*) FROM s5)
+         |ORDER BY stage""".stripMargin
+    },
+
     "q65_weighted_mix" -> {
       val b = Sampling.bucketSql("doc_id")
       s"""SELECT source, count(*) AS n_docs, min(doc_id) AS min_id,
@@ -1589,7 +1658,8 @@ object SparkEntry {
     * sf0.001/0.01/0.1; DedupSpec cross-checks the same property).
     */
   private def ngramJaccardOracle(threshold: Double, n: Int,
-                                 maxDf: Option[Long]): String = {
+                                 maxDf: Option[Long],
+                                 source: String = "documents"): String = {
     val candSource = maxDf match {
       case Some(d) =>
         s"""rare AS (
@@ -1606,7 +1676,7 @@ object SparkEntry {
     }
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-       |  FROM documents),
+       |  FROM $source),
        |sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= $n
        |    THEN [array_to_string(tk[i:i+${n - 1}], ' ') FOR i IN range(1, len(tk) - ${n - 2})]

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus curation pipeline — the composition
+  * every stage in this library exists for, wired in the canonical order:
+  *
+  *   input → quality filter → exact dedup → near-dup cluster dedup →
+  *   benchmark decontamination → weighted source mix
+  *
+  * [[stages]] returns every intermediate frame (for inspection or
+  * persistence); [[report]] folds them into the per-stage attrition
+  * table ((stage, n_docs) rows) that data teams actually watch — a
+  * sudden attrition shift at one stage is the canonical data-drop
+  * incident signal.
+  *
+  * Scale notes: the stages are the library's own operators, so each
+  * keeps its documented plan shape (per-row codegen filters; one
+  * key-shuffle dedups; df-capped blocked near-dup join; broadcast eval
+  * shingles; row-local mix filter). Stage survivor frames are persisted
+  * (MEMORY_AND_DISK, one doc row each): every later stage — and all six
+  * counts of [[report]] — re-reads them, and the near-dup stage's
+  * connected-components loop would otherwise recompute the whole
+  * upstream chain once per iteration.
+  */
+object Curation {
+
+  final case class Config(
+      minTokens: Int = 20,
+      minAlphaRatio: Double = 0.5,
+      maxDup2gramRatio: Double = 0.3,
+      jaccardThreshold: Double = 0.5,
+      shingleSize: Int = 3,
+      maxDf: Long = 5L,
+      deconShingleSize: Int = 8,
+      trainFraction: Double = 0.8,
+      valFraction: Double = 0.1,
+      mixGroupCol: String = "source",
+      mixFractions: Map[String, Double] = Map.empty,
+      mixDefaultFraction: Double = 1.0)
+
+  def stages(docs: DataFrame, cfg: Config = Config(),
+             idCol: String = "doc_id",
+             textCol: String = "text"): Seq[(String, DataFrame)] = {
+    val docCols = docs.columns.map(col).toSeq
+    // each stage frame is re-read by every later stage (and by all six
+    // counts of [[report]]) — persist the survivors, which are one doc
+    // row each (tiny relative to the work that produced them; spillable)
+    def cached(df: DataFrame) =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val s1 = cached(TextAnalysis
+      .repetitionFeatures(TextAnalysis.qualityFeatures(docs, textCol), textCol)
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("alpha_ratio") >= cfg.minAlphaRatio &&
+        col("dup_2gram_ratio") <= cfg.maxDup2gramRatio)
+      .select(docCols: _*))
+
+    val s2 = cached(Dedup
+      .exact(TextAnalysis.fingerprint(s1, textCol), Seq("fp_ordered"), idCol)
+      .select(docCols: _*))
+
+    val s3 = cached {
+      val pairs = Dedup.ngramJaccardPairs(s2, idCol, textCol,
+        cfg.jaccardThreshold, cfg.shingleSize, cfg.maxDf)
+      val losers = Dedup.connectedComponents(pairs)
+        .filter(col("doc") =!= col("cluster"))
+        .select(col("doc").as(idCol))
+      s2.join(losers, Seq(idCol), "left_anti")
+    }
+
+    val s4 = cached {
+      val labeled = Sampling.deterministicSplit(s3, idCol,
+        cfg.trainFraction, cfg.valFraction)
+      val train = labeled.filter(col("split") === "train").select(docCols: _*)
+      val eval_ = labeled.filter(col("split") === "test").select(docCols: _*)
+      val contaminated = Decontamination
+        .contaminationPairs(train, eval_, idCol, textCol, cfg.deconShingleSize)
+        .select(col("train_doc").as(idCol)).distinct()
+      train.join(contaminated, Seq(idCol), "left_anti")
+    }
+
+    val s5 = Sampling.weightedMix(s4, cfg.mixGroupCol, idCol,
+      cfg.mixFractions, cfg.mixDefaultFraction)
+
+    Seq("s0_input" -> docs, "s1_quality" -> s1, "s2_exact_dedup" -> s2,
+      "s3_near_dedup" -> s3, "s4_decontaminated" -> s4, "s5_mixed" -> s5)
+  }
+
+  /** The curated training set (the last stage's frame). */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stages(docs, cfg, idCol, textCol).last._2
+
+  /** Per-stage attrition report: (stage, n_docs), one row per stage. */
+  def report(docs: DataFrame, cfg: Config = Config(),
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    stages(docs, cfg, idCol, textCol)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy(col("stage"))
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // 20 distinct filler tokens so jaccard/8-gram machinery has material
+  private def prose(seed: Int): String =
+    (0 until 25).map(i => s"tok${seed}x$i").mkString(" ")
+
+  private val cfg = Curation.Config(
+    minTokens = 20, minAlphaRatio = 0.0, maxDup2gramRatio = 0.3,
+    jaccardThreshold = 0.5, shingleSize = 3, maxDf = 10L,
+    deconShingleSize = 8,
+    // every doc becomes train: decon tested separately below
+    trainFraction = 1.0, valFraction = 0.0,
+    mixFractions = Map.empty, mixDefaultFraction = 1.0)
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("each stage drops exactly its own kind of document") {
+    val nearA = prose(1)
+    val nearB = prose(1).replace("tok1x0", "zzz") // jaccard >> 0.5 vs nearA
+    val docs = docsOf(
+      (1L, "too short", "s"),                       // s1: under minTokens
+      (2L, ("rep rep " * 20).trim, "s"),            // s1: dup 2-grams
+      (3L, prose(7), "s"),
+      (4L, prose(7), "s"),                          // s2: exact dup of 3
+      (5L, nearA, "s"),
+      (6L, nearB, "s"),                             // s3: near dup of 5
+      (7L, prose(9), "s"))
+    val byStage = Curation.stages(docs, cfg).toMap
+    def ids(name: String) = byStage(name).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids("s1_quality") == Set(3L, 4L, 5L, 6L, 7L))
+    assert(ids("s2_exact_dedup") == Set(3L, 5L, 6L, 7L), "min id survives exact dup")
+    assert(ids("s3_near_dedup") == Set(3L, 5L, 7L), "min id survives the near-dup cluster")
+    assert(ids("s4_decontaminated") == Set(3L, 5L, 7L), "trainFraction 1.0 → no eval, no drop")
+    assert(ids("s5_mixed") == Set(3L, 5L, 7L), "fraction 1.0 keeps everything")
+  }
+
+  test("decontamination drops the train doc sharing an 8-gram with eval") {
+    // choose ids whose md5 split lands one in train, one in test, for
+    // the 0.8/0.1 split — derive from the split itself so the test
+    // cannot rot if ids change
+    val base = (1L to 40L).map(i => (i, prose(100 + i.toInt), "s"))
+    val labeled = Sampling.deterministicSplit(docsOf(base: _*), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = labeled.collectFirst { case (id, "train") => id }.get
+    val testId = labeled.collectFirst { case (id, "test") => id }.get
+    // give the chosen train doc the test doc's text → full 8-gram overlap
+    val docs = docsOf(base.map {
+      case (id, _, s) if id == trainId => (id, prose(999), s)
+      case (id, _, s) if id == testId => (id, prose(999).replace("tok999x24", "uniq"), s)
+      case r => r
+    }: _*)
+    val byStage = Curation.stages(docs,
+      cfg.copy(trainFraction = 0.8, valFraction = 0.1)).toMap
+    val s4 = byStage("s4_decontaminated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!s4.contains(trainId), "contaminated train doc must drop")
+    assert(!s4.contains(testId), "eval docs are never part of the train set")
+    val trainIds = labeled.collect { case (id, "train") => id }.toSet
+    assert(s4.subsetOf(trainIds - trainId))
+  }
+
+  test("report emits one non-increasing count per stage, in order") {
+    val docs = docsOf((1L to 30L).map(i => (i, prose(i.toInt), s"s${i % 3}")): _*)
+    val rows = Curation.report(docs, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq == Seq("s0_input", "s1_quality",
+      "s2_exact_dedup", "s3_near_dedup", "s4_decontaminated", "s5_mixed"))
+    assert(rows.head._2 == 30L)
+    rows.map(_._2).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+  }
+}
