@@ -57,8 +57,11 @@ object Curation {
         col("dup_2gram_ratio") <= cfg.maxDup2gramRatio)
       .select(docCols: _*))
 
+    // only the one fingerprint the stage keys on — fingerprint()'s full
+    // family would add two unused hash passes per surviving doc
     val s2 = cached(Dedup
-      .exact(TextAnalysis.fingerprint(s1, textCol), Seq("fp_ordered"), idCol)
+      .exact(s1.withColumn("__fp", TextAnalysis.fpOrderedCol(col(textCol))),
+        Seq("__fp"), idCol)
       .select(docCols: _*))
 
     val s3 = cached {
@@ -71,12 +74,17 @@ object Curation {
     }
 
     val s4 = cached {
+      // reserved column name: a user's own `split` column must survive
       val labeled = Sampling.deterministicSplit(s3, idCol,
-        cfg.trainFraction, cfg.valFraction)
-      val train = labeled.filter(col("split") === "train").select(docCols: _*)
-      val eval_ = labeled.filter(col("split") === "test").select(docCols: _*)
+        cfg.trainFraction, cfg.valFraction, outCol = "__split")
+      val train = labeled.filter(col("__split") === "train").select(docCols: _*)
+      val eval_ = labeled.filter(col("__split") === "test").select(docCols: _*)
+      // broadcastEval = false: here the "eval" side is a split of the
+      // corpus itself, not an MB-scale benchmark — forcing a broadcast
+      // would blow the 8 GB limit at corpus scale
       val contaminated = Decontamination
-        .contaminationPairs(train, eval_, idCol, textCol, cfg.deconShingleSize)
+        .contaminationPairs(train, eval_, idCol, textCol, cfg.deconShingleSize,
+          broadcastEval = false)
         .select(col("train_doc").as(idCol)).distinct()
       train.join(contaminated, Seq(idCol), "left_anti")
     }
@@ -88,18 +96,35 @@ object Curation {
       "s3_near_dedup" -> s3, "s4_decontaminated" -> s4, "s5_mixed" -> s5)
   }
 
-  /** The curated training set (the last stage's frame). */
+  /** The curated training set (the last stage's frame). The persisted
+    * stage caches back the returned frame — release them with
+    * [[unpersist]] once the result has been consumed/written.
+    */
   def curate(docs: DataFrame, cfg: Config = Config(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     stages(docs, cfg, idCol, textCol).last._2
 
-  /** Per-stage attrition report: (stage, n_docs), one row per stage. */
+  /** Release every stage frame's cache (no-op on the non-persisted
+    * input stage) — a long-lived session curating many batches would
+    * otherwise leak four cache entries per run.
+    */
+  def unpersist(stages: Seq[(String, DataFrame)]): Unit =
+    stages.foreach { case (_, df) => df.unpersist() }
+
+  /** Per-stage attrition report: (stage, n_docs), one row per stage.
+    * Eager: the six counts run here (each against the persisted stage
+    * frames) and the caches are released before returning — the result
+    * is a six-row local frame, so laziness buys nothing and would pin
+    * the caches for the caller's lifetime.
+    */
   def report(docs: DataFrame, cfg: Config = Config(),
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    stages(docs, cfg, idCol, textCol)
-      .map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-      }
-      .reduce(_ unionAll _)
-      .orderBy(col("stage"))
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val built = stages(docs, cfg, idCol, textCol)
+    val counts =
+      try built.map { case (name, df) => name -> df.count() }
+      finally unpersist(built)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    counts.toDF("stage", "n_docs").orderBy(col("stage"))
+  }
 }

@@ -32,9 +32,16 @@ object Decontamination {
     * (`overlap_frac` = n_shared / |eval shingles| — exact integer ratio
     * in double, engine-portable).
     */
+  /** `broadcastEval = false` drops the broadcast hint for the case where
+    * the "eval" side is NOT a tiny benchmark (e.g. a held-out split of
+    * the corpus itself — the [[Curation]] pipeline's shape): the same
+    * plan becomes a normal shuffle join on the shingle key, which
+    * Catalyst/AQE can still broadcast if the side turns out small.
+    */
   def contaminationPairs(train: DataFrame, eval: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
-                         shingleSize: Int = 8, minShared: Long = 1L): DataFrame = {
+                         shingleSize: Int = 8, minShared: Long = 1L,
+                         broadcastEval: Boolean = true): DataFrame = {
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     def shingles(df: DataFrame, outId: String) =
@@ -46,7 +53,7 @@ object Decontamination {
         explode(col("sh")).as("h"))
     val trainSh = shingles(train, "train_doc")
       .select(col("train_doc"), explode(col("sh")).as("h"))
-    trainSh.join(broadcast(evalSh), "h")
+    trainSh.join(if (broadcastEval) broadcast(evalSh) else evalSh, "h")
       .groupBy(col("train_doc"), col("eval_doc"))
       // n_eval is constant per eval_doc; max() just carries it through
       .agg(count(lit(1)).as("n_shared"), max(col("n_eval")).as("n_eval"))

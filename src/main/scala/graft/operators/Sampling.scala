@@ -43,14 +43,18 @@ object Sampling {
     df.filter(bucket(col(idCol)) < lit(hexThreshold(fraction)))
 
   /** Assign `split` ∈ {train, val, test} with the given fractions
-    * (test = remainder). Emits the split column; rows keep their data.
+    * (test = remainder). Emits the split column (name overridable via
+    * `outCol` so composing operators can use a reserved name instead of
+    * silently clobbering a user's existing `split` column); rows keep
+    * their data.
     */
   def deterministicSplit(df: DataFrame, idCol: String,
                          trainFraction: Double = 0.8,
-                         valFraction: Double = 0.1): DataFrame = {
+                         valFraction: Double = 0.1,
+                         outCol: String = "split"): DataFrame = {
     require(trainFraction + valFraction <= 1.0, "fractions exceed 1")
     val b = bucket(col(idCol))
-    df.withColumn("split",
+    df.withColumn(outCol,
       when(b < lit(hexThreshold(trainFraction)), "train")
         .when(b < lit(hexThreshold(trainFraction + valFraction)), "val")
         .otherwise("test"))

@@ -111,12 +111,19 @@ object TextAnalysis {
     * space-joined token stream) whose order sensitivity any SQL engine can
     * replay, giving the fingerprint family a value-checked oracle gate.
     */
+  /** The order-sensitive portable fingerprint alone (md5 of the
+    * space-joined token stream) — for callers that need just a dedup key
+    * and shouldn't pay [[fingerprint]]'s full three-hash family.
+    */
+  def fpOrderedCol(text: Column): Column =
+    md5(concat_ws(" ", tokensCol(text)).cast("binary"))
+
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val rolling = aggregate(tokensCol(t), lit(0L), (acc, tk) => xxhash64(acc, tk))
     df.withColumn("fp_md5", md5(t.cast("binary")))
       .withColumn("fp_rolling", rolling)
-      .withColumn("fp_ordered", md5(concat_ws(" ", tokensCol(t)).cast("binary")))
+      .withColumn("fp_ordered", fpOrderedCol(t))
   }
 
   /** PII redaction over free text: emails, dashed/dotted phone numbers

@@ -53,20 +53,34 @@ class CurationSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val trainId = labeled.collectFirst { case (id, "train") => id }.get
     val testId = labeled.collectFirst { case (id, "test") => id }.get
-    // give the chosen train doc the test doc's text → full 8-gram overlap
+    // the contaminated pair shares EXACTLY one 8-token run: the train
+    // doc starts with it, the eval doc ends with it, everything else
+    // differs — 3-gram jaccard ≈ 0.15 stays far below the near-dup
+    // threshold, so the doc must survive s3 and drop at s4 (an earlier
+    // version of this spec reused near-identical texts and the near-dup
+    // stage removed the doc before decontamination was ever exercised)
+    val run = (0 until 8).map(i => s"tok777x$i").mkString(" ")
+    val trainText = run + " " + (8 until 25).map(i => s"tok777x$i").mkString(" ")
+    val testText = (0 until 17).map(i => s"tok888x$i").mkString(" ") + " " + run
     val docs = docsOf(base.map {
-      case (id, _, s) if id == trainId => (id, prose(999), s)
-      case (id, _, s) if id == testId => (id, prose(999).replace("tok999x24", "uniq"), s)
+      case (id, _, s) if id == trainId => (id, trainText, s)
+      case (id, _, s) if id == testId => (id, testText, s)
       case r => r
     }: _*)
     val byStage = Curation.stages(docs,
       cfg.copy(trainFraction = 0.8, valFraction = 0.1)).toMap
+    val s3 = byStage("s3_near_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3.contains(trainId),
+      "precondition: the contaminated doc must REACH decontamination")
+    assert(s3.contains(testId))
     val s4 = byStage("s4_decontaminated").select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(!s4.contains(trainId), "contaminated train doc must drop")
+    assert(!s4.contains(trainId), "contaminated train doc must drop AT s4")
     assert(!s4.contains(testId), "eval docs are never part of the train set")
     val trainIds = labeled.collect { case (id, "train") => id }.toSet
     assert(s4.subsetOf(trainIds - trainId))
+    Curation.unpersist(byStage.toSeq)
   }
 
   test("report emits one non-increasing count per stage, in order") {
