@@ -19,16 +19,31 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column a real consumer would have to produce; noop fully materializes
     // each row while writing nothing.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional local-iteration filter (the driver never sets it): run only
+    // the named queries, matching either full names or the "qNN" prefix.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (name, _) =>
+        sel.contains(name) || sel.contains(name.takeWhile(_ != '_')) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT: the harness records only a bounded tail of
+    // the process output, and 72 full query names with 15-digit doubles
+    // overflow it (the line's opening brace falls outside the window and the
+    // parse fails). Short "qNN" keys + millisecond precision keep the whole
+    // line comfortably inside a 2000-char tail.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -96,6 +96,62 @@ object ArraySetOps {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `|a ∩ b|` for two SORTED-ASCENDING, DISTINCT, null-free
+    * `array<bigint>` columns — the zero-allocation form of
+    * [[IntersectCount]] for the near-dup verify join, where the per-doc
+    * shingle arrays are sorted once at build time
+    * ([[graft.operators.Dedup]]) and then intersected against O(candidates)
+    * partners: a primitive two-pointer merge per pair instead of building
+    * a boxed hash set per pair. Sortedness is the CALLER's contract; on
+    * unsorted input the count is simply wrong, so this is not exposed as a
+    * SQL function.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expected (array<bigint>, array<bigint>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      ArraySetOps.sortedIntersectCountImpl(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.ArraySetOps.sortedIntersectCountImpl($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Two-pointer merge count over sorted distinct long arrays. */
+  def sortedIntersectCountImpl(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { cnt += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnShim.column(SortedIntersectCount(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
   /** Shared impl for [[IntersectCount]] eval + codegen. Null elements are
     * ignored (matching `array_intersect`'s treatment when one side lacks
     * null — our hashed-shingle arrays never contain null).

@@ -50,9 +50,14 @@ object TextScan {
     runs + 1
   }
 
-  /** Σ length(token) over the same split: total non-\s code points of the
-    * space-trimmed string (every non-ws code point belongs to exactly one
-    * token; `length()` counts code points).
+  /** Σ length(token) over the same split of `lower(text)`: total non-\s
+    * code points of the space-trimmed LOWERCASED string (every non-ws code
+    * point belongs to exactly one token; `length()` counts code points).
+    * Counting lowered code points matters for exactly one input: U+0130
+    * lowercases to 'i' + combining U+0307 — the only code point in Unicode
+    * whose lowercase expands — so it counts 2, keeping the scanner
+    * value-identical to the `aggregate(split(trim(lower(text))), …)`
+    * formulation it replaces.
     */
   def wsCharCountImpl(s: UTF8String): Long = {
     val n = s.numBytes()
@@ -64,16 +69,40 @@ object TextScan {
     var i = lo
     while (i < hi) {
       val b = s.getByte(i)
-      if (isStart(b) && !isWs(b)) cnt += 1
+      if (isStart(b) && !isWs(b)) {
+        cnt += 1
+        if (isDottedI(s, i, hi)) cnt += 1
+      }
       i += 1
     }
     cnt
   }
 
+  /** U+212A KELVIN SIGN (E2 84 AA) — the ONLY code point whose Unicode
+    * lowercase is a bare ASCII letter ('k'); U+0130 below is the only
+    * other one producing ANY ASCII ('i' + combining U+0307). Verified by
+    * exhaustive sweep of the Unicode lowercase table; the scanners fold
+    * these two explicitly so their byte-level ASCII case-fold stays
+    * bit-identical to `lower()`-then-regex on arbitrary Unicode input.
+    */
+  private def isKelvin(s: UTF8String, i: Int, n: Int): Boolean =
+    (s.getByte(i) & 0xFF) == 0xE2 && i + 2 < n &&
+      (s.getByte(i + 1) & 0xFF) == 0x84 && (s.getByte(i + 2) & 0xFF) == 0xAA
+
+  /** U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE (C4 B0): lowercases to
+    * 'i' U+0307 — an ASCII letter followed by a combining mark — under
+    * Java/Spark (Unicode full mapping). NOTE: DuckDB's utf8proc `lower()`
+    * maps it to bare 'i' instead, so DuckDB-oracle parity on corpora
+    * containing U+0130 is out of contract; the pinned semantics here are
+    * Spark's own regex-on-`lower()` formulation (asserted in TextScanSpec).
+    */
+  private def isDottedI(s: UTF8String, i: Int, n: Int): Boolean =
+    (s.getByte(i) & 0xFF) == 0xC4 && i + 1 < n && (s.getByte(i + 1) & 0xFF) == 0xB0
+
   /** `size(regexp_extract_all(lower(str), "[a-z]+|[0-9]+|[^a-z0-9\\s]"))`
-    * on the RAW string (case-folds ASCII letters itself): greedy
-    * alternation = maximal letter runs + maximal digit runs + one token
-    * per other non-\s code point.
+    * on the RAW string (case-folds to ASCII itself — a-z, plus the two
+    * special code points above): greedy alternation = maximal letter runs
+    * + maximal digit runs + one token per other non-\s code point.
     */
   def bpeTokenCountImpl(s: UTF8String): Int = {
     val n = s.numBytes()
@@ -88,15 +117,22 @@ object TextScan {
       } else if (b >= '0' && b <= '9') {
         if (prev != 2) { cnt += 1; prev = 2 }
       } else if (isWs(b)) prev = 0
-      else { cnt += 1; prev = 0 }
+      else if (isKelvin(s, i, n)) { // lower → 'k': joins/starts a letter run
+        if (prev != 1) { cnt += 1; prev = 1 }
+      } else if (isDottedI(s, i, n)) {
+        // lower → 'i' + U+0307: a letter (run) then an "other" token
+        if (prev != 1) cnt += 1
+        cnt += 1; prev = 0
+      } else { cnt += 1; prev = 0 }
       i += 1
     }
     cnt
   }
 
   /** `size(regexp_extract_all(lower(str), "[<set>]"))`: occurrences of the
-    * given lowercase-ASCII character set, ASCII-case-folding the input
-    * (so callers skip the `lower()`): one membership test per byte.
+    * given lowercase-ASCII character set, case-folding the input itself
+    * (ASCII A-Z plus U+212A→'k' and U+0130→'i', the only non-ASCII code
+    * points whose lowercase reaches ASCII): one membership test per byte.
     */
   def asciiSetCountImpl(s: UTF8String, set: Array[Boolean]): Int = {
     val n = s.numBytes()
@@ -105,7 +141,9 @@ object TextScan {
     while (i < n) {
       var b: Int = s.getByte(i) & 0xFF
       if (b >= 'A' && b <= 'Z') b += 32
-      if (b < 128 && set(b)) cnt += 1
+      if (b < 128) { if (set(b)) cnt += 1 }
+      else if (isKelvin(s, i, n)) { if (set('k')) cnt += 1 }
+      else if (isDottedI(s, i, n)) { if (set('i')) cnt += 1 }
       i += 1
     }
     cnt

@@ -142,9 +142,15 @@ object AppendFileSink {
     val sizeThreshold = conf.sizeThresholdBytes
     val lineDelim = "\n".getBytes(StandardCharsets.UTF_8)
 
-    val ds = lines.select("line").as(Encoders.STRING)
-    val nParts = math.max(1, ds.rdd.getNumPartitions)
-    ds.foreachPartition {
+    // Materialize the RDD ONCE and run foreachPartition on that same RDD:
+    // `ds.foreachPartition` would trigger a second execution, and with AQE
+    // the second run can finalize a different partition count than the one
+    // `nParts` was read from — a task with partId >= nParts would then share
+    // a residue class (partId mod nParts) with another task, re-opening the
+    // same-millisecond create collision the residue scheme exists to prevent.
+    val rdd = lines.select("line").as(Encoders.STRING).rdd
+    val nParts = math.max(1, rdd.getNumPartitions)
+    rdd.foreachPartition {
       iter: Iterator[String] =>
         if (iter.hasNext) {
           val partId = TaskContext.getPartitionId()

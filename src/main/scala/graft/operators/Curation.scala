@@ -122,7 +122,13 @@ object Curation {
     val built = stages(docs, cfg, idCol, textCol)
     val counts =
       try built.map { case (name, df) => name -> df.count() }
-      finally unpersist(built)
+      finally {
+        unpersist(built)
+        // Also reclaim the caches the near-dup stage created internally
+        // (shingle arrays, connected-component labels) — they are invisible
+        // to `built` but pinned by the same run.
+        Dedup.releaseCaches()
+      }
     val sp = docs.sparkSession
     import sp.implicits._
     counts.toDF("stage", "n_docs").orderBy(col("stage"))

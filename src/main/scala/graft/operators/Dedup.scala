@@ -35,6 +35,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Caches created internally by near-dup operators ([[sharedShingleArrays]],
+    * [[connectedComponents]] labels) — a long-lived session running many
+    * near-dup queries would otherwise accumulate one pinned cache entry per
+    * distinct (corpus, params) plan. Consumers release them via
+    * [[releaseCaches]] once results are materialized; [[Curation.report]]
+    * does so automatically. Session-global, like the CacheManager it wraps:
+    * release only between queries, not while one is executing.
+    */
+  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    trackedCaches += df; df
+  }
+
+  private[graft] def trackedCacheCount: Int = synchronized(trackedCaches.size)
+
+  /** Unpersist every cache a Dedup operator has created since the last
+    * release (blocking=false: reclamation proceeds asynchronously).
+    * Results already materialized stay valid — only their backing cache is
+    * dropped; re-running an unreleased plan recomputes instead of erroring.
+    */
+  def releaseCaches(): Unit = synchronized {
+    trackedCaches.foreach(_.unpersist())
+    trackedCaches.clear()
+  }
+
   /** Exact dedup: one survivor per key group, deterministically the row
     * with the smallest `tieKey`. One shuffle (hash aggregate), map-side
     * combine enabled by the groupBy form.
@@ -195,19 +221,28 @@ object Dedup {
     */
   private def sharedShingleArrays(docs: DataFrame, idCol: String, textCol: String,
                                   shingleSize: Int): DataFrame =
-    docShingleArrays(docs, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked(docShingleArrays(docs, idCol, textCol, shingleSize)
+      // sorted ONCE per doc here (n log n on the cached build side) so the
+      // verify join can count intersections with a zero-allocation
+      // primitive merge per candidate pair instead of building a boxed
+      // hash set per pair — the verify join runs O(candidate pairs) ≫
+      // O(docs) intersections. Shingle values are distinct already;
+      // MinHash signatures are order-invariant, so sorting is free there.
+      .select(col("doc"), sort_array(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Shared tail: exact Jaccard for candidate pairs via the native
-    * [[graft.functions.ArraySetOps.IntersectCount]] codegen expression
-    * over per-doc shingle arrays (one row per doc — Spark auto-broadcasts
-    * below the threshold and shuffle-joins above it; no explicit hint,
-    * which would force an over-cap broadcast on a billion-doc corpus).
-    * `size(array_intersect(...))` materialized the intersection array per
-    * pair just to take its length; IntersectCount counts with zero output
-    * allocation. The exploded relational alternative (cand ⋈ tok ⋈ tok on
-    * the shingle key) materializes |cand| × |shingles/doc| rows and
-    * measured 4× slower.
+    * [[graft.functions.ArraySetOps.SortedIntersectCount]] codegen
+    * expression over per-doc SORTED shingle arrays (one row per doc —
+    * Spark auto-broadcasts below the threshold and shuffle-joins above
+    * it; no explicit hint, which would force an over-cap broadcast on a
+    * billion-doc corpus). Progression: `size(array_intersect(...))`
+    * materialized the intersection array per pair; IntersectCount counted
+    * via a per-pair boxed hash set; the sorted two-pointer merge counts
+    * with ZERO per-pair allocation (sort paid once per doc on the cached
+    * build side). The exploded relational alternative (cand ⋈ tok ⋈ tok
+    * on the shingle key) materializes |cand| × |shingles/doc| rows and
+    * measured 4× slower than even the hash-set form.
     * |union| = |A| + |B| − |A∩B|; integer counts → the ratio is exact.
     */
   private def jaccardOfCandidates(cand: DataFrame, shingles: DataFrame,
@@ -215,8 +250,11 @@ object Dedup {
     cand
       .join(shingles.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingles.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // `shingles` comes from [[sharedShingleArrays]] = sorted + distinct,
+      // so the sorted two-pointer merge applies (measured ~2× on the
+      // 1.1M-pair sf0.1 verify join vs the per-pair hash-set form).
       .withColumn("inter",
-        graft.functions.ArraySetOps.intersectCount(col("sh_a"), col("sh_b")))
+        graft.functions.ArraySetOps.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -342,6 +380,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds - " +
           "component diameter exceeds maxIter; raise it")
-    labels
+    // The returned labels stay persisted (recomputing them would rerun the
+    // whole fixpoint); register the cache so releaseCaches() can reclaim it
+    // after the caller materializes the result.
+    tracked(labels)
   }
 }

@@ -302,10 +302,16 @@ object Multimodal {
         val resized = decodeImage(payload).map { img =>
           val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
-          try g.drawImage(
-            img.getScaledInstance(width, height, java.awt.Image.SCALE_AREA_AVERAGING),
-            0, 0, null)
-          finally g.dispose()
+          // Scale synchronously from the fully-realized BufferedImage:
+          // getScaledInstance produces pixels asynchronously, and drawing it
+          // with a null ImageObserver can return before production finishes,
+          // silently emitting a blank/partial frame.
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
           val bos = new ByteArrayOutputStream()
           ImageIO.write(dst, "png", bos)
           bos.toByteArray

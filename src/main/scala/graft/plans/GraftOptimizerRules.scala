@@ -28,8 +28,12 @@ import graft.functions.ArraySetOps.IntersectCount
 object RewriteIntersectionSize extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), _)
-          if isNonNullLongArray(a.dataType) && isNonNullLongArray(b.dataType) =>
+      // `legacySizeOfNull = false` only: under spark.sql.legacy.sizeOfNull
+      // (the non-ANSI default) size(NULL) = -1 while IntersectCount yields
+      // NULL, so legacy-size sessions must keep the original expression.
+      case Size(ArrayIntersect(a, b), legacySizeOfNull)
+          if !legacySizeOfNull &&
+            isNonNullLongArray(a.dataType) && isNonNullLongArray(b.dataType) =>
         IntersectCount(a, b)
     }
 

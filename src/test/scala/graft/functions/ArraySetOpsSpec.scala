@@ -45,6 +45,22 @@ class ArraySetOpsSpec extends SparkSpecBase {
       out.map(r => (r.getInt(0), r.getInt(1))).mkString(","))
   }
 
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    // fuzz: random distinct long sets, sorted — the caller contract
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(3L), Seq.empty[Long]))
+    val out = rows.toDF("a", "b").select(
+      ArraySetOps.sortedIntersectCount(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)),
+      out.map(r => (r.getInt(0), r.getInt(1))).mkString(","))
+  }
+
   test("both run inside WholeStageCodegen (no CodegenFallback)") {
     // build from range so the projection can't constant-fold away
     val df = spark.range(4).select(

@@ -12,9 +12,15 @@ class TextScanSpec extends SparkSpecBase {
 
   import TextScan._
 
+  // The last group exercises the only two code points in Unicode whose
+  // lowercase reaches ASCII: U+212A KELVIN SIGN (→ 'k', joins letter runs)
+  // and U+0130 dotted capital I (→ 'i' + combining U+0307, the only
+  // lowercase EXPANSION in Unicode).
   private val edge = Seq("", " ", "   ", "\ta b\t", "a", "a b  c",
     "àé 中文 mixed", "A1.b!!", "tab\tsep", "nl\nsep", "'quoted' (paren)",
-    "1234 5a6b", "trailing space ", " leading", "ALL CAPS RUN 99")
+    "1234 5a6b", "trailing space ", " leading", "ALL CAPS RUN 99",
+    "K", "İ", "aKb KK 9K", "İstanbul Iİ",
+    "İİ xİy KİK")
 
   private def corpus = {
     import spark.implicits._
@@ -62,7 +68,8 @@ class TextScanSpec extends SparkSpecBase {
   test("fuzz: 500 seeded random strings agree with the regex formulations") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val alphabet = "ab z09.,;:!?'\"()[]{}-\t\n\f\r  éàß中文ABC"
+    val alphabet = "ab z09.,;:!?'\"()[]{}-\t\n\f\r  éàß中文ABC" +
+      "\u212A\u0130" // the two ASCII-reaching lowercase foldings
     val fuzz = (0 until 500).map { _ =>
       val len = rnd.nextInt(40)
       (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString

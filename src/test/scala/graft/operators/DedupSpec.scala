@@ -143,4 +143,21 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh == ng)
   }
+
+  test("releaseCaches reclaims internal caches; results stay valid after release") {
+    Dedup.releaseCaches() // clean slate
+    assert(Dedup.trackedCacheCount == 0)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.7, shingleSize = 3, maxDf = 10)
+    val before = pairs.collect().toSet
+    val cc = Dedup.connectedComponents(pairs)
+    val labelsBefore = cc.collect().toSet
+    assert(Dedup.trackedCacheCount > 0) // shingle arrays + cc labels tracked
+    Dedup.releaseCaches()
+    assert(Dedup.trackedCacheCount == 0)
+    // post-release the plans recompute instead of erroring, same values
+    assert(pairs.collect().toSet == before)
+    assert(cc.collect().toSet == labelsBefore)
+    Dedup.releaseCaches() // idempotent
+  }
 }

@@ -43,6 +43,11 @@ class MultimodalSpec extends SparkSpecBase {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
     assert(img.getWidth == 224 && img.getHeight == 112)
+    // Content, not just dims: the source is left-half black / right-half
+    // white, so a blank or partially-drawn result (the async
+    // getScaledInstance hazard) fails one of these.
+    assert((img.getRGB(10, 56) & 0xffffff) == 0x000000)
+    assert((img.getRGB(213, 56) & 0xffffff) == 0xffffff)
   }
 
   test("extractFeatures computes a REAL grayscale grid for images") {
