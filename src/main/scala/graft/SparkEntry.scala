@@ -9,10 +9,12 @@ import graft.operators._
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with DuckDB oracle SQL where ANSI-SQL-expressible
-  * (hash-based ops — minhash/simhash/LSH — get rows-only checks; they are
-  * deterministic and are cross-verified against exact variants in the
-  * ScalaTest specs instead).
+  * SURVEY.md §2, each with DuckDB oracle SQL where expressible. Hash-based
+  * ops run PORTABLE md5-derived hash/plane families precisely so the
+  * oracle can replay them end to end (simhash votes, rolling-fp polynomial,
+  * LSH hyperplanes); the only rows-only queries left are q20 (IVF rerank —
+  * float centroid averaging has no exact SQL mirror; spec-gated as
+  * all-cells == brute force) and q33 (binary image decode).
   *
   * Determinism rules applied throughout (the driver hash-compares values):
   *  - every query ends in an explicit orderBy on a key;
@@ -192,16 +194,17 @@ object SparkEntry {
     // Oracle-gated against EXHAUSTIVE exact-jaccard ground truth: the
     // verify side emits exact jaccard, so rows match iff LSH candidate
     // recall is 1.0 (true on this corpus; DedupSpec checks the same).
-    // q15 stays rows-only: simhash signatures are xxhash64-based and
-    // xxhash64 has no DuckDB equivalent.
     "q14_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // portable = MD5-based signatures (same vote/sign scheme as the
+    // default xxhash64 family) so the oracle can replay the ENTIRE
+    // pipeline — signatures, chunk blocking, hamming verify — in SQL
     "q15_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 3, portable = true)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q16_ngram_jaccard" -> ((s, dir) =>
@@ -233,9 +236,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // portable = md5-derived hyperplanes, so the oracle regenerates the
+    // SAME planes and replays signatures → buckets → rerank end to end
     "q19_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5, numBits = 8)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5, numBits = 8,
+          portable = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -282,7 +288,8 @@ object SparkEntry {
         .select(col("doc_id"), col("fp_md5"))
         .orderBy(col("doc_id"))),
 
-    // rows-only: 64-bit rolling hash uses xxhash64 (not expressible in SQL)
+    // order-sensitive 61-bit polynomial over md5-hashed tokens — the
+    // oracle replays the identical fold with 128-bit integers
     "q25_fingerprint_rolling" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fp_rolling"))
@@ -500,13 +507,13 @@ object SparkEntry {
           countDistinct(col("dow")).as("n_dows"))
         .orderBy(col("yr"), col("qtr"))),
 
-    // rows-only: LSH-blocked scale path of q17 (xxhash-free but
-    // splitmix-seeded buckets — not SQL-expressible); recall vs the exact
-    // variant is asserted in SimilaritySpec
+    // LSH-blocked scale path of q17, portable plane family: the oracle
+    // replays buckets AND verify; recall vs the exact variant is asserted
+    // in SimilaritySpec
     "q40_cosine_neardups_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupsLsh(
           t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
-          threshold = 0.4, numBits = 4)
+          threshold = 0.4, numBits = 4, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q41_asof_join" -> ((s, dir) => {
@@ -966,6 +973,41 @@ object SparkEntry {
     "q16_ngram_jaccard" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20)),
 
+    // FULL simhash replay — signatures (md5-top-64 token votes), 16-bit
+    // chunk pigeonhole blocking, hamming verify. Possible because q15 runs
+    // the portable MD5 family: DuckDB reads the same 64 bits Spark hashes
+    // via ('0x' || substr(md5(tok),1,16))::UBIGINT. The chunk-bucket skew
+    // cap (100000) is unreachable at oracle scale, so the mirror omits it.
+    "q15_simhash_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |bits AS (SELECT unnest(generate_series(0, 63)) AS k),
+        |votes AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN ((('0x' || substr(md5(tok), 1, 16))::UBIGINT >> k) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN bits
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << k) ELSE 0::UBIGINT END)
+        |      AS UBIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, c, (sig >> (16 * c)) & 65535 AS ck
+        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        |FROM cand
+        |JOIN sigs sa ON sa.doc_id = cand.doc_a
+        |JOIN sigs sb ON sb.doc_id = cand.doc_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // exhaustive exact-jaccard pairs (q14's oracle) fed through a
     // recursive transitive closure; cluster = min reachable id
     "q53_neardup_clusters" ->
@@ -1004,6 +1046,45 @@ object SparkEntry {
         |  WHERE q.vec_id < 20)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // full LSH replay: md5-derived hyperplanes → signatures → bucket
+    // candidates → exact-cosine rerank, rank ties on neighbor_id
+    "q19_ann_lsh" ->
+      s"""WITH ${lshSigCtes(numTables = 8, numBits = 8, dim = 64)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_cosine_similarity(qv.e, cv.e) AS cosine
+         |  FROM cand
+         |  JOIN vecs qv ON qv.vec_id = cand.query_id
+         |  JOIN vecs cv ON cv.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // same plane family at 4 bits over the vec_id % 4 = 0 slice; verify
+    // keeps pairs at cosine >= 0.4
+    "q40_cosine_neardups_lsh" ->
+      s"""WITH ${lshSigCtes(numTables = 8, numBits = 4, dim = 64,
+             vecWhere = "vec_id % 4 = 0")},
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM sigs l JOIN sigs r
+         |    ON l.tbl = r.tbl AND l.sig = r.sig AND l.vec_id < r.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+         |  SELECT id_a, id_b, list_cosine_similarity(va.e, vb.e) AS cosine
+         |  FROM cand
+         |  JOIN vecs va ON va.vec_id = cand.id_a
+         |  JOIN vecs vb ON vb.vec_id = cand.id_b)
+         |WHERE cosine >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // symmetric int8 quantization replayed element-wise: unnest +
     // generate_subscripts co-unnest positionally in DuckDB
@@ -1053,6 +1134,20 @@ object SparkEntry {
 
     "q24_fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS fp_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical polynomial fold, 128-bit ints: tok value = top-64 md5
+    // bits mod M (M = 2^61-1), acc = (acc*1000003 + tok) % M
+    "q25_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(0::HUGEINT,
+        |      list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+        |               % 2305843009213693951)::HUGEINT))),
+        |    (a, b) -> (a * 1000003 + b) % 2305843009213693951) AS BIGINT)
+        |    AS fp_rolling
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
@@ -1649,6 +1744,40 @@ object SparkEntry {
     * comprehension over token positions, rare-term blocking, relational
     * intersection count.
     */
+  /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →
+    * vectors → signatures), mirroring the PORTABLE md5 hyperplane family
+    * ([[graft.functions.VectorMath.HyperplaneSigMd5]]): component
+    * (t, p, j) = ((md5_top64("t:p:j") mod 20001) − 10000) / 10000, dot
+    * folded sequentially over components (list_reduce) exactly like the
+    * Spark expression's loop, sign bit per plane. `vecWhere` restricts
+    * the corpus (q40 filters vec_id % 4 = 0 BEFORE signatures).
+    */
+  private def lshSigCtes(numTables: Int, numBits: Int, dim: Int,
+                         vecWhere: String = "TRUE"): String =
+    s"""planes AS (
+       |  SELECT t, p, j,
+       |    ((('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':' || j::VARCHAR),
+       |        1, 16))::UBIGINT % 20001)::BIGINT - 10000) / 10000.0 AS comp
+       |  FROM (SELECT unnest(generate_series(0, ${numTables - 1})) AS t),
+       |       (SELECT unnest(generate_series(0, ${numBits - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, ${dim - 1})) AS j)),
+       |plists AS (
+       |  SELECT t, p, list(comp ORDER BY j) AS cl FROM planes GROUP BY t, p),
+       |vecs AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  WHERE $vecWhere),
+       |sigs AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+       |      AS sig
+       |  FROM (
+       |    SELECT v.vec_id, pl.t AS tbl, pl.p,
+       |      list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, ${dim + 1}), i -> v.e[i] * pl.cl[i])),
+       |        (a, b) -> a + b) AS dot
+       |    FROM vecs v CROSS JOIN plists pl)
+       |  GROUP BY vec_id, tbl)""".stripMargin
+
   /** Shared n-gram-Jaccard oracle SQL. `maxDf = Some(d)` mirrors the
     * rare-shingle blocking of [[Dedup.ngramJaccardPairs]] (q16); `None`
     * blocks on ANY shared shingle — exhaustive for jaccard ≥ threshold > 0,

@@ -86,6 +86,137 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** The PORTABLE SimHash: identical vote/sign scheme to [[SimHash64]] but
+    * each token occurrence votes with the top 64 bits of its MD5 digest
+    * (first 8 digest bytes, big-endian) instead of xxhash64 — exactly the
+    * value ANSI-SQL engines can recompute as
+    * `('0x' || substr(md5(tok), 1, 16))::UBIGINT` (same bits; two's
+    * complement vs unsigned is irrelevant to per-bit votes). This is what
+    * makes the simhash near-dup query DuckDB-oracle-checkable end to end;
+    * the xxhash64 family stays the default (≈4× faster per token).
+    */
+  case class SimHash64Md5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string>, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashes.simHash64Md5Impl(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.simHash64Md5Impl($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // MessageDigest is stateful — one instance per executor thread.
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 64 bits of `md5(bytes of s)`, big-endian — the bits DuckDB reads
+    * with `('0x' || substr(md5(s), 1, 16))::UBIGINT`.
+    */
+  def md5Top64(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (digest(b) & 0xFFL); b += 1 }
+    h
+  }
+
+  /** Shared impl for [[SimHash64Md5]] eval + codegen. */
+  def simHash64Md5Impl(arr: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Top64(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Order-sensitive PORTABLE rolling fingerprint over a token array:
+    * the polynomial fold
+    * `acc = (acc * B + (md5_top64(tok) mod M)) mod M`, `M = 2^61−1`,
+    * `B = 1000003` — exactly what an ANSI-SQL engine replays with
+    * 128-bit integers:
+    * `list_reduce(list_prepend(0, list_transform(toks,
+    *   t -> md5hex_top64(t) % M)), (a,b) -> (a*B + b) % M)`.
+    * The previous formulation folded `acc = xxhash64(acc, tok)` through
+    * the `aggregate` HOF — not expressible outside Spark AND interpreted
+    * (CodegenFallback); this is value-checkable in DuckDB and runs inside
+    * WholeStageCodegen. The 122-bit intermediate product is reduced with
+    * `Math.multiplyHigh` and the Mersenne identities `2^61 ≡ 1`,
+    * `2^64 ≡ 8 (mod M)`.
+    */
+  case class RollingFpMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string>, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      TextHashes.rollingFpMd5Impl(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.rollingFpMd5Impl($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private val FpMod = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+  private val FpBase = 1000003L
+
+  /** `(a * b) mod 2^61−1` for `0 ≤ a < 2^61`, `0 < b < 2^21`: the 128-bit
+    * product `hi·2^64 + lo` collapses via `2^64 ≡ 8`, `2^61 ≡ 1 (mod M)`.
+    */
+  private def mulModMersenne61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // < 2^18 for our operand bounds
+    val lo = a * b                   // wrapped low 64 bits
+    var r = hi * 8L + (lo >>> 61) + (lo & FpMod)
+    if (r >= FpMod) r -= FpMod
+    r
+  }
+
+  /** Shared impl for [[RollingFpMd5]] eval + codegen. */
+  def rollingFpMd5Impl(arr: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val tv = java.lang.Long.remainderUnsigned(
+          md5Top64(arr.getUTF8String(i)), FpMod)
+        acc = mulModMersenne61(acc, FpBase) + tv
+        if (acc >= FpMod) acc -= FpMod
+      }
+      i += 1
+    }
+    acc
+  }
+
   /** MinHash signature over pre-hashed shingles: slot `i` is
     * `min over h of XXH64.hashLong(h, i)` — the standard seeded family,
     * one array<long> out per row.
@@ -202,6 +333,12 @@ object TextHashes {
 
   def simhash64(tokens: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(tokens)))
+
+  def simhash64Md5(tokens: Column): Column =
+    GraftColumnShim.column(SimHash64Md5(GraftColumnShim.expression(tokens)))
+
+  def rollingFpMd5(tokens: Column): Column =
+    GraftColumnShim.column(RollingFpMd5(GraftColumnShim.expression(tokens)))
 
   def minhashSigs(shingleHashes: Column, numHashes: Int): Column =
     GraftColumnShim.column(MinHashSigs(GraftColumnShim.expression(shingleHashes), numHashes))

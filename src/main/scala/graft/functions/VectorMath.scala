@@ -162,6 +162,81 @@ object VectorMath {
       copy(child = newChild)
   }
 
+  /** PORTABLE random-hyperplane signature: same sign-LSH scheme as
+    * [[HyperplaneSig]] but hyperplane components derive from md5 of the
+    * string key `"seed:plane:component"` — the one hash every SQL engine
+    * shares — so an oracle can regenerate the identical planes:
+    * `((md5_top64(s||':'||p||':'||j) % 20001)::BIGINT − 10000) / 10000.0`.
+    * Components are data-independent, so they are computed once per
+    * (seed, numBits, dim) per JVM and cached; per-row cost is then
+    * identical to the splitmix64 family. The dot is summed in component
+    * order, matching a sequential `list_reduce` replay.
+    */
+  case class HyperplaneSigMd5(child: Expression, numBits: Int, seed: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "vec")
+
+    override protected def nullSafeEval(a: Any): Any =
+      VectorMath.hyperplaneSigMd5Impl(a.asInstanceOf[ArrayData], numBits, seed,
+        child.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val isDouble = child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.VectorMath.hyperplaneSigMd5Impl(
+           |  $a, $numBits, $seed, $isDouble);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // (seed, numBits, dim) → row-major [plane][component] array; planes are
+  // tiny (bits × dim doubles) and reused by every row in the executor.
+  private val md5PlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]
+
+  private def md5Planes(seed: Int, numBits: Int, dim: Int): Array[Double] =
+    md5PlaneCache.computeIfAbsent((seed, numBits, dim), _ => {
+      val arr = new Array[Double](numBits * dim)
+      var p = 0
+      while (p < numBits) {
+        var j = 0
+        while (j < dim) {
+          val u = java.lang.Long.remainderUnsigned(
+            TextHashes.md5Top64(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"$seed:$p:$j")),
+            20001L)
+          arr(p * dim + j) = (u - 10000L).toDouble / 10000.0
+          j += 1
+        }
+        p += 1
+      }
+      arr
+    })
+
+  /** Shared impl for [[HyperplaneSigMd5]] eval + codegen. */
+  def hyperplaneSigMd5Impl(av: ArrayData, numBits: Int, seed: Int,
+                           isDouble: Boolean): Long = {
+    val n = av.numElements()
+    val comps = md5Planes(seed, numBits, n)
+    var sig = 0L
+    var p = 0
+    while (p < numBits) {
+      var dot = 0.0d
+      var j = 0
+      while (j < n) {
+        val x = if (isDouble) av.getDouble(j) else av.getFloat(j).toDouble
+        dot += x * comps(p * n + j)
+        j += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** max |x_i| — the symmetric-quantization scale of a vector. */
   case class VecMaxAbs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -277,4 +352,7 @@ object VectorMath {
 
   def hyperplaneSig(vec: Column, numBits: Int, seed: Int): Column =
     GraftColumnShim.column(HyperplaneSig(GraftColumnShim.expression(vec), numBits, seed))
+
+  def hyperplaneSigMd5(vec: Column, numBits: Int, seed: Int): Column =
+    GraftColumnShim.column(HyperplaneSigMd5(GraftColumnShim.expression(vec), numBits, seed))
 }

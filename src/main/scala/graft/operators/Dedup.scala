@@ -269,9 +269,14 @@ object Dedup {
     * (zero shuffle; bit-identical to the relational 64-vote-sum
     * formulation since both hash tokens with XXH64 seed 42).
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        portable: Boolean = false): DataFrame = {
+    val hash: Column => Column =
+      if (portable) graft.functions.TextHashes.simhash64Md5
+      else graft.functions.TextHashes.simhash64
     docs.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col("doc"), graft.functions.TextHashes.simhash64(col("toks")).as("sig"))
+      .select(col("doc"), hash(col("toks")).as("sig"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 4):
     * candidates via the 4×16-bit-chunk pigeonhole (shared
@@ -281,7 +286,8 @@ object Dedup {
     * verified with `bit_count(a XOR b)`.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxChunkBucket: Long = 100000L): DataFrame = {
+                      maxHamming: Int = 3, maxChunkBucket: Long = 100000L,
+                      portable: Boolean = false): DataFrame = {
     require(maxHamming < 4, "chunk blocking assumes hamming <= 3")
     // The plan references sigs three times (chunk explode + both verify
     // joins) and recomputes the signature each time — deliberately NOT
@@ -289,7 +295,7 @@ object Dedup {
     // here measured ~2× SLOWER (materialization barrier + lost pipeline
     // fusion outweigh the recompute; unlike the shingle ARRAYS, which are
     // expensive to build and large enough to matter).
-    val sigs = simhashSignatures(docs, idCol, textCol)
+    val sigs = simhashSignatures(docs, idCol, textCol, portable)
     val chunked = sigs.select(col("doc"), posexplode(
       transform(sequence(lit(0), lit(3)),
         k => call_function("shiftright", col("sig"), k * 16).bitwiseAND(0xFFFFL)))

@@ -77,8 +77,10 @@ object Similarity {
     * state, fully code-generated
     * ([[graft.functions.VectorMath.HyperplaneSig]]).
     */
-  def hyperplaneSignatureCol(vec: Column, numBits: Int, seed: Int = 0): Column =
-    graft.functions.VectorMath.hyperplaneSig(vec, numBits, seed)
+  def hyperplaneSignatureCol(vec: Column, numBits: Int, seed: Int = 0,
+                             portable: Boolean = false): Column =
+    if (portable) graft.functions.VectorMath.hyperplaneSigMd5(vec, numBits, seed)
+    else graft.functions.VectorMath.hyperplaneSig(vec, numBits, seed)
 
   /** Approximate top-k: multi-table LSH-bucketed search (standard
     * OR-amplification — a single table's all-bits-equal test has recall
@@ -91,13 +93,15 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numBits: Int = 8,
               numTables: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              portable: Boolean = false): DataFrame = {
     // norm computed once per vector BEFORE the L-way posexplode
     def tabled(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           normCol(col(vecCol)).as(nrm),
           posexplode(array((0 until numTables).map(t =>
-            hyperplaneSignatureCol(col(vecCol), numBits, t)): _*)).as(Seq("tbl", "sig")))
+            hyperplaneSignatureCol(col(vecCol), numBits, t, portable)): _*))
+            .as(Seq("tbl", "sig")))
     val q = tabled(queries, "query_id", "qv", "qn")
     val c = tabled(corpus, "neighbor_id", "cv", "cn")
     val cand = c.join(q, Seq("tbl", "sig"))
@@ -181,11 +185,13 @@ object Similarity {
   def cosineNearDupsLsh(corpus: DataFrame, threshold: Double,
                         numBits: Int = 8, numTables: Int = 8,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        portable: Boolean = false): DataFrame = {
     val tabled = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       normCol(col(vecCol)).as("n"),
       posexplode(array((0 until numTables).map(t =>
-        hyperplaneSignatureCol(col(vecCol), numBits, t)): _*)).as(Seq("tbl", "sig")))
+        hyperplaneSignatureCol(col(vecCol), numBits, t, portable)): _*))
+        .as(Seq("tbl", "sig")))
     tabled.as("l").join(tabled.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))

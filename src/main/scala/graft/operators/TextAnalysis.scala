@@ -103,13 +103,12 @@ object TextAnalysis {
   }
 
   /** Document fingerprints: a portable content hash (md5 hex — identical
-    * in every engine), a 64-bit rolling hash over tokens — the fold
-    * `acc = xxhash64(acc, token)` is order-sensitive and cannot overflow
-    * (a polynomial `acc*p + h` fold would trip ANSI-mode long-overflow
-    * checks), computed with codegen'd higher-order functions — and
-    * `fp_ordered`, an order-sensitive portable variant (md5 of the
-    * space-joined token stream) whose order sensitivity any SQL engine can
-    * replay, giving the fingerprint family a value-checked oracle gate.
+    * in every engine); `fp_rolling`, the order-sensitive 61-bit rolling
+    * polynomial over md5-hashed tokens
+    * ([[graft.functions.TextHashes.RollingFpMd5]] — native codegen, and
+    * portable: DuckDB replays the identical fold with 128-bit integers);
+    * and `fp_ordered` (md5 of the space-joined token stream), the
+    * string-level order-sensitive variant.
     */
   /** The order-sensitive portable fingerprint alone (md5 of the
     * space-joined token stream) — for callers that need just a dedup key
@@ -120,9 +119,9 @@ object TextAnalysis {
 
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val rolling = aggregate(tokensCol(t), lit(0L), (acc, tk) => xxhash64(acc, tk))
     df.withColumn("fp_md5", md5(t.cast("binary")))
-      .withColumn("fp_rolling", rolling)
+      .withColumn("fp_rolling",
+        graft.functions.TextHashes.rollingFpMd5(tokensCol(t)))
       .withColumn("fp_ordered", fpOrderedCol(t))
   }
 

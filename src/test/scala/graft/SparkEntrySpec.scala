@@ -20,14 +20,13 @@ class SparkEntrySpec extends SparkSpecBase {
     // every query WITHOUT oracle SQL gets only the driver's weaker
     // rows-only check; adding one silently would erode the gate, so the
     // set is pinned here — extend it consciously, with a reason:
-    //   q15: simhash (xxhash64 has no DuckDB equivalent)
-    //   q19/q40: hyperplane-LSH buckets (splitmix64-seeded)
-    //   q20: IVF probe set depends on VectorAvg centroids
-    //   q25: xxhash64 rolling fingerprint
+    //   q20: IVF probe set depends on VectorAvg float centroid averaging,
+    //        which has no exact SQL mirror (spec gates all-cells == brute)
     //   q33: decode dims for non-image payloads use the documented fake
+    // (q15/q19/q25/q40 graduated to oracles via the portable md5
+    // hash/plane families — simhash votes, rolling polynomial, LSH planes)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q15_simhash_neardups", "q19_ann_lsh",
-      "q20_ann_ivf", "q25_fingerprint_rolling", "q33_multimodal_decode",
-      "q40_cosine_neardups_lsh"), s"undocumented rows-only queries: $rowsOnly")
+    assert(rowsOnly == Set("q20_ann_ivf", "q33_multimodal_decode"),
+      s"undocumented rows-only queries: $rowsOnly")
   }
 }

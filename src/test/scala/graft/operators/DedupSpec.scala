@@ -144,6 +144,37 @@ class DedupSpec extends SparkSpecBase {
     assert(mh == ng)
   }
 
+  test("portable (md5) simhash: exact dups at hamming 0; unrelated docs far apart") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L)) // exact dup → identical signature
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(3L)) > 10) // unrelated → far
+    assert(hamming(sigs(0L), sigs(2L)) < hamming(sigs(0L), sigs(3L)))
+  }
+
+  test("md5 simhash bit layout matches a from-scratch reference (oracle parity)") {
+    // reference: top-64 md5 bits per token, +1/-1 votes per bit, sign
+    def refSimhash(tokens: Seq[String]): Long = {
+      val votes = new Array[Long](64)
+      for (t <- tokens) {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xFFL))
+        for (j <- 0 until 64)
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+      }
+      (0 until 64).foldLeft(0L)((sig, j) => if (votes(j) > 0) sig | (1L << j) else sig)
+    }
+    val rows = Dedup.simhashSignatures(docs, "doc_id", "text", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      assert(rows(id) == refSimhash(toks), s"doc $id")
+    }
+  }
+
   test("releaseCaches reclaims internal caches; results stay valid after release") {
     Dedup.releaseCaches() // clean slate
     assert(Dedup.trackedCacheCount == 0)

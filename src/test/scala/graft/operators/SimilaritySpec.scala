@@ -51,6 +51,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.4, s"LSH recall $recall too low — bucketing broken?")
   }
 
+  test("portable (md5) plane family keeps comparable recall and matches a reference sig") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, k = 5, numBits = 4, numTables = 8,
+        portable = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"portable LSH recall $recall too low")
+
+    // signature bit layout vs a from-scratch reference (oracle parity)
+    val row = emb.where(col("vec_id") === 3)
+      .select(col("embedding"),
+        Similarity.hyperplaneSignatureCol(col("embedding"), 8, 2, portable = true)
+          .as("sig"))
+      .head()
+    val vec = row.getSeq[Float](0)
+    def comp(seed: Int, p: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$p:$j".getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(BigInt(0))((a, b) => (a << 8) | BigInt(d(b) & 0xFF))
+      ((h mod BigInt(20001)).toLong - 10000L).toDouble / 10000.0
+    }
+    var expected = 0L
+    for (p <- 0 until 8) {
+      var dot = 0.0
+      for (j <- vec.indices) dot += vec(j).toDouble * comp(2, p, j)
+      if (dot > 0) expected |= (1L << p)
+    }
+    assert(row.getLong(1) == expected)
+  }
+
   test("ivf probing every cell equals brute force exactly") {
     val emb = Tables.embeddings(spark, sf())
     val q = emb.where(col("vec_id") < 10)

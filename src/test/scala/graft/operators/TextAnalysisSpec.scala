@@ -55,6 +55,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fp(0L)._2 != fp(1L)._2, "token order must change the rolling hash")
   }
 
+  test("rolling fingerprint matches a BigInt reference fold (oracle parity)") {
+    import spark.implicits._
+    val M = BigInt("2305843009213693951") // 2^61 - 1
+    def ref(text: String): Long = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      toks.foldLeft(BigInt(0)) { (acc, t) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(BigInt(0))((a, b) => (a << 8) | BigInt(d(b) & 0xFF))
+        (acc * 1000003 + h % M) % M
+      }.toLong
+    }
+    val texts = Seq("the cat sat", "a", "x y z w v u t s r q p o n m l k",
+      "same same same", "MiXeD Case   runs")
+    val fp = TextAnalysis.fingerprint(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp_rolling")).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(fp(i.toLong) == ref(t), s"text '$t'")
+  }
+
   test("repetition features hand-computed, n-grams overlap windows") {
     // tokens [a b a b a]: 1-grams 5/2, 2-grams [ab ba ab ba] 4/2,
     // 3-grams [aba bab aba] 3/2
