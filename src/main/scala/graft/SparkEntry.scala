@@ -724,6 +724,19 @@ object SparkEntry {
           "src3" -> 0.1),
         mixDefaultFraction = 0.25))),
 
+    // unigram LM quality score: add-one-smoothed surprisal, model trained
+    // on the corpus itself; per-(doc,term) contributions go through
+    // DECIMAL(28,12) so the per-doc sum is exact and order-free
+    "q73_lm_surprisal" -> ((s, dir) =>
+      TextAnalysis.lmSurprisal(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // cross-document boilerplate: share of a doc's distinct 3-gram
+    // shingles that are corpus-common (df >= 5)
+    "q74_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateShare(t(s, dir, "documents"), minDf = 5L)
+        .orderBy(col("doc_id"))),
+
     // weighted source mix: per-source deterministic sampling fractions
     // (row-local md5-bucket filter — no shuffle, no join)
     "q65_weighted_mix" -> ((s, dir) =>
@@ -1737,7 +1750,56 @@ object SparkEntry {
         |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS self_dot
         |FROM embeddings
         |WHERE vec_id < 100
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // identical add-one unigram model: ln of exact-integer ratios, each
+    // (doc, term) contribution cast to DECIMAL(28,12) pre-sum on both
+    // engines → exact, order-independent per-doc totals
+    "q73_lm_surprisal" ->
+      """WITH dt AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |counts AS (SELECT term, SUM(tf) AS c FROM dt GROUP BY term),
+        |totals AS (SELECT SUM(c) AS ctot, COUNT(*) AS vocab FROM counts),
+        |model AS (
+        |  SELECT term, -ln((c + 1)::DOUBLE / (ctot + vocab)) AS neg_lnp
+        |  FROM counts CROSS JOIN totals)
+        |SELECT doc_id, n_tokens,
+        |  round(nll::DOUBLE / n_tokens, 6) AS avg_surprisal
+        |FROM (
+        |  SELECT dt.doc_id,
+        |    SUM(CAST(dt.tf::DOUBLE * m.neg_lnp AS DECIMAL(28,12))) AS nll,
+        |    CAST(SUM(dt.tf) AS BIGINT) AS n_tokens
+        |  FROM dt JOIN model m USING (term)
+        |  GROUP BY dt.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same shingle construction as the near-dup oracles (string 3-grams,
+    // short-doc whole-text fallback, distinct per doc); df = docs per
+    // shingle, ratio = exact integer ratio
+    "q74_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |  FROM toks),
+        |tokf AS (
+        |  SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
+        |dfs AS (SELECT term, count(*) AS df FROM tokf GROUP BY term)
+        |SELECT doc_id,
+        |  count(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN dfs.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(CAST(SUM(CASE WHEN dfs.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS boilerplate_ratio
+        |FROM tokf JOIN dfs USING (term)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB SQL mirroring [[Dedup.ngramJaccardPairs]]: shingles via list

@@ -278,6 +278,67 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document average unigram surprisal in nats — the classic
+    * cheap LM-based quality score (high = unusual token distribution:
+    * gibberish, boilerplate codes, wrong language; low = stereotyped
+    * text): train add-one-smoothed unigram probabilities ON the corpus
+    * itself (`p(t) = (c_t + 1) / (C + V)`), then score each doc
+    * `Σ tf·(−ln p) / Σ tf`. Two aggregation shuffles (term counts, doc
+    * rollup) + one term-keyed join — at 100 TB the model side is one row
+    * per vocab term and the join is a plain equi-join; no driver state.
+    *
+    * Oracle exactness: each per-(doc, term) contribution is cast to
+    * DECIMAL(28,12) BEFORE the per-doc sum, so the sum is exact and
+    * order-independent on both engines (the shared double-sum rule); the
+    * ln inputs are ratios of exact integers, so both engines evaluate
+    * ln on identical doubles.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    val counts = dt.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val totals = counts.agg(sum(col("c")).as("ctot"),
+      count(lit(1)).as("vocab"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("neg_lnp",
+        -log((col("c") + 1).cast("double") / (col("ctot") + col("vocab"))))
+      .select(col("term"), col("neg_lnp"))
+    dt.join(model, "term")
+      .withColumn("contrib",
+        (col("tf").cast("double") * col("neg_lnp")).cast("decimal(28,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("nll"), sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("nll").cast("double") / col("n_tokens"), 6)
+          .as("avg_surprisal"))
+  }
+
+  /** Per-document boilerplate share: the fraction of a doc's DISTINCT
+    * `n`-gram shingles that are corpus-common (document frequency ≥
+    * `minDf`) — the cross-document complement of [[repetitionFeatures]]
+    * (intra-doc): template headers/footers/navigation chrome score high.
+    * Shingles join as 64-bit hashes (cheap long keys, identical counts
+    * w.h.p. — the q16 equivalence); ratios are exact integer ratios.
+    * One df-count shuffle + one hash-keyed join; linear in corpus size.
+    */
+  def boilerplateShare(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleSize: Int = 3,
+                       minDf: Long = 5L): DataFrame = {
+    val sh = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        Dedup.hashedShinglesFromTokens(tokensCol(col(textCol)), shingleSize)
+          .as("sh"))
+      .select(col(idCol), explode(col("sh")).as("h"))
+    // arrays are distinct per doc, so count(1) per hash = document freq
+    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Corpus-level tf-idf statistics per term: total tf, document
     * frequency, idf = ln((N+1)/(df+1)), summed tf-idf weight.
     */

@@ -76,6 +76,40 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(fp(i.toLong) == ref(t), s"text '$t'")
   }
 
+  test("lm surprisal: hand-computed add-one unigram model") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // counts a:2 b:2 c:1, C=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    val out = TextAnalysis.lmSurprisal(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_surprisal")))).toMap
+    val sAB = -math.log(3.0 / 8)
+    val sC = -math.log(2.0 / 8)
+    assert(out(0L)._1 == 3L)
+    assert(math.abs(out(0L)._2 - sAB) < 1e-6) // (2·s + 1·s)/3 = s
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - (sAB + sC) / 2) < 1e-6)
+    // rarer tokens → higher surprisal
+    assert(out(1L)._2 > out(0L)._2)
+  }
+
+  test("boilerplate share: common shingles counted, unique ones not") {
+    import spark.implicits._
+    // "x y z" appears in all 5 docs (df=5); each doc has one unique shingle
+    val docs = (0 until 5).map(i => (i.toLong, s"x y z u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateShare(docs, minDf = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boilerplate_ratio")))).toMap
+    // 6 tokens → 4 distinct 3-gram shingles; only "x y z" is df ≥ 5
+    for (i <- 0L until 5L) {
+      assert(out(i)._1 == 4L)
+      assert(out(i)._2 == 1L)
+      assert(out(i)._3 == 0.25)
+    }
+  }
+
   test("repetition features hand-computed, n-grams overlap windows") {
     // tokens [a b a b a]: 1-grams 5/2, 2-grams [ab ba ab ba] 4/2,
     // 3-grams [aba bab aba] 3/2
