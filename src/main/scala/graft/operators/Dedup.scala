@@ -35,31 +35,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Caches created internally by near-dup operators ([[sharedShingleArrays]],
-    * [[connectedComponents]] labels) — a long-lived session running many
-    * near-dup queries would otherwise accumulate one pinned cache entry per
-    * distinct (corpus, params) plan. Consumers release them via
-    * [[releaseCaches]] once results are materialized; [[Curation.report]]
-    * does so automatically. Session-global, like the CacheManager it wraps:
-    * release only between queries, not while one is executing.
+  /** Caches created internally by graft operators (shingle arrays,
+    * [[connectedComponents]] labels, [[TextAnalysis.lmSurprisal]] term
+    * counts) register with [[TrackedCaches]]; this is the public release
+    * hook ([[Curation.report]] calls it automatically).
     */
-  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def tracked(df: DataFrame): DataFrame = TrackedCaches.track(df)
 
-  private def tracked(df: DataFrame): DataFrame = synchronized {
-    trackedCaches += df; df
-  }
+  private[graft] def trackedCacheCount: Int = TrackedCaches.count
 
-  private[graft] def trackedCacheCount: Int = synchronized(trackedCaches.size)
-
-  /** Unpersist every cache a Dedup operator has created since the last
+  /** Unpersist every cache a graft operator has created since the last
     * release (blocking=false: reclamation proceeds asynchronously).
     * Results already materialized stay valid — only their backing cache is
     * dropped; re-running an unreleased plan recomputes instead of erroring.
     */
-  def releaseCaches(): Unit = synchronized {
-    trackedCaches.foreach(_.unpersist())
-    trackedCaches.clear()
-  }
+  def releaseCaches(): Unit = TrackedCaches.release()
 
   /** Exact dedup: one survivor per key group, deterministically the row
     * with the smallest `tieKey`. One shuffle (hash aggregate), map-side

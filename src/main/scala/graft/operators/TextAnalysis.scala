@@ -296,7 +296,14 @@ object TextAnalysis {
   def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val dt = docTerms(docs, idCol, textCol)
-    val counts = dt.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    // The model side (one row per vocab term) is referenced twice — by the
+    // smoothing totals and by the scoring join. Persisted (and registered
+    // with the release hook) so the corpus is tokenized exactly twice —
+    // once to train, once to score — instead of three times; the cache is
+    // vocab-sized, orders of magnitude below the corpus.
+    val counts = TrackedCaches.track(
+      dt.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = counts.agg(sum(col("c")).as("ctot"),
       count(lit(1)).as("vocab"))
     val model = counts.crossJoin(broadcast(totals))
@@ -324,11 +331,17 @@ object TextAnalysis {
   def boilerplateShare(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", shingleSize: Int = 3,
                        minDf: Long = 5L): DataFrame = {
-    val sh = docs.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol),
-        Dedup.hashedShinglesFromTokens(tokensCol(col(textCol)), shingleSize)
-          .as("sh"))
-      .select(col(idCol), explode(col("sh")).as("h"))
+    // The shingle set feeds both the df count and the per-doc rollup —
+    // persist the COMPACT one-row-per-doc array frame (tracked for
+    // release) so the corpus is tokenized once; the explode is a cheap
+    // per-row generate against the cache.
+    val arrays = TrackedCaches.track(
+      docs.filter(trim(col(textCol)) =!= "")
+        .select(col(idCol),
+          Dedup.hashedShinglesFromTokens(tokensCol(col(textCol)), shingleSize)
+            .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = arrays.select(col(idCol), explode(col("sh")).as("h"))
     // arrays are distinct per doc, so count(1) per hash = document freq
     val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(dfs, "h")

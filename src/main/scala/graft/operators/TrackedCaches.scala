@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-wide registry for caches operators create internally (shingle
+  * arrays, connected-component labels, LM term counts): a long-lived
+  * session running many queries would otherwise accumulate one pinned
+  * cache entry per distinct (input, params) plan. Operators register via
+  * [[track]]; consumers release via [[Dedup.releaseCaches]] /
+  * [[release]] once results are materialized ([[Curation.report]] does so
+  * automatically). Like the CacheManager it wraps, release only between
+  * queries, not while one is executing.
+  */
+private[graft] object TrackedCaches {
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+
+  def count: Int = synchronized(tracked.size)
+
+  /** Unpersist every registered cache (blocking=false — reclamation is
+    * asynchronous). Materialized results stay valid; re-running an
+    * unreleased plan recomputes instead of erroring.
+    */
+  def release(): Unit = synchronized {
+    tracked.foreach(_.unpersist())
+    tracked.clear()
+  }
+}
