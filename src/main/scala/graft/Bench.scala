@@ -28,12 +28,18 @@ object Bench {
         sel.contains(name) || sel.contains(name.takeWhile(_ != '_')) }
       case None => SparkEntry.queries
     }
+    // Caches operators register internally (shingle arrays, LM counts) are
+    // deliberately left in place ACROSS queries — a session running many
+    // queries over one corpus reuses them, and that reuse is part of what
+    // is being measured — then swept once after the loop so the JVM does
+    // not hold them for its remaining lifetime.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.operators.Dedup.releaseCaches()
     // Keep the JSON line SHORT: the harness records only a bounded tail of
     // the process output, and 72 full query names with 15-digit doubles
     // overflow it (the line's opening brace falls outside the window and the

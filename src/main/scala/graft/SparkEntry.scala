@@ -1802,10 +1802,6 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin
   )
 
-  /** DuckDB SQL mirroring [[Dedup.ngramJaccardPairs]]: shingles via list
-    * comprehension over token positions, rare-term blocking, relational
-    * intersection count.
-    */
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →
     * vectors → signatures), mirroring the PORTABLE md5 hyperplane family
     * ([[graft.functions.VectorMath.HyperplaneSigMd5]]): component

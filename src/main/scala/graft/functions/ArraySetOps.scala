@@ -109,12 +109,16 @@ object ArraySetOps {
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
+    // containsNull = false REQUIRED: the merge reads elements with getLong,
+    // where a null slot would surface as 0L and silently corrupt the count
+    // (a real hash value 0 on the other side would "match" it). Nullable
+    // element types are rejected at analysis time instead.
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
           TypeCheckResult.TypeCheckSuccess
         case (l, r) => TypeCheckResult.TypeCheckFailure(
-          s"expected (array<bigint>, array<bigint>), got " +
+          s"expected non-null-element (array<bigint>, array<bigint>), got " +
             s"(${l.simpleString}, ${r.simpleString})")
       }
 

@@ -119,16 +119,15 @@ object Curation {
     */
   def report(docs: DataFrame, cfg: Config = Config(),
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val built = stages(docs, cfg, idCol, textCol)
-    val counts =
+    // scopedRelease reclaims the caches the near-dup stage registers
+    // internally (shingle arrays, connected-component labels) — invisible
+    // to `built` but pinned by this run — WITHOUT touching caches other
+    // queries in the session registered before this call.
+    val counts = TrackedCaches.scopedRelease {
+      val built = stages(docs, cfg, idCol, textCol)
       try built.map { case (name, df) => name -> df.count() }
-      finally {
-        unpersist(built)
-        // Also reclaim the caches the near-dup stage created internally
-        // (shingle arrays, connected-component labels) — they are invisible
-        // to `built` but pinned by the same run.
-        Dedup.releaseCaches()
-      }
+      finally unpersist(built)
+    }
     val sp = docs.sparkSession
     import sp.implicits._
     counts.toDF("stage", "n_docs").orderBy(col("stage"))

@@ -27,4 +27,23 @@ private[graft] object TrackedCaches {
     tracked.foreach(_.unpersist())
     tracked.clear()
   }
+
+  /** Run `f` and release ONLY the caches registered during it — the shape
+    * [[Curation.report]] needs: its internal near-dup caches are reclaimed
+    * without touching caches other queries registered earlier. Caches
+    * registered CONCURRENTLY by other threads during `f` would be swept
+    * too (registration order is the scope boundary), consistent with the
+    * object contract above: release between queries, not during them.
+    */
+  def scopedRelease[A](f: => A): A = {
+    val mark = synchronized(tracked.size)
+    try f
+    finally synchronized {
+      // a global release() during f can shrink the buffer below the mark
+      val start = math.min(mark, tracked.size)
+      val added = tracked.drop(start)
+      added.foreach(_.unpersist())
+      tracked.remove(start, tracked.size - start)
+    }
+  }
 }
