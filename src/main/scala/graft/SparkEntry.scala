@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Partitioned, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB oracle SQL where expressible. Hash-based
@@ -737,6 +737,24 @@ object SparkEntry {
       TextAnalysis.boilerplateShare(t(s, dir, "documents"), minDf = 5L)
         .orderBy(col("doc_id"))),
 
+    // hive-partitioned write + pruned readback: the filter on the
+    // partition column becomes a directory prune (PartitionFilters, not a
+    // data filter — PartitionedSpec asserts only the one directory is
+    // read); oracle replays the aggregate straight off the source table
+    "q75_partition_prune" -> ((s, dir) => {
+      val out = s"/tmp/graft_scratch/partition_prune"
+      freshDir(s, out)
+      Partitioned.save(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")),
+        out, Seq("o_orderpriority"))
+      Partitioned.read(s, out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("month"))
+    }),
+
     // weighted source mix: per-source deterministic sampling fractions
     // (row-local md5-bucket filter — no shuffle, no join)
     "q65_weighted_mix" -> ((s, dir) =>
@@ -911,6 +929,17 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+
+    // the roundtrip through the partitioned layout is value-preserving, so
+    // the oracle aggregates the source table directly
+    "q75_partition_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1
         |ORDER BY month""".stripMargin,
 
