@@ -9,12 +9,12 @@ import graft.operators._
 import graft.sources.{Partitioned, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with DuckDB oracle SQL where expressible. Hash-based
-  * ops run PORTABLE md5-derived hash/plane families precisely so the
-  * oracle can replay them end to end (simhash votes, rolling-fp polynomial,
-  * LSH hyperplanes); the only rows-only queries left are q20 (IVF rerank —
-  * float centroid averaging has no exact SQL mirror; spec-gated as
-  * all-cells == brute force) and q33 (binary image decode).
+  * SURVEY.md §2, each with DuckDB oracle SQL where expressible. Hash- and
+  * float-seeded ops run PORTABLE variants precisely so the oracle can
+  * replay them end to end: md5-derived hash/plane families (simhash votes,
+  * rolling-fp polynomial, LSH hyperplanes) and exact decimal-sum IVF
+  * centroids. The single rows-only query left is q33 — binary image
+  * decode has no SQL counterpart.
   *
   * Determinism rules applied throughout (the driver hash-compares values):
   *  - every query ends in an explicit orderBy on a key;
@@ -245,9 +245,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // portable = exact decimal-sum centroids, so the oracle regenerates
+    // identical centroids and replays probe selection + rerank in SQL
     "q20_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nProbe = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nProbe = 2,
+          portable = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1086,6 +1089,44 @@ object SparkEntry {
         |               c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 20)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // full IVF replay: per-(cell, dim) DECIMAL(28,12) sums → identical
+    // centroids → nProbe probe ranking (cosine DESC, cell) → partition-
+    // pruned exact-cosine rerank (cosine DESC, neighbor_id, rank <= k)
+    "q20_ann_ivf" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM vecs WHERE vec_id < 20),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.c) DESC, c.cell) AS pr
+        |    FROM q CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, v.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qq.qv, v.e) AS cosine
+        |  FROM probed p
+        |  JOIN vecs v ON v.label = p.cell
+        |  JOIN q qq ON qq.query_id = p.query_id
+        |  WHERE v.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -120,12 +120,30 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
               coarseCol: String = "label", idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    // Centroid = per-cell mean vector via the typed VectorAvg UDAF — one
-    // shuffle row per (cell) instead of posexplode's dim rows per vector.
-    val centroids = corpus
-      .groupBy(col(coarseCol).as("cell"))
-      .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
+              vecCol: String = "embedding", portable: Boolean = false): DataFrame = {
+    // Default centroid = per-cell mean vector via the typed VectorAvg UDAF
+    // — one shuffle row per cell instead of posexplode's dim rows per
+    // vector, but its double accumulation is partition-order-dependent in
+    // the last ulp. portable = the EXACT relational form: per-(cell, dim)
+    // sums through DECIMAL(28,12) (order-free), components back to double
+    // by one division — bit-reproducible and replayable in SQL, which is
+    // what lets the oracle regenerate identical centroids, probe sets and
+    // reranks. Costs a dim-rows-per-vector explode shuffle; centroid
+    // building is a tiny fraction of IVF cost either way.
+    val centroids =
+      if (portable) {
+        corpus
+          .select(col(coarseCol).as("cell"), posexplode(col(vecCol)).as(Seq("j", "x")))
+          .groupBy(col("cell"), col("j"))
+          .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+          .withColumn("comp", col("s").cast("double") / col("n"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("pc"))
+          // cells are few — the interpreted transform runs once per cell
+          .select(col("cell"), expr("transform(pc, p -> p.comp)").as("centroid"))
+      } else corpus
+        .groupBy(col(coarseCol).as("cell"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", normCol(col("qv")))
     val probeW = Window.partitionBy(col("query_id"))

@@ -20,13 +20,12 @@ class SparkEntrySpec extends SparkSpecBase {
     // every query WITHOUT oracle SQL gets only the driver's weaker
     // rows-only check; adding one silently would erode the gate, so the
     // set is pinned here — extend it consciously, with a reason:
-    //   q20: IVF probe set depends on VectorAvg float centroid averaging,
-    //        which has no exact SQL mirror (spec gates all-cells == brute)
     //   q33: decode dims for non-image payloads use the documented fake
-    // (q15/q19/q25/q40 graduated to oracles via the portable md5
-    // hash/plane families — simhash votes, rolling polynomial, LSH planes)
+    //        (binary image decode has no SQL counterpart)
+    // (q15/q19/q25/q40 graduated via portable md5 hash/plane families;
+    // q20 via exact decimal-sum centroids)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q20_ann_ivf", "q33_multimodal_decode"),
+    assert(rowsOnly == Set("q33_multimodal_decode"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 }
