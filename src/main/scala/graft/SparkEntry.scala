@@ -935,6 +935,26 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY month""".stripMargin,
 
+    // documents lift to text-typed payloads (no JDK codec), so decode and
+    // feature-extract land on the DOCUMENTED md5-closed-form fakes, which
+    // the oracle replays exactly: u = top-64 md5 bits of the payload
+    // (dims), of payload||':0' (embedding slot 0, exact 2^-10 grid)
+    "q33_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN text IS NULL OR text = '' THEN 0
+        |    ELSE CAST(256 + (('0x' || substr(md5(text), 1, 16))::UBIGINT & 1023)
+        |      AS INTEGER) END AS width,
+        |  CASE WHEN text IS NULL OR text = '' THEN 0
+        |    ELSE CAST(256 + ((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 10) & 1023)
+        |      AS INTEGER) END AS height,
+        |  CASE WHEN text IS NULL OR text = '' THEN 0 ELSE 3 END AS channels,
+        |  CASE WHEN text IS NULL OR text = '' THEN 0.0
+        |    ELSE round(
+        |      ((('0x' || substr(md5(text || ':0'), 1, 16))::UBIGINT % 2048)::BIGINT
+        |        - 1024) / 1024.0, 4) END AS emb0
+        |FROM documents
+        |ORDER BY asset_id""".stripMargin,
+
     // the roundtrip through the partitioned layout is value-preserving, so
     // the oracle aggregates the source table directly
     "q75_partition_prune" ->

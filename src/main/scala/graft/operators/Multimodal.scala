@@ -146,15 +146,29 @@ object Multimodal {
       } catch { case _: Exception => None }
 
   /** DETERMINISTIC FAKE dimensions for payloads with no JDK codec (video,
-    * compressed audio, text): pseudo (width, height, channels) from a
-    * byte hash. Exists so the decode stage is total; the image and WAV
-    * paths never reach it.
+    * compressed audio, text): pseudo (width, height, channels) from the
+    * payload's top-64 md5 bits — a closed form an ANSI-SQL oracle replays
+    * as `('0x' || substr(md5(payload), 1, 16))::UBIGINT` (dims in
+    * [256, 1279], channels always 3). Exists so the decode stage is
+    * total; the image and WAV paths never reach it.
     */
   private[graft] def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     if (payload == null || payload.isEmpty) return (0, 0, 0)
-    var h = 1125899906842597L
-    payload.foreach(b => h = h * 31 + b)
-    (256 + (math.abs(h) % 1024).toInt, 256 + (math.abs(h >> 10) % 1024).toInt, 3)
+    val u = graft.functions.TextHashes.md5Top64(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+    (256 + (u & 1023L).toInt, 256 + ((u >>> 10) & 1023L).toInt, 3)
+  }
+
+  /** DETERMINISTIC FAKE embedding slot `k` for codec-less payloads: md5 of
+    * `payload ++ ":k"` → top 64 bits → signed offset in [−1, 1) with an
+    * exact power-of-two denominator (float == double exactly, so the SQL
+    * replay `((md5_u64 % 2048) − 1024) / 1024.0` matches bit-for-bit).
+    */
+  private[graft] def fakeEmbeddingSlot(payload: Array[Byte], k: Int): Float = {
+    val keyed = payload ++ s":$k".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val u = graft.functions.TextHashes.md5Top64(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(keyed))
+    ((java.lang.Long.remainderUnsigned(u, 2048L) - 1024L).toFloat / 1024.0f)
   }
 
   /** Decode stage: payload → dimension metadata columns, partition-batched.
@@ -267,13 +281,11 @@ object Multimodal {
             case Some(wi) if wi.samples.nonEmpty => rmsEnvelope(wi.samples, dim)
             case _ =>
               val v = new Array[Float](dim)
-              if (payload != null) {
-                var h = 1469598103934665603L
-                var i = 0
-                while (i < payload.length) {
-                  h = (h ^ payload(i)) * 1099511628211L
-                  v((i % dim)) += ((h % 1000L) / 1000.0f)
-                  i += 1
+              if (payload != null && payload.nonEmpty) {
+                var k = 0
+                while (k < dim) {
+                  v(k) = fakeEmbeddingSlot(payload, k)
+                  k += 1
                 }
               }
               v

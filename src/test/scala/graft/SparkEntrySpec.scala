@@ -18,14 +18,13 @@ class SparkEntrySpec extends SparkSpecBase {
 
   test("rows-only queries are exactly the documented hash-seeded set") {
     // every query WITHOUT oracle SQL gets only the driver's weaker
-    // rows-only check; adding one silently would erode the gate, so the
-    // set is pinned here — extend it consciously, with a reason:
-    //   q33: decode dims for non-image payloads use the documented fake
-    //        (binary image decode has no SQL counterpart)
-    // (q15/q19/q25/q40 graduated via portable md5 hash/plane families;
-    // q20 via exact decimal-sum centroids)
+    // rows-only check; adding one silently would erode the gate. The set
+    // is EMPTY: every query is oracle-checked (q15/q19/q25/q40 via
+    // portable md5 hash/plane families, q20 via exact decimal-sum
+    // centroids, q33 via the md5-closed-form decode/embedding fakes).
+    // Extend only consciously, with a reason recorded here.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q33_multimodal_decode"),
+    assert(rowsOnly == Set.empty[String],
       s"undocumented rows-only queries: $rowsOnly")
   }
 }
