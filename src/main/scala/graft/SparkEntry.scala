@@ -740,6 +740,19 @@ object SparkEntry {
       TextAnalysis.boilerplateShare(t(s, dir, "documents"), minDf = 5L)
         .orderBy(col("doc_id"))),
 
+    // composition: token-budget selection ranked by the q73 LM quality
+    // score — "the most stereotyped 5000 training tokens"
+    "q76_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.join(
+        TextAnalysis.lmSurprisal(docs).select(col("doc_id"), col("avg_surprisal")),
+        "doc_id")
+      Sampling.tokenBudget(scored, "avg_surprisal", "doc_id", budgetTokens = 5000L)
+        .select(col("doc_id"), col("avg_surprisal"), col("n_tokens"),
+          col("tokens_before"))
+        .orderBy(col("avg_surprisal"), col("doc_id"))
+    }),
+
     // hive-partitioned write + pruned readback: the filter on the
     // partition column becomes a directory prune (PartitionFilters, not a
     // data filter — PartitionedSpec asserts only the one directory is
@@ -1866,6 +1879,42 @@ object SparkEntry {
         |  FROM dt JOIN model m USING (term)
         |  GROUP BY dt.doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q73's model replayed, then the greedy budget prefix: cumulative
+    // ws-token counts over (rounded score, doc_id) order, keep while the
+    // PRE-doc total is under budget
+    "q76_token_budget" ->
+      """WITH dt AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |counts AS (SELECT term, SUM(tf) AS c FROM dt GROUP BY term),
+        |totals AS (SELECT SUM(c) AS ctot, COUNT(*) AS vocab FROM counts),
+        |model AS (
+        |  SELECT term, -ln((c + 1)::DOUBLE / (ctot + vocab)) AS neg_lnp
+        |  FROM counts CROSS JOIN totals),
+        |sc AS (
+        |  SELECT dt.doc_id,
+        |    round(SUM(CAST(dt.tf::DOUBLE * m.neg_lnp AS DECIMAL(28,12)))::DOUBLE
+        |      / SUM(dt.tf), 6) AS avg_surprisal
+        |  FROM dt JOIN model m USING (term)
+        |  GROUP BY dt.doc_id),
+        |j AS (
+        |  SELECT s.doc_id, s.avg_surprisal,
+        |    CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, avg_surprisal, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY avg_surprisal, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM j)
+        |SELECT doc_id, avg_surprisal, n_tokens,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before
+        |FROM cum WHERE tokens_before < 5000
+        |ORDER BY avg_surprisal, doc_id""".stripMargin,
 
     // same shingle construction as the near-dup oracles (string 3-grams,
     // short-doc whole-text fallback, distinct per doc); df = docs per

@@ -111,4 +111,30 @@ object Sampling {
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** Token-budget selection — "give me the best docs that fit N training
+    * tokens": rank by (`scoreCol` ascending, `idCol` tiebreak — lower
+    * score = better, e.g. LM surprisal), keep the greedy prefix whose
+    * CUMULATIVE token count stays within `budgetTokens`. A doc is kept
+    * while the budget is not yet exhausted BEFORE it (the classic greedy
+    * fill — the boundary doc that overshoots is included, so the budget
+    * is always reached when enough data exists). Adds `n_tokens` and the
+    * pre-doc running total `tokens_before`.
+    *
+    * Scale: one global-order window — an unavoidable total order over the
+    * SURVIVING score range. For 100 TB, pre-filter to a score band first
+    * (the selection only ever keeps ~budget tokens, so a coarse
+    * score-histogram cut makes the sorted set O(budget), not O(corpus)).
+    */
+  def tokenBudget(df: DataFrame, scoreCol: String, idCol: String,
+                  budgetTokens: Long, textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens",
+        graft.functions.TextScan.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+  }
 }

@@ -65,6 +65,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(small == viaHash)
   }
 
+  test("token budget keeps the greedy best-score prefix, boundary doc included") {
+    import spark.implicits._
+    // (id, score, text) — token counts 3, 2, 4, 1 in score order a<b<c<d
+    val docs = Seq(
+      (1L, 0.2, "x y z"), (2L, 0.4, "p q"),
+      (3L, 0.6, "a b c d"), (4L, 0.8, "w")).toDF("doc_id", "score", "text")
+    val out = Sampling.tokenBudget(docs, "score", "doc_id", budgetTokens = 6L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_before")))).toMap
+    // prefix sums before each doc: 0, 3, 5, 9 → kept while < 6: docs 1,2,3
+    // (doc 3 overshoots to 9 but starts inside budget — boundary included)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 0L)))
+    assert(out(2L) == ((2L, 3L)))
+    assert(out(3L) == ((4L, 5L)))
+  }
+
   test("hash sample is a subset consistent with the split buckets") {
     val sampled = Sampling.hashSample(ids, "id", 0.3)
       .collect().map(_.getLong(0)).toSet
