@@ -328,13 +328,14 @@ object Dedup {
     * the deterministic survivor, so `docs.join(cc.filter(doc =!= cluster),
     * "anti")` drops exactly the non-survivors.
     *
-    * Algorithm: min-label propagation to fixpoint. Each round is two
-    * shuffles (join labels to edges + min-aggregate) and rounds =
-    * component diameter. Near-dup components are template families —
-    * dense, near-clique, tiny diameter — so 3-4 rounds close virtually
-    * any real corpus; `maxIter` bounds adversarial chains and the
-    * operator THROWS if not converged (silently partial clusters would
-    * under-dedup). Label state is one row per distinct doc — linear,
+    * Algorithm: min-label propagation with pointer jumping to fixpoint.
+    * Each round propagates the min label across edges AND adopts the
+    * label of the current label (path halving), so rounds =
+    * O(log component-diameter) at three label-keyed shuffles per round.
+    * Near-dup components are template families — dense, near-clique,
+    * tiny diameter — so 2-3 rounds close virtually any real corpus;
+    * `maxIter` bounds adversarial chains and the operator THROWS if not
+    * converged (silently partial clusters would under-dedup). Label state is one row per distinct doc — linear,
     * spillable, no driver-side structures; the fixpoint (min id reachable)
     * is unique, so the result is independent of partitioning and
     * iteration order.
@@ -346,11 +347,28 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // Each round's label frame is localCheckpoint'd, not persist'd:
+    // `next` references `labels` TWICE (propagation join + convergence
+    // check), so with plain caching the logical tree doubles per round —
+    // after k rounds every downstream action pays Catalyst analysis on a
+    // 2^k-node plan (measured: ~3 s per action at 10 rounds, dominating
+    // the actual sub-second execution). localCheckpoint truncates the
+    // lineage to the materialized blocks (the standard Spark idiom for
+    // iterative algorithms; at cluster scale swap in reliable
+    // `checkpoint()` if executor loss during the loop must be survivable).
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    // the checkpoint blocks live OUTSIDE the CacheManager; reach the RDD
+    // through the LogicalRDD node to free them deterministically
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    def free(df: DataFrame): Unit =
+      checkpointRdd(df).foreach(_.unpersist(blocking = false))
     // label(d) = min(d, min neighbor)
-    var labels = edges.groupBy(col("src"))
+    var labels = materialize(edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("cluster"))
-      .withColumnRenamed("src", "doc")
-      .persist(MEMORY_AND_DISK)
+      .withColumnRenamed("src", "doc"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -359,14 +377,25 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "dst"), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_cluster"))
-      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"))
-        .persist(MEMORY_AND_DISK)
+      // pointer jumping: also adopt the label OF the current label (labels
+      // only ever decrease and name component members, so this stays inside
+      // the component and preserves the min-id fixpoint) — remaining
+      // diameter halves per round, so chains close in O(log d) rounds
+      // instead of O(d)
+      val jumped = stepped
+        .join(labels.select(col("doc").as("cluster"), col("cluster").as("hop")),
+          Seq("cluster"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("hop"), col("cluster")))
+            .as("cluster"))
+      val next = materialize(jumped)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
         .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      free(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -376,9 +405,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds - " +
           "component diameter exceeds maxIter; raise it")
-    // The returned labels stay persisted (recomputing them would rerun the
-    // whole fixpoint); register the cache so releaseCaches() can reclaim it
-    // after the caller materializes the result.
-    tracked(labels)
+    // The returned labels stay materialized (recomputing a LogicalRDD is
+    // impossible — the blocks ARE the data), so they are deliberately NOT
+    // registered with releaseCaches(): releasing them would turn any later
+    // use of the result into a hard error. The blocks are freed by Spark's
+    // ContextCleaner as soon as the caller drops the frame (GC-based RDD
+    // cleanup) — intermediates were already freed in-loop above.
+    labels
   }
 }

@@ -21,7 +21,10 @@ private[graft] object TrackedCaches {
 
   /** Unpersist every registered cache (blocking=false — reclamation is
     * asynchronous). Materialized results stay valid; re-running an
-    * unreleased plan recomputes instead of erroring.
+    * unreleased plan recomputes instead of erroring. (Connected-component
+    * labels are localCheckpoint-backed and intentionally NOT registered
+    * here — see [[Dedup.connectedComponents]]; the ContextCleaner frees
+    * them when the caller drops the frame.)
     */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist())
