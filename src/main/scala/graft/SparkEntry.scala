@@ -753,6 +753,32 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // broadcast range join through the custom planner strategy: the
+    // declarative BETWEEN join (which Spark alone would run as an O(n·m)
+    // BroadcastNestedLoopJoin) plans as BroadcastPointInIntervalJoinExec —
+    // broadcast intervals, binary-search probe, the fact side never
+    // shuffles. Same window shape as q60 but a small hinted dimension and
+    // a per-window rollup.
+    "q77_broadcast_range_join" -> ((s, dir) => {
+      graft.plans.BroadcastRangeJoin.register(s)
+      val points = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_discount") > 0.09)
+        .select(col("l_orderkey"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("ship_day"))
+      val windows = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          pmod(col("o_custkey"), lit(50L)) === 0L)
+        .select(col("o_orderkey").as("win_order"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("win_start"))
+        .withColumn("win_end", col("win_start") + pmod(col("win_order"), lit(30L)))
+      points.join(windows.hint("broadcast"),
+          col("ship_day") >= col("win_start") && col("ship_day") <= col("win_end"))
+        .groupBy(col("win_order"))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("ship_day")).as("min_day"), max(col("ship_day")).as("max_day"))
+        .orderBy(col("win_order"))
+    }),
+
     // hive-partitioned write + pruned readback: the filter on the
     // partition column becomes a directory prune (PartitionFilters, not a
     // data filter — PartitionedSpec asserts only the one directory is
@@ -1915,6 +1941,25 @@ object SparkEntry {
         |  CAST(tokens_before AS BIGINT) AS tokens_before
         |FROM cum WHERE tokens_before < 5000
         |ORDER BY avg_surprisal, doc_id""".stripMargin,
+
+    "q77_broadcast_range_join" ->
+      """WITH p AS (
+        |  SELECT l_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS ship_day
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.09),
+        |w AS (
+        |  SELECT o_orderkey AS win_order,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS win_start
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_custkey % 50 = 0)
+        |SELECT win_order, CAST(count(*) AS BIGINT) AS n_points,
+        |  min(ship_day) AS min_day, max(ship_day) AS max_day
+        |FROM p JOIN w
+        |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
+        |GROUP BY win_order
+        |ORDER BY win_order""".stripMargin,
 
     // same shingle construction as the near-dup oracles (string 3-grams,
     // short-doc whole-text fallback, distinct per doc); df = docs per

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operatorOptimization: runs inside the main optimizer batch, so the
     // rewrite composes with constant folding / pruning in either order
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectionSize)
+    // extra strategies are consulted BEFORE the built-ins, so the
+    // broadcast range join wins over BroadcastNestedLoopJoin on its shape
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastRangeJoinStrategy)
   }
 }
 
