@@ -753,6 +753,22 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // hybrid retrieval: BM25 lexical top-20 and embedding-cosine top-20
+    // fused by reciprocal rank fusion (1/(60+rank), the calibration-free
+    // standard) — the RAG retrieval stack's ranker as one operator
+    "q78_hybrid_search" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val lex = TextAnalysis.bm25Search(t(s, dir, "documents"),
+          Seq("hash", "join", "scan"), topK = 20)
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 7L), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      HybridSearch.rrfFuse(Seq("lex" -> lex, "sem" -> sem), topK = 15)
+    }),
+
     // broadcast range join through the custom planner strategy: the
     // declarative BETWEEN join (which Spark alone would run as an O(n·m)
     // BroadcastNestedLoopJoin) plans as BroadcastPointInIntervalJoinExec —
@@ -1960,6 +1976,61 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q78_hybrid_search" -> {
+      val terms = Seq("hash", "join", "scan").sorted
+      val k1 = 1.2
+      val b = 0.75
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val sumExpr = terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0e0)")
+        .mkString("\n      + ")
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+         |dt AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList)
+         |  GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |s AS (
+         |  SELECT dt.doc_id, dt.term,
+         |    ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * (tf * ${k1 + 1}e0) /
+         |      (tf + ${k1}e0 * (1.0e0 - ${b}e0 + ${b}e0 * dl * n_docs / sum_dl)) AS s
+         |  FROM dt JOIN lens USING (doc_id) JOIN dfs USING (term) CROSS JOIN g),
+         |bm AS (
+         |  SELECT doc_id, round($sumExpr, 6) AS bm25
+         |  FROM s GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lex AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM bm),
+         |sem AS (
+         |  SELECT doc_id, sem_rank FROM (
+         |    SELECT c.vec_id AS doc_id,
+         |      CAST(row_number() OVER (ORDER BY
+         |        list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+         |        c.vec_id) AS BIGINT) AS sem_rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id = 7)
+         |  WHERE sem_rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank,
+         |    round(coalesce(1.0e0 / (60 + l.lex_rank), 0.0e0)
+         |        + coalesce(1.0e0 / (60 + m.sem_rank), 0.0e0), 6) AS rrf_score
+         |  FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf_score, fused_rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+         |    AS BIGINT) AS fused_rank
+         |  FROM fused)
+         |WHERE fused_rank <= 15
+         |ORDER BY fused_rank""".stripMargin
+    },
 
     // same shingle construction as the near-dup oracles (string 3-grams,
     // short-doc whole-text fallback, distinct per doc); df = docs per
