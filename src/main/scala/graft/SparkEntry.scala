@@ -753,6 +753,15 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // SemDeDup: nearest-centroid assignment (portable decimal-sum
+    // centroids, so the oracle regenerates them exactly), then the
+    // keep-lowest-id rule within each cluster — quadratic work confined
+    // inside cells
+    "q79_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), threshold = 0.9,
+          portable = true)
+        .orderBy(col("vec_id"))),
+
     // hybrid retrieval: BM25 lexical top-20 and embedding-cosine top-20
     // fused by reciprocal rank fusion (1/(60+rank), the calibration-free
     // standard) — the RAG retrieval stack's ranker as one operator
@@ -1976,6 +1985,38 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    // identical centroid construction to q20 (per-(cell,dim) DECIMAL sums),
+    // then nearest-centroid assignment (cos DESC, cell) and the
+    // within-cluster keep-lowest-id rule
+    "q79_semdedup" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.e, c.c) DESC, c.cell) AS ar
+        |    FROM vecs v CROSS JOIN centroids c)
+        |  WHERE ar = 1),
+        |lower_max AS (
+        |  SELECT b.vec_id, max(list_cosine_similarity(a.e, b.e)) AS mx
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  GROUP BY b.vec_id)
+        |SELECT v.vec_id, v.cell, round(m.mx, 6) AS max_lower_cos,
+        |  coalesce(m.mx >= 0.9e0, false) AS dropped
+        |FROM assigned v LEFT JOIN lower_max m USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q78_hybrid_search" -> {
       val terms = Seq("hash", "join", "scan").sorted

@@ -112,6 +112,33 @@ object Similarity {
       dotCol(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
+  /** Per-cell mean vectors — the coarse quantizer shared by [[ivfTopK]]
+    * and [[semDedup]]. Default = the typed VectorAvg UDAF — one shuffle
+    * row per cell instead of posexplode's dim rows per vector, but its
+    * double accumulation is partition-order-dependent in the last ulp.
+    * `portable` = the EXACT relational form: per-(cell, dim) sums through
+    * DECIMAL(28,12) (order-free), components back to double by one
+    * division — bit-reproducible and replayable in SQL, which is what
+    * lets the oracles regenerate identical centroids. Costs a
+    * dim-rows-per-vector explode shuffle; centroid building is a tiny
+    * fraction of either consumer's cost.
+    */
+  private def coarseCentroids(corpus: DataFrame, coarseCol: String,
+                              vecCol: String, portable: Boolean): DataFrame =
+    if (portable) {
+      corpus
+        .select(col(coarseCol).as("cell"), posexplode(col(vecCol)).as(Seq("j", "x")))
+        .groupBy(col("cell"), col("j"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .withColumn("comp", col("s").cast("double") / col("n"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("pc"))
+        // cells are few — the interpreted transform runs once per cell
+        .select(col("cell"), expr("transform(pc, p -> p.comp)").as("centroid"))
+    } else corpus
+      .groupBy(col(coarseCol).as("cell"))
+      .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
+
   /** IVF-style search: centroids are the per-`coarseCol` mean vectors
     * (computed once, broadcast); each query probes only its
     * `nProbe` nearest coarse partitions, pruning the corpus scan to those
@@ -121,29 +148,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
               coarseCol: String = "label", idCol: String = "vec_id",
               vecCol: String = "embedding", portable: Boolean = false): DataFrame = {
-    // Default centroid = per-cell mean vector via the typed VectorAvg UDAF
-    // — one shuffle row per cell instead of posexplode's dim rows per
-    // vector, but its double accumulation is partition-order-dependent in
-    // the last ulp. portable = the EXACT relational form: per-(cell, dim)
-    // sums through DECIMAL(28,12) (order-free), components back to double
-    // by one division — bit-reproducible and replayable in SQL, which is
-    // what lets the oracle regenerate identical centroids, probe sets and
-    // reranks. Costs a dim-rows-per-vector explode shuffle; centroid
-    // building is a tiny fraction of IVF cost either way.
-    val centroids =
-      if (portable) {
-        corpus
-          .select(col(coarseCol).as("cell"), posexplode(col(vecCol)).as(Seq("j", "x")))
-          .groupBy(col("cell"), col("j"))
-          .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
-          .withColumn("comp", col("s").cast("double") / col("n"))
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("pc"))
-          // cells are few — the interpreted transform runs once per cell
-          .select(col("cell"), expr("transform(pc, p -> p.comp)").as("centroid"))
-      } else corpus
-        .groupBy(col(coarseCol).as("cell"))
-        .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
+    val centroids = coarseCentroids(corpus, coarseCol, vecCol, portable)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", normCol(col("qv")))
     val probeW = Window.partitionBy(col("query_id"))
@@ -174,6 +179,54 @@ object Similarity {
       .withColumn("scale", sc)
       .withColumn("quant", graft.functions.VectorMath.quantize8(col(vecCol), col("scale")))
       .drop(vecCol)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * then within-cluster cosine. Every vector is assigned to its nearest
+    * coarse centroid (the [[coarseCentroids]] quantizer — broadcast, so
+    * assignment is a map-side pass over the corpus); within each cluster
+    * a vector is `dropped` when some LOWER-id cluster member has cosine ≥
+    * `threshold` to it (the paper's keep-first rule made deterministic by
+    * id order — no transitive chains, every decision is pairwise local).
+    *
+    * Scale design: the all-pairs term is confined WITHIN clusters (the
+    * point of SemDeDup — k clusters cut the quadratic by ~k), expressed
+    * as a cell-keyed equi-join; no corpus×corpus join exists. Returns one
+    * row per vector: (id, cell, max_lower_cos, dropped).
+    */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               coarseCol: String = "label", idCol: String = "vec_id",
+               vecCol: String = "embedding", portable: Boolean = false): DataFrame = {
+    val cents = coarseCentroids(corpus, coarseCol, vecCol, portable)
+    val v = corpus.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("vn", normCol(col("v")))
+    // nearest centroid by (cosine DESC, cell ASC) via min(struct(-cos,
+    // cell)): the k-way expansion collapses back to one row per vector in
+    // the map-side partial aggregate, so the shuffle carries corpus rows,
+    // not corpus×k (a row_number window would shuffle and sort the
+    // expansion)
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("csim", cosineCol(col("v"), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("csim")).as("neg"), col("cell").as("cell"),
+        col("v").as("v"), col("vn").as("vn"))).as("best"))
+      .select(col(idCol), col("best.v").as("v"), col("best.vn").as("vn"),
+        col("best.cell").as("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("a_id"),
+      col("v").as("av"), col("vn").as("an"))
+    val b = assigned.select(col("cell"), col(idCol).as("b_id"),
+      col("v").as("bv"), col("vn").as("bn"))
+    // max cosine from each member to any lower-id member of its cluster;
+    // max() is order-free, so the double is deterministic
+    val maxLower = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dotCol(col("av"), col("bv")) / (col("an") * col("bn")))
+      .groupBy(col("b_id").as(idCol))
+      .agg(max(col("cos")).as("mx"))
+    assigned.join(maxLower, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        round(col("mx"), 6).as("max_lower_cos"),
+        coalesce(col("mx") >= threshold, lit(false)).as("dropped"))
   }
 
   /** Embedding-cosine near-duplicate pairs (corpus×corpus, cosine ≥

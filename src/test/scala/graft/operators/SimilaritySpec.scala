@@ -165,4 +165,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs.contains((0L, 5L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("semDedup: lowest id survives, decisions are pairwise within assigned cluster") {
+    import spark.implicits._
+    // cluster A around (1,0): ids 0,1 near-identical (cos≈1), id 2 at 45°
+    // (cos≈0.707 to both); cluster B around (0,1): ids 10,11 identical.
+    // label 9 on id 11 is WRONG on purpose: assignment must follow the
+    // nearest centroid, not the input label — but with only two centroids
+    // far apart, 11 still lands in B's cell.
+    val corpus = Seq(
+      (0L, Seq(1f, 0f), 0L),
+      (1L, Seq(0.999f, 0.001f), 0L),
+      (2L, Seq(0.7071f, 0.7071f), 0L),
+      (10L, Seq(0f, 1f), 1L),
+      (11L, Seq(0f, 1f), 1L)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(corpus, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(!out(0L)._3)            // lowest id in its cluster: kept
+    assert(out(1L)._3)             // near-dup of 0: dropped
+    assert(!out(2L)._3)            // 45° away: kept (max_lower_cos < 0.95)
+    assert(out(2L)._2.isDefined)   // but it HAS lower neighbors
+    assert(!out(10L)._3 && out(11L)._3) // exact dup pair in cluster B
+    // no vector vanished: one verdict per input row
+    assert(out.size == 5)
+  }
+
+  test("semDedup portable and default centroids agree on the verdicts (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.semDedup(emb, threshold = 0.9, portable = true)
+      .select("vec_id", "dropped").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val b = Similarity.semDedup(emb, threshold = 0.9, portable = false)
+      .select("vec_id", "dropped").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // centroid ulp differences must not flip any verdict on real data
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
