@@ -753,6 +753,33 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // multi-format source/sink surface: identical contents written to and
+    // read back from ORC, JSON, and CSV with explicit schema-on-read
+    // (FAILFAST, no inference); the oracle computes the aggregate once
+    // from the source table per format — any format that mangles a row,
+    // a double, or a date hash-mismatches its row
+    "q80_multiformat_roundtrip" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/multiformat"
+      freshDir(s, base)
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      val fmts = Seq("csv", "json", "orc")
+      fmts.foreach(f => graft.sources.MultiFormat.write(src, base, f))
+      fmts.map { f =>
+        graft.sources.MultiFormat.read(s, base, f, src.schema)
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            min(unix_date(col("o_orderdate"))).cast("long").as("min_day"),
+            max(unix_date(col("o_orderdate"))).cast("long").as("max_day"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))
+          .withColumn("format", lit(f))
+      }.reduce(_.unionByName(_))
+        .select(col("format"), col("n_rows"), col("sum_price"),
+          col("min_day"), col("max_day"), col("n_priorities"))
+        .orderBy(col("format"))
+    }),
+
     // SemDeDup: nearest-centroid assignment (portable decimal-sum
     // centroids, so the oracle regenerates them exactly), then the
     // keep-lowest-id rule within each cluster — quadratic work confined
@@ -1985,6 +2012,21 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q80_multiformat_roundtrip" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    min(CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT)) AS min_day,
+        |    max(CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT)) AS max_day,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        |  FROM orders)
+        |SELECT f.format, a.n_rows, a.sum_price, a.min_day, a.max_day,
+        |  a.n_priorities
+        |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+        |ORDER BY f.format""".stripMargin,
 
     // identical centroid construction to q20 (per-(cell,dim) DECIMAL sums),
     // then nearest-centroid assignment (cos DESC, cell) and the
