@@ -753,6 +753,75 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // full-outer reconciliation: high-balance customers vs suppliers per
+    // nation — the two-ledger diff report (B7 full outer join coverage)
+    "q81_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("cust_bal"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          when(col("c_nationkey").isNotNull && col("s_nationkey").isNotNull, "both")
+            .when(col("c_nationkey").isNotNull, "customer_only")
+            .otherwise("supplier_only").as("side"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // analytic-window completeness: lag/lead/ntile/first/last/percent_rank
+    // over per-priority order sequences (B7 window coverage beyond rank)
+    "q82_window_analytics" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "orders").filter(pmod(col("o_custkey"), lit(97L)) === 0L)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_orderdate"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("day"),
+          col("o_totalprice"))
+        .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("first_key", first(col("o_orderkey")).over(wAll))
+        .withColumn("last_key", last(col("o_orderkey")).over(wAll))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .drop("o_totalprice", "o_orderdate")
+        .orderBy(col("o_orderpriority"), col("day"), col("o_orderkey"))
+    }),
+
+    // time-series gap fill: per-type daily rollup densified over the full
+    // day range (sequence + explode — row-local expansion, no driver
+    // loop), gaps carry the last observed value forward
+    "q83_gap_fill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      val allDays = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wFill = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      allDays.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("is_gap", col("sum_value").isNull)
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("filled_value",
+          round(last(col("sum_value"), ignoreNulls = true).over(wFill), 6))
+        .select(col("event_type"), col("day"), col("n_events"), col("is_gap"),
+          col("filled_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // multi-format source/sink surface: identical contents written to and
     // read back from ORC, JSON, and CSV with explicit schema-on-read
     // (FAILFAST, no inference); the oracle computes the aggregate once
@@ -2012,6 +2081,66 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q81_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS cust_bal
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |s AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(cust_bal, 0.0e0) AS cust_bal,
+        |  coalesce(n_supp, 0) AS n_supp,
+        |  CASE WHEN c_nationkey IS NOT NULL AND s_nationkey IS NOT NULL THEN 'both'
+        |       WHEN c_nationkey IS NOT NULL THEN 'customer_only'
+        |       ELSE 'supplier_only' END AS side
+        |FROM c FULL JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q82_window_analytics" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    o_orderdate
+        |  FROM orders WHERE o_custkey % 97 = 0)
+        |SELECT o_orderpriority, o_orderkey, day,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS first_key,
+        |  last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS last_key,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderpriority, day, o_orderkey""".stripMargin,
+
+    "q83_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |alldays AS (
+        |  SELECT event_type, CAST(unnest(generate_series(min(day), max(day)))
+        |    AS BIGINT) AS day
+        |  FROM daily GROUP BY event_type)
+        |SELECT a.event_type, a.day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  d.sum_value IS NULL AS is_gap,
+        |  round(last_value(d.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY a.event_type ORDER BY a.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+        |FROM alldays a LEFT JOIN daily d
+        |  ON a.event_type = d.event_type AND a.day = d.day
+        |ORDER BY a.event_type, a.day""".stripMargin,
 
     "q80_multiformat_roundtrip" ->
       """WITH a AS (
