@@ -753,6 +753,26 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // Bloom-pruned equi-join: the probe side is filtered by a broadcast
+    // Bloom sketch of the build keys BEFORE the shuffle; false positives
+    // die in the real join, so the result is identical to the plain join
+    // the oracle runs
+    "q84_bloom_pruned_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val small = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          pmod(col("o_custkey"), lit(10L)) === 0L)
+        .select(col("o_orderkey"))
+      BloomPrune.prunedJoin(big, small, "l_orderkey", "o_orderkey",
+          expectedItems = 20000L, fpp = 0.01)
+        .groupBy(pmod(col("o_orderkey"), lit(8L)).as("bucket"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("bucket"))
+    }),
+
     // full-outer reconciliation: high-balance customers vs suppliers per
     // nation — the two-ledger diff report (B7 full outer join coverage)
     "q81_full_outer" -> ((s, dir) => {
@@ -2081,6 +2101,15 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q84_bloom_pruned_join" ->
+      """SELECT l_orderkey % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0e0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_custkey % 10 = 0
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     "q81_full_outer" ->
       """WITH c AS (
