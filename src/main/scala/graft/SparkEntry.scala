@@ -753,6 +753,26 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // schema evolution: two parquet generations (v2 adds a column) read
+    // back as one table with mergeSchema — old files surface the new
+    // column as NULL; the aggregate proves no row or value was lost
+    "q85_schema_evolution" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/schema_evo"
+      freshDir(s, base)
+      val cust = t(s, dir, "customer")
+      cust.filter(pmod(col("c_custkey"), lit(2L)) === 0L)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      cust.filter(pmod(col("c_custkey"), lit(2L)) === 1L)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(coalesce(col("c_mktsegment"), lit("<pre_evolution>"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("segment"))
+    }),
+
     // Bloom-pruned equi-join: the probe side is filtered by a broadcast
     // Bloom sketch of the build keys BEFORE the shuffle; false positives
     // die in the real join, so the result is identical to the plain join
@@ -2101,6 +2121,16 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q85_schema_evolution" ->
+      """SELECT
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment
+        |       ELSE '<pre_evolution>' END AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY segment""".stripMargin,
 
     "q84_bloom_pruned_join" ->
       """SELECT l_orderkey % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_items,
