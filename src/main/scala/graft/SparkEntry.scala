@@ -753,6 +753,22 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // SQL-surface text functions (the injected byte-scanner expressions
+    // called from plain SQL; mirrors q44's vector-function surface)
+    "q86_sql_text_funcs" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id,
+          CAST(graft_ws_token_count(text) AS BIGINT) AS n_tokens,
+          CAST(graft_bpe_token_count(text) AS BIGINT) AS n_bpe,
+          CAST(size(graft_hashed_shingles(
+            filter(split(trim(lower(text)), '\\s+'), x -> x <> ''), 3))
+            AS BIGINT) AS n_shingles
+        FROM documents_v
+        ORDER BY doc_id""")
+    }),
+
     // schema evolution: two parquet generations (v2 adds a column) read
     // back as one table with mergeSchema — old files surface the new
     // column as NULL; the aggregate proves no row or value was lost
@@ -2121,6 +2137,25 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    // same token/shingle constructions as the q23/q74 oracles
+    "q86_sql_text_funcs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |  FROM toks)
+        |SELECT d.doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS BIGINT) AS n_bpe,
+        |  CAST(len(s.shingles) AS BIGINT) AS n_shingles
+        |FROM documents d JOIN sh s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q85_schema_evolution" ->
       """SELECT

@@ -47,11 +47,6 @@ object GraftFunctions {
         "graft_hyperplane_sig(vec, numBits, seed) - random-hyperplane LSH bucket"),
       { args =>
         require(args.length == 3, "graft_hyperplane_sig takes (vector, numBits, seed)")
-        def intArg(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"$what must be an integer literal, got $other")
-        }
         VectorMath.HyperplaneSig(args(0),
           intArg(args(1), "numBits"), intArg(args(2), "seed"))
       })
@@ -86,7 +81,59 @@ object GraftFunctions {
         ArraySetOps.CountInSet(args(0), set)
       })
 
-  val all = Seq(vecDot, hyperplaneSig, intersectCount, countInSet)
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val simhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(tokens) - 64-bit SimHash of a string-token array"),
+      { args =>
+        require(args.length == 1, "graft_simhash64 takes (tokens)")
+        TextHashes.SimHash64(args(0))
+      })
+
+  val minhashSigs: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_minhash_sigs"),
+      info("graft_minhash_sigs",
+        "graft_minhash_sigs(shingle_hashes, numHashes) - MinHash signature array"),
+      { args =>
+        require(args.length == 2, "graft_minhash_sigs takes (shingle_hashes, numHashes)")
+        TextHashes.MinHashSigs(args(0), intArg(args(1), "numHashes"))
+      })
+
+  val hashedShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_hashed_shingles"),
+      info("graft_hashed_shingles",
+        "graft_hashed_shingles(tokens, n) - sorted distinct 64-bit hashes of token n-grams"),
+      { args =>
+        require(args.length == 2, "graft_hashed_shingles takes (tokens, n)")
+        TextHashes.HashedShingles(args(0), intArg(args(1), "n"))
+      })
+
+  val wsTokenCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ws_token_count"),
+      info("graft_ws_token_count",
+        "graft_ws_token_count(text) - whitespace-token count, single byte scan"),
+      { args =>
+        require(args.length == 1, "graft_ws_token_count takes (text)")
+        TextScan.WsTokenCount(args(0))
+      })
+
+  val bpeTokenCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bpe_token_count"),
+      info("graft_bpe_token_count",
+        "graft_bpe_token_count(text) - BPE-ish subword token estimate, single byte scan"),
+      { args =>
+        require(args.length == 1, "graft_bpe_token_count takes (text)")
+        TextScan.BpeTokenCount(args(0))
+      })
+
+  val all = Seq(vecDot, hyperplaneSig, intersectCount, countInSet,
+    simhash64, minhashSigs, hashedShingles, wsTokenCount, bpeTokenCount)
 
   /** Idempotently register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

@@ -61,4 +61,27 @@ class GraftFunctionsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("literal array"))
   }
+
+  test("text-scan and hashing functions are callable from SQL and agree with the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_ws_token_count(' a  bb\tccc ') AS ws,
+        |  graft_bpe_token_count('hello') AS bpe,
+        |  size(graft_hashed_shingles(array('a','b','c','d'), 3)) AS nsh,
+        |  graft_simhash64(array('a','b')) AS sh1,
+        |  graft_simhash64(array('a','b')) AS sh2,
+        |  size(graft_minhash_sigs(graft_hashed_shingles(array('a','b','c','d'), 2), 16)) AS nsig
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) > 0)
+    assert(r.getInt(2) == 2) // 4 tokens, 3-grams -> 2 shingles
+    assert(r.getLong(3) == r.getLong(4), "simhash deterministic")
+    assert(r.getInt(5) == 16)
+    // cross-check against the Column API the operators use
+    import spark.implicits._
+    val df = Seq(" a  bb\tccc ").toDF("t")
+    val viaCol = df.select(TextScan.wsTokenCount(org.apache.spark.sql.functions.col("t")))
+      .head().getInt(0)
+    assert(viaCol == 3)
+  }
 }
