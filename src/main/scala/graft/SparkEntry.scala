@@ -753,6 +753,36 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // range-partitioned sorted write + literal-predicate readback: the
+    // file-skipping layout (each file owns a contiguous day range, so a
+    // day filter prunes most files via parquet min/max; PartitionedSpec's
+    // sibling SortedSkipSpec asserts the file-count metric)
+    "q87_sorted_skipping" -> ((s, dir) => {
+      val out = "/tmp/graft_scratch/sorted_skip"
+      freshDir(s, out)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      src.repartitionByRange(16, col("day"))
+        .sortWithinPartitions(col("day"))
+        .write.mode("overwrite").parquet(out)
+      // literal bound (a driver-side SCALAR, not a data collect): data
+      // skipping requires literal predicates to reach the parquet reader
+      val lo = src.agg(min(col("day"))).head().getLong(0)
+      s.read.parquet(out)
+        .filter(col("day") < lit(lo + 30L))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    }),
+
+    // key-skew diagnosis: the measurement behind the salt-or-not decision
+    "q88_key_skew" -> ((s, dir) =>
+      Profile.keySkew(
+        t(s, dir, "lineitem").filter(col("l_discount") > 0.05), "l_orderkey")
+        .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+          col("heaviest_key"), col("mean_cnt"), col("skew_ratio"))),
+
     // SQL-surface text functions (the injected byte-scanner expressions
     // called from plain SQL; mirrors q44's vector-function surface)
     "q86_sql_text_funcs" -> ((s, dir) => {
@@ -2137,6 +2167,32 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q87_sorted_skipping" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders),
+        |b AS (SELECT min(day) AS lo FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM d, b WHERE d.day < b.lo + 30""".stripMargin,
+
+    "q88_key_skew" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_discount > 0.05 GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  max(cnt) AS max_cnt,
+        |  (SELECT k FROM counts ORDER BY cnt DESC, k DESC LIMIT 1)
+        |    AS heaviest_key,
+        |  round(avg(cnt), 6) AS mean_cnt,
+        |  round(max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*)), 6)
+        |    AS skew_ratio
+        |FROM counts""".stripMargin,
 
     // same token/shingle constructions as the q23/q74 oracles
     "q86_sql_text_funcs" ->

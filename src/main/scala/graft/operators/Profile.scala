@@ -68,6 +68,31 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Join-key skew diagnosis — the measurement that decides between a
+    * plain shuffle join, AQE skew split, and [[SkewJoin]]'s explicit
+    * salting: per-key counts (one hash-agg shuffle, map-side combined),
+    * reduced to a one-row report of total rows, distinct keys, the max
+    * and mean key frequency, their ratio (`skew_ratio` — a uniform key
+    * is ~1, a power-law head is orders of magnitude above), and the
+    * heaviest key itself. NULL keys count as a key (they hash-collide
+    * into one reducer exactly like a real value).
+    *
+    * 100 TB: two aggregations, both map-side combinable; state is one
+    * row per distinct key, spillable. No driver-side structures.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        max_by(col("k"), struct(col("cnt"), col("k"))).as("heaviest_key"),
+        round(avg(col("cnt")), 6).as("mean_cnt"))
+      .withColumn("skew_ratio",
+        round(col("max_cnt") / (col("n_rows").cast("double") / col("n_keys")), 6))
+  }
+
   /** Exact per-group Pearson correlation and sample covariance of two
     * numeric columns, computed from DECIMAL(30,6)-exact sums — unlike
     * the builtin `corr`/`covar_samp` (streaming double accumulation,

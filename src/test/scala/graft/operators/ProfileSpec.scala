@@ -78,4 +78,22 @@ class ProfileSpec extends SparkSpecBase {
       Profile.profile(sample, Seq("id", "nope"))
     }
   }
+
+  test("keySkew measures the head key; ties break high; nulls count as a key") {
+    import spark.implicits._
+    // key 7 x4 (head), key 9 x4 (tie, higher id wins), key 1 x1, null x2
+    val df = (Seq.fill(4)(Some(7L)) ++ Seq.fill(4)(Some(9L)) ++
+      Seq(Some(1L), None, None)).toDF("k")
+    val r = Profile.keySkew(df, "k").head()
+    assert(r.getAs[Long]("n_rows") == 11L)
+    assert(r.getAs[Long]("n_keys") == 4L) // 7, 9, 1, null
+    assert(r.getAs[Long]("max_cnt") == 4L)
+    assert(r.getAs[Long]("heaviest_key") == 9L) // tie -> larger key
+    val expectedRatio = BigDecimal(4.0 / (11.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("skew_ratio") == expectedRatio)
+    // uniform keys -> ratio ~ 1
+    val uni = (0L until 100L).toDF("k")
+    assert(Profile.keySkew(uni, "k").head().getAs[Double]("skew_ratio") == 1.0)
+  }
 }
