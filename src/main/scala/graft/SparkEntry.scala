@@ -753,6 +753,29 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // rolling-baseline anomaly detection over the daily event rollup:
+    // each day z-scored against its 7 predecessors (frame excludes the
+    // current row); baseline sums through exact decimal windows
+    "q89_rolling_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Outliers.rollingAnomaly(daily, "n_events", Seq("event_type"), "day",
+          lookback = 7, zThreshold = 2.0, minBaseline = 3)
+        .select(col("event_type"), col("day"),
+          col("n_events").cast("long").as("n_events"),
+          col("baseline_mean"), col("z"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // exact equi-width histogram of order totals (explicit edge
+    // arithmetic — identical floor((x-lo)/w) tree in both engines)
+    "q90_histogram" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "orders"), "o_totalprice",
+          lo = 0.0, hi = 600000.0, nBuckets = 24)
+        .orderBy(col("bucket"))),
+
     // range-partitioned sorted write + literal-predicate readback: the
     // file-skipping layout (each file owns a contiguous day range, so a
     // day filter prunes most files via parquet min/max; PartitionedSpec's
@@ -2167,6 +2190,50 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q89_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT event_type, day, v,
+        |    count(v) OVER f AS bn,
+        |    CAST(sum(CAST(v AS DECIMAL(18,6))) OVER f AS DOUBLE) AS bs,
+        |    CAST(sum(CAST(v * v AS DECIMAL(18,6))) OVER f AS DOUBLE) AS bss
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, CAST(v AS BIGINT) AS n_events,
+        |  CASE WHEN bn >= 3 THEN round(bs / bn, 6) END AS baseline_mean,
+        |  CASE WHEN bn >= 3 AND
+        |    sqrt(greatest((bss - bs * bs / bn) / (bn - 1), 0.0e0)) > 0
+        |    THEN round((v - bs / bn) /
+        |      sqrt(greatest((bss - bs * bs / bn) / (bn - 1), 0.0e0)), 6) END AS z,
+        |  CASE WHEN bn >= 3 AND
+        |    sqrt(greatest((bss - bs * bs / bn) / (bn - 1), 0.0e0)) > 0
+        |    THEN abs(round((v - bs / bn) /
+        |      sqrt(greatest((bss - bs * bs / bn) / (bn - 1), 0.0e0)), 6)) > 2.0e0
+        |    END AS is_anomaly
+        |FROM sums
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q90_histogram" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(o_totalprice), 6) AS min_val,
+        |  round(max(o_totalprice), 6) AS max_val,
+        |  CASE WHEN bucket >= 0 AND bucket < 24
+        |    THEN round(0.0e0 + bucket * (600000.0e0 / 24), 6) END AS lo_edge
+        |FROM (
+        |  SELECT o_totalprice,
+        |    CASE WHEN o_totalprice < 0.0e0 THEN CAST(-1 AS BIGINT)
+        |         WHEN o_totalprice >= 600000.0e0 THEN CAST(24 AS BIGINT)
+        |         ELSE CAST(floor(o_totalprice / (600000.0e0 / 24)) AS BIGINT)
+        |    END AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q87_sorted_skipping" ->
       """WITH d AS (

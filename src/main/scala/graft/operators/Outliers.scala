@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Outlier treatment for numeric feature columns: per-group
@@ -52,5 +53,49 @@ object Outliers {
         when(col(valueCol).isNotNull,
           least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop(groupCols.map(c => s"__g_$c") :+ "__lo" :+ "__hi": _*)
+  }
+
+  /** Rolling-baseline anomaly detection on an ordered per-group series —
+    * the monitoring primitive over the q83-style daily rollups: each
+    * point is z-scored against the PRECEDING `lookback` points (frame
+    * excludes the current row, so a spike cannot suppress its own
+    * alert). Baseline sums go through DECIMAL(18,6) windows — exact and
+    * frame-deterministic, so the score is engine-portable. Points with
+    * fewer than `minBaseline` predecessors or a zero-variance baseline
+    * get a NULL z (no verdict), never a false alarm.
+    *
+    * One shuffle on the group key; window state is the `lookback`-row
+    * frame. Emits the input columns plus (baseline_mean, z, is_anomaly).
+    */
+  def rollingAnomaly(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     orderCol: String, lookback: Int = 7,
+                     zThreshold: Double = 2.0,
+                     minBaseline: Int = 3): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(minBaseline >= 2, s"minBaseline must be >= 2, got $minBaseline")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-lookback.toLong, -1L)
+    val v = col(valueCol)
+    val d = "decimal(18,6)"
+    val withSums = df
+      .withColumn("__bn", count(v).over(w))
+      .withColumn("__bs", sum(v.cast(d)).over(w).cast("double"))
+      .withColumn("__bss", sum((v * v).cast(d)).over(w).cast("double"))
+    val n = col("__bn").cast("double")
+    val mean = col("__bs") / n
+    // sample variance from exact sums; clamp the tiny negative residue
+    // double subtraction can leave on constant series
+    val variance = greatest(
+      (col("__bss") - col("__bs") * col("__bs") / n) / (n - 1d), lit(0.0))
+    val std = sqrt(variance)
+    withSums
+      .withColumn("baseline_mean",
+        when(col("__bn") >= minBaseline, round(mean, 6)))
+      .withColumn("z",
+        when(col("__bn") >= minBaseline && std > 0d,
+          round((v - mean) / std, 6)))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull, abs(col("z")) > zThreshold))
+      .drop("__bn", "__bs", "__bss")
   }
 }

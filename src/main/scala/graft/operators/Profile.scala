@@ -68,6 +68,34 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Exact equi-width histogram of a numeric column: `nBuckets` buckets
+    * over [lo, hi), plus underflow (-1) and overflow (nBuckets) buckets —
+    * explicit edge arithmetic (floor((x-lo)/width) in double, identical
+    * across engines) instead of engine-specific `width_bucket` variants.
+    * One map-side-combinable aggregation; NULLs are excluded. Empty
+    * buckets are absent from the output (dense output would need a
+    * bucket-spine join — callers chart from the sparse form).
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol)
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBuckets.toLong))
+      .otherwise(floor((v - lit(lo)) / lit(width)).cast("long"))
+    df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(v), 6).as("min_val"), round(max(v), 6).as("max_val"))
+      // finite in-range edges only; the under/overflow buckets have no
+      // finite lower edge by construction
+      .withColumn("lo_edge",
+        when(col("bucket") >= 0L && col("bucket") < nBuckets.toLong,
+          round(lit(lo) + col("bucket") * lit(width), 6)))
+  }
+
   /** Join-key skew diagnosis — the measurement that decides between a
     * plain shuffle join, AQE skew split, and [[SkewJoin]]'s explicit
     * salting: per-key counts (one hash-agg shuffle, map-side combined),

@@ -62,4 +62,35 @@ class OutliersSpec extends SparkSpecBase {
     assert(out.filter(col("value").isNull && col("value_w").isNotNull).isEmpty)
     assert(out.filter(col("value_w").isNotNull).count() == 10)
   }
+
+  test("rollingAnomaly: spike z-scored against preceding frame only; warmup and flat series give no verdict") {
+    import spark.implicits._
+    // flat 10s, then a spike of 20 at t=6, then 10 again
+    val series = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 20.0, 10.0)
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "t", "v")
+    val out = Outliers.rollingAnomaly(series, "v", Seq("grp"), "t",
+        lookback = 7, zThreshold = 2.0, minBaseline = 3)
+      .collect().map(r => r.getAs[Long]("t") ->
+        (Option(r.getAs[Any]("z")), Option(r.getAs[Any]("is_anomaly")))).toMap
+    // t=0,1,2: fewer than 3 predecessors -> no verdict
+    assert(out(0L) == ((None, None)) && out(2L) == ((None, None)))
+    // t=3..5: flat baseline, zero variance -> no z, no verdict
+    assert(out(5L) == ((None, None)))
+    // t=5 spike: baseline (10,10,10,10,10) has zero variance -> NULL z
+    // (flagged only when variance exists); t=6 AFTER the spike: baseline
+    // includes the spike -> nonzero variance, z defined and small
+    assert(out(6L)._1.isDefined)
+    assert(out(6L)._2.contains(false))
+    // now a spiky-baseline series where the current point IS anomalous
+    val s2 = Seq(10.0, 12.0, 8.0, 11.0, 9.0, 50.0)
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "t", "v")
+    val r2 = Outliers.rollingAnomaly(s2, "v", Seq("grp"), "t")
+      .filter(col("t") === 5L).head()
+    assert(r2.getAs[Boolean]("is_anomaly"))
+    assert(r2.getAs[Double]("z") > 2.0)
+    // hand-check: baseline mean of (10,12,8,11,9) = 10
+    assert(r2.getAs[Double]("baseline_mean") == 10.0)
+  }
 }

@@ -96,4 +96,20 @@ class ProfileSpec extends SparkSpecBase {
     val uni = (0L until 100L).toDF("k")
     assert(Profile.keySkew(uni, "k").head().getAs[Double]("skew_ratio") == 1.0)
   }
+
+  test("histogram: edges half-open, under/overflow buckets, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.999999), Some(10.0),
+      Some(25.0), Some(30.0), Some(31.0), None).toDF("x")
+    val out = Profile.histogram(df, "x", lo = 0.0, hi = 30.0, nBuckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(4)))).toMap
+    assert(out(-1L) == ((1L, None)))            // -5 underflows, no edge
+    assert(out(0L) == ((2L, Some(0.0))))        // 0.0 and 9.999999
+    assert(out(1L)._1 == 1L)                    // 10.0 is in [10, 20)
+    assert(out(1L)._2.contains(10.0))
+    assert(out(2L) == ((1L, Some(20.0))))       // 25.0
+    assert(out(3L) == ((2L, None)))             // 30.0 (hi) and 31.0 overflow
+    assert(out.values.map(_._1).sum == 7L)      // null excluded
+  }
 }
