@@ -753,6 +753,33 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // CDC apply: latest-wins upsert/delete stream (synthesized from
+    // orders) onto the customer snapshot — max_by per key, so the map
+    // side pre-reduces before the shuffle
+    "q91_cdc_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderstatus") === "F" &&
+          pmod(col("o_orderkey"), lit(10L)) === 0L, "delete")
+          .otherwise("upsert").as("op"),
+        col("o_totalprice").as("c_acctbal"),
+        concat(lit("SEG-"), col("o_orderpriority")).as("c_mktsegment"))
+      Cdc.applyChanges(base, changes, "c_custkey", "version", "op")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SCD-2 intervalization: per-customer priority history as
+    // [valid_from, valid_to) intervals, unchanged restatements collapsed
+    "q92_scd2" -> ((s, dir) =>
+      Cdc.scd2(
+        t(s, dir, "orders").select(col("o_custkey").as("k"),
+          col("o_orderkey").as("seq"), col("o_orderpriority").as("attr")),
+        "k", "seq", "attr")
+        .orderBy(col("k"), col("valid_from"))),
+
     // rolling-baseline anomaly detection over the daily event rollup:
     // each day z-scored against its 7 predecessors (frame excludes the
     // current row); baseline sums through exact decimal windows
@@ -2190,6 +2217,42 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q91_cdc_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS k, o_orderkey AS v,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+        |      THEN 'delete' ELSE 'upsert' END AS op,
+        |    o_totalprice AS acct, 'SEG-' || o_orderpriority AS seg
+        |  FROM orders),
+        |all_rows AS (
+        |  SELECT c_custkey AS k, CAST(-9223372036854775808 AS BIGINT) AS v,
+        |    'upsert' AS op, c_acctbal AS acct, c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL SELECT k, v, op, acct, seg FROM ch),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |  FROM all_rows)
+        |SELECT k AS c_custkey, acct AS c_acctbal, seg AS c_mktsegment
+        |FROM latest WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q92_scd2" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS k, o_orderkey AS seq, o_orderpriority AS attr
+        |  FROM orders),
+        |lagged AS (
+        |  SELECT *, lag(attr) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY seq)),
+        |collapsed AS (
+        |  SELECT k, seq, attr FROM lagged
+        |  WHERE rn = 1 OR attr IS DISTINCT FROM prev)
+        |SELECT k, attr, seq AS valid_from,
+        |  lead(seq) OVER w2 AS valid_to,
+        |  lead(seq) OVER w2 IS NULL AS is_current
+        |FROM collapsed
+        |WINDOW w2 AS (PARTITION BY k ORDER BY seq)
+        |ORDER BY k, valid_from""".stripMargin,
 
     "q89_rolling_anomaly" ->
       """WITH daily AS (

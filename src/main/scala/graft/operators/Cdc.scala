@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture maintenance over snapshot tables — the two
+  * operations every lakehouse ingest pipeline performs without a table
+  * format: latest-wins upsert/delete application ([[applyChanges]]) and
+  * slowly-changing-dimension intervalization ([[scd2]]).
+  *
+  * Scale design: both are single-shuffle, key-local computations.
+  * [[applyChanges]] reduces each key with `max_by(struct(...), version)`
+  * — an aggregation, so the map side pre-reduces every partition to one
+  * candidate row per key BEFORE the shuffle (a row_number window would
+  * shuffle every change row and sort). [[scd2]] is two window passes
+  * over one key-shuffle (change-collapse, then interval close), state
+  * bounded by a key's history.
+  */
+object Cdc {
+
+  /** Apply a change stream onto a base snapshot, latest version wins.
+    * `changes` carries `keyCol`, `versionCol` (monotone per key, unique
+    * within a key — enforced upstream by the log's ordering), `opCol`
+    * (`"upsert"` or `"delete"`) and the base's value columns. Base rows
+    * participate at version `Long.MinValue` (any real change beats
+    * them). A key whose latest op is `delete` disappears; keys never
+    * touched survive unchanged.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+                   versionCol: String, opCol: String): DataFrame = {
+    val valueCols = base.columns.filterNot(_ == keyCol).toSeq
+    require(valueCols.nonEmpty, "base needs at least one non-key column")
+    val baseAsChanges = base
+      .withColumn(versionCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("upsert"))
+      .select(col(keyCol) +: col(versionCol) +: col(opCol) +:
+        valueCols.map(col): _*)
+    val unioned = baseAsChanges
+      .unionByName(changes.select(col(keyCol) +: col(versionCol) +:
+        col(opCol) +: valueCols.map(col): _*))
+    val packed = struct(col(opCol) +: valueCols.map(col): _*)
+    unioned.groupBy(col(keyCol))
+      .agg(max_by(packed, col(versionCol)).as("__latest"))
+      .filter(col(s"__latest.$opCol") =!= "delete")
+      .select(col(keyCol) +: valueCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** SCD-2 intervalization: from a per-key change-event stream, build
+    * `[valid_from, valid_to)` validity intervals for `attrCol`,
+    * collapsing consecutive events that carry the SAME value (re-stating
+    * an unchanged attribute opens no new interval). The newest interval
+    * per key is open (`valid_to` NULL, `is_current` true). `orderCol`
+    * must totally order a key's events.
+    */
+  def scd2(events: DataFrame, keyCol: String, orderCol: String,
+           attrCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val collapsed = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(byKey))
+      .withColumn("__rn", row_number().over(byKey))
+      // keep the first event and every value CHANGE (null-safe compare: a
+      // real null attribute is distinct from "no previous row")
+      .filter(col("__rn") === 1 || !(col(attrCol) <=> col("__prev")))
+      .drop("__prev", "__rn")
+    collapsed
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+}

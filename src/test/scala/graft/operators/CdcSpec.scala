@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("applyChanges: latest version wins, deletes remove, untouched keys survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, 10L, "upsert", "a2"),   // overwritten below at v=20
+      (1L, 20L, "upsert", "a3"),
+      (2L, 5L, "delete", "ignored"),
+      (4L, 1L, "upsert", "d"))     // insert of a brand-new key
+      .toDF("k", "version", "op", "v")
+    val out = Cdc.applyChanges(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyChanges: a delete then re-upsert at a later version resurrects the key") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, 10L, "delete", "x"), (1L, 20L, "upsert", "back"))
+      .toDF("k", "version", "op", "v")
+    val out = Cdc.applyChanges(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "back"))
+  }
+
+  test("scd2: unchanged restatements collapse; intervals chain; last is open") {
+    val ev = Seq(
+      (1L, 10L, "gold"), (1L, 20L, "gold"),   // restatement: no new interval
+      (1L, 30L, "silver"), (1L, 40L, "gold"), // real changes
+      (2L, 5L, "bronze"))
+      .toDF("k", "seq", "attr")
+    val out = Cdc.scd2(ev, "k", "seq", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, "gold", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "bronze", 5L, None, true)))
+  }
+
+  test("scd2: null attribute values form their own intervals (null-safe compare)") {
+    val ev = Seq((1L, 1L, Some("x")), (1L, 2L, None), (1L, 3L, None),
+      (1L, 4L, Some("x"))).toDF("k", "seq", "attr")
+    val out = Cdc.scd2(ev, "k", "seq", "attr").collect()
+      .map(r => (r.getLong(2), Option(r.get(1)))).toSet
+    // x@1, null@2 (collapsing 2,3), x@4
+    assert(out == Set((1L, Some("x")), (2L, None), (4L, Some("x"))))
+  }
+
+  test("applyChanges result is independent of partitioning") {
+    val base = (0L until 100L).map(k => (k, s"b$k")).toDF("k", "v")
+    val changes = (0L until 300L).map { i =>
+      (i % 100L, i, if (i % 17 == 0) "delete" else "upsert", s"c$i")
+    }.toDF("k", "version", "op", "v")
+    val a = Cdc.applyChanges(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Cdc.applyChanges(base.repartition(13), changes.repartition(7),
+        "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+}
