@@ -753,6 +753,25 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // ordered funnel: view -> click -> purchase, each stage strictly
+    // after the prior one; k user-keyed shuffles over shrinking frames
+    "q93_funnel" -> ((s, dir) =>
+      ProductAnalytics.funnelSummary(Tables.events(s, dir),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // weekly cohort retention over the events table
+    "q94_retention" -> ((s, dir) =>
+      ProductAnalytics.weeklyRetention(
+        Tables.events(s, dir).select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("day")))
+        .orderBy(col("cohort_week"), col("weeks_since"))),
+
+    // first-order event-type transition matrix with exact probabilities
+    "q95_transitions" -> ((s, dir) =>
+      ProductAnalytics.transitions(Tables.events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // CDC apply: latest-wins upsert/delete stream (synthesized from
     // orders) onto the customer snapshot — max_by per key, so the map
     // side pre-reduces before the shuffle
@@ -2217,6 +2236,62 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q93_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0 GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+        |  (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |  CAST(n0 AS BIGINT) AS n_users,
+        |  round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_prev,
+        |  round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_head FROM c
+        |UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT),
+        |  round(CAST(n1 AS DOUBLE) / n0, 6), round(CAST(n1 AS DOUBLE) / n0, 6)
+        |FROM c
+        |UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+        |  round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n0, 6)
+        |FROM c
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q94_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS d
+        |  FROM events),
+        |coh AS (SELECT u, min(d) AS c FROM act GROUP BY u)
+        |SELECT CAST(floor(c / 7) AS BIGINT) AS cohort_week,
+        |  CAST(floor((d - c) / 7) AS BIGINT) AS weeks_since,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |FROM act JOIN coh USING (u)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "q95_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+        |    AS p
+        |FROM pairs
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q91_cdc_upsert" ->
       """WITH ch AS (

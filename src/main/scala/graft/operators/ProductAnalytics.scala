@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels, cohort retention and
+  * transition matrices — the query family every events table ultimately
+  * serves.
+  *
+  * Scale design: everything is keyed by user (or a derived day/type key)
+  * and shuffles once per aggregation with map-side combine; the funnel
+  * chains one bounded aggregation per stage (k stages → k user-keyed
+  * shuffles over ever-shrinking frames, each carrying one row per
+  * surviving user — no event-level self-join blowup, no per-user
+  * collect_list).
+  */
+object ProductAnalytics {
+
+  /** Ordered funnel: per user, the earliest time of stage i strictly
+    * AFTER the achieved time of stage i-1 (the standard "did they view,
+    * then click, then buy, in that order" semantics). Returns one row
+    * per user who completed stage 0: `t_<stage>` epoch-micros columns
+    * (NULL once the user falls out) and `depth` = number of stages
+    * completed.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val u = col(userCol)
+    def stageTimes(stage: String) =
+      events.filter(col(typeCol) === stage)
+        .select(u, unix_micros(col(tsCol)).as("__t"))
+    // head stage: first occurrence ever
+    var reached = stageTimes(stages.head).groupBy(u)
+      .agg(min(col("__t")).as(s"t_${stages.head}"))
+    // each later stage: first occurrence strictly after the prior stage
+    stages.sliding(2).foreach { case Seq(prev, cur) =>
+      val nxt = stageTimes(cur).join(reached.select(u, col(s"t_$prev")), userCol)
+        .filter(col("__t") > col(s"t_$prev"))
+        .groupBy(u).agg(min(col("__t")).as(s"t_$cur"))
+        .select(u, col(s"t_$cur"))
+      reached = reached.join(nxt, Seq(userCol), "left")
+    }
+    val depth = stages.map(s => when(col(s"t_$s").isNotNull, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    reached.withColumn("depth", depth)
+  }
+
+  /** Funnel conversion summary: one row per stage — users reaching it,
+    * conversion vs the previous stage, conversion vs the head (both
+    * exact-integer ratios in double, round(6)).
+    */
+  def funnelSummary(events: DataFrame, stages: Seq[String],
+                    userCol: String = "user_id", typeCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val f = funnel(events, stages, userCol, typeCol, tsCol)
+    val counts = f.agg(
+      count(lit(1)).as("__n0"),
+      stages.zipWithIndex.map { case (s, i) =>
+        count(col(s"t_$s")).as(s"__n$i") }.tail: _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(s).as("stage"),
+        col(s"__n$i").as("n_users"),
+        round(col(s"__n$i").cast("double") /
+          col(s"__n${math.max(i - 1, 0)}"), 6).as("conv_from_prev"),
+        round(col(s"__n$i").cast("double") / col("__n0"), 6).as("conv_from_head"))
+    }
+    counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their FIRST
+    * activity; for each (cohort week, weeks since), how many of them
+    * were active. `dayCol` is an epoch-day long (derive with
+    * `unix_date`). Weeks are floor(day/7) — fixed calendar-free 7-day
+    * buckets, exact integer arithmetic.
+    */
+  def weeklyRetention(activity: DataFrame, userCol: String = "user_id",
+                      dayCol: String = "day"): DataFrame = {
+    val act = activity.select(col(userCol).as("u"), col(dayCol).as("d")).distinct()
+    val cohort = act.groupBy(col("u")).agg(min(col("d")).as("c"))
+    act.join(cohort, "u")
+      .groupBy(floor(col("c") / 7L).cast("long").as("cohort_week"),
+        floor((col("d") - col("c")) / 7L).cast("long").as("weeks_since"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+
+  /** First-order transition matrix of a per-user event sequence:
+    * (from_type, to_type, n, p) where p is the exact row-normalized
+    * probability. Sequences are ordered by (ts, tiebreak) per user; one
+    * window pass + one aggregation.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(totals), 6))
+  }
+}

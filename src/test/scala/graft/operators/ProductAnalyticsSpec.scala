@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ProductAnalyticsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("funnel: stages must occur strictly in order; out-of-order events don't count") {
+    val ev = Seq(
+      // user 1 completes in order: view@1, click@2, purchase@3
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2 clicked BEFORE viewing; the later click counts, the
+      // purchase before that click does not
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      (2L, "click", ts(4)),
+      // user 3 never clicked
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)),
+      // user 4 never viewed -> not in the funnel at all
+      (4L, "click", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val out = ProductAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("depth")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    val summary = ProductAnalytics
+      .funnelSummary(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(summary == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("funnel: same-timestamp stage events do NOT chain (strictly after)") {
+    val ev = Seq((1L, "view", ts(5)), (1L, "click", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val out = ProductAnalytics.funnel(ev, Seq("view", "click")).head()
+    assert(out.getAs[Long]("depth") == 1L)
+  }
+
+  test("weeklyRetention: cohorts keyed by first-activity week, exact integer buckets") {
+    val act = Seq(
+      (1L, 0L), (1L, 6L), (1L, 7L),   // cohort week 0; active weeks 0 and 1
+      (2L, 7L), (2L, 21L),            // cohort week 1; active weeks_since 0 and 2
+      (3L, 0L))                       // cohort week 0; only week 0
+      .toDF("user_id", "day")
+    val out = ProductAnalytics.weeklyRetention(act).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("transitions: counts and row-normalized probabilities; ties ordered by tiebreak") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)), (1L, 3L, "a", ts(3)),
+      (1L, 4L, "b", ts(4)),
+      (2L, 5L, "a", ts(1)), (2L, 6L, "a", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = ProductAnalytics.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from a: ->b twice (u1), ->a once (u2) ; from b: ->a once
+    assert(out(("a", "b")) == ((2L, 0.666667)))
+    assert(out(("a", "a")) == ((1L, 0.333333)))
+    assert(out(("b", "a")) == ((1L, 1.0)))
+    // no cross-user transition: u1's last 'b' never chains to u2's 'a'
+    assert(out.keySet == Set(("a", "b"), ("a", "a"), ("b", "a")))
+  }
+}
