@@ -753,6 +753,33 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // declarative data-quality gate: row-local rules fold into ONE
+    // aggregation pass; the uniqueness rule adds its own key-count agg
+    "q96_expectations" -> ((s, dir) => {
+      import Expectations._
+      Expectations.check(t(s, dir, "lineitem"), Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1.0, 50.0),
+          InRange("l_discount", 0.0, 0.1),
+          OneOf("l_returnflag", Seq("A", "N", "R")),
+          Matches("l_linestatus", "^[OF]$"),
+          Unique(Seq("l_orderkey", "l_linenumber"))))
+        .orderBy(col("rule_idx"))
+    }),
+
+    // unpivot (wide -> long), the inverse of q43's pivot
+    "q97_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          max(col("o_orderkey")).as("max_key"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("n_custs"), col("max_key")),
+          "metric", "value")
+        .orderBy(col("o_orderpriority"), col("metric"))
+    }),
+
     // ordered funnel: view -> click -> purchase, each stage strictly
     // after the prior one; k user-keyed shuffles over shrinking frames
     "q93_funnel" -> ((s, dir) =>
@@ -2236,6 +2263,44 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q96_expectations" ->
+      """WITH local AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+        |      AND NOT regexp_full_match(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v4
+        |  FROM lineitem),
+        |uniq AS (
+        |  SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v5 FROM (
+        |    SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber))
+        |SELECT rule_idx, rule, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rule_idx, 'not_null(l_orderkey)' AS rule, v0 AS n_violations FROM local
+        |  UNION ALL SELECT 1, 'in_range(l_quantity,1.0,50.0)', v1 FROM local
+        |  UNION ALL SELECT 2, 'in_range(l_discount,0.0,0.1)', v2 FROM local
+        |  UNION ALL SELECT 3, 'one_of(l_returnflag)', v3 FROM local
+        |  UNION ALL SELECT 4, 'matches(l_linestatus)', v4 FROM local
+        |  UNION ALL SELECT 5, 'unique(l_orderkey,l_linenumber)', v5 FROM uniq)
+        |ORDER BY rule_idx""".stripMargin,
+
+    "q97_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |    max(o_orderkey) AS max_key
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+        |  UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM wide
+        |  UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM wide)
+        |ORDER BY o_orderpriority, metric""".stripMargin,
 
     "q93_funnel" ->
       """WITH s0 AS (
