@@ -753,6 +753,25 @@ object SparkEntry {
         .orderBy(col("avg_surprisal"), col("doc_id"))
     }),
 
+    // SCD-2 temporal lookup: each probe joins to the dimension interval
+    // valid AT its sequence point — equi-join on the key with a residual
+    // validity-range filter (hash-joinable; no custom operator needed)
+    "q98_scd2_lookup" -> ((s, dir) => {
+      val hist = Cdc.scd2(
+        t(s, dir, "orders").select(col("o_custkey").as("k"),
+          col("o_orderkey").as("seq"), col("o_orderpriority").as("attr")),
+        "k", "seq", "attr")
+      val probes = t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(5L)) === 0L)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("probe_seq"))
+      probes.join(hist, Seq("k"))
+        .filter(col("probe_seq") >= col("valid_from") &&
+          (col("valid_to").isNull || col("probe_seq") < col("valid_to")))
+        .select(col("k"), col("probe_seq"), col("attr"),
+          col("valid_from"), col("is_current"))
+        .orderBy(col("k"), col("probe_seq"))
+    }),
+
     // declarative data-quality gate: row-local rules fold into ONE
     // aggregation pass; the uniqueness rule adds its own key-count agg
     "q96_expectations" -> ((s, dir) => {
@@ -2263,6 +2282,31 @@ object SparkEntry {
         |  ON ship_day BETWEEN win_start AND win_start + win_order % 30
         |GROUP BY win_order
         |ORDER BY win_order""".stripMargin,
+
+    "q98_scd2_lookup" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS k, o_orderkey AS seq, o_orderpriority AS attr
+        |  FROM orders),
+        |lagged AS (
+        |  SELECT *, lag(attr) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY seq)),
+        |collapsed AS (
+        |  SELECT k, seq, attr FROM lagged
+        |  WHERE rn = 1 OR attr IS DISTINCT FROM prev),
+        |hist AS (
+        |  SELECT k, attr, seq AS valid_from,
+        |    lead(seq) OVER w2 AS valid_to,
+        |    lead(seq) OVER w2 IS NULL AS is_current
+        |  FROM collapsed
+        |  WINDOW w2 AS (PARTITION BY k ORDER BY seq)),
+        |probes AS (
+        |  SELECT o_custkey AS k, o_orderkey AS probe_seq FROM orders
+        |  WHERE o_custkey % 5 = 0)
+        |SELECT p.k, p.probe_seq, h.attr, h.valid_from, h.is_current
+        |FROM probes p JOIN hist h ON p.k = h.k
+        |WHERE p.probe_seq >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.probe_seq < h.valid_to)
+        |ORDER BY p.k, p.probe_seq""".stripMargin,
 
     "q96_expectations" ->
       """WITH local AS (
