@@ -46,6 +46,33 @@ object Cdc {
       .select(col(keyCol) +: valueCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
+  /** [[applyChanges]] variant where the BASE carries its own per-key
+    * `versionCol` (a snapshot that remembers the version that produced
+    * each row — [[graft.streaming.StreamingCdc]]'s layout): a change
+    * only wins against a key when its version is higher than the stored
+    * one, so late-arriving stale changes lose across batch boundaries.
+    * Output keeps `versionCol` (the winning version per key). Deleted
+    * keys drop entirely — a later lower-versioned change CAN resurrect
+    * one (tombstones are not retained; retain the delete in the change
+    * log if that matters).
+    */
+  def applyChangesVersioned(base: DataFrame, changes: DataFrame, keyCol: String,
+                            versionCol: String, opCol: String): DataFrame = {
+    val valueCols = base.columns
+      .filterNot(c => c == keyCol || c == versionCol).toSeq
+    require(valueCols.nonEmpty, "base needs at least one non-key column")
+    val ordered = Seq(col(keyCol), col(versionCol), col(opCol)) ++ valueCols.map(col)
+    val unioned = base.withColumn(opCol, lit("upsert")).select(ordered: _*)
+      .unionByName(changes.select(ordered: _*))
+    val packed = struct(col(opCol) +: valueCols.map(col): _*)
+    unioned.groupBy(col(keyCol))
+      .agg(max_by(packed, col(versionCol)).as("__latest"),
+        max(col(versionCol)).as(versionCol))
+      .filter(col(s"__latest.$opCol") =!= "delete")
+      .select(col(keyCol) +: col(versionCol) +:
+        valueCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
   /** SCD-2 intervalization: from a per-key change-event stream, build
     * `[valid_from, valid_to)` validity intervals for `attrCol`,
     * collapsing consecutive events that carry the SAME value (re-stating
