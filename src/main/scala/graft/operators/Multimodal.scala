@@ -343,7 +343,8 @@ object Multimodal {
   /** Frame-sample stage STUB for video payloads: emits `n` frame rows per
     * asset (payload passthrough — no JDK video codec exists; a production
     * implementation decodes actual frames via ffmpeg). Shows the 1→N
-    * explode shape with stable ids.
+    * explode shape with stable ids. For animated GIFs the REAL
+    * decode-backed variant is [[sampleFramesDecoded]].
     */
   def sampleFrames(assets: DataFrame, n: Int): DataFrame =
     assets
@@ -351,4 +352,118 @@ object Multimodal {
       .withColumn("meta",
         map_concat(coalesce(col("meta"), map()),
           map(lit("frame"), col("frame_no").cast("string"))))
+
+  /** All frames of an animated GIF payload, decoded with the JDK's own
+    * multi-image GIF reader. Frames are composited onto the running
+    * canvas when the GIF uses partial-frame optimization (each stored
+    * image may cover only the changed rectangle), so every returned
+    * frame is a full image.
+    */
+  private[operators] def decodeGifFrames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+    if (payload == null || payload.length < 6 ||
+        !(payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) None
+    else {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        try {
+          reader.setInput(in, false, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            var canvas: BufferedImage = null
+            val frames = Vector.newBuilder[BufferedImage]
+            for (i <- 0 until n) {
+              val raw = reader.read(i)
+              val md = reader.getImageMetadata(i)
+              val (x, y) = gifFrameOffset(md)
+              if (canvas == null)
+                canvas = new BufferedImage(
+                  math.max(raw.getWidth + x, raw.getWidth),
+                  math.max(raw.getHeight + y, raw.getHeight),
+                  BufferedImage.TYPE_INT_ARGB)
+              val g = canvas.createGraphics()
+              try g.drawImage(raw, x, y, null) finally g.dispose()
+              val snap = new BufferedImage(canvas.getWidth, canvas.getHeight,
+                BufferedImage.TYPE_INT_ARGB)
+              val g2 = snap.createGraphics()
+              try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+              frames += snap
+            }
+            Some(frames.result())
+          }
+        } catch { case _: Exception => None }
+        finally { try in.close() finally reader.dispose() }
+      }
+    }
+  }
+
+  private def gifFrameOffset(md: javax.imageio.metadata.IIOMetadata): (Int, Int) =
+    try {
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = tree.getElementsByTagName("ImageDescriptor")
+      if (nodes.getLength == 0) (0, 0)
+      else {
+        val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        (d.getAttribute("imageLeftPosition").toInt,
+          d.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+  /** REAL frame sampling for animated GIF payloads: decode the frame
+    * sequence (JDK-only), pick `n` evenly spaced frames (all of them
+    * when the animation is shorter), and emit one row per sampled frame
+    * with the frame re-encoded as a standalone PNG payload and
+    * `meta.frame` / `meta.n_frames_total` set. Non-GIF payloads fall
+    * back to [[sampleFrames]]' documented stub shape (payload
+    * passthrough, `n` rows) so mixed-asset frames keep one schema.
+    *
+    * Scale shape: per-row decode inside mapPartitions (the codec works
+    * on one payload at a time; no shuffle), 1→≤n explode on the output
+    * side.
+    */
+  def sampleFramesDecoded(assets: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val outSchema = StructType(assets.schema.fields ++ Seq(
+      StructField("frame_no", IntegerType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    val payloadIdx = assets.schema.fieldIndex("payload")
+    val metaIdx = assets.schema.fieldIndex("meta")
+    assets.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val oldMeta = if (r.isNullAt(metaIdx)) Map.empty[String, String]
+          else r.getAs[Map[String, String]](metaIdx)
+        decodeGifFrames(payload) match {
+          case Some(frames) =>
+            val total = frames.size
+            val take = math.min(n, total)
+            // evenly spaced, first frame always included: index
+            // floor(i * total / take) is strictly increasing for take<=total
+            (0 until take).iterator.map { i =>
+              val fi = (i.toLong * total / take).toInt
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(frames(fi), "png", bos)
+              val meta = oldMeta ++ Map(
+                "frame" -> fi.toString,
+                "n_frames_total" -> total.toString,
+                "frames_real" -> "true")
+              Row.fromSeq(r.toSeq
+                .updated(payloadIdx, bos.toByteArray)
+                .updated(metaIdx, meta) :+ fi)
+            }
+          case None =>
+            (0 until n).iterator.map { i =>
+              val meta = oldMeta ++ Map(
+                "frame" -> i.toString, "frames_real" -> "false")
+              Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ i)
+            }
+        }
+      }
+    }(enc)
+  }
 }

@@ -172,4 +172,69 @@ class MultimodalSpec extends SparkSpecBase {
       .getAs[Map[String, String]](0)
     assert(metas("frame") == "2")
   }
+
+  /** A real animated GIF: one solid-color full-size frame per color. */
+  private def gifBytes(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  test("sampleFramesDecoded extracts REAL evenly-spaced GIF frames as PNG payloads") {
+    import org.apache.spark.sql.{Row => R}
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff)
+    val rows = Seq(R(1L, gifBytes(8, 6, colors), "video",
+      Map.empty[String, String], null))
+    val gifAssets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.schema)
+    val out = Multimodal.sampleFramesDecoded(gifAssets, n = 3)
+      .orderBy("frame_no").collect()
+    assert(out.length == 3)
+    // evenly spaced over 5 frames: indices 0, 1, 3
+    val picked = out.map(_.getAs[Map[String, String]]("meta")("frame").toInt).toSeq
+    assert(picked == Seq(0, 1, 3))
+    assert(out.forall(_.getAs[Map[String, String]]("meta")("n_frames_total") == "5"))
+    // each emitted payload is a standalone PNG of the right size and color
+    out.zip(Seq(0xff0000, 0x00ff00, 0xffff00)).foreach { case (r, want) =>
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(png.getWidth == 8 && png.getHeight == 6)
+      assert((png.getRGB(4, 3) & 0xffffff) == want,
+        f"frame color ${png.getRGB(4, 3)}%06x vs $want%06x")
+    }
+  }
+
+  test("sampleFramesDecoded: non-GIF payloads fall back to the stub shape") {
+    val out = Multimodal.sampleFramesDecoded(
+      imageAssets((1L, 10, 10)), n = 4).collect()
+    assert(out.length == 4)
+    assert(out.forall(
+      _.getAs[Map[String, String]]("meta")("frames_real") == "false"))
+    // an animation SHORTER than n emits every frame exactly once
+    import org.apache.spark.sql.{Row => R}
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(R(2L,
+        gifBytes(4, 4, Seq(0xff0000, 0x0000ff)), "video",
+        Map.empty[String, String], null)), 1), Multimodal.schema)
+    val frames = Multimodal.sampleFramesDecoded(short, n = 10).collect()
+    assert(frames.length == 2)
+    assert(frames.map(_.getAs[Map[String, String]]("meta")("frame")).toSet ==
+      Set("0", "1"))
+  }
 }
