@@ -54,6 +54,21 @@ class CdcSpec extends SparkSpecBase {
     assert(out == Set((1L, Some("x")), (2L, None), (4L, Some("x"))))
   }
 
+  test("applyChangesVersioned with a MinValue-versioned base agrees with applyChanges") {
+    val base = (0L until 50L).map(k => (k, s"b$k")).toDF("k", "v")
+    val changes = (0L until 120L).map { i =>
+      (i % 60L, i + 1L, if (i % 11 == 0) "delete" else "upsert", s"c$i")
+    }.toDF("k", "version", "op", "v")
+    val plain = Cdc.applyChanges(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val versioned = Cdc.applyChangesVersioned(
+        base.withColumn("version", lit(Long.MinValue)),
+        changes, "k", "version", "op")
+      .select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain == versioned)
+  }
+
   test("applyChanges result is independent of partitioning") {
     val base = (0L until 100L).map(k => (k, s"b$k")).toDF("k", "v")
     val changes = (0L until 300L).map { i =>
