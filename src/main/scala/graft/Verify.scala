@@ -22,6 +22,10 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (name, _) =>
         only.contains(name) || only.contains(name.takeWhile(_ != '_')) }
+    // a mistyped filter must fail loudly, not write an empty manifest a
+    // checker would read as a vacuous pass
+    require(selected.nonEmpty,
+      s"query filter matched nothing: ${only.mkString(", ")}")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

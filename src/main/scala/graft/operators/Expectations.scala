@@ -30,7 +30,10 @@ object Expectations {
   final case class OneOf(column: String, allowed: Seq[String]) extends Rule {
     val name = s"one_of($column)"
   }
-  /** Violated when non-null and not fully matching `regex`. */
+  /** Violated when non-null and not FULLY matching `regex` (the pattern
+    * is wrapped in `^(?:...)$`, so an unanchored pattern cannot silently
+    * degrade to substring-find semantics).
+    */
   final case class Matches(column: String, regex: String) extends Rule {
     val name = s"matches($column)"
   }
@@ -48,7 +51,9 @@ object Expectations {
     case OneOf(c, allowed) =>
       col(c).isNotNull && !col(c).isin(allowed: _*)
     case Matches(c, re) =>
-      col(c).isNotNull && !col(c).rlike(re)
+      // rlike is substring-FIND; anchor to enforce the documented
+      // full-match contract regardless of the caller's pattern
+      col(c).isNotNull && !col(c).rlike(s"^(?:$re)$$")
     case _: Unique =>
       throw new IllegalArgumentException("unique rules are not row-local")
   }

@@ -30,6 +30,8 @@ object HybridSearch {
               rankCol: String = "rank", kRrf: Int = 60,
               topK: Int = 10): DataFrame = {
     require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"ranking names must be distinct, got ${rankings.map(_._1)}")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     val named = rankings.map { case (name, df) =>
       name -> df.select(col(idCol), col(rankCol).cast("long").as(s"${name}_rank"))

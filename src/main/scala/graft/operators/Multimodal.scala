@@ -353,13 +353,21 @@ object Multimodal {
         map_concat(coalesce(col("meta"), map()),
           map(lit("frame"), col("frame_no").cast("string"))))
 
-  /** All frames of an animated GIF payload, decoded with the JDK's own
-    * multi-image GIF reader. Frames are composited onto the running
-    * canvas when the GIF uses partial-frame optimization (each stored
-    * image may cover only the changed rectangle), so every returned
-    * frame is a full image.
+  /** Sampled frames of an animated GIF payload, decoded with the JDK's
+    * own multi-image GIF reader: returns (total frame count, the frames
+    * at `wanted` indices, fully composited). Frames are composited onto
+    * a running canvas sized from the LOGICAL SCREEN (each stored image
+    * may cover only the changed rectangle under GIF frame optimization;
+    * the first frame's extent is NOT the animation's extent), and only
+    * the wanted indices are snapshotted — a 500-frame animation sampled
+    * at 3 holds one canvas plus 3 copies, not 500. Compositing stops at
+    * the last wanted index. Disposal modes restore-to-background/
+    * previous are NOT applied (composite-over only) — documented
+    * limitation of the JDK-only path.
     */
-  private[operators] def decodeGifFrames(payload: Array[Byte]): Option[Vector[BufferedImage]] = {
+  private[operators] def decodeGifSampledFrames(
+      payload: Array[Byte],
+      wanted: Int => Set[Int]): Option[(Int, Vector[(Int, BufferedImage)])] = {
     if (payload == null || payload.length < 6 ||
         !(payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) None
     else {
@@ -373,32 +381,56 @@ object Multimodal {
           val n = reader.getNumImages(true)
           if (n <= 0) None
           else {
-            var canvas: BufferedImage = null
-            val frames = Vector.newBuilder[BufferedImage]
-            for (i <- 0 until n) {
+            val want = wanted(n)
+            require(want.nonEmpty && want.forall(i => i >= 0 && i < n),
+              s"wanted frame indices out of [0, $n): $want")
+            val last = want.max
+            // canvas = logical screen; some encoders omit it -> fall back
+            // to the max extent over the frames we will touch
+            val (lsw, lsh) = gifLogicalScreen(reader).getOrElse {
+              var (w, h) = (1, 1)
+              for (i <- 0 to last) {
+                val (x, y) = gifFrameOffset(reader.getImageMetadata(i))
+                w = math.max(w, x + reader.getWidth(i))
+                h = math.max(h, y + reader.getHeight(i))
+              }
+              (w, h)
+            }
+            val canvas = new BufferedImage(lsw, lsh, BufferedImage.TYPE_INT_ARGB)
+            val frames = Vector.newBuilder[(Int, BufferedImage)]
+            for (i <- 0 to last) {
               val raw = reader.read(i)
-              val md = reader.getImageMetadata(i)
-              val (x, y) = gifFrameOffset(md)
-              if (canvas == null)
-                canvas = new BufferedImage(
-                  math.max(raw.getWidth + x, raw.getWidth),
-                  math.max(raw.getHeight + y, raw.getHeight),
-                  BufferedImage.TYPE_INT_ARGB)
+              val (x, y) = gifFrameOffset(reader.getImageMetadata(i))
               val g = canvas.createGraphics()
               try g.drawImage(raw, x, y, null) finally g.dispose()
-              val snap = new BufferedImage(canvas.getWidth, canvas.getHeight,
-                BufferedImage.TYPE_INT_ARGB)
-              val g2 = snap.createGraphics()
-              try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
-              frames += snap
+              if (want.contains(i)) {
+                val snap = new BufferedImage(lsw, lsh, BufferedImage.TYPE_INT_ARGB)
+                val g2 = snap.createGraphics()
+                try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+                frames += ((i, snap))
+              }
             }
-            Some(frames.result())
+            Some((n, frames.result()))
           }
         } catch { case _: Exception => None }
         finally { try in.close() finally reader.dispose() }
       }
     }
   }
+
+  private def gifLogicalScreen(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = tree.getElementsByTagName("LogicalScreenDescriptor")
+      if (nodes.getLength == 0) None
+      else {
+        val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        val w = d.getAttribute("logicalScreenWidth").toInt
+        val h = d.getAttribute("logicalScreenHeight").toInt
+        if (w > 0 && h > 0) Some((w, h)) else None
+      }
+    } catch { case _: Exception => None }
 
   private def gifFrameOffset(md: javax.imageio.metadata.IIOMetadata): (Int, Int) =
     try {
@@ -438,16 +470,17 @@ object Multimodal {
           else r.getAs[Array[Byte]](payloadIdx)
         val oldMeta = if (r.isNullAt(metaIdx)) Map.empty[String, String]
           else r.getAs[Map[String, String]](metaIdx)
-        decodeGifFrames(payload) match {
-          case Some(frames) =>
-            val total = frames.size
-            val take = math.min(n, total)
-            // evenly spaced, first frame always included: index
-            // floor(i * total / take) is strictly increasing for take<=total
-            (0 until take).iterator.map { i =>
-              val fi = (i.toLong * total / take).toInt
+        // evenly spaced, first frame always included: index
+        // floor(i * total / take) is strictly increasing for take<=total
+        def sampleIdx(total: Int): Set[Int] = {
+          val take = math.min(n, total)
+          (0 until take).map(i => (i.toLong * total / take).toInt).toSet
+        }
+        decodeGifSampledFrames(payload, sampleIdx) match {
+          case Some((total, frames)) =>
+            frames.iterator.map { case (fi, img) =>
               val bos = new ByteArrayOutputStream()
-              ImageIO.write(frames(fi), "png", bos)
+              ImageIO.write(img, "png", bos)
               val meta = oldMeta ++ Map(
                 "frame" -> fi.toString,
                 "n_frames_total" -> total.toString,

@@ -28,7 +28,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * [[BroadcastPointInIntervalJoinExec]] instead: the broadcast intervals
   * are sorted by start once per task, each point row binary-searches the
   * start bound and walks back under a prefix-max-end early stop —
-  * O(log m + hits) per row, the textbook broadcast range join.
+  * O(log m + scanned candidates) per row, where the early stop bounds the
+  * scan by the first position whose prefix-max-end cannot reach the probe.
+  * For typical interval sets (bounded overlap) that is O(log m + hits);
+  * one adversarially long interval below many short ones keeps the
+  * prefix-max high and degrades the walk toward O(m) for probes above it
+  * (an interval tree removes that case at higher constant cost — out of
+  * scope for a broadcast dimension side). Still strictly better than
+  * BNLJ, which pays O(m) comparisons on EVERY row.
   *
   * Scale design: the interval side must be broadcastable (dimension-sized
   * — calendars, buckets, config windows); the 100 TB point side never

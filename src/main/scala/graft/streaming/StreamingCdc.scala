@@ -11,14 +11,18 @@ import graft.operators.Cdc
   * snapshot stores each key's winning version, so late-arriving stale
   * changes lose across batch boundaries, not just within a batch.
   *
-  * Snapshot layout: `dir/v=N/` per applied batch plus a `CURRENT`
-  * pointer file, updated by write-temp-then-rename (atomic on HDFS and
-  * POSIX). Readers resolve `CURRENT` and never see a half-written
-  * version; old versions stay readable (cheap time travel) until a
-  * retention sweep removes them. Writing a NEW directory per batch —
-  * never overwriting the one being read — is what makes the
-  * read-fold-write cycle safe: Spark cannot overwrite a parquet dir
-  * that is an input of the running plan.
+  * Snapshot layout: `dir/v=N/` per applied batch plus one immutable
+  * `commit-N` marker file per committed version, created AFTER the
+  * version directory is fully written (`FileSystem.create` of a new
+  * file is atomic). Readers take the highest marker — there is no
+  * mutable pointer to swap, so no window in which a reader can observe
+  * "no current version" mid-commit, and a crash between data write and
+  * marker creation simply leaves an uncommitted directory behind. Old
+  * versions stay readable (cheap time travel) until a retention sweep
+  * removes them. Writing a NEW directory per batch — never overwriting
+  * the one being read — is what makes the read-fold-write cycle safe:
+  * Spark cannot overwrite a parquet dir that is an input of the running
+  * plan.
   *
   * Scale notes: each micro-batch rewrites the full snapshot (correct and
   * simple; the rewrite is one `applyChanges` shuffle over |snapshot| +
@@ -31,16 +35,19 @@ object StreamingCdc {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest committed version number, or -1 before the first apply. */
+  /** Latest committed version number, or -1 before the first apply —
+    * the highest `commit-N` marker present (one listing; markers are
+    * immutable once created).
+    */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
-    val cur = new Path(dir, "CURRENT")
-    if (!f.exists(cur)) -1L
-    else {
-      val in = f.open(cur)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-    }
+    val p = new Path(dir)
+    if (!f.exists(p)) -1L
+    else f.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("commit-"))
+      .map(_.stripPrefix("commit-").toLong)
+      .foldLeft(-1L)(math.max)
   }
 
   /** Read the current snapshot (empty-with-schema before first apply
@@ -72,14 +79,11 @@ object StreamingCdc {
     val next = Cdc.applyChangesVersioned(base, changes, keyCol, versionCol, opCol)
     val v = cur + 1
     next.write.mode("overwrite").parquet(s"$dir/v=$v")
-    // atomic pointer swap: write CURRENT.tmp, rename over CURRENT
-    val tmp = new Path(dir, "CURRENT.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val target = new Path(dir, "CURRENT")
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"could not commit CURRENT -> v=$v")
+    // commit = atomically CREATE the immutable marker (no mutable pointer,
+    // no delete/rename window a reader could fall into); overwrite=false
+    // doubles as a guard against two writers racing to the same version
+    val marker = f.create(new Path(dir, s"commit-$v"), false)
+    marker.close()
     v
   }
 
