@@ -87,6 +87,33 @@ object StreamingCdc {
     v
   }
 
+  /** Retention sweep: drop all committed versions except the newest
+    * `keepLast` (the current version is always kept). The marker is
+    * removed BEFORE the data directory, so a crashed sweep leaves
+    * an orphaned (unreferenced) directory, never a marker pointing at
+    * missing data. Time travel to vacuumed versions is gone by
+    * definition. Returns the removed version numbers.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val committed = f.listStatus(p).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("commit-"))
+        .map(_.stripPrefix("commit-").toLong)
+        .toSeq.sorted
+      val drop = committed.dropRight(keepLast)
+      drop.foreach { v =>
+        f.delete(new Path(dir, s"commit-$v"), false)
+        f.delete(new Path(dir, s"v=$v"), true)
+      }
+      drop
+    }
+  }
+
   /** `foreachBatch` hook: `changes.writeStream.foreachBatch(
     * StreamingCdc.applier(spark, dir, "k", "version", "op")).start()`.
     */

@@ -68,6 +68,27 @@ class StreamingCdcSpec extends SparkSpecBase {
     assert(snapshotMap(dir) == Map(1L -> "newest", 2L -> "b"))
   }
 
+  test("vacuum keeps the newest versions, removes older dirs and markers") {
+    val dir = scratch("vacuum")
+    for (i <- 1 to 4)
+      StreamingCdc.apply(spark,
+        dir, Seq((1L, i.toLong, "upsert", s"v$i")).toDF("k", "version", "op", "v"),
+        "k", "version", "op")
+    assert(StreamingCdc.currentVersion(spark, dir) == 3L)
+    val removed = StreamingCdc.vacuum(spark, dir, keepLast = 2)
+    assert(removed == Seq(0L, 1L))
+    // current and its predecessor survive; older versions are gone
+    assert(StreamingCdc.currentVersion(spark, dir) == 3L)
+    assert(snapshotMap(dir) == Map(1L -> "v4"))
+    assert(snapshotMap(dir, version = 2L) == Map(1L -> "v3"))
+    intercept[Exception] { snapshotMap(dir, version = 0L) }
+    // idempotent; keepLast guard
+    assert(StreamingCdc.vacuum(spark, dir, keepLast = 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      StreamingCdc.vacuum(spark, dir, keepLast = 0)
+    }
+  }
+
   test("reading before any commit fails loudly; empty dir has version -1") {
     val dir = scratch("empty")
     assert(StreamingCdc.currentVersion(spark, dir) == -1L)
