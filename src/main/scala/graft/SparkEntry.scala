@@ -903,13 +903,15 @@ object SparkEntry {
     "q86_sql_text_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      // plain split, no filter() HOF: an interpreted lambda per row is the
+      // documented 10-30x fallback, and the DuckDB mirror tokenizes with
+      // the same unfiltered regexp_split — identical tokens either way
       s.sql("""
         SELECT doc_id,
           CAST(graft_ws_token_count(text) AS BIGINT) AS n_tokens,
           CAST(graft_bpe_token_count(text) AS BIGINT) AS n_bpe,
           CAST(size(graft_hashed_shingles(
-            filter(split(trim(lower(text)), '\\s+'), x -> x <> ''), 3))
-            AS BIGINT) AS n_shingles
+            split(trim(lower(text)), '\\s+'), 3)) AS BIGINT) AS n_shingles
         FROM documents_v
         ORDER BY doc_id""")
     }),
