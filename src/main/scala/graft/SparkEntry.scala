@@ -13,8 +13,9 @@ import graft.sources.{Partitioned, Tables}
   * float-seeded ops run PORTABLE variants precisely so the oracle can
   * replay them end to end: md5-derived hash/plane families (simhash votes,
   * rolling-fp polynomial, LSH hyperplanes) and exact decimal-sum IVF
-  * centroids. The single rows-only query left is q33 — binary image
-  * decode has no SQL counterpart.
+  * centroids. Every query has an oracle — q33's replays the documented
+  * md5-closed-form fallback fakes (real PNG/WAV decode is spec-verified;
+  * binary decode itself has no SQL counterpart).
   *
   * Determinism rules applied throughout (the driver hash-compares values):
   *  - every query ends in an explicit orderBy on a key;
@@ -2510,7 +2511,10 @@ object SparkEntry {
         |    AS skew_ratio
         |FROM counts""".stripMargin,
 
-    // same token/shingle constructions as the q23/q74 oracles
+    // same token construction as the q23 oracle; NOTE the raw
+    // graft_hashed_shingles SQL function has NO short-doc fallback
+    // (unlike Dedup.hashedShinglesFromTokens) - docs under 3 tokens
+    // yield ZERO shingles on both sides
     "q86_sql_text_funcs" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
@@ -2518,7 +2522,7 @@ object SparkEntry {
         |sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
         |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
-        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |    ELSE []::VARCHAR[] END) AS shingles
         |  FROM toks)
         |SELECT d.doc_id,
         |  CAST(len(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS BIGINT)

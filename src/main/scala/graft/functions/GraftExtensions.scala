@@ -108,7 +108,9 @@ object GraftFunctions {
   val hashedShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_hashed_shingles"),
       info("graft_hashed_shingles",
-        "graft_hashed_shingles(tokens, n) - sorted distinct 64-bit hashes of token n-grams"),
+        "graft_hashed_shingles(tokens, n) - distinct 64-bit hashes of token n-grams " +
+          "in first-occurrence order (sort with sort_array if order matters); " +
+          "fewer than n tokens yields an empty array"),
       { args =>
         require(args.length == 2, "graft_hashed_shingles takes (tokens, n)")
         TextHashes.HashedShingles(args(0), intArg(args(1), "n"))

@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Caches created internally by graft operators (shingle arrays,
-    * [[connectedComponents]] labels, [[TextAnalysis.lmSurprisal]] term
-    * counts) register with [[TrackedCaches]]; this is the public release
-    * hook ([[Curation.report]] calls it automatically).
+    * [[TextAnalysis.lmSurprisal]] term counts, [[Similarity.semDedup]]
+    * assignments) register with [[TrackedCaches]]; this is the public
+    * release hook ([[Curation.report]] calls it automatically).
+    * [[connectedComponents]] labels are the one deliberate EXCEPTION —
+    * they are localCheckpoint-backed (blocks ARE the data; releasing
+    * would break later use) and are freed by the ContextCleaner when the
+    * caller drops the frame.
     */
   private def tracked(df: DataFrame): DataFrame = TrackedCaches.track(df)
 

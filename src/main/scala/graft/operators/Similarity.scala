@@ -205,13 +205,19 @@ object Similarity {
     // the map-side partial aggregate, so the shuffle carries corpus rows,
     // not corpus×k (a row_number window would shuffle and sort the
     // expansion)
-    val assigned = v.join(broadcast(cents), lit(true))
+    // persisted: the assignment subtree (corpus scan + centroid agg +
+    // broadcast cosine + per-id argmax) is referenced THREE times below
+    // (both self-join sides and the final verdict join) and would rerun
+    // per reference; registered with TrackedCaches like the shingle
+    // arrays (released via Dedup.releaseCaches / Curation.report)
+    val assigned = TrackedCaches.track(v.join(broadcast(cents), lit(true))
       .withColumn("csim", cosineCol(col("v"), col("centroid")))
       .groupBy(col(idCol))
       .agg(min(struct((-col("csim")).as("neg"), col("cell").as("cell"),
         col("v").as("v"), col("vn").as("vn"))).as("best"))
       .select(col(idCol), col("best.v").as("v"), col("best.vn").as("vn"),
         col("best.cell").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = assigned.select(col("cell"), col(idCol).as("a_id"),
       col("v").as("av"), col("vn").as("an"))
     val b = assigned.select(col("cell"), col(idCol).as("b_id"),

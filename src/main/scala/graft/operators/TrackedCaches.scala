@@ -14,6 +14,9 @@ import org.apache.spark.sql.DataFrame
 private[graft] object TrackedCaches {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // bumped by every global release(): a scope whose epoch moved cannot
+  // trust its size mark (the buffer was cleared under it)
+  private var epoch = 0L
 
   def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
 
@@ -29,6 +32,7 @@ private[graft] object TrackedCaches {
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist())
     tracked.clear()
+    epoch += 1
   }
 
   /** Run `f` and release ONLY the caches registered during it — the shape
@@ -39,11 +43,15 @@ private[graft] object TrackedCaches {
     * object contract above: release between queries, not during them.
     */
   def scopedRelease[A](f: => A): A = {
-    val mark = synchronized(tracked.size)
+    val (mark, epochAtEntry) = synchronized((tracked.size, epoch))
     try f
     finally synchronized {
-      // a global release() during f can shrink the buffer below the mark
-      val start = math.min(mark, tracked.size)
+      // a global release() during f cleared the buffer, so the size mark
+      // is stale and every surviving entry was registered after the
+      // clear — i.e. during f: sweep from 0. (Size comparison alone
+      // cannot detect this — post-clear registrations can grow the
+      // buffer past the old mark again — hence the epoch.)
+      val start = if (epoch != epochAtEntry) 0 else mark
       val added = tracked.drop(start)
       added.foreach(_.unpersist())
       tracked.remove(start, tracked.size - start)

@@ -61,9 +61,15 @@ object StreamingCdc {
     spark.read.parquet(s"$dir/v=$v")
   }
 
-  /** Apply one batch of changes; commits version `currentVersion + 1`
-    * and atomically repoints `CURRENT`. The first apply treats upserts
-    * as inserts into an empty base.
+  /** Apply one batch of changes as the next version. Two-phase commit
+    * against racing writers: atomically CLAIM the version number first
+    * (`claim-N` created with overwrite=false — the loser fails here,
+    * BEFORE touching any data), then write `v=N/`, then create the
+    * `commit-N` marker readers look for. A crash mid-apply leaves an
+    * orphaned claim/dir that later writers skip past (the next version =
+    * max over claims AND commits + 1) and never a marker pointing at
+    * uncommitted bytes. The first apply treats upserts as inserts into
+    * an empty base.
     */
   def apply(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, versionCol: String, opCol: String): Long = {
@@ -77,13 +83,25 @@ object StreamingCdc {
       else changes.select(snapshotCols.map(org.apache.spark.sql.functions.col): _*)
         .limit(0)
     val next = Cdc.applyChangesVersioned(base, changes, keyCol, versionCol, opCol)
-    val v = cur + 1
+    // next version: one past every CLAIMED or committed version, so a
+    // racing/crashed writer's claim is never reused
+    val p = new Path(dir)
+    if (!f.exists(p)) f.mkdirs(p)
+    val taken = f.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("commit-") => n.stripPrefix("commit-").toLong
+        case n if n.startsWith("claim-") => n.stripPrefix("claim-").toLong
+      }
+      .foldLeft(cur)(math.max)
+    val v = taken + 1
+    // phase 1: atomic claim — a concurrent writer targeting the same v
+    // fails HERE, before any data is written, so it can never clobber a
+    // committed directory
+    f.create(new Path(dir, s"claim-$v"), false).close()
+    // phase 2: data, then the immutable commit marker readers look for
     next.write.mode("overwrite").parquet(s"$dir/v=$v")
-    // commit = atomically CREATE the immutable marker (no mutable pointer,
-    // no delete/rename window a reader could fall into); overwrite=false
-    // doubles as a guard against two writers racing to the same version
-    val marker = f.create(new Path(dir, s"commit-$v"), false)
-    marker.close()
+    f.create(new Path(dir, s"commit-$v"), false).close()
     v
   }
 
@@ -108,8 +126,22 @@ object StreamingCdc {
       val drop = committed.dropRight(keepLast)
       drop.foreach { v =>
         f.delete(new Path(dir, s"commit-$v"), false)
+        f.delete(new Path(dir, s"claim-$v"), false)
         f.delete(new Path(dir, s"v=$v"), true)
       }
+      // orphaned claims (claimed but never committed — crashed writers)
+      // older than the kept window are dead by construction: no current
+      // or future writer will commit them
+      val floor = committed.takeRight(keepLast).headOption.getOrElse(Long.MaxValue)
+      f.listStatus(p).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("claim-") &&
+          n.stripPrefix("claim-").toLong < floor &&
+          !committed.contains(n.stripPrefix("claim-").toLong))
+        .foreach { n =>
+          f.delete(new Path(dir, n), false)
+          f.delete(new Path(dir, "v=" + n.stripPrefix("claim-")), true)
+        }
       drop
     }
   }

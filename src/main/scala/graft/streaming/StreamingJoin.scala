@@ -35,7 +35,8 @@ object StreamingJoin {
                  tsCol: String = "ts",
                  payloadCols: Seq[String] = Seq.empty): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
-    val rCols = Seq(col(s"r.$keyCol"), col(s"r.$tsCol").as("r_ts")) ++
+    // right key is the join key — it never appears in the output
+    val rCols = col(s"r.$tsCol").as("r_ts") +:
       payloadCols.map(c => col(s"r.$c").as(s"r_$c"))
     val r = right.withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol) +: col(tsCol) +: payloadCols.map(col): _*)
@@ -44,6 +45,6 @@ object StreamingJoin {
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookback") &&
         col(s"r.$tsCol") <= col(s"l.$tsCol"))
-      .select(col("l.*") +: rCols.tail: _*)
+      .select(col("l.*") +: rCols: _*)
   }
 }
