@@ -800,6 +800,28 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("metric"))
     }),
 
+    // Bloom-accelerated incremental dedup: definitely-new rows bypass
+    // the anti-join (no false negatives); only might-match rows shuffle.
+    // Result must equal the plain anti-join the oracle runs.
+    "q99_bloom_incremental_dedup" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val history = t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(3L)) === 0L)
+        .select(col("o_orderkey"))
+      BloomPrune.prunedAntiJoin(batch, history, "l_orderkey", "o_orderkey",
+          expectedItems = 60000L, fpp = 0.01)
+        .groupBy(pmod(col("l_orderkey"), lit(8L)).as("bucket"))
+        .agg(count(lit(1)).as("n_new"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // last-touch attribution: what each user did right before purchasing
+    "q100_attribution" -> ((s, dir) =>
+      ProductAnalytics.lastTouchAttribution(Tables.events(s, dir), "purchase")
+        .orderBy(col("user_id"), col("conversion_id"))),
+
     // ordered funnel: view -> click -> purchase, each stage strictly
     // after the prior one; k user-keyed shuffles over shrinking frames
     "q93_funnel" -> ((s, dir) =>
@@ -2348,6 +2370,32 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM wide
         |  UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM wide)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q99_bloom_incremental_dedup" ->
+      """SELECT l_orderkey % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_custkey % 3 = 0)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    "q100_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN {'t': epoch_us(ts), 'tp': event_type, 'id': event_id}
+        |      END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT user_id, event_id AS conversion_id, us AS conversion_us,
+        |  touch.tp AS source_type, touch.id AS source_id,
+        |  us - touch.t AS gap_us
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY user_id, conversion_id""".stripMargin,
 
     "q93_funnel" ->
       """WITH s0 AS (

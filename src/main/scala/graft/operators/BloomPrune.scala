@@ -64,6 +64,29 @@ object BloomPrune {
     pruned(big, bigKey, bf).join(small, col(bigKey) === col(smallKey))
   }
 
+  /** Bloom-accelerated ANTI join — the incremental-dedup accelerator for
+    * the common case where most of a new batch is genuinely new: rows
+    * whose key the filter has NEVER seen are definitely-new (no false
+    * negatives) and bypass the join entirely; only the might-match
+    * minority pays the anti-join shuffle. Semantically identical to
+    * `big.join(hist, bigKey === histKey, "left_anti")`: false positives
+    * go through the real anti-join and come out correctly.
+    */
+  def prunedAntiJoin(big: DataFrame, hist: DataFrame,
+                     bigKey: String, histKey: String,
+                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = buildFilter(hist, histKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    // NULL keys: never in the filter -> definitely-new, matching anti-join
+    // semantics (a null key matches no history row)
+    val definitelyNew = big.filter(!mightContain(col(bigKey)))
+    val maybe = big.filter(mightContain(col(bigKey)))
+      .join(hist, col(bigKey) === col(histKey), "left_anti")
+    definitelyNew.unionByName(maybe)
+  }
+
   /** Observability hook for specs/operators: fraction of `big` surviving
     * the pre-filter (1.0 means the filter prunes nothing).
     */

@@ -87,6 +87,36 @@ object ProductAnalytics {
       .agg(countDistinct(col("u")).as("n_users"))
   }
 
+  /** Last-touch attribution: for every conversion event, the latest
+    * PRECEDING non-conversion event of the same user (the marketing
+    * question "what did they do right before buying"). One window pass
+    * over a user-keyed sort; the carried state is one struct per row.
+    * Conversions with no preceding touch attribute to NULL. Emits
+    * (user, conversion id, conversion epoch-micros, source type, source
+    * id, seconds between touch and conversion).
+    */
+  def lastTouchAttribution(events: DataFrame, conversionType: String,
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts",
+                           idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= conversionType,
+      struct(unix_micros(col(tsCol)).as("t"), col(typeCol).as("tp"),
+        col(idCol).as("id")))
+    events
+      .withColumn("__touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol).as("conversion_id"),
+        unix_micros(col(tsCol)).as("conversion_us"),
+        col("__touch.tp").as("source_type"),
+        col("__touch.id").as("source_id"),
+        // raw micros, not divided seconds: integer-vs-double division
+        // rounding differs across engines, a plain difference cannot
+        (unix_micros(col(tsCol)) - col("__touch.t")).as("gap_us"))
+  }
+
   /** First-order transition matrix of a per-user event sequence:
     * (from_type, to_type, n, p) where p is the exact row-normalized
     * probability. Sequences are ordered by (ts, tiebreak) per user; one

@@ -40,6 +40,22 @@ class BloomPruneSpec extends SparkSpecBase {
     assert(out == Set(1L))
   }
 
+  test("prunedAntiJoin equals the plain anti-join, null keys included") {
+    val batch = ((0L until 5000L).map(Option(_)) ++ Seq(None, None))
+      .map(k => (k, "p")).toDF("k", "payload")
+    val hist = (0L until 5000L by 9L).toDF("hk")
+    val fast = BloomPrune.prunedAntiJoin(batch, hist, "k", "hk",
+        expectedItems = 600, fpp = 0.02)
+      .collect().map(r => Option(r.get(0))).toSeq.sorted(
+        Ordering.by((o: Option[Any]) => o.map(_.toString).getOrElse("")))
+    val plain = batch.join(hist, col("k") === col("hk"), "left_anti")
+      .collect().map(r => Option(r.get(0))).toSeq.sorted(
+        Ordering.by((o: Option[Any]) => o.map(_.toString).getOrElse("")))
+    assert(fast == plain)
+    // null keys match no history row -> both keep them
+    assert(fast.count(_.isEmpty) == 2)
+  }
+
   test("the pre-filter sits below the join in the plan (prunes before shuffle)") {
     // file-backed inputs: with in-memory LocalRelations the optimizer
     // evaluates the filter at plan time and the shape under test vanishes

@@ -52,6 +52,24 @@ class ProductAnalyticsSpec extends SparkSpecBase {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("lastTouchAttribution: latest preceding non-conversion wins; bare conversions attribute to null") {
+    val ev = Seq(
+      (1L, 1L, "view", ts(1)), (1L, 2L, "click", ts(2)),
+      (1L, 3L, "purchase", ts(3)),               // attributed to click@2
+      (1L, 4L, "purchase", ts(4)),               // still click@2 (purchases don't touch)
+      (1L, 5L, "view", ts(5)), (1L, 6L, "purchase", ts(6)), // view@5
+      (2L, 7L, "purchase", ts(1)))               // no preceding touch
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = ProductAnalytics.lastTouchAttribution(ev, "purchase")
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(3L) == ((Some("click"), Some(2L), Some(60000000L))))
+    assert(out(4L) == ((Some("click"), Some(2L), Some(120000000L))))
+    assert(out(6L) == ((Some("view"), Some(5L), Some(60000000L))))
+    assert(out(7L) == ((None, None, None)))
+  }
+
   test("transitions: counts and row-normalized probabilities; ties ordered by tiebreak") {
     val ev = Seq(
       (1L, 1L, "a", ts(1)), (1L, 2L, "b", ts(2)), (1L, 3L, "a", ts(3)),
