@@ -822,6 +822,20 @@ object SparkEntry {
       ProductAnalytics.lastTouchAttribution(Tables.events(s, dir), "purchase")
         .orderBy(col("user_id"), col("conversion_id"))),
 
+    // golden-record merge: per key, each column independently keeps its
+    // value from the latest version where it was present (sparse events
+    // synthesized from orders with column-dependent nulls)
+    "q101_golden_record" -> ((s, dir) => {
+      val sparse = t(s, dir, "orders").select(
+        col("o_custkey").as("k"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderstatus") =!= "F", col("o_totalprice")).as("price"),
+        when(pmod(col("o_orderkey"), lit(3L)) =!= 0L, col("o_orderpriority"))
+          .as("prio"))
+      Cdc.goldenRecord(sparse, "k", "version")
+        .orderBy(col("k"))
+    }),
+
     // ordered funnel: view -> click -> purchase, each stage strictly
     // after the prior one; k user-keyed shuffles over shrinking frames
     "q93_funnel" -> ((s, dir) =>
@@ -2370,6 +2384,20 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM wide
         |  UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM wide)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q101_golden_record" ->
+      """WITH sparse AS (
+        |  SELECT o_custkey AS k, o_orderkey AS v,
+        |    CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT k,
+        |  arg_max(price, CASE WHEN price IS NOT NULL THEN v END) AS price,
+        |  arg_max(prio, CASE WHEN prio IS NOT NULL THEN v END) AS prio,
+        |  max(v) AS last_version
+        |FROM sparse
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
 
     "q99_bloom_incremental_dedup" ->
       """SELECT l_orderkey % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_new,

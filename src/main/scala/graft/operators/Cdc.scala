@@ -73,6 +73,28 @@ object Cdc {
         valueCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
+  /** Golden-record merge (column-level survivorship): one row per key
+    * where EACH value column independently takes its value from the
+    * latest version at which that column was NON-NULL — the classic MDM
+    * merge of sparse change events ([[applyChanges]] is row-level: a
+    * later row with a null column nulls the attribute; this keeps the
+    * last known value instead). One aggregation, map-side combinable:
+    * per column `max_by(col, version WHERE col IS NOT NULL)` plus the
+    * overall latest version.
+    */
+  def goldenRecord(changes: DataFrame, keyCol: String,
+                   versionCol: String): DataFrame = {
+    val valueCols = changes.columns
+      .filterNot(c => c == keyCol || c == versionCol).toSeq
+    require(valueCols.nonEmpty, "changes need at least one value column")
+    val aggs = valueCols.map { c =>
+      // max_by skips rows whose ordering expression is null, so this is
+      // "value at the latest version where the value was present"
+      max_by(col(c), when(col(c).isNotNull, col(versionCol))).as(c)
+    } :+ max(col(versionCol)).as("last_version")
+    changes.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** SCD-2 intervalization: from a per-key change-event stream, build
     * `[valid_from, valid_to)` validity intervals for `attrCol`,
     * collapsing consecutive events that carry the SAME value (re-stating

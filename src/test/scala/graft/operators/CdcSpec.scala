@@ -54,6 +54,22 @@ class CdcSpec extends SparkSpecBase {
     assert(out == Set((1L, Some("x")), (2L, None), (4L, Some("x"))))
   }
 
+  test("goldenRecord: each column survives from its own latest non-null version") {
+    val changes = Seq(
+      (1L, 1L, Some("a1"), Some(10.0)),
+      (1L, 2L, None: Option[String], Some(20.0)), // name missing here
+      (1L, 3L, Some("a3"), None: Option[Double]), // price missing here
+      (2L, 5L, None: Option[String], None: Option[Double]))
+      .toDF("k", "version", "name", "price")
+    val out = Cdc.goldenRecord(changes, "k", "version").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    // name from v=3, price from v=2, last_version = 3
+    assert(out(1L) == ((Some("a3"), Some(20.0), 3L)))
+    // all-null key: null columns, version still tracked
+    assert(out(2L) == ((None, None, 5L)))
+  }
+
   test("applyChangesVersioned with a MinValue-versioned base agrees with applyChanges") {
     val base = (0L until 50L).map(k => (k, s"b$k")).toDF("k", "v")
     val changes = (0L until 120L).map { i =>
