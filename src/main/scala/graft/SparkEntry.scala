@@ -822,6 +822,24 @@ object SparkEntry {
       ProductAnalytics.lastTouchAttribution(Tables.events(s, dir), "purchase")
         .orderBy(col("user_id"), col("conversion_id"))),
 
+    // percentile-threshold curation filter: longest 20% of docs per source
+    "q102_top_fraction" -> ((s, dir) =>
+      Sampling.topFractionPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", fraction = 0.2, tieCol = "doc_id")
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))),
+
+    // Spearman rank correlation (deterministic tie-break) per return flag
+    "q103_spearman" -> ((s, dir) =>
+      Profile.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
+          Seq("l_returnflag"),
+          // (okey, line) alone is NOT unique in lineitem (see q60) - the
+          // shipdate completes a total order, keeping ranks deterministic
+          tieCols = Seq("l_orderkey", "l_linenumber", "l_shipdate"))
+        .select(col("l_returnflag"), col("n"), col("spearman_rho"))
+        .orderBy(col("l_returnflag"))),
+
     // golden-record merge: per key, each column independently keeps its
     // value from the latest version where it was present (sparse events
     // synthesized from orders with column-dependent nulls)
@@ -2384,6 +2402,41 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM wide
         |  UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM wide)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q102_top_fraction" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |WHERE rk <= ceil(0.2e0 * n)
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+
+    "q103_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_shipdate)
+        |      AS DOUBLE) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_shipdate)
+        |      AS DOUBLE) AS ry
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(rx AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ry AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rx * rx AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ry * ry AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(rx * ry AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM ranked GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+        |FROM g
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q101_golden_record" ->
       """WITH sparse AS (

@@ -96,6 +96,33 @@ object Profile {
           round(lit(lo) + col("bucket") * lit(width), 6)))
   }
 
+  /** Spearman rank correlation of two numeric columns per group —
+    * monotone-association strength, robust to outliers and nonlinear
+    * scales where Pearson ([[exactCorr]]) is not. Ranks are
+    * `row_number` over (value, `tieCols`): a DETERMINISTIC tie-break
+    * (both engines replay it exactly) rather than the textbook averaged
+    * ranks — documented divergence, negligible when ties are rare. Two
+    * window sorts + the [[exactCorr]] decimal-exact fold; integer ranks
+    * make the sums exactly representable.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               groupCols: Seq[String], tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tieCols.nonEmpty,
+      "tieCols must totally order rows within a group, or ranks are nondeterministic")
+    val filtered = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val wx = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(xCol) +: tieCols.map(col): _*)
+    val wy = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(yCol) +: tieCols.map(col): _*)
+    val ranked = filtered
+      .withColumn("__rx", row_number().over(wx).cast("double"))
+      .withColumn("__ry", row_number().over(wy).cast("double"))
+    exactCorr(ranked, "__rx", "__ry", groupCols)
+      .withColumnRenamed("corr_xy", "spearman_rho")
+      .drop("cov_samp")
+  }
+
   /** Join-key skew diagnosis — the measurement that decides between a
     * plain shuffle join, AQE skew split, and [[SkewJoin]]'s explicit
     * salting: per-key counts (one hash-agg shuffle, map-side combined),

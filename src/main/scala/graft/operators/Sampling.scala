@@ -101,6 +101,26 @@ object Sampling {
     * aggregation buffer). A skew-heavy group costs its own sort only —
     * no cross-group interaction.
     */
+  /** Keep the top `fraction` of each group by `scoreCol` (descending,
+    * ties broken by `tieCol`) — "best 20% per source by quality score",
+    * the percentile-threshold curation filter. Cutoff =
+    * `ceil(fraction · group size)`, so every non-empty group keeps at
+    * least one row. One shuffle on the group key; rank and count share
+    * the same window sort.
+    */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                          fraction: Double, tieCol: String): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rank") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rank", "__n")
+  }
+
   def quotaSample(df: DataFrame, groupCol: String, idCol: String,
                   quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")

@@ -97,6 +97,23 @@ class ProfileSpec extends SparkSpecBase {
     assert(Profile.keySkew(uni, "k").head().getAs[Double]("skew_ratio") == 1.0)
   }
 
+  test("spearman: +1 on any monotone relation, -1 on reversed, Pearson disagrees") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // y = x^3 is monotone but nonlinear: spearman exactly 1, pearson < 1
+    val mono = (1L to 50L).map(i => ("g", i, (i * i * i).toDouble))
+      .toDF("grp", "x", "y").withColumn("x", col("x").cast("double"))
+    val rho = Profile.spearman(mono, "x", "y", Seq("grp"), Seq("x"))
+      .head().getAs[Double]("spearman_rho")
+    assert(rho == 1.0)
+    val pearson = Profile.exactCorr(mono, "x", "y", Seq("grp"))
+      .head().getAs[Double]("corr_xy")
+    assert(pearson < 1.0)
+    val anti = mono.withColumn("y", -col("y"))
+    assert(Profile.spearman(anti, "x", "y", Seq("grp"), Seq("x"))
+      .head().getAs[Double]("spearman_rho") == -1.0)
+  }
+
   test("histogram: edges half-open, under/overflow buckets, nulls excluded") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(9.999999), Some(10.0),

@@ -94,4 +94,22 @@ class SamplingSpec extends SparkSpecBase {
     assert(small.subsetOf(sampled))
   }
 
+  test("topFractionPerGroup keeps ceil(frac*n) best rows per group, at least one") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // group a: 10 rows (keep ceil(2.5)=3 highest), b: 1 row (keep 1)
+    val df = ((1L to 10L).map(i => ("a", i, i * 10.0)) :+ (("b", 99L, 1.0)))
+      .toDF("g", "id", "score")
+    val out = Sampling.topFractionPerGroup(df, "g", "score", 0.25, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 8L), ("a", 9L), ("a", 10L), ("b", 99L)))
+    // ties break on the tie column: equal scores keep the LOWEST ids
+    val tied = (1L to 4L).map(i => ("t", i, 5.0)).toDF("g", "id", "score")
+    val kept = Sampling.topFractionPerGroup(tied, "g", "score", 0.5, "id")
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionPerGroup(df, "g", "score", 0.0, "id")
+    }
+  }
 }
