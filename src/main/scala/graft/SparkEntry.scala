@@ -822,6 +822,40 @@ object SparkEntry {
       ProductAnalytics.lastTouchAttribution(Tables.events(s, dir), "purchase")
         .orderBy(col("user_id"), col("conversion_id"))),
 
+    // PERMISSIVE ingestion with corrupt-record capture: the other
+    // production read mode (q80 pins FAILFAST) — malformed lines land in
+    // the corrupt column instead of failing the job, and the aggregate
+    // proves valid rows survive bit-exact
+    "q104_corrupt_capture" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/corrupt_capture"
+      freshDir(s, base)
+      t(s, dir, "orders").filter(pmod(col("o_custkey"), lit(50L)) === 0L)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").json(base)
+      val p = new Path(s"$base/part-zz-garbage.json")
+      val fsOut = p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true)
+      try fsOut.write("not json at all {\n{\"o_orderkey\": 1,\n[1, 2\n"
+        .getBytes("UTF-8"))
+      finally fsOut.close()
+      s.read
+        .schema(StructType.fromDDL(
+          "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt STRING"))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(base)
+        .agg(
+          count(when(col("_corrupt").isNull, lit(1))).as("n_valid"),
+          count(col("_corrupt")).as("n_corrupt"),
+          dsum(when(col("_corrupt").isNull, col("o_totalprice")))
+            .as("sum_price"))
+    }),
+
+    // cross-source contamination matrix: distinct shared shingles per
+    // source pair — the corpus-duplication structure report
+    "q105_cross_source_overlap" -> ((s, dir) =>
+      Decontamination.crossSourceOverlap(t(s, dir, "documents"))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // percentile-threshold curation filter: longest 20% of docs per source
     "q102_top_fraction" -> ((s, dir) =>
       Sampling.topFractionPerGroup(
@@ -2402,6 +2436,29 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'n_custs', n_custs FROM wide
         |  UNION ALL SELECT o_orderpriority, 'max_key', max_key FROM wide)
         |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q104_corrupt_capture" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_valid,
+        |  CAST(3 AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey % 50 = 0""".stripMargin,
+
+    // raw-function shingles (no short-doc fallback), distinct per source
+    "q105_cross_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT source, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE []::VARCHAR[] END) AS g
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT source, g FROM grams)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_shingles
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q102_top_fraction" ->
       """SELECT doc_id, source, n_chars FROM (

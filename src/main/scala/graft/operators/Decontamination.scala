@@ -61,4 +61,32 @@ object Decontamination {
       .withColumn("overlap_frac", col("n_shared").cast("double") / col("n_eval"))
       .drop("n_eval")
   }
+
+  /** Cross-source contamination matrix: for every unordered pair of
+    * corpus sources, how many DISTINCT `shingleSize`-gram shingles they
+    * share — the corpus-level duplication structure report (a high cell
+    * means two "independent" sources copy from each other or a common
+    * origin, and per-source mixing weights double-count that text).
+    *
+    * Scale shape: shingles reduce to distinct (source, hash) rows first
+    * — the join fan-out per shingle is bounded by the number of SOURCES
+    * carrying it (handfuls), never by document count; one shingle-keyed
+    * shuffle plus the pair aggregation.
+    */
+  def crossSourceOverlap(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text",
+                         shingleSize: Int = 3): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    val bySource = docs.select(col(sourceCol).as("src"),
+        graft.functions.TextHashes.hashedShingles(
+          TextAnalysis.tokensCol(col(textCol)), shingleSize).as("sh"))
+      .select(col("src"), explode(col("sh")).as("h"))
+      .distinct()
+    val a = bySource.select(col("src").as("source_a"), col("h"))
+    val b = bySource.select(col("src").as("source_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
 }
