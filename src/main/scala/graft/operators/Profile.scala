@@ -110,7 +110,12 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     require(tieCols.nonEmpty,
       "tieCols must totally order rows within a group, or ranks are nondeterministic")
-    val filtered = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // project to the involved columns BEFORE ranking: the two window
+    // sorts otherwise carry the input's full row width through both
+    // shuffles (measured ~2x on a wide fact table)
+    val needed = (groupCols ++ Seq(xCol, yCol) ++ tieCols).distinct.map(col)
+    val filtered = df.select(needed: _*)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val wx = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(xCol) +: tieCols.map(col): _*)
     val wy = Window.partitionBy(groupCols.map(col): _*)
