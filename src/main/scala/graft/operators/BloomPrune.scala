@@ -71,6 +71,14 @@ object BloomPrune {
     * minority pays the anti-join shuffle. Semantically identical to
     * `big.join(hist, bigKey === histKey, "left_anti")`: false positives
     * go through the real anti-join and come out correctly.
+    *
+    * `big` is EVALUATED TWICE (the two complementary filter branches) —
+    * deliberate: the typical probe side is a column-pruned scan, and
+    * re-scanning it is far cheaper than shuffling the definitely-new
+    * majority through the join (a single-plan anti-join with the flag as
+    * a residual condition would shuffle every row and erase the win).
+    * Pass a scan-rooted or persisted frame, not an expensive uncached
+    * subtree.
     */
   def prunedAntiJoin(big: DataFrame, hist: DataFrame,
                      bigKey: String, histKey: String,

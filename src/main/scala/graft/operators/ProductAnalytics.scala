@@ -93,7 +93,9 @@ object ProductAnalytics {
     * over a user-keyed sort; the carried state is one struct per row.
     * Conversions with no preceding touch attribute to NULL. Emits
     * (user, conversion id, conversion epoch-micros, source type, source
-    * id, seconds between touch and conversion).
+    * id, `gap_us` — RAW MICROSECONDS between touch and conversion; the
+    * caller divides, since integer-vs-double division rounding is not
+    * engine-portable).
     */
   def lastTouchAttribution(events: DataFrame, conversionType: String,
                            userCol: String = "user_id",

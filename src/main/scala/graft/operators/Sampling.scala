@@ -91,16 +91,6 @@ object Sampling {
     df.filter(bucket(col(idCol)) < threshold)
   }
 
-  /** Per-group quota sampling: keep at most `quota` rows per `groupCol`
-    * value — the "at most N documents per source/domain" cap every
-    * training-data mix needs. Selection is deterministic and engine
-    * portable: rows rank by (md5 of id, id) within their group, so the
-    * kept set is stable under reruns, repartitioning, and engines, and
-    * uniformly "random" in id. One shuffle on the group key; per-group
-    * state in the window sort is the group's rows (spillable sort, no
-    * aggregation buffer). A skew-heavy group costs its own sort only —
-    * no cross-group interaction.
-    */
   /** Keep the top `fraction` of each group by `scoreCol` (descending,
     * ties broken by `tieCol`) — "best 20% per source by quality score",
     * the percentile-threshold curation filter. Cutoff =
@@ -121,6 +111,16 @@ object Sampling {
       .drop("__rank", "__n")
   }
 
+  /** Per-group quota sampling: keep at most `quota` rows per `groupCol`
+    * value — the "at most N documents per source/domain" cap every
+    * training-data mix needs. Selection is deterministic and engine
+    * portable: rows rank by (md5 of id, id) within their group, so the
+    * kept set is stable under reruns, repartitioning, and engines, and
+    * uniformly "random" in id. One shuffle on the group key; per-group
+    * state in the window sort is the group's rows (spillable sort, no
+    * aggregation buffer). A skew-heavy group costs its own sort only —
+    * no cross-group interaction.
+    */
   def quotaSample(df: DataFrame, groupCol: String, idCol: String,
                   quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")

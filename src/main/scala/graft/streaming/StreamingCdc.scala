@@ -50,26 +50,41 @@ object StreamingCdc {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Read the current snapshot (empty-with-schema before first apply
-    * cannot exist — callers seed via [[apply]] with an initial batch or
-    * check [[currentVersion]] first).
+  /** Read a COMMITTED snapshot (the current one by default). An explicit
+    * `version` must carry its commit marker — a claimed-but-uncommitted
+    * directory (crashed or in-flight writer) is rejected, not silently
+    * read as partial data.
     */
   def readSnapshot(spark: SparkSession, dir: String,
                    version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, dir)
     require(v >= 0, s"no committed snapshot under $dir")
+    require(fs(spark, dir).exists(new Path(dir, s"commit-$v")),
+      s"version $v under $dir is not committed (claimed/vacuumed/partial)")
     spark.read.parquet(s"$dir/v=$v")
   }
 
-  /** Apply one batch of changes as the next version. Two-phase commit
-    * against racing writers: atomically CLAIM the version number first
-    * (`claim-N` created with overwrite=false — the loser fails here,
-    * BEFORE touching any data), then write `v=N/`, then create the
-    * `commit-N` marker readers look for. A crash mid-apply leaves an
-    * orphaned claim/dir that later writers skip past (the next version =
-    * max over claims AND commits + 1) and never a marker pointing at
-    * uncommitted bytes. The first apply treats upserts as inserts into
-    * an empty base.
+  /** Apply one batch of changes as the next version. Optimistic commit
+    * against racing writers (the deployment contract is ONE writer —
+    * Structured Streaming's `foreachBatch` — this protocol makes a
+    * violation fail loudly instead of losing data):
+    *
+    *  1. read the base = latest committed snapshot;
+    *  2. atomically CLAIM a version number (`claim-N`, overwrite=false —
+    *     two writers targeting the same N serialize here, before any
+    *     data is touched, so a committed directory can never be
+    *     clobbered);
+    *  3. write `v=N/`;
+    *  4. VALIDATE that the base is still the latest commit — if another
+    *     writer committed meanwhile, our fold is missing its changes:
+    *     abort (remove our claim + data) and throw, never publishing a
+    *     snapshot that silently drops a committed batch;
+    *  5. create the immutable `commit-N` marker readers look for.
+    *
+    * A crash mid-apply leaves an orphaned claim/dir that later writers
+    * skip past (next version = max over claims AND commits + 1) and
+    * never a marker pointing at uncommitted bytes. The first apply
+    * treats upserts as inserts into an empty base.
     */
   def apply(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, versionCol: String, opCol: String): Long = {
@@ -95,12 +110,18 @@ object StreamingCdc {
       }
       .foldLeft(cur)(math.max)
     val v = taken + 1
-    // phase 1: atomic claim — a concurrent writer targeting the same v
-    // fails HERE, before any data is written, so it can never clobber a
-    // committed directory
     f.create(new Path(dir, s"claim-$v"), false).close()
-    // phase 2: data, then the immutable commit marker readers look for
     next.write.mode("overwrite").parquet(s"$dir/v=$v")
+    // commit-time validation: if a commit landed after our base read,
+    // publishing would silently drop that batch's changes — abort loudly
+    if (currentVersion(spark, dir) != cur) {
+      f.delete(new Path(dir, s"v=$v"), true)
+      f.delete(new Path(dir, s"claim-$v"), false)
+      throw new java.io.IOException(
+        s"concurrent writer detected under $dir (base was v=$cur, " +
+          "another commit landed) - aborted without publishing; this " +
+          "store requires a single writer, retry the batch")
+    }
     f.create(new Path(dir, s"commit-$v"), false).close()
     v
   }
@@ -130,18 +151,22 @@ object StreamingCdc {
         f.delete(new Path(dir, s"v=$v"), true)
       }
       // orphaned claims (claimed but never committed — crashed writers)
-      // older than the kept window are dead by construction: no current
-      // or future writer will commit them
-      val floor = committed.takeRight(keepLast).headOption.getOrElse(Long.MaxValue)
-      f.listStatus(p).iterator
-        .map(_.getPath.getName)
-        .filter(n => n.startsWith("claim-") &&
-          n.stripPrefix("claim-").toLong < floor &&
-          !committed.contains(n.stripPrefix("claim-").toLong))
-        .foreach { n =>
-          f.delete(new Path(dir, n), false)
-          f.delete(new Path(dir, "v=" + n.stripPrefix("claim-")), true)
-        }
+      // STRICTLY below the oldest kept commit are dead: every live writer
+      // claims above the newest commit, so anything under the kept window
+      // can only be a crash leftover. With no commits at all there is no
+      // such floor — an in-flight FIRST writer may hold claim-0 — so
+      // nothing is swept.
+      committed.takeRight(keepLast).headOption.foreach { floor =>
+        f.listStatus(p).iterator
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("claim-") &&
+            n.stripPrefix("claim-").toLong < floor &&
+            !committed.contains(n.stripPrefix("claim-").toLong))
+          .foreach { n =>
+            f.delete(new Path(dir, n), false)
+            f.delete(new Path(dir, "v=" + n.stripPrefix("claim-")), true)
+          }
+      }
       drop
     }
   }

@@ -89,6 +89,29 @@ class StreamingCdcSpec extends SparkSpecBase {
     }
   }
 
+  test("uncommitted versions are rejected by readSnapshot; vacuum never sweeps pre-first-commit claims") {
+    val dir = scratch("uncommitted")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    // a crashed/in-flight writer: claim + partial data, NO commit marker
+    fs.create(new org.apache.hadoop.fs.Path(dir, "claim-0"), false).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "v=0"))
+    assert(StreamingCdc.currentVersion(spark, dir) == -1L)
+    intercept[IllegalArgumentException] {
+      StreamingCdc.readSnapshot(spark, dir, version = 0L)
+    }
+    // with zero commits there is no floor: the in-flight claim survives
+    assert(StreamingCdc.vacuum(spark, dir, keepLast = 1).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "claim-0")))
+    // the next writer skips the claimed version
+    val v = StreamingCdc.apply(spark,
+      dir, Seq((1L, 1L, "upsert", "a")).toDF("k", "version", "op", "v"),
+      "k", "version", "op")
+    assert(v == 1L)
+    assert(snapshotMap(dir) == Map(1L -> "a"))
+  }
+
   test("reading before any commit fails loudly; empty dir has version -1") {
     val dir = scratch("empty")
     assert(StreamingCdc.currentVersion(spark, dir) == -1L)
