@@ -856,6 +856,58 @@ object SparkEntry {
       Decontamination.crossSourceOverlap(t(s, dir, "documents"))
         .orderBy(col("source_a"), col("source_b"))),
 
+    // fuzzy record linkage: blocked levenshtein join of normalized doc
+    // prefixes, even-id feed vs odd-id feed (the template-heavy corpus
+    // has genuine near-identical titles); equi-join on the prefix
+    // block — never all-pairs
+    "q106_fuzzy_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      EntityResolution.fuzzyJoin(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          "doc_id", "text", blockLen = 12, maxLen = 64, maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MAD robust outlier summary per return flag (50%-breakdown scale
+    // estimator; comparison against ROUNDED med/mad for engine parity)
+    "q107_mad_outliers" -> ((s, dir) =>
+      Outliers.madOutliers(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), k = 3.0)
+        .orderBy(col("l_returnflag"))),
+
+    // market-basket pair mining: exact support/confidence/lift of brand
+    // pairs co-ordered in the same order
+    "q108_basket_lift" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      MarketBasket.pairStats(baskets, "basket", "item", minPairCount = 50L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // time-weighted average of the per-user metric series (each reading
+    // weighted by the micros it was current; exact decimal weighted sum)
+    "q109_twap" -> ((s, dir) =>
+      ProductAnalytics.timeWeightedAvg(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // stratified 5-fold CV assignment over customers; reported as exact
+    // per-(segment, fold) counts — balanced to within one row per stratum
+    "q110_stratified_kfold" -> ((s, dir) =>
+      Sampling.stratifiedKFold(t(s, dir, "customer"), "c_mktsegment",
+          "c_custkey", k = 5)
+        .groupBy(col("c_mktsegment"), col("fold").cast("long").as("fold"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment"), col("fold"))),
+
+    // corpus bigram LM: top-3 next tokens per context with exact
+    // conditional probabilities (contexts with >= 50 occurrences)
+    "q111_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramModel(t(s, dir, "documents"),
+          minContextCount = 50L, topPerContext = 3)
+        .orderBy(col("w1"), col("rank"))),
+
     // percentile-threshold curation filter: longest 20% of docs per source
     "q102_top_fraction" -> ((s, dir) =>
       Sampling.topFractionPerGroup(
@@ -2459,6 +2511,112 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "q106_fuzzy_match" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 64) AS nm
+        |  FROM documents),
+        |a AS (SELECT doc_id, nm, substr(nm, 1, 12) AS blk
+        |      FROM n WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, nm, substr(nm, 1, 12) AS blk
+        |      FROM n WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM a JOIN b ON a.blk = b.blk
+        |WHERE abs(length(a.nm) - length(b.nm)) <= 8
+        |  AND levenshtein(a.nm, b.nm) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q107_mad_outliers" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT g, round(quantile_cont(x, 0.5), 6) AS med
+        |      FROM d GROUP BY g),
+        |dev AS (SELECT d.g, d.x, m.med, abs(d.x - m.med) AS dv
+        |        FROM d JOIN m USING (g)),
+        |md AS (SELECT g, round(quantile_cont(dv, 0.5), 6) AS mad
+        |       FROM dev GROUP BY g)
+        |SELECT dev.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  min(dev.med) AS med, min(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.dv > 3.0 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN md USING (g)
+        |GROUP BY dev.g
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q108_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM items),
+        |ic AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+        |pc AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(n_ab::DOUBLE / nb.n, 6) AS support,
+        |  round(n_ab::DOUBLE / ca.c, 6) AS confidence,
+        |  round(n_ab::DOUBLE * nb.n / (ca.c * cb.c), 6) AS lift
+        |FROM pc
+        |JOIN ic ca ON ca.i = pc.item_a
+        |JOIN ic cb ON cb.i = pc.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q109_twap" ->
+      """WITH t AS (
+        |  SELECT user_id, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dt
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dt) AS BIGINT) AS span_us,
+        |  round(CAST(sum(CAST(value * dt AS DECIMAL(28,6))) AS DOUBLE)
+        |    / sum(dt), 6) AS twap
+        |FROM t WHERE dt IS NOT NULL
+        |GROUP BY user_id HAVING sum(dt) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q110_stratified_kfold" ->
+      """WITH f AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    (row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) - 1) % 5
+        |      AS fold
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(fold AS BIGINT) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        |FROM f
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, fold""".stripMargin,
+
+    "q111_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT unnest([tk[i] || ' ' || tk[i + 1]
+        |    FOR i IN range(1, len(tk))]) AS g
+        |  FROM toks WHERE len(tk) >= 2),
+        |c AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT w1, w2, n,
+        |    CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM c)
+        |SELECT w1, w2, n, c1,
+        |  CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2)
+        |    AS BIGINT) AS rank,
+        |  round(n::DOUBLE / c1, 6) AS p
+        |FROM cc
+        |WHERE c1 >= 50
+        |QUALIFY rank <= 3
+        |ORDER BY w1, rank""".stripMargin,
 
     "q102_top_fraction" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: for every unordered item pair,
+  * exact support / confidence / lift over a (basket, item) relation —
+  * the association-rules core (the A-priori candidate-counting step for
+  * pair-sized itemsets, computed exactly rather than iteratively).
+  *
+  * Plan shape:
+  *   - distinct (basket, item) — one shuffle on the pair;
+  *   - pair generation is a SELF-JOIN ON THE BASKET KEY with `item_a <
+  *     item_b`, so the blowup is Σ C(|basket|,2) — quadratic only in the
+  *     (bounded) basket size, never in the corpus;
+  *   - per-pair counts — one shuffle on (item_a, item_b), map-side
+  *     combined;
+  *   - single-item counts and the basket total are tiny aggregates that
+  *     come back as BROADCAST joins / a literal cross join of one row.
+  *
+  * 100 TB story: the only large exchanges are keyed by basket and by
+  * item pair. A pathological mega-basket (one basket with 10⁵ items)
+  * would explode the self-join — `maxBasketSize` drops such baskets
+  * up front (standard practice: a basket that large carries no
+  * association signal).
+  */
+object MarketBasket {
+
+  def pairStats(baskets: DataFrame, basketCol: String, itemCol: String,
+                minPairCount: Long = 1L,
+                maxBasketSize: Int = 1000): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val items = baskets
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val sized = items
+      .withColumn("__bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .filter(col("__bn") <= maxBasketSize)
+      .drop("__bn")
+    val nBaskets = sized.select(countDistinct(col("b")).as("n_baskets"))
+    val itemCounts = sized.groupBy(col("i")).agg(count(lit(1)).as("c"))
+    val a = sized.select(col("b"), col("i").as("item_a"))
+    val c = sized.select(col("b"), col("i").as("item_b"))
+    val pairCounts = a.join(c, Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairCounts
+      .join(broadcast(itemCounts.select(col("i").as("item_a"),
+        col("c").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemCounts.select(col("i").as("item_b"),
+        col("c").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+}

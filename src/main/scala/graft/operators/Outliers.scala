@@ -55,6 +55,53 @@ object Outliers {
       .drop(groupCols.map(c => s"__g_$c") :+ "__lo" :+ "__hi": _*)
   }
 
+  /** Per-group robust outlier summary via the Median Absolute Deviation —
+    * the scale estimator that, unlike stddev, a handful of extreme
+    * corrupt readings cannot drag (50% breakdown point): a point is an
+    * outlier when |x - median| > k · MAD.
+    *
+    * Two aggregation passes (median, then MAD = median of |x - median|),
+    * each producing one row per group that broadcasts back onto the
+    * data — the input shuffles only into the two group-aggregates, never
+    * for the comparison itself. Output: one row per group with
+    * (n, med, mad, n_outliers).
+    *
+    * Engine-portability: the outlier comparison runs against the
+    * ROUNDED (6 dp) med/mad, so two engines whose exact-percentile
+    * interpolation differs in the last ulp still flag identical rows.
+    * Exact `percentile` buffers value→count per group — at petabyte
+    * scale swap in `approx_percentile` like [[winsorize]] does.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(k > 0, s"k must be positive, got $k")
+    val gc = groupCols.map(col)
+    val v = col(valueCol)
+    def joined(data: DataFrame, stats: DataFrame): DataFrame = {
+      // null-safe keys: a null group must compare against its own stats
+      val renamed = stats.select(
+        groupCols.map(c => col(c).as(s"__g_$c")) ++
+          stats.columns.filterNot(groupCols.contains).map(col): _*)
+      data.join(broadcast(renamed),
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
+        .drop(groupCols.map(c => s"__g_$c"): _*)
+    }
+    val med = df.filter(v.isNotNull).groupBy(gc: _*)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val withDev = joined(df.filter(v.isNotNull), med)
+      .withColumn("__dev", abs(v - col("med")))
+    val mad = withDev.groupBy(gc: _*)
+      .agg(round(expr("percentile(__dev, 0.5)"), 6).as("mad"))
+    joined(withDev, mad)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Rolling-baseline anomaly detection on an ordered per-group series —
     * the monitoring primitive over the q83-style daily rollups: each
     * point is z-scored against the PRECEDING `lookback` points (frame

@@ -119,6 +119,38 @@ object ProductAnalytics {
         (unix_micros(col(tsCol)) - col("__touch.t")).as("gap_us"))
   }
 
+  /** Time-weighted average of a per-entity metric series — the correct
+    * mean for irregularly-sampled state (a sensor read twice then silent
+    * for an hour held that last value for the hour): each reading is
+    * weighted by how long it was current, i.e. the micros until the next
+    * reading. The final reading has no successor and carries zero weight
+    * (integral semantics over the observed span).
+    *
+    * One shuffle on the entity key (window + aggregation share it). The
+    * weighted sum runs in DECIMAL(28,6) — double summation order varies
+    * with partitioning, decimal addition is exact and therefore
+    * engine/partitioning-portable. Emits (entity, n, span_us, twap).
+    */
+  def timeWeightedAvg(events: DataFrame, userCol: String = "user_id",
+                      valueCol: String = "value", tsCol: String = "ts",
+                      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    events
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__dt", lead(us, 1).over(w) - us)
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__dt")).as("span_us"),
+        sum((col(valueCol) * col("__dt")).cast("decimal(28,6)"))
+          .as("__vsum"))
+      .filter(col("span_us") > 0L)
+      .select(col(userCol), col("n"), col("span_us"),
+        round(col("__vsum").cast("double") / col("span_us").cast("double"), 6)
+          .as("twap"))
+  }
+
   /** First-order transition matrix of a per-user event sequence:
     * (from_type, to_type, n, p) where p is the exact row-normalized
     * probability. Sequences are ordered by (ts, tiebreak) per user; one

@@ -132,6 +132,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Stratified k-fold assignment — cross-validation folds that are
+    * EXACTLY balanced within every stratum (fold sizes differ by at most
+    * one per stratum), unlike a plain `hash(id) % k`, whose per-stratum
+    * balance is only statistical. Rows rank within their stratum by
+    * (md5 of id, id) — the same engine-portable pseudo-random order as
+    * [[quotaSample]] — and fold = (rank - 1) % k, so the assignment is
+    * deterministic, stable under repartitioning, and uniformly shuffled
+    * in id.
+    *
+    * One shuffle on the stratum key; the window sort is per-stratum and
+    * spillable. For strata too large to sort (or when only statistical
+    * balance is needed), `hash-mod on the id` is the O(1) fallback — the
+    * md5 bucket from [[hashSample]] mod k gives that directly.
+    */
+  def stratifiedKFold(df: DataFrame, strataCol: String, idCol: String,
+                      k: Int, outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn(outCol, (row_number().over(w) - 1) % k)
+  }
+
   /** Token-budget selection — "give me the best docs that fit N training
     * tokens": rank by (`scoreCol` ascending, `idCol` tiebreak — lower
     * score = better, e.g. LM surprisal), keep the greedy prefix whose

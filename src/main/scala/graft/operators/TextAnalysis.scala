@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines over a `text` column:
@@ -318,6 +319,47 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         round(col("nll").cast("double") / col("n_tokens"), 6)
           .as("avg_surprisal"))
+  }
+
+  /** Corpus bigram language model, reported as the top-`topPerContext`
+    * next tokens per context token with exact conditional probabilities
+    * `p(w2|w1) = c(w1,w2) / c(w1,·)` — the order-1 companion to
+    * [[lmSurprisal]] (order-0) and the text-side analogue of
+    * `ProductAnalytics.transitions`. Contexts rarer than
+    * `minContextCount` are dropped (their estimates are noise).
+    *
+    * Plan: one generate pass emits bigram pairs (explode of an index
+    * sequence + two 1-based `element_at`s against the materialized token
+    * array — no doc-keyed shuffle, no self-join on position), one
+    * map-side-combined count shuffle on (w1, w2), then context totals
+    * and ranks as two windows sharing the single w1-keyed exchange. All
+    * frames after the count are vocab²-bounded — at 100 TB the corpus is
+    * touched exactly once.
+    */
+  def bigramModel(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", minContextCount: Long = 50L,
+                  topPerContext: Int = 3): DataFrame = {
+    require(topPerContext >= 1, s"topPerContext must be >= 1, got $topPerContext")
+    val pairs = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(tokensCol(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      // sequence(1, size-1) needs the size >= 2 guard above: Spark's
+      // sequence(1, 0) yields the DESCENDING [1, 0], not an empty array
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    val wAll = Window.partitionBy(col("w1"))
+    val wRank = Window.partitionBy(col("w1"))
+      .orderBy(col("n").desc, col("w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .withColumn("c1", sum(col("n")).over(wAll))
+      .filter(col("c1") >= minContextCount)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topPerContext)
+      .select(col("w1"), col("w2"), col("n"), col("c1"), col("rank"),
+        round(col("n").cast("double") / col("c1"), 6).as("p"))
   }
 
   /** Per-document boilerplate share: the fraction of a doc's DISTINCT

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, "The quick brown fox jumps"),
+    (2L, "completely different text here"),
+    (3L, "shared prefix AAAA variant one"))
+    .toDF("id", "name")
+  private val right = Seq(
+    (10L, "The quick brown fox jumped"),   // dist 2 from id 1 ("s" -> "ed")
+    (11L, "shared prefix AAAA variant two"), // near id 3 within the block
+    (12L, "unrelated content entirely"))
+    .toDF("id", "name")
+
+  test("fuzzyJoin finds within-block pairs under the distance threshold") {
+    val out = EntityResolution.fuzzyJoin(left, right, "id", "name",
+        blockLen = 12, maxLen = 64, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 10L, 2), (3L, 11L, 3)))
+  }
+
+  test("pairs in different blocks never meet, whatever their distance") {
+    // identical strings except the FIRST char -> different 12-char blocks
+    val a = Seq((1L, "Xsame same same")).toDF("id", "name")
+    val b = Seq((2L, "Ysame same same")).toDF("id", "name")
+    assert(EntityResolution.fuzzyJoin(a, b, "id", "name",
+      blockLen = 12, maxDist = 8).isEmpty)
+  }
+
+  test("normalization: case and surrounding whitespace do not count as edits") {
+    val a = Seq((1L, "  HELLO WORLD  ")).toDF("id", "name")
+    val b = Seq((2L, "hello world")).toDF("id", "name")
+    val out = EntityResolution.fuzzyJoin(a, b, "id", "name",
+      blockLen = 5, maxDist = 0).collect()
+    assert(out.length == 1 && out.head.getInt(2) == 0)
+  }
+
+  test("maxLen truncation bounds the verify: long tails beyond maxLen are invisible") {
+    val a = Seq((1L, "prefix-block " + "a" * 100)).toDF("id", "name")
+    val b = Seq((2L, "prefix-block " + "b" * 100)).toDF("id", "name")
+    // within the first 64 chars the strings differ at 51 positions -> no
+    // match at maxDist 8; at maxLen 13 they are identical
+    assert(EntityResolution.fuzzyJoin(a, b, "id", "name",
+      blockLen = 12, maxLen = 64, maxDist = 8).isEmpty)
+    val out = EntityResolution.fuzzyJoin(a, b, "id", "name",
+      blockLen = 12, maxLen = 13, maxDist = 0).collect()
+    assert(out.length == 1)
+  }
+
+  test("selfPairs emits each unordered pair once and no self-matches") {
+    val df = Seq((1L, "duplicate title"), (2L, "duplicate title"),
+      (3L, "duplicate titles")).toDF("id", "name")
+    val out = EntityResolution.fuzzyJoin(df, df, "id", "name",
+        blockLen = 12, maxDist = 1, selfPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+}

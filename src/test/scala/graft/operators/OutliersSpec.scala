@@ -93,4 +93,31 @@ class OutliersSpec extends SparkSpecBase {
     // hand-check: baseline mean of (10,12,8,11,9) = 10
     assert(r2.getAs[Double]("baseline_mean") == 10.0)
   }
+
+  test("madOutliers: hand-checked median, MAD and outlier count") {
+    import spark.implicits._
+    // group a: values 1..9 plus a planted 1000
+    //   median of (1..9, 1000) = 5.5; |x-5.5| = 4.5,3.5,...,3.5,994.5
+    //   sorted devs: .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5 and 0.5 -> MAD 2.5
+    val a = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("a", _))
+    val df = (a :+ ("b", 7.0)).toDF("g", "v")
+    val out = Outliers.madOutliers(df, "v", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers"))).toMap
+    assert(out("a") == ((10L, 5.5, 2.5, 1L))) // only 1000 exceeds 5.5±7.5
+    // singleton group: med = value, MAD 0, nothing beats 0 strictly... the
+    // deviation is 0 > 0 = false -> no outliers
+    assert(out("b") == ((1L, 7.0, 0.0, 0L)))
+  }
+
+  test("madOutliers: null values are ignored, null group keys are real groups") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("a"), Option.empty[Double]), (Option.empty[String], Some(5.0)),
+      (Option.empty[String], Some(7.0))).toDF("g", "v")
+    val out = Outliers.madOutliers(df, "v", Seq("g")).collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("n")).toMap
+    assert(out == Map(Some("a") -> 2L, None -> 2L))
+  }
 }

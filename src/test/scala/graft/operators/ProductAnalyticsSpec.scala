@@ -86,4 +86,31 @@ class ProductAnalyticsSpec extends SparkSpecBase {
     // no cross-user transition: u1's last 'b' never chains to u2's 'a'
     assert(out.keySet == Set(("a", "b"), ("a", "a"), ("b", "a")))
   }
+
+  test("timeWeightedAvg: readings weighted by how long they were current") {
+    // user 1: value 1.0 held for 1 min, then 3.0 held for 3 min, then a
+    // final reading (weight 0) -> twap = (1*1 + 3*3) / 4 = 2.5
+    val ev = Seq(
+      (1L, 1L, 1.0, ts(0)), (1L, 2L, 3.0, ts(1)), (1L, 3L, 99.0, ts(4)),
+      // user 2: a single reading has no successor -> no span, dropped
+      (2L, 4L, 5.0, ts(0)))
+      .toDF("user_id", "event_id", "value", "ts")
+    val out = ProductAnalytics.timeWeightedAvg(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Long]("span_us") == 4L * 60000000L)
+    assert(r.getAs[Double]("twap") == 2.5)
+  }
+
+  test("timeWeightedAvg: null readings drop out; their span accrues to the predecessor") {
+    val ev = Seq(
+      (1L, 1L, Some(2.0), ts(0)), (1L, 2L, Option.empty[Double], ts(1)),
+      (1L, 3L, Some(4.0), ts(2)), (1L, 4L, Some(0.0), ts(3)))
+      .toDF("user_id", "event_id", "value", "ts")
+    // null@1min removed BEFORE lead(): 2.0 holds 0->2min, 4.0 holds 2->3min
+    val r = ProductAnalytics.timeWeightedAvg(ev).head()
+    assert(r.getAs[Long]("span_us") == 3L * 60000000L)
+    assert(r.getAs[Double]("twap") == 2.666667) // 8/3 rounded to 6 dp
+  }
 }

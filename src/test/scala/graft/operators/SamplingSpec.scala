@@ -112,4 +112,28 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.topFractionPerGroup(df, "g", "score", 0.0, "id")
     }
   }
+
+  test("stratifiedKFold: folds balanced to within one row per stratum") {
+    import spark.implicits._
+    val df = ((1L to 103L).map(i => ("big", i)) ++
+      (200L to 206L).map(i => ("small", i))).toDF("g", "id")
+    val sizes = Sampling.stratifiedKFold(df, "g", "id", k = 5)
+      .groupBy("g", "fold").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 103 = 5*20 + 3 -> folds 0..2 get 21, folds 3..4 get 20
+    assert((0 to 4).map(f => sizes(("big", f))).sorted == Seq(20L, 20L, 21L, 21L, 21L))
+    // 7 rows -> sizes 2,2,1,1,1 across the five folds
+    assert((0 to 4).map(f => sizes(("small", f))).sorted == Seq(1L, 1L, 1L, 2L, 2L))
+    // every fold id is in [0, k)
+    assert(sizes.keySet.forall { case (_, f) => f >= 0 && f < 5 })
+  }
+
+  test("stratifiedKFold: assignment is a pure function of (stratum, id set)") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => ("g", i)).toDF("g", "id")
+    def folds(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedKFold(d, "g", "id", k = 3)
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(folds(df) == folds(df.repartition(7)))
+  }
 }

@@ -231,6 +231,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(dt == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("bigramModel: exact conditional probabilities with deterministic ranks") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b a c"), (1L, "a b x"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    // bigrams: doc0 -> ab ba ab ba ac ; doc1 -> ab bx ; doc2 -> none
+    val out = TextAnalysis.bigramModel(docs, minContextCount = 1L,
+        topPerContext = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c1"), r.getAs[Long]("rank"),
+          r.getAs[Double]("p"))).toMap
+    assert(out(("a", "b")) == ((3L, 4L, 1L, 0.75)))
+    assert(out(("a", "c")) == ((1L, 4L, 2L, 0.25)))
+    assert(out(("b", "a")) == ((2L, 3L, 1L, 0.666667)))
+    assert(out(("b", "x")) == ((1L, 3L, 2L, 0.333333)))
+    // "c" ends doc0, "x" ends doc1, "solo" is a 1-token doc: no context
+    assert(!out.keySet.exists { case (w1, _) => Set("c", "x", "solo")(w1) })
+  }
+
+  test("bigramModel: minContextCount and topPerContext prune") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b a c"), (1L, "z q")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramModel(docs, minContextCount = 2L,
+        topPerContext = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // context z (count 1) pruned; only rank 1 per surviving context
+    assert(out == Set(("a", "b"), ("b", "a")))
+  }
+
   test("term stats idf: rare terms weigh more") {
     import spark.implicits._
     val docs = Seq((0L, "common rare"), (1L, "common"), (2L, "common")).toDF("doc_id", "text")
