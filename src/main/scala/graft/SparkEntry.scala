@@ -2546,9 +2546,16 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q108_basket_lift" ->
-      """WITH items AS (
+      """WITH raw_items AS (
         |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |items AS (
+        |  -- mirrors pairStats's maxBasketSize=1000 mega-basket drop (a
+        |  -- no-op on TPC-H-sized orders, but the semantics must match)
+        |  SELECT b, i FROM (
+        |    SELECT b, i, count(*) OVER (PARTITION BY b) AS bn
+        |    FROM raw_items)
+        |  WHERE bn <= 1000),
         |nb AS (SELECT count(DISTINCT b) AS n FROM items),
         |ic AS (SELECT i, count(*) AS c FROM items GROUP BY i),
         |pc AS (

@@ -47,8 +47,12 @@ object EntityResolution {
         .withColumn(s"blk_$suffix", substring(col(s"nm_$suffix"), 1, blockLen))
     val a = side(left, "a")
     val b = side(right, "b")
+    // null-safe inequality: a null id on either side is still a real
+    // candidate record — plain =!= would return NULL and silently drop
+    // the pair from the linkage output
     val pairCond =
-      if (selfPairs) col("id_a") < col("id_b") else col("id_a") =!= col("id_b")
+      if (selfPairs) col("id_a") < col("id_b")
+      else !(col("id_a") <=> col("id_b"))
     a.join(b, col("blk_a") === col("blk_b"))
       .filter(pairCond)
       // cheap length pre-filter: |len(a)-len(b)| is a lower bound on the

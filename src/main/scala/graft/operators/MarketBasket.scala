@@ -30,6 +30,9 @@ object MarketBasket {
                 minPairCount: Long = 1L,
                 maxBasketSize: Int = 1000): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // a cap below 2 silently filters EVERY pair-capable basket — that is
+    // always a caller typo, fail fast like the minPairCount guard
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
     val items = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)

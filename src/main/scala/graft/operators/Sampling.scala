@@ -124,13 +124,23 @@ object Sampling {
   def quotaSample(df: DataFrame, groupCol: String, idCol: String,
                   quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
+    df.withColumn("__rk", row_number().over(idOrderWindow(groupCol, idCol)))
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** The shared engine-portable pseudo-random within-group order:
+    * (md5 of the id's string bytes, then the id as tiebreak). ONE
+    * definition — the oracle SQL mirrors this expression verbatim, so
+    * [[quotaSample]] and [[stratifiedKFold]] must never drift apart.
+    * Total only when ids are unique within the group: duplicate (or
+    * repeated-null) ids tie completely and their relative order is
+    * partition-dependent.
+    */
+  private def idOrderWindow(groupCol: String, idCol: String) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
 
   /** Stratified k-fold assignment — cross-validation folds that are
     * EXACTLY balanced within every stratum (fold sizes differ by at most
@@ -145,14 +155,16 @@ object Sampling {
     * spillable. For strata too large to sort (or when only statistical
     * balance is needed), `hash-mod on the id` is the O(1) fallback — the
     * md5 bucket from [[hashSample]] mod k gives that directly.
+    *
+    * Determinism requires `idCol` to be unique within each stratum:
+    * duplicate ids tie on the whole sort key, so their fold assignment
+    * (though still size-balanced) is partition-dependent.
     */
   def stratifiedKFold(df: DataFrame, strataCol: String, idCol: String,
                       k: Int, outCol: String = "fold"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.withColumn(outCol, (row_number().over(w) - 1) % k)
+    df.withColumn(outCol,
+      (row_number().over(idOrderWindow(strataCol, idCol)) - 1) % k)
   }
 
   /** Token-budget selection — "give me the best docs that fit N training
