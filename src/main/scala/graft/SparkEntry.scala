@@ -908,6 +908,20 @@ object SparkEntry {
           minContextCount = 50L, topPerContext = 3)
         .orderBy(col("w1"), col("rank"))),
 
+    // distributed exact ranking in the few-giant-groups regime (range
+    // sort + per-partition offsets — full parallelism where the window
+    // form would run |groups| tasks); spot-checked on a 1-in-997 stride
+    "q112_range_rank" -> ((s, dir) =>
+      Ranking.rangeRank(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          Seq("l_returnflag"),
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rk")
+        .filter(pmod(col("rk"), lit(997L)) === 0L)
+        .select(col("l_returnflag"), col("rk"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("rk"))),
+
     // percentile-threshold curation filter: longest 20% of docs per source
     "q102_top_fraction" -> ((s, dir) =>
       Sampling.topFractionPerGroup(
@@ -2624,6 +2638,17 @@ object SparkEntry {
         |WHERE c1 >= 50
         |QUALIFY rank <= 3
         |ORDER BY w1, rank""".stripMargin,
+
+    "q112_range_rank" ->
+      """SELECT l_returnflag, rk, l_extendedprice, l_orderkey, l_linenumber
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS BIGINT) AS rk
+        |  FROM lineitem)
+        |WHERE rk % 997 = 0
+        |ORDER BY l_returnflag, rk""".stripMargin,
 
     "q102_top_fraction" ->
       """SELECT doc_id, source, n_chars FROM (

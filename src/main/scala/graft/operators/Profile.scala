@@ -101,28 +101,43 @@ object Profile {
     * scales where Pearson ([[exactCorr]]) is not. Ranks are
     * `row_number` over (value, `tieCols`): a DETERMINISTIC tie-break
     * (both engines replay it exactly) rather than the textbook averaged
-    * ranks — documented divergence, negligible when ties are rare. Two
-    * window sorts + the [[exactCorr]] decimal-exact fold; integer ranks
-    * make the sums exactly representable.
+    * ranks — documented divergence, negligible when ties are rare.
+    * Ranks + the [[exactCorr]] decimal-exact fold; integer ranks make
+    * the sums exactly representable.
+    *
+    * `rangeRanks = true` (default) computes both rank columns with
+    * [[Ranking.rangeRank]] — full cluster parallelism even when
+    * `groupCols` has 3 values over a billion rows (the per-group window
+    * sort would run 3 tasks). Set false for the plain window form when
+    * groups are numerous (rangeRank's per-(partition, group) metadata
+    * would dominate) — both produce IDENTICAL ranks.
     */
   def spearman(df: DataFrame, xCol: String, yCol: String,
-               groupCols: Seq[String], tieCols: Seq[String]): DataFrame = {
+               groupCols: Seq[String], tieCols: Seq[String],
+               rangeRanks: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tieCols.nonEmpty,
       "tieCols must totally order rows within a group, or ranks are nondeterministic")
-    // project to the involved columns BEFORE ranking: the two window
+    // project to the involved columns BEFORE ranking: the two rank
     // sorts otherwise carry the input's full row width through both
     // shuffles (measured ~2x on a wide fact table)
     val needed = (groupCols ++ Seq(xCol, yCol) ++ tieCols).distinct.map(col)
     val filtered = df.select(needed: _*)
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    val wx = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(xCol) +: tieCols.map(col): _*)
-    val wy = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(yCol) +: tieCols.map(col): _*)
-    val ranked = filtered
-      .withColumn("__rx", row_number().over(wx).cast("double"))
-      .withColumn("__ry", row_number().over(wy).cast("double"))
+    val ranked = if (rangeRanks) {
+      val rx = Ranking.rangeRank(filtered, groupCols, xCol +: tieCols, "__rxl")
+      Ranking.rangeRank(rx, groupCols, yCol +: tieCols, "__ryl")
+        .withColumn("__rx", col("__rxl").cast("double"))
+        .withColumn("__ry", col("__ryl").cast("double"))
+    } else {
+      val wx = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(xCol) +: tieCols.map(col): _*)
+      val wy = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(yCol) +: tieCols.map(col): _*)
+      filtered
+        .withColumn("__rx", row_number().over(wx).cast("double"))
+        .withColumn("__ry", row_number().over(wy).cast("double"))
+    }
     exactCorr(ranked, "__rx", "__ry", groupCols)
       .withColumnRenamed("corr_xy", "spearman_rho")
       .drop("cov_samp")

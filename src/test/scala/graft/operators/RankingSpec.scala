@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("rangeRank equals the window row_number, groups spanning partitions") {
+    // 3 groups × 200 rows across 8 range partitions -> every group spans
+    // several physical partitions and the offset arithmetic is exercised
+    val df = (1 to 600).map(i => (s"g${i % 3}", (i * 37) % 601, i.toLong))
+      .toDF("g", "v", "id").repartition(5)
+    val got = Ranking.rangeRank(df, Seq("g"), Seq("v", "id"), "rk",
+        numPartitions = 8)
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))).cast("long"))
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    TrackedCaches.release()
+  }
+
+  test("rangeRank with no groups is a global row_number") {
+    val df = (1 to 100).map(i => ((i * 13) % 101, i.toLong)).toDF("v", "id")
+    val got = Ranking.rangeRank(df, Nil, Seq("v"), "rk", numPartitions = 4)
+      .select("v", "rk").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // v values are distinct 1..100 shuffled: rank of v must be v
+    assert(got.forall { case (v, rk) => rk == v.toLong })
+    TrackedCaches.release()
+  }
+
+  test("rangeRank is deterministic under input repartitioning") {
+    val df = (1 to 300).map(i => (s"g${i % 2}", i * 7 % 301, i.toLong))
+      .toDF("g", "v", "id")
+    def ranks(d: org.apache.spark.sql.DataFrame) =
+      Ranking.rangeRank(d, Seq("g"), Seq("v", "id"), "rk", numPartitions = 6)
+        .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = ranks(df)
+    val b = ranks(df.repartition(11))
+    assert(a == b)
+    TrackedCaches.release()
+  }
+
+  test("spearman: rangeRank path and window path agree exactly") {
+    val df = (1 to 500)
+      .map(i => (s"f${i % 3}", (i * 31 % 211).toDouble, (i * 17 % 199).toDouble, i.toLong))
+      .toDF("g", "x", "y", "id")
+    def rho(rr: Boolean) =
+      Profile.spearman(df, "x", "y", Seq("g"), Seq("id"), rangeRanks = rr)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("spearman_rho")).toMap
+    assert(rho(true) == rho(false))
+    TrackedCaches.release()
+  }
+}
