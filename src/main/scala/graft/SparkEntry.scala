@@ -922,6 +922,37 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_returnflag"), col("rk"))),
 
+    // equi-depth decile binning of order totals (ntile semantics at full
+    // parallelism — no empty OVER ()); per-bin population and range
+    "q113_equidepth_bins" -> ((s, dir) =>
+      Ranking.equiDepthBins(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", Seq("o_orderkey"), k = 10)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 6).as("lo"),
+          round(max(col("o_totalprice")), 6).as("hi"))
+        .orderBy(col("bin"))),
+
+    // per-group empirical quantile transform (percent-rank scaling of
+    // l_quantity within return flag), spot-checked on a key stride
+    "q114_quantile_transform" -> ((s, dir) =>
+      Ranking.quantileTransform(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+          "l_quantity", Seq("l_returnflag"),
+          Seq("l_orderkey", "l_linenumber", "l_shipdate"))
+        .filter(pmod(col("l_orderkey"), lit(211L)) === 0L)
+        // (okey, linenumber) alone is not unique (see q60/q103) — the
+        // shipdate micros complete the total output order
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          // NTZ parquet timestamp: cast interprets in the UTC session TZ,
+          // matching DuckDB's epoch_us on the naive value
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+          col("l_quantity"), col("q"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("ship_us"))),
+
     // percentile-threshold curation filter: longest 20% of docs per source
     "q102_top_fraction" -> ((s, dir) =>
       Sampling.topFractionPerGroup(
@@ -2649,6 +2680,36 @@ object SparkEntry {
         |  FROM lineitem)
         |WHERE rk % 997 = 0
         |ORDER BY l_returnflag, rk""".stripMargin,
+
+    "q113_equidepth_bins" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(o_totalprice), 6) AS lo,
+        |  round(max(o_totalprice), 6) AS hi
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
+
+    "q114_quantile_transform" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+        |    l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_shipdate)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
+        |SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  epoch_us(l_shipdate) AS ship_us, l_quantity,
+        |  CASE WHEN n = 1 THEN 0.0e0
+        |    ELSE round((rk - 1)::DOUBLE / (n - 1), 6) END AS q
+        |FROM r
+        |WHERE l_orderkey % 211 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, ship_us""".stripMargin,
 
     "q102_top_fraction" ->
       """SELECT doc_id, source, n_chars FROM (

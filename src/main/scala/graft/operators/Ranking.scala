@@ -81,4 +81,69 @@ object Ranking {
     }
     spark.createDataFrame(ranked, outSchema)
   }
+
+  /** Equi-depth (equal-frequency) binning: assign each row to one of `k`
+    * buckets of near-identical population — `ntile(k)` semantics (bucket
+    * sizes differ by at most one, larger buckets first), but WITHOUT
+    * ntile's empty OVER () clause, which moves the entire table into a
+    * single task. Built on [[rangeRank]]: bucket = ((rank−1)·k) div n,
+    * which reproduces ntile's fill exactly. One range exchange + a
+    * broadcast one-row count; fully parallel at any scale.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                    k: Int, outCol: String = "bin"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ranked = rangeRank(df.filter(col(valueCol).isNotNull), Nil,
+      valueCol +: tieCols, "__edb_rk")
+    val n = ranked.agg(count(lit(1)).as("__edb_n"))
+    ranked.crossJoin(broadcast(n))
+      // ntile's exact fill arithmetic (NOT floor(rank·k/n), which spreads
+      // the remainder across the range instead of front-loading it):
+      // the first n mod k buckets hold ceil(n/k) rows, the rest floor(n/k)
+      .withColumn(outCol, expr(
+        s"""CAST(CASE
+           |  WHEN __edb_rk <= (__edb_n % $k) * (__edb_n div $k + 1)
+           |  THEN (__edb_rk - 1) div (__edb_n div $k + 1)
+           |  ELSE (__edb_n % $k) +
+           |    (__edb_rk - 1 - (__edb_n % $k) * (__edb_n div $k + 1))
+           |      div (__edb_n div $k)
+           |END AS BIGINT)""".stripMargin))
+      .drop("__edb_rk", "__edb_n")
+  }
+
+  /** Per-group empirical quantile transform: map each value to its
+    * percent rank q = (rank−1)/(n_group−1) in [0, 1] — the
+    * rank-normalization step ("quantile scaling") that makes features
+    * comparable across arbitrary distributions. `rank` is the
+    * [[rangeRank]] row_number under (value, tieCols); with a total
+    * tie-break it equals SQL `percent_rank()`, computed with full
+    * parallelism instead of one task per group. Singleton groups map to
+    * q = 0. Transcendental-free exact integer ratio, rounded to 6 dp.
+    */
+  def quantileTransform(df: DataFrame, valueCol: String,
+                        groupCols: Seq[String], tieCols: Seq[String],
+                        outCol: String = "q"): DataFrame = {
+    val ranked = rangeRank(df.filter(col(valueCol).isNotNull), groupCols,
+      valueCol +: tieCols, "__qt_rk")
+    val counts =
+      if (groupCols.isEmpty)
+        ranked.agg(count(lit(1)).as("__qt_n"))
+      else
+        ranked.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__qt_n"))
+    val joined =
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(counts))
+      else {
+        val renamed = counts.select(
+          groupCols.map(c => col(c).as(s"__qt_g_$c")) :+ col("__qt_n"): _*)
+        ranked.join(broadcast(renamed),
+          groupCols.map(c => col(c) <=> col(s"__qt_g_$c")).reduce(_ && _))
+          .drop(groupCols.map(c => s"__qt_g_$c"): _*)
+      }
+    joined
+      .withColumn(outCol,
+        when(col("__qt_n") === 1L, 0.0).otherwise(
+          round((col("__qt_rk") - 1L).cast("double") /
+            (col("__qt_n") - 1L).cast("double"), 6)))
+      .drop("__qt_rk", "__qt_n")
+  }
 }

@@ -46,6 +46,32 @@ class RankingSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("equiDepthBins reproduces ntile(k) exactly, including uneven fill") {
+    // n=103, k=5 -> ntile sizes 21,21,21,20,20
+    val df = (1 to 103).map(i => ((i * 59) % 103, i.toLong)).toDF("v", "id")
+    val got = Ranking.equiDepthBins(df, "v", Seq("id"), k = 5)
+      .select("v", "id", "bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("bin",
+        (ntile(5).over(Window.orderBy(col("v"), col("id"))) - 1).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    TrackedCaches.release()
+  }
+
+  test("quantileTransform equals percent_rank per group; singleton group -> 0") {
+    val df = ((1 to 50).map(i => ("a", (i * 7 % 53).toDouble, i.toLong)) :+
+      (("solo", 9.0, 99L))).toDF("g", "v", "id")
+    val got = Ranking.quantileTransform(df, "v", Seq("g"), Seq("id"))
+      .collect().map(r => r.getLong(2) -> r.getAs[Double]("q")).toMap
+    val want = df.withColumn("q", round(percent_rank().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))), 6))
+      .collect().map(r => r.getLong(2) -> r.getAs[Double]("q")).toMap
+    assert(got == want)
+    assert(got(99L) == 0.0)
+    TrackedCaches.release()
+  }
+
   test("spearman: rangeRank path and window path agree exactly") {
     val df = (1 to 500)
       .map(i => (s"f${i % 3}", (i * 31 % 211).toDouble, (i * 17 % 199).toDouble, i.toLong))
