@@ -934,6 +934,23 @@ object SparkEntry {
           round(max(col("o_totalprice")), 6).as("hi"))
         .orderBy(col("bin"))),
 
+    // PageRank over the nation-level supply graph (customer nation ->
+    // supplier nation edges); 5 damped iterations, dangling mass
+    // redistributed, decimal-exact contribution sums
+    "q115_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      PageRank.run(edges, "src", "dst", iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // per-group empirical quantile transform (percent-rank scaling of
     // l_quantity within return flag), spot-checked on a key stride
     "q114_quantile_transform" -> ((s, dir) =>
@@ -1404,7 +1421,58 @@ object SparkEntry {
     * the driver's weaker rows-only check (all of them hash-based or
     * stub-based, called out above).
     */
+  /** Unrolled PageRank replay: one CTE trio (contribs, dangling, ranks)
+    * per iteration, the same expression tree [[PageRank.run]] executes —
+    * decimal-exact contribution sums, double closed-form update. Scala
+    * builds the chain so the oracle can never drift from the iteration
+    * count in q115.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nc AS (SELECT count(*) AS n FROM nodes),
+        |nd AS (
+        |  SELECT nodes.node, coalesce(dg.deg, 0) AS deg
+        |  FROM nodes LEFT JOIN
+        |    (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1) dg
+        |    USING (node)),
+        |r0 AS (SELECT node, deg, 1.0e0 / nc.n AS rank
+        |       FROM nd CROSS JOIN nc)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    sum(CAST(r.rank / r.deg AS DECIMAL(38,18))) AS csum
+         |  FROM r${i - 1} r JOIN e ON r.node = e.src
+         |  WHERE r.deg > 0 GROUP BY 1),
+         |d$i AS (
+         |  SELECT coalesce(sum(CAST(rank AS DECIMAL(38,18))),
+         |    CAST(0 AS DECIMAL(38,18))) AS dsum
+         |  FROM r${i - 1} WHERE deg = 0),
+         |r$i AS (
+         |  SELECT nd.node, nd.deg,
+         |    ((1 - 0.85e0) / nc.n) + 0.85e0 *
+         |      (coalesce(CAST(c$i.csum AS DOUBLE), 0.0e0)
+         |       + CAST(d$i.dsum AS DOUBLE) / nc.n) AS rank
+         |  FROM nd LEFT JOIN c$i ON nd.node = c$i.node
+         |  CROSS JOIN d$i CROSS JOIN nc)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s"""
+         |SELECT node, CAST(deg AS BIGINT) AS out_degree,
+         |  round(rank, 6) AS pagerank
+         |FROM r$iterations
+         |ORDER BY node""".stripMargin
+    head + iters + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q115_pagerank" -> pageRankOracleSql(5),
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag -- full-row ORDER BY: (okey, line) is NOT unique in lineitem
         |FROM lineitem
