@@ -951,6 +951,37 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // exact triangle count of the undirected nation supply graph via
+    // degree orientation (wedges only at the low-degree endpoint)
+    "q116_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      Triangles.summary(edges, "src", "dst")
+    }),
+
+    // forward as-of join with tolerance: each view matched to the next
+    // purchase by the same user within 3 days (conversion-lag lookup)
+    "q117_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      AsOfJoin.asOf(views, purchases, "user_id", "ts",
+          payloadCols = Seq("purchase_id"), rightTieCol = Some("purchase_id"),
+          direction = "forward", toleranceUs = Some(259200000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("asof_purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // per-group empirical quantile transform (percent-rank scaling of
     // l_quantity within return flag), spot-checked on a key stride
     "q114_quantile_transform" -> ((s, dir) =>
@@ -1473,6 +1504,44 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q115_pagerank" -> pageRankOracleSql(5),
+
+    "q116_triangles" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |und AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM raw WHERE a <> b)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT u AS node FROM und UNION SELECT v FROM und)) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM und e1
+        |   JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+        |   JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "q117_asof_forward" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT v.event_id, v.user_id, epoch_ns(v.ts) // 1000 AS ts_us,
+        |    p.purchase_id,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY p.ts, p.purchase_id DESC) AS rn
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+        |    AND epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000
+        |      <= 259200000000)
+        |SELECT event_id, user_id, ts_us, purchase_id AS asof_purchase_id
+        |FROM m WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag -- full-row ORDER BY: (okey, line) is NOT unique in lineitem
         |FROM lineitem

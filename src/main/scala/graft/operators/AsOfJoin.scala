@@ -1,45 +1,64 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-/** Left as-of join: for each left row, attach the most recent right row
-  * with `right.ts <= left.ts` on the same key (the event-time feature-join
-  * every training-data pipeline needs; DuckDB spells it `ASOF LEFT JOIN`).
+/** Left as-of join: for each left row, attach the nearest right row on
+  * the same key — `direction = "backward"` (default) takes the most
+  * recent right row with `right.ts <= left.ts` (the event-time
+  * feature-join every training-data pipeline needs; DuckDB spells it
+  * `ASOF LEFT JOIN ... >=`), `direction = "forward"` the earliest right
+  * row with `right.ts >= left.ts` (next-event lookup: conversion lag,
+  * time-to-failure). An optional `toleranceUs` bound nulls the match
+  * when the nearest row is farther than the given gap — since the
+  * nearest row minimizes the gap, no other row could qualify either
+  * (pandas `merge_asof(tolerance=...)` semantics).
   *
   * Spark has no native as-of join; rather than a custom `SparkStrategy`,
   * this composes existing operators (preference order (a) of the build
-  * plan): tag both sides, union, and carry the latest right payload
-  * forward with `last(ignoreNulls = true)` over a
-  * (key, ts)-ordered running window — right rows sort before left rows at
-  * equal timestamps, so the match is inclusive. One shuffle on the key,
+  * plan): tag both sides, union, and carry the nearest right payload
+  * with `last(ignoreNulls = true)` over a (key, ts)-ordered running
+  * window — right rows sort before left rows at equal timestamps, so
+  * the match is inclusive in both directions. One shuffle on the key,
   * one sort; both scale horizontally (the window never crosses keys, so
   * 1000 executors shard cleanly — no broadcast, no quadratic term).
   *
   * Output: every left row + `asof_<payload>` columns (null when no right
-  * row precedes it).
+  * row qualifies).
   */
 object AsOfJoin {
 
   /** @param rightTieCol breaks ties among right rows sharing (key, ts):
     *   the greatest value wins (any column with a total order). Without
     *   it, equal-timestamp right rows resolve arbitrarily.
+    * @param toleranceUs maximum |left.ts − right.ts| for a match to
+    *   stand, in MICROSECONDS when `tsCol` is a timestamp, in the
+    *   column's own units when it is numeric.
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           payloadCols: Seq[String], rightTieCol: Option[String] = None): DataFrame = {
+           payloadCols: Seq[String], rightTieCol: Option[String] = None,
+           direction: String = "backward",
+           toleranceUs: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right-side payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    require(toleranceUs.forall(_ >= 0), "tolerance must be >= 0")
+    val forward = direction == "forward"
     val leftCols = left.columns.toSeq
     val outPayload = payloadCols.map(c => s"asof_$c")
 
     // Left rows keep their columns; right rows contribute key, ts and
     // their payload wrapped in ONE struct — the struct is non-null for
     // every right row even when individual payload fields are null, so
-    // `last(ignoreNulls)` selects the most recent right ROW (a per-column
+    // `last(ignoreNulls)` selects the nearest right ROW (a per-column
     // carry would skip genuinely-null payload values and could stitch
-    // fields from different right rows).
+    // fields from different right rows). The match's own ts rides in the
+    // struct (`__mts`) for the tolerance check.
     val payloadType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c).copy(name = c)))
+      right.schema(tsCol).copy(name = "__mts") +:
+        payloadCols.map(c => right.schema(c).copy(name = c)))
     val tieType = rightTieCol.map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.StringType)
     val l = left
@@ -48,25 +67,45 @@ object AsOfJoin {
         lit(null).cast(tieType).as("__tie"),
         lit(null).cast(payloadType).as("__payload")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
-    // Null-ts right rows can never satisfy `right.ts <= left.ts` (DuckDB
+    // Null-ts right rows can never satisfy the as-of inequality (DuckDB
     // ASOF agrees); left in, they'd sort nulls-first and become a bogus
-    // "most recent" payload for left rows with no true predecessor.
+    // "nearest" payload for left rows with no true match.
     val r = right
       .filter(col(tsCol).isNotNull)
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col(tsCol).as("__ts"), col("__side"),
         rightTieCol.map(col).getOrElse(lit(null).cast(tieType)).as("__tie"),
-        struct(payloadCols.map(col): _*).as("__payload")) ++
+        struct(col(tsCol).as("__mts") +: payloadCols.map(col): _*)
+          .as("__payload")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"), col("__tie").asc_nulls_first)
+    // backward: ascending ts, the running last() is the latest right row
+    // at or before the left row. forward: DESCENDING ts, so the running
+    // last() is the EARLIEST right row at or after it. Right sorts
+    // before left at equal ts either way (inclusive match); among
+    // equal-(ts, side) right rows the greatest tie value wins.
+    val ord: Seq[Column] =
+      if (forward) Seq(col("__ts").desc, col("__side"), col("__tie").asc_nulls_first)
+      else Seq(col("__ts"), col("__side"), col("__tie").asc_nulls_first)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+
+    def toUnits(c: Column): Column = left.schema(tsCol).dataType match {
+      case TimestampType    => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast("timestamp"))
+      case _                => c.cast("long")
+    }
+    val gapOk = toleranceUs match {
+      case None => lit(true)
+      case Some(tol) =>
+        abs(toUnits(col("__ts")) - toUnits(col("__matched.__mts"))) <= tol
+    }
 
     l.unionByName(r)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__matched", when(gapOk, col("__matched")))
       .select(Seq(col(keyCol), col("__ts").as(tsCol)) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
         payloadCols.zip(outPayload).map { case (c, o) =>

@@ -66,6 +66,43 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out("late").contains(110.0))
   }
 
+  test("forward direction: earliest right row at or after; tolerance nulls far matches") {
+    import spark.implicits._
+    val next = Seq(
+      (1L, ts(10), "at10"), (1L, ts(20), "at20"), (2L, ts(500), "far"))
+      .toDF("key", "ts", "tag")
+    val probes = Seq(
+      (1L, ts(10), "exact"),   // inclusive: matches at10
+      (1L, ts(11), "between"), // next is at20
+      (1L, ts(21), "after"),   // nothing follows
+      (2L, ts(0), "lagged"))   // at 500 min, outside tolerance below
+      .toDF("key", "ts", "probe")
+    def run(tol: Option[Long]) =
+      AsOfJoin.asOf(probes, next, "key", "ts", Seq("tag"),
+          direction = "forward", toleranceUs = tol)
+        .collect().map(r => r.getAs[String]("probe") ->
+          Option(r.getAs[String]("asof_tag"))).toMap
+    val free = run(None)
+    assert(free == Map("exact" -> Some("at10"), "between" -> Some("at20"),
+      "after" -> None, "lagged" -> Some("far")))
+    // 100 minutes of tolerance: the 500-minute lag is nulled, others keep
+    val tol = run(Some(100L * 60000000L))
+    assert(tol == Map("exact" -> Some("at10"), "between" -> Some("at20"),
+      "after" -> None, "lagged" -> None))
+  }
+
+  test("backward tolerance: stale matches are nulled, fresh ones kept") {
+    import spark.implicits._
+    val quotes = Seq((1L, ts(0), 1.0), (1L, ts(90), 2.0)).toDF("key", "ts", "v")
+    val trades = Seq((1L, ts(100), "t")).toDF("key", "ts", "tag")
+    val fresh = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("v"),
+      toleranceUs = Some(15L * 60000000L)).head()
+    assert(fresh.getAs[Double]("asof_v") == 2.0) // 10 min old, within 15
+    val strict = AsOfJoin.asOf(trades, quotes, "key", "ts", Seq("v"),
+      toleranceUs = Some(5L * 60000000L)).head()
+    assert(strict.get(strict.fieldIndex("asof_v")) == null)
+  }
+
   test("left columns pass through unchanged") {
     import spark.implicits._
     val quotes = Seq((1L, ts(0), 9.0)).toDF("key", "ts", "v")
