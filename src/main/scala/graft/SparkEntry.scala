@@ -982,6 +982,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // exact distributed deciles of extendedprice: value at rank ceil(p·n)
+    // via the range-rank core — exact without percentile()'s value buffer
+    "q118_exact_quantiles" -> ((s, dir) =>
+      Ranking.exactQuantiles(
+          t(s, dir, "lineitem").select(col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber")),
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+          probs = (1 to 9).map(_ / 10.0))
+        .orderBy(col("p"))),
+
+    // exact two-sample KS drift test per return flag: extendedprice
+    // distribution of high-discount vs low-discount line items
+    "q119_ks_drift" -> ((s, dir) =>
+      Drift.ksTest(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice", "disc_band", Seq("l_returnflag"),
+          Seq("l_orderkey", "l_linenumber", "l_shipdate"))
+        .orderBy(col("l_returnflag"))),
+
     // per-group empirical quantile transform (percent-rank scaling of
     // l_quantity within return flag), spot-checked on a key stride
     "q114_quantile_transform" -> ((s, dir) =>
@@ -1523,6 +1543,49 @@ object SparkEntry {
         |   FROM und e1
         |   JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
         |   JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "q118_exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS value,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |p AS (SELECT unnest([0.1e0, 0.2e0, 0.3e0, 0.4e0, 0.5e0,
+        |  0.6e0, 0.7e0, 0.8e0, 0.9e0]) AS p)
+        |SELECT p.p AS p, r.value AS value, CAST(r.rk AS BIGINT) AS rank
+        |FROM r JOIN p ON r.rk = CAST(ceil(p.p * r.n) AS BIGINT)
+        |ORDER BY p""".stripMargin,
+
+    "q119_ks_drift" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag,
+        |    l_extendedprice AS v, l_orderkey AS k1, l_linenumber AS k2,
+        |    l_shipdate AS k3
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT g, tag, v,
+        |    row_number() OVER (PARTITION BY g, tag
+        |      ORDER BY v, k1, k2, k3) AS ro,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY v, tag, k1, k2, k3) AS ra
+        |  FROM b),
+        |ct AS (SELECT g, tag, v, max(ro) AS c_tag FROM r GROUP BY 1, 2, 3),
+        |ca AS (SELECT g, v, max(ra) AS c_all FROM r GROUP BY 1, 2),
+        |n1 AS (SELECT g, tag, count(*) AS n_own FROM b GROUP BY 1, 2),
+        |n2 AS (SELECT g, count(*) AS n_all FROM b GROUP BY 1)
+        |SELECT ct.g AS l_returnflag, CAST(max(n2.n_all) AS BIGINT) AS n,
+        |  round(max(abs(ct.c_tag::DOUBLE / n1.n_own
+        |    - (ca.c_all - ct.c_tag)::DOUBLE / (n2.n_all - n1.n_own))), 6)
+        |    AS ks_stat
+        |FROM ct
+        |JOIN ca ON ct.g = ca.g AND ct.v = ca.v
+        |JOIN n1 ON ct.g = n1.g AND ct.tag = n1.tag
+        |JOIN n2 ON ct.g = n2.g
+        |WHERE n2.n_all - n1.n_own > 0
+        |GROUP BY ct.g
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q117_asof_forward" ->
       """WITH v AS (

@@ -111,6 +111,30 @@ object Ranking {
       .drop("__edb_rk", "__edb_n")
   }
 
+  /** Exact distributed quantiles: the value at rank `ceil(p·n)` (the
+    * lower empirical quantile) for each requested probability — exact
+    * like `percentile()` but WITHOUT its per-group value buffer, and
+    * distributed unlike a single sort: one [[rangeRank]] pass + a
+    * broadcast probe of the target ranks. The third exactness tier next
+    * to `percentile` (exact, buffering) and `approx_percentile`
+    * (GK sketch): exact AND constant-memory at any scale.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                     probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    import df.sparkSession.implicits._
+    val ranked = rangeRank(df.filter(col(valueCol).isNotNull), Nil,
+      valueCol +: tieCols, "__eq_rk")
+    val n = ranked.agg(count(lit(1)).as("__eq_n"))
+    val p = probs.toDF("p")
+    ranked.crossJoin(broadcast(n))
+      .join(broadcast(p),
+        col("__eq_rk") === ceil(col("p") * col("__eq_n")))
+      .select(col("p"), col(valueCol).as("value"),
+        col("__eq_rk").as("rank"))
+  }
+
   /** Per-group empirical quantile transform: map each value to its
     * percent rank q = (rank−1)/(n_group−1) in [0, 1] — the
     * rank-normalization step ("quantile scaling") that makes features

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class DriftSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("ksTest: hand-computed two-sample statistic (scipy ks_2samp parity)") {
+    // a = [1, 2, 3], b = [2.5, 4]: ECDFs diverge most on (2, 2.5) where
+    // F_a = 2/3 and F_b = 0 -> D = 2/3 (scipy.stats.ks_2samp agrees)
+    val df = (Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.5, "b"), (4.0, "b")).zipWithIndex)
+      .map { case ((v, t), i) => ("g", t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val r = Drift.ksTest(df, "v", "tag", Seq("g"), Seq("id")).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("ks_stat") == 0.666667)
+    TrackedCaches.release()
+  }
+
+  test("ksTest: identical samples have zero drift, disjoint ones have D = 1") {
+    val same = Seq(1.0, 2.0, 3.0)
+    val df = (same.map(("g1", "a", _)) ++ same.map(("g1", "b", _)) ++
+      Seq(1.0, 2.0).map(("g2", "a", _)) ++ Seq(10.0, 11.0).map(("g2", "b", _)))
+      .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val out = Drift.ksTest(df, "v", "tag", Seq("g"), Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ks_stat")).toMap
+    assert(out("g1") == 0.0)
+    assert(out("g2") == 1.0)
+    TrackedCaches.release()
+  }
+
+  test("ksTest: groups missing one sample are dropped; ties across samples handled") {
+    val df = Seq(
+      ("only_a", "a", 1.0), ("only_a", "a", 2.0),
+      // g: a = [1, 2], b = [2, 3] -> D at x in (1,2): |1/2 - 0| = 0.5;
+      // at tie x=2: F_a=1, F_b(2)=1/2 -> 0.5; at 3: |1-1|=0 -> D=0.5
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 2.0), ("g", "b", 3.0))
+      .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val out = Drift.ksTest(df, "v", "tag", Seq("g"), Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ks_stat")).toMap
+    assert(out == Map("g" -> 0.5))
+    TrackedCaches.release()
+  }
+}

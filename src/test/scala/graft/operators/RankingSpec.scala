@@ -72,6 +72,19 @@ class RankingSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("exactQuantiles: value at rank ceil(p*n), exact on a known sequence") {
+    // values 1..100 shuffled: decile p has value ceil(p*100)
+    val df = (1 to 100).map(i => ((i * 37) % 101, i.toLong)).toDF("v", "id")
+      .filter(col("v") =!= 0)
+    val n = df.count() // 100 distinct values 1..100? (i*37)%101 covers 1..100
+    assert(n == 100)
+    val out = Ranking.exactQuantiles(df, "v", Seq("id"),
+        Seq(0.1, 0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(out == Map(0.1 -> 10, 0.25 -> 25, 0.5 -> 50, 1.0 -> 100))
+    TrackedCaches.release()
+  }
+
   test("spearman: rangeRank path and window path agree exactly") {
     val df = (1 to 500)
       .map(i => (s"f${i % 3}", (i * 31 % 211).toDouble, (i * 17 % 199).toDouble, i.toLong))
