@@ -998,8 +998,30 @@ object SparkEntry {
       Drift.ksTest(
           t(s, dir, "lineitem").withColumn("disc_band",
             when(col("l_discount") > 0.05, "hi").otherwise("lo")),
-          "l_extendedprice", "disc_band", Seq("l_returnflag"),
-          Seq("l_orderkey", "l_linenumber", "l_shipdate"))
+          "l_extendedprice", "disc_band", Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
+    // exact Mann-Whitney U rank-sum test (tie-corrected midranks) on the
+    // same hi/lo discount split q119 drift-tests
+    "q120_mannwhitney" -> ((s, dir) =>
+      Drift.mannWhitney(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice", "disc_band", Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
+    // chi-square independence of return flag x line status, with
+    // Cramer's V effect size; one contingency shuffle + broadcasts
+    "q121_chi_square" -> ((s, dir) =>
+      Stats.chiSquare(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+
+    // Welch's unequal-variance t-test of extendedprice means across the
+    // hi/lo discount bands per return flag (decimal-exact moments)
+    "q122_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice", "disc_band", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
     // per-group empirical quantile transform (percent-rank scaling of
@@ -1543,6 +1565,100 @@ object SparkEntry {
         |   FROM und e1
         |   JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
         |   JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "q120_mannwhitney" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag,
+        |    l_extendedprice AS v, l_orderkey AS k1, l_linenumber AS k2,
+        |    l_shipdate AS k3
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT g, tag, v,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY v, tag, k1, k2, k3) AS ra
+        |  FROM b),
+        |mid AS (
+        |  SELECT g, v, (min(ra) + max(ra))::DOUBLE / 2 AS mid,
+        |    count(*) AS t
+        |  FROM r GROUP BY 1, 2),
+        |occ AS (SELECT g, tag, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |rs AS (
+        |  SELECT o.g, o.tag, CAST(sum(o.c) AS BIGINT) AS n_tag,
+        |    sum(CAST(o.c * m.mid AS DECIMAL(28,6))) AS rsum
+        |  FROM occ o JOIN mid m ON o.g = m.g AND o.v = m.v
+        |  GROUP BY 1, 2),
+        |tie AS (SELECT g, sum(t * t * t - t) AS tie3 FROM mid GROUP BY 1),
+        |p AS (
+        |  SELECT a.g, a.tag AS tag_a, bb.tag AS tag_b,
+        |    a.n_tag AS n_a, bb.n_tag AS n_b,
+        |    CAST(a.rsum AS DOUBLE)
+        |      - a.n_tag::DOUBLE * (a.n_tag + 1) / 2 AS u_stat,
+        |    tie.tie3
+        |  FROM rs a JOIN rs bb ON a.g = bb.g AND a.tag < bb.tag
+        |  JOIN tie ON tie.g = a.g)
+        |SELECT g AS l_returnflag, tag_a, tag_b, n_a, n_b, u_stat,
+        |  CASE WHEN n_a::DOUBLE * n_b / 12 * ((n_a + n_b + 1)
+        |      - tie3::DOUBLE / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1))) > 0
+        |    THEN round((u_stat - n_a::DOUBLE * n_b / 2)
+        |      / sqrt(n_a::DOUBLE * n_b / 12 * ((n_a + n_b + 1)
+        |        - tie3::DOUBLE / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)))), 6)
+        |  END AS z
+        |FROM p
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q121_chi_square" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        |cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+        |  count(DISTINCT b) AS kb FROM cells),
+        |terms AS (
+        |  SELECT CAST((o - e) * (o - e) / e AS DECIMAL(28,6)) AS term
+        |  FROM (
+        |    SELECT cells.o, rm.ra::DOUBLE * cm.cb / tot.n AS e
+        |    FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b
+        |    CROSS JOIN tot))
+        |SELECT CAST(tot.n AS BIGINT) AS n,
+        |  CAST((tot.ka - 1) * (tot.kb - 1) AS BIGINT) AS dof,
+        |  round(CAST((SELECT sum(term) FROM terms) AS DOUBLE), 6) AS chi2,
+        |  round(sqrt(CAST((SELECT sum(term) FROM terms) AS DOUBLE)
+        |    / (tot.n * least(tot.ka - 1, tot.kb - 1))), 6) AS cramers_v
+        |FROM tot""".stripMargin,
+
+    "q122_welch_ttest" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (
+        |  SELECT g, tag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(v AS DECIMAL(30,6))) AS s1,
+        |    sum(CAST(v * v AS DECIMAL(30,6))) AS ss
+        |  FROM b GROUP BY 1, 2 HAVING count(*) >= 2),
+        |st AS (
+        |  SELECT g, tag, n, CAST(s1 AS DOUBLE) / n AS m,
+        |    (CAST(ss AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS v2
+        |  FROM s)
+        |SELECT a.g AS l_returnflag, a.tag AS tag_a, bb.tag AS tag_b,
+        |  a.n AS n_a, bb.n AS n_b,
+        |  round(a.m, 6) AS mean_a, round(bb.m, 6) AS mean_b,
+        |  CASE WHEN a.v2 / a.n + bb.v2 / bb.n > 0 THEN
+        |    round((a.m - bb.m) / sqrt(a.v2 / a.n + bb.v2 / bb.n), 6)
+        |  END AS t_stat,
+        |  CASE WHEN a.v2 / a.n + bb.v2 / bb.n > 0 THEN
+        |    round((a.v2 / a.n + bb.v2 / bb.n) * (a.v2 / a.n + bb.v2 / bb.n)
+        |      / ((a.v2 / a.n) * (a.v2 / a.n) / (a.n - 1)
+        |        + (bb.v2 / bb.n) * (bb.v2 / bb.n) / (bb.n - 1)), 6)
+        |  END AS dof
+        |FROM st a JOIN st bb ON a.g = bb.g AND a.tag < bb.tag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q118_exact_quantiles" ->
       """WITH r AS (

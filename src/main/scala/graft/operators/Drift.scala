@@ -3,67 +3,67 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distribution-drift detection: the exact two-sample Kolmogorov–Smirnov
-  * statistic per group — `D = sup_x |F_a(x) − F_b(x)|` between the
-  * empirical CDFs of the two samples a tag column splits each group
-  * into. The standard "did this feature's distribution move between
-  * snapshots / sources / cohorts" test, computed EXACTLY and
-  * distributed (no sample-to-driver, no binning approximation).
+/** Distribution-drift detection: exact two-sample tests per group,
+  * computed distributed (no sample-to-driver, no binning) — the
+  * Kolmogorov–Smirnov statistic (any shape change) and the Mann–Whitney
+  * U rank-sum test (stochastic dominance / location shift).
   *
-  * Both ECDFs are right-continuous step functions that jump only at
-  * observation points, so the sup is the max over DISTINCT observed
-  * values of |F_a(x) − F_b(x)| with both counts INCLUSIVE of ties.
-  * Decomposition: two [[Ranking.rangeRank]] passes give every row its
-  * rank within (group, tag) and within (group); the max rank per
-  * (group, tag, value) is the inclusive own-sample count `c_tag(x)`,
-  * the max per (group, value) the inclusive union count `c_all(x)`, so
-  * the other sample's inclusive count is their difference. Per distinct
-  * point, `gap = |c_tag/n_tag − (c_all − c_tag)/n_other|`; the group
-  * max over points is exactly D. (Evaluating at each point from the
-  * side(s) that observed it covers every distinct union value.) All
-  * reductions are map-side-combinable aggregates on (group, value[, tag])
-  * keys; the count frames join back as broadcasts.
+  * Both reduce the data ONCE to per-distinct-value counts (a map-side-
+  * combinable aggregate), then run [[Ranking.rangeRankMulti]] in its
+  * weighted prefix-sum form over that far smaller frame: the cumulative
+  * weight at each distinct (group, value) IS the inclusive ECDF count.
+  * Raw rows are touched exactly once; everything after is
+  * distinct-value-sized.
   */
 object Drift {
 
-  /** Output: one row per group — groupCols, `n` (total rows), `ks_stat`
-    * (rounded 6 dp). Groups where either sample is empty are dropped
-    * (no two-sample comparison exists).
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group:
+    * `D = sup_x |F_a(x) − F_b(x)|` between the ECDFs of the two samples
+    * `tagCol` splits each group into. Both ECDFs are right-continuous
+    * step functions jumping only at observation points, so the sup is
+    * the max over distinct observed values of the gap with both counts
+    * INCLUSIVE of ties — evaluated at each point from the side(s) that
+    * observed it, which covers every distinct union value.
+    *
+    * Output: one row per group — groupCols, `n` (total rows), `ks_stat`
+    * (rounded 6 dp). Groups where either sample is empty are dropped.
     */
   def ksTest(df: DataFrame, valueCol: String, tagCol: String,
-             groupCols: Seq[String], tieCols: Seq[String]): DataFrame = {
+             groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "ksTest needs at least one group column")
-    val base = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
-      .select((groupCols :+ tagCol :+ valueCol).map(col) ++
-        tieCols.map(col): _*)
-    val rOwn = Ranking.rangeRank(base, groupCols :+ tagCol,
-      valueCol +: tieCols, "__ks_ro")
-    val rAll = Ranking.rangeRank(rOwn, groupCols,
-      Seq(valueCol, tagCol) ++ tieCols, "__ks_ra")
     val gc = groupCols.map(col)
-    // inclusive ECDF counts at each distinct observed (group, value)
-    val cTag = rAll.groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
-      .agg(max(col("__ks_ro")).as("__c_tag"))
-    val cAll = rAll.groupBy(gc :+ col(valueCol): _*)
-      .agg(max(col("__ks_ra")).as("__c_all"))
-    val nOwn = base.groupBy(gc :+ col(tagCol): _*)
-      .agg(count(lit(1)).as("__n_own"))
-    val nAll = base.groupBy(gc: _*).agg(count(lit(1)).as("__n_all"))
-    def joinOn(d: DataFrame, stats: DataFrame, keys: Seq[String],
-               broadcastIt: Boolean): DataFrame = {
+    val occ = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
+      .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    // ONE weighted prefix-sum pass over the distinct-value frame gives
+    // both inclusive cumulative counts: per (group) and per (group, tag)
+    val cum = Ranking.rangeRankMulti(occ,
+      groupCols ++ Seq(valueCol, tagCol),
+      Seq(groupCols, groupCols :+ tagCol), Seq("__ks_ca", "__ks_ct"),
+      weightCol = Some("__c"))
+    // the union count inclusive of BOTH tags at a value is the max
+    // cumulative over the (group, value) micro-partition — one window
+    // shuffle, cheaper than a groupBy + self-join on the same key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc :+ col(valueCol): _*)
+    val points = cum
+      .withColumn("__c_all", max(col("__ks_ca")).over(w))
+      .select(gc :+ col(tagCol) :+ col(valueCol) :+
+        col("__ks_ct").as("__c_tag") :+ col("__c_all"): _*)
+    val nOwn = occ.groupBy(gc :+ col(tagCol): _*)
+      .agg(sum(col("__c")).as("__n_own"))
+    val nAll = occ.groupBy(gc: _*).agg(sum(col("__c")).as("__n_all"))
+    def joinOn(d: DataFrame, stats: DataFrame, keys: Seq[String]): DataFrame = {
       val statCols = stats.columns.filterNot(keys.contains).map(col)
       val keyed = stats.select(keys.map(c => col(c).as(s"__k_$c")) ++
         statCols: _*)
-      d.join(if (broadcastIt) broadcast(keyed) else keyed,
+      d.join(broadcast(keyed),
         keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _))
         .drop(keys.map(c => s"__k_$c"): _*)
     }
-    // points join on (group, value): co-partitioned aggregates, not
-    // broadcast (distinct values scale with the data); count frames are
-    // group-cardinality-sized and broadcast
-    val points = joinOn(cTag, cAll, groupCols :+ valueCol, broadcastIt = false)
-    val withCounts = joinOn(joinOn(points, nOwn, groupCols :+ tagCol,
-      broadcastIt = true), nAll, groupCols, broadcastIt = true)
+    // count frames are group-cardinality-sized broadcasts
+    val withCounts = joinOn(joinOn(points, nOwn, groupCols :+ tagCol),
+      nAll, groupCols)
       .withColumn("__n_other", col("__n_all") - col("__n_own"))
       .filter(col("__n_other") > 0L)
     withCounts
@@ -73,5 +73,72 @@ object Drift {
       .groupBy(gc: _*)
       .agg(max(col("__n_all")).as("n"),
         round(max(col("__gap")), 6).as("ks_stat"))
+  }
+
+  /** Exact Mann–Whitney U rank-sum test per group — the nonparametric
+    * location-shift companion to [[ksTest]]. Standard midranks: tied
+    * values across BOTH samples share the average of their positions,
+    * `midrank(v) = C(v) − (t(v) − 1)/2` where C is the inclusive
+    * cumulative union count (the weighted prefix sum) and t the tie
+    * size — an exact dyadic rational. `U = Σ midranks(sample a) −
+    * n_a(n_a+1)/2`; the normal approximation `z` applies the full tie
+    * correction `Σ(t³−t)`. Midrank sums run through DECIMAL(28,6) —
+    * exact and order-independent. Sample `a` is the lexicographically
+    * smaller tag; groups without two samples are dropped.
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, tagCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "mannWhitney needs at least one group column")
+    val gc = groupCols.map(col)
+    val occ = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
+      .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vals = occ.groupBy(gc :+ col(valueCol): _*)
+      .agg(sum(col("__c")).as("__t"))
+    val cum = Ranking.rangeRankMulti(vals, groupCols :+ valueCol,
+      Seq(groupCols), Seq("__mw_cu"), weightCol = Some("__t"))
+    val mid = cum.select(gc :+ col(valueCol) :+ col("__t") :+
+      (col("__mw_cu").cast("double") -
+        (col("__t").cast("double") - 1d) / 2d).as("__mid"): _*)
+    val keyedMid = mid.select(
+      (groupCols :+ valueCol).map(c => col(c).as(s"__k_$c")) :+
+        col("__mid") :+ col("__t"): _*)
+    val joined = occ.join(keyedMid,
+      (groupCols :+ valueCol).map(c => col(c) <=> col(s"__k_$c"))
+        .reduce(_ && _))
+    val rankSums = joined.groupBy(gc :+ col(tagCol): _*)
+      .agg(sum(col("__c")).as("__n_tag"),
+        sum((col("__c") * col("__mid")).cast("decimal(28,6)")).as("__rsum"))
+    val tieTerm = mid.groupBy(gc: _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tie3"))
+    val a = rankSums.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(gc: _*).orderBy(col(tagCol))))
+    val sa = a.filter(col("__rn") === 1).select(
+      gc :+ col(tagCol).as("tag_a") :+ col("__n_tag").as("n_a") :+
+        col("__rsum").as("__rsum_a"): _*)
+    val sb = a.filter(col("__rn") === 2).select(
+      groupCols.map(c => col(c).as(s"__kb_$c")) :+ col(tagCol).as("tag_b") :+
+        col("__n_tag").as("n_b"): _*)
+    val both = sa.join(sb,
+      groupCols.map(c => col(c) <=> col(s"__kb_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__kb_$c"): _*)
+      .join(broadcast(tieTerm.select(
+        groupCols.map(c => col(c).as(s"__kt_$c")) :+ col("__tie3"): _*)),
+        groupCols.map(c => col(c) <=> col(s"__kt_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__kt_$c"): _*)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nTot = na + nb
+    val u = col("__rsum_a").cast("double") - na * (na + 1d) / 2d
+    val varU = na * nb / 12d *
+      ((nTot + 1d) - col("__tie3").cast("double") / (nTot * (nTot - 1d)))
+    both
+      .withColumn("u_stat", u)
+      .withColumn("z", when(varU > 0d,
+        round((u - na * nb / 2d) / sqrt(varU), 6)))
+      .select(gc :+ col("tag_a") :+ col("tag_b") :+ col("n_a") :+
+        col("n_b") :+ col("u_stat") :+ col("z"): _*)
   }
 }

@@ -33,50 +33,100 @@ object Ranking {
   def rangeRank(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
                 outCol: String = "rank", numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "rangeRank needs at least one order column")
+    rangeRankMulti(df, groupCols ++ orderCols, Seq(groupCols), Seq(outCol),
+      numPartitions)
+  }
+
+  /** Several group-level rankings from ONE range sort: every set in
+    * `groupSets` gets its own rank column, all computed in the same
+    * per-partition pass. Caller contract: restricted to any one group of
+    * any set, `sortCols` must order that group's rows in the desired
+    * rank order (e.g. sort (g, v, tag, id) serves both groups-by-(g)
+    * and groups-by-(g, tag) ranked by v — a finer set's groups may
+    * freely INTERLEAVE in the sort, the pass keeps one counter per
+    * group). This is what lets a two-ranking consumer like the KS test
+    * pay one shuffle + sort instead of two.
+    */
+  def rangeRankMulti(df: DataFrame, sortCols: Seq[String],
+                     groupSets: Seq[Seq[String]], outCols: Seq[String],
+                     numPartitions: Int = 0,
+                     weightCol: Option[String] = None): DataFrame = {
+    require(groupSets.nonEmpty && groupSets.length == outCols.length,
+      "need one output column per group set")
     val spark = df.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val keys = (groupCols ++ orderCols).map(col)
+    val keys = sortCols.map(col)
     // cached because the counts job and the rank pass must see the SAME
     // range boundaries and row order (and pay the sort once)
     val sorted = TrackedCaches.track(
       df.repartitionByRange(nPart, keys: _*)
         .sortWithinPartitions(keys: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nGroup = groupCols.length
-    // rows per (physical partition, group): numPartitions × numGroups —
-    // metadata-sized for this operator's few-groups contract
+    // one metadata job covers every set: counts per (partition, union of
+    // all grouping columns) — numPartitions × numGroups rows, the
+    // few-groups contract of this operator. With a weight column the
+    // "rank" generalizes to the INCLUSIVE cumulative weight — the
+    // prefix-sum form consumers like the KS test run on pre-aggregated
+    // per-value counts instead of raw rows.
+    val allGroupCols = groupSets.flatten.distinct
+    val weightAgg = weightCol.map(w => sum(col(w).cast("long")))
+      .getOrElse(count(lit(1))).as("__n")
     val counts = sorted
-      .groupBy(spark_partition_id().as("__pid") +: groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+      .groupBy(spark_partition_id().as("__pid") +: allGroupCols.map(col): _*)
+      .agg(weightAgg)
       .collect()
-      .map(r => (r.getInt(0), Seq.tabulate(nGroup)(i => r.get(i + 1))) ->
+      .map(r => (r.getInt(0),
+        Seq.tabulate(allGroupCols.length)(i => r.get(i + 1))) ->
         r.getAs[Long]("__n"))
-    // offset(group, pid) = rows of that group in partitions BEFORE pid
-    val offsets: Map[(Int, Seq[Any]), Long] = counts
-      .groupBy { case ((_, g), _) => g }
-      .flatMap { case (g, perPid) =>
-        val sortedPids = perPid.map { case ((pid, _), n) => (pid, n) }
-          .sortBy(_._1)
-        val cum = sortedPids.scanLeft(0L)(_ + _._2)
-        sortedPids.map(_._1).zip(cum).map { case (pid, off) =>
-          (pid, g) -> off
-        }
-      }
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val groupIdx = groupCols.map(df.schema.fieldIndex)
-    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    // offset(set, group, pid) = rows of that group in partitions < pid
+    val setIdxInAll = groupSets.map(_.map(allGroupCols.indexOf))
+    val offsetsPerSet: Seq[Map[(Int, Seq[Any]), Long]] = setIdxInAll.map {
+      idx =>
+        counts
+          .groupBy { case ((pid, g), _) => (pid, idx.map(g)) }
+          .map { case (k, vs) => k -> vs.map(_._2).sum }
+          .groupBy { case ((_, g), _) => g }
+          .flatMap { case (g, perPid) =>
+            val sortedPids = perPid.map { case ((pid, _), n) => (pid, n) }
+              .toSeq.sortBy(_._1)
+            val cum = sortedPids.scanLeft(0L)(_ + _._2)
+            sortedPids.map(_._1).zip(cum).map { case (pid, off) =>
+              (pid, g) -> off
+            }
+          }
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsetsPerSet)
+    val groupIdxPerSet = groupSets.map(_.map(df.schema.fieldIndex))
+    val outSchema = outCols.foldLeft(sorted.schema)(
+      (s, c) => s.add(c, LongType, nullable = false))
+    val nSets = groupSets.length
+    val weightIdx = weightCol.map(df.schema.fieldIndex)
     val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      var curGroup: Seq[Any] = null
-      var counter = 0L
+      val offs = bOffsets.value
+      // a finer group set INTERLEAVES under a coarser set's sort order
+      // (e.g. tags alternate within a value run), so each set keeps a
+      // per-group counter map — sized by the partition's distinct groups,
+      // the few-groups contract — not a single running counter
+      val counters = Array.fill(nSets)(
+        scala.collection.mutable.HashMap.empty[Seq[Any], Long])
       rows.map { r =>
-        val g = groupIdx.map(r.get)
-        if (g != curGroup) {
-          curGroup = g
-          counter = bOffsets.value.getOrElse((pid, g), 0L)
+        val w = weightIdx.map(i => r.get(i) match {
+          case l: Long => l
+          case i2: Int => i2.toLong
+          case x => x.toString.toLong
+        }).getOrElse(1L)
+        var i = 0
+        val ranks = new Array[Any](nSets)
+        while (i < nSets) {
+          val g = groupIdxPerSet(i).map(r.get)
+          val c = counters(i).getOrElse(g,
+            offs(i).getOrElse((pid, g), 0L)) + w
+          counters(i)(g) = c
+          ranks(i) = c
+          i += 1
         }
-        counter += 1L
-        Row.fromSeq(r.toSeq :+ counter)
+        Row.fromSeq(r.toSeq ++ ranks)
       }
     }
     spark.createDataFrame(ranked, outSchema)

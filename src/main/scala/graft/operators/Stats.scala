@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classical hypothesis-test statistics as distributed aggregations —
+  * the "is this difference real" layer over Profile's descriptive
+  * stats. Everything reduces to map-side-combinable group counts or
+  * decimal-exact sums; no sampling, no driver-side data.
+  */
+object Stats {
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size. One contingency aggregation
+    * (shuffle on the pair), margins re-aggregated from it and joined
+    * back as broadcasts; expected counts are exact integer ratios in
+    * double. Output: one row — n, dof, chi2, cramers_v (6 dp).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowM = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colM = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val total = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb"))
+    val e = col("__ra").cast("double") * col("__cb") / col("__n")
+    cells
+      .join(broadcast(rowM), "__a")
+      .join(broadcast(colM), "__b")
+      .crossJoin(broadcast(total))
+      .withColumn("__term",
+        ((col("__o") - e) * (col("__o") - e) / e).cast("decimal(28,6)"))
+      .agg(max(col("__n")).as("n"),
+        ((max(col("__ka")) - 1) * (max(col("__kb")) - 1)).as("dof"),
+        round(sum(col("__term")).cast("double"), 6).as("chi2"),
+        round(sqrt(sum(col("__term")).cast("double") / (max(col("__n")) *
+          least(max(col("__ka")) - 1, max(col("__kb")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Welch's unequal-variance t-test per group: compare the `valueCol`
+    * means of the two samples `tagCol` splits each group into. Means
+    * and variances come from DECIMAL-exact sums (the engine-portable
+    * double-sum rule); t and the Welch–Satterthwaite dof are then fixed
+    * double expression trees, rounded 6 dp. Sample `a` is the
+    * lexicographically smaller tag; groups without exactly two samples
+    * of size ≥ 2 are dropped.
+    *
+    * One aggregation shuffle on (group, tag); the pivot to a/b columns
+    * is a two-row-per-group window, nothing wider.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, tagCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "welchTTest needs at least one group column")
+    val gc = groupCols.map(col)
+    val d = "decimal(30,6)"
+    val v = col(valueCol)
+    val perTag = df.filter(v.isNotNull && col(tagCol).isNotNull)
+      .groupBy(gc :+ col(tagCol): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast(d)).as("__s"),
+        sum((v * v).cast(d)).as("__ss"))
+      .filter(col("__n") >= 2L)
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / n) / (n - 1d)
+    val stats = perTag.select(gc :+ col(tagCol) :+ col("__n") :+
+      mean.as("__m") :+ variance.as("__v2"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col(tagCol))
+    val ranked = stats.withColumn("__rn", row_number().over(w))
+    val sa = ranked.filter(col("__rn") === 1).select(
+      gc :+ col(tagCol).as("tag_a") :+ col("__n").as("n_a") :+
+        col("__m").as("__ma") :+ col("__v2").as("__va"): _*)
+    val sb = ranked.filter(col("__rn") === 2).select(
+      groupCols.map(c => col(c).as(s"__kb_$c")) :+ col(tagCol).as("tag_b") :+
+        col("__n").as("n_b") :+ col("__m").as("__mb") :+
+        col("__v2").as("__vb"): _*)
+    val both = sa.join(sb,
+      groupCols.map(c => col(c) <=> col(s"__kb_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__kb_$c"): _*)
+    val sea = col("__va") / col("n_a")
+    val seb = col("__vb") / col("n_b")
+    val se2 = sea + seb
+    val dof = se2 * se2 /
+      (sea * sea / (col("n_a").cast("double") - 1d) +
+        seb * seb / (col("n_b").cast("double") - 1d))
+    both
+      .withColumn("mean_a", round(col("__ma"), 6))
+      .withColumn("mean_b", round(col("__mb"), 6))
+      .withColumn("t_stat", when(se2 > 0d,
+        round((col("__ma") - col("__mb")) / sqrt(se2), 6)))
+      .withColumn("dof", when(se2 > 0d, round(dof, 6)))
+      .select(gc :+ col("tag_a") :+ col("tag_b") :+ col("n_a") :+
+        col("n_b") :+ col("mean_a") :+ col("mean_b") :+ col("t_stat") :+
+        col("dof"): _*)
+  }
+}

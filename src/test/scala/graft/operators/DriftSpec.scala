@@ -13,7 +13,7 @@ class DriftSpec extends SparkSpecBase {
       (2.5, "b"), (4.0, "b")).zipWithIndex)
       .map { case ((v, t), i) => ("g", t, v, i.toLong) }
       .toDF("g", "tag", "v", "id")
-    val r = Drift.ksTest(df, "v", "tag", Seq("g"), Seq("id")).head()
+    val r = Drift.ksTest(df, "v", "tag", Seq("g")).head()
     assert(r.getAs[Long]("n") == 5L)
     assert(r.getAs[Double]("ks_stat") == 0.666667)
     TrackedCaches.release()
@@ -25,10 +25,37 @@ class DriftSpec extends SparkSpecBase {
       Seq(1.0, 2.0).map(("g2", "a", _)) ++ Seq(10.0, 11.0).map(("g2", "b", _)))
       .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
       .toDF("g", "tag", "v", "id")
-    val out = Drift.ksTest(df, "v", "tag", Seq("g"), Seq("id"))
+    val out = Drift.ksTest(df, "v", "tag", Seq("g"))
       .collect().map(r => r.getString(0) -> r.getAs[Double]("ks_stat")).toMap
     assert(out("g1") == 0.0)
     assert(out("g2") == 1.0)
+    TrackedCaches.release()
+  }
+
+  test("mannWhitney: hand-computed U and z without ties (scipy parity)") {
+    // a = [1,2,3], b = [2.5,4]: ranks 1,2,4 for a -> R_a=7, U = 7-6 = 1
+    // varU = 3*2/12 * 6 = 3; z = (1-3)/sqrt(3) = -1.154701
+    val df = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 2.5), ("g", "b", 4.0))
+      .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val r = Drift.mannWhitney(df, "v", "tag", Seq("g")).head()
+    assert(r.getAs[String]("tag_a") == "a" && r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Double]("u_stat") == 1.0)
+    assert(r.getAs[Double]("z") == -1.154701)
+    TrackedCaches.release()
+  }
+
+  test("mannWhitney: cross-sample ties take midranks with tie-corrected z") {
+    // a = [1,2], b = [2,3]: midrank(2) = 2.5 -> R_a = 3.5, U = 0.5
+    // tie3 = 6; varU = (4/12)*((5) - 6/12) = 1.5; z = -1.5/sqrt(1.5)
+    val df = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 2.0),
+      ("g", "b", 3.0))
+      .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val r = Drift.mannWhitney(df, "v", "tag", Seq("g")).head()
+    assert(r.getAs[Double]("u_stat") == 0.5)
+    assert(r.getAs[Double]("z") == -1.224745)
     TrackedCaches.release()
   }
 
@@ -40,7 +67,7 @@ class DriftSpec extends SparkSpecBase {
       ("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 2.0), ("g", "b", 3.0))
       .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
       .toDF("g", "tag", "v", "id")
-    val out = Drift.ksTest(df, "v", "tag", Seq("g"), Seq("id"))
+    val out = Drift.ksTest(df, "v", "tag", Seq("g"))
       .collect().map(r => r.getString(0) -> r.getAs[Double]("ks_stat")).toMap
     assert(out == Map("g" -> 0.5))
     TrackedCaches.release()

@@ -72,6 +72,27 @@ class RankingSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("rangeRankMulti: coarse and fine sets in one pass, fine groups interleaved") {
+    // tags alternate within each value run, so the (g, tag) groups are
+    // NOT contiguous under the shared (g, v, tag, id) sort
+    val df = (1 to 240).map { i =>
+      (s"g${i % 2}", if (i % 3 == 0) "a" else "b", (i * 31) % 97, i.toLong)
+    }.toDF("g", "tag", "v", "id").repartition(5)
+    val got = Ranking.rangeRankMulti(df, Seq("g", "v", "tag", "id"),
+        Seq(Seq("g"), Seq("g", "tag")), Seq("ra", "ro"), numPartitions = 7)
+      .collect().map(r => r.getLong(3) -> (r.getLong(4), r.getLong(5))).toMap
+    val wAll = Window.partitionBy(col("g"))
+      .orderBy(col("v"), col("tag"), col("id"))
+    val wOwn = Window.partitionBy(col("g"), col("tag"))
+      .orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("ra", row_number().over(wAll).cast("long"))
+      .withColumn("ro", row_number().over(wOwn).cast("long"))
+      .collect().map(r => r.getLong(3) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    TrackedCaches.release()
+  }
+
   test("exactQuantiles: value at rank ceil(p*n), exact on a known sequence") {
     // values 1..100 shuffled: decile p has value ceil(p*100)
     val df = (1 to 100).map(i => ((i * 37) % 101, i.toLong)).toDF("v", "id")

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class StatsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("chiSquare: hand-computed 2x2 with Cramer's V") {
+    // o = [[10, 20], [20, 10]]: margins all 30, N=60, every e=15 ->
+    // chi2 = 4 * 25/15 = 20/3. Each term is decimal-quantized to 6 dp
+    // BEFORE the order-independent sum (the engine-portability rule), so
+    // the result is 4 x 1.666667 = 6.666668, not round(20/3, 6)
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = Stats.chiSquare(rows.toDF("f1", "f2"), "f1", "f2").head()
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 6.666668)
+    assert(r.getAs[Double]("cramers_v") == 0.333333)
+  }
+
+  test("chiSquare: independent columns score ~zero") {
+    // perfectly proportional table -> chi2 exactly 0
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val r = Stats.chiSquare(rows.toDF("f1", "f2"), "f1", "f2").head()
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("welchTTest: hand-computed two-sample statistics (scipy parity)") {
+    // a = [1,2,3] (m=2, v=1), b = [2,4,6] (m=4, v=4):
+    //   t = -2 / sqrt(1/3 + 4/3) = -1.549193
+    //   dof = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 50/17 = 2.941176
+    val df = (Seq(1.0, 2.0, 3.0).map(("g", "a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("g", "b", _))).toDF("g", "tag", "v")
+    val r = Stats.welchTTest(df, "v", "tag", Seq("g")).head()
+    assert(r.getAs[String]("tag_a") == "a" && r.getAs[String]("tag_b") == "b")
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 4.0)
+    assert(r.getAs[Double]("t_stat") == -1.549193)
+    assert(r.getAs[Double]("dof") == 2.941176)
+  }
+
+  test("welchTTest: singleton samples are dropped (variance undefined)") {
+    val df = Seq(("g", "a", 1.0), ("g", "b", 2.0), ("g", "b", 3.0))
+      .toDF("g", "tag", "v")
+    assert(Stats.welchTTest(df, "v", "tag", Seq("g")).isEmpty)
+  }
+}
