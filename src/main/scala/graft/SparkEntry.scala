@@ -1589,6 +1589,9 @@ object SparkEntry {
         |  FROM occ o JOIN mid m ON o.g = m.g AND o.v = m.v
         |  GROUP BY 1, 2),
         |tie AS (SELECT g, sum(t * t * t - t) AS tie3 FROM mid GROUP BY 1),
+        |-- mirrors the operator: a two-sample test is defined only for
+        |-- groups with exactly two tags
+        |t2 AS (SELECT g FROM rs GROUP BY g HAVING count(*) = 2),
         |p AS (
         |  SELECT a.g, a.tag AS tag_a, bb.tag AS tag_b,
         |    a.n_tag AS n_a, bb.n_tag AS n_b,
@@ -1596,7 +1599,8 @@ object SparkEntry {
         |      - a.n_tag::DOUBLE * (a.n_tag + 1) / 2 AS u_stat,
         |    tie.tie3
         |  FROM rs a JOIN rs bb ON a.g = bb.g AND a.tag < bb.tag
-        |  JOIN tie ON tie.g = a.g)
+        |  JOIN tie ON tie.g = a.g
+        |  JOIN t2 ON t2.g = a.g)
         |SELECT g AS l_returnflag, tag_a, tag_b, n_a, n_b, u_stat,
         |  CASE WHEN n_a::DOUBLE * n_b / 12 * ((n_a + n_b + 1)
         |      - tie3::DOUBLE / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1))) > 0
@@ -1658,6 +1662,8 @@ object SparkEntry {
         |        + (bb.v2 / bb.n) * (bb.v2 / bb.n) / (bb.n - 1)), 6)
         |  END AS dof
         |FROM st a JOIN st bb ON a.g = bb.g AND a.tag < bb.tag
+        |JOIN (SELECT g FROM st GROUP BY g HAVING count(*) = 2) t2
+        |  ON t2.g = a.g
         |ORDER BY l_returnflag""".stripMargin,
 
     "q118_exact_quantiles" ->

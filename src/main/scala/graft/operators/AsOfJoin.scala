@@ -84,14 +84,23 @@ object AsOfJoin {
     // at or before the left row. forward: DESCENDING ts, so the running
     // last() is the EARLIEST right row at or after it. Right sorts
     // before left at equal ts either way (inclusive match); among
-    // equal-(ts, side) right rows the greatest tie value wins.
+    // equal-(ts, side) right rows the greatest tie value wins. Null-ts
+    // LEFT rows must sort at the window START in both directions (a null
+    // probe matches nothing) — descending order is nulls-LAST by
+    // default, which would hand them the whole right side.
     val ord: Seq[Column] =
-      if (forward) Seq(col("__ts").desc, col("__side"), col("__tie").asc_nulls_first)
-      else Seq(col("__ts"), col("__side"), col("__tie").asc_nulls_first)
+      if (forward) Seq(col("__ts").desc_nulls_first, col("__side"),
+        col("__tie").asc_nulls_first)
+      else Seq(col("__ts").asc_nulls_first, col("__side"),
+        col("__tie").asc_nulls_first)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    def toUnits(c: Column): Column = left.schema(tsCol).dataType match {
+    // each operand converts by ITS OWN side's timestamp type — keying
+    // both on the left type would compare micros against seconds when
+    // the sides' ts types differ
+    def toUnits(c: Column,
+                dt: org.apache.spark.sql.types.DataType): Column = dt match {
       case TimestampType    => unix_micros(c)
       case TimestampNTZType => unix_micros(c.cast("timestamp"))
       case _                => c.cast("long")
@@ -99,7 +108,8 @@ object AsOfJoin {
     val gapOk = toleranceUs match {
       case None => lit(true)
       case Some(tol) =>
-        abs(toUnits(col("__ts")) - toUnits(col("__matched.__mts"))) <= tol
+        abs(toUnits(col("__ts"), left.schema(tsCol).dataType) -
+          toUnits(col("__matched.__mts"), right.schema(tsCol).dataType)) <= tol
     }
 
     l.unionByName(r)

@@ -50,19 +50,14 @@ object Drift {
       .withColumn("__c_all", max(col("__ks_ca")).over(w))
       .select(gc :+ col(tagCol) :+ col(valueCol) :+
         col("__ks_ct").as("__c_tag") :+ col("__c_all"): _*)
-    val nOwn = occ.groupBy(gc :+ col(tagCol): _*)
-      .agg(sum(col("__c")).as("__n_own"))
-    val nAll = occ.groupBy(gc: _*).agg(sum(col("__c")).as("__n_all"))
-    def joinOn(d: DataFrame, stats: DataFrame, keys: Seq[String]): DataFrame = {
-      val statCols = stats.columns.filterNot(keys.contains).map(col)
-      val keyed = stats.select(keys.map(c => col(c).as(s"__k_$c")) ++
-        statCols: _*)
-      d.join(broadcast(keyed),
-        keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _))
-        .drop(keys.map(c => s"__k_$c"): _*)
-    }
+    // sample sizes are the FINAL cumulative counts — aggregates over the
+    // cached cum frame, not extra passes over the raw input
+    val nOwn = cum.groupBy(gc :+ col(tagCol): _*)
+      .agg(max(col("__ks_ct")).as("__n_own"))
+    val nAll = cum.groupBy(gc: _*).agg(max(col("__ks_ca")).as("__n_all"))
     // count frames are group-cardinality-sized broadcasts
-    val withCounts = joinOn(joinOn(points, nOwn, groupCols :+ tagCol),
+    val withCounts = FrameOps.broadcastJoinOn(
+      FrameOps.broadcastJoinOn(points, nOwn, groupCols :+ tagCol),
       nAll, groupCols)
       .withColumn("__n_other", col("__n_all") - col("__n_own"))
       .filter(col("__n_other") > 0L)
@@ -84,15 +79,20 @@ object Drift {
     * n_a(n_a+1)/2`; the normal approximation `z` applies the full tie
     * correction `Σ(t³−t)`. Midrank sums run through DECIMAL(28,6) —
     * exact and order-independent. Sample `a` is the lexicographically
-    * smaller tag; groups without two samples are dropped.
+    * smaller tag; groups without EXACTLY two samples are dropped (a
+    * two-sample statistic is undefined otherwise).
     */
   def mannWhitney(df: DataFrame, valueCol: String, tagCol: String,
                   groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "mannWhitney needs at least one group column")
     val gc = groupCols.map(col)
-    val occ = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
-      .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
-      .agg(count(lit(1)).as("__c"))
+    // occ feeds both the midrank path (via vals) and the rank-sum join —
+    // persist so the raw input is scanned once
+    val occ = TrackedCaches.track(
+      df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
+        .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vals = occ.groupBy(gc :+ col(valueCol): _*)
       .agg(sum(col("__c")).as("__t"))
     val cum = Ranking.rangeRankMulti(vals, groupCols :+ valueCol,
@@ -112,24 +112,12 @@ object Drift {
     val tieTerm = mid.groupBy(gc: _*)
       .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
         .as("__tie3"))
-    val a = rankSums.withColumn("__rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(gc: _*).orderBy(col(tagCol))))
-    val sa = a.filter(col("__rn") === 1).select(
-      gc :+ col(tagCol).as("tag_a") :+ col("__n_tag").as("n_a") :+
-        col("__rsum").as("__rsum_a"): _*)
-    val sb = a.filter(col("__rn") === 2).select(
-      groupCols.map(c => col(c).as(s"__kb_$c")) :+ col(tagCol).as("tag_b") :+
-        col("__n_tag").as("n_b"): _*)
-    val both = sa.join(sb,
-      groupCols.map(c => col(c) <=> col(s"__kb_$c")).reduce(_ && _))
-      .drop(groupCols.map(c => s"__kb_$c"): _*)
-      .join(broadcast(tieTerm.select(
-        groupCols.map(c => col(c).as(s"__kt_$c")) :+ col("__tie3"): _*)),
-        groupCols.map(c => col(c) <=> col(s"__kt_$c")).reduce(_ && _))
-      .drop(groupCols.map(c => s"__kt_$c"): _*)
-    val na = col("n_a").cast("double")
-    val nb = col("n_b").cast("double")
+    val both = FrameOps.broadcastJoinOn(
+      FrameOps.twoSamplePivot(rankSums, groupCols, tagCol,
+        Seq("__n_tag", "__rsum")),
+      tieTerm, groupCols)
+    val na = col("__n_tag_a").cast("double")
+    val nb = col("__n_tag_b").cast("double")
     val nTot = na + nb
     val u = col("__rsum_a").cast("double") - na * (na + 1d) / 2d
     val varU = na * nb / 12d *
@@ -138,7 +126,8 @@ object Drift {
       .withColumn("u_stat", u)
       .withColumn("z", when(varU > 0d,
         round((u - na * nb / 2d) / sqrt(varU), 6)))
-      .select(gc :+ col("tag_a") :+ col("tag_b") :+ col("n_a") :+
-        col("n_b") :+ col("u_stat") :+ col("z"): _*)
+      .select(gc :+ col(s"${tagCol}_a").as("tag_a") :+
+        col(s"${tagCol}_b").as("tag_b") :+ col("__n_tag_a").as("n_a") :+
+        col("__n_tag_b").as("n_b") :+ col("u_stat") :+ col("z"): _*)
   }
 }

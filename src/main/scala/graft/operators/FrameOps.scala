@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared frame-shaping helpers for the statistics operators — ONE
+  * definition of the two idioms they all lean on, so a semantics fix
+  * lands everywhere at once.
+  */
+private[operators] object FrameOps {
+
+  /** Null-safe broadcast equi-join of a small stats frame onto `d`:
+    * the stats keys are prefixed (`__k_`) to avoid capture, compared
+    * with `<=>` (a null group is a real group), and dropped after the
+    * join. `stats` must be small (group-cardinality-sized) — it ships
+    * as a broadcast.
+    */
+  def broadcastJoinOn(d: DataFrame, stats: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    val statCols = stats.columns.filterNot(keys.contains).map(col)
+    val keyed = stats.select(keys.map(c => col(c).as(s"__k_$c")) ++
+      statCols: _*)
+    d.join(broadcast(keyed),
+      keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _))
+      .drop(keys.map(c => s"__k_$c"): _*)
+  }
+
+  /** Pivot a per-(group, tag) stats frame into one row per group with
+    * `<carry>_a` / `<carry>_b` columns, where sample `a` is the
+    * lexicographically smaller tag. Groups WITHOUT EXACTLY TWO tags are
+    * dropped — a two-sample statistic is undefined otherwise (and a
+    * silent first-two selection would diverge from an all-pairs SQL
+    * mirror). The window partitions are tag-cardinality-sized.
+    */
+  def twoSamplePivot(stats: DataFrame, groupCols: Seq[String],
+                     tagCol: String, carryCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*)
+    val ranked = stats
+      .withColumn("__rn", row_number().over(w.orderBy(col(tagCol))))
+      .withColumn("__nt", count(lit(1)).over(w))
+      .filter(col("__nt") === 2L)
+    val sa = ranked.filter(col("__rn") === 1).select(
+      gc ++ (tagCol +: carryCols).map(c => col(c).as(s"${c}_a")): _*)
+    val sb = ranked.filter(col("__rn") === 2).select(
+      groupCols.map(c => col(c).as(s"__kb_$c")) ++
+        (tagCol +: carryCols).map(c => col(c).as(s"${c}_b")): _*)
+    sa.join(sb,
+      groupCols.map(c => col(c) <=> col(s"__kb_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__kb_$c"): _*)
+  }
+}

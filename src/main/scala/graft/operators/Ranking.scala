@@ -53,6 +53,14 @@ object Ranking {
                      weightCol: Option[String] = None): DataFrame = {
     require(groupSets.nonEmpty && groupSets.length == outCols.length,
       "need one output column per group set")
+    // weights must be integral: the counts job and the per-row pass must
+    // agree exactly, and a fractional weight would silently truncate in
+    // one and crash in the other
+    weightCol.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == LongType || dt == org.apache.spark.sql.types.IntegerType,
+        s"weightCol $c must be integral (INT/BIGINT), got $dt")
+    }
     val spark = df.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -114,7 +122,7 @@ object Ranking {
         val w = weightIdx.map(i => r.get(i) match {
           case l: Long => l
           case i2: Int => i2.toLong
-          case x => x.toString.toLong
+          case null => 0L // null weight contributes nothing, like sum()
         }).getOrElse(1L)
         var i = 0
         val ranks = new Array[Any](nSets)
@@ -206,13 +214,7 @@ object Ranking {
         ranked.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__qt_n"))
     val joined =
       if (groupCols.isEmpty) ranked.crossJoin(broadcast(counts))
-      else {
-        val renamed = counts.select(
-          groupCols.map(c => col(c).as(s"__qt_g_$c")) :+ col("__qt_n"): _*)
-        ranked.join(broadcast(renamed),
-          groupCols.map(c => col(c) <=> col(s"__qt_g_$c")).reduce(_ && _))
-          .drop(groupCols.map(c => s"__qt_g_$c"): _*)
-      }
+      else FrameOps.broadcastJoinOn(ranked, counts, groupCols)
     joined
       .withColumn(outCol,
         when(col("__qt_n") === 1L, 0.0).otherwise(

@@ -45,11 +45,11 @@ object Stats {
     * and variances come from DECIMAL-exact sums (the engine-portable
     * double-sum rule); t and the Welch–Satterthwaite dof are then fixed
     * double expression trees, rounded 6 dp. Sample `a` is the
-    * lexicographically smaller tag; groups without exactly two samples
-    * of size ≥ 2 are dropped.
+    * lexicographically smaller tag; groups without EXACTLY two samples
+    * of size ≥ 2 are dropped (a two-sample test is undefined otherwise).
     *
     * One aggregation shuffle on (group, tag); the pivot to a/b columns
-    * is a two-row-per-group window, nothing wider.
+    * is `FrameOps.twoSamplePivot`, a tag-cardinality-sized window.
     */
   def welchTTest(df: DataFrame, valueCol: String, tagCol: String,
                  groupCols: Seq[String]): DataFrame = {
@@ -69,33 +69,23 @@ object Stats {
       col("__s").cast("double") * col("__s").cast("double") / n) / (n - 1d)
     val stats = perTag.select(gc :+ col(tagCol) :+ col("__n") :+
       mean.as("__m") :+ variance.as("__v2"): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(gc: _*).orderBy(col(tagCol))
-    val ranked = stats.withColumn("__rn", row_number().over(w))
-    val sa = ranked.filter(col("__rn") === 1).select(
-      gc :+ col(tagCol).as("tag_a") :+ col("__n").as("n_a") :+
-        col("__m").as("__ma") :+ col("__v2").as("__va"): _*)
-    val sb = ranked.filter(col("__rn") === 2).select(
-      groupCols.map(c => col(c).as(s"__kb_$c")) :+ col(tagCol).as("tag_b") :+
-        col("__n").as("n_b") :+ col("__m").as("__mb") :+
-        col("__v2").as("__vb"): _*)
-    val both = sa.join(sb,
-      groupCols.map(c => col(c) <=> col(s"__kb_$c")).reduce(_ && _))
-      .drop(groupCols.map(c => s"__kb_$c"): _*)
-    val sea = col("__va") / col("n_a")
-    val seb = col("__vb") / col("n_b")
+    val both = FrameOps.twoSamplePivot(stats, groupCols, tagCol,
+      Seq("__n", "__m", "__v2"))
+    val sea = col("__v2_a") / col("__n_a")
+    val seb = col("__v2_b") / col("__n_b")
     val se2 = sea + seb
     val dof = se2 * se2 /
-      (sea * sea / (col("n_a").cast("double") - 1d) +
-        seb * seb / (col("n_b").cast("double") - 1d))
+      (sea * sea / (col("__n_a").cast("double") - 1d) +
+        seb * seb / (col("__n_b").cast("double") - 1d))
     both
-      .withColumn("mean_a", round(col("__ma"), 6))
-      .withColumn("mean_b", round(col("__mb"), 6))
+      .withColumn("mean_a", round(col("__m_a"), 6))
+      .withColumn("mean_b", round(col("__m_b"), 6))
       .withColumn("t_stat", when(se2 > 0d,
-        round((col("__ma") - col("__mb")) / sqrt(se2), 6)))
+        round((col("__m_a") - col("__m_b")) / sqrt(se2), 6)))
       .withColumn("dof", when(se2 > 0d, round(dof, 6)))
-      .select(gc :+ col("tag_a") :+ col("tag_b") :+ col("n_a") :+
-        col("n_b") :+ col("mean_a") :+ col("mean_b") :+ col("t_stat") :+
-        col("dof"): _*)
+      .select(gc :+ col(s"${tagCol}_a").as("tag_a") :+
+        col(s"${tagCol}_b").as("tag_b") :+ col("__n_a").as("n_a") :+
+        col("__n_b").as("n_b") :+ col("mean_a") :+ col("mean_b") :+
+        col("t_stat") :+ col("dof"): _*)
   }
 }

@@ -103,6 +103,16 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(strict.get(strict.fieldIndex("asof_v")) == null)
   }
 
+  test("forward direction: a null-ts left probe matches nothing") {
+    import spark.implicits._
+    val next = Seq((1L, Some(ts(10)), "x")).toDF("key", "ts", "tag")
+    val probes = Seq((1L, Option.empty[java.sql.Timestamp], "nullprobe"))
+      .toDF("key", "ts", "probe")
+    val out = AsOfJoin.asOf(probes, next, "key", "ts", Seq("tag"),
+      direction = "forward").head()
+    assert(out.get(out.fieldIndex("asof_tag")) == null)
+  }
+
   test("left columns pass through unchanged") {
     import spark.implicits._
     val quotes = Seq((1L, ts(0), 9.0)).toDF("key", "ts", "v")

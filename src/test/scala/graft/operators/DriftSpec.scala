@@ -59,6 +59,17 @@ class DriftSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("mannWhitney: groups with more or fewer than two tags are dropped") {
+    val df = Seq(("g3", "a", 1.0), ("g3", "b", 2.0), ("g3", "c", 3.0),
+      ("g1", "a", 1.0), ("ok", "a", 1.0), ("ok", "b", 2.0))
+      .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val out = Drift.mannWhitney(df, "v", "tag", Seq("g"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("ok"))
+    TrackedCaches.release()
+  }
+
   test("ksTest: groups missing one sample are dropped; ties across samples handled") {
     val df = Seq(
       ("only_a", "a", 1.0), ("only_a", "a", 2.0),

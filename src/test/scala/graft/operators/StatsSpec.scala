@@ -47,4 +47,11 @@ class StatsSpec extends SparkSpecBase {
       .toDF("g", "tag", "v")
     assert(Stats.welchTTest(df, "v", "tag", Seq("g")).isEmpty)
   }
+
+  test("welchTTest: groups with three surviving samples are dropped, not truncated") {
+    val df = (Seq(1.0, 2.0).map(("g", "a", _)) ++
+      Seq(2.0, 4.0).map(("g", "b", _)) ++ Seq(3.0, 6.0).map(("g", "c", _)))
+      .toDF("g", "tag", "v")
+    assert(Stats.welchTTest(df, "v", "tag", Seq("g")).isEmpty)
+  }
 }
