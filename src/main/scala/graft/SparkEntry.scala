@@ -1010,6 +1010,15 @@ object SparkEntry {
           "l_extendedprice", "disc_band", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
+    // exact ROC-AUC of extendedprice as a predictor of the high-discount
+    // label, per return flag (U_pos/(n_pos*n_neg) — no threshold sweep)
+    "q123_auc" -> ((s, dir) =>
+      Drift.auc(
+          t(s, dir, "lineitem").withColumn("is_hi",
+            col("l_discount") > 0.05),
+          "l_extendedprice", "is_hi", Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
     // chi-square independence of return flag x line status, with
     // Cramer's V effect size; one contingency shuffle + broadcasts
     "q121_chi_square" -> ((s, dir) =>
@@ -1608,6 +1617,39 @@ object SparkEntry {
         |      / sqrt(n_a::DOUBLE * n_b / 12 * ((n_a + n_b + 1)
         |        - tie3::DOUBLE / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)))), 6)
         |  END AS z
+        |FROM p
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q123_auc" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CASE WHEN l_discount > 0.05 THEN 'pos' ELSE 'neg' END AS tag,
+        |    l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |vals AS (SELECT g, v, count(*) AS t FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, t,
+        |    sum(t) OVER (PARTITION BY g ORDER BY v) AS cu
+        |  FROM vals),
+        |mid AS (SELECT g, v, cu::DOUBLE - (t::DOUBLE - 1) / 2 AS mid
+        |        FROM cum),
+        |occ AS (SELECT g, tag, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |rs AS (
+        |  SELECT o.g, o.tag, CAST(sum(o.c) AS BIGINT) AS n_tag,
+        |    sum(CAST(o.c * m.mid AS DECIMAL(28,6))) AS rsum
+        |  FROM occ o JOIN mid m ON o.g = m.g AND o.v = m.v
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT g FROM rs GROUP BY g HAVING count(*) = 2),
+        |p AS (
+        |  SELECT a.g, a.n_tag AS n_a, bb.n_tag AS n_b,
+        |    CAST(a.rsum AS DOUBLE)
+        |      - a.n_tag::DOUBLE * (a.n_tag + 1) / 2 AS u_stat
+        |  FROM rs a JOIN rs bb ON a.g = bb.g AND a.tag < bb.tag
+        |  JOIN t2 ON t2.g = a.g)
+        |SELECT g AS l_returnflag, n_b AS n_pos, n_a AS n_neg,
+        |  round((n_a::DOUBLE * n_b - u_stat) / (n_a::DOUBLE * n_b), 6)
+        |    AS auc
         |FROM p
         |ORDER BY l_returnflag""".stripMargin,
 

@@ -130,4 +130,27 @@ object Drift {
         col(s"${tagCol}_b").as("tag_b") :+ col("__n_tag_a").as("n_a") :+
         col("__n_tag_b").as("n_b") :+ col("u_stat") :+ col("z"): _*)
   }
+
+  /** Exact ROC-AUC per group: `P(score⁺ > score⁻) + ½·P(score⁺ =
+    * score⁻)`, which is exactly `U_pos / (n_pos · n_neg)` — the
+    * probabilistic identity that makes AUC a one-liner over
+    * [[mannWhitney]]'s midrank machinery (ties contribute the half by
+    * construction). No threshold sweep, no curve materialization, no
+    * sampling: the exact statistic, distributed. `labelCol` is cast to
+    * boolean (true = positive); groups lacking either class are dropped.
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String,
+          groupCols: Seq[String]): DataFrame = {
+    val tagged = df.filter(col(labelCol).isNotNull)
+      .withColumn("__auc_tag",
+        when(col(labelCol).cast("boolean"), "pos").otherwise("neg"))
+    // tag_a is always "neg" (lexicographic), so u_stat is U_neg and
+    // U_pos = n_a·n_b − U_neg
+    val mw = mannWhitney(tagged, scoreCol, "__auc_tag", groupCols)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    mw.select(groupCols.map(col) :+ col("n_b").as("n_pos") :+
+      col("n_a").as("n_neg") :+
+      round((na * nb - col("u_stat")) / (na * nb), 6).as("auc"): _*)
+  }
 }

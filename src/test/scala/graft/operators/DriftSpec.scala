@@ -70,6 +70,21 @@ class DriftSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("auc: perfect, inverted, chance, and tied separability") {
+    def frame(pos: Seq[Double], neg: Seq[Double], g: String) =
+      pos.map((g, true, _)) ++ neg.map((g, false, _))
+    val df = (frame(Seq(3.0, 4.0), Seq(1.0, 2.0), "perfect") ++
+      frame(Seq(1.0, 2.0), Seq(3.0, 4.0), "inverted") ++
+      frame(Seq(1.0, 3.0), Seq(2.0), "half") ++
+      frame(Seq(2.0), Seq(2.0), "tied"))
+      .toDF("g", "label", "score")
+    val out = Drift.auc(df, "score", "label", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    assert(out == Map("perfect" -> 1.0, "inverted" -> 0.0,
+      "half" -> 0.5, "tied" -> 0.5))
+    TrackedCaches.release()
+  }
+
   test("ksTest: groups missing one sample are dropped; ties across samples handled") {
     val df = Seq(
       ("only_a", "a", 1.0), ("only_a", "a", 2.0),
