@@ -1024,6 +1024,12 @@ object SparkEntry {
     "q121_chi_square" -> ((s, dir) =>
       Stats.chiSquare(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // mutual information (+ marginal entropies, NMI) between return
+    // flag and line status — the information-theoretic q121 companion
+    "q124_mutual_info" -> ((s, dir) =>
+      Stats.mutualInformation(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")),
+
     // Welch's unequal-variance t-test of extendedprice means across the
     // hi/lo discount bands per return flag (decimal-exact moments)
     "q122_welch_ttest" -> ((s, dir) =>
@@ -1652,6 +1658,38 @@ object SparkEntry {
         |    AS auc
         |FROM p
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q124_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        |cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |ha AS (
+        |  SELECT round(CAST(sum(CAST(
+        |    -(ra::DOUBLE / tot.n) * ln(ra::DOUBLE / tot.n)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_a
+        |  FROM rm CROSS JOIN tot),
+        |hb AS (
+        |  SELECT round(CAST(sum(CAST(
+        |    -(cb::DOUBLE / tot.n) * ln(cb::DOUBLE / tot.n)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_b
+        |  FROM cm CROSS JOIN tot),
+        |mi AS (
+        |  SELECT CAST(tot.n AS BIGINT) AS n,
+        |    round(CAST(sum(CAST(
+        |      (o::DOUBLE / tot.n) * ln((o::DOUBLE * tot.n)
+        |        / (rm.ra::DOUBLE * cm.cb))
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi
+        |  FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b
+        |  CROSS JOIN tot GROUP BY tot.n)
+        |SELECT n, h_a, h_b, mi,
+        |  CASE WHEN h_a > 0 AND h_b > 0
+        |    THEN round(mi / sqrt(h_a * h_b), 6) END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
 
     "q121_chi_square" ->
       """WITH cells AS (

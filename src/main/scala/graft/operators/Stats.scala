@@ -40,6 +40,47 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Mutual information between two categorical columns, in nats, with
+    * the marginal entropies and the normalized variant
+    * `NMI = MI / √(H_a·H_b)` — the information-theoretic companion to
+    * [[chiSquare]] (feature-redundancy / clustering-agreement metric).
+    * Same plan shape: one contingency shuffle, margins re-aggregated
+    * and broadcast back; every ln argument is a ratio of exact counts
+    * (widened to double BEFORE multiplying, so no 64-bit overflow at
+    * any scale), and per-cell terms are decimal-quantized before the
+    * order-independent sum. Output one row: n, h_a, h_b, mi, nmi (6 dp).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowM = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colM = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val total = cells.agg(sum(col("__o")).as("__n"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__n")
+      m.crossJoin(broadcast(total))
+        .withColumn("__t", (-p * log(p)).cast("decimal(28,12)"))
+        .agg(round(sum(col("__t")).cast("double"), 6).as("h"))
+    }
+    val miTermArg = (col("__o").cast("double") * col("__n")) /
+      (col("__ra").cast("double") * col("__cb"))
+    val mi = cells
+      .join(broadcast(rowM), "__a")
+      .join(broadcast(colM), "__b")
+      .crossJoin(broadcast(total))
+      .withColumn("__t",
+        ((col("__o").cast("double") / col("__n")) * log(miTermArg))
+          .cast("decimal(28,12)"))
+      .agg(max(col("__n")).as("n"),
+        round(sum(col("__t")).cast("double"), 6).as("mi"))
+    mi.crossJoin(broadcast(entropy(rowM, "__ra").withColumnRenamed("h", "h_a")))
+      .crossJoin(broadcast(entropy(colM, "__cb").withColumnRenamed("h", "h_b")))
+      .select(col("n"), col("h_a"), col("h_b"), col("mi"),
+        when(col("h_a") > 0d && col("h_b") > 0d,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))
+  }
+
   /** Welch's unequal-variance t-test per group: compare the `valueCol`
     * means of the two samples `tagCol` splits each group into. Means
     * and variances come from DECIMAL-exact sums (the engine-portable

@@ -29,6 +29,27 @@ class StatsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("cramers_v") == 0.0)
   }
 
+  test("mutualInformation: perfect dependence gives MI = ln 2 and NMI = 1") {
+    val rows = Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y"))
+    val r = Stats.mutualInformation(rows.toDF("f1", "f2"), "f1", "f2").head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("mi") == 0.693147) // ln 2
+    assert(r.getAs[Double]("h_a") == 0.693147)
+    assert(r.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("mutualInformation: independent columns carry zero information") {
+    val rows = for (a <- Seq("a", "b"); b <- Seq("x", "y", "z"); _ <- 1 to 4)
+      yield (a, b)
+    val r = Stats.mutualInformation(rows.toDF("f1", "f2"), "f1", "f2").head()
+    assert(r.getAs[Double]("mi") == 0.0)
+    // single-valued column: H = 0 -> NMI undefined (null)
+    val single = Seq(("k", "x"), ("k", "y")).toDF("f1", "f2")
+    val r2 = Stats.mutualInformation(single, "f1", "f2").head()
+    assert(r2.getAs[Double]("h_a") == 0.0)
+    assert(r2.get(r2.fieldIndex("nmi")) == null)
+  }
+
   test("welchTTest: hand-computed two-sample statistics (scipy parity)") {
     // a = [1,2,3] (m=2, v=1), b = [2,4,6] (m=4, v=4):
     //   t = -2 / sqrt(1/3 + 4/3) = -1.549193
