@@ -982,6 +982,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // exact per-priority Gini concentration of order totals via the
+    // ranked closed form (no per-group sort task)
+    "q125_gini" -> ((s, dir) =>
+      Ranking.gini(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            col("o_totalprice"), col("o_orderkey")),
+          "o_totalprice", Seq("o_orderpriority"), Seq("o_orderkey"))
+        .orderBy(col("o_orderpriority"))),
+
     // exact distributed deciles of extendedprice: value at rank ceil(p·n)
     // via the range-rank core — exact without percentile()'s value buffer
     "q118_exact_quantiles" -> ((s, dir) =>
@@ -1745,6 +1754,25 @@ object SparkEntry {
         |JOIN (SELECT g FROM st GROUP BY g HAVING count(*) = 2) t2
         |  ON t2.g = a.g
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q125_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rk
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(30,6))) AS sx,
+        |    sum(CAST(rk * x AS DECIMAL(30,6))) AS six
+        |  FROM r GROUP BY g)
+        |SELECT g AS o_orderpriority, n,
+        |  round(CAST(sx AS DOUBLE), 6) AS sum_value,
+        |  round((2 * CAST(six AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+        |    / (n * CAST(sx AS DOUBLE)), 6) AS gini
+        |FROM a
+        |WHERE CAST(sx AS DOUBLE) > 0
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q118_exact_quantiles" ->
       """WITH r AS (

@@ -193,6 +193,42 @@ object Ranking {
         col("__eq_rk").as("rank"))
   }
 
+  /** Per-group Gini coefficient — the inequality/concentration measure
+    * ("how skewed is spend across customers / tokens across documents"),
+    * from the closed form over ascending-ranked values:
+    * `G = (2·Σ(i·x_i) − (n+1)·Σx_i) / (n·Σx_i)`. Ranks come from
+    * [[rangeRank]] (full parallelism, no per-group sort task); the two
+    * sums run as DECIMAL(30,6)-quantized aggregates — order-independent
+    * and engine-portable — and the final form is a fixed double tree,
+    * rounded 6 dp. Negative values are rejected (Gini is defined on
+    * non-negative quantities); groups with a zero sum are dropped.
+    */
+  def gini(df: DataFrame, valueCol: String, groupCols: Seq[String],
+           tieCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "gini needs at least one group column")
+    val v = col(valueCol)
+    val ranked = rangeRank(df.filter(v.isNotNull), groupCols,
+      valueCol +: tieCols, "__gi_rk")
+    val d = "decimal(30,6)"
+    val agg = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(v).as("__min"),
+        sum(v.cast(d)).as("__sx"),
+        sum((col("__gi_rk") * v).cast(d)).as("__six"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val six = col("__six").cast("double")
+    agg
+      .withColumn("gini",
+        when(col("__min") < 0d,
+          raise_error(lit("gini requires non-negative values")))
+          .otherwise(when(sx > 0d,
+            round((six * 2d - (n + 1d) * sx) / (n * sx), 6))))
+      .filter(col("gini").isNotNull)
+      .select(groupCols.map(col) :+ col("n") :+
+        round(sx, 6).as("sum_value") :+ col("gini"): _*)
+  }
+
   /** Per-group empirical quantile transform: map each value to its
     * percent rank q = (rank−1)/(n_group−1) in [0, 1] — the
     * rank-normalization step ("quantile scaling") that makes features

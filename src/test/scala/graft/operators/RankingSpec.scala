@@ -106,6 +106,33 @@ class RankingSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("gini: equality is 0, full concentration is (n-1)/n, linear ramp 0.25") {
+    val df = (Seq.fill(4)(1.0).map(("eq", _)) ++
+      Seq(0.0, 0.0, 0.0, 4.0).map(("conc", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map(("ramp", _)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val out = Ranking.gini(df, "v", Seq("g"), Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(out == Map("eq" -> 0.0, "conc" -> 0.75, "ramp" -> 0.25))
+    TrackedCaches.release()
+  }
+
+  test("gini: negative values error, zero-sum groups are dropped") {
+    val bad = Seq(("g", -1.0, 1L), ("g", 2.0, 2L)).toDF("g", "v", "id")
+    val ex = intercept[Exception] {
+      Ranking.gini(bad, "v", Seq("g"), Seq("id")).collect()
+    }
+    assert(ex.getMessage.contains("non-negative"))
+    TrackedCaches.release()
+    val zero = Seq(("z", 0.0, 1L), ("z", 0.0, 2L), ("ok", 1.0, 3L),
+      ("ok", 3.0, 4L)).toDF("g", "v", "id")
+    val out = Ranking.gini(zero, "v", Seq("g"), Seq("id"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("ok"))
+    TrackedCaches.release()
+  }
+
   test("spearman: rangeRank path and window path agree exactly") {
     val df = (1 to 500)
       .map(i => (s"f${i % 3}", (i * 31 % 211).toDouble, (i * 17 % 199).toDouble, i.toLong))
