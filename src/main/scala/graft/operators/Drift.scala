@@ -141,9 +141,12 @@ object Drift {
     */
   def auc(df: DataFrame, scoreCol: String, labelCol: String,
           groupCols: Seq[String]): DataFrame = {
-    val tagged = df.filter(col(labelCol).isNotNull)
+    require(groupCols.nonEmpty, "auc needs at least one group column")
+    // rows whose label does not cast to a boolean are dropped, not
+    // silently counted as negatives (try_cast: ANSI cast would throw)
+    val tagged = df.filter(col(labelCol).try_cast("boolean").isNotNull)
       .withColumn("__auc_tag",
-        when(col(labelCol).cast("boolean"), "pos").otherwise("neg"))
+        when(col(labelCol).try_cast("boolean"), "pos").otherwise("neg"))
     // tag_a is always "neg" (lexicographic), so u_stat is U_neg and
     // U_pos = n_a·n_b − U_neg
     val mw = mannWhitney(tagged, scoreCol, "__auc_tag", groupCols)

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Contingency scaffolding shared by [[chiSquare]] and
+    * [[mutualInformation]]: per-cell counts plus both margins — one
+    * definition so a null-filter or aggregation fix lands in both.
+    */
+  private def contingency(df: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowM = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colM = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    (cells, rowM, colM)
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns, plus Cramér's V effect size. One contingency aggregation
     * (shuffle on the pair), margins re-aggregated from it and joined
@@ -17,11 +31,7 @@ object Stats {
     * double. Output: one row — n, dof, chi2, cramers_v (6 dp).
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
-      .agg(count(lit(1)).as("__o"))
-    val rowM = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
-    val colM = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val (cells, rowM, colM) = contingency(df, aCol, bCol)
     val total = cells.agg(sum(col("__o")).as("__n"),
       countDistinct(col("__a")).as("__ka"),
       countDistinct(col("__b")).as("__kb"))
@@ -51,11 +61,7 @@ object Stats {
     * order-independent sum. Output one row: n, h_a, h_b, mi, nmi (6 dp).
     */
   def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
-      .agg(count(lit(1)).as("__o"))
-    val rowM = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
-    val colM = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val (cells, rowM, colM) = contingency(df, aCol, bCol)
     val total = cells.agg(sum(col("__o")).as("__n"))
     def entropy(m: DataFrame, cnt: String): DataFrame = {
       val p = col(cnt).cast("double") / col("__n")
@@ -76,6 +82,9 @@ object Stats {
         round(sum(col("__t")).cast("double"), 6).as("mi"))
     mi.crossJoin(broadcast(entropy(rowM, "__ra").withColumnRenamed("h", "h_a")))
       .crossJoin(broadcast(entropy(colM, "__cb").withColumnRenamed("h", "h_b")))
+      // empty input: a global agg still emits one all-null row, but "no
+      // data" must be zero rows (matching a GROUP BY SQL mirror)
+      .filter(col("n").isNotNull)
       .select(col("n"), col("h_a"), col("h_b"), col("mi"),
         when(col("h_a") > 0d && col("h_b") > 0d,
           round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))

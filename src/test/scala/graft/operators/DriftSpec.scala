@@ -85,6 +85,17 @@ class DriftSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("auc: labels that do not cast to boolean are dropped, not counted negative") {
+    val df = Seq(("g", "true", 5.0, 1L), ("g", "false", 1.0, 2L),
+      ("g", "unknown", 9.0, 3L))
+      .toDF("g", "label", "score", "id")
+    val r = Drift.auc(df, "score", "label", Seq("g")).head()
+    // only the castable pair survives: pos=5.0 beats neg=1.0 -> AUC 1
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Double]("auc") == 1.0)
+    TrackedCaches.release()
+  }
+
   test("ksTest: groups missing one sample are dropped; ties across samples handled") {
     val df = Seq(
       ("only_a", "a", 1.0), ("only_a", "a", 2.0),

@@ -50,6 +50,11 @@ class StatsSpec extends SparkSpecBase {
     assert(r2.get(r2.fieldIndex("nmi")) == null)
   }
 
+  test("mutualInformation: empty input yields zero rows, not a null row") {
+    val empty = Seq.empty[(String, String)].toDF("f1", "f2")
+    assert(Stats.mutualInformation(empty, "f1", "f2").isEmpty)
+  }
+
   test("welchTTest: hand-computed two-sample statistics (scipy parity)") {
     // a = [1,2,3] (m=2, v=1), b = [2,4,6] (m=4, v=4):
     //   t = -2 / sqrt(1/3 + 4/3) = -1.549193
