@@ -991,6 +991,14 @@ object SparkEntry {
           "o_totalprice", Seq("o_orderpriority"), Seq("o_orderkey"))
         .orderBy(col("o_orderpriority"))),
 
+    // Lorenz revenue-concentration deciles of order totals (the curve
+    // q125's Gini summarizes); fixed-k cumulative frame
+    "q126_lorenz" -> ((s, dir) =>
+      Ranking.lorenz(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", Seq("o_orderkey"), k = 10)
+        .orderBy(col("bin"))),
+
     // exact distributed deciles of extendedprice: value at rank ceil(p·n)
     // via the range-rank core — exact without percentile()'s value buffer
     "q118_exact_quantiles" -> ((s, dir) =>
@@ -1754,6 +1762,23 @@ object SparkEntry {
         |JOIN (SELECT g FROM st GROUP BY g HAVING count(*) = 2) t2
         |  ON t2.g = a.g
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q126_lorenz" ->
+      """WITH r AS (
+        |  SELECT o_totalprice AS x,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(30,6))) AS bs
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT sum(bs) AS tot FROM b)
+        |SELECT CAST(bin AS BIGINT) AS bin, n,
+        |  round(CAST(bs AS DOUBLE), 6) AS bin_sum,
+        |  round(CAST(sum(bs) OVER (ORDER BY bin) AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE), 6) AS cum_share
+        |FROM b CROSS JOIN t
+        |ORDER BY bin""".stripMargin,
 
     "q125_gini" ->
       """WITH r AS (

@@ -229,6 +229,33 @@ object Ranking {
         round(sx, 6).as("sum_value") :+ col("gini"): _*)
   }
 
+  /** Lorenz curve at `k` equal-population points — "the bottom 10% of
+    * orders carry x% of revenue", the curve whose area [[gini]]
+    * summarizes. Rows bin by [[equiDepthBins]] (ntile fill, full
+    * parallelism); per-bin sums are decimal-exact; the cumulative share
+    * runs over the k-row bin frame — a fixed-size window whatever the
+    * data volume. Output per bin: n, bin_sum, cum_share (6 dp).
+    */
+  def lorenz(df: DataFrame, valueCol: String, tieCols: Seq[String],
+             k: Int = 10): DataFrame = {
+    val binned = equiDepthBins(df, valueCol, tieCols, k)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(30,6)")).as("__bs"))
+    val total = binned.agg(sum(col("__bs")).as("__tot"))
+    // k rows total: the unpartitioned running sum is a fixed-size frame,
+    // not a data-sized single-task sort
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    binned
+      .withColumn("__cum", sum(col("__bs")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("bin"), col("n"),
+        round(col("__bs").cast("double"), 6).as("bin_sum"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Per-group empirical quantile transform: map each value to its
     * percent rank q = (rank−1)/(n_group−1) in [0, 1] — the
     * rank-normalization step ("quantile scaling") that makes features

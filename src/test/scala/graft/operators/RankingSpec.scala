@@ -133,6 +133,19 @@ class RankingSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("lorenz: hand-computed cumulative shares; final share is exactly 1") {
+    // values 1..4, k=2: bottom half {1,2} holds 3/10, top half {3,4} 7/10
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val out = Ranking.lorenz(df, "v", Seq("id"), k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("bin_sum"), r.getAs[Double]("cum_share")))
+      .toMap
+    assert(out(0L) == ((2L, 3.0, 0.3)))
+    assert(out(1L) == ((2L, 7.0, 1.0)))
+    TrackedCaches.release()
+  }
+
   test("spearman: rangeRank path and window path agree exactly") {
     val df = (1 to 500)
       .map(i => (s"f${i % 3}", (i * 31 % 211).toDouble, (i * 17 % 199).toDouble, i.toLong))
