@@ -33,10 +33,14 @@ object Bench {
     // queries over one corpus reuses them, and that reuse is part of what
     // is being measured — then swept once after the loop so the JVM does
     // not hold them for its remaining lifetime.
+    // A thrown query must NOT masquerade as a fast one: its (near-zero)
+    // time is still recorded, but its name lands in the "failed" list so
+    // a broken query can never improve the bench total unnoticed.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => failed += name.takeWhile(_ != '_') }
       name -> (System.nanoTime() - t0) / 1e9
     }
     graft.operators.Dedup.releaseCaches()
@@ -49,7 +53,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,7 +26,11 @@ object Drift {
     * observed it, which covers every distinct union value.
     *
     * Output: one row per group — groupCols, `n` (total rows), `ks_stat`
-    * (rounded 6 dp). Groups where either sample is empty are dropped.
+    * (rounded 6 dp). Groups without EXACTLY two tags are dropped — the
+    * same contract [[mannWhitney]] and `Stats.welchTTest` enforce (a
+    * two-sample statistic is undefined otherwise; silently comparing
+    * each tag against the pooled rest would diverge from the SQL
+    * mirror).
     */
   def ksTest(df: DataFrame, valueCol: String, tagCol: String,
              groupCols: Seq[String]): DataFrame = {
@@ -55,10 +59,16 @@ object Drift {
     val nOwn = cum.groupBy(gc :+ col(tagCol): _*)
       .agg(max(col("__ks_ct")).as("__n_own"))
     val nAll = cum.groupBy(gc: _*).agg(max(col("__ks_ca")).as("__n_all"))
-    // count frames are group-cardinality-sized broadcasts
-    val withCounts = FrameOps.broadcastJoinOn(
-      FrameOps.broadcastJoinOn(points, nOwn, groupCols :+ tagCol),
-      nAll, groupCols)
+    // enforce the two-sample contract: count tags per group (nOwn is
+    // already one row per (group, tag)) and keep groups with exactly two
+    val nTags = nOwn.groupBy(gc: _*).agg(count(lit(1)).as("__n_tags"))
+    // count frames are group-cardinality-sized; AQE picks the join
+    val withCounts = FrameOps.statsJoinOn(
+      FrameOps.statsJoinOn(
+        FrameOps.statsJoinOn(points, nOwn, groupCols :+ tagCol),
+        nAll, groupCols),
+      nTags, groupCols)
+      .filter(col("__n_tags") === 2L)
       .withColumn("__n_other", col("__n_all") - col("__n_own"))
       .filter(col("__n_other") > 0L)
     withCounts
@@ -112,7 +122,7 @@ object Drift {
     val tieTerm = mid.groupBy(gc: _*)
       .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
         .as("__tie3"))
-    val both = FrameOps.broadcastJoinOn(
+    val both = FrameOps.statsJoinOn(
       FrameOps.twoSamplePivot(rankSums, groupCols, tagCol,
         Seq("__n_tag", "__rsum")),
       tieTerm, groupCols)

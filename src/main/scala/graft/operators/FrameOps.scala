@@ -10,18 +10,21 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object FrameOps {
 
-  /** Null-safe broadcast equi-join of a small stats frame onto `d`:
-    * the stats keys are prefixed (`__k_`) to avoid capture, compared
-    * with `<=>` (a null group is a real group), and dropped after the
-    * join. `stats` must be small (group-cardinality-sized) — it ships
-    * as a broadcast.
+  /** Null-safe equi-join of a per-group stats frame onto `d`: the stats
+    * keys are prefixed (`__k_`) to avoid capture, compared with `<=>`
+    * (a null group is a real group), and dropped after the join.
+    * `stats` is group-cardinality-sized — usually tiny, but group sets
+    * are caller-chosen, so join selection is deliberately left to
+    * Catalyst/AQE (`<=>` extracts as an equi-key): a high-cardinality
+    * group set degrades to a shuffle join instead of OOMing a forced
+    * broadcast.
     */
-  def broadcastJoinOn(d: DataFrame, stats: DataFrame,
-                      keys: Seq[String]): DataFrame = {
+  def statsJoinOn(d: DataFrame, stats: DataFrame,
+                  keys: Seq[String]): DataFrame = {
     val statCols = stats.columns.filterNot(keys.contains).map(col)
     val keyed = stats.select(keys.map(c => col(c).as(s"__k_$c")) ++
       statCols: _*)
-    d.join(broadcast(keyed),
+    d.join(keyed,
       keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _))
       .drop(keys.map(c => s"__k_$c"): _*)
   }

@@ -51,16 +51,23 @@ object MarketBasket {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
+    // itemCounts is one row per DISTINCT ITEM — data-cardinality, not
+    // structurally small (a 1e8-item catalog would OOM a forced broadcast).
+    // Plain equi-joins; AQE picks broadcast when the catalog actually fits.
+    // nBaskets stays an explicit broadcast: it is one row by construction.
     pairCounts
-      .join(broadcast(itemCounts.select(col("i").as("item_a"),
-        col("c").as("n_a"))), Seq("item_a"))
-      .join(broadcast(itemCounts.select(col("i").as("item_b"),
-        col("c").as("n_b"))), Seq("item_b"))
+      .join(itemCounts.select(col("i").as("item_a"),
+        col("c").as("n_a")), Seq("item_a"))
+      .join(itemCounts.select(col("i").as("item_b"),
+        col("c").as("n_b")), Seq("item_b"))
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(col("n_ab").cast("double") / col("n_baskets"), 6).as("support"),
         round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        // widen BEFORE multiplying: n_a * n_b in long overflows past ~3e9
+        // frequencies; double keeps the (already-rounded) quotient exact
+        // for the magnitudes that matter
         round(col("n_ab").cast("double") * col("n_baskets") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
   }
 }

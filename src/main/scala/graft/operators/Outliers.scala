@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * otherwise drag a whole group's statistics).
   *
   * Plan shape: one group-aggregate computes the two percentile bounds
-  * (rows out = number of groups), broadcast back onto the input, then a
-  * per-row clip — the data is scanned twice but shuffled ZERO times for
-  * the clip itself (the bounds frame is the only exchange, one row per
-  * group).
+  * (rows out = number of groups), joined back onto the input, then a
+  * per-row clip. Join selection is left to Catalyst/AQE: the usual
+  * handful-of-groups bounds frame broadcasts at runtime, while a
+  * caller-chosen high-cardinality group set degrades to a shuffle join
+  * instead of OOMing a forced broadcast.
   *
   * 100 TB note: exact `percentile` buffers each group's values during
   * aggregation — fine for bounded group counts with bounded cardinality
@@ -45,7 +46,7 @@ object Outliers {
     val renamedBounds = bounds.select(
       (groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__lo") :+ col("__hi")): _*)
     val joinCond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-    df.join(broadcast(renamedBounds), joinCond, "left")
+    df.join(renamedBounds, joinCond, "left")
       // greatest/least skip nulls (Postgres semantics in Spark AND
       // DuckDB) — they would clip a null value to the lower bound;
       // a null measurement must stay null
@@ -61,9 +62,10 @@ object Outliers {
     * outlier when |x - median| > k · MAD.
     *
     * Two aggregation passes (median, then MAD = median of |x - median|),
-    * each producing one row per group that broadcasts back onto the
-    * data — the input shuffles only into the two group-aggregates, never
-    * for the comparison itself. Output: one row per group with
+    * each producing one row per group that joins back onto the data
+    * (AQE broadcasts it when the group set is small) — the input
+    * shuffles only into the two group-aggregates, never for the
+    * comparison itself. Output: one row per group with
     * (n, med, mad, n_outliers).
     *
     * Engine-portability: the outlier comparison runs against the
@@ -83,7 +85,7 @@ object Outliers {
       val renamed = stats.select(
         groupCols.map(c => col(c).as(s"__g_$c")) ++
           stats.columns.filterNot(groupCols.contains).map(col): _*)
-      data.join(broadcast(renamed),
+      data.join(renamed,
         groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
         .drop(groupCols.map(c => s"__g_$c"): _*)
     }

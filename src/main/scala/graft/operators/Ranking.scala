@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.LongType
   *      total order, groups span partitions freely;
   *   2. one tiny metadata job counts rows per (partition, group) —
   *      driver state is `numPartitions × numGroups` longs (this operator
-  *      is FOR small group counts; use the window form otherwise);
+  *      is FOR small group counts; use the window form otherwise — the
+  *      contract is ENFORCED by a bounded collect that fails fast past
+  *      `maxDriverStateRows` instead of OOMing the driver);
   *   3. a per-partition pass assigns rank = group's offset before this
   *      partition + local position (mapPartitions — imperative, but
   *      per-row O(1) with zero shuffle; the sorted frame is cached so
@@ -50,7 +52,8 @@ object Ranking {
   def rangeRankMulti(df: DataFrame, sortCols: Seq[String],
                      groupSets: Seq[Seq[String]], outCols: Seq[String],
                      numPartitions: Int = 0,
-                     weightCol: Option[String] = None): DataFrame = {
+                     weightCol: Option[String] = None,
+                     maxDriverStateRows: Int = 1 << 20): DataFrame = {
     require(groupSets.nonEmpty && groupSets.length == outCols.length,
       "need one output column per group set")
     // weights must be integral: the counts job and the per-row pass must
@@ -80,10 +83,22 @@ object Ranking {
     val allGroupCols = groupSets.flatten.distinct
     val weightAgg = weightCol.map(w => sum(col(w).cast("long")))
       .getOrElse(count(lit(1))).as("__n")
-    val counts = sorted
+    val countRows = sorted
       .groupBy(spark_partition_id().as("__pid") +: allGroupCols.map(col): _*)
       .agg(weightAgg)
-      .collect()
+      // ENFORCED few-groups contract: the collect is bounded (limit+collect,
+      // so an over-cardinality input never materializes on the driver) and
+      // over-cap fails fast instead of silently OOMing the driver /
+      // broadcasting a huge offsets map
+      .take(maxDriverStateRows + 1)
+    require(countRows.length <= maxDriverStateRows,
+      s"rangeRankMulti materializes numPartitions × numGroups count rows on " +
+        s"the driver and this input exceeds maxDriverStateRows=" +
+        s"$maxDriverStateRows. The operator targets the FEW-GIANT-GROUPS " +
+        s"regime; for a high-cardinality group set use " +
+        s"row_number()/sum() OVER (PARTITION BY ...) — numerous groups give " +
+        s"the window form its parallelism back.")
+    val counts = countRows
       .map(r => (r.getInt(0),
         Seq.tabulate(allGroupCols.length)(i => r.get(i + 1))) ->
         r.getAs[Long]("__n"))
@@ -277,7 +292,7 @@ object Ranking {
         ranked.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__qt_n"))
     val joined =
       if (groupCols.isEmpty) ranked.crossJoin(broadcast(counts))
-      else FrameOps.broadcastJoinOn(ranked, counts, groupCols)
+      else FrameOps.statsJoinOn(ranked, counts, groupCols)
     joined
       .withColumn(outCol,
         when(col("__qt_n") === 1L, 0.0).otherwise(

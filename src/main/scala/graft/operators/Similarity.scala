@@ -139,6 +139,29 @@ object Similarity {
       .groupBy(col(coarseCol).as("cell"))
       .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
 
+  /** Probe + rerank shared by [[ivfTopK]] (in-memory index) and
+    * [[ivfTopKFromIndex]] (loaded index): each query keeps its `nProbe`
+    * nearest centroids, then exact-reranks only the corpus rows of those
+    * cells. `cells` carries (neighbor_id, cv, cell).
+    */
+  private def ivfProbeRerank(centroids: DataFrame, cells: DataFrame,
+                             queries: DataFrame, k: Int, nProbe: Int,
+                             idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normCol(col("qv")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", cosineCol(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW)).filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val c = cells.withColumn("cn", normCol(col("cv")))
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF-style search: centroids are the per-`coarseCol` mean vectors
     * (computed once, broadcast); each query probes only its
     * `nProbe` nearest coarse partitions, pruning the corpus scan to those
@@ -149,20 +172,49 @@ object Similarity {
               coarseCol: String = "label", idCol: String = "vec_id",
               vecCol: String = "embedding", portable: Boolean = false): DataFrame = {
     val centroids = coarseCentroids(corpus, coarseCol, vecCol, portable)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", normCol(col("qv")))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probed = q.join(broadcast(centroids), lit(true))
-      .withColumn("cdist", cosineCol(col("qv"), col("centroid")))
-      .withColumn("prank", row_number().over(probeW)).filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(coarseCol).as("cell")).withColumn("cn", normCol(col("cv")))
-    val scored = c.join(broadcast(probed), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    topKPerQuery(scored, k)
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(coarseCol).as("cell"))
+    ivfProbeRerank(centroids, cells, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** Persist the IVF index for repeated-query use: `dir/centroids/` holds
+    * the per-cell mean vectors, `dir/lists/` the inverted lists as a
+    * HIVE-PARTITIONED layout (`cell=N/...`). The layout is the scale
+    * lever: a search from the loaded index joins the list scan against
+    * the broadcast probe set on the partition column, so Spark's dynamic
+    * partition pruning reads ONLY the probed cells' directories —
+    * `nProbe/k` of a 100 TB corpus instead of all of it, with zero index
+    * rebuild cost per query batch.
+    *
+    * Round-trip exactness: centroid components (double) and embeddings
+    * (float) are stored bit-exact in parquet, so a loaded-index search
+    * returns byte-identical results to [[ivfTopK]] over the same corpus
+    * (oracle-gated at q129).
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String,
+                    coarseCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    portable: Boolean = false): Unit = {
+    coarseCentroids(corpus, coarseCol, vecCol, portable)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(coarseCol).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
+  /** Search a [[writeIvfIndex]] index. The partition-column read-back
+    * type can differ from the written type (hive partition values are
+    * re-inferred), so `cell` is cast back to the centroid frame's type
+    * before the probe join.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val lists = spark.read.parquet(s"$dir/lists")
+      .withColumn("cell", col("cell").cast(centroids.schema("cell").dataType))
+    ivfProbeRerank(centroids, lists, queries, k, nProbe, idCol, vecCol)
   }
 
   /** Symmetric int8 quantization of the embedding column — the 4×

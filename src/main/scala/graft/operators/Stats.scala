@@ -27,8 +27,11 @@ object Stats {
   /** Pearson chi-square test of independence between two categorical
     * columns, plus Cramér's V effect size. One contingency aggregation
     * (shuffle on the pair), margins re-aggregated from it and joined
-    * back as broadcasts; expected counts are exact integer ratios in
-    * double. Output: one row — n, dof, chi2, cramers_v (6 dp).
+    * back (category-cardinality frames — AQE broadcasts them when the
+    * columns are genuinely categorical, and degrades to a shuffle join
+    * rather than an OOM if a caller passes a high-cardinality column);
+    * expected counts are exact integer ratios in double. Output: one
+    * row — n, dof, chi2, cramers_v (6 dp).
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val (cells, rowM, colM) = contingency(df, aCol, bCol)
@@ -37,8 +40,8 @@ object Stats {
       countDistinct(col("__b")).as("__kb"))
     val e = col("__ra").cast("double") * col("__cb") / col("__n")
     cells
-      .join(broadcast(rowM), "__a")
-      .join(broadcast(colM), "__b")
+      .join(rowM, "__a")
+      .join(colM, "__b")
       .crossJoin(broadcast(total))
       .withColumn("__term",
         ((col("__o") - e) * (col("__o") - e) / e).cast("decimal(28,6)"))
@@ -55,7 +58,8 @@ object Stats {
     * `NMI = MI / √(H_a·H_b)` — the information-theoretic companion to
     * [[chiSquare]] (feature-redundancy / clustering-agreement metric).
     * Same plan shape: one contingency shuffle, margins re-aggregated
-    * and broadcast back; every ln argument is a ratio of exact counts
+    * and joined back (AQE picks broadcast for genuinely categorical
+    * columns); every ln argument is a ratio of exact counts
     * (widened to double BEFORE multiplying, so no 64-bit overflow at
     * any scale), and per-cell terms are decimal-quantized before the
     * order-independent sum. Output one row: n, h_a, h_b, mi, nmi (6 dp).
@@ -72,8 +76,8 @@ object Stats {
     val miTermArg = (col("__o").cast("double") * col("__n")) /
       (col("__ra").cast("double") * col("__cb"))
     val mi = cells
-      .join(broadcast(rowM), "__a")
-      .join(broadcast(colM), "__b")
+      .join(rowM, "__a")
+      .join(colM, "__b")
       .crossJoin(broadcast(total))
       .withColumn("__t",
         ((col("__o").cast("double") / col("__n")) * log(miTermArg))

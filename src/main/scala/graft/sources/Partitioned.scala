@@ -14,13 +14,4 @@ object Partitioned {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
-
-  /** The files a frame's scan ACTUALLY reads at execution time (post
-    * partition-pruning) — `df.inputFiles` would report the whole relation.
-    * Diagnostic for pruning specs/audits.
-    */
-  def filesActuallyRead(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.functions.input_file_name
-    df.select(input_file_name()).distinct().collect().map(_.getString(0)).toSeq
-  }
 }

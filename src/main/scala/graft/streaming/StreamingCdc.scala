@@ -79,12 +79,23 @@ object StreamingCdc {
     *     writer committed meanwhile, our fold is missing its changes:
     *     abort (remove our claim + data) and throw, never publishing a
     *     snapshot that silently drops a committed batch;
-    *  5. create the immutable `commit-N` marker readers look for.
+    *  5. create the immutable `commit-N` marker readers look for;
+    *  6. RE-VALIDATE after creating the marker: step 4 alone has a
+    *     window — two writers can both pass it before either marker
+    *     exists — but both cannot pass step 6 (each re-lists strictly
+    *     after creating its own marker, so at least one sees the
+    *     other's). On any intervening commit we retract our marker +
+    *     data and throw; a concurrent reader that already listed the
+    *     retracted marker fails its scan loudly (files gone), it never
+    *     reads partial rows.
     *
     * A crash mid-apply leaves an orphaned claim/dir that later writers
     * skip past (next version = max over claims AND commits + 1) and
     * never a marker pointing at uncommitted bytes. The first apply
-    * treats upserts as inserts into an empty base.
+    * treats upserts as inserts into an empty base. Net: under a
+    * two-writer contract violation, every interleaving ends with at
+    * least one writer throwing and no published chain silently missing
+    * a batch whose writer saw success.
     */
   def apply(spark: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, versionCol: String, opCol: String): Long = {
@@ -123,6 +134,25 @@ object StreamingCdc {
           "store requires a single writer, retry the batch")
     }
     f.create(new Path(dir, s"commit-$v"), false).close()
+    // post-commit re-validation (docstring step 6): our marker now exists,
+    // so any racing writer's re-list sees it — and ours sees theirs if it
+    // landed first. An intervening commit (> base, != ours) means one fold
+    // is missing a batch: retract ours and throw; the survivor's chain is
+    // intact and the thrower's caller retries onto it.
+    val intervening = f.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("commit-"))
+      .map(_.stripPrefix("commit-").toLong)
+      .exists(c => c > cur && c != v)
+    if (intervening) {
+      f.delete(new Path(dir, s"commit-$v"), false)
+      f.delete(new Path(dir, s"v=$v"), true)
+      f.delete(new Path(dir, s"claim-$v"), false)
+      throw new java.io.IOException(
+        s"concurrent commit detected under $dir after publishing v=$v " +
+          s"(base was v=$cur) - retracted our marker; this store requires " +
+          "a single writer, retry the batch")
+    }
     v
   }
 

@@ -18,12 +18,77 @@ object PlanAudit {
   private case class Check(name: String, query: String, what: String,
                            mustContain: Seq[String], mustNotContain: Seq[String])
 
+  /** SCALING.md principle 3 guardrail: every EXPLICIT broadcast in
+    * src/main/scala must be on this list with a structural-smallness
+    * justification ("one-row aggregate", "parameter-bounded", "fixed
+    * dimension") — never "small at current data". A new `broadcast(x)` /
+    * `.hint("broadcast")` call fails the audit until it is justified
+    * here; data-cardinality sides (per-item counts, per-group bounds,
+    * vocabularies, fact tables) must stay hint-free so AQE degrades
+    * them to shuffle joins instead of OOMing.
+    */
+  private case class AllowedBroadcast(file: String, arg: String, why: String)
+  private val allowedBroadcasts = Seq(
+    AllowedBroadcast("Similarity.scala", "q", "query set — API contract: structurally small (a query batch, not a corpus)"),
+    AllowedBroadcast("Similarity.scala", "centroids", "k centroid rows — parameter-bounded"),
+    AllowedBroadcast("Similarity.scala", "probed", "queries × nProbe rows — parameter-bounded"),
+    AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded"),
+    AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
+    AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
+    AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate"),
+    AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate"),
+    AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
+    AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
+    AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverGroups guard"),
+    AllowedBroadcast("Ranking.scala", "n", "one-row global aggregate"),
+    AllowedBroadcast("Ranking.scala", "p", "target-rank probe frame — |probs| rows, parameter-bounded"),
+    AllowedBroadcast("Ranking.scala", "total", "one-row global aggregate"),
+    AllowedBroadcast("Ranking.scala", "counts", "one-row global aggregate (groupCols.isEmpty branch only)"),
+    AllowedBroadcast("PageRank.scala", "dangling", "one-row dangling-mass aggregate"),
+    AllowedBroadcast("Stats.scala", "total", "one-row global aggregate"),
+    AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate"),
+    AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
+    AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
+    AllowedBroadcast("SparkEntry.scala", "nat", "nation — fixed 25-row dimension by schema contract"),
+    AllowedBroadcast("SparkEntry.scala", "reg", "region — fixed 5-row dimension by schema contract"),
+    AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"))
+
+  /** Returns (violations, inventory). A violation is an explicit
+    * broadcast call in src/main/scala not on [[allowedBroadcasts]].
+    */
+  private def auditBroadcasts(): (Seq[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val callRx = "broadcast\\(\\s*([A-Za-z_][A-Za-z0-9_]*)".r
+    val hintRx = "hint\\(\"broadcast\"\\)".r
+    val files = Files.walk(Paths.get("src/main/scala")).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+    val found = files.flatMap { p =>
+      Files.readAllLines(p).asScala.toSeq.zipWithIndex.flatMap {
+        case (line, i) =>
+          val t = line.trim
+          if (t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")) Nil
+          else {
+            val hits = callRx.findAllMatchIn(line).map(_.group(1)).toList ++
+              hintRx.findAllMatchIn(line).map(_ => "<hint>").toList
+            hits.map(a => (p.getFileName.toString, a, i + 1))
+          }
+      }
+    }
+    val allowed = allowedBroadcasts.map(a => (a.file, a.arg)).toSet
+    val violations = found.collect {
+      case (f, a, l) if !allowed((f, a)) => s"$f:$l broadcast($a)"
+    }
+    val inventory = found.map { case (f, a, l) => s"$f:$l `$a`" }
+    (violations, inventory)
+  }
+
   private val checks = Seq(
     Check("scan pushdown & pruning", "q01_filter_project",
       "filters reach the parquet reader; only projected columns are read",
       Seq("PushedFilters: [IsNotNull", "ReadSchema"), Seq()),
     Check("dimension broadcast", "q03_revenue_by_nation",
-      "customer/nation/region join as BroadcastHashJoin (no shuffle of the fact side for dims)",
+      "nation/region (fixed-size dims) join as BroadcastHashJoin; customer is " +
+        "deliberately hint-free (scales with input — AQE broadcasts it at test SFs)",
       Seq("BroadcastHashJoin"), Seq("BroadcastNestedLoopJoin")),
     Check("ANN partial aggregation", "q18_ann_bruteforce",
       "TopKAgg pre-reduces per partition before the shuffle (partial_topkagg below the exchange)",
@@ -81,6 +146,18 @@ object PlanAudit {
     sb.append("Each section greps the FORMATTED physical plan of a driver query\n")
     sb.append("for the shape the design doc claims; a missing marker fails the run.\n\n")
     var failures = 0
+    val (violations, inventory) = auditBroadcasts()
+    if (violations.nonEmpty) failures += 1
+    sb.append(s"## explicit-broadcast allowlist — ${if (violations.isEmpty) "OK" else "FAIL"}\n\n")
+    sb.append("Every explicit `broadcast()` / `.hint(\"broadcast\")` in src/main/scala\n")
+    sb.append("must carry a STRUCTURAL smallness justification in PlanAudit's\n")
+    sb.append("allowlist (SCALING.md principle 3); data-cardinality sides stay\n")
+    sb.append("hint-free so AQE degrades them to shuffle joins instead of OOMs.\n\n")
+    if (violations.nonEmpty)
+      sb.append("UNJUSTIFIED broadcasts:\n" +
+        violations.map(v => s"- $v").mkString("\n") + "\n\n")
+    sb.append(s"${inventory.size} justified sites:\n")
+    sb.append(inventory.map(v => s"- $v").mkString("\n")).append("\n\n")
     checks.foreach { c =>
       val df = SparkEntry.queries(c.query)(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -116,7 +193,8 @@ object PlanAudit {
         if (at >= 0) cur.substring(0, at) else cur.stripTrailing() + "\n\n---\n\n"
       } else ""
     Files.writeString(path, curated + sb.toString)
-    println(s"PLANAUDIT ${checks.size - failures}/${checks.size} ok -> docs/PLANS.md")
+    val totalChecks = checks.size + 1 // + the broadcast allowlist
+    println(s"PLANAUDIT ${totalChecks - failures}/$totalChecks ok -> docs/PLANS.md")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

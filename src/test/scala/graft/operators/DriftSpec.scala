@@ -96,6 +96,21 @@ class DriftSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("ksTest: groups with three tags are dropped (strict two-sample " +
+      "contract, like mannWhitney)") {
+    val df = Seq(
+      // three tags in g3 -> dropped, not max-vs-pooled-rest
+      ("g3", "a", 1.0), ("g3", "b", 2.0), ("g3", "c", 3.0),
+      // two tags in g2 -> kept (disjoint samples, D = 1)
+      ("g2", "a", 1.0), ("g2", "b", 2.0))
+      .zipWithIndex.map { case ((g, t, v), i) => (g, t, v, i.toLong) }
+      .toDF("g", "tag", "v", "id")
+    val out = Drift.ksTest(df, "v", "tag", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ks_stat")).toMap
+    assert(out == Map("g2" -> 1.0))
+    TrackedCaches.release()
+  }
+
   test("ksTest: groups missing one sample are dropped; ties across samples handled") {
     val df = Seq(
       ("only_a", "a", 1.0), ("only_a", "a", 2.0),

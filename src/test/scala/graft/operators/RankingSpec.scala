@@ -146,6 +146,19 @@ class RankingSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("rangeRankMulti fails fast past maxDriverStateRows instead of " +
+      "collecting a high-cardinality group set onto the driver") {
+    // 500 distinct groups over 4 partitions can exceed a cap of 100
+    val df = (1 to 500).map(i => (s"g$i", i.toLong)).toDF("g", "id")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.rangeRankMulti(df, Seq("g", "id"), Seq(Seq("g")), Seq("rk"),
+        numPartitions = 4, maxDriverStateRows = 100)
+    }
+    assert(e.getMessage.contains("maxDriverStateRows"))
+    assert(e.getMessage.contains("OVER (PARTITION BY"))
+    TrackedCaches.release()
+  }
+
   test("spearman: rangeRank path and window path agree exactly") {
     val df = (1 to 500)
       .map(i => (s"f${i % 3}", (i * 31 % 211).toDouble, (i * 17 % 199).toDouble, i.toLong))

@@ -112,6 +112,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.3, s"IVF recall $recall below 4-of-10-cells floor")
   }
 
+  test("persisted IVF index: loaded-index search equals from-scratch " +
+      "search exactly, and the probe join prunes the list scan dynamically") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.writeIvfIndex(emb, dir)
+    val loaded = Similarity.ivfTopKFromIndex(spark, dir, q, k = 5, nProbe = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(key(loaded) == key(
+      Similarity.ivfTopK(emb, q, k = 5, nProbe = 3)))
+    // the hive-partitioned lists layout + broadcast probe join must give
+    // dynamic partition pruning on the list scan — the reason the index
+    // pays for itself at scale (only nProbe cells' directories are read)
+    val plan = loaded.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the lists scan:\n$plan")
+  }
+
   test("lsh-blocked cosine near-dups find what brute force finds") {
     // the synthetic corpus has no high-cosine pairs (max ≈ 0.45), so probe
     // at 0.4 with coarse 4-bit tables

@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
 
 class PartitionedSpec extends SparkSpecBase {
 
+  /** The files a frame's scan ACTUALLY reads at execution time (post
+    * partition-pruning) — `df.inputFiles` would report the whole
+    * relation. Test-side diagnostic: collects to the driver, so it lives
+    * here, not in the operator surface.
+    */
+  private def filesActuallyRead(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(input_file_name()).distinct().collect().map(_.getString(0)).toSeq
+
   test("a filter on the partition column prunes to one directory") {
     val base = Files.createTempDirectory("partitioned").toString
     val ev = Tables.events(spark, sf())
@@ -14,7 +22,7 @@ class PartitionedSpec extends SparkSpecBase {
 
     val pruned = Partitioned.read(spark, base)
       .filter(col("event_type") === "purchase")
-    val files = Partitioned.filesActuallyRead(pruned)
+    val files = filesActuallyRead(pruned)
     assert(files.nonEmpty)
     assert(files.forall(_.contains("event_type=purchase")),
       s"scan touched non-matching partitions: ${files.filterNot(_.contains("event_type=purchase"))}")
