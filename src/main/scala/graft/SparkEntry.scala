@@ -875,6 +875,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // multi-pass blocking (prefix + suffix keys) over the same split as
+    // q106: union of per-key candidate sets, dedup, one verify per
+    // distinct pair — catches leading-chars typos single-pass misses
+    "q130_fuzzy_match_multi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      EntityResolution.fuzzyJoinMulti(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          "doc_id", "text",
+          blockKeys = Seq(EntityResolution.prefixBlock(12),
+            EntityResolution.suffixBlock(12)),
+          maxLen = 64, maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MAD robust outlier summary per return flag (50%-breakdown scale
     // estimator; comparison against ROUNDED med/mad for engine parity)
     "q107_mad_outliers" -> ((s, dir) =>
@@ -3077,6 +3092,29 @@ object SparkEntry {
         |FROM a JOIN b ON a.blk = b.blk
         |WHERE abs(length(a.nm) - length(b.nm)) <= 8
         |  AND levenshtein(a.nm, b.nm) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // union of the two blocking joins (UNION = distinct over the pair
+    // carrying its functionally-dependent names), then one verify —
+    // suffix key mirrored as prefix-of-reverse, the engine-portable form
+    "q130_fuzzy_match_multi" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 64) AS nm
+        |  FROM documents),
+        |a AS (SELECT doc_id, nm FROM n WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, nm FROM n WHERE doc_id % 2 = 1),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, a.nm AS nm_a, b.doc_id AS id_b, b.nm AS nm_b
+        |  FROM a JOIN b ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
+        |    AND abs(length(a.nm) - length(b.nm)) <= 8
+        |  UNION
+        |  SELECT a.doc_id, a.nm, b.doc_id, b.nm
+        |  FROM a JOIN b
+        |    ON substr(reverse(a.nm), 1, 12) = substr(reverse(b.nm), 1, 12)
+        |    AND abs(length(a.nm) - length(b.nm)) <= 8)
+        |SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS INTEGER) AS dist
+        |FROM cand
+        |WHERE levenshtein(nm_a, nm_b) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q107_mad_outliers" ->

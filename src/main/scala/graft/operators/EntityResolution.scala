@@ -63,4 +63,66 @@ object EntityResolution {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Leading-`n`-chars block key — [[fuzzyJoin]]'s default. A typo in
+    * the first `n` chars escapes the block.
+    */
+  def prefixBlock(n: Int): Column => Column = nm => substring(nm, 1, n)
+
+  /** Trailing-`n`-chars block key, built as prefix-of-reverse: both
+    * Spark and standard SQL engines clamp `substr(s, 1, n)` identically
+    * on short strings, where negative-position substring semantics
+    * diverge. Catches the leading-chars typos prefix blocking misses.
+    */
+  def suffixBlock(n: Int): Column => Column =
+    nm => substring(reverse(nm), 1, n)
+
+  /** Space-delimited tokens, sorted and rejoined — blocks word
+    * reorderings ("doe john" / "john doe") into the same bucket.
+    */
+  def sortedTokensBlock: Column => Column =
+    nm => concat_ws(" ", array_sort(split(nm, " +")))
+
+  /** Multi-pass blocking — the standard recall fix for single-key
+    * blocking: run one candidate-generation pass per block key, union
+    * the pair sets, dedup, then VERIFY each distinct pair exactly once.
+    * A pair is found if ANY key blocks it together (e.g. a first-char
+    * typo escapes [[prefixBlock]] but not [[suffixBlock]]).
+    *
+    * Scale shape: each pass is the same bounded equi-join as
+    * [[fuzzyJoin]] (cost Σ over passes of Σ |block_L|·|block_R|); the
+    * union dedups on (id_a, id_b) with one hash shuffle carrying only
+    * ids + normalized names (≤ `maxLen` chars), and the O(maxLen²)
+    * levenshtein runs once per DISTINCT candidate pair, however many
+    * keys blocked it together.
+    */
+  def fuzzyJoinMulti(left: DataFrame, right: DataFrame,
+                     idCol: String, nameCol: String,
+                     blockKeys: Seq[Column => Column],
+                     maxLen: Int = 64, maxDist: Int = 8,
+                     selfPairs: Boolean = false): DataFrame = {
+    require(blockKeys.nonEmpty, "fuzzyJoinMulti needs at least one block key")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val a = left.select(col(idCol).as("id_a"),
+      norm(col(nameCol), maxLen).as("nm_a"))
+    val b = right.select(col(idCol).as("id_b"),
+      norm(col(nameCol), maxLen).as("nm_b"))
+    val pairCond =
+      if (selfPairs) col("id_a") < col("id_b")
+      else !(col("id_a") <=> col("id_b"))
+    val candidates = blockKeys.map { bk =>
+      a.withColumn("__blk_a", bk(col("nm_a")))
+        .join(b.withColumn("__blk_b", bk(col("nm_b"))),
+          col("__blk_a") === col("__blk_b"))
+        .filter(pairCond)
+        // length pre-filter per pass: shrinks the union/dedup shuffle
+        .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= maxDist)
+        .select(col("id_a"), col("nm_a"), col("id_b"), col("nm_b"))
+    }.reduce(_ union _)
+    candidates
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

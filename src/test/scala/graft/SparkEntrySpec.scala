@@ -18,13 +18,17 @@ class SparkEntrySpec extends SparkSpecBase {
 
   test("rows-only queries are exactly the documented hash-seeded set") {
     // every query WITHOUT oracle SQL gets only the driver's weaker
-    // rows-only check; adding one silently would erode the gate. The set
-    // is EMPTY: every query is oracle-checked (q15/q19/q25/q40 via
-    // portable md5 hash/plane families, q20 via exact decimal-sum
-    // centroids, q33 via the md5-closed-form decode/embedding fakes).
-    // Extend only consciously, with a reason recorded here.
+    // rows-only check; adding one silently would erode the gate. Every
+    // OPERATOR is oracle-checked (q15/q19/q25/q40 via portable md5
+    // hash/plane families, q20 via exact decimal-sum centroids, q33 via
+    // the md5-closed-form decode/embedding fakes). The only rows-only
+    // entries are the PRODUCTION-PATH BENCH TWINS of q20/q40
+    // (portable=false fast float paths — not engine-replayable BY
+    // DESIGN; their oracle-gated twins stay green and their recall is
+    // spec-asserted in SimilaritySpec). Extend only consciously, with a
+    // reason recorded here.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set.empty[String],
+    assert(rowsOnly == Set("q127_ann_ivf_fast", "q128_lsh_neardups_fast"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 }

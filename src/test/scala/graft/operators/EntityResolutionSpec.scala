@@ -61,4 +61,35 @@ class EntityResolutionSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
+
+  test("fuzzyJoinMulti: a first-char typo escapes prefix blocking but " +
+      "the suffix pass catches it; pairs found by both keys emit once") {
+    val a = Seq((1L, "xannual report for fiscal year"),
+      (2L, "quarterly summary of results")).toDF("id", "name")
+    val b = Seq((10L, "aannual report for fiscal year"), // first char differs
+      (20L, "quarterly summary of resultz")).toDF("id", "name")
+    val prefixOnly = EntityResolution.fuzzyJoin(a, b, "id", "name",
+        blockLen = 12, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-pass recall gap: (1, 10) differ in char 1 -> different block
+    assert(prefixOnly == Set((2L, 20L)))
+    val multi = EntityResolution.fuzzyJoinMulti(a, b, "id", "name",
+        blockKeys = Seq(EntityResolution.prefixBlock(12),
+          EntityResolution.suffixBlock(12)), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (2, 20) is blocked together by BOTH keys — must still emit once
+    assert(multi == Set((1L, 10L, 1), (2L, 20L, 1)))
+  }
+
+  test("sortedTokensBlock buckets word reorderings together") {
+    val a = Seq((1L, "doe  john")).toDF("id", "name")
+    val b = Seq((2L, "john doe")).toDF("id", "name")
+    val out = EntityResolution.fuzzyJoinMulti(a, b, "id", "name",
+        blockKeys = Seq(EntityResolution.sortedTokensBlock), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prefix/suffix blocks both miss ("doe j…" vs "john d…"); the sorted
+    // token key maps both to "doe john" (multi-space collapsed), and the
+    // 8-edit verify accepts the reordering
+    assert(out == Set((1L, 2L)))
+  }
 }
