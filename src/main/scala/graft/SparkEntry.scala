@@ -1039,6 +1039,73 @@ object SparkEntry {
           "l_extendedprice", "disc_band", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
+    // exact sample covariance of the embedding dimensions (the PCA
+    // input), decimal-portable relational path; upper triangle flattened
+    // to (i, j, n, cov) rows. The eigen step is driver-side on this
+    // structurally-small d x d output (spec-verified — no SQL eigen).
+    "q135_embedding_covariance" -> ((s, dir) =>
+      Embeddings.covariance(t(s, dir, "embeddings"), portable = true)
+        .orderBy(col("i"), col("j"))),
+
+    // PRODUCTION-path PCA pipeline: one-pass accumulator covariance,
+    // driver Jacobi eigen, k=8 projection — the plan users run (no
+    // oracle: double accumulation + eigendecomposition are not
+    // SQL-replayable; the decimal covariance core is gated at q135 and
+    // the eigen/projection math is spec-verified in EmbeddingsSpec)
+    "q136_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizeEmbeddings( // downstream consumer shape check
+        Embeddings.project(emb, Embeddings.pca(emb, k = 8))
+          .select(col("vec_id"), col("coords").cast("array<float>").as("embedding")))
+        .orderBy(col("vec_id"))
+    }),
+
+    // asymmetric shingle containment (quote/subset detection): pairs
+    // where either doc has >= 50% of its shingles inside the other —
+    // catches nested duplication whose symmetric Jaccard stays low
+    "q134_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, shingleSize = 3, maxDf = 20L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // calibration of discount-as-probability (s = l_discount * 10 in
+    // [0,1]) against the high-quantity label, per return flag: per-bin
+    // reliability rows + the Brier proper score, one frame each
+    "q133_calibration" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("score", col("l_discount") * 10d)
+        .withColumn("label", col("l_quantity") > 25d)
+      val cal = Drift.calibration(li, "score", "label", Seq("l_returnflag"))
+      val brier = Drift.brierScore(li, "score", "label", Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("brier"))
+      cal.join(brier, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("bin"), col("n"),
+          col("mean_score"), col("frac_pos"), col("brier"))
+        .orderBy(col("l_returnflag"), col("bin"))
+    }),
+
+    // Jensen-Shannon divergence of the quantity distribution between the
+    // hi/lo discount bands, per return flag (bounded symmetric
+    // categorical drift; quantity's ~50 integer values as categories)
+    "q132_js_divergence" -> ((s, dir) =>
+      Stats.jsDivergence(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_quantity", "disc_band", refTag = "lo", cmpTag = "hi",
+          groupCols = Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
+    // Population Stability Index on the same hi/lo discount split:
+    // lo-discount sample supplies the decile edges, hi-discount is the
+    // monitored sample (k=10, smoothing 0.5)
+    "q131_psi_drift" -> ((s, dir) =>
+      Drift.psi(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice", "disc_band", refTag = "lo", cmpTag = "hi",
+          groupCols = Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
     // exact Mann-Whitney U rank-sum test (tie-corrected midranks) on the
     // same hi/lo discount split q119 drift-tests
     "q120_mannwhitney" -> ((s, dir) =>
@@ -1905,6 +1972,115 @@ object SparkEntry {
         |FROM r JOIN p ON r.rk = CAST(ceil(p.p * r.n) AS BIGINT)
         |ORDER BY p""".stripMargin,
 
+    // calibration replay: equal-width [0,1] bins via least(floor(s*k),
+    // k-1); decimal-exact mean score and squared errors; label-null rows
+    // dropped both sides (Spark's try_cast rule)
+    "q133_calibration" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, l_discount * 10 AS s,
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount * 10 >= 0 AND l_discount * 10 <= 1),
+        |binned AS (
+        |  SELECT g, CAST(least(floor(s * 10), 9) AS BIGINT) AS bin, s, y
+        |  FROM b),
+        |cal AS (
+        |  SELECT g, bin, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS mean_score,
+        |    round(sum(y)::DOUBLE / count(*), 6) AS frac_pos
+        |  FROM binned GROUP BY 1, 2),
+        |br AS (
+        |  SELECT g,
+        |    round(CAST(sum(CAST((s - y) * (s - y) AS DECIMAL(28,12)))
+        |      AS DOUBLE) / count(*), 6) AS brier
+        |  FROM binned GROUP BY g)
+        |SELECT cal.g AS l_returnflag, bin, n, mean_score, frac_pos, brier
+        |FROM cal JOIN br ON cal.g = br.g
+        |ORDER BY l_returnflag, bin""".stripMargin,
+
+    // JS replay: one (g, v) count pivot, zero categories contribute only
+    // the other side's term, per-category decimal quantization
+    "q132_js_divergence" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag,
+        |    l_quantity AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |c AS (
+        |  SELECT g, v,
+        |    sum(CASE WHEN tag = 'lo' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN tag = 'hi' THEN 1 ELSE 0 END) AS cc
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(cr) AS nr, sum(cc) AS nc FROM c GROUP BY g),
+        |terms AS (
+        |  SELECT c.g, nr, nc,
+        |    CAST(((CASE WHEN cr > 0 THEN (cr::DOUBLE / nr)
+        |        * ln((cr::DOUBLE / nr)
+        |            / ((cr::DOUBLE / nr + cc::DOUBLE / nc) / 2)) ELSE 0 END)
+        |      + (CASE WHEN cc > 0 THEN (cc::DOUBLE / nc)
+        |        * ln((cc::DOUBLE / nc)
+        |            / ((cr::DOUBLE / nr + cc::DOUBLE / nc) / 2)) ELSE 0 END))
+        |      / 2 AS DECIMAL(28,12)) AS t
+        |  FROM c JOIN tot USING (g))
+        |SELECT g AS l_returnflag, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cmp,
+        |  round(CAST(sum(t) AS DOUBLE), 6) AS js
+        |FROM terms
+        |GROUP BY g
+        |HAVING max(nr) > 0 AND max(nc) > 0
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // PSI replay: rounded quantile_cont decile edges from the lo sample,
+    // Σ [x > e_j] binning, +0.5 smoothing over ALL 10 bins (unoccupied
+    // bins contribute their smoothing-only term), decimal-quantized fold
+    "q131_psi_drift" -> {
+      val edgeDefs = (1 to 9).map(i =>
+        s"round(quantile_cont(CASE WHEN tag = 'lo' THEN v END, 0.${i}), 6) AS e$i")
+        .mkString(",\n        |    ")
+      val binSum = (1 to 9).map(i =>
+        s"(CASE WHEN v > e$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS g,
+         |    CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS tag,
+         |    l_extendedprice AS v
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |e AS (
+         |  SELECT g,
+         |    $edgeDefs
+         |  FROM b GROUP BY g),
+         |binned AS (
+         |  SELECT b.g, b.tag, $binSum AS bin
+         |  FROM b JOIN e USING (g)),
+         |pb AS (
+         |  SELECT g, bin,
+         |    sum(CASE WHEN tag = 'lo' THEN 1 ELSE 0 END) AS cr,
+         |    sum(CASE WHEN tag = 'hi' THEN 1 ELSE 0 END) AS cc
+         |  FROM binned GROUP BY 1, 2),
+         |tot AS (SELECT g, sum(cr) AS nr, sum(cc) AS nc FROM pb GROUP BY g),
+         |allb AS (SELECT g, i AS bin FROM tot, range(10) r(i)),
+         |filled AS (
+         |  SELECT allb.g, allb.bin,
+         |    coalesce(pb.cr, 0) AS cr, coalesce(pb.cc, 0) AS cc
+         |  FROM allb LEFT JOIN pb ON allb.g = pb.g AND allb.bin = pb.bin),
+         |terms AS (
+         |  SELECT f.g, nr, nc,
+         |    CAST(((cc::DOUBLE + 0.5) / (nc::DOUBLE + 5.0)
+         |        - (cr::DOUBLE + 0.5) / (nr::DOUBLE + 5.0))
+         |      * ln(((cc::DOUBLE + 0.5) / (nc::DOUBLE + 5.0))
+         |          / ((cr::DOUBLE + 0.5) / (nr::DOUBLE + 5.0)))
+         |      AS DECIMAL(28,12)) AS t
+         |  FROM filled f JOIN tot USING (g))
+         |SELECT g AS l_returnflag, CAST(max(nr) AS BIGINT) AS n_ref,
+         |  CAST(max(nc) AS BIGINT) AS n_cmp,
+         |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+         |FROM terms
+         |GROUP BY g
+         |HAVING max(nr) > 0 AND max(nc) > 0
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
     "q119_ks_drift" ->
       """WITH b AS (
         |  SELECT l_returnflag AS g,
@@ -2137,6 +2313,40 @@ object SparkEntry {
 
     "q16_ngram_jaccard" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20)),
+
+    // same shingle + rare-blocking CTEs as q16; directed ratios, either
+    // direction crossing 0.5 keeps the pair
+    "q134_containment_pairs" ->
+      ngramContainmentOracle(threshold = 0.5, n = 3, maxDf = 20L),
+
+    // covariance replay: decimal means, centered double products
+    // decimal-quantized before the order-free sum; the row key only
+    // routes the self-join, so its engine-specific assignment is
+    // irrelevant to the sums
+    "q135_embedding_covariance" ->
+      """WITH e AS (
+        |  SELECT embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |er AS (SELECT row_number() OVER () AS rid, v FROM e),
+        |el AS (
+        |  SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+        |  FROM er),
+        |m AS (
+        |  SELECT i, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mv
+        |  FROM el GROUP BY i),
+        |c AS (
+        |  SELECT rid, el.i, el.x - m.mv AS cx, m.n
+        |  FROM el JOIN m USING (i))
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  CAST(max(a.n) AS BIGINT) AS n,
+        |  -- + 0 normalizes IEEE negative zero: a cov summing to -1e-9
+        |  -- rounds to -0.0 here but +0.0 in Spark
+        |  round(CAST(SUM(CAST(a.cx * b.cx AS DECIMAL(28,12))) AS DOUBLE)
+        |    / (max(a.n) - 1), 6) + 0 AS cov
+        |FROM c a JOIN c b ON a.rid = b.rid AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
 
     // FULL simhash replay — signatures (md5-top-64 token votes), 16-bit
     // chunk pigeonhole blocking, hamming verify. Possible because q15 runs
@@ -3764,6 +3974,47 @@ object SparkEntry {
     * "candidate recall is 1.0" — empirically true on this corpus at
     * sf0.001/0.01/0.1; DedupSpec cross-checks the same property).
     */
+  /** Containment twin of [[ngramJaccardOracle]] — same shingle + rare-
+    * blocking CTEs, final select emits both directed ratios and keeps a
+    * pair when EITHER reaches the threshold.
+    */
+  private def ngramContainmentOracle(threshold: Double, n: Int,
+                                     maxDf: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= $n
+       |    THEN [array_to_string(tk[i:i+${n - 1}], ' ') FOR i IN range(1, len(tk) - ${n - 2})]
+       |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+       |  FROM toks),
+       |tok AS (
+       |  SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
+       |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |sizes AS (SELECT doc_id, count(*) AS n_terms FROM tokf GROUP BY doc_id),
+       |rare AS (
+       |  SELECT tokf.doc_id, tokf.term FROM tokf
+       |  JOIN (SELECT term, count(*) AS df FROM tokf GROUP BY term
+       |        HAVING count(*) <= $maxDf) d USING (term)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN tokf ta ON ta.doc_id = c.doc_a
+       |  JOIN tokf tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / sa.n_terms, 6) AS cont_a_in_b,
+       |  round(CAST(i AS DOUBLE) / sb.n_terms, 6) AS cont_b_in_a
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE greatest(CAST(i AS DOUBLE) / sa.n_terms,
+       |               CAST(i AS DOUBLE) / sb.n_terms) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def ngramJaccardOracle(threshold: Double, n: Int,
                                  maxDf: Option[Long],
                                  source: String = "documents"): String = {

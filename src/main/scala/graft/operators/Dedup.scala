@@ -322,6 +322,40 @@ object Dedup {
     jaccardOfCandidates(cand, arrays, threshold)
   }
 
+  /** Asymmetric shingle-containment pairs — the quote/subset detector
+    * Jaccard structurally misses: a short document wholly quoted inside
+    * a long one has `C(A→B) = |A∩B| / |A| = 1` while its Jaccard
+    * `|A∩B| / |A∪B|` stays near |A|/|B| (tiny). The standard measure
+    * for nested duplication (Broder's containment, the resemblance
+    * companion).
+    *
+    * Same plan shape as [[ngramJaccardPairs]] — rare-shingle blocking
+    * (df ≤ `maxDf`) generates candidates as an equi-join, the sorted
+    * two-pointer merge counts the true intersection once per candidate
+    * pair — and the same documented recall trade: a pair sharing ONLY
+    * ubiquitous shingles escapes the blocking. Emits one row per
+    * unordered candidate pair with BOTH directions' ratios
+    * (exact integer ratios), kept when either reaches `threshold`.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleSize: Int = 3,
+                       maxDf: Long = 5L): DataFrame = {
+    val arrays = sharedShingleArrays(docs, idCol, textCol, shingleSize)
+    val tok = arrays.select(col("doc"), explode(col("sh")).as("h"))
+    val cand = groupedPairs(tok, Seq("h"), maxDf)
+    cand
+      .join(arrays.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(arrays.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        graft.functions.ArraySetOps.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("__ca", col("inter").cast("double") / size(col("sh_a")))
+      .withColumn("__cb", col("inter").cast("double") / size(col("sh_b")))
+      .filter(greatest(col("__ca"), col("__cb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__ca"), 6).as("cont_a_in_b"),
+        round(col("__cb"), 6).as("cont_b_in_a"))
+  }
+
   // ------------------------------------------------- cluster formation
 
   /** Connected components over near-dup pairs — the step AFTER pair

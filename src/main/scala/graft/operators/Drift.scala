@@ -166,4 +166,139 @@ object Drift {
       col("n_a").as("n_neg") :+
       round((na * nb - col("u_stat")) / (na * nb), 6).as("auc"): _*)
   }
+
+  /** Reliability diagram per group: bin predicted probabilities into
+    * `k` equal-width bins over [0, 1] (`bin = min(⌊s·k⌋, k−1)`) and
+    * report, per occupied bin, the count, the DECIMAL-exact mean
+    * predicted probability, and the observed positive fraction — the
+    * calibration evidence behind an [[auc]] number (AUC measures
+    * ranking; a model can rank perfectly and still be miscalibrated).
+    * `ECE = Σ (n_i/N)·|frac_pos_i − mean_score_i|` is one further
+    * aggregation over this output. One map-side-combinable aggregate;
+    * output is k-bounded per group.
+    *
+    * Contract: rows with score outside [0, 1], a null score, or a
+    * label that does not cast to boolean are dropped (same label rule
+    * as [[auc]]).
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  groupCols: Seq[String], k: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "calibration needs at least one group column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gc = groupCols.map(col)
+    val s = col(scoreCol).cast("double")
+    val rows = df
+      .filter(s.isNotNull && s >= 0d && s <= 1d &&
+        col(labelCol).try_cast("boolean").isNotNull)
+      .withColumn("__y",
+        when(col(labelCol).try_cast("boolean"), 1L).otherwise(0L))
+      .withColumn("__bin", least(floor(s * k).cast("long"), lit((k - 1).toLong)))
+    rows.groupBy(gc :+ col("__bin").as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(s.cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+  }
+
+  /** Brier score per group — `mean((s − y)²)`, the proper scoring rule
+    * summarizing calibration AND sharpness in one number (0 perfect,
+    * 0.25 = always-predict-0.5). Squared errors are DECIMAL-quantized
+    * before the order-free sum; same row contract as [[calibration]].
+    */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "brierScore needs at least one group column")
+    val gc = groupCols.map(col)
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull && s >= 0d && s <= 1d &&
+        col(labelCol).try_cast("boolean").isNotNull)
+      .withColumn("__e2",
+        ((s - when(col(labelCol).try_cast("boolean"), 1d).otherwise(0d)) *
+          (s - when(col(labelCol).try_cast("boolean"), 1d).otherwise(0d)))
+          .cast("decimal(28,12)"))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__e2")).cast("double") / count(lit(1)), 6).as("brier"))
+  }
+
+  /** Population Stability Index per group — the production drift
+    * monitor (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted):
+    * bin edges are the REFERENCE sample's `k`-quantiles, both samples
+    * are binned against those edges, and
+    * `PSI = Σ_bins (p_cmp − p_ref) · ln(p_cmp / p_ref)`.
+    * Complements [[ksTest]]: KS is the exact sup-gap (sensitive
+    * anywhere); PSI is the binned magnitude summary risk teams
+    * threshold on.
+    *
+    * Determinism/portability: edges are exact interpolated percentiles
+    * ROUNDED 6 dp (the [[Outliers.madOutliers]] parity rule — Spark
+    * `percentile` ≡ DuckDB `quantile_cont` on identical doubles); bin
+    * assignment is `Σ_j [x > e_j]` — a fixed comparison tree; bin
+    * counts get +`smoothing` (default 0.5) so an empty comparison bin
+    * contributes a finite, engine-identical term; per-bin terms are
+    * DECIMAL(28,12)-quantized before the order-free sum.
+    *
+    * Plan shape: one percentile aggregate over the reference rows (rows
+    * out = groups; exact percentile buffers value→count per group — at
+    * petabyte scale precompute edges via `approx_percentile` and feed a
+    * fixed-edge variant), edges joined back group-cardinality-sized
+    * (AQE picks broadcast), one (group, tag, bin) count aggregate
+    * (map-side combinable), then a fixed-k per-group fold. Rows with a
+    * tag other than `refTag`/`cmpTag` or a null value are ignored.
+    * Output: one row per group — n_ref, n_cmp, psi (6 dp).
+    */
+  def psi(df: DataFrame, valueCol: String, tagCol: String,
+          refTag: String, cmpTag: String,
+          groupCols: Seq[String], k: Int = 10,
+          smoothing: Double = 0.5): DataFrame = {
+    require(groupCols.nonEmpty, "psi needs at least one group column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(refTag != cmpTag, "refTag and cmpTag must differ")
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val gc = groupCols.map(col)
+    val v = col(valueCol)
+    val rows = df.filter(v.isNotNull &&
+      (col(tagCol) === refTag || col(tagCol) === cmpTag))
+    // k-1 interior edges from the reference sample, one agg pass
+    val edgeAggs = (1 until k).map(i =>
+      round(expr(s"percentile(CASE WHEN $tagCol = '$refTag' THEN $valueCol END, ${i.toDouble / k})"), 6)
+        .as(s"__e$i"))
+    val edges = rows.groupBy(gc: _*).agg(edgeAggs.head, edgeAggs.tail: _*)
+    // bin = how many edges are strictly below x: fixed comparison tree
+    val binExpr = (1 until k).map(i =>
+      when(v > col(s"__e$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val binned = FrameOps.statsJoinOn(rows, edges, groupCols)
+      .withColumn("__bin", binExpr)
+      .groupBy(gc :+ col(tagCol) :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // pivot ref/cmp counts per (group, bin), then fill to ALL k bins —
+    // the standard PSI sums every quantile bin, and an unoccupied bin
+    // still contributes its smoothing-only term
+    val perBin = binned.groupBy(gc :+ col("__bin"): _*)
+      .agg(sum(when(col(tagCol) === refTag, col("__c")).otherwise(0L)).as("__cr"),
+        sum(when(col(tagCol) === cmpTag, col("__c")).otherwise(0L)).as("__cc"))
+    val totals = perBin.groupBy(gc: _*)
+      .agg(sum(col("__cr")).as("__nr"), sum(col("__cc")).as("__nc"))
+    val allBins = totals.select(gc :+
+      explode(sequence(lit(0L), lit((k - 1).toLong))).as("__bin"): _*)
+    val keyedCounts = perBin.select(
+      groupCols.map(c => col(c).as(s"__k_$c")) :+
+        col("__bin").as("__k_bin") :+ col("__cr") :+ col("__cc"): _*)
+    val filled = allBins.join(keyedCounts,
+        groupCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _) &&
+          col("__bin") === col("__k_bin"), "left")
+      .select(gc :+ col("__bin") :+
+        coalesce(col("__cr"), lit(0L)).as("__cr") :+
+        coalesce(col("__cc"), lit(0L)).as("__cc"): _*)
+    val pr = (col("__cr").cast("double") + smoothing) /
+      (col("__nr").cast("double") + smoothing * k)
+    val pc = (col("__cc").cast("double") + smoothing) /
+      (col("__nc").cast("double") + smoothing * k)
+    FrameOps.statsJoinOn(filled, totals, groupCols)
+      .withColumn("__t", ((pc - pr) * log(pc / pr)).cast("decimal(28,12)"))
+      .groupBy(gc: _*)
+      .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cmp"),
+        round(sum(col("__t")).cast("double"), 6).as("psi"))
+      .filter(col("n_ref") > 0L && col("n_cmp") > 0L)
+  }
 }

@@ -94,6 +94,52 @@ object Stats {
           round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)).as("nmi"))
   }
 
+  /** Jensen–Shannon divergence per group between the `catCol`
+    * distributions of two samples — the symmetric, bounded (≤ ln 2)
+    * categorical drift measure (KL's asymmetry and infinities make it
+    * unusable as a monitor when categories appear/disappear):
+    * `JS = ½·KL(p‖m) + ½·KL(q‖m)`, `m = (p+q)/2`. Zeros need no
+    * smoothing: a category absent from one side contributes only the
+    * other side's finite term (0·ln 0 ≡ 0, and m > 0 whenever either
+    * side is).
+    *
+    * Plan shape: ONE (group, category) count aggregate over the input
+    * (map-side combinable, both tags pivoted in the same pass), totals
+    * re-aggregated category-cardinality-sized and joined back (AQE
+    * decides); per-category terms are exact-integer-ratio doubles in a
+    * fixed tree, DECIMAL(28,12)-quantized before the order-free sum.
+    * Output: one row per group — n_ref, n_cmp, js (6 dp, nats).
+    */
+  def jsDivergence(df: DataFrame, catCol: String, tagCol: String,
+                   refTag: String, cmpTag: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "jsDivergence needs at least one group column")
+    require(refTag != cmpTag, "refTag and cmpTag must differ")
+    val gc = groupCols.map(col)
+    val counts = df
+      .filter(col(catCol).isNotNull &&
+        (col(tagCol) === refTag || col(tagCol) === cmpTag))
+      .groupBy(gc :+ col(catCol).as("__v"): _*)
+      .agg(sum(when(col(tagCol) === refTag, 1L).otherwise(0L)).as("__cr"),
+        sum(when(col(tagCol) === cmpTag, 1L).otherwise(0L)).as("__cc"))
+    val totals = counts.groupBy(gc: _*)
+      .agg(sum(col("__cr")).as("__nr"), sum(col("__cc")).as("__nc"))
+    val p = col("__cr").cast("double") / col("__nr")
+    val q = col("__cc").cast("double") / col("__nc")
+    val m = (p + q) / 2d
+    val term = (when(col("__cr") > 0L, p * log(p / m)).otherwise(0d) +
+      when(col("__cc") > 0L, q * log(q / m)).otherwise(0d)) / 2d
+    FrameOps.statsJoinOn(counts, totals, groupCols)
+      // drop one-sided groups BEFORE the term projection: under ANSI
+      // mode even the guarded branch's m = (p+q)/2 would evaluate q's
+      // cc/0 division for a group with no cmp rows
+      .filter(col("__nr") > 0L && col("__nc") > 0L)
+      .withColumn("__t", term.cast("decimal(28,12)"))
+      .groupBy(gc: _*)
+      .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cmp"),
+        round(sum(col("__t")).cast("double"), 6).as("js"))
+  }
+
   /** Welch's unequal-variance t-test per group: compare the `valueCol`
     * means of the two samples `tagCol` splits each group into. Means
     * and variances come from DECIMAL-exact sums (the engine-portable

@@ -103,6 +103,28 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.exact(clones, Seq("text"), "doc_id").count() == 1)
   }
 
+  test("containmentPairs: a quoted snippet scores full containment in " +
+      "one direction while its Jaccard stays low") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val snippet = "delta epsilon zeta eta theta"
+    val docs = Seq((1L, snippet), (2L, long), (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, shingleSize = 3, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))).toMap
+    // snippet (3 shingles) fully inside long (18 shingles):
+    // C(1→2) = 1.0, C(2→1) = 3/18; Jaccard = 3/18 would miss at 0.9
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == ((1.0, 0.166667)))
+    val jaccard = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.9, shingleSize = 3, maxDf = 5L)
+    assert(jaccard.isEmpty, "Jaccard at 0.9 must miss the nested pair")
+    Dedup.releaseCaches()
+  }
+
   test("connectedComponents collapses chained pairs into min-id clusters") {
     import spark.implicits._
     // chain 1-2-3 (transitive via 2), island 5-6, chain 10-11-12-13

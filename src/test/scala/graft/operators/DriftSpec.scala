@@ -111,6 +111,67 @@ class DriftSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("calibration: perfect predictions pin frac_pos to the score; " +
+      "s = 1.0 lands in the top bin; out-of-range scores are dropped") {
+    val df = Seq(("g", 1.0, true), ("g", 1.0, true), ("g", 0.0, false),
+      ("g", 0.12, false), ("g", 1.5, true), ("g", -0.1, false))
+      .toDF("g", "score", "label")
+    val out = Drift.calibration(df, "score", "label", Seq("g"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getAs[Double]("mean_score"), r.getAs[Double]("frac_pos")))
+      .toMap
+    // 1.5 and -0.1 dropped; 1.0s in bin 9 (not a phantom bin 10)
+    assert(out == Map(9L -> ((2L, 1.0, 1.0)), 0L -> ((1L, 0.0, 0.0)),
+      1L -> ((1L, 0.12, 0.0))))
+    TrackedCaches.release()
+  }
+
+  test("brierScore: perfect = 0, always-0.5 = 0.25, hand-computed mix") {
+    val perfect = Seq(("g", 1.0, true), ("g", 0.0, false)).toDF("g", "s", "y")
+    assert(Drift.brierScore(perfect, "s", "y", Seq("g"))
+      .head().getAs[Double]("brier") == 0.0)
+    val half = Seq(("g", 0.5, true), ("g", 0.5, false)).toDF("g", "s", "y")
+    assert(Drift.brierScore(half, "s", "y", Seq("g"))
+      .head().getAs[Double]("brier") == 0.25)
+    // (0.8-1)² + (0.3-0)² = 0.04 + 0.09 -> mean 0.065
+    val mix = Seq(("g", 0.8, true), ("g", 0.3, false)).toDF("g", "s", "y")
+    assert(Drift.brierScore(mix, "s", "y", Seq("g"))
+      .head().getAs[Double]("brier") == 0.065)
+    TrackedCaches.release()
+  }
+
+  test("psi: identical samples give exactly zero; a shift gives a " +
+      "positive index; groups lacking either sample are dropped") {
+    val vals = (1 to 200).map(_.toDouble)
+    val same = (vals.map(v => ("g", "ref", v)) ++ vals.map(v => ("g", "cmp", v)))
+      .toDF("g", "tag", "v")
+    val zero = Drift.psi(same, "v", "tag", "ref", "cmp", Seq("g"))
+      .head().getAs[Double]("psi")
+    // pr == pc in every bin -> every term is (0) * ln(1) = 0 exactly
+    assert(zero == 0.0)
+    val shifted = (vals.map(v => ("g", "ref", v)) ++
+      vals.map(v => ("g", "cmp", v + 100.0)) ++
+      // cmp-only group: no reference sample -> no edges -> dropped
+      vals.map(v => ("lonely", "cmp", v))).toDF("g", "tag", "v")
+    val out = Drift.psi(shifted, "v", "tag", "ref", "cmp", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(out.keySet == Set("g"))
+    assert(out("g") > 0.25, s"a 50% shift should cross the 0.25 alarm, got ${out("g")}")
+    TrackedCaches.release()
+  }
+
+  test("psi: unoccupied comparison bins contribute finite smoothing " +
+      "terms, never NaN/Inf") {
+    // cmp mass entirely in the top half: bottom bins empty on the cmp side
+    val df = ((1 to 100).map(v => ("g", "ref", v.toDouble)) ++
+      (1 to 100).map(v => ("g", "cmp", 50.0 + v / 2.0))).toDF("g", "tag", "v")
+    val r = Drift.psi(df, "v", "tag", "ref", "cmp", Seq("g"), k = 4).head()
+    assert(!r.isNullAt(r.fieldIndex("psi")))
+    assert(!r.getAs[Double]("psi").isNaN && !r.getAs[Double]("psi").isInfinite)
+    assert(r.getAs[Long]("n_ref") == 100L && r.getAs[Long]("n_cmp") == 100L)
+    TrackedCaches.release()
+  }
+
   test("ksTest: groups missing one sample are dropped; ties across samples handled") {
     val df = Seq(
       ("only_a", "a", 1.0), ("only_a", "a", 2.0),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("jacobiEigen: known 2x2 — eigenvalues 3 and 1, orthonormal vectors " +
+      "with the deterministic sign convention") {
+    val (values, vectors) = Embeddings.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(values(0) - 3.0) < 1e-12 && math.abs(values(1) - 1.0) < 1e-12)
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(vectors(0).zip(Array(inv, inv)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // second vector is ±[1,-1]/√2; sign rule makes the largest-|.| entry
+    // positive -> first entry positive
+    assert(vectors(1)(0) > 0)
+    assert(math.abs(vectors(1)(0) * vectors(0)(0) + vectors(1)(1) * vectors(0)(1)) < 1e-12)
+  }
+
+  test("covariance: one-pass accumulator path and decimal relational " +
+      "path agree (hand-checked 2D case)") {
+    // x = [1,2,3,4], y = [2,4,6,8]: var(x)=5/3, cov(x,y)=10/3, var(y)=20/3
+    val df = vecDf(Seq(
+      (1L, Seq(1f, 2f)), (2L, Seq(2f, 4f)), (3L, Seq(3f, 6f)), (4L, Seq(4f, 8f))))
+    def covMap(portable: Boolean) =
+      Embeddings.covariance(df, portable = portable).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val fast = covMap(false)
+    assert(fast == Map((0L, 0L) -> 1.666667, (0L, 1L) -> 3.333333,
+      (1L, 1L) -> 6.666667))
+    assert(covMap(true) == fast)
+    TrackedCaches.release()
+  }
+
+  test("pca: a dominant synthetic axis is recovered as component 0 with " +
+      "most of the variance; projection coordinates match the dot product") {
+    // spread along (1,1,0)/√2 with small noise on the third dim
+    val rows = (1 to 200).map { i =>
+      val t = (i - 100.5).toFloat / 10f
+      val noise = ((i * 37) % 7 - 3).toFloat / 50f
+      (i.toLong, Seq(t, t, noise))
+    }
+    val df = vecDf(rows)
+    val comps = Embeddings.pca(df, k = 2)
+    val first = comps.filter(col("component") === 0L).head()
+    assert(first.getAs[Double]("explained_ratio") > 0.9)
+    val v0 = first.getSeq[Double](first.fieldIndex("vector")).toVector
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(v0(0)) - inv) < 0.01 &&
+      math.abs(math.abs(v0(1)) - inv) < 0.01 && math.abs(v0(2)) < 0.1)
+    // orthonormality across the returned components
+    val r1 = comps.filter(col("component") === 1L).head()
+    val v1 = r1.getSeq[Double](r1.fieldIndex("vector")).toVector
+    assert(math.abs(v0.zip(v1).map { case (a, b) => a * b }.sum) < 1e-9)
+    assert(math.abs(v0.map(x => x * x).sum - 1.0) < 1e-9)
+    // projection of a known row: coords = per-component dot products
+    val pr = Embeddings.project(df, comps)
+      .filter(col("vec_id") === 1L).head()
+    val projected = pr.getSeq[Double](pr.fieldIndex("coords")).toVector
+    val x = rows.head._2.map(_.toDouble)
+    val expect0 = x.zip(v0).map { case (a, b) => a * b }.sum
+    assert(math.abs(projected.head - expect0) < 1e-4)
+    TrackedCaches.release()
+  }
+
+  test("covariance: ragged vectors fail loudly; dim cap enforced") {
+    val ragged = vecDf(Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))))
+    intercept[Exception] { Embeddings.covariance(ragged).collect() }
+    val ok = vecDf(Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(4f, 5f, 6f))))
+    intercept[Exception] { Embeddings.covariance(ok, maxDim = 2).collect() }
+  }
+}

@@ -80,4 +80,29 @@ class StatsSpec extends SparkSpecBase {
       .toDF("g", "tag", "v")
     assert(Stats.welchTTest(df, "v", "tag", Seq("g")).isEmpty)
   }
+
+  test("jsDivergence: identical distributions give zero, disjoint give " +
+      "ln 2, and one-sided categories stay finite (no smoothing needed)") {
+    def js(rows: Seq[(String, String, String)]): Double =
+      Stats.jsDivergence(rows.toDF("g", "tag", "v"), "v", "tag",
+        "ref", "cmp", Seq("g")).head().getAs[Double]("js")
+    val same = Seq("a", "a", "b").flatMap(v =>
+      Seq(("g", "ref", v), ("g", "cmp", v)))
+    assert(js(same) == 0.0)
+    val disjoint = Seq(("g", "ref", "a"), ("g", "cmp", "b"))
+    assert(js(disjoint) == 0.693147) // ln 2, the JS maximum
+    // ref = {a, b}, cmp = {a}: p=(1/2,1/2), q=(1,0), m=(3/4,1/4)
+    // JS = 1/2*(1/2 ln(2/3) + 1/2 ln 2) + 1/2*(1 ln(4/3)) = 0.215762
+    val oneSided = Seq(("g", "ref", "a"), ("g", "ref", "b"), ("g", "cmp", "a"))
+    assert(js(oneSided) == 0.215762)
+  }
+
+  test("jsDivergence: groups lacking either sample are dropped; other " +
+      "tags are ignored") {
+    val df = Seq(("g", "ref", "a"), ("g", "cmp", "a"), ("g", "other", "zzz"),
+      ("refonly", "ref", "a")).toDF("g", "tag", "v")
+    val out = Stats.jsDivergence(df, "v", "tag", "ref", "cmp", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("js")).toMap
+    assert(out == Map("g" -> 0.0))
+  }
 }
