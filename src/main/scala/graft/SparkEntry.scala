@@ -1047,6 +1047,26 @@ object SparkEntry {
       Embeddings.covariance(t(s, dir, "embeddings"), portable = true)
         .orderBy(col("i"), col("j"))),
 
+    // Kaplan-Meier time-to-conversion per user segment: duration runs
+    // from a user's first event to their first purchase (event) or
+    // last-seen event (right-censored); the estimator must NOT drop
+    // censored users
+    "q137_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("conv_us"))
+        .select((col("user_id") % 4L).as("segment"),
+          // DIV: Column `/` is double division even on longs; the
+          // oracle's // is integer floor division
+          expr("(coalesce(conv_us, last_us) - first_us) DIV 1000000").as("t"),
+          col("conv_us").isNotNull.as("ev"))
+      Survival.kaplanMeier(subj, "t", "ev", Seq("segment"))
+        .orderBy(col("segment"), col("t"))
+    }),
+
     // PRODUCTION-path PCA pipeline: one-pass accumulator covariance,
     // driver Jacobi eigen, k=8 projection — the plan users run (no
     // oracle: double accumulation + eigendecomposition are not
@@ -2318,6 +2338,50 @@ object SparkEntry {
     // direction crossing 0.5 keeps the pair
     "q134_containment_pairs" ->
       ngramContainmentOracle(threshold = 0.5, n = 3, maxDf = 20L),
+
+    // KM replay: per-(segment, t) event/censor counts, reverse-cum
+    // at-risk, decimal-quantized ln terms summed in the same window,
+    // exp at the end; the d = n_risk absorbing step sets survival 0 via
+    // a cumulative flag instead of evaluating ln(0)
+    "q137_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(epoch_ns(ts) // 1000) AS first_us,
+        |    max(epoch_ns(ts) // 1000) AS last_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ns(ts) // 1000 END) AS conv_us
+        |  FROM events GROUP BY user_id),
+        |subj AS (
+        |  SELECT user_id % 4 AS segment,
+        |    (coalesce(conv_us, last_us) - first_us) // 1000000 AS t,
+        |    (conv_us IS NOT NULL) AS ev
+        |  FROM pu),
+        |counts AS (
+        |  SELECT segment, t,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |tot AS (SELECT segment, sum(d + c) AS n FROM counts GROUP BY segment),
+        |r AS (
+        |  SELECT counts.segment, counts.t, d, c,
+        |    n - sum(d + c) OVER (PARTITION BY counts.segment
+        |      ORDER BY counts.t) + d + c AS n_risk
+        |  FROM counts JOIN tot USING (segment)),
+        |s AS (
+        |  SELECT segment, t, n_risk, d, c,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN ln(1 - d::DOUBLE / n_risk) ELSE 0 END
+        |      AS DECIMAL(28,12)) AS lt,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM r)
+        |SELECT segment, CAST(t AS BIGINT) AS t,
+        |  CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_event,
+        |  CAST(c AS BIGINT) AS n_censored,
+        |  CASE WHEN sum(z) OVER w > 0 THEN 0.0
+        |    ELSE round(exp(CAST(sum(lt) OVER w AS DOUBLE)), 6) END AS survival
+        |FROM s
+        |WINDOW w AS (PARTITION BY segment ORDER BY t)
+        |ORDER BY segment, t""".stripMargin,
 
     // covariance replay: decimal means, centered double products
     // decimal-quantized before the order-free sum; the row key only

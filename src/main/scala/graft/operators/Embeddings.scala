@@ -278,14 +278,24 @@ object Embeddings {
     */
   def project(corpus: DataFrame, components: DataFrame,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              whiten: Boolean = false,
+              whitenEps: Double = 1e-9): DataFrame = {
+    // whitening scales each coordinate by 1/√eigenvalue so the
+    // projected cloud has unit variance per component (decorrelated
+    // AND rescaled — the PCA-whitening preprocessing step); eps guards
+    // a numerically-zero trailing eigenvalue
+    val scale =
+      if (whiten) lit(1.0) / sqrt(greatest(col("eigenvalue"), lit(whitenEps)))
+      else lit(1.0)
     val comps = components.select(col("component"),
-      col("vector").cast(ArrayType(FloatType)).as("__cv"))
+      col("vector").cast(ArrayType(FloatType)).as("__cv"),
+      scale.as("__s"))
     corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("__v"))
       .join(broadcast(comps), lit(true))
       .withColumn("__coord",
-        graft.functions.VectorMath.dot(col("__v"), col("__cv")))
+        graft.functions.VectorMath.dot(col("__v"), col("__cv")) * col("__s"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("component"), col("__coord"))))
         .as("__pc"))

@@ -69,6 +69,26 @@ class EmbeddingsSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("whitened projection has unit variance per component") {
+    val rows = (1 to 400).map { i =>
+      val t = (i - 200.5).toFloat / 10f
+      val u = ((i * 53) % 41 - 20).toFloat / 4f
+      (i.toLong, Seq(t + u, t - u, 0.3f * t))
+    }
+    val df = vecDf(rows)
+    val comps = Embeddings.pca(df, k = 2)
+    val coords = Embeddings.project(df, comps, whiten = true)
+      .select(explode(col("coords")).as("c")).as[Double].collect()
+    // pool both components: each is unit-variance, so the pooled
+    // variance is 1 as well (means are ~0 by construction)
+    val n = coords.length
+    val mean = coords.sum / n
+    val variance = coords.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    assert(math.abs(variance - 1.0) < 0.05,
+      s"whitened pooled variance $variance should be ~1")
+    TrackedCaches.release()
+  }
+
   test("covariance: ragged vectors fail loudly; dim cap enforced") {
     val ragged = vecDf(Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))))
     intercept[Exception] { Embeddings.covariance(ragged).collect() }
