@@ -1067,6 +1067,26 @@ object SparkEntry {
         .orderBy(col("segment"), col("t"))
     }),
 
+    // log-rank test: does time-to-conversion differ between the even
+    // and odd user cohorts, per engagement segment (events-count bands)?
+    "q138_log_rank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("conv_us"),
+          count(lit(1)).as("n_ev"))
+        .select(
+          when(col("n_ev") >= 20L, "heavy").otherwise("light").as("segment"),
+          when(col("user_id") % 2L === 0L, "even").otherwise("odd").as("cohort"),
+          expr("(coalesce(conv_us, last_us) - first_us) DIV 1000000").as("t"),
+          col("conv_us").isNotNull.as("ev"))
+      Survival.logRank(subj, "t", "ev", "cohort", "even", "odd",
+          Seq("segment"))
+        .orderBy(col("segment"))
+    }),
+
     // PRODUCTION-path PCA pipeline: one-pass accumulator covariance,
     // driver Jacobi eigen, k=8 projection — the plan users run (no
     // oracle: double accumulation + eigendecomposition are not
@@ -2382,6 +2402,64 @@ object SparkEntry {
         |FROM s
         |WINDOW w AS (PARTITION BY segment ORDER BY t)
         |ORDER BY segment, t""".stripMargin,
+
+    // log-rank replay: pivoted per-(segment, t) cohort counts, reverse-
+    // cum at-risk windows, decimal-quantized O-E and hypergeometric
+    // variance terms, chi2/z from the order-free sums
+    "q138_log_rank" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(epoch_ns(ts) // 1000) AS first_us,
+        |    max(epoch_ns(ts) // 1000) AS last_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ns(ts) // 1000 END) AS conv_us,
+        |    count(*) AS n_ev
+        |  FROM events GROUP BY user_id),
+        |subj AS (
+        |  SELECT CASE WHEN n_ev >= 20 THEN 'heavy' ELSE 'light' END AS g,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tag,
+        |    (coalesce(conv_us, last_us) - first_us) // 1000000 AS t,
+        |    (conv_us IS NOT NULL) AS ev
+        |  FROM pu),
+        |counts AS (
+        |  SELECT g, t,
+        |    sum(CASE WHEN tag = 'even' AND ev THEN 1 ELSE 0 END) AS da,
+        |    sum(CASE WHEN tag = 'even' AND NOT ev THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN tag = 'odd' AND ev THEN 1 ELSE 0 END) AS db,
+        |    sum(CASE WHEN tag = 'odd' AND NOT ev THEN 1 ELSE 0 END) AS cb
+        |  FROM subj GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT g, sum(da + ca) AS na, sum(db + cb) AS nb
+        |  FROM counts GROUP BY g),
+        |r AS (
+        |  SELECT counts.g, counts.t, da, db, na, nb,
+        |    na - sum(da + ca) OVER w + da + ca AS ra,
+        |    nb - sum(db + cb) OVER w + db + cb AS rb
+        |  FROM counts JOIN tot USING (g)
+        |  WHERE na > 0 AND nb > 0
+        |  WINDOW w AS (PARTITION BY counts.g ORDER BY counts.t)),
+        |terms AS (
+        |  SELECT g, na, nb,
+        |    CAST(da::DOUBLE - (da + db)::DOUBLE
+        |      * (ra::DOUBLE / (ra + rb)::DOUBLE) AS DECIMAL(28,12)) AS oe,
+        |    CAST(CASE WHEN ra + rb > 1
+        |      THEN (da + db)::DOUBLE * (ra::DOUBLE / (ra + rb)::DOUBLE)
+        |        * (1 - ra::DOUBLE / (ra + rb)::DOUBLE)
+        |        * ((ra + rb)::DOUBLE - (da + db)::DOUBLE)
+        |        / ((ra + rb)::DOUBLE - 1) ELSE 0 END
+        |      AS DECIMAL(28,12)) AS v
+        |  FROM r WHERE da + db > 0),
+        |sums AS (
+        |  SELECT g, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(oe) AS DOUBLE) AS soe, CAST(sum(v) AS DOUBLE) AS sv
+        |  FROM terms GROUP BY g)
+        |SELECT g AS segment, n_a, n_b,
+        |  round(soe * soe / sv, 6) AS chi2,
+        |  round(soe / sqrt(sv), 6) AS z
+        |FROM sums
+        |WHERE sv > 0
+        |ORDER BY segment""".stripMargin,
 
     // covariance replay: decimal means, centered double products
     // decimal-quantized before the order-free sum; the row key only

@@ -70,4 +70,69 @@ object Survival {
       .select(gc :+ col("t") :+ col("n_risk") :+ col("n_event") :+
         col("n_censored") :+ col("survival"): _*)
   }
+
+  /** Two-sample log-rank test per group — "are these two survival
+    * curves the same?", the hypothesis-test companion to
+    * [[kaplanMeier]] (comparing KM curves by eye is not a test; naive
+    * mean-duration comparisons are biased by censoring). At each
+    * pooled event time: observed events in sample a vs expected under
+    * the null `E = d·n_a/n`, with the hypergeometric variance
+    * `V = d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1)`;
+    * `χ² = (Σ(O−E))² / ΣV`, `z = Σ(O−E)/√ΣV` (negative z: sample a
+    * has FEWER events than expected — better survival).
+    *
+    * Same plan discipline as [[kaplanMeier]]: one reduction of
+    * subjects to per-(group, time) counts with both tags pivoted in
+    * the pass, at-risk via one distinct-time window, per-time terms
+    * DECIMAL(28,12)-quantized before the order-free sums. Rows with a
+    * tag other than `tagA`/`tagB` are ignored; groups where either
+    * sample is empty or the variance is zero are dropped.
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              tagCol: String, tagA: String, tagB: String,
+              groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "logRank needs at least one group column")
+    require(tagA != tagB, "tagA and tagB must differ")
+    val gc = groupCols.map(col)
+    val ev = col(eventCol).try_cast("boolean")
+    val isA = col(tagCol) === tagA
+    val rows = df.filter(col(durationCol).isNotNull && ev.isNotNull &&
+      (isA || col(tagCol) === tagB))
+    val counts = rows.groupBy(gc :+ col(durationCol).as("t"): _*)
+      .agg(sum(when(isA && ev, 1L).otherwise(0L)).as("d_a"),
+        sum(when(isA && !ev, 1L).otherwise(0L)).as("c_a"),
+        sum(when(!isA && ev, 1L).otherwise(0L)).as("d_b"),
+        sum(when(!isA && !ev, 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.groupBy(gc: _*)
+      .agg(sum(col("d_a") + col("c_a")).as("__na"),
+        sum(col("d_b") + col("c_b")).as("__nb"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("t"))
+    val atRisk = FrameOps.statsJoinOn(counts, totals, groupCols)
+      .filter(col("__na") > 0L && col("__nb") > 0L)
+      .withColumn("__cuma", sum(col("d_a") + col("c_a")).over(w))
+      .withColumn("__cumb", sum(col("d_b") + col("c_b")).over(w))
+      .withColumn("__ra", col("__na") - col("__cuma") + col("d_a") + col("c_a"))
+      .withColumn("__rb", col("__nb") - col("__cumb") + col("d_b") + col("c_b"))
+      .withColumn("__d", col("d_a") + col("d_b"))
+      .withColumn("__r", col("__ra") + col("__rb"))
+      .filter(col("__d") > 0L)
+    val pa = col("__ra").cast("double") / col("__r").cast("double")
+    val dD = col("__d").cast("double")
+    val rD = col("__r").cast("double")
+    val oe = col("d_a").cast("double") - dD * pa
+    val v = when(col("__r") > 1L,
+      dD * pa * (lit(1.0) - pa) * (rD - dD) / (rD - lit(1.0)))
+      .otherwise(lit(0.0))
+    atRisk
+      .withColumn("__oe", oe.cast("decimal(28,12)"))
+      .withColumn("__v", v.cast("decimal(28,12)"))
+      .groupBy(gc: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__oe")).cast("double").as("__soe"),
+        sum(col("__v")).cast("double").as("__sv"))
+      .filter(col("__sv") > 0d)
+      .select(gc :+ col("n_a") :+ col("n_b") :+
+        round(col("__soe") * col("__soe") / col("__sv"), 6).as("chi2") :+
+        round(col("__soe") / sqrt(col("__sv")), 6).as("z"): _*)
+  }
 }

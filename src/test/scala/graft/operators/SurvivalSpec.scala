@@ -25,6 +25,28 @@ class SurvivalSpec extends SparkSpecBase {
     assert(out(5L) == ((1L, 1L, 0L, 0.0)))
   }
 
+  test("logRank: hand-computed two-sample statistic") {
+    // A: [1e, 2e]; B: [2e, 3e]
+    // t=1: O-E = 1/2, V = 1/4; t=2: O-E = 1/3, V = 2/9; t=3: r=1 -> V=0
+    // chi2 = (5/6)^2 / (17/36) = 25/17 = 1.470588; z = 5/sqrt(17)
+    val df = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 2L, true), ("b", 3L, true))
+      .map { case (tg, t, e) => ("g", tg, t, e) }.toDF("g", "tag", "t", "ev")
+    val r = Survival.logRank(df, "t", "ev", "tag", "a", "b", Seq("g")).head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("chi2") == 1.470588)
+    assert(r.getAs[Double]("z") == 1.212678)
+  }
+
+  test("logRank: identical samples give zero; one-sided groups dropped") {
+    val same = Seq(("g", "a", 1L, true), ("g", "a", 2L, false),
+      ("g", "b", 1L, true), ("g", "b", 2L, false),
+      ("only_a", "a", 1L, true)).toDF("g", "tag", "t", "ev")
+    val out = Survival.logRank(same, "t", "ev", "tag", "a", "b", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("chi2")).toMap
+    assert(out == Map("g" -> 0.0))
+  }
+
   test("kaplanMeier: all-censored group stays at survival 1; groups are " +
       "independent; null/uncastable rows dropped") {
     val df = Seq(("alive", 1L, false), ("alive", 2L, false),
