@@ -1661,7 +1661,10 @@ object SparkEntry {
     // q20's oracle SQL verbatim. The cell=N/ layout is the scale lever:
     // the probe join dynamically prunes the list scan to nProbe cells.
     "q129_ann_ivf_index" -> ((s, dir) => {
-      val idx = "/tmp/graft_scratch/ivf_index"
+      // scratch path keyed by the input dir: a Verify at one SF must not
+      // clobber the index a concurrent Bench at another SF is reading
+      val idx = "/tmp/graft_scratch/ivf_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       freshDir(s, idx)
       val emb = t(s, dir, "embeddings")
       Similarity.writeIvfIndex(emb, idx, portable = true)

@@ -259,10 +259,12 @@ object Drift {
     val v = col(valueCol)
     val rows = df.filter(v.isNotNull &&
       (col(tagCol) === refTag || col(tagCol) === cmpTag))
-    // k-1 interior edges from the reference sample, one agg pass
+    // k-1 interior edges from the reference sample, one agg pass —
+    // Column API throughout (string interpolation would break on
+    // quoted column names / tag values containing quotes)
     val edgeAggs = (1 until k).map(i =>
-      round(expr(s"percentile(CASE WHEN $tagCol = '$refTag' THEN $valueCol END, ${i.toDouble / k})"), 6)
-        .as(s"__e$i"))
+      round(percentile(when(col(tagCol) === refTag, v),
+        lit(i.toDouble / k)), 6).as(s"__e$i"))
     val edges = rows.groupBy(gc: _*).agg(edgeAggs.head, edgeAggs.tail: _*)
     // bin = how many edges are strictly below x: fixed comparison tree
     val binExpr = (1 until k).map(i =>

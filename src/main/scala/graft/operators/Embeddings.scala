@@ -42,19 +42,30 @@ object Embeddings {
     */
   def covariance(corpus: DataFrame, vecCol: String = "embedding",
                  portable: Boolean = false, maxDim: Int = 2048): DataFrame = {
-    val raw = corpus.filter(col(vecCol).isNotNull).select(col(vecCol).as("v"))
-    // each input row fans out to d(d+1)/2 pair terms, so a narrow scan
-    // (one small parquet file = one partition) serializes the whole
-    // d²-heavy chain into one task. Widen ONLY when the scan is narrower
-    // than the session parallelism — a 100 TB scan already has thousands
-    // of partitions and must not pay a corpus shuffle here.
-    val target = raw.sparkSession.sessionState.conf.numShufflePartitions
-    val vecs =
-      if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+    val vecs = widened(corpus.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("v")))
     if (portable) covarianceRelational(vecs) else covarianceOnePass(vecs, maxDim)
   }
 
+  /** Each input row fans out to d(d+1)/2 pair terms, so a narrow scan
+    * (one small parquet file = one partition) serializes the whole
+    * d²-heavy chain into one task. Widen ONLY when the scan is narrower
+    * than the session parallelism — a 100 TB scan already has thousands
+    * of partitions and must not pay a corpus shuffle here.
+    */
+  private def widened(raw: DataFrame): DataFrame = {
+    val target = raw.sparkSession.sessionState.conf.numShufflePartitions
+    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+  }
+
   private def covarianceRelational(vecs: DataFrame): DataFrame = {
+    // enforce the equal-length contract the accumulator path checks per
+    // row: ragged input would silently misalign per-dim means and emit
+    // NaN/garbage covariances (one cheap column-pruned pre-pass)
+    val dims = vecs.select(size(col("v")).as("d")).distinct()
+      .limit(3).collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"ragged vectors: saw lengths ${dims.sorted.mkString(", ")}")
     // (i ≤ j) pairs from CHAINED posexplodes — one pipelined codegen
     // pass emitting d(d+1)/2 light rows per vector, no row-id self-join
     // (a cached self-join on a synthetic id measured ~8× slower here:
@@ -87,15 +98,23 @@ object Embeddings {
         col("n"), col("cov"))
   }
 
-  private def covarianceOnePass(vecs: DataFrame, maxDim: Int): DataFrame = {
-    val spark = vecs.sparkSession
+  /** The accumulator pass shared by [[covarianceOnePass]] (frame form)
+    * and [[pca]] (which needs the raw arrays — rebuilding them from a
+    * collected frame would round-trip d(d+1)/2 rows through an RDD for
+    * nothing): returns (n, Σx per dim, Σx·xᵀ upper triangle).
+    */
+  private def covarianceArrays(vecs: DataFrame, maxDim: Int)
+      : (Long, Array[Double], Array[Double]) = {
     val acc = vecs.rdd.mapPartitions { it =>
       var n = 0L
       var d = -1
       var sums: Array[Double] = null
       var prods: Array[Double] = null // upper triangle, row-major
       it.foreach { r =>
-        val v = r.getSeq[Float](0)
+        // accept any numeric element type (float embeddings, but also
+        // the array<double> coords a projection emits); unbox ONCE per
+        // row into a primitive array so the d² inner loop stays boxfree
+        val v = r.getSeq[Number](0)
         if (d < 0) {
           d = v.length
           require(d <= maxDim,
@@ -105,14 +124,17 @@ object Embeddings {
         }
         require(v.length == d, s"ragged vectors: saw lengths $d and ${v.length}")
         n += 1
+        val x = new Array[Double](d)
+        var k = 0
+        while (k < d) { x(k) = v(k).doubleValue(); k += 1 }
         var i = 0
         var t = 0
         while (i < d) {
-          val xi = v(i).toDouble
+          val xi = x(i)
           sums(i) += xi
           var j = i
           while (j < d) {
-            prods(t) += xi * v(j).toDouble
+            prods(t) += xi * x(j)
             t += 1
             j += 1
           }
@@ -131,8 +153,13 @@ object Embeddings {
       while (t < l._3.length) { l._3(t) += r._3(t); t += 1 }
       (l._1 + r._1, l._2, l._3)
     }
-    val (n, sums, prods) = merged
-    require(n >= 2, s"covariance needs at least 2 vectors, got $n")
+    require(merged._1 >= 2, s"covariance needs at least 2 vectors, got ${merged._1}")
+    merged
+  }
+
+  private def covarianceOnePass(vecs: DataFrame, maxDim: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val (n, sums, prods) = covarianceArrays(vecs, maxDim)
     val d = sums.length
     val out = new scala.collection.mutable.ArrayBuffer[Row](d * (d + 1) / 2)
     var i = 0
@@ -246,13 +273,23 @@ object Embeddings {
           k: Int = 8, maxDim: Int = 2048): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = corpus.sparkSession
-    val covRows = covariance(corpus, vecCol, portable = false, maxDim = maxDim)
-      .collect()
-    val d = covRows.iterator.map(_.getLong(1)).max.toInt + 1
+    // straight from the accumulator arrays — no frame round-trip, and
+    // the eigen solver sees unrounded covariances
+    val (n, sums, prods) = covarianceArrays(
+      widened(corpus.filter(col(vecCol).isNotNull)
+        .select(col(vecCol).as("v"))), maxDim)
+    val d = sums.length
     val m = Array.ofDim[Double](d, d)
-    covRows.foreach { r =>
-      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
-      m(i)(j) = r.getDouble(3); m(j)(i) = r.getDouble(3)
+    var i = 0
+    var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cov = (prods(t) - sums(i) * sums(j) / n) / (n - 1).toDouble
+        m(i)(j) = cov; m(j)(i) = cov
+        t += 1; j += 1
+      }
+      i += 1
     }
     val (values, vectors) = jacobiEigen(m)
     val trace = values.sum

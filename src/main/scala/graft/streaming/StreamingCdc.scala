@@ -84,7 +84,11 @@ object StreamingCdc {
     *     window — two writers can both pass it before either marker
     *     exists — but both cannot pass step 6 (each re-lists strictly
     *     after creating its own marker, so at least one sees the
-    *     other's). On any intervening commit we retract our marker +
+    *     other's). Markers record their BASE version, so the check can
+    *     tell a legitimate successor (folded from our snapshot,
+    *     base ≥ ours — not a conflict) from a racer (a commit between
+    *     our base and our version, or a higher commit whose base
+    *     predates us). On a genuine conflict we retract our marker +
     *     data and throw; a concurrent reader that already listed the
     *     retracted marker fails its scan loudly (files gone), it never
     *     reads partial rows.
@@ -133,18 +137,28 @@ object StreamingCdc {
           "another commit landed) - aborted without publishing; this " +
           "store requires a single writer, retry the batch")
     }
-    f.create(new Path(dir, s"commit-$v"), false).close()
+    // the marker RECORDS our base version, so a later writer's
+    // re-validation can tell a successor commit (folded from ours,
+    // base >= our version) from a racer (base below our version)
+    val out = f.create(new Path(dir, s"commit-$v"), false)
+    out.write(s"base=$cur\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     // post-commit re-validation (docstring step 6): our marker now exists,
     // so any racing writer's re-list sees it — and ours sees theirs if it
-    // landed first. An intervening commit (> base, != ours) means one fold
-    // is missing a batch: retract ours and throw; the survivor's chain is
-    // intact and the thrower's caller retries onto it.
-    val intervening = f.listStatus(p).iterator
+    // landed first. Fatal-to-us commits are (a) one BETWEEN our base and
+    // our version (our fold missed it) or (b) one ABOVE ours whose
+    // recorded base predates us (a racer that missed our batch now owns
+    // the chain head). A successor that folded our snapshot (base >= v)
+    // is the normal single-writer continuation — NOT a conflict, and
+    // retracting under it would delete a version the live chain was
+    // built from.
+    val conflicting = f.listStatus(p).iterator
       .map(_.getPath.getName)
       .filter(_.startsWith("commit-"))
       .map(_.stripPrefix("commit-").toLong)
-      .exists(c => c > cur && c != v)
-    if (intervening) {
+      .exists(c => (c > cur && c < v) ||
+        (c > v && commitBase(f, dir, c).forall(_ < v)))
+    if (conflicting) {
       f.delete(new Path(dir, s"commit-$v"), false)
       f.delete(new Path(dir, s"v=$v"), true)
       f.delete(new Path(dir, s"claim-$v"), false)
@@ -155,6 +169,20 @@ object StreamingCdc {
     }
     v
   }
+
+  /** The base version recorded inside a commit marker, None when the
+    * marker is empty/unreadable (pre-metadata markers) — callers treat
+    * None conservatively as "base unknown, assume it predates us".
+    */
+  private def commitBase(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                         c: Long): Option[Long] =
+    try {
+      val in = f.open(new Path(dir, s"commit-$c"))
+      val bytes = try in.readAllBytes() finally in.close()
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+      if (s.startsWith("base=")) Some(s.stripPrefix("base=").trim.toLong)
+      else None
+    } catch { case _: Exception => None }
 
   /** Retention sweep: drop all committed versions except the newest
     * `keepLast` (the current version is always kept). The marker is

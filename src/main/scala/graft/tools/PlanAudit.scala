@@ -27,7 +27,8 @@ object PlanAudit {
     * vocabularies, fact tables) must stay hint-free so AQE degrades
     * them to shuffle joins instead of OOMing.
     */
-  private case class AllowedBroadcast(file: String, arg: String, why: String)
+  private case class AllowedBroadcast(file: String, arg: String, why: String,
+                                      count: Int = 1)
   private val allowedBroadcasts = Seq(
     AllowedBroadcast("Similarity.scala", "q", "query set — API contract: structurally small (a query batch, not a corpus)"),
     AllowedBroadcast("Similarity.scala", "centroids", "k centroid rows — parameter-bounded"),
@@ -39,14 +40,14 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate"),
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
-    AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverGroups guard"),
-    AllowedBroadcast("Ranking.scala", "n", "one-row global aggregate"),
+    AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverStateRows guard"),
+    AllowedBroadcast("Ranking.scala", "n", "one-row global aggregate", count = 2),
     AllowedBroadcast("Ranking.scala", "p", "target-rank probe frame — |probs| rows, parameter-bounded"),
     AllowedBroadcast("Ranking.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("Ranking.scala", "counts", "one-row global aggregate (groupCols.isEmpty branch only)"),
     AllowedBroadcast("PageRank.scala", "dangling", "one-row dangling-mass aggregate"),
-    AllowedBroadcast("Stats.scala", "total", "one-row global aggregate"),
-    AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate"),
+    AllowedBroadcast("Stats.scala", "total", "one-row global aggregate", count = 3),
+    AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate", count = 2),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
@@ -55,31 +56,59 @@ object PlanAudit {
     AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"))
 
   /** Returns (violations, inventory). A violation is an explicit
-    * broadcast call in src/main/scala not on [[allowedBroadcasts]].
+    * broadcast call in src/main/scala not on [[allowedBroadcasts]], or
+    * MORE call sites for an allowlisted (file, arg) than the allowlist
+    * justifies — a new `broadcast(total)` can't hide behind an existing
+    * one. Matching runs over whole file contents (multi-line calls
+    * can't dodge a per-line scan); comment lines are excluded.
     */
   private def auditBroadcasts(): (Seq[String], Seq[String]) = {
     import scala.jdk.CollectionConverters._
     val callRx = "broadcast\\(\\s*([A-Za-z_][A-Za-z0-9_]*)".r
-    val hintRx = "hint\\(\"broadcast\"\\)".r
+    val hintRx = "hint\\(\\s*\"broadcast\"\\s*\\)".r
     val files = Files.walk(Paths.get("src/main/scala")).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
     val found = files.flatMap { p =>
-      Files.readAllLines(p).asScala.toSeq.zipWithIndex.flatMap {
-        case (line, i) =>
-          val t = line.trim
-          if (t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")) Nil
-          else {
-            val hits = callRx.findAllMatchIn(line).map(_.group(1)).toList ++
-              hintRx.findAllMatchIn(line).map(_ => "<hint>").toList
-            hits.map(a => (p.getFileName.toString, a, i + 1))
-          }
+      val content = Files.readString(p)
+      val lineStarts = (-1 +: content.zipWithIndex.collect {
+        case ('\n', i) => i }.toSeq).toArray
+      def lineOf(off: Int): Int = {
+        var lo = 0; var hi = lineStarts.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (lineStarts(mid) < off) lo = mid else hi = mid - 1
+        }
+        lo + 1
+      }
+      def lineText(off: Int): String = {
+        val start = lineStarts(lineOf(off) - 1) + 1
+        val end = content.indexOf('\n', start) match {
+          case -1 => content.length; case e => e
+        }
+        content.substring(start, end)
+      }
+      val hits =
+        callRx.findAllMatchIn(content).map(m => (m.start, m.group(1))) ++
+          hintRx.findAllMatchIn(content).map(m => (m.start, "<hint>"))
+      hits.toSeq.collect {
+        case (off, arg)
+            if !{ val t = lineText(off).trim
+              t.startsWith("//") || t.startsWith("*") || t.startsWith("/*") } =>
+          (p.getFileName.toString, arg, lineOf(off))
       }
     }
-    val allowed = allowedBroadcasts.map(a => (a.file, a.arg)).toSet
-    val violations = found.collect {
-      case (f, a, l) if !allowed((f, a)) => s"$f:$l broadcast($a)"
+    val allowed = allowedBroadcasts.map(a => (a.file, a.arg) -> a.count).toMap
+    val bySite = found.groupBy { case (f, a, _) => (f, a) }
+    val violations = bySite.toSeq.sortBy(_._1.toString).flatMap {
+      case ((f, a), sites) =>
+        val cap = allowed.getOrElse((f, a), 0)
+        if (sites.length > cap)
+          Seq(s"$f broadcast($a): ${sites.length} sites (allowlisted: $cap) " +
+            s"at lines ${sites.map(_._3).sorted.mkString(", ")}")
+        else Nil
     }
-    val inventory = found.map { case (f, a, l) => s"$f:$l `$a`" }
+    val inventory = found.sortBy(s => (s._1, s._3))
+      .map { case (f, a, l) => s"$f:$l `$a`" }
     (violations, inventory)
   }
 
