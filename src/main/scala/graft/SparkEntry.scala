@@ -1039,6 +1039,21 @@ object SparkEntry {
           "l_extendedprice", "disc_band", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
+    // worst-slice triage: per (dimension, value) slice of lineitem, the
+    // extendedprice mean and its one-sample z against the global
+    // distribution — which slice moved the aggregate
+    "q140_slice_deviation" -> ((s, dir) =>
+      Profile.sliceDeviation(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("dimension"), col("value"))),
+
+    // embedding centroid drift: cosine of each label-slice's exact mean
+    // embedding against slice 0's — the first-line "did this shard start
+    // embedding differently" monitor
+    "q139_centroid_drift" -> ((s, dir) =>
+      Embeddings.centroidDrift(t(s, dir, "embeddings"), "label", 0)
+        .orderBy(col("slice"))),
+
     // exact sample covariance of the embedding dimensions (the PCA
     // input), decimal-portable relational path; upper triangle flattened
     // to (i, j, n, cov) rows. The eigen step is driver-side on this
@@ -2463,6 +2478,61 @@ object SparkEntry {
         |FROM sums
         |WHERE sv > 0
         |ORDER BY segment""".stripMargin,
+
+    // slice-deviation replay: melted dimensions via UNION ALL, decimal
+    // sums, one-sample z in the same fixed tree
+    "q140_slice_deviation" ->
+      """WITH rows_f AS (
+        |  SELECT l_extendedprice AS m, l_returnflag, l_linestatus
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |melted AS (
+        |  SELECT 'l_returnflag' AS dimension,
+        |    CAST(l_returnflag AS VARCHAR) AS value, m
+        |  FROM rows_f WHERE l_returnflag IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), m
+        |  FROM rows_f WHERE l_linestatus IS NOT NULL),
+        |g AS (
+        |  SELECT count(*) AS ng,
+        |    CAST(SUM(CAST(m AS DECIMAL(30,6))) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(m * m AS DECIMAL(30,6))) AS DOUBLE) AS ssg
+        |  FROM rows_f),
+        |s AS (
+        |  SELECT dimension, value, count(*) AS n,
+        |    CAST(SUM(CAST(m AS DECIMAL(30,6))) AS DOUBLE) AS sm
+        |  FROM melted GROUP BY 1, 2)
+        |SELECT dimension, value, CAST(n AS BIGINT) AS n,
+        |  round(sm / n, 6) AS mean,
+        |  round(sg / ng::DOUBLE, 6) AS global_mean,
+        |  CASE WHEN (ssg - sg * sg / ng::DOUBLE) / (ng::DOUBLE - 1) > 0
+        |    THEN round((sm / n - sg / ng::DOUBLE) * sqrt(n::DOUBLE)
+        |      / sqrt((ssg - sg * sg / ng::DOUBLE) / (ng::DOUBLE - 1)), 6)
+        |  END AS z
+        |FROM s CROSS JOIN g
+        |WHERE ng > 1
+        |ORDER BY dimension, value""".stripMargin,
+
+    // centroid-drift replay: decimal per-(slice, dim) means assembled in
+    // dim order, DuckDB's list cosine against the reference slice
+    "q139_centroid_drift" ->
+      """WITH el AS (
+        |  SELECT label AS slice,
+        |    generate_subscripts(embedding::DOUBLE[], 1) AS j,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |sums AS (
+        |  SELECT slice, j, count(*) AS nj,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        |  FROM el GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT slice, max(nj) AS n, list(m ORDER BY j) AS c
+        |  FROM sums GROUP BY slice),
+        |ref AS (SELECT c AS rc FROM cents WHERE slice = 0)
+        |SELECT slice, CAST(n AS BIGINT) AS n,
+        |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
+        |FROM cents CROSS JOIN ref
+        |ORDER BY slice""".stripMargin,
 
     // covariance replay: decimal means, centered double products
     // decimal-quantized before the order-free sum; the row key only

@@ -264,6 +264,38 @@ object Embeddings {
     math.sqrt(s)
   }
 
+  /** Embedding-distribution drift per slice: cosine similarity between
+    * each slice's mean embedding and a reference slice's — the cheap
+    * first-line monitor for "did this source/day/shard start embedding
+    * differently" (a centroid shift catches topic/language/pipeline
+    * changes long before per-pair analyses). Means are per-(slice, dim)
+    * DECIMAL(28,12) sums — exact, order-free, engine-replayable — and
+    * the slice-cardinality frame stays hint-free (AQE decides).
+    * Output: one row per slice — slice, n, cos_to_ref (6 dp; 1.0 for
+    * the reference itself). Slices are dropped if the reference slice
+    * is absent.
+    */
+  def centroidDrift(corpus: DataFrame, sliceCol: String, refSlice: Any,
+                    vecCol: String = "embedding"): DataFrame = {
+    val el = corpus.filter(col(vecCol).isNotNull && col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"), posexplode(col(vecCol)).as(Seq("j", "x")))
+    val sums = el.groupBy(col("slice"), col("j"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("nj"))
+      .withColumn("m", col("s").cast("double") / col("nj"))
+    val cents = sums.groupBy(col("slice"))
+      .agg(max(col("nj")).as("n"),
+        array_sort(collect_list(struct(col("j"), col("m")))).as("pc"))
+      .select(col("slice"), col("n"),
+        expr("transform(pc, p -> p.m)").as("centroid"))
+    val ref = cents.filter(col("slice") === lit(refSlice))
+      .select(col("centroid").as("__ref"))
+    cents.join(ref, lit(true))
+      .select(col("slice"), col("n"),
+        round(graft.functions.VectorMath.cosine(col("centroid"), col("__ref")), 6)
+          .as("cos_to_ref"))
+  }
+
   /** Top-`k` principal components of the corpus: one covariance pass
     * (the production accumulator path), driver Jacobi on the d×d
     * result. Returns (component, eigenvalue, explained_ratio, vector) —

@@ -200,4 +200,55 @@ object Profile {
         (nd * col("__sxy") - col("__sx") * col("__sy")) / (nd * (nd - 1)), 6))
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
+
+  /** Worst-slice report: for every value of every dimension column, the
+    * slice's metric mean and its one-sample z against the global
+    * distribution `z = (m_slice − m_global)·√n_slice / sd_global` — the
+    * "which slice is broken" triage behind a moved aggregate (a global
+    * mean shift is almost always ONE source/segment, and eyeballing
+    * per-dimension GROUP BYs one at a time misses cross-dimension
+    * comparisons of deviation magnitude).
+    *
+    * Plan shape: dimensions are MELTED per row (one `explode` of a
+    * k-struct array — a single corpus pass for all k dimensions, k·rows
+    * intermediate), then ONE (dimension, value) aggregation with
+    * map-side combine; global moments are a one-row aggregate joined
+    * back by AQE's choice. Means/variances from DECIMAL-exact sums
+    * (engine-portable); dimension values are stringified for the
+    * uniform output schema. Output: one row per (dimension, value) —
+    * n, mean, z (6 dp), plus the global mean for reference.
+    */
+  def sliceDeviation(df: DataFrame, metricCol: String,
+                     dimCols: Seq[String]): DataFrame = {
+    require(dimCols.nonEmpty, "sliceDeviation needs at least one dimension")
+    val d = "decimal(30,6)"
+    val m = col(metricCol)
+    val rows = df.filter(m.isNotNull)
+    val globals = rows.agg(count(lit(1)).as("__ng"),
+      sum(m.cast(d)).cast("double").as("__sg"),
+      sum((m * m).cast(d)).cast("double").as("__ssg"))
+    val melted = rows.select(m.as("__m"),
+      explode(array(dimCols.map(c =>
+        struct(lit(c).as("dimension"), col(c).cast("string").as("value"))): _*))
+        .as("__dv"))
+      .select(col("__dv.dimension").as("dimension"),
+        col("__dv.value").as("value"), col("__m"))
+      .filter(col("value").isNotNull)
+    val slices = melted.groupBy(col("dimension"), col("value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__m").cast(d)).cast("double").as("__s"))
+    val ngd = col("__ng").cast("double")
+    val gMean = col("__sg") / ngd
+    val gVar = (col("__ssg") - col("__sg") * col("__sg") / ngd) / (ngd - 1d)
+    slices.join(globals, lit(true))
+      .filter(col("__ng") > 1L)
+      .withColumn("mean", col("__s") / col("n"))
+      .withColumn("z",
+        when(gVar > 0d,
+          round((col("mean") - gMean) * sqrt(col("n").cast("double")) /
+            sqrt(gVar), 6)))
+      .select(col("dimension"), col("value"), col("n"),
+        round(col("mean"), 6).as("mean"),
+        round(gMean, 6).as("global_mean"), col("z"))
+  }
 }

