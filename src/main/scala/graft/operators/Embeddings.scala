@@ -86,8 +86,13 @@ object Embeddings {
     pairs
       .join(means.select(col("i"), col("m").as("mi"), col("n")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
+      // decimal(18,12), not (28,12): identical 12-dp quantization
+      // (precision only widens RANGE, and centered float products are
+      // ≪ 1e6) with long-backed values; the SUM still widens to a
+      // BigDecimal-backed accumulator — the dominant, accepted cost of
+      // this oracle-twin path (see SCALING.md known costs)
       .withColumn("__p",
-        ((col("xi") - col("mi")) * (col("xj") - col("mj"))).cast("decimal(28,12)"))
+        ((col("xi") - col("mi")) * (col("xj") - col("mj"))).cast("decimal(18,12)"))
       .groupBy(col("i"), col("j"))
       // + 0.0 normalizes IEEE negative zero (engine-dependent sign of a
       // rounded -1e-9), mirrored in the q135 oracle
