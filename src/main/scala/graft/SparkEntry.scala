@@ -1039,6 +1039,24 @@ object SparkEntry {
           "l_extendedprice", "disc_band", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
+    // incremental near-dup via a PERSISTED MinHash-LSH index: the corpus
+    // (doc_id % 3 != 0) is indexed once; the batch (doc_id % 3 == 0)
+    // dedups against the stored bands + within itself, never re-signing
+    // the corpus. Gate: exhaustive exact-jaccard ground truth restricted
+    // to batch-touching pairs — rows match iff index recall is 1.0
+    "q141_minhash_index" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/minhash_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val docs = t(s, dir, "documents")
+      Dedup.writeMinhashIndex(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L),
+        idx, "doc_id", "text")
+      Dedup.nearDupsFromIndex(s, idx,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // worst-slice triage: per (dimension, value) slice of lineitem, the
     // extendedprice mean and its one-sample z against the global
     // distribution — which slice moved the aggregate
@@ -2368,6 +2386,12 @@ object SparkEntry {
     // recall is 1.0 on this corpus (checked at sf0.001/0.01/0.1)
     "q14_minhash_neardups" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None),
+
+    // exhaustive ground truth over ALL docs, restricted to pairs with a
+    // batch-side (doc_id % 3 = 0) member — gates index+batch recall
+    "q141_minhash_index" ->
+      ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None,
+        pairWhere = "(doc_a % 3 = 0 OR doc_b % 3 = 0)"),
 
     "q16_ngram_jaccard" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20)),
@@ -4232,7 +4256,8 @@ object SparkEntry {
 
   private def ngramJaccardOracle(threshold: Double, n: Int,
                                  maxDf: Option[Long],
-                                 source: String = "documents"): String = {
+                                 source: String = "documents",
+                                 pairWhere: String = ""): String = {
     val candSource = maxDf match {
       case Some(d) =>
         s"""rare AS (
@@ -4271,7 +4296,8 @@ object SparkEntry {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i) >= $threshold
+       |WHERE CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i) >= $threshold${
+         if (pairWhere.isEmpty) "" else s" AND $pairWhere"}
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -144,15 +144,19 @@ object Dedup {
     candidatesFromSigs(minhashSignatures(docs, idCol, textCol, shingleSize, numHashes),
       numHashes, rowsPerBand, maxBucket)
 
-  private def candidatesFromSigs(sigs: DataFrame, numHashes: Int,
-                                 rowsPerBand: Int, maxBucket: Int): DataFrame = {
+  private def bandedOf(sigs: DataFrame, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    val banded = sigs.select(col("doc"), posexplode(array((0 until numBands).map { b =>
+    sigs.select(col("doc"), posexplode(array((0 until numBands).map { b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
     }: _*)).as(Seq("band", "bucket")))
-    groupedPairs(banded, Seq("band", "bucket"), maxBucket)
   }
+
+  private def candidatesFromSigs(sigs: DataFrame, numHashes: Int,
+                                 rowsPerBand: Int, maxBucket: Int): DataFrame =
+    groupedPairs(bandedOf(sigs, numHashes, rowsPerBand),
+      Seq("band", "bucket"), maxBucket)
 
   /** Candidate pairs from grouped doc lists: window-count cap →
     * collect_list → double-explode (codegen'd Generate). Replaces the
@@ -320,6 +324,67 @@ object Dedup {
     val tok = arrays.select(col("doc"), explode(col("sh")).as("h"))
     val cand = groupedPairs(tok, Seq("h"), maxDf)
     jaccardOfCandidates(cand, arrays, threshold)
+  }
+
+  /** Persist a MinHash-LSH near-dup index of a corpus, so later batches
+    * dedup AGAINST it without re-signing the corpus — the incremental
+    * form every production dedup service needs (the near-dup sibling of
+    * [[incrementalExact]]). Layout: `dir/bands` = (doc, band, bucket)
+    * candidate keys, `dir/shingles` = (doc, sorted shingle array) for
+    * exact verification. Mega-buckets (> `maxBucket` docs) are dropped
+    * AT BUILD time — the same skew guard / recall trade as the
+    * in-memory path, paid once instead of per probe.
+    */
+  def writeMinhashIndex(docs: DataFrame, dir: String,
+                        idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        rowsPerBand: Int = 4,
+                        maxBucket: Long = 1000L): Unit = {
+    val arrays = sharedShingleArrays(docs, idCol, textCol, shingleSize)
+    arrays.write.mode("overwrite").parquet(s"$dir/shingles")
+    val banded = bandedOf(signaturesFromShingleArrays(arrays, numHashes),
+      numHashes, rowsPerBand)
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    banded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucket).drop("__n")
+      .write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** Near-dup pairs of a NEW batch: batch×index pairs (via equi-join of
+    * the batch's band keys against the stored bands — the corpus is
+    * never re-signed, only the candidate buckets' shingle arrays are
+    * read for verification) plus within-batch pairs, all exact-Jaccard
+    * verified at `threshold`. Parameters must match the index build;
+    * ids must be unique across corpus ∪ batch (same contract as
+    * [[incrementalExact]]). Pairs are oriented doc_a < doc_b.
+    */
+  def nearDupsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleSize: Int = 3,
+                        numHashes: Int = 32, rowsPerBand: Int = 4,
+                        maxBucket: Long = 1000L): DataFrame = {
+    val bArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
+    val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
+      numHashes, rowsPerBand)
+    val iBands = spark.read.parquet(s"$dir/bands")
+    val cross = bBands
+      .join(iBands.select(col("band"), col("bucket"), col("doc").as("__di")),
+        Seq("band", "bucket"))
+      .filter(col("doc") =!= col("__di"))
+      .select(least(col("doc"), col("__di")).as("doc_a"),
+        greatest(col("doc"), col("__di")).as("doc_b"))
+      .distinct()
+    val within = groupedPairs(bBands, Seq("band", "bucket"), maxBucket)
+    // disjoint by construction (cross always has one index-side doc),
+    // so a plain union needs no dedup
+    val cand = cross.union(within)
+    // array_compact: parquet read-back surfaces array elements as
+    // nullable, which the codegen SortedIntersectCount rejects; the
+    // stored arrays are null-free, so compacting is a type-level no-op
+    val allArrays = bArrays.select(col("doc"), col("sh"))
+      .union(spark.read.parquet(s"$dir/shingles")
+        .select(col("doc"), array_compact(col("sh")).as("sh")))
+    jaccardOfCandidates(cand, allArrays, threshold)
   }
 
   /** Asymmetric shingle-containment pairs — the quote/subset detector

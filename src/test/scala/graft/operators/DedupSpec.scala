@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpecBase {
@@ -101,6 +102,26 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.isEmpty, "hot shingle groups must be capped out")
     // exact dedup catches them instead
     assert(Dedup.exact(clones, Seq("text"), "doc_id").count() == 1)
+  }
+
+  test("persisted minhash index: batch-vs-index and within-batch pairs " +
+      "equal the from-scratch run restricted to batch-touching pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.writeMinhashIndex(corpus, dir, "doc_id", "text")
+    val fromIndex = Dedup.nearDupsFromIndex(spark, dir, batch,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }.toSet
+    assert(fromIndex == scratch)
+    assert(fromIndex.nonEmpty, "corpus should contain near-dup pairs")
+    Dedup.releaseCaches()
   }
 
   test("containmentPairs: a quoted snippet scores full containment in " +
