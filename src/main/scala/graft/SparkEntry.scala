@@ -2558,10 +2558,13 @@ object SparkEntry {
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
 
-    // covariance replay: decimal means, centered double products
-    // decimal-quantized before the order-free sum; the row key only
-    // routes the self-join, so its engine-specific assignment is
-    // irrelevant to the sums
+    // covariance replay: raw pair products decimal-quantized at 12 dp
+    // before the order-free sum, then centered on the d(d+1)/2-row
+    // result via the identity Σ(xi−mi)(xj−mj) = Σxixj − n·mi·mj — the
+    // exact tree the Spark path computes (quantization BEFORE the sum
+    // means results differ from round(exact, 6); both engines replay
+    // the same quantized values). The row key only routes the
+    // self-join, so its engine-specific assignment is irrelevant.
     "q135_embedding_covariance" ->
       """WITH e AS (
         |  SELECT embedding::DOUBLE[] AS v FROM embeddings
@@ -2571,20 +2574,23 @@ object SparkEntry {
         |  SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
         |  FROM er),
         |m AS (
-        |  SELECT i, count(*) AS n,
+        |  SELECT i,
         |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mv
         |  FROM el GROUP BY i),
-        |c AS (
-        |  SELECT rid, el.i, el.x - m.mv AS cx, m.n
-        |  FROM el JOIN m USING (i))
-        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-        |  CAST(max(a.n) AS BIGINT) AS n,
+        |sp AS (
+        |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,12))) AS DOUBLE) AS s
+        |  FROM el a JOIN el b ON a.rid = b.rid AND a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT CAST(sp.i AS BIGINT) AS i, CAST(sp.j AS BIGINT) AS j,
+        |  CAST(sp.n AS BIGINT) AS n,
         |  -- + 0 normalizes IEEE negative zero: a cov summing to -1e-9
         |  -- rounds to -0.0 here but +0.0 in Spark
-        |  round(CAST(SUM(CAST(a.cx * b.cx AS DECIMAL(28,12))) AS DOUBLE)
-        |    / (max(a.n) - 1), 6) + 0 AS cov
-        |FROM c a JOIN c b ON a.rid = b.rid AND a.i <= b.i
-        |GROUP BY a.i, b.i
+        |  round((sp.s - (mi.mv * mj.mv) * CAST(sp.n AS DOUBLE))
+        |    / CAST(sp.n - 1 AS DOUBLE), 6) + 0 AS cov
+        |FROM sp
+        |JOIN m mi ON mi.i = sp.i
+        |JOIN m mj ON mj.i = sp.j
         |ORDER BY i, j""".stripMargin,
 
     // FULL simhash replay — signatures (md5-top-64 token votes), 16-bit

@@ -70,37 +70,42 @@ object Embeddings {
     // pass emitting d(d+1)/2 light rows per vector, no row-id self-join
     // (a cached self-join on a synthetic id measured ~8× slower here:
     // two concurrent scans of an in-flight cache plus a corpus-keyed
-    // join the explode chain never needs)
-    val pairs = vecs
+    // join the explode chain never needs). The pair stream feeds ONE
+    // map-side-combinable decimal agg: centering moves to the
+    // d(d+1)/2-row RESULT via Σ(xi−mi)(xj−mj) = Σxixj − n·mi·mj, so no
+    // join ever touches the corpus×d² rows (the joined-then-aggregated
+    // form measured ~2.4× slower on q135).
+    //
+    // decimal(18,12), not (28,12): identical 12-dp quantization
+    // (precision only widens RANGE, and embedding products are ≪ 1e6)
+    // with long-backed values; the SUM still widens to a wider
+    // accumulator — the dominant, accepted cost of this oracle-twin
+    // path (see SCALING.md known costs)
+    val sums = vecs
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
         posexplode(expr("slice(v, i + 1, size(v) - i)")).as(Seq("joff", "xj")))
       .select(col("i"), (col("i") + col("joff")).as("j"),
-        col("xi").cast("double").as("xi"), col("xj").cast("double").as("xj"))
+        (col("xi").cast("double") * col("xj").cast("double"))
+          .cast("decimal(18,12)").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
     val means = vecs.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("s"),
         count(lit(1)).as("n"))
       .withColumn("m", col("s").cast("double") / col("n"))
-      .select(col("i"), col("m"), col("n"))
-    pairs
-      .join(means.select(col("i"), col("m").as("mi"), col("n")), "i")
+      .select(col("i"), col("m"))
+    sums
+      .join(means.select(col("i"), col("m").as("mi")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
-      // decimal(18,12), not (28,12): identical 12-dp quantization
-      // (precision only widens RANGE, and centered float products are
-      // ≪ 1e6) with long-backed values; the SUM still widens to a
-      // BigDecimal-backed accumulator — the dominant, accepted cost of
-      // this oracle-twin path (see SCALING.md known costs)
-      .withColumn("__p",
-        ((col("xi") - col("mi")) * (col("xj") - col("mj"))).cast("decimal(18,12)"))
-      .groupBy(col("i"), col("j"))
       // + 0.0 normalizes IEEE negative zero (engine-dependent sign of a
       // rounded -1e-9), mirrored in the q135 oracle
-      .agg(max(col("n")).as("n"),
-        (round((sum(col("__p")).cast("double") /
-          (max(col("n")) - lit(1)).cast("double")), 6) + lit(0.0)).as("cov"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("n"), col("cov"))
+        col("n"),
+        (round((col("sp").cast("double") -
+            (col("mi") * col("mj")) * col("n").cast("double")) /
+          (col("n") - lit(1)).cast("double"), 6) + lit(0.0)).as("cov"))
   }
 
   /** The accumulator pass shared by [[covarianceOnePass]] (frame form)
