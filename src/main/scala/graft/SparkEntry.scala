@@ -1057,6 +1057,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // character-weighted repetition concentration (Gopher-style): the
+    // top bigram's character share and the duplicate-trigram character
+    // fraction per document — one tagged explode + one (doc, n, gram)
+    // count agg for both n values
+    "q142_repetition_chars" -> ((s, dir) =>
+      TextAnalysis.repetitionCharSignals(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // worst-slice triage: per (dimension, value) slice of lineitem, the
     // extendedprice mean and its one-sample z against the global
     // distribution — which slice moved the aggregate
@@ -2557,6 +2565,43 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // char-weighted repetition replay: same tokenization as q15/q16
+    // (whitespace split of trim(lower(text))), grams as space-joined
+    // slices; top-bigram ties break to min(gram) at max count
+    "q142_repetition_chars" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(w) - n + 1),
+        |      k -> array_to_string(w[k:k+n-1], ' '))) AS g
+        |  FROM w, (SELECT unnest([2, 3]) AS n) ns),
+        |c AS (
+        |  SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+        |pd AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN c END) AS maxc2,
+        |    sum(CASE WHEN n = 2 THEN c * length(g) END) AS den2,
+        |    sum(CASE WHEN n = 3 THEN c * length(g) END) AS den3,
+        |    sum(CASE WHEN n = 3 AND c >= 2 THEN c * length(g) END) AS num3
+        |  FROM c GROUP BY doc_id),
+        |top AS (
+        |  SELECT c.doc_id, min(c.g) AS top_bigram
+        |  FROM c JOIN pd ON pd.doc_id = c.doc_id
+        |  WHERE c.n = 2 AND c.c = pd.maxc2
+        |  GROUP BY c.doc_id)
+        |SELECT pd.doc_id, top.top_bigram,
+        |  CAST(pd.maxc2 AS BIGINT) AS top_bigram_count,
+        |  round(CAST(pd.maxc2 AS DOUBLE) * CAST(length(top.top_bigram) AS DOUBLE)
+        |    / CAST(pd.den2 AS DOUBLE), 6) AS top_bigram_char_frac,
+        |  round(CAST(coalesce(pd.num3, 0) AS DOUBLE)
+        |    / CAST(pd.den3 AS DOUBLE), 6) AS dup_trigram_char_frac
+        |FROM pd JOIN top ON top.doc_id = pd.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
 
     // covariance replay: raw pair products decimal-quantized at 12 dp
     // before the order-free sum, then centered on the d(d+1)/2-row

@@ -185,6 +185,60 @@ object TextAnalysis {
     }.drop("__toks")
   }
 
+  /** Character-weighted repetition concentration (the Gopher rules the
+    * count-based [[repetitionFeatures]] ratios don't express): per doc,
+    * the most frequent word bigram with the fraction of bigram
+    * characters its occurrences cover, and the fraction of trigram
+    * characters inside trigrams occurring ≥ 2 times. Character
+    * weighting matters because one long repeated phrase can dominate a
+    * document while barely moving count ratios.
+    *
+    * Shape: one explode pass → ONE map-side-combinable (doc, n, gram)
+    * count agg (both n values tagged in the same Generate, so the
+    * corpus is scanned once) → doc-keyed aggs/join on the distinct-gram
+    * frame. No windows, no data-cardinality broadcasts.
+    *
+    * Ties on the top bigram break to the lexicographically smallest
+    * gram (deterministic, oracle-replayable). Docs with < 2 words have
+    * no bigram and drop out; docs with exactly 2 words emit a null
+    * trigram fraction.
+    */
+  def repetitionCharSignals(df: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val base = df.select(col(idCol),
+      filter(tokensCol(col(textCol)), t => t =!= "").as("__w"))
+    def grams(n: Int): Column =
+      when(size(col("__w")) >= n,
+        transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+          k => concat_ws(" ", slice(col("__w"), k, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val counts = base.select(col(idCol),
+        explode(concat(
+          transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
+          transform(grams(3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
+      .select(col(idCol), col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy(col(idCol)).agg(
+      max(when(col("n") === 2, col("c"))).as("maxc2"),
+      sum(when(col("n") === 2, col("c") * length(col("g")))).as("den2"),
+      sum(when(col("n") === 3, col("c") * length(col("g")))).as("den3"),
+      sum(when(col("n") === 3 && col("c") >= 2,
+        col("c") * length(col("g")))).as("num3"))
+    val top = counts.filter(col("n") === 2)
+      .join(perDoc.select(col(idCol), col("maxc2")), idCol)
+      .filter(col("c") === col("maxc2"))
+      .groupBy(col(idCol)).agg(min(col("g")).as("top_bigram"))
+    perDoc.join(top, Seq(idCol))
+      .select(col(idCol), col("top_bigram"),
+        col("maxc2").as("top_bigram_count"),
+        round(col("maxc2").cast("double") *
+            length(col("top_bigram")).cast("double") /
+          col("den2").cast("double"), 6).as("top_bigram_char_frac"),
+        round(coalesce(col("num3"), lit(0L)).cast("double") /
+          col("den3").cast("double"), 6).as("dup_trigram_char_frac"))
+  }
+
   /** Term frequencies per (doc, term) — the relational backbone for
     * tf-idf and n-gram Jaccard. Map-side combine applies on the
     * (doc_id, term) groupBy; at 100 TB this is the standard

@@ -259,6 +259,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Set(("a", "b"), ("b", "a")))
   }
 
+  test("repetitionCharSignals: hand-computed char fractions, tie-break, " +
+      "short-doc edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"),   // bigrams: "a b"x3, "b a"x2; trigrams all dup'd
+      (1L, "x y z w"),       // all bigrams unique (tie) -> lex-min "w"? no: min of all
+      (2L, "p q"),           // exactly 2 words: bigram only, null trigram frac
+      (3L, "solo")           // < 2 words: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionCharSignals(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: top "a b" (3 of 5 bigram occurrences, each 3 chars):
+    // 3*3 / (5*3) = 0.6; trigrams "a b a"x2 + "b a b"x2 all duplicated
+    assert(out(0L).getString(1) == "a b")
+    assert(out(0L).getLong(2) == 3L)
+    assert(out(0L).getDouble(3) == 0.6)
+    assert(out(0L).getDouble(4) == 1.0)
+    // doc 1: every bigram count 1 -> tie broken to lexicographic min
+    assert(out(1L).getString(1) == "x y")
+    assert(out(1L).getLong(2) == 1L)
+    assert(out(1L).getDouble(4) == 0.0)
+    // doc 2: one bigram covering all bigram chars; no trigram -> null
+    assert(out(2L).getString(1) == "p q")
+    assert(out(2L).getDouble(3) == 1.0)
+    assert(out(2L).isNullAt(4))
+    // doc 3: no bigram -> dropped
+    assert(!out.contains(3L))
+  }
+
   test("term stats idf: rare terms weigh more") {
     import spark.implicits._
     val docs = Seq((0L, "common rare"), (1L, "common"), (2L, "common")).toDF("doc_id", "text")
