@@ -1057,6 +1057,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // weighted sampling without replacement (Efraimidis-Spirakis): 20
+    // docs per source with inclusion odds proportional to n_chars,
+    // deterministic md5-derived uniforms, bounded TopKAgg reduction
+    "q143_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "source", "doc_id",
+          "n_chars", k = 20)
+        .orderBy(col("group_key"), col("rank"))),
+
     // character-weighted repetition concentration (Gopher-style): the
     // top bigram's character share and the duplicate-trigram character
     // fraction per document — one tagged explode + one (doc, n, gram)
@@ -2565,6 +2573,27 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // A-ES replay: u = (md5-top-52-bits + 1) / 2^52 (exact in double),
+    // score = ln(u)/w, k smallest -ln(u)/w per group via row_number
+    // (TopKAgg's score-desc, id-asc order is the same total order)
+    "q143_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT source AS group_key, doc_id AS id,
+        |    CAST(n_chars AS DOUBLE) AS w,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |      + 1.0) / 4503599627370496.0 AS u
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (
+        |  SELECT group_key, id, ln(u) / w AS score,
+        |    row_number() OVER (PARTITION BY group_key
+        |      ORDER BY ln(u) / w DESC, id) AS rank
+        |  FROM s)
+        |SELECT group_key, id, CAST(rank AS BIGINT) AS rank,
+        |  round(-score, 6) + 0 AS sample_key
+        |FROM r WHERE rank <= 20
+        |ORDER BY group_key, rank""".stripMargin,
 
     // char-weighted repetition replay: same tokenization as q15/q16
     // (whitespace split of trim(lower(text))), grams as space-joined

@@ -167,6 +167,53 @@ object Sampling {
       (row_number().over(idOrderWindow(strataCol, idCol)) - 1) % k)
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group — importance
+    * sampling where a row's inclusion odds scale with its weight
+    * (quality score, token count, recency), the step between uniform
+    * [[quotaSample]] and deterministic [[topFractionPerGroup]]: high
+    * weight raises the odds but never guarantees inclusion.
+    *
+    * Efraimidis–Spirakis exponential sort: key = −ln(u)/w with u a
+    * uniform from the id's md5 (top 13 hex chars = 52 bits, exact in a
+    * double; +1 keeps u in (0, 1] so ln never sees 0) — the k smallest
+    * keys per group are exactly a weight-proportional draw without
+    * replacement, and the sample is a pure function of (id, weight):
+    * stable under reruns, partitioning, and engines.
+    *
+    * Scale: the per-group reduction is the bounded [[graft.functions
+    * .TopKAgg]] partial aggregate — each map task pre-reduces to ≤ k
+    * rows per group BEFORE the shuffle (k × partitions rows move, not
+    * the corpus), the same shape the ANN queries use. Rows with null
+    * ids or non-positive/null weights are dropped (they cannot draw).
+    * Output: group_key, id, rank (1-based by key), sample_key (rounded
+    * 6 dp — ln is transcendental; ranking uses the raw key; the name
+    * group_key, not "group", because the gate's column-sorted SELECT
+    * cannot quote reserved words). Join back on (group_key, id) for the
+    * row's payload.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")),
+        1, 13), 16, 10).cast("double") + lit(1.0)) /
+      lit(4503599627370496.0) // 2^52
+    // TopKAgg keeps score DESC: score = ln(u)/w (≤ 0), so "largest
+    // score" = "smallest −ln(u)/w" = the A-ES winners; ties break id asc
+    val scored = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        (col(weightCol).cast("double") > 0.0))
+      .select(col(groupCol).as("group_key"), col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("weight"),
+        (log(u) / col(weightCol).cast("double")).as("__score"))
+    scored.groupBy(col("group_key"))
+      .agg(graft.functions.TopKAgg.topK(col("__score"), col("id"), k).as("nn"))
+      .select(col("group_key"), posexplode(col("nn")).as(Seq("__p", "__e")))
+      .select(col("group_key"), col("__e.id").as("id"),
+        (col("__p") + 1).cast("long").as("rank"),
+        // + 0.0 normalizes the (vanishing-probability) −0.0 at u = 1
+        (round(-col("__e.score"), 6) + lit(0.0)).as("sample_key"))
+  }
+
   /** Token-budget selection — "give me the best docs that fit N training
     * tokens": rank by (`scoreCol` ascending, `idCol` tiebreak — lower
     * score = better, e.g. LM surprisal), keep the greedy prefix whose

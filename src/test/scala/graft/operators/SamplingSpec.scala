@@ -136,4 +136,45 @@ class SamplingSpec extends SparkSpecBase {
         .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
     assert(folds(df) == folds(df.repartition(7)))
   }
+
+  test("weightedSample: matches a local A-ES replay, k-bounded, " +
+      "deterministic under repartitioning") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i => ("g" + (i % 2), i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("src", "id", "w")
+    def localKey(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4503599627370496.0
+      -math.log(u) / w
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, id, w) => (id, localKey(id, w)) }
+        .sortBy { case (id, key) => (key, id) }.take(5)
+        .zipWithIndex.map { case ((id, _), r) => (g, id, r + 1L) }
+    }.toSet
+    val got = Sampling.weightedSample(df, "src", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    val again = Sampling.weightedSample(df.repartition(7), "src", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
+  test("weightedSample: overwhelming weight is always drawn; " +
+      "non-positive and null weights cannot draw") {
+    import spark.implicits._
+    val df = ((1L to 30L).map(i => (i, 1.0)) :+ (99L, 1e12) :+
+      (100L, 0.0) :+ (101L, -5.0)).toDF("id", "w")
+      .withColumn("w", when(col("id") === 30L, lit(null)).otherwise(col("w")))
+      .withColumn("g", lit("all"))
+    val got = Sampling.weightedSample(df, "g", "id", "w", k = 10)
+      .collect().map(r => r.getLong(1)).toSet
+    // -ln(u)/1e12 is smaller than any unit-weight key unless that key's
+    // u exceeds 1 - ~4e-11 — unreachable for these fixed ids
+    assert(got.contains(99L))
+    assert(!got.contains(100L) && !got.contains(101L) && !got.contains(30L))
+    assert(got.size == 10)
+  }
 }
