@@ -1057,6 +1057,48 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // phi-heavy hitters over the corpus token stream: stopword-scale
+    // terms covering >= 2% of all tokens — per-key counts plus a one-row
+    // total, threshold compared in double exactly as the oracle replays
+    "q144_heavy_hitters" -> ((s, dir) =>
+      Profile.heavyHitters(
+          t(s, dir, "documents").select(
+            explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+            .filter(col("term") =!= ""),
+          "term", phi = 0.02)
+        .orderBy(col("term"))),
+
+    // snapshot reconciliation: diff the orders table against a derived
+    // v2 (1-in-7 keys dropped, 1-in-5 repriced, 1-in-11 re-added under
+    // a negated key) — added/removed/changed with column-level detail
+    "q145_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val v2 = orders.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5L)) === 0L,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(11L)) === 0L)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      Cdc.snapshotDiff(orders, v2, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Cohen's kappa: agreement between a user's first and last event
+    // type — do sessions end the way they start? One contingency pass,
+    // decimal marginal products
+    "q146_cohen_kappa" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // event_id tiebreak: same-microsecond events would otherwise make
+      // the first/last pick partition-dependent
+      val k = struct(unix_micros(col("ts")), col("event_id"))
+      val raters = ev.groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), k).as("first_type"),
+          max_by(col("event_type"), k).as("last_type"))
+      Stats.cohenKappa(raters, "first_type", "last_type")
+    }),
+
     // weighted sampling without replacement (Efraimidis-Spirakis): 20
     // docs per source with inclusion odds proportional to n_chars,
     // deterministic md5-derived uniforms, bounded TopKAgg reduction
@@ -2573,6 +2615,105 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // heavy-hitter replay: same tokenization, per-term counts vs the
+    // phi * total threshold in double
+    "q144_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term, count(*) AS cnt FROM toks
+        |  WHERE term IS NOT NULL AND term <> '' GROUP BY term),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT term, cnt, round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share, n AS n_rows
+        |FROM c, t
+        |WHERE CAST(cnt AS DOUBLE) >= 0.02 * CAST(n AS DOUBLE)
+        |ORDER BY term""".stripMargin,
+
+    // snapshot-diff replay: identical v2 derivation, full outer join on
+    // the key, IS DISTINCT FROM per compare column (concat_ws drops the
+    // NULL branches exactly like Spark's)
+    "q145_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new,
+        |    concat_ws(',',
+        |      CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |        THEN 'o_custkey' END,
+        |      CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |        THEN 'o_orderdate' END,
+        |      CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |        THEN 'o_orderpriority' END,
+        |      CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |        THEN 'o_orderstatus' END,
+        |      CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |        THEN 'o_totalprice' END) AS changed
+        |  FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'removed'
+        |       WHEN changed <> '' THEN 'changed' END AS change_type,
+        |  CASE WHEN in_old AND in_new AND changed <> '' THEN changed
+        |       ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE (NOT in_old) OR (NOT in_new) OR changed <> ''
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // kappa replay: first/last event type per user via (ts, event_id)-
+    // ordered windows, one contingency frame, DECIMAL(38,0) marginal
+    // products, the same fixed double tree
+    "q146_cohen_kappa" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rl
+        |  FROM events),
+        |raters AS (
+        |  SELECT f.user_id, f.event_type AS a, l.event_type AS b
+        |  FROM (SELECT user_id, event_type FROM ev WHERE rf = 1) f
+        |  JOIN (SELECT user_id, event_type FROM ev WHERE rl = 1) l
+        |    USING (user_id)),
+        |cells AS (
+        |  SELECT a, b, count(*) AS o FROM raters
+        |  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN o END) AS BIGINT) AS agree
+        |  FROM cells),
+        |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        |pe_num AS (
+        |  SELECT sum(CAST(ra.ra AS DECIMAL(19,0)) * CAST(cb.cb AS DECIMAL(19,0)))
+        |    AS pn
+        |  FROM ra JOIN cb ON cb.b = ra.a)
+        |SELECT n,
+        |  round(CAST(coalesce(agree, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(coalesce(pn, 0) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN 1.0 - CAST(coalesce(pn, 0) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 0.0 THEN
+        |    round((CAST(coalesce(agree, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(coalesce(pn, 0) AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1.0 - CAST(coalesce(pn, 0) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) + 0
+        |  END AS kappa
+        |FROM tot, pe_num""".stripMargin,
 
     // A-ES replay: u = (md5-top-52-bits + 1) / 2^52 (exact in double),
     // score = ln(u)/w, k smallest -ln(u)/w per group via row_number

@@ -19,6 +19,42 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Snapshot reconciliation diff: compare two versions of a table by
+    * key and report every divergence — `added` (key only in `newDf`),
+    * `removed` (only in `oldDf`), `changed` (present in both with at
+    * least one compare column differing, null-safely), with the
+    * differing column names in `changed_cols` (sorted,
+    * comma-joined; empty for added/removed). Identical rows are NOT
+    * emitted — the output is the (usually tiny) drift set, which is
+    * what makes the operator usable at 100 TB: one key-shuffle full
+    * outer join, no broadcast, output proportional to the drift.
+    *
+    * Contract: `keyCols` must be non-null and unique per side (the
+    * usual reconciliation precondition — null keys never equi-join and
+    * would surface as phantom added+removed pairs).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val oldSel = oldDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__in_old"): _*)
+    val newSel = newDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__in_new"): _*)
+    // concat_ws drops the nulls of the unchanged columns' `when`s
+    val changed = concat_ws(",", compareCols.sorted.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*)
+    oldSel.join(newSel, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(changed =!= "", "changed"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed", changed).otherwise(lit("")))
+      .select(keyCols.map(col) :+ col("change_type") :+ col("changed_cols"): _*)
+  }
+
   /** Apply a change stream onto a base snapshot, latest version wins.
     * `changes` carries `keyCol`, `versionCol` (monotone per key, unique
     * within a key — enforced upstream by the log's ordering), `opCol`

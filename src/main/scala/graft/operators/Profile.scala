@@ -168,6 +168,34 @@ object Profile {
         round(col("max_cnt") / (col("n_rows").cast("double") / col("n_keys")), 6))
   }
 
+  /** φ-heavy hitters: every key whose frequency is at least
+    * `phi × total rows` — stopword discovery over a token stream,
+    * dominant-domain / hot-entity detection, the exact companion to
+    * [[keySkew]]'s single heaviest key. Two map-side-combinable
+    * aggregations (per-key counts, then their one-row total — the
+    * broadcast is structurally small); the threshold compare runs in
+    * double exactly as the oracle replays it. Null keys are dropped
+    * (they are absence, not a value; [[keySkew]] counts them instead).
+    * Output: key, cnt, share (6 dp), n_rows. At 100 TB the shuffle
+    * carries one row per DISTINCT key after partial aggregation; for
+    * streams where even that is too wide, a Misra-Gries/CMS sketch
+    * bounds state at 1/φ — the exact form here is the oracle-checkable
+    * batch path, and its candidate set is what a sketch would verify
+    * against anyway.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("__n"))
+    counts.join(broadcast(total), lit(true))
+      .filter(col("cnt").cast("double") >= lit(phi) * col("__n").cast("double"))
+      .select(col("k").as(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("__n").cast("double"), 6)
+          .as("share"),
+        col("__n").as("n_rows"))
+  }
+
   /** Exact per-group Pearson correlation and sample covariance of two
     * numeric columns, computed from DECIMAL(30,6)-exact sums — unlike
     * the builtin `corr`/`covar_samp` (streaming double accumulation,

@@ -140,6 +140,40 @@ object Stats {
         round(sum(col("__t")).cast("double"), 6).as("js"))
   }
 
+  /** Cohen's kappa inter-rater agreement between two categorical label
+    * columns (annotator consistency, labeler-vs-model agreement — the
+    * QA gate of any labeling pipeline): `κ = (p_o − p_e) / (1 − p_e)`
+    * with `p_o` the observed agreement rate and `p_e` the chance
+    * agreement implied by the raters' marginals.
+    *
+    * Same plan family as [[chiSquare]]: ONE contingency aggregation
+    * (map-side combinable), marginals re-aggregated from the cell frame
+    * and joined label-to-label (labels only one rater ever uses
+    * contribute zero chance mass — inner join). The marginal products
+    * widen to DECIMAL(19,0)×DECIMAL(19,0) = DECIMAL(38,0) before the
+    * order-free sum — no 64-bit overflow at any scale; `n²` runs in
+    * double. Rows with a null label on either side are dropped.
+    * Output one row: n, po, pe, kappa (6 dp; kappa null when p_e = 1 —
+    * a single label saturates chance agreement and κ is undefined).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (cells, rowM, colM) = contingency(df, aCol, bCol)
+    val totals = cells.agg(sum(col("__o")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__o"))).as("__agree"))
+    val peNum = rowM.join(colM, col("__a") === col("__b"))
+      .agg(sum(col("__ra").cast("decimal(19,0)") *
+        col("__cb").cast("decimal(19,0)")).as("__pe_num"))
+    val po = coalesce(col("__agree"), lit(0L)).cast("double") /
+      col("__n").cast("double")
+    val pe = coalesce(col("__pe_num"), lit(0L)).cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    totals.join(peNum, lit(true))
+      .select(col("__n").cast("long").as("n"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(lit(1.0) - pe =!= 0.0,
+          round((po - pe) / (lit(1.0) - pe), 6) + lit(0.0)).as("kappa"))
+  }
+
   /** Welch's unequal-variance t-test per group: compare the `valueCol`
     * means of the two samples `tagCol` splits each group into. Means
     * and variances come from DECIMAL-exact sums (the engine-portable

@@ -97,4 +97,31 @@ class CdcSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a == b)
   }
+
+  test("snapshotDiff: added/removed/changed with column detail, " +
+      "null-safe compares, unchanged rows absent") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, Some("x"), 1.0), (2L, Some("y"), 2.0), (3L, Some("z"), 3.0),
+      (5L, None: Option[String], 5.0)).toDF("k", "s", "v")
+    val newDf = Seq(
+      (2L, Some("y"), 2.5), (3L, Some("z"), 3.0), (4L, Some("w"), 4.0),
+      (5L, None: Option[String], 5.0)).toDF("k", "s", "v")
+    val out = Cdc.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // 3 (identical) and 5 (identical incl. null = null) are absent
+    assert(out == Map(
+      1L -> (("removed", "")),
+      2L -> (("changed", "v")),
+      4L -> (("added", ""))))
+  }
+
+  test("snapshotDiff: a null-to-value transition is a change") {
+    import spark.implicits._
+    val oldDf = Seq((1L, None: Option[String], 1.0)).toDF("k", "s", "v")
+    val newDf = Seq((1L, Some("now"), 1.0)).toDF("k", "s", "v")
+    val out = Cdc.snapshotDiff(oldDf, newDf, Seq("k"), Seq("s", "v")).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "changed" && out(0).getString(2) == "s")
+  }
 }

@@ -152,4 +152,14 @@ class ProfileSpec extends SparkSpecBase {
     // broken DIMENSION is identified by magnitude ordering per dimension
     assert(out(("d1", "b"))._3 > 0)
   }
+
+  test("heavyHitters: threshold inclusive, nulls dropped, share exact") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val out = Profile.heavyHitters(df, "k", phi = 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // null dropped: total 10; b sits EXACTLY on the 0.3 threshold
+    assert(out == Map("a" -> ((5L, 0.5, 10L)), "b" -> ((3L, 0.3, 10L))))
+  }
 }

@@ -105,4 +105,27 @@ class StatsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("js")).toMap
     assert(out == Map("g" -> 0.0))
   }
+
+  test("cohenKappa: textbook 2x2 agreement (po 0.7, pe 0.5, kappa 0.4)") {
+    import spark.implicits._
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(10)(("yes", "no")) ++ Seq.fill(5)(("no", "yes"))
+    val out = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(out.getLong(0) == 50L)
+    assert(out.getDouble(1) == 0.7)
+    // pe = (30*25 + 20*25) / 2500 = 0.5
+    assert(out.getDouble(2) == 0.5)
+    assert(out.getDouble(3) == 0.4)
+  }
+
+  test("cohenKappa: single shared label saturates chance -> kappa null; " +
+      "null labels dropped") {
+    import spark.implicits._
+    val df = Seq(("s", "s"), ("s", "s"), ("s", null.asInstanceOf[String]))
+      .toDF("a", "b")
+    val out = Stats.cohenKappa(df, "a", "b").collect()(0)
+    assert(out.getLong(0) == 2L)
+    assert(out.getDouble(1) == 1.0 && out.getDouble(2) == 1.0)
+    assert(out.isNullAt(3))
+  }
 }
