@@ -1057,6 +1057,21 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // incremental aggregate maintenance: per-returnflag stats computed
+    // as TWO batch states (even/odd orderkeys) merged exactly — the
+    // oracle aggregates the full table directly, so the gate IS the
+    // state(A∪B) = merge(state(A), state(B)) identity
+    "q147_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val even = AggState.state(li.filter(pmod(col("l_orderkey"), lit(2L)) === 0L),
+        Seq("l_returnflag"), "l_extendedprice")
+      val odd = AggState.state(li.filter(pmod(col("l_orderkey"), lit(2L)) =!= 0L),
+        Seq("l_returnflag"), "l_extendedprice")
+      AggState.finalizeStats(AggState.merge(Seq(even, odd), Seq("l_returnflag")),
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // phi-heavy hitters over the corpus token stream: stopword-scale
     // terms covering >= 2% of all tokens — per-key counts plus a one-row
     // total, threshold compared in double exactly as the oracle replays
@@ -2615,6 +2630,30 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // incremental-agg replay: DIRECT full-table aggregation with the
+    // same decimal quantization and double tree — green iff the merged
+    // batch states equal the one-shot aggregate exactly
+    "q147_incremental_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(count(l_extendedprice) AS DOUBLE), 6) AS mean,
+        |  CASE WHEN count(l_extendedprice) > 1 THEN
+        |    round(sqrt(greatest(
+        |      (CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |           AS DECIMAL(28,12))) AS DOUBLE)
+        |        - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          / CAST(count(l_extendedprice) AS DOUBLE))
+        |      / (CAST(count(l_extendedprice) AS DOUBLE) - 1.0), 0.0)), 6)
+        |  END AS stddev,
+        |  min(CAST(l_extendedprice AS DOUBLE)) AS min_v,
+        |  max(CAST(l_extendedprice AS DOUBLE)) AS max_v
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // heavy-hitter replay: same tokenization, per-term counts vs the
     // phi * total threshold in double
