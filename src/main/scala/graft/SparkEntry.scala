@@ -1057,6 +1057,13 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // seasonal-baseline anomaly detection: hourly event volumes vs the
+    // same hour of other days, z >= 1.5 flagged (portable epoch-micros
+    // bucket arithmetic, AggState baseline)
+    "q148_seasonal_anomaly" -> ((s, dir) =>
+      Drift.seasonalAnomalies(Tables.events(s, dir), "ts", threshold = 1.5)
+        .orderBy(col("epoch_day"), col("hour"))),
+
     // incremental aggregate maintenance: per-returnflag stats computed
     // as TWO batch states (even/odd orderkeys) merged exactly — the
     // oracle aggregates the full table directly, so the gate IS the
@@ -2630,6 +2637,34 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // seasonal-anomaly replay: identical epoch-micros bucket arithmetic
+    // and the same decimal-exact baseline / double z tree
+    "q148_seasonal_anomaly" ->
+      """WITH c AS (
+        |  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS epoch_day,
+        |    ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS hour,
+        |    count(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT hour, CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(cnt AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS s2d
+        |  FROM c GROUP BY hour)
+        |SELECT epoch_day, hour, cnt,
+        |  round(sd / nd, 6) AS mean_cnt,
+        |  round(sqrt(greatest((s2d - sd * sd / nd) / (nd - 1.0), 0.0)), 6)
+        |    AS std_cnt,
+        |  round((CAST(cnt AS DOUBLE) - sd / nd)
+        |    / sqrt(greatest((s2d - sd * sd / nd) / (nd - 1.0), 0.0)), 6) AS z
+        |FROM c JOIN s USING (hour)
+        |WHERE nd > 1.0
+        |  AND sqrt(greatest((s2d - sd * sd / nd) / (nd - 1.0), 0.0)) > 0.0
+        |  AND abs((CAST(cnt AS DOUBLE) - sd / nd)
+        |    / sqrt(greatest((s2d - sd * sd / nd) / (nd - 1.0), 0.0))) >= 1.5
+        |ORDER BY epoch_day, hour""".stripMargin,
 
     // incremental-agg replay: DIRECT full-table aggregation with the
     // same decimal quantization and double tree — green iff the merged

@@ -303,4 +303,44 @@ object Drift {
         round(sum(col("__t")).cast("double"), 6).as("psi"))
       .filter(col("n_ref") > 0L && col("n_cmp") > 0L)
   }
+
+  /** Seasonal-baseline volume anomalies over an event stream: bucket
+    * counts per (epoch day, hour-of-day), a per-hour-of-day baseline
+    * (each hour compared against the SAME hour of other days — the
+    * standard diurnal-seasonality control), and a z-score per bucket;
+    * buckets with `|z| ≥ threshold` are the anomalies. Day/hour derive
+    * arithmetically from epoch microseconds (integer DIV/mod — no
+    * calendar/timezone functions, bit-identical across engines).
+    *
+    * The baseline is a [[AggState]] reduction of the bucket-count frame
+    * — two map-side-combinable aggregations total, then a join of the
+    * bucket frame against the 24-row baseline (structurally small; AQE
+    * broadcasts it). Hours with zero events produce no bucket row and
+    * so don't deflate the baseline (document-absence semantics; a
+    * calendar spine would be the alternative). Hour keys observed on
+    * only one day have no sample stddev and are dropped.
+    * Output: epoch_day, hour, cnt, mean_cnt, std_cnt, z (6 dp).
+    */
+  def seasonalAnomalies(df: DataFrame, tsCol: String,
+                        threshold: Double = 2.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val counts = df.filter(col(tsCol).isNotNull)
+      .select(unix_micros(col(tsCol)).as("__us"))
+      .select(expr("__us DIV 86400000000").as("epoch_day"),
+        expr("(__us DIV 3600000000) % 24").as("hour"))
+      .groupBy(col("epoch_day"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val baseline = AggState.state(counts, Seq("hour"), "cnt")
+    val nd = col("n").cast("double")
+    val sd = col("s").cast("double")
+    val s2d = col("s2").cast("double")
+    val mean = sd / nd
+    val std = sqrt(greatest((s2d - sd * sd / nd) / (nd - lit(1.0)), lit(0.0)))
+    val z = (col("cnt").cast("double") - mean) / std
+    counts.join(baseline, Seq("hour"))
+      .filter(col("n") > 1L && std > 0.0 && abs(z) >= threshold)
+      .select(col("epoch_day"), col("hour"), col("cnt"),
+        round(mean, 6).as("mean_cnt"), round(std, 6).as("std_cnt"),
+        round(z, 6).as("z"))
+  }
 }

@@ -185,4 +185,26 @@ class DriftSpec extends SparkSpecBase {
     assert(out == Map("g" -> 0.5))
     TrackedCaches.release()
   }
+
+  test("seasonalAnomalies: a spiked hour flags against its cross-day " +
+      "baseline; steady hours stay quiet") {
+    // hour 3 of days 0..9: 5 events/day, except day 7 carries 15 (spike);
+    // hour 5: exactly 4 every day (std 0 -> never flagged)
+    val rows = (for {
+      day <- 0 until 10
+      i <- 0 until (if (day == 7) 15 else 5)
+    } yield (day.toLong * 86400000000L + 3L * 3600000000L + i)) ++
+      (for { day <- 0 until 10; i <- 0 until 4 }
+        yield (day.toLong * 86400000000L + 5L * 3600000000L + i))
+    import spark.implicits._
+    val df = rows.toDF("us")
+      .selectExpr("timestamp_micros(us) AS ts")
+    val out = Drift.seasonalAnomalies(df, "ts", threshold = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("z"))
+      .toMap
+    // mean 6, std sqrt((10*36+... ) hand check: counts 5x9 + 15 -> mean 6,
+    // sample var = (9*1 + 81)/9 = 10 -> z = (15-6)/sqrt(10) = 2.846...
+    assert(out.keySet == Set((7L, 3L)))
+    assert(math.abs(out((7L, 3L)) - 2.846050) < 1e-6)
+  }
 }
