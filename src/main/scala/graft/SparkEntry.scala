@@ -1057,6 +1057,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // product-quantization ANN (Jegou et al. 2011): deterministic
+    // per-subspace k-means codebooks, PQ codes, asymmetric-distance
+    // top-5 — the ENTIRE pipeline (init, every Lloyd iteration, encode,
+    // search) is replayed by the generated q149 oracle
+    "q149_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.adcTopK(emb, emb.filter(pmod(col("vec_id"), lit(20L)) === 0L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // seasonal-baseline anomaly detection: hourly event volumes vs the
     // same hour of other days, z >= 1.5 flagged (portable epoch-micros
     // bucket arithmetic, AggState baseline)
@@ -2637,6 +2647,11 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // full PQ replay: generated CTE chain — md5-keyed init, `iters`
+    // unrolled Lloyd iterations (assignment tree + decimal means),
+    // encode, LUT, decimal-quantized ADC sums, row_number top-k
+    "q149_pq_adc" -> pqOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5),
 
     // seasonal-anomaly replay: identical epoch-micros bucket arithmetic
     // and the same decimal-exact baseline / double z tree
@@ -4548,6 +4563,86 @@ object SparkEntry {
        |WHERE greatest(CAST(i AS DOUBLE) / sa.n_terms,
        |               CAST(i AS DOUBLE) / sb.n_terms) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Generated DuckDB replay of the WHOLE PQ pipeline
+    * (`Pq.adcTopK`): subvector explode, md5-keyed init selection,
+    * `iters` unrolled Lloyd iterations (the `(xn² − 2·x·c) + cn²`
+    * assignment tree with lowest-code ties, per-(s, code, dim)
+    * DECIMAL(28,12) means), final encode, per-subspace LUT dots
+    * quantized to DECIMAL(18,12) before the order-free ADC sum, and
+    * the (score DESC, id) row_number top-k. Every double expression
+    * mirrors Spark's element-order fold (list_sum over an ascending
+    * generate_series = the codegen VecDot accumulation order).
+    */
+  private def pqOracle(m: Int, ks: Int, dsub: Int, iters: Int, k: Int): String = {
+    def assignCte(name: String, cbName: String) =
+      s"""$name AS (
+         |  SELECT vec_id, s, x, code FROM (
+         |    SELECT n.vec_id, n.s, n.x, c.code,
+         |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
+         |        (n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
+         |          j -> n.x[j] * c.cent[j]))) + c.cn2, c.code) AS rn
+         |    FROM subn n JOIN $cbName c ON c.s = n.s)
+         |  WHERE rn = 1)"""
+    def meanCtes(it: Int) =
+      s"""mean$it AS (
+         |  SELECT s, code, j,
+         |    CAST(SUM(CAST(x[j] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS comp
+         |  FROM a$it, (SELECT unnest(generate_series(1, $dsub)) AS j) jj
+         |  GROUP BY s, code, j),
+         |cbl$it AS (
+         |  SELECT s, code, list(comp ORDER BY j) AS cent
+         |  FROM mean$it GROUP BY s, code),
+         |cb$it AS (
+         |  SELECT s, code, cent,
+         |    list_sum(list_transform(generate_series(1, $dsub),
+         |      j -> cent[j] * cent[j])) AS cn2
+         |  FROM cbl$it)"""
+    val iterCtes = (1 to iters).map(it =>
+      assignCte(s"a$it", s"cb${it - 1}") + ",\n" + meanCtes(it)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sub AS (
+       |  SELECT vec_id, s, v[s * $dsub + 1 : s * $dsub + $dsub] AS x
+       |  FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS s) ss),
+       |subn AS (
+       |  SELECT vec_id, s, x,
+       |    list_sum(list_transform(generate_series(1, $dsub),
+       |      j -> x[j] * x[j])) AS xn2
+       |  FROM sub),
+       |init AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
+       |      vec_id) AS INT) - 1 AS code
+       |  FROM e
+       |  QUALIFY code < $ks),
+       |cb0 AS (
+       |  SELECT n.s, i.code, n.x AS cent, n.xn2 AS cn2
+       |  FROM init i JOIN subn n ON n.vec_id = i.vec_id),
+       |$iterCtes,
+       |${assignCte("enc", s"cb$iters")},
+       |q AS (
+       |  SELECT vec_id AS query_id, s, x FROM subn WHERE vec_id % 20 = 0),
+       |lut AS (
+       |  SELECT q.query_id, c.s, c.code,
+       |    CAST(list_sum(list_transform(generate_series(1, $dsub),
+       |      j -> q.x[j] * c.cent[j])) AS DECIMAL(18,12)) AS pq
+       |  FROM q JOIN cb$iters c ON c.s = q.s),
+       |sc AS (
+       |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pq) AS DOUBLE) AS score
+       |  FROM enc a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+       |  round(score, 6) + 0 AS approx_dot
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY score DESC, vec_id) <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   private def ngramJaccardOracle(threshold: Double, n: Int,
                                  maxDf: Option[Long],

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-side lever of
+  * billion-scale ANN: vectors split into `m` subvectors, each subspace
+  * k-means-quantized to `ks` codes, so a d-float vector stores as m
+  * small codes (64 floats → 8 bytes here) and query-vector dot products
+  * are approximated from per-subspace lookup tables (asymmetric
+  * distance computation) without touching the raw floats.
+  *
+  * Everything is DETERMINISTIC and engine-replayable — including the
+  * k-means training:
+  *   - init: the `ks` corpus rows with the smallest md5-derived 52-bit
+  *     keys, selected by the bounded [[graft.functions.TopKAgg]] partial
+  *     aggregate (no global window);
+  *   - Lloyd iterations: assignment by the `xn² − 2·x·c + cn²` double
+  *     tree (dot products fold in element order), ties to the lowest
+  *     code; mean updates through per-(s, code, dim) DECIMAL(28,12)
+  *     sums — order-free, so the trained codebook is a pure function of
+  *     the corpus;
+  *   - ADC: per-subspace partial dots DECIMAL(18,12)-quantized before
+  *     the order-free per-(query, vector) sum.
+  * The q149 oracle replays the WHOLE pipeline (init, every iteration,
+  * encode, search) as one generated SQL chain.
+  *
+  * Scale shape: the codebook is structurally small (m·ks·dsub
+  * parameters — broadcast is justified); each iteration is one
+  * broadcast join + two map-side-combinable aggregations over the
+  * corpus; the codebook frame is collected per iteration (m·ks rows —
+  * parameter-bounded, and collecting breaks the iterative lineage the
+  * way localCheckpoint does elsewhere). Encoding shuffles once on the
+  * vector id. The relational ADC join materializes |queries|·m rows per
+  * corpus code row before its partial agg — the oracle-replayable
+  * verification shape; a production deployment would fold the LUT into
+  * a codegen expression over the packed code array (same numbers,
+  * no join).
+  */
+object Pq {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorMath.dot(a, b)
+
+  /** (vec_id, s, x, xn2): the corpus exploded to double subvectors. */
+  private def subvectors(df: DataFrame, m: Int, dsub: Int,
+                         idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * dsub + 1, dsub).cast("array<double>")): _*))
+          .as(Seq("s", "x")))
+      .withColumn("xn2", dot(col("x"), col("x")))
+
+  private val cbSchema = StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("cent", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("cn2", DoubleType, nullable = false)))
+
+  /** One assignment pass: each (vec_id, s) row keeps its nearest code
+    * under `cb` — `min(struct(dist, code, x))` collapses the ks-way
+    * expansion in the map-side partial aggregate.
+    */
+  private def assign(subn: DataFrame, cb: DataFrame): DataFrame =
+    subn.join(broadcast(cb), Seq("s"))
+      .withColumn("dist",
+        col("xn2") - (lit(2.0) * dot(col("x"), col("cent"))) + col("cn2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code"), col("x"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.code").as("code"),
+        col("b.x").as("x"))
+
+  /** Train per-subspace codebooks; returns (s, code, cent, cn2) with
+    * `code` ∈ [0, ks) (codes whose cluster empties out drop — the
+    * standard Lloyd behavior, identical in the oracle replay).
+    */
+  def trainCodebooks(corpus: DataFrame, m: Int = 8, ks: Int = 16,
+                     iters: Int = 3, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val dsub = subDim(corpus, m, vecCol)
+    val subn = subvectors(corpus, m, dsub, idCol, vecCol)
+    // init: ks rows by ascending md5-52-bit key (TopKAgg on the negated
+    // key — bounded partial agg, no global window); position = code
+    val u = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 13), 16, 10).cast("double")
+    val initIds = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"))
+      .agg(graft.functions.TopKAgg.topK(-u, col("vec_id"), ks).as("top"))
+      .select(posexplode(col("top")).as(Seq("code", "e")))
+      .select(col("e.id").as("vec_id"), col("code").cast("int").as("code"))
+    var cb = toLocalCodebook(spark,
+      subn.join(initIds, "vec_id")
+        .select(col("s"), col("code"), col("x").as("cent"),
+          col("xn2").as("cn2")))
+    for (_ <- 1 to iters) {
+      val cents = assign(subn, cb)
+        .select(col("s"), col("code"), posexplode(col("x")).as(Seq("j", "xx")))
+        .groupBy(col("s"), col("code"), col("j"))
+        .agg(sum(col("xx").cast("decimal(28,12)")).as("sm"),
+          count(lit(1)).as("n"))
+        .withColumn("comp", col("sm").cast("double") / col("n"))
+        .groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("pc"))
+        .select(col("s"), col("code"),
+          expr("transform(pc, p -> p.comp)").as("cent"))
+        .withColumn("cn2", dot(col("cent"), col("cent")))
+      cb = toLocalCodebook(spark, cents)
+    }
+    cb
+  }
+
+  /** Collect a parameter-bounded codebook frame and re-emit it as a
+    * local literal frame: breaks the per-iteration lineage growth and
+    * makes the broadcast side trivially known-small.
+    */
+  private def toLocalCodebook(spark: org.apache.spark.sql.SparkSession,
+                              cb: DataFrame): DataFrame = {
+    val rows = cb.select(col("s").cast("int"), col("code").cast("int"),
+        col("cent").cast("array<double>"), col("cn2").cast("double"))
+      .collect()
+      .map(r => Row(r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), cbSchema)
+  }
+
+  /** Encode the corpus under trained codebooks: (vec_id, s, code) — the
+    * relational (exploded) code layout the ADC join consumes directly.
+    */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(subvectors(corpus, m, subDim(corpus, m, vecCol), idCol, vecCol),
+        codebooks)
+      .select(col("vec_id"), col("s"), col("code"))
+
+  /** Approximate top-k by asymmetric distance: train on the corpus,
+    * encode it, score each query against the CODES ONLY (per-subspace
+    * partial dots from the lookup join, decimal-quantized before the
+    * order-free sum). Output: query_id, neighbor_id, rank, approx_dot.
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+              ks: Int = 16, iters: Int = 3, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val dsub = subDim(corpus, m, vecCol)
+    val cb = trainCodebooks(corpus, m, ks, iters, idCol, vecCol)
+    val codes = encode(corpus, cb, m, idCol, vecCol)
+    val lut = subvectors(queries, m, dsub, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("s"), col("x"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("x"), col("cent")).cast("decimal(18,12)").as("pq"))
+    val scored = codes.join(lut, Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pq")).cast("double").as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
+  }
+
+  private def subDim(corpus: DataFrame, m: Int, vecCol: String): Int = {
+    val d = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()(0).getInt(0)
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    d / m
+  }
+}

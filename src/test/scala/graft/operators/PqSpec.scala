@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpecBase {
+
+  test("trainCodebooks: deterministic across runs and repartitioning; " +
+      "codes bounded by ks; centroid dim = d/m") {
+    val emb = Tables.embeddings(spark, sf())
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("s", "code").collect().map(_.toSeq).toSeq
+    val cb1 = Pq.trainCodebooks(emb, m = 8, ks = 16, iters = 2)
+    val cb2 = Pq.trainCodebooks(emb.repartition(7), m = 8, ks = 16, iters = 2)
+    assert(key(cb1) == key(cb2))
+    val rows = cb1.collect()
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    assert(rows.forall(_.getSeq[Double](2).length == 8))
+    assert(rows.map(_.getInt(0)).toSet == (0 until 8).toSet)
+  }
+
+  test("encode: every vector gets one code per subspace") {
+    val emb = Tables.embeddings(spark, sf())
+    val cb = Pq.trainCodebooks(emb, m = 8, ks = 16, iters = 1)
+    val codes = Pq.encode(emb, cb, m = 8)
+    val n = emb.filter(col("embedding").isNotNull).count()
+    assert(codes.count() == n * 8)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 8L)
+      .count() == 0)
+  }
+
+  test("adcTopK on quantizable data: high recall@5 vs true dot top-5, " +
+      "small ADC error") {
+    // Exactly-quantizable data: each subspace draws from 4 prototype
+    // subvectors with a pseudo-random per-vector profile and NO jitter.
+    // Lloyd then converges to the prototypes exactly (duplicate inits
+    // tie to the lowest code and the empties drop), ADC scores EQUAL
+    // the true dots, and top-5 ranking matches brute force including
+    // the (score, id) tie order. On isotropic random data ADC cannot
+    // rank fine dot differences, and within a tight cluster the
+    // ordering is sub-quantization noise — both inherent to PQ (q149's
+    // oracle gates exactness on such data; this gates usefulness on
+    // data PQ is FOR).
+    import spark.implicits._
+    def proto(s: Int, c: Int, j: Int): Float =
+      (((s * 131 + c * 17 + j * 7) % 101) / 101.0f) - 0.5f
+    val rows = (0 until 300).map { i =>
+      val v = (0 until 8).flatMap { s =>
+        val c = (i * 3 + s * 7 + (i % 5) * (s + 1)) % 4
+        (0 until 8).map(j => proto(s, c, j))
+      }
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(50L)) === 0L)
+    val adc = Pq.adcTopK(emb, queries, k = 5, iters = 4)
+    // true dot top-5 per query (small data - direct computation)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+    val truth = q.join(c, col("qid") =!= col("nid"))
+      .withColumn("dot", graft.functions.VectorMath.dot(col("qv"), col("cv")))
+    val top = truth.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val got = adc.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(got.keySet == top.keySet)
+    // .toSeq: keys is a Set and a mapped Set would collapse equal
+    // per-query recalls before the sum
+    val recall = got.keys.toSeq.map(k2 =>
+      (got(k2) intersect top(k2)).size.toDouble / 5.0).sum / got.size
+    // random top-5 of 300 would recall ~0.017
+    assert(recall >= 0.9, s"ADC recall@5 $recall on clustered data; " +
+      got.keys.toSeq.sorted.map(k2 =>
+        s"q$k2 got=${got(k2).toSeq.sorted} top=${top(k2).toSeq.sorted}")
+        .mkString("; "))
+    // ADC error: per scored pair, |approx - true| averaged
+    val err = adc.join(truth,
+        adc("query_id") === truth("qid") && adc("neighbor_id") === truth("nid"))
+      .select(avg(abs(col("approx_dot") - col("dot"))).cast("double"))
+      .collect()(0).getDouble(0)
+    val spread = truth.select(
+        (max(col("dot")) - min(col("dot"))).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(err < 1e-6, s"mean ADC error $err should vanish on " +
+      "exactly-quantizable data")
+  }
+}
