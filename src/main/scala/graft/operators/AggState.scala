@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * `max_v`. Null values carry no information and are dropped; inserts
   * only (a retractable variant would need sum/count deltas and cannot
   * support min/max without group recompute — the documented trade).
+  *
+  * Value-domain bound: the per-row DECIMAL(28,12) square keeps 16
+  * integer digits, so |value| must stay below 1e8 (the square below
+  * 1e16) — exceeding it fails LOUDLY under ANSI mode rather than
+  * corrupting state. Rescale larger-magnitude units (e.g. cents →
+  * dollars) before the state pass; the SUM side has 10 further digits
+  * of headroom and is not the binding constraint.
   */
 object AggState {
 

@@ -352,11 +352,15 @@ object Dedup {
 
   /** Near-dup pairs of a NEW batch: batch×index pairs (via equi-join of
     * the batch's band keys against the stored bands — the corpus is
-    * never re-signed, only the candidate buckets' shingle arrays are
-    * read for verification) plus within-batch pairs, all exact-Jaccard
-    * verified at `threshold`. Parameters must match the index build;
-    * ids must be unique across corpus ∪ batch (same contract as
-    * [[incrementalExact]]). Pairs are oriented doc_a < doc_b.
+    * never re-signed) plus within-batch pairs, all exact-Jaccard
+    * verified at `threshold`. The stored shingle arrays are semi-joined
+    * down to the candidate doc ids and cached BEFORE the two verify
+    * joins, so the heavy array decode touches candidate rows only (the
+    * band-key scan itself is one pass over the stored keys; a
+    * bucket-partitioned bands layout would add partition pruning on
+    * top). Parameters must match the index build; ids must be unique
+    * across corpus ∪ batch (same contract as [[incrementalExact]]).
+    * Pairs are oriented doc_a < doc_b.
     */
   def nearDupsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                         batch: DataFrame, idCol: String, textCol: String,
@@ -377,13 +381,22 @@ object Dedup {
     val within = groupedPairs(bBands, Seq("band", "bucket"), maxBucket)
     // disjoint by construction (cross always has one index-side doc),
     // so a plain union needs no dedup
-    val cand = cross.union(within)
+    val cand = TrackedCaches.track(cross.union(within)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the verify step consumes the array frame TWICE (doc_a and doc_b
+    // joins): prune the store to candidate docs first, and cache the
+    // pruned result so the store is decoded once, not twice
+    val needed = cand.select(col("doc_a").as("doc"))
+      .union(cand.select(col("doc_b").as("doc"))).distinct()
     // array_compact: parquet read-back surfaces array elements as
     // nullable, which the codegen SortedIntersectCount rejects; the
     // stored arrays are null-free, so compacting is a type-level no-op
-    val allArrays = bArrays.select(col("doc"), col("sh"))
-      .union(spark.read.parquet(s"$dir/shingles")
-        .select(col("doc"), array_compact(col("sh")).as("sh")))
+    val stored = spark.read.parquet(s"$dir/shingles")
+      .select(col("doc"), array_compact(col("sh")).as("sh"))
+      .join(needed, Seq("doc"), "left_semi")
+    val allArrays = TrackedCaches.track(
+      bArrays.select(col("doc"), col("sh")).union(stored)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     jaccardOfCandidates(cand, allArrays, threshold)
   }
 

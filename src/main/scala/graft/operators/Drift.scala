@@ -306,8 +306,11 @@ object Drift {
 
   /** Seasonal-baseline volume anomalies over an event stream: bucket
     * counts per (epoch day, hour-of-day), a per-hour-of-day baseline
-    * (each hour compared against the SAME hour of other days — the
-    * standard diurnal-seasonality control), and a z-score per bucket;
+    * (each bucket compared against the same hour ACROSS ALL days —
+    * the scored bucket's own day included, so a spike slightly inflates
+    * its own baseline; leave-one-out would sharpen short histories at
+    * the cost of a per-bucket correction term), and a z-score per
+    * bucket;
     * buckets with `|z| ≥ threshold` are the anomalies. Day/hour derive
     * arithmetically from epoch microseconds (integer DIV/mod — no
     * calendar/timezone functions, bit-identical across engines).

@@ -80,16 +80,19 @@ object Pq {
     */
   def trainCodebooks(corpus: DataFrame, m: Int = 8, ks: Int = 16,
                      iters: Int = 3, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val dsub = subDim(corpus, m, vecCol)
-    val subn = subvectors(corpus, m, dsub, idCol, vecCol)
+                     vecCol: String = "embedding"): DataFrame =
+    trainOnSubn(subvectors(corpus, m, subDim(corpus, m, vecCol),
+      idCol, vecCol), ks, iters)
+
+  private def trainOnSubn(subn: DataFrame, ks: Int, iters: Int): DataFrame = {
+    val spark = subn.sparkSession
     // init: ks rows by ascending md5-52-bit key (TopKAgg on the negated
-    // key — bounded partial agg, no global window); position = code
+    // key — bounded partial agg, no global window); position = code.
+    // The s = 0 slice is one row per vector — no distinct needed.
     val u = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
       1, 13), 16, 10).cast("double")
-    val initIds = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("vec_id"))
+    val initIds = subn.filter(col("s") === 0)
+      .select(col("vec_id").cast("long").as("vec_id"))
       .agg(graft.functions.TopKAgg.topK(-u, col("vec_id"), ks).as("top"))
       .select(posexplode(col("top")).as(Seq("code", "e")))
       .select(col("e.id").as("vec_id"), col("code").cast("int").as("code"))
@@ -146,8 +149,14 @@ object Pq {
               ks: Int = 16, iters: Int = 3, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val dsub = subDim(corpus, m, vecCol)
-    val cb = trainCodebooks(corpus, m, ks, iters, idCol, vecCol)
-    val codes = encode(corpus, cb, m, idCol, vecCol)
+    // the subvector frame feeds the init join, every Lloyd assignment,
+    // and the final encode (iters + 2 consumers) — computed once and
+    // registered with TrackedCaches (released via Dedup.releaseCaches)
+    val subn = TrackedCaches.track(
+      subvectors(corpus, m, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = trainOnSubn(subn, ks, iters)
+    val codes = assign(subn, cb).select(col("vec_id"), col("s"), col("code"))
     val lut = subvectors(queries, m, dsub, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("s"), col("x"))
       .join(broadcast(cb), Seq("s"))
@@ -165,10 +174,19 @@ object Pq {
         (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
   }
 
+  /** Ragged input would silently slice short/empty subvectors whose
+    * null VecDot distances then sort nulls-first into code 0 — corrupt
+    * codebooks with no error — so the dim contract is enforced up
+    * front, the same guard `Embeddings.covarianceRelational` uses.
+    */
   private def subDim(corpus: DataFrame, m: Int, vecCol: String): Int = {
-    val d = corpus.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).limit(1).collect()(0).getInt(0)
-    require(d % m == 0, s"dim $d must divide into $m subspaces")
-    d / m
+    val dims = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).distinct()
+      .limit(3).collect().map(_.getInt(0))
+    require(dims.nonEmpty, "PQ needs at least one non-null vector")
+    require(dims.length == 1,
+      s"ragged vectors: saw lengths ${dims.sorted.mkString(", ")}")
+    require(dims(0) % m == 0, s"dim ${dims(0)} must divide into $m subspaces")
+    dims(0) / m
   }
 }

@@ -30,6 +30,19 @@ class PqSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("ragged or empty corpora are rejected loudly, not quantized wrong") {
+    import spark.implicits._
+    val ragged = Seq((1L, Seq.fill(64)(0.1f)), (2L, Seq.fill(32)(0.1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e1 = intercept[IllegalArgumentException](Pq.trainCodebooks(ragged))
+    assert(e1.getMessage.contains("ragged"))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e2 = intercept[IllegalArgumentException](Pq.trainCodebooks(empty))
+    assert(e2.getMessage.contains("non-null vector"))
+  }
+
   test("adcTopK on quantizable data: high recall@5 vs true dot top-5, " +
       "small ADC error") {
     // Exactly-quantizable data: each subspace draws from 4 prototype
@@ -84,9 +97,6 @@ class PqSpec extends SparkSpecBase {
     val err = adc.join(truth,
         adc("query_id") === truth("qid") && adc("neighbor_id") === truth("nid"))
       .select(avg(abs(col("approx_dot") - col("dot"))).cast("double"))
-      .collect()(0).getDouble(0)
-    val spread = truth.select(
-        (max(col("dot")) - min(col("dot"))).cast("double"))
       .collect()(0).getDouble(0)
     assert(err < 1e-6, s"mean ADC error $err should vanish on " +
       "exactly-quantizable data")
