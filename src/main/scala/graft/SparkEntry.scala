@@ -1057,6 +1057,15 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // cross-corpus novelty: every document scored under a unigram model
+    // trained ONLY on source src0 — OOD detection vs a curated
+    // reference, with the unseen-token share split out as oov_frac
+    "q151_cross_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmCrossSurprisal(docs.filter(col("source") === "src0"), docs)
+        .orderBy(col("doc_id"))
+    }),
+
     // product-quantization ANN (Jegou et al. 2011): deterministic
     // per-subspace k-means codebooks, PQ codes, asymmetric-distance
     // top-5 — the ENTIRE pipeline (init, every Lloyd iteration, encode,
@@ -2647,6 +2656,36 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // cross-surprisal replay: reference counts from src0 only, LEFT
+    // join keeps OOV terms at the c = 0 smoothed mass, same decimal
+    // quantization as q73
+    "q151_cross_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |rdt AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  WHERE source = 'src0' AND term <> '' GROUP BY term),
+        |totals AS (SELECT SUM(c) AS ctot, COUNT(*) AS vocab FROM rdt),
+        |tdt AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term)
+        |SELECT doc_id, n_tokens,
+        |  round(nll::DOUBLE / n_tokens, 6) AS avg_surprisal,
+        |  round(oov::DOUBLE / n_tokens, 6) AS oov_frac
+        |FROM (
+        |  SELECT t.doc_id,
+        |    SUM(CAST(t.tf::DOUBLE * (-ln((coalesce(r.c, 0) + 1)::DOUBLE
+        |      / (ctot + vocab))) AS DECIMAL(28,12))) AS nll,
+        |    CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN r.c IS NULL THEN t.tf ELSE 0 END) AS BIGINT)
+        |      AS oov
+        |  FROM tdt t LEFT JOIN rdt r ON r.term = t.term
+        |  CROSS JOIN totals
+        |  GROUP BY t.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // full PQ replay: generated CTE chain — md5-keyed init, `iters`
     // unrolled Lloyd iterations (assignment tree + decimal means),

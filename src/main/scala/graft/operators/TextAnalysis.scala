@@ -375,6 +375,49 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Cross-corpus novelty: average unigram surprisal of `targetDocs`
+    * under a model trained on `refDocs` — the out-of-distribution /
+    * contamination-drift monitor ("how unlike the curated reference is
+    * this source?"), where [[lmSurprisal]] scores a corpus against
+    * itself. Same add-one smoothing with the REFERENCE vocabulary:
+    * a target term unseen in the reference scores `−ln(1/(C+V))` (the
+    * c = 0 smoothed mass), and `oov_frac` reports the unseen-token
+    * share directly — the two signals separate "rare words" from
+    * "different vocabulary".
+    *
+    * Plan: reference reduces once to a vocab-sized count frame
+    * (persisted); targets join it term-keyed (LEFT — OOV terms
+    * survive); per-(doc, term) contributions are DECIMAL(28,12)-
+    * quantized before the order-free per-doc sum.
+    * Output: idCol, n_tokens, avg_surprisal, oov_frac (6 dp).
+    */
+  def lmCrossSurprisal(refDocs: DataFrame, targetDocs: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val counts = TrackedCaches.track(
+      docTerms(refDocs, idCol, textCol)
+        .groupBy(col("term")).agg(sum(col("tf")).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.agg(sum(col("c")).as("ctot"),
+      count(lit(1)).as("vocab"))
+    docTerms(targetDocs, idCol, textCol)
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("neg_lnp",
+        -log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("ctot") + col("vocab"))))
+      .withColumn("contrib",
+        (col("tf").cast("double") * col("neg_lnp")).cast("decimal(28,12)"))
+      .withColumn("oov_tf", when(col("c").isNull, col("tf")).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("nll"), sum(col("tf")).as("n_tokens"),
+        sum(col("oov_tf")).as("oov"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("nll").cast("double") / col("n_tokens"), 6)
+          .as("avg_surprisal"),
+        round(col("oov").cast("double") / col("n_tokens"), 6).as("oov_frac"))
+  }
+
   /** Corpus bigram language model, reported as the top-`topPerContext`
     * next tokens per context token with exact conditional probabilities
     * `p(w2|w1) = c(w1,w2) / c(w1,·)` — the order-1 companion to

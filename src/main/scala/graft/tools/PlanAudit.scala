@@ -36,7 +36,7 @@ object PlanAudit {
     AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded"),
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
     AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
-    AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate"),
+    AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate"),
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),

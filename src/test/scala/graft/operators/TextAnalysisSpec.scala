@@ -288,6 +288,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains(3L))
   }
 
+  test("lmCrossSurprisal: OOV terms score the smoothed zero-count mass; " +
+      "in-vocab docs score below out-of-vocab docs") {
+    import spark.implicits._
+    // reference: 3 terms, total count 4
+    val ref = Seq((100L, "cat dog cat bird")).toDF("doc_id", "text")
+    val tgt = Seq((1L, "cat cat"), (2L, "zebra quux")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossSurprisal(ref, tgt)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // C = 4, V = 3: p(cat) = (2+1)/7, p(unseen) = 1/7
+    val pCat = -math.log(3.0 / 7.0)
+    val pOov = -math.log(1.0 / 7.0)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - BigDecimal(pCat).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1L)._3 == 0.0)
+    assert(math.abs(out(2L)._2 - BigDecimal(pOov).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L)._3 == 1.0)
+    assert(out(2L)._2 > out(1L)._2)
+    TrackedCaches.release()
+  }
+
   test("term stats idf: rare terms weigh more") {
     import spark.implicits._
     val docs = Seq((0L, "common rare"), (1L, "common"), (2L, "common")).toDF("doc_id", "text")
