@@ -1057,6 +1057,24 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // small-file compaction round-trip: documents shattered into 64
+    // files, compacted to ~4 MB targets, read back — the gate is
+    // content preservation through the rewrite (oracle = the original
+    // table)
+    "q150_compaction" -> ((s, dir) => {
+      val scratch = "/tmp/graft_scratch/compact_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, scratch)
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$scratch/in")
+      Maintenance.compactParquet(s, s"$scratch/in", s"$scratch/out",
+        targetFileBytes = 4L << 20)
+      s.read.parquet(s"$scratch/out")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-corpus novelty: every document scored under a unigram model
     // trained ONLY on source src0 — OOD detection vs a curated
     // reference, with the unseen-token share split out as oov_frac
@@ -2656,6 +2674,13 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // compaction gate: the original table IS the oracle — green iff the
+    // shatter + compact round-trip preserved every row and value
+    "q150_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // cross-surprisal replay: reference counts from src0 only, LEFT
     // join keeps OOV terms at the c = 0 smoothed mass, same decimal
