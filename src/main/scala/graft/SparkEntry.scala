@@ -1057,6 +1057,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // z-order (Morton) clustering values: equi-depth rank buckets of
+    // (o_custkey, o_totalprice) bit-interleaved — the multi-column
+    // data-skipping layout key, skew-proof by construction
+    "q152_zorder" -> ((s, dir) =>
+      Maintenance.zorderValues(t(s, dir, "orders"),
+          Seq("o_custkey", "o_totalprice"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("bucket_o_custkey"),
+          col("bucket_o_totalprice"), col("zorder"))
+        .orderBy(col("o_orderkey"))),
+
     // small-file compaction round-trip: documents shattered into 64
     // files, compacted to ~4 MB targets, read back — the gate is
     // content preservation through the rewrite (oracle = the original
@@ -2674,6 +2684,32 @@ object SparkEntry {
         |  round(list_cosine_similarity(c, rc), 6) AS cos_to_ref
         |FROM cents CROSS JOIN ref
         |ORDER BY slice""".stripMargin,
+
+    // z-order replay: same 1-based ranks (row_number under the total
+    // (col, tie) order), exact integer bucket division, and the
+    // generated bit-interleave sum
+    "q152_zorder" -> {
+      // every term fully parenthesized: DuckDB binds + tighter than <<,
+      // so an unparenthesized chain becomes nested shifts and overflows
+      val zTerms = (0 until 8).flatMap(b => Seq(
+        s"(((b0 >> $b) & 1) << ${b * 2})",
+        s"(((b1 >> $b) & 1) << ${b * 2 + 1})")).mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT o_orderkey,
+         |    row_number() OVER (ORDER BY o_custkey, o_orderkey) AS r0,
+         |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r1,
+         |    count(*) OVER () AS n
+         |  FROM orders
+         |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+         |b AS (
+         |  SELECT o_orderkey,
+         |    ((r0 - 1) * 256) // n AS b0, ((r1 - 1) * 256) // n AS b1
+         |  FROM r)
+         |SELECT o_orderkey, b0 AS bucket_o_custkey, b1 AS bucket_o_totalprice,
+         |  $zTerms AS zorder
+         |FROM b
+         |ORDER BY o_orderkey""".stripMargin
+    },
 
     // compaction gate: the original table IS the oracle — green iff the
     // shatter + compact round-trip preserved every row and value

@@ -23,6 +23,63 @@ object Maintenance {
     * Compression ratios shift when row groups merge, so output sizes
     * track the target approximately, not exactly.
     */
+  /** Z-order (Morton) clustering value per row: each clustered column
+    * maps to an equi-depth bucket in `[0, 2^bits)` via the distributed
+    * range-rank core (one range shuffle per column — never a
+    * single-task global window), and the buckets' bits interleave into
+    * one `zorder` long. Sorting/range-partitioning the table by that
+    * value gives every output file a tight min/max range on EVERY
+    * clustered column simultaneously — multi-column data skipping,
+    * where a plain sort only serves its leading column. Equi-depth
+    * bucketing (rank-based, not value-based) makes the curve
+    * skew-proof: a power-law column still spreads evenly over buckets.
+    *
+    * `tieCols` must complete a total order (ranks — and so z-values —
+    * are deterministic and engine-replayable only under one). Rows
+    * with a null in any clustered column are dropped (no defined curve
+    * position). Output: input columns + `bucket_<col>` per clustered
+    * column + `zorder`.
+    */
+  def zorderValues(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+                   tieCols: Seq[String], bits: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits ($bits) x columns (${cols.size}) must fit a signed long")
+    val k = cols.size
+    val ranked = cols.zipWithIndex.foldLeft(
+      df.filter(cols.map(col(_).isNotNull).reduce(_ && _))) {
+      case (acc, (c, i)) => Ranking.rangeRank(acc, Nil, c +: tieCols, s"__r$i")
+    }
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val bucketed = cols.indices.foldLeft(
+      ranked.join(broadcast(total), lit(true))) { (acc, i) =>
+      // 1-based rank r of n -> floor((r-1) * 2^bits / n): exact integer
+      // arithmetic (DIV), identical in the SQL replay
+      acc.withColumn(s"bucket_${cols(i)}",
+        expr(s"((__r$i - 1) * ${1L << bits}) DIV __n"))
+    }
+    val z = (0 until bits).flatMap(b => cols.indices.map(j =>
+      expr(s"shiftleft(shiftright(bucket_${cols(j)}, $b) & 1, ${b * k + j})")))
+      .reduce(_ + _)
+    bucketed.withColumn("zorder", z)
+      .drop((cols.indices.map(i => s"__r$i") :+ "__n"): _*)
+  }
+
+  /** Write `df` z-ordered on `cols` into `nFiles` range-partitioned,
+    * internally sorted parquet files — the layout step that turns
+    * [[zorderValues]] into actual scan skipping.
+    */
+  def zorderWrite(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+                  tieCols: Seq[String], outDir: String, nFiles: Int,
+                  bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    zorderValues(df, cols, tieCols, bits)
+      .repartitionByRange(nFiles, col("zorder"))
+      .sortWithinPartitions(col("zorder"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0,

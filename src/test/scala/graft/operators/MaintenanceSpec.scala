@@ -27,6 +27,49 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
 
+  test("zorderValues: hand-computed interleave on a 4x4 grid") {
+    import spark.implicits._
+    // 16 rows over a 4x4 (x, y) grid, one row per cell: with bits = 2
+    // the equi-depth buckets ARE the grid coordinates, so zorder is the
+    // classic Morton number z = interleave(x, y)
+    val df = (for { x <- 0 until 4; y <- 0 until 4 }
+      yield (x * 4L + y, x, y)).toDF("id", "x", "y")
+    val out = Maintenance.zorderValues(df, Seq("x", "y"), Seq("id"), bits = 2)
+      .collect().map(r => (r.getAs[Int]("x"), r.getAs[Int]("y")) ->
+        r.getAs[Long]("zorder")).toMap
+    def morton(x: Int, y: Int): Long =
+      (0 until 2).map(b => (((x >> b) & 1) << (2 * b)) |
+        (((y >> b) & 1) << (2 * b + 1))).sum.toLong
+    for (x <- 0 until 4; y <- 0 until 4)
+      assert(out((x, y)) == morton(x, y), s"cell ($x, $y)")
+  }
+
+  test("zorderWrite: every file gets a bounded span on BOTH columns, " +
+      "unlike a single-column sort") {
+    import spark.implicits._
+    // independent uniform columns: a z-ordered layout bounds both spans
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, (i * 2654435761L % 4096L), (i * 40503L % 4096L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Maintenance.zorderWrite(df, Seq("a", "b"), Seq("id"), s"$base/z",
+      nFiles = 16)
+    val spans = spark.read.parquet(s"$base/z")
+      .groupBy(input_file_name())
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .collect()
+    assert(spans.length == 16)
+    val avgA = spans.map(_.getAs[Long]("sa")).sum.toDouble / spans.length
+    val avgB = spans.map(_.getAs[Long]("sb")).sum.toDouble / spans.length
+    // random placement would give ~4095 span per file on each column; a
+    // 16-file z-layout divides the curve into 16 tiles -> both columns'
+    // average spans shrink well below that
+    assert(avgA < 2200, s"avg span a $avgA")
+    assert(avgB < 2200, s"avg span b $avgB")
+  }
+
   test("compactParquet: empty or data-free directories are rejected") {
     val base = java.nio.file.Files.createTempDirectory("compact_e").toString
     new java.io.File(s"$base/in").mkdirs()
