@@ -1067,6 +1067,19 @@ object SparkEntry {
           col("bucket_o_totalprice"), col("zorder"))
         .orderBy(col("o_orderkey"))),
 
+    // ExactSubstr-style repeated-substring spans: maximal runs of
+    // 4-token windows shared verbatim across >= 2 docs — suffix-array
+    // semantics for cross-doc repeats from two long-key aggs + a join
+    "q153_repeated_spans" -> ((s, dir) =>
+      SubstringDedup.repeatedSpans(t(s, dir, "documents"), k = 4)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // the removal side: every repeated span cut out, docs reassembled
+    // (all 500 docs survive, fully-repeated ones come back empty)
+    "q154_substr_dedup" -> ((s, dir) =>
+      SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
+        .orderBy(col("doc_id"))),
+
     // small-file compaction round-trip: documents shattered into 64
     // files, compacted to ~4 MB targets, read back — the gate is
     // content preservation through the rewrite (oracle = the original
@@ -1939,6 +1952,36 @@ object SparkEntry {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared CTE chain for q153/q154: per-position 4-token windows,
+    * cross-doc document frequency, repeated positions, and islands
+    * (`g` carries (doc_id, pos, grp)) — mirrors
+    * [[graft.operators.SubstringDedup.repeatedSpans]] with k=4,
+    * minDocs=2, grouping by the gram string where Spark groups by its
+    * xxhash64.
+    */
+  private val repeatedSpanCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |u AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS pos
+      |  FROM d WHERE len(ws) >= 4),
+      |p AS (
+      |  SELECT doc_id, pos, array_to_string(ws[pos:pos+3], ' ') AS gram
+      |  FROM u),
+      |c AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS df FROM p GROUP BY gram)
+      |  WHERE df >= 2),
+      |h AS (SELECT doc_id, pos FROM p WHERE gram IN (SELECT gram FROM c)),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM h),
+      |g AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM m)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q115_pagerank" -> pageRankOracleSql(5),
 
@@ -2710,6 +2753,42 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // repeated-span replay: grams by STRING (same counts as the 64-bit
+    // hash w.h.p. — the q16 equivalence), identical islands arithmetic
+    "q153_repeated_spans" ->
+      s"""WITH $repeatedSpanCtes
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM g GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // removal replay: spans exploded to covered positions (disjoint by
+    // construction — islands merge anything within k), anti-joined
+    // against per-position words, reassembled in position order; LEFT
+    // join from documents keeps fully-repeated docs as empty strings
+    "q154_substr_dedup" ->
+      s"""WITH $repeatedSpanCtes,
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+         |  FROM g GROUP BY doc_id, grp),
+         |cov AS (
+         |  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+         |words AS (
+         |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+         |  FROM d),
+         |kept AS (
+         |  SELECT w.doc_id, w.pos, w.word
+         |  FROM words w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |re AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean,
+         |    CAST(count(*) AS BIGINT) AS n_tokens_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT dd.doc_id, coalesce(re.clean, '') AS clean,
+         |  coalesce(re.n_tokens_kept, 0) AS n_tokens_kept
+         |FROM documents dd LEFT JOIN re ON dd.doc_id = re.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
 
     // compaction gate: the original table IS the oracle — green iff the
     // shatter + compact round-trip preserved every row and value

@@ -53,6 +53,7 @@ object PlanAudit {
     AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 2),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
+    AllowedBroadcast("Maintenance.scala", "total", "one-row count aggregate (z-order rank denominator)"),
     AllowedBroadcast("SparkEntry.scala", "nat", "nation — fixed 25-row dimension by schema contract"),
     AllowedBroadcast("SparkEntry.scala", "reg", "region — fixed 5-row dimension by schema contract"),
     AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"))
