@@ -1080,6 +1080,15 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // weighted round-robin interleave: the mixture-preserving global
+    // consumption order (4:2:1 src0:src1:rest per epoch) — every prefix
+    // of mix_rank holds the target source proportions
+    "q155_mix_interleave" -> ((s, dir) =>
+      Sampling.weightedInterleave(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")),
+          "source", Seq("doc_id"), Map("src0" -> 4L, "src1" -> 2L))
+        .orderBy(col("mix_rank"))),
+
     // small-file compaction round-trip: documents shattered into 64
     // files, compacted to ~4 MB targets, read back — the gate is
     // content preservation through the rewrite (oracle = the original
@@ -2753,6 +2762,25 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // interleave replay: per-source row_number, integer epoch division,
+    // then the global (epoch, source, src_rank) order
+    "q155_mix_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS src_rank
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, src_rank,
+        |    (src_rank - 1) // (CASE source WHEN 'src0' THEN 4
+        |      WHEN 'src1' THEN 2 ELSE 1 END) AS epoch
+        |  FROM r)
+        |SELECT doc_id, source, src_rank, epoch,
+        |  CAST(row_number() OVER (ORDER BY epoch, source, src_rank)
+        |    AS BIGINT) AS mix_rank
+        |FROM e
+        |ORDER BY mix_rank""".stripMargin,
 
     // repeated-span replay: grams by STRING (same counts as the 64-bit
     // hash w.h.p. — the q16 equivalence), identical islands arithmetic

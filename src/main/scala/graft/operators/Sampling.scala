@@ -91,6 +91,37 @@ object Sampling {
     df.filter(bucket(col(idCol)) < threshold)
   }
 
+  /** Weighted round-robin interleave: a global consumption ORDER over
+    * the corpus such that every prefix holds `weights(g)` rows of group
+    * g per epoch — the ordered complement of [[weightedMix]] (which
+    * subsets): a data loader reading rows in `mix_rank` order sees the
+    * target mixture at every point of training, not just in aggregate.
+    * Integer-exact: epoch = (src_rank − 1) DIV weight, so the schedule
+    * is deterministic and engine-replayable with no float ordering. A
+    * group exhausts (its source runs dry) by simply dropping out of
+    * later epochs.
+    *
+    * Scale: two passes of the distributed range-rank core (per-group
+    * rank, then the global (epoch, group, rank) order) — range sorts,
+    * never a single-task `OVER ()` window. `tieCols` must totally order
+    * rows within a group.
+    */
+  def weightedInterleave(df: DataFrame, groupCol: String,
+                         tieCols: Seq[String], weights: Map[String, Long],
+                         defaultWeight: Long = 1L): DataFrame = {
+    require(defaultWeight >= 1L, s"defaultWeight must be >= 1, got $defaultWeight")
+    require(weights.values.forall(_ >= 1L), "weights must be >= 1")
+    val w = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight)) {
+      case ((g, wt), elseCol) => when(col(groupCol) === g, lit(wt)).otherwise(elseCol)
+    }
+    val ranked = Ranking.rangeRank(df, Seq(groupCol), tieCols, "src_rank")
+      .withColumn("__w", w)
+      .withColumn("epoch", expr("(src_rank - 1) DIV __w"))
+      .drop("__w")
+    Ranking.rangeRank(ranked, Nil,
+      Seq("epoch", groupCol) ++ Seq("src_rank"), "mix_rank")
+  }
+
   /** Keep the top `fraction` of each group by `scoreCol` (descending,
     * ties broken by `tieCol`) — "best 20% per source by quality score",
     * the percentile-threshold curation filter. Cutoff =

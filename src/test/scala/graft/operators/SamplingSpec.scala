@@ -177,4 +177,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(!got.contains(100L) && !got.contains(101L) && !got.contains(30L))
     assert(got.size == 10)
   }
+
+  test("weightedInterleave: exact hand-computed schedule, 2:1 per epoch") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b")).toDF("doc_id", "source")
+    val out = Sampling.weightedInterleave(df, "source", Seq("doc_id"),
+        Map("a" -> 2L))
+      .orderBy(col("mix_rank"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("epoch"), r.getAs[Long]("mix_rank")))
+    // epoch 0: a×2 then b×1; epoch 1: a×2 then b×1
+    assert(out.toSeq == Seq((1L, "a", 0L, 1L), (2L, "a", 0L, 2L),
+      (10L, "b", 0L, 3L), (3L, "a", 1L, 4L), (4L, "a", 1L, 5L),
+      (11L, "b", 1L, 6L)))
+  }
+
+  test("weightedInterleave: an exhausted source drops out of later epochs") {
+    import spark.implicits._
+    val df = ((1L to 2L).map((_, "a")) ++ (10L to 15L).map((_, "b")))
+      .toDF("doc_id", "source")
+    val tail = Sampling.weightedInterleave(df, "source", Seq("doc_id"), Map.empty)
+      .filter(col("epoch") >= 2L)
+      .select(col("source")).distinct().collect().map(_.getString(0))
+    assert(tail.toSeq == Seq("b"))
+  }
 }
