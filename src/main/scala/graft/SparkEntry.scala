@@ -1080,6 +1080,21 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // per-group OLS: extendedprice regressed on quantity per return
+    // flag — slope/intercept/R² from five decimal-exact sums, one
+    // map-side-combinable shuffle
+    "q156_group_ols" -> ((s, dir) =>
+      Stats.groupOls(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
+    // per-source content fingerprints: order-free MD5-sum checksums —
+    // the corpus-versioning primitive (checksum(A∪B) = sum of parts)
+    "q157_fingerprint" -> ((s, dir) =>
+      Fingerprint.partitionFingerprints(t(s, dir, "documents"),
+          Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
+        .orderBy(col("source"))),
+
     // weighted round-robin interleave: the mixture-preserving global
     // consumption order (4:2:1 src0:src1:rest per epoch) — every prefix
     // of mix_rank holds the target source proportions
@@ -2762,6 +2777,53 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // OLS replay: identical per-row DECIMAL(30,6) quantization and the
+    // same closed-form double trees (slope inlined unrounded into the
+    // intercept expression, as the Spark side computes it)
+    "q156_group_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS sxx,
+        |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS syy,
+        |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag HAVING count(*) >= 2),
+        |t AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+        |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+        |  END AS slope,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+        |    round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |      * sxd) / nd, 6)
+        |  END AS intercept,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0 THEN
+        |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd) /
+        |      ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |  END AS r2
+        |FROM t
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // fingerprint replay: same canonical string (chr(31) separators),
+    // same top-64-bits-of-MD5, same exact decimal sum
+    "q157_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
+        |      lang || chr(31) || CAST(n_chars AS VARCHAR)), 1, 16))::UBIGINT
+        |    ::DECIMAL(20,0)) AS DECIMAL(38,0)) AS checksum
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // interleave replay: per-source row_number, integer epoch division,
     // then the global (epoch, source, src_rank) order

@@ -222,4 +222,45 @@ object Stats {
         col("__n_b").as("n_b") :+ col("mean_a") :+ col("mean_b") :+
         col("t_stat") :+ col("dof"): _*)
   }
+
+  /** Per-group simple linear regression (OLS of y on x) from the five
+    * closed-form sums — slope, intercept, and R², one shuffle, fully
+    * map-side combinable. Sums are per-row DECIMAL(30,6)-quantized (the
+    * Welch idiom) so the statistics are order-free and engine-exact;
+    * the final algebra runs in double on the exact sums. Groups need
+    * n ≥ 2; zero x-variance groups report null slope/intercept/r2
+    * (vertical data has no OLS line), zero y-variance reports r2 null
+    * with slope 0.
+    */
+  def groupOls(df: DataFrame, xCol: String, yCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupOls needs at least one group column")
+    val gc = groupCols.map(col)
+    val d = "decimal(30,6)"
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val sums = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d)).as("__sx"), sum(y.cast(d)).as("__sy"),
+        sum((x * x).cast(d)).as("__sxx"),
+        sum((y * y).cast(d)).as("__syy"),
+        sum((x * y).cast(d)).as("__sxy"))
+      .filter(col("n") >= 2L)
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val denX = n * col("__sxx").cast("double") - sx * sx
+    val denY = n * col("__syy").cast("double") - sy * sy
+    val num = n * col("__sxy").cast("double") - sx * sy
+    val slope = num / denX
+    sums
+      .withColumn("slope", when(denX > 0d, round(slope, 6)))
+      .withColumn("intercept", when(denX > 0d,
+        round((sy - slope * sx) / n, 6)))
+      .withColumn("r2", when(denX > 0d && denY > 0d,
+        round(num * num / (denX * denY), 6)))
+      .select(gc :+ col("n") :+ col("slope") :+ col("intercept") :+
+        col("r2"): _*)
+  }
 }

@@ -128,4 +128,32 @@ class StatsSpec extends SparkSpecBase {
     assert(out.getDouble(1) == 1.0 && out.getDouble(2) == 1.0)
     assert(out.isNullAt(3))
   }
+
+  test("groupOls: perfect line, textbook partial fit, and degenerate x") {
+    import spark.implicits._
+    val df = (Seq((1d, 2d), (2d, 4d), (3d, 6d)).map { case (x, y) => ("line", x, y) } ++
+      Seq((0d, 0d), (1d, 1d), (2d, 1d)).map { case (x, y) => ("bend", x, y) } ++
+      Seq((5d, 1d), (5d, 2d), (5d, 3d)).map { case (x, y) => ("vert", x, y) })
+      .toDF("g", "x", "y")
+    val out = Stats.groupOls(df, "x", "y", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("line").getLong(1) == 3L)
+    assert(out("line").getDouble(2) == 2.0)   // slope
+    assert(out("line").getDouble(3) == 0.0)   // intercept
+    assert(out("line").getDouble(4) == 1.0)   // r2
+    // hand-computed: slope = 1/2, intercept = 1/6, r2 = 3/4
+    assert(out("bend").getDouble(2) == 0.5)
+    assert(out("bend").getDouble(3) == 0.166667)
+    assert(out("bend").getDouble(4) == 0.75)
+    // zero x-variance: no OLS line
+    assert(out("vert").isNullAt(2) && out("vert").isNullAt(3) &&
+      out("vert").isNullAt(4))
+  }
+
+  test("groupOls: zero y-variance gives slope 0 with null r2") {
+    import spark.implicits._
+    val df = Seq(("g", 1d, 7d), ("g", 2d, 7d), ("g", 3d, 7d)).toDF("g", "x", "y")
+    val r = Stats.groupOls(df, "x", "y", Seq("g")).collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 7.0 && r.isNullAt(4))
+  }
 }
