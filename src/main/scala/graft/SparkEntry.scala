@@ -1080,6 +1080,13 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // regular-grid resampling: each user's irregular metric series
+    // linearly interpolated onto a 6-hour grid inside its observed span
+    "q158_resample" -> ((s, dir) =>
+      TimeSeries.resampleInterpolate(Tables.events(s, dir), "user_id",
+          "ts", "value", stepMicros = 21600000000L, tieCol = "event_id")
+        .orderBy(col("user_id"), col("grid_us"))),
+
     // per-group OLS: extendedprice regressed on quantity per return
     // flag — slope/intercept/R² from five decimal-exact sums, one
     // map-side-combinable shuffle
@@ -2777,6 +2784,51 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // resample replay: same dedup (arg_max on the tie), same integer
+    // grid bounds, same forward/reverse IGNORE NULLS scans, same lerp
+    // tree; grid rows sort after event rows at equal ts (is_grid), so
+    // exact hits resolve to the reading on both sides
+    "q158_resample" ->
+      """WITH e0 AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |e AS (
+        |  SELECT user_id, us, arg_max(value, event_id) AS v
+        |  FROM e0 GROUP BY user_id, us),
+        |b AS (
+        |  SELECT user_id,
+        |    ((min(us) + 21599999999) // 21600000000) * 21600000000 AS gmin,
+        |    (max(us) // 21600000000) * 21600000000 AS gmax
+        |  FROM e GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(gmin, gmax, 21600000000)) AS us
+        |  FROM b WHERE gmin <= gmax),
+        |u AS (
+        |  SELECT user_id, us, v, 0 AS is_grid FROM e
+        |  UNION ALL
+        |  SELECT user_id, us, NULL AS v, 1 AS is_grid FROM g),
+        |s AS (
+        |  SELECT user_id, us, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, is_grid DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us DESC, is_grid DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nus
+        |  FROM u)
+        |SELECT user_id, us AS grid_us,
+        |  CASE WHEN pus = us THEN round(pv, 6)
+        |    ELSE round(pv + (nv - pv) * ((us - pus) / (nus - pus)), 6)
+        |  END AS value
+        |FROM s WHERE is_grid = 1
+        |ORDER BY user_id, grid_us""".stripMargin,
 
     // OLS replay: identical per-row DECIMAL(30,6) quantization and the
     // same closed-form double trees (slope inlined unrounded into the

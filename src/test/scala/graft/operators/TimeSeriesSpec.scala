@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class TimeSeriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def series(rows: (String, Long, Double, Long)*) =
+    rows.toDF("k", "us", "v", "tie")
+      .withColumn("ts", timestamp_micros(col("us")))
+
+  private def run(df: org.apache.spark.sql.DataFrame, step: Long) =
+    TimeSeries.resampleInterpolate(df, "k", "ts", "v", step, "tie")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("grid_us"),
+        r.getAs[Double]("value"))).sorted
+
+  test("hand-computed lerp between two readings") {
+    val out = run(series(("a", 5L, 10d, 0L), ("a", 15L, 20d, 1L)), step = 10L)
+    // grid point 10 sits halfway: 10 + (20-10) * (10-5)/(15-5) = 15
+    assert(out.toSeq == Seq(("a", 10L, 15.0)))
+  }
+
+  test("exact-hit grid points take the reading itself; interior points " +
+      "interpolate against the nearest neighbors") {
+    val out = run(series(("a", 0L, 1d, 0L), ("a", 10L, 5d, 1L),
+      ("a", 40L, 11d, 2L)), step = 10L)
+    // 20 and 30 interpolate on the 10->40 segment (slope 0.2)
+    assert(out.toSeq == Seq(("a", 0L, 1.0), ("a", 10L, 5.0),
+      ("a", 20L, 7.0), ("a", 30L, 9.0), ("a", 40L, 11.0)))
+  }
+
+  test("duplicate timestamps resolve to the tie-max reading") {
+    val out = run(series(("a", 0L, 1d, 0L), ("a", 0L, 3d, 9L),
+      ("a", 20L, 5d, 1L)), step = 10L)
+    // at us=0 the tie-9 reading (3.0) wins; midpoint lerps 3->5
+    assert(out.toSeq == Seq(("a", 0L, 3.0), ("a", 10L, 4.0), ("a", 20L, 5.0)))
+  }
+
+  test("no extrapolation: span narrower than a step yields nothing, " +
+      "grid never leaves [min, max]") {
+    val narrow = run(series(("a", 11L, 1d, 0L), ("a", 19L, 2d, 1L)), step = 10L)
+    assert(narrow.isEmpty)
+    val out = run(series(("b", 7L, 1d, 0L), ("b", 33L, 2d, 1L)), step = 10L)
+    assert(out.map(_._2).toSeq == Seq(10L, 20L, 30L))
+  }
+}
