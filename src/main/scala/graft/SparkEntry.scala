@@ -1080,6 +1080,13 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // frequent ordered 3-step event paths with distinct-user support —
+    // the order-sensitive complement of transitions/market-basket
+    "q159_frequent_paths" -> ((s, dir) =>
+      ProductAnalytics.frequentSequences(Tables.events(s, dir),
+          minUsers = 10L)
+        .orderBy(col("e1"), col("e2"), col("e3"))),
+
     // regular-grid resampling: each user's irregular metric series
     // linearly interpolated onto a 6-hour grid inside its observed span
     "q158_resample" -> ((s, dir) =>
@@ -2784,6 +2791,24 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // path replay: two leads under the same (ts, event_id) order,
+    // distinct-user support, same threshold
+    "q159_frequent_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |HAVING count(DISTINCT user_id) >= 10
+        |ORDER BY e1, e2, e3""".stripMargin,
 
     // resample replay: same dedup (arg_max on the tie), same integer
     // grid bounds, same forward/reverse IGNORE NULLS scans, same lerp

@@ -169,4 +169,36 @@ object ProductAnalytics {
     pairs.withColumn("p",
       round(col("n").cast("double") / sum(col("n")).over(totals), 6))
   }
+
+  /** Frequent ordered event-type trigrams ("navigation paths"):
+    * `(e1, e2, e3, n_users, n_occurrences)` for every consecutive
+    * 3-step path taken by at least `minUsers` DISTINCT users — the
+    * order-sensitive complement of [[transitions]] (first-order) and of
+    * market-basket pairs (orderless). Consecutive means adjacent in the
+    * user's (ts, tiebreak) order; paths cross session gaps by design —
+    * sessionize first and use the session id as `userCol` for
+    * within-session paths.
+    *
+    * One per-user window pass (two `lead`s share the sort) + one path
+    * aggregation; support counts are distinct-user so a single looping
+    * user cannot promote a path. The path space is bounded by
+    * |event types|³, not by corpus size — the aggregation output is
+    * structurally small even at 100 TB.
+    */
+  def frequentSequences(events: DataFrame, minUsers: Long,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type", tsCol: String = "ts",
+                        tieCol: String = "event_id"): DataFrame = {
+    require(minUsers >= 1L, s"minUsers must be >= 1, got $minUsers")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__e2", lead(col(typeCol), 1).over(w))
+      .withColumn("__e3", lead(col(typeCol), 2).over(w))
+      .filter(col("__e3").isNotNull)
+      .groupBy(col(typeCol).as("e1"), col("__e2").as("e2"),
+        col("__e3").as("e3"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_users") >= minUsers)
+  }
 }

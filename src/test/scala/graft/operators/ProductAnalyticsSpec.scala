@@ -113,4 +113,22 @@ class ProductAnalyticsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("span_us") == 3L * 60000000L)
     assert(r.getAs[Double]("twap") == 2.666667) // 8/3 rounded to 6 dp
   }
+
+  test("frequentSequences: distinct-user support, a looping single user " +
+      "cannot promote a path") {
+    val ev = Seq(
+      (1L, "v", 1L), (1L, "c", 2L), (1L, "p", 3L), (1L, "v", 4L),
+      (2L, "v", 1L), (2L, "c", 2L), (2L, "p", 3L),
+      // user 3 walks x->y->z twice: 2 occurrences but only 1 user
+      (3L, "x", 1L), (3L, "y", 2L), (3L, "z", 3L),
+      (3L, "x", 4L), (3L, "y", 5L), (3L, "z", 6L))
+      .map { case (u, e, m) => (u, e, ts(m), u * 100 + m) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = ProductAnalytics.frequentSequences(ev, minUsers = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_occurrences")))
+    // only v->c->p is shared by two users; c->p->v (user 1) and the
+    // user-3 loop fall under the distinct-user threshold
+    assert(out.toSeq == Seq(("v", "c", "p", 2L, 2L)))
+  }
 }
