@@ -1155,6 +1155,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-ADC: the q149 codes scored only inside each query's 2 nearest
+    // coarse cells — search cost queries×(nProbe/nlist)×corpus, the
+    // linear-scale composition the q149 gate's scaling note points to
+    "q160_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.ivfAdcTopK(emb, emb.filter(pmod(col("vec_id"), lit(20L)) === 0L),
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // seasonal-baseline anomaly detection: hourly event volumes vs the
     // same hour of other days, z >= 1.5 flagged (portable epoch-micros
     // bucket arithmetic, AggState baseline)
@@ -2998,6 +3008,11 @@ object SparkEntry {
     // unrolled Lloyd iterations (assignment tree + decimal means),
     // encode, LUT, decimal-quantized ADC sums, row_number top-k
     "q149_pq_adc" -> pqOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5),
+
+    // q160: the q149 chain with the probed-cells restriction spliced
+    // into the scoring join (nProbe = 2 coarse cells per query)
+    "q160_ivf_pq" -> pqOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5,
+      nProbe = Some(2)),
 
     // seasonal-anomaly replay: identical epoch-micros bucket arithmetic
     // and the same decimal-exact baseline / double z tree
@@ -4920,7 +4935,41 @@ object SparkEntry {
     * mirrors Spark's element-order fold (list_sum over an ascending
     * generate_series = the codegen VecDot accumulation order).
     */
-  private def pqOracle(m: Int, ks: Int, dsub: Int, iters: Int, k: Int): String = {
+  private def pqOracle(m: Int, ks: Int, dsub: Int, iters: Int, k: Int,
+                       nProbe: Option[Int] = None): String = {
+    // IVF-probed variant (q160): decimal-exact label centroids, each
+    // query keeps nProbe cells by cosine, and the scoring join gains a
+    // cell restriction — everything else is the q149 chain verbatim
+    val probeCtes = nProbe.map(np =>
+      s""",
+         |cells AS (
+         |  SELECT vec_id, label AS cell FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |cvecs AS (
+         |  SELECT label AS cell, generate_subscripts(embedding::DOUBLE[], 1) AS j,
+         |    unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cstats AS (
+         |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS sm, COUNT(*) AS n
+         |  FROM cvecs GROUP BY cell, j),
+         |cent AS (
+         |  SELECT cell, list(sm::DOUBLE / n ORDER BY j) AS c
+         |  FROM cstats GROUP BY cell),
+         |qfull AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
+         |probed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT qf.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY qf.query_id
+         |        ORDER BY list_cosine_similarity(qf.qv, c.c) DESC, c.cell) AS pr
+         |    FROM qfull qf CROSS JOIN cent c)
+         |  WHERE pr <= $np)""".stripMargin).getOrElse("")
+    val probeJoin = nProbe.map(_ =>
+      """
+        |  JOIN cells cl ON cl.vec_id = a.vec_id
+        |  JOIN probed p ON p.query_id = l.query_id AND p.cell = cl.cell"""
+        .stripMargin).getOrElse("")
     def assignCte(name: String, cbName: String) =
       s"""$name AS (
          |  SELECT vec_id, s, x, code FROM (
@@ -4974,10 +5023,10 @@ object SparkEntry {
        |  SELECT q.query_id, c.s, c.code,
        |    CAST(list_sum(list_transform(generate_series(1, $dsub),
        |      j -> q.x[j] * c.cent[j])) AS DECIMAL(18,12)) AS pq
-       |  FROM q JOIN cb$iters c ON c.s = q.s),
+       |  FROM q JOIN cb$iters c ON c.s = q.s)$probeCtes,
        |sc AS (
        |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pq) AS DOUBLE) AS score
-       |  FROM enc a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  FROM enc a JOIN lut l ON l.s = a.s AND l.code = a.code$probeJoin
        |  WHERE a.vec_id <> l.query_id
        |  GROUP BY l.query_id, a.vec_id)
        |SELECT query_id, vec_id AS neighbor_id,

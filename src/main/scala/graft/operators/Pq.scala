@@ -174,6 +174,65 @@ object Pq {
         (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
   }
 
+  /** IVF-ADC: the composition that makes PQ scale — each query scores
+    * codes in its `nProbe` nearest coarse cells only, so search cost is
+    * queries × (nProbe/nlist) × corpus instead of queries × corpus
+    * (the [[adcTopK]] gate's documented super-linear term). Coarse
+    * cells come from `coarseCol` with decimal-exact centroids (the
+    * q129-gated IVF path); PQ trains on the raw vectors corpus-wide
+    * (no residual encoding — documented divergence from IVFADC's
+    * residual variant, which an engine-replayable oracle cannot afford
+    * a second training chain for). Same output shape as [[adcTopK]];
+    * a query returns fewer than k rows when its probed cells hold
+    * fewer vectors — the price of pruning, measured by the recall
+    * spec, never silently padded.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nProbe: Int = 2, m: Int = 8, ks: Int = 16, iters: Int = 3,
+                 coarseCol: String = "label", idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val dsub = subDim(corpus, m, vecCol)
+    val centroids = Similarity.coarseCentroids(corpus, coarseCol, vecCol,
+      portable = true)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    // nlist-bounded centroid frame (one row per coarse cell) — the
+    // same structural-smallness argument as the IVF probe path
+    val probed = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist",
+        graft.functions.VectorMath.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val subn = TrackedCaches.track(
+      subvectors(corpus, m, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = trainOnSubn(subn, ks, iters)
+    val codes = assign(subn, cb).select(col("vec_id"), col("s"), col("code"))
+    val cells = corpus.select(col(idCol).as("vec_id"),
+      col(coarseCol).as("cell"))
+    val lut = subvectors(queries, m, dsub, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("s"), col("x"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("x"), col("cent")).cast("decimal(18,12)").as("pq"))
+    val scored = codes.join(cells, "vec_id")
+      .join(probed, Seq("cell"))
+      .join(lut, Seq("query_id", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pq")).cast("double").as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
+  }
+
   /** Ragged input would silently slice short/empty subvectors whose
     * null VecDot distances then sort nulls-first into code 0 — corrupt
     * codebooks with no error — so the dim contract is enforced up

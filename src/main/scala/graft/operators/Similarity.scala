@@ -123,7 +123,7 @@ object Similarity {
     * dim-rows-per-vector explode shuffle; centroid building is a tiny
     * fraction of either consumer's cost.
     */
-  private def coarseCentroids(corpus: DataFrame, coarseCol: String,
+  private[operators] def coarseCentroids(corpus: DataFrame, coarseCol: String,
                               vecCol: String, portable: Boolean): DataFrame =
     if (portable) {
       corpus

@@ -50,7 +50,8 @@ object PlanAudit {
     AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate", count = 2),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
-    AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 2),
+    AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 3),
+    AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
     AllowedBroadcast("Maintenance.scala", "total", "one-row count aggregate (z-order rank denominator)"),

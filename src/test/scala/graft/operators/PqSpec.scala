@@ -101,4 +101,35 @@ class PqSpec extends SparkSpecBase {
     assert(err < 1e-6, s"mean ADC error $err should vanish on " +
       "exactly-quantizable data")
   }
+
+  test("ivfAdcTopK with nProbe = nlist IS adcTopK (pruning-free " +
+      "identity); nProbe = 1 returns only nearest-cell neighbors") {
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(pmod(col("vec_id"), lit(100L)) === 0L)
+    val nlist = emb.select(countDistinct(col("label"))).collect()(0)
+      .getLong(0).toInt
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val all = Pq.ivfAdcTopK(emb, queries, k = 5, nProbe = nlist, iters = 2)
+    val adc = Pq.adcTopK(emb, queries, k = 5, iters = 2)
+    assert(key(all) == key(adc))
+    // nProbe = 1: every neighbor must live in its query's top cell
+    val one = Pq.ivfAdcTopK(emb, queries, k = 5, nProbe = 1, iters = 2)
+    val cents = Similarity.coarseCentroids(emb, "label", "embedding",
+      portable = true)
+    val topCell = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .crossJoin(cents)
+      .withColumn("cos",
+        graft.functions.VectorMath.cosine(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cell"))))
+      .filter(col("rn") === 1).select(col("query_id"), col("cell"))
+    val labels = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nlabel"))
+    val escapees = one.join(labels, "neighbor_id").join(topCell, "query_id")
+      .filter(col("nlabel") =!= col("cell")).count()
+    assert(escapees == 0L)
+  }
 }
