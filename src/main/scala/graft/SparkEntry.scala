@@ -1080,6 +1080,30 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // CUSUM change-point scan per event type: standardized max of the
+    // cumulative mean-deviation process + the timestamp attaining it —
+    // prefix sums from the rank core's weighted mode, never OVER ()
+    "q162_cusum" -> ((s, dir) =>
+      Drift.cusum(Tables.events(s, dir), "value", "ts", Seq("event_type"))
+        .orderBy(col("event_type"))),
+
+    // trailing 7-day RANGE-frame rolling aggregates per user — the
+    // time-window complement of the ROWS-frame backbone queries;
+    // decimal sum keeps the rolling value order-free
+    "q161_rolling_range" -> ((s, dir) => {
+      val sevenDaysLessTick = 7L * 86400000000L - 1L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-sevenDaysLessTick, 0L)
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_7d"), col("sum_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     // frequent ordered 3-step event paths with distinct-user support —
     // the order-sensitive complement of transitions/market-basket
     "q159_frequent_paths" -> ((s, dir) =>
@@ -2801,6 +2825,57 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // CUSUM replay: identical micro-unit quantization, prefix sums by
+    // window (the rank core's weighted mode equals them), same
+    // variance/statistic trees, argmax by (stat DESC, us)
+    "q162_cusum" ->
+      """WITH pre AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS w,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value * value AS DECIMAL(30,6))) AS ss
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY event_type, us),
+        |cum AS (
+        |  SELECT event_type, us,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY us) AS cw,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY us) AS cn
+        |  FROM pre),
+        |tot AS (
+        |  SELECT event_type, sum(w) AS tw, sum(n) AS tn,
+        |    CAST(sum(ss) AS DOUBLE) AS tss
+        |  FROM pre GROUP BY event_type),
+        |sc AS (
+        |  SELECT c.event_type, c.us, t.tn,
+        |    abs((CAST(c.cw AS DOUBLE) - CAST(c.cn AS DOUBLE) *
+        |        (CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE))) / 1000000.0)
+        |      / (sqrt(t.tss / CAST(t.tn AS DOUBLE) -
+        |          ((CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE)) / 1000000.0) *
+        |          ((CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE)) / 1000000.0))
+        |        * sqrt(CAST(t.tn AS DOUBLE))) AS c_stat,
+        |    t.tss / CAST(t.tn AS DOUBLE) -
+        |      ((CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE)) / 1000000.0) *
+        |      ((CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE)) / 1000000.0) AS varp
+        |  FROM cum c JOIN tot t ON c.event_type = t.event_type)
+        |SELECT event_type, tn AS n, round(c_stat, 6) AS cusum_stat,
+        |  us AS change_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY c_stat DESC, us) AS rn
+        |  FROM sc WHERE varp > 0)
+        |WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // rolling replay: identical RANGE frame over epoch micros (equal
+    // timestamps share the frame by RANGE semantics on both engines)
+    "q161_rolling_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // path replay: two leads under the same (ts, event_id) order,
     // distinct-user support, same threshold

@@ -346,4 +346,58 @@ object Drift {
         round(mean, 6).as("mean_cnt"), round(std, 6).as("std_cnt"),
         round(z, 6).as("z"))
   }
+
+  /** CUSUM change-point scan per group: the standardized maximum of the
+    * cumulative mean-deviation process,
+    * `C = max_t |Σ_{i≤t}(x_i − μ)| / (σ√N)`, with the timestamp where
+    * the max is attained (the change-point estimate; Brownian-bridge
+    * null, same ~1.36/1.63 reference levels as KS). The series order is
+    * event time; all rows sharing a timestamp enter together.
+    *
+    * Same scale shape as [[ksTest]]: raw rows reduce ONCE to
+    * per-(group, timestamp) sums (map-side combinable), then the
+    * cumulative process comes from [[Ranking.rangeRankMulti]] weighted
+    * prefix sums over the distinct-timestamp frame — the weighted mode
+    * is a mechanical long prefix sum, so the DECIMAL(18,6)-quantized
+    * micro-units (engine-exact, mirrored in the oracle) may be
+    * negative. Zero-variance groups are dropped (no change evidence is
+    * definable). Output: groupCols, `n`, `cusum_stat`, `change_us`.
+    */
+  def cusum(df: DataFrame, valueCol: String, tsCol: String,
+            groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "cusum needs at least one group column")
+    val gc = groupCols.map(col)
+    val wq = (col(valueCol).cast("decimal(18,6)") * lit(1000000)).cast("long")
+    val pre = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(gc :+ unix_micros(col(tsCol)).as("us"): _*)
+      .agg(sum(wq).as("__w"), count(lit(1)).as("__n"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(30,6)")).as("__ss"))
+    val cumW = Ranking.rangeRankMulti(pre, groupCols :+ "us",
+      Seq(groupCols), Seq("__cw"), weightCol = Some("__w"))
+    val cum = Ranking.rangeRankMulti(cumW, groupCols :+ "us",
+      Seq(groupCols), Seq("__cn"), weightCol = Some("__n"))
+    // totals from the cum frame itself (last-by-time, NOT max: the
+    // quantized weights can be negative, so __cw is not monotone)
+    val totals = cum.groupBy(gc: _*)
+      .agg(max_by(col("__cw"), col("us")).as("__tw"),
+        max_by(col("__cn"), col("us")).as("__tn"),
+        sum(col("__ss")).as("__tss"))
+    val j = FrameOps.statsJoinOn(cum, totals, groupCols)
+    val tnD = col("__tn").cast("double")
+    val twD = col("__tw").cast("double")
+    val meanX = (twD / tnD) / lit(1000000.0)
+    val varP = col("__tss").cast("double") / tnD - meanX * meanX
+    val sAbs = abs((col("__cw").cast("double") -
+      col("__cn").cast("double") * (twD / tnD)) / lit(1000000.0))
+    val c = sAbs / (sqrt(varP) * sqrt(tnD))
+    j.filter(varP > 0d)
+      .withColumn("__c", c)
+      .groupBy(gc: _*)
+      .agg(max(col("__tn")).as("n"),
+        min(struct((col("__c") * lit(-1.0)).as("nc"), col("us").as("us")))
+          .as("__b"))
+      .select(gc :+ col("n") :+
+        round(col("__b.nc") * lit(-1.0), 6).as("cusum_stat") :+
+        col("__b.us").as("change_us"): _*)
+  }
 }

@@ -207,4 +207,36 @@ class DriftSpec extends SparkSpecBase {
     assert(out.keySet == Set((7L, 3L)))
     assert(math.abs(out((7L, 3L)) - 2.846050) < 1e-6)
   }
+
+  test("cusum: hand-computed step change — statistic 20/(5·√8) at the " +
+      "last pre-jump timestamp; constant groups dropped") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 4).map(i => ("g", i.toLong * 100L, 0d)) ++
+      (5 to 8).map(i => ("g", i.toLong * 100L, 10d)) ++
+      (1 to 4).map(i => ("flat", i.toLong * 100L, 7d))
+    val df = rows.toDF("grp", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Drift.cusum(df, "v", "ts", Seq("grp")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // μ = 5, σ_pop = 5, N = 8: |S_4| = 20 → C = 20/(5√8) = 1.414214,
+    // attained at the 4th point (us = 400)
+    assert(out.keySet == Set("g"))
+    assert(out("g").getAs[Long]("n") == 8L)
+    assert(out("g").getAs[Double]("cusum_stat") == 1.414214)
+    assert(out("g").getAs[Long]("change_us") == 400L)
+  }
+
+  test("cusum: rows sharing a timestamp enter the process together") {
+    import org.apache.spark.sql.functions._
+    // the two 10s at us=500 arrive as ONE step: the pre-jump max at 400
+    // is unchanged, and no intermediate point between them exists
+    val rows = Seq(("g", 100L, 0d), ("g", 200L, 0d), ("g", 300L, 0d),
+      ("g", 400L, 0d), ("g", 500L, 10d), ("g", 500L, 10d),
+      ("g", 600L, 10d), ("g", 700L, 10d))
+    val df = rows.toDF("grp", "us", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Drift.cusum(df, "v", "ts", Seq("grp")).collect()(0)
+    assert(r.getAs[Double]("cusum_stat") == 1.414214)
+    assert(r.getAs[Long]("change_us") == 400L)
+  }
 }
