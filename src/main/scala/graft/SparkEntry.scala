@@ -1080,6 +1080,23 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // time-bounded funnel: view -> click -> purchase where each stage
+    // must land within 24h of the previous — the conversion-window
+    // variant of q93 (out-of-window events never resurrect a user)
+    "q164_funnel_within" -> ((s, dir) =>
+      ProductAnalytics.funnelSummary(Tables.events(s, dir),
+          Seq("view", "click", "purchase"),
+          withinMicros = Some(86400000000L))
+        .orderBy(col("stage_idx"))),
+
+    // one-way ANOVA: does totalprice differ across order priorities,
+    // per order status? One per-(status, priority) agg; decimal-routed
+    // cross-level sums
+    "q163_anova" -> ((s, dir) =>
+      Stats.anovaOneWay(t(s, dir, "orders"), "o_totalprice",
+          "o_orderpriority", Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))),
+
     // CUSUM change-point scan per event type: standardized max of the
     // cumulative mean-deviation process + the timestamp attaining it —
     // prefix sums from the rank core's weighted mode, never OVER ()
@@ -2825,6 +2842,66 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // bounded-funnel replay: the q93 chain with the 24h window added to
+    // each stage's join predicate
+    "q164_funnel_within" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+        |    AND epoch_us(e.ts) <= s0.t0 + 86400000000 GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 86400000000 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+        |  (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |  CAST(n0 AS BIGINT) AS n_users,
+        |  round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_prev,
+        |  round(CAST(n0 AS DOUBLE) / n0, 6) AS conv_from_head FROM c
+        |UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT),
+        |  round(CAST(n1 AS DOUBLE) / n0, 6), round(CAST(n1 AS DOUBLE) / n0, 6)
+        |FROM c
+        |UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+        |  round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n0, 6)
+        |FROM c
+        |ORDER BY stage_idx""".stripMargin,
+
+    // ANOVA replay: same per-tag decimal sums, same DECIMAL(28,12)
+    // quantization of s²/n before the cross-tag sum, same F/η² trees
+    "q163_anova" ->
+      """WITH pt AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,6))) AS s,
+        |    sum(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS ss
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY o_orderstatus, o_orderpriority),
+        |pg AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(s) AS DOUBLE) AS t,
+        |    CAST(sum(ss) AS DOUBLE) AS tss,
+        |    CAST(sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS a
+        |  FROM pt GROUP BY o_orderstatus
+        |  HAVING count(*) >= 2 AND sum(n) > count(*))
+        |SELECT o_orderstatus, k, n,
+        |  round((a - t * t / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1)
+        |    / ((tss - a) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    AS f_stat,
+        |  round((a - t * t / CAST(n AS DOUBLE)) /
+        |    ((a - t * t / CAST(n AS DOUBLE)) + (tss - a)), 6) AS eta_sq
+        |FROM pg
+        |WHERE tss - a > 0
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // CUSUM replay: identical micro-unit quantization, prefix sums by
     // window (the rank core's weighted mode equals them), same

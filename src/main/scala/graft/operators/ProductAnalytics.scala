@@ -26,9 +26,11 @@ object ProductAnalytics {
     */
   def funnel(events: DataFrame, stages: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts"): DataFrame = {
+             tsCol: String = "ts",
+             withinMicros: Option[Long] = None): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least two stages")
     require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    require(withinMicros.forall(_ > 0L), "withinMicros must be positive")
     val u = col(userCol)
     def stageTimes(stage: String) =
       events.filter(col(typeCol) === stage)
@@ -37,9 +39,14 @@ object ProductAnalytics {
     var reached = stageTimes(stages.head).groupBy(u)
       .agg(min(col("__t")).as(s"t_${stages.head}"))
     // each later stage: first occurrence strictly after the prior stage
+    // (and, time-bounded, within `withinMicros` of it — the "converted
+    // within an hour" semantics; a later out-of-window occurrence does
+    // NOT resurrect the user)
     stages.sliding(2).foreach { case Seq(prev, cur) =>
+      val inWindow = withinMicros
+        .map(w => col("__t") <= col(s"t_$prev") + w).getOrElse(lit(true))
       val nxt = stageTimes(cur).join(reached.select(u, col(s"t_$prev")), userCol)
-        .filter(col("__t") > col(s"t_$prev"))
+        .filter(col("__t") > col(s"t_$prev") && inWindow)
         .groupBy(u).agg(min(col("__t")).as(s"t_$cur"))
         .select(u, col(s"t_$cur"))
       reached = reached.join(nxt, Seq(userCol), "left")
@@ -55,8 +62,9 @@ object ProductAnalytics {
     */
   def funnelSummary(events: DataFrame, stages: Seq[String],
                     userCol: String = "user_id", typeCol: String = "event_type",
-                    tsCol: String = "ts"): DataFrame = {
-    val f = funnel(events, stages, userCol, typeCol, tsCol)
+                    tsCol: String = "ts",
+                    withinMicros: Option[Long] = None): DataFrame = {
+    val f = funnel(events, stages, userCol, typeCol, tsCol, withinMicros)
     val counts = f.agg(
       count(lit(1)).as("__n0"),
       stages.zipWithIndex.map { case (s, i) =>

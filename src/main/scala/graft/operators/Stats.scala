@@ -223,6 +223,49 @@ object Stats {
         col("t_stat") :+ col("dof"): _*)
   }
 
+  /** One-way ANOVA per group: does `valueCol`'s mean differ across the
+    * `tagCol` levels? F = MSB/MSW via the computational identity
+    * (SSB = A − T²/N, SSW = TSS − A, A = Σ_j s_j²/n_j), so everything
+    * reduces to one per-(group, tag) aggregation — map-side combinable,
+    * k-sized per group after it. The per-tag terms s_j²/n_j are
+    * DECIMAL(28,12)-quantized before the cross-tag sum (double addition
+    * order varies with partitioning; decimal is order-free), the same
+    * portability rule every stats operator here follows. Output:
+    * groupCols, `k` (levels), `n`, `f_stat`, `eta_sq` — groups need
+    * k ≥ 2, N > k, and positive within-variance (else dropped).
+    */
+  def anovaOneWay(df: DataFrame, valueCol: String, tagCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "anovaOneWay needs at least one group column")
+    val gc = groupCols.map(col)
+    val d = "decimal(30,6)"
+    val v = col(valueCol).cast("double")
+    val perTag = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
+      .groupBy(gc :+ col(tagCol): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast(d)).as("__s"),
+        sum((v * v).cast(d)).as("__ss"))
+    val aTerm = (col("__s").cast("double") * col("__s").cast("double") /
+      col("__n").cast("double")).cast("decimal(28,12)")
+    val perGroup = perTag.groupBy(gc: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__s")).as("__t"), sum(col("__ss")).as("__tss"),
+        sum(aTerm).as("__a"))
+      .filter(col("k") >= 2L && col("n") > col("k"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val aD = col("__a").cast("double")
+    val tD = col("__t").cast("double")
+    val ssb = aD - tD * tD / nD
+    val ssw = col("__tss").cast("double") - aD
+    val f = (ssb / (kD - 1d)) / (ssw / (nD - kD))
+    perGroup
+      .filter(ssw > 0d)
+      .select(gc :+ col("k") :+ col("n") :+
+        round(f, 6).as("f_stat") :+
+        round(ssb / (ssb + ssw), 6).as("eta_sq"): _*)
+  }
+
   /** Per-group simple linear regression (OLS of y on x) from the five
     * closed-form sums — slope, intercept, and R², one shuffle, fully
     * map-side combinable. Sums are per-row DECIMAL(30,6)-quantized (the

@@ -114,6 +114,24 @@ class ProductAnalyticsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("twap") == 2.666667) // 8/3 rounded to 6 dp
   }
 
+  test("funnel withinMicros: out-of-window stages never count, even if " +
+      "later occurrences exist") {
+    val T = Some(90L * 1000000L) // 90 s
+    val ev = Seq(
+      // in-window chain: view@1, click@2 (60 s later), purchase@3
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // click 9 min after view: outside 90 s, and no earlier click ->
+      // stuck at depth 1 (the late click does not resurrect)
+      (2L, "view", ts(1)), (2L, "click", ts(10)), (2L, "purchase", ts(11)),
+      // click in window, purchase 28 min after click -> depth 2
+      (3L, "view", ts(1)), (3L, "click", ts(2)), (3L, "purchase", ts(30)))
+      .toDF("user_id", "event_type", "ts")
+    val out = ProductAnalytics.funnel(ev, Seq("view", "click", "purchase"),
+        withinMicros = T)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("depth")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("frequentSequences: distinct-user support, a looping single user " +
       "cannot promote a path") {
     val ev = Seq(

@@ -150,6 +150,27 @@ class StatsSpec extends SparkSpecBase {
       out("vert").isNullAt(4))
   }
 
+  test("anovaOneWay: textbook F = 3.0, eta^2 = 0.5; degenerate groups " +
+      "dropped") {
+    import spark.implicits._
+    // levels a/b/c with means 2/3/4, equal spread: SSB = 6, SSW = 6,
+    // F = (6/2)/(6/6) = 3, eta2 = 0.5
+    val g1 = Seq("a" -> 1d, "a" -> 2d, "a" -> 3d, "b" -> 2d, "b" -> 3d,
+      "b" -> 4d, "c" -> 3d, "c" -> 4d, "c" -> 5d).map { case (t, v) => ("ok", t, v) }
+    // single level -> k < 2 -> dropped
+    val g2 = Seq(("onelevel", "a", 1d), ("onelevel", "a", 2d))
+    // zero within-variance -> dropped (F undefined/infinite)
+    val g3 = Seq(("const", "a", 1d), ("const", "a", 1d),
+      ("const", "b", 2d), ("const", "b", 2d))
+    val df = (g1 ++ g2 ++ g3).toDF("g", "tag", "v")
+    val out = Stats.anovaOneWay(df, "v", "tag", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("ok"))
+    assert(out("ok").getAs[Long]("k") == 3L && out("ok").getAs[Long]("n") == 9L)
+    assert(out("ok").getAs[Double]("f_stat") == 3.0)
+    assert(out("ok").getAs[Double]("eta_sq") == 0.5)
+  }
+
   test("groupOls: zero y-variance gives slope 0 with null r2") {
     import spark.implicits._
     val df = Seq(("g", 1d, 7d), ("g", 2d, 7d), ("g", 3d, 7d)).toDF("g", "x", "y")
