@@ -1080,6 +1080,20 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // burst collapse: per (user, event type), events chained by gaps
+    // <= 1h merge into one burst — first timestamp + collapsed count
+    "q166_debounce" -> ((s, dir) =>
+      TimeSeries.debounce(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "ts",
+          quietMicros = 3600000000L, tieCol = "event_id")
+        .orderBy(col("user_id"), col("event_type"), col("us"))),
+
+    // per-doc keyword extraction: top-3 tf-idf terms per document —
+    // the tagging/routing/sparse-retrieval enrichment step
+    "q165_keywords" -> ((s, dir) =>
+      TextAnalysis.topKeywords(t(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // time-bounded funnel: view -> click -> purchase where each stage
     // must land within 24h of the previous — the conversion-window
     // variant of q93 (out-of-window events never resurrect a user)
@@ -2842,6 +2856,51 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // debounce replay: identical islands (gap > 1h breaks a burst)
+    "q166_debounce" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts), event_id) > 3600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(brk) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS grp
+        |  FROM m)
+        |SELECT user_id, event_type, min(us) AS us,
+        |  CAST(count(*) AS BIGINT) AS burst_n
+        |FROM g GROUP BY user_id, event_type, grp
+        |ORDER BY user_id, event_type, us""".stripMargin,
+
+    // keyword replay: same tokenization, same ln((N+1)/(df+1)) idf tree,
+    // rank by (score DESC, term)
+    "q165_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+        |  FROM dt GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)) AS score
+        |  FROM dt JOIN dfreq USING (term) CROSS JOIN nd)
+        |SELECT doc_id, rank, term, round(score, 6) AS score FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // bounded-funnel replay: the q93 chain with the 24h window added to
     // each stage's join predicate

@@ -491,6 +491,31 @@ object TextAnalysis {
         round(col("n_boiler").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Per-document keyword extraction: the `k` highest tf-idf terms of
+    * each doc (idf = ln((N+1)/(df+1)), the [[termStats]] convention) —
+    * the metadata-enrichment step behind tagging, routing and sparse
+    * retrieval. One (doc, term) aggregation + one term-keyed df join;
+    * the top-k window partitions by doc_id — millions of small groups,
+    * full parallelism. Ties break by term for determinism.
+    */
+  def topKeywords(df: DataFrame, k: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dt = docTerms(df, idCol, textCol)
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term"))
+    dt.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("__score", col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Corpus-level tf-idf statistics per term: total tf, document
     * frequency, idf = ln((N+1)/(df+1)), summed tf-idf weight.
     */

@@ -28,6 +28,32 @@ object TimeSeries {
     * pt))`, engine-portable because every operand is integer-derived or
     * a raw stored double.
     */
+  /** Burst collapse ("debounce"): within each key, events chained by
+    * gaps ≤ `quietMicros` form one burst, and only the burst's first
+    * timestamp survives, with the collapsed row count — the telemetry
+    * cleanup that stops retry storms / double-clicks from counting as
+    * engagement. Gaps-and-islands under one per-key window (lag +
+    * running sum) + one aggregation; fully parallel across keys.
+    * Output: keyCols…, `us` (burst start, epoch micros), `burst_n`.
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               quietMicros: Long, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    require(quietMicros > 0L, s"quietMicros must be positive, got $quietMicros")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("__us"), col(tieCol))
+    val marked = df.filter(col(tsCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__brk",
+        when(col("__us") - lag(col("__us"), 1).over(w) > quietMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(w))
+    marked.groupBy(keys :+ col("__grp"): _*)
+      .agg(min(col("__us")).as("us"), count(lit(1)).as("burst_n"))
+      .drop("__grp")
+  }
+
   def resampleInterpolate(df: DataFrame, keyCol: String, tsCol: String,
                           valCol: String, stepMicros: Long,
                           tieCol: String): DataFrame = {

@@ -37,7 +37,7 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
     AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
     AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate", count = 2),
-    AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate"),
+    AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate", count = 2),
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverStateRows guard"),

@@ -322,4 +322,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(ts("rare")._2 > ts("common")._2)
     assert(math.abs(ts("rare")._2 - math.log(4.0 / 2)) < 1e-9)
   }
+
+  test("topKeywords: rare repeated terms outrank ubiquitous ones; " +
+      "k bounds per-doc output; ties break by term") {
+    import spark.implicits._
+    // "stopword" appears in every doc (idf = ln(4/4) = 0); doc 1's
+    // "special" has tf 2 and df 1
+    val docs = Seq(
+      (1L, "stopword special special unique"),
+      (2L, "stopword other other"),
+      (3L, "stopword misc")).toDF("doc_id", "text")
+    val out = TextAnalysis.topKeywords(docs, k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    assert(out((1L, 1L))._1 == "special")
+    assert(out((1L, 1L))._2 == 1.386294) // 2 * ln(4/2)
+    assert(out((1L, 2L))._1 == "unique") // 1 * ln(4/2) beats stopword's 0
+    assert(out((2L, 1L))._1 == "other")
+    // k = 2 everywhere, never more
+    assert(out.keys.groupBy(_._1).values.forall(_.size <= 2))
+  }
 }

@@ -45,4 +45,20 @@ class TimeSeriesSpec extends SparkSpecBase {
     val out = run(series(("b", 7L, 1d, 0L), ("b", 33L, 2d, 1L)), step = 10L)
     assert(out.map(_._2).toSeq == Seq(10L, 20L, 30L))
   }
+
+  test("debounce: chained events collapse to the burst head; a gap " +
+      "beyond quiet starts a new burst") {
+    import spark.implicits._
+    // key k: bursts {0, 50, 100} (chained, gaps = 50 <= 60),
+    // then 200 (gap 100 > 60), then {500, 550}
+    val df = Seq(0L, 50L, 100L, 200L, 500L, 550L)
+      .zipWithIndex.map { case (us, i) => ("k", us, i.toLong) }
+      .toDF("key", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeries.debounce(df, Seq("key"), "ts",
+        quietMicros = 60L, tieCol = "event_id")
+      .collect().map(r => (r.getAs[Long]("us"), r.getAs[Long]("burst_n")))
+      .sorted
+    assert(out.toSeq == Seq((0L, 3L), (200L, 1L), (500L, 2L)))
+  }
 }
