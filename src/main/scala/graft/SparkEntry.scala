@@ -1080,6 +1080,42 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // contribution analysis: nation revenue share within region and of
+    // the total — exact decimal sums at every level, ratios in double
+    "q167_contribution" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      val base = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n_items"))
+      val regTot = base.groupBy(col("r_name")).agg(sum(col("rev")).as("reg_rev"))
+      val tot = base.agg(sum(col("rev")).as("tot_rev"))
+      base.join(regTot, "r_name").crossJoin(broadcast(tot))
+        .select(col("r_name"), col("n_name"),
+          col("rev").cast("double").as("revenue"), col("n_items"),
+          round(col("rev").cast("double") / col("reg_rev").cast("double"), 6)
+            .as("share_region"),
+          round(col("rev").cast("double") / col("tot_rev").cast("double"), 6)
+            .as("share_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // pairwise Pearson matrix over four lineitem measures per return
+    // flag — d sums + d(d-1)/2 cross-sums in ONE wide aggregation
+    "q168_corr_matrix" -> ((s, dir) =>
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"), col("col_a"), col("col_b"))),
+
     // burst collapse: per (user, event type), events chained by gaps
     // <= 1h merge into one burst — first timestamp + collapsed count
     "q166_debounce" -> ((s, dir) =>
@@ -2855,6 +2891,63 @@ object SparkEntry {
          |  $zTerms AS zorder
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // contribution replay: decimal sums at every level, double ratios
+    "q167_contribution" ->
+      """WITH base AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |      AS rev,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |rt AS (SELECT r_name, sum(rev) AS reg_rev FROM base GROUP BY r_name),
+        |tt AS (SELECT sum(rev) AS tot_rev FROM base)
+        |SELECT b.r_name, b.n_name, CAST(b.rev AS DOUBLE) AS revenue, n_items,
+        |  round(CAST(b.rev AS DOUBLE) / CAST(rt.reg_rev AS DOUBLE), 6)
+        |    AS share_region,
+        |  round(CAST(b.rev AS DOUBLE) / CAST(tt.tot_rev AS DOUBLE), 6)
+        |    AS share_total
+        |FROM base b JOIN rt USING (r_name) CROSS JOIN tt
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // correlation-matrix replay: generated from the same column list —
+    // identical decimal quantization and pairwise r trees
+    "q168_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = (cs.map(c => s"sum(CAST($c AS DECIMAL(30,6))) AS s_$c") ++
+        cs.map(c => s"sum(CAST($c * $c AS DECIMAL(30,6))) AS ss_$c") ++
+        (for { i <- cs.indices; j <- (i + 1) until cs.size }
+          yield s"sum(CAST(${cs(i)} * ${cs(j)} AS DECIMAL(30,6))) " +
+            s"AS sp_${cs(i)}_${cs(j)}")).mkString(",\n    ")
+      val pairSelects = (for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield {
+          val (a, b) = (cs(i), cs(j))
+          val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - " +
+            s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+          val da = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - " +
+            s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+          val db = s"(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - " +
+            s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+          s"""SELECT l_returnflag, '$a' AS col_a, '$b' AS col_b, n,
+             |  CASE WHEN $da > 0 AND $db > 0
+             |    THEN round($num / sqrt($da * $db), 6) END AS r
+             |FROM s""".stripMargin
+        }).mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |    $sums
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+         |  GROUP BY l_returnflag HAVING count(*) >= 2)
+         |$pairSelects
+         |ORDER BY l_returnflag, col_a, col_b""".stripMargin
     },
 
     // debounce replay: identical islands (gap > 1h breaks a burst)

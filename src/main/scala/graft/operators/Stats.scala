@@ -223,6 +223,51 @@ object Stats {
         col("t_stat") :+ col("dof"): _*)
   }
 
+  /** Pairwise Pearson correlation matrix over named numeric columns,
+    * per group, from ONE wide aggregation: d sums, d square-sums and
+    * d(d−1)/2 cross-sums (all per-row DECIMAL(30,6)-quantized, so
+    * order-free) ride a single map-side-combinable shuffle — never d²
+    * passes, never a driver-side matrix. Output: one row per unordered
+    * pair, `(groupCols…, col_a, col_b, n, r)`; pairs where either
+    * column is constant report null r. Rows with a null in ANY of
+    * `cols` are excluded entirely (listwise deletion), keeping every
+    * pair on the same n.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 groupCols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(groupCols.nonEmpty, "corrMatrix needs at least one group column")
+    val gc = groupCols.map(col)
+    val d = "decimal(30,6)"
+    def cd(c: String) = col(c).cast("double")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(cd(c).cast(d)).as(s"__s_$c")) ++
+      cols.map(c => sum((cd(c) * cd(c)).cast(d)).as(s"__ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((cd(a) * cd(b)).cast(d)).as(s"__sp_${a}_$b") }
+    val agged = complete.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .filter(col("n") >= 2L)
+    val nD = col("n").cast("double")
+    def sD(c: String) = col(s"__s_$c").cast("double")
+    def ssD(c: String) = col(s"__ss_$c").cast("double")
+    val pairRows = pairs.map { case (a, b) =>
+      val num = nD * col(s"__sp_${a}_$b").cast("double") - sD(a) * sD(b)
+      val da = nD * ssD(a) - sD(a) * sD(a)
+      val db = nD * ssD(b) - sD(b) * sD(b)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(da > 0d && db > 0d,
+          round(num / sqrt(da * db), 6)).as("r"))
+    }
+    agged.select(gc :+ col("n") :+
+      explode(array(pairRows: _*)).as("__p"): _*)
+      .select(gc :+ col("__p.col_a").as("col_a") :+
+        col("__p.col_b").as("col_b") :+ col("n") :+ col("__p.r").as("r"): _*)
+  }
+
   /** One-way ANOVA per group: does `valueCol`'s mean differ across the
     * `tagCol` levels? F = MSB/MSW via the computational identity
     * (SSB = A − T²/N, SSW = TSS − A, A = Σ_j s_j²/n_j), so everything

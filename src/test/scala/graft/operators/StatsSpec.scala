@@ -171,6 +171,23 @@ class StatsSpec extends SparkSpecBase {
     assert(out("ok").getAs[Double]("eta_sq") == 0.5)
   }
 
+  test("corrMatrix: r = 1 / -1 / null for linear, inverted and " +
+      "constant columns, all pairs from one pass") {
+    import spark.implicits._
+    val df = Seq((1d, 2d, 3d, 5d), (2d, 4d, 2d, 5d), (3d, 6d, 1d, 5d))
+      .map { case (x, y, z, w) => ("g", x, y, z, w) }
+      .toDF("g", "x", "y", "z", "w")
+    val out = Stats.corrMatrix(df, Seq("x", "y", "z", "w"), Seq("g"))
+      .collect().map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+        Option(r.getAs[java.lang.Double]("r"))).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")).contains(1.0))   // y = 2x
+    assert(out(("x", "z")).contains(-1.0))  // z = 4 - x
+    assert(out(("y", "z")).contains(-1.0))
+    assert(out(("x", "w")).isEmpty && out(("y", "w")).isEmpty &&
+      out(("z", "w")).isEmpty)              // w constant
+  }
+
   test("groupOls: zero y-variance gives slope 0 with null r2") {
     import spark.implicits._
     val df = Seq(("g", 1d, 7d), ("g", 2d, 7d), ("g", 3d, 7d)).toDF("g", "x", "y")
