@@ -1080,6 +1080,14 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // Benford first-digit conformance of extendedprice per return flag
+    // — leading digit from exact integer cents, dense 1-9 grid so
+    // absent digits still contribute expected mass
+    "q169_benford" -> ((s, dir) =>
+      Stats.benford(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
     // contribution analysis: nation revenue share within region and of
     // the total — exact decimal sums at every level, ratios in double
     "q167_contribution" -> ((s, dir) => {
@@ -2892,6 +2900,38 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // Benford replay: same exact-cents digit, same dense grid, same
+    // ln-ratio expected mass, decimal-quantized chi2 terms
+    "q169_benford" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |o AS (
+        |  SELECT g, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |      AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_d
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(n_d) AS BIGINT) AS n FROM o GROUP BY g),
+        |grid AS (
+        |  SELECT g, n, unnest(generate_series(1, 9)) AS digit FROM t),
+        |j AS (
+        |  SELECT grid.g, grid.n, grid.digit, coalesce(o.n_d, 0) AS n_d,
+        |    ln(1.0 + 1.0 / CAST(grid.digit AS DOUBLE)) / ln(10.0) AS p
+        |  FROM grid LEFT JOIN o ON o.g = grid.g AND o.digit = grid.digit)
+        |SELECT g AS l_returnflag, max(n) AS n,
+        |  round(CAST(sum(CAST(
+        |    (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * p) *
+        |    (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * p) /
+        |    (CAST(n AS DOUBLE) * p) AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS chi2_stat,
+        |  round(max(abs(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - p)), 6)
+        |    AS max_abs_dev
+        |FROM j GROUP BY g
+        |ORDER BY g""".stripMargin,
 
     // contribution replay: decimal sums at every level, double ratios
     "q167_contribution" ->

@@ -223,6 +223,49 @@ object Stats {
         col("t_stat") :+ col("dof"): _*)
   }
 
+  /** Benford first-digit conformance per group — the fraud /
+    * fabricated-data screen: χ² of the observed leading-digit
+    * distribution of a positive 2-decimal amount against
+    * P(d) = ln(1 + 1/d)/ln(10), plus the max absolute share deviation.
+    * The leading digit comes from the DECIMAL(18,2)-exact integer cents
+    * rendered as a string — no float log10/pow digit extraction, so the
+    * digit is engine-identical by construction. Digits a group never
+    * produces still contribute their expected mass (n·p) via the dense
+    * 1–9 grid. The per-digit χ² terms are decimal-quantized before the
+    * 9-row sum (order-free); everything is two map-side-combinable
+    * aggregations on (group, digit) — at any scale the post-reduction
+    * frames are 9 rows per group.
+    */
+  def benford(df: DataFrame, valueCol: String,
+              groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "benford needs at least one group column")
+    val gc = groupCols.map(col)
+    val cents = (col(valueCol).cast("decimal(18,2)") * lit(100)).cast("long")
+    val obs = df.filter(col(valueCol).isNotNull && col(valueCol) > 0d)
+      .select(gc :+ substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"): _*)
+      .groupBy(gc :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_d"))
+    val totals = obs.groupBy(gc: _*).agg(sum(col("n_d")).as("n"))
+    val grid = totals.select(gc :+ col("n") :+
+      explode(sequence(lit(1), lit(9))).as("digit"): _*)
+    val joined = grid.join(obs, groupCols :+ "digit", "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+    val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val ndD = col("n_d").cast("double")
+    val nD = col("n").cast("double")
+    val term = ((ndD - nD * p) * (ndD - nD * p) / (nD * p))
+      .cast("decimal(28,12)")
+    joined
+      .withColumn("__term", term)
+      .withColumn("__dev", abs(ndD / nD - p))
+      .groupBy(gc: _*)
+      .agg(max(col("n")).as("n"),
+        round(sum(col("__term")).cast("double"), 6).as("chi2_stat"),
+        round(max(col("__dev")), 6).as("max_abs_dev"))
+  }
+
   /** Pairwise Pearson correlation matrix over named numeric columns,
     * per group, from ONE wide aggregation: d sums, d square-sums and
     * d(d−1)/2 cross-sums (all per-row DECIMAL(30,6)-quantized, so

@@ -188,6 +188,30 @@ class StatsSpec extends SparkSpecBase {
       out(("z", "w")).isEmpty)              // w constant
   }
 
+  test("benford: all-ones digits give max_abs_dev = 1 - log10(2); " +
+      "absent digits contribute expected mass; sub-1 amounts use their " +
+      "significant digit") {
+    import spark.implicits._
+    // ten amounts all leading with digit 1 (including 0.10 -> cents 10)
+    val ones = Seq(1d, 10d, 150d, 1.5, 19.99, 0.10, 12d, 100d, 1999.99, 1.01)
+      .map(("ones", _))
+    val df = ones.toDF("g", "v")
+    val r = Stats.benford(df, "v", Seq("g")).collect()(0)
+    assert(r.getAs[Long]("n") == 10L)
+    // every observed digit is 1: share 1 vs p1 = log10(2)
+    assert(r.getAs[Double]("max_abs_dev") == 0.69897)
+    // chi2 = 10[(1-p1)^2/p1 + (1-p1)] — the (1-p1) part is exactly the
+    // expected mass of the eight digits that never occur
+    val p1 = math.log(2.0) / math.log(10.0)
+    val want = 10.0 * ((1 - p1) * (1 - p1) / p1 + (1 - p1))
+    assert(math.abs(r.getAs[Double]("chi2_stat") - want) < 1e-5)
+    // sub-1 significant digit: 0.05 leads with 5
+    val five = Seq(("f", 0.05)).toDF("g", "v")
+    val r5 = Stats.benford(five, "v", Seq("g")).collect()(0)
+    assert(r5.getAs[Double]("max_abs_dev") ==
+      math.floor((1 - math.log(6.0 / 5) / math.log(10.0)) * 1e6 + 0.5) / 1e6)
+  }
+
   test("groupOls: zero y-variance gives slope 0 with null r2") {
     import spark.implicits._
     val df = Seq(("g", 1d, 7d), ("g", 2d, 7d), ("g", 3d, 7d)).toDF("g", "x", "y")
