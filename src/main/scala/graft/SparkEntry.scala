@@ -1080,6 +1080,27 @@ object SparkEntry {
       SubstringDedup.removeRepeatedSpans(t(s, dir, "documents"), k = 4)
         .orderBy(col("doc_id"))),
 
+    // multi-source BFS: trade-graph hop distance of every nation from
+    // the AFRICA seed set (undirected customer->supplier nation edges)
+    "q170_bfs_levels" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      val seeds = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AFRICA")
+        .select(col("n_nationkey"))
+      Bfs.levels(edges, "src", "dst", seeds, "n_nationkey", maxDepth = 3)
+        .orderBy(col("node"))
+    }),
+
     // Benford first-digit conformance of extendedprice per return flag
     // — leading digit from exact integer cents, dense 1-9 grid so
     // absent digits still contribute expected mass
@@ -2900,6 +2921,30 @@ object SparkEntry {
          |FROM b
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // BFS replay: recursive UNION over (node, level) pairs — bounded by
+    // |nodes| x (maxDepth+1) distinct rows; min(level) = first discovery
+    "q170_bfs_levels" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM base UNION SELECT dst, src FROM base)),
+        |seeds AS (
+        |  SELECT DISTINCT n_nationkey AS node
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AFRICA'),
+        |walk AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS level FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.level + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.level < 3)
+        |SELECT node, min(level) AS level FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     // Benford replay: same exact-cents digit, same dense grid, same
     // ln-ratio expected mass, decimal-quantized chi2 terms
