@@ -1092,9 +1092,10 @@ object SparkEntry {
         .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      // region is a fixed 5-row dimension by schema contract
+      val reg = t(s, dir, "region")
       val seeds = t(s, dir, "nation")
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "AFRICA")
         .select(col("n_nationkey"))
       Bfs.levels(edges, "src", "dst", seeds, "n_nationkey", maxDepth = 3)
