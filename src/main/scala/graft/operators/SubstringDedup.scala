@@ -68,7 +68,12 @@ object SubstringDedup {
                     minDocs: Long = 2L): DataFrame = {
     require(k >= 2, s"window size k ($k) must be at least 2")
     require(minDocs >= 2L, s"minDocs ($minDocs) below 2 marks every position")
-    val pg = positionGrams(docs, idCol, textCol, k)
+    // the (id, pos, h) frame feeds both the df count and the hit join —
+    // persist (tracked for release) so the corpus is tokenized and
+    // hashed once per query, not once per consumer
+    val pg = TrackedCaches.track(
+      positionGrams(docs, idCol, textCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfs = pg.select(col("h"), col(idCol)).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val hits = pg.join(dfs.filter(col("df") >= minDocs).select("h"), "h")
