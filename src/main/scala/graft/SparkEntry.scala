@@ -1102,6 +1102,104 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // retrieval eval (NDCG@10 / MRR / P@10 / R@10): tf-ranked lists per
+    // query term, graded judgments rel = min(tf, 3) where tf >= 2; the
+    // ranking side is the bounded TopKAgg partial aggregate, never a
+    // corpus-wide window
+    "q171_retrieval_eval" -> ((s, dir) => {
+      val qterms = Seq("filter", "hash", "join", "scan", "sort")
+      val cand = TextAnalysis.docTerms(t(s, dir, "documents"))
+        .filter(col("term").isin(qterms: _*))
+        .withColumnRenamed("term", "query_id")
+      val results = cand.groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.topK(col("tf").cast("double"),
+          col("doc_id"), 10).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("rank"))
+      val qrels = cand.filter(col("tf") >= 2L)
+        .select(col("query_id"), col("doc_id"),
+          least(col("tf"), lit(3L)).cast("int").as("rel"))
+      RetrievalEval.evaluate(results, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // smoothed target encoding (m = 10) of market segment by account
+    // balance, with the leave-one-out train-time form — one category
+    // agg + one-row global + AQE-chosen stats join
+    "q172_target_encode" -> ((s, dir) =>
+      Encoding.targetEncode(t(s, dir, "customer"), "c_mktsegment",
+          "c_acctbal", m = 10.0, loo = true)
+        .select(col("c_custkey"), col("c_mktsegment"), col("enc"),
+          col("enc_loo"))
+        .orderBy(col("c_custkey"))),
+
+    // Benjamini-Hochberg FDR over a per-supplier battery of simulated
+    // p-values (md5-uniform², so small p's exist) — rank from the range
+    // core, suffix-min without a global reverse sort task
+    "q173_bh_fdr" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("s_suppkey").cast("string")
+          .cast("binary")), 1, 13), 16, 10).cast("double") + lit(1.0)) /
+        lit(4503599627370496.0) // 2^52
+      val tests = t(s, dir, "supplier")
+        .select(col("s_suppkey"), (u * u).as("p"))
+      Stats.bhFdr(tests, "p", Seq("s_suppkey"), alpha = 0.1)
+        .select(col("s_suppkey"), round(col("p"), 6).as("p"), col("rank"),
+          col("q_value"), col("reject"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // skyline: parts on the (retailprice, size) Pareto frontier — both
+    // maximized; per-x reduction + exclusive prefix-max dominance scan,
+    // never the O(n²) dominance self-join
+    "q174_skyline" -> ((s, dir) =>
+      Skyline.frontier2D(t(s, dir, "part"), "p_retailprice", "p_size")
+        .orderBy(col("p_retailprice"))),
+
+    // item-item collaborative similarity: each brand's top-5 neighbors
+    // by co-occurrence cosine over order baskets (q108's scaffolding)
+    "q175_item_neighbors" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      MarketBasket.itemNeighbors(baskets, "basket", "item", k = 5)
+        .orderBy(col("item"), col("rank"))
+    }),
+
+    // Fleiss' kappa: multi-rater agreement treating each 4-line order
+    // as a 4-rater panel voting return flags
+    "q176_fleiss_kappa" -> ((s, dir) =>
+      Stats.fleissKappa(t(s, dir, "lineitem"), "l_orderkey",
+          "l_returnflag", n = 4)
+        .orderBy(col("n_items"))),
+
+    // hashing-trick featurization: 64-bucket signed bag-of-words per
+    // document (sparse rows; md5-portable bucket + sign hashes)
+    "q177_hash_features" -> ((s, dir) =>
+      Encoding.hashFeatures(t(s, dir, "documents"), "doc_id", "text",
+          nBuckets = 64)
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // weighted shortest paths: min cumulative transit days from nation 0
+    // over the trade graph (Bellman-Ford, <= 3 hops; clamped weights)
+    "q178_shortest_paths" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"),
+          greatest(lit(0), datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date"))).as("w"))
+      val seeds = t(s, dir, "nation").filter(col("n_nationkey") === 0)
+        .select(col("n_nationkey"))
+      Bfs.shortestPaths(edges, "src", "dst", "w", seeds, "n_nationkey",
+          maxIter = 3)
+        .orderBy(col("node"))
+    }),
+
     // Benford first-digit conformance of extendedprice per return flag
     // — leading digit from exact integer cents, dense 1-9 grid so
     // absent digits still contribute expected mass
@@ -2945,6 +3043,256 @@ object SparkEntry {
         |  SELECT e.dst, w.level + 1 FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.level < 3)
         |SELECT node, min(level) AS level FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    // retrieval-eval replay: same tf ranking (row_number ≡ TopKAgg order),
+    // same decimal-quantized (2^rel−1)·ln2/ln(pos+1) gain terms, same
+    // fixed ratio trees
+    "q171_retrieval_eval" ->
+      """WITH dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY doc_id, term),
+        |cand AS (
+        |  SELECT term AS query_id, doc_id, tf FROM dt
+        |  WHERE term IN ('filter', 'hash', 'join', 'scan', 'sort')),
+        |res AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY CAST(tf AS DOUBLE) DESC, doc_id) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 10),
+        |rels AS (
+        |  SELECT query_id, doc_id, CAST(least(tf, 3) AS INT) AS rel
+        |  FROM cand WHERE tf >= 2),
+        |j AS (
+        |  SELECT r.query_id, r.rank, coalesce(g.rel, 0) AS rel
+        |  FROM res r LEFT JOIN rels g USING (query_id, doc_id)),
+        |pq AS (
+        |  SELECT query_id,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+        |    sum(CAST((power(2.0, CAST(rel AS DOUBLE)) - 1.0) * ln(2.0) /
+        |      ln(CAST(rank + 1 AS DOUBLE)) AS DECIMAL(28,12))) AS dcg
+        |  FROM j GROUP BY query_id),
+        |ideal AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+        |    sum(CASE WHEN ipos <= 10 THEN
+        |      CAST((power(2.0, CAST(rel AS DOUBLE)) - 1.0) * ln(2.0) /
+        |        ln(CAST(ipos + 1 AS DOUBLE)) AS DECIMAL(28,12)) END) AS idcg
+        |  FROM (
+        |    SELECT query_id, rel, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rel DESC, doc_id) AS ipos
+        |    FROM rels)
+        |  GROUP BY query_id)
+        |SELECT p.query_id, coalesce(i.n_rel, 0) AS n_rel, p.hits,
+        |  round(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_k,
+        |  CASE WHEN i.n_rel > 0
+        |    THEN round(CAST(p.hits AS DOUBLE) / CAST(i.n_rel AS DOUBLE), 6)
+        |    END AS recall_k,
+        |  round(coalesce(1.0 / CAST(p.first_rel AS DOUBLE), 0.0), 6) AS mrr,
+        |  CASE WHEN i.idcg IS NOT NULL AND i.idcg <> 0
+        |    THEN round(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+        |    END AS ndcg_k
+        |FROM pq p LEFT JOIN ideal i USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    // target-encoding replay: same decimal category/global sums, same
+    // fixed shrinkage and leave-one-out double trees
+    "q172_target_encode" ->
+      """WITH stats AS (
+        |  SELECT c_mktsegment, sum(CAST(c_acctbal AS DECIMAL(30,6))) AS sum_c,
+        |    count(c_acctbal) AS n_c
+        |  FROM customer GROUP BY c_mktsegment),
+        |g AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(30,6))) AS sum_g,
+        |    count(c_acctbal) AS n_g
+        |  FROM customer)
+        |SELECT c_custkey, c.c_mktsegment,
+        |  round((CAST(coalesce(sum_c, 0) AS DOUBLE) +
+        |      10.0 * (CAST(sum_g AS DOUBLE) / CAST(n_g AS DOUBLE))) /
+        |    (CAST(n_c AS DOUBLE) + 10.0), 6) AS enc,
+        |  CASE WHEN c_acctbal IS NULL THEN
+        |    round((CAST(coalesce(sum_c, 0) AS DOUBLE) +
+        |        10.0 * (CAST(sum_g AS DOUBLE) / CAST(n_g AS DOUBLE))) /
+        |      (CAST(n_c AS DOUBLE) + 10.0), 6)
+        |  WHEN (CAST(n_c AS DOUBLE) - 1.0) + 10.0 > 0 THEN
+        |    round((CAST(coalesce(sum_c, 0) AS DOUBLE) - CAST(c_acctbal AS DOUBLE) +
+        |        10.0 * (CAST(sum_g AS DOUBLE) / CAST(n_g AS DOUBLE))) /
+        |      ((CAST(n_c AS DOUBLE) - 1.0) + 10.0), 6)
+        |  END AS enc_loo
+        |FROM customer c
+        |JOIN stats s ON s.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+        |CROSS JOIN g
+        |ORDER BY c_custkey""".stripMargin,
+
+    // BH replay: same md5-uniform² p's, same p·m/rank tree, suffix min
+    // via a rank-DESC running window, same cap + alpha compare
+    "q173_bh_fdr" ->
+      """WITH uu AS (
+        |  SELECT s_suppkey,
+        |    (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 13))::BIGINT
+        |      + 1.0) / 4503599627370496.0 AS u
+        |  FROM supplier),
+        |tests AS (SELECT s_suppkey, u * u AS p FROM uu),
+        |r AS (
+        |  SELECT s_suppkey, p,
+        |    CAST(row_number() OVER (ORDER BY p, s_suppkey) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM tests WHERE p IS NOT NULL),
+        |a AS (
+        |  SELECT *, CAST(p AS DOUBLE) * CAST(m AS DOUBLE) /
+        |    CAST(rank AS DOUBLE) AS adj
+        |  FROM r),
+        |qv AS (
+        |  SELECT *, min(adj) OVER (ORDER BY rank DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qraw
+        |  FROM a)
+        |SELECT s_suppkey, round(p, 6) AS p, rank,
+        |  round(least(qraw, CAST(1 AS DOUBLE)), 6) AS q_value,
+        |  least(qraw, CAST(1 AS DOUBLE)) <= CAST(0.1 AS DOUBLE) AS reject
+        |FROM qv
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // skyline replay: identical per-x reduction + exclusive running-max
+    // dominance scan (a window here — DuckDB runs at oracle scale)
+    "q174_skyline" ->
+      """WITH pc AS (
+        |  SELECT p_retailprice, p_size, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  GROUP BY p_retailprice, p_size),
+        |px AS (
+        |  SELECT p_retailprice, max(p_size) AS p_size
+        |  FROM pc GROUP BY p_retailprice),
+        |scan AS (
+        |  SELECT pc.*, max(CAST(pc.p_size AS DOUBLE)) OVER (
+        |      ORDER BY pc.p_retailprice DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pc JOIN px USING (p_retailprice, p_size))
+        |SELECT p_retailprice, p_size, n_rows FROM scan
+        |WHERE pm IS NULL OR CAST(p_size AS DOUBLE) > pm
+        |ORDER BY p_retailprice""".stripMargin,
+
+    // item-neighbors replay: q108's basket scaffolding symmetrized, the
+    // same widened cosine tree, per-item row_number top-5
+    "q175_item_neighbors" ->
+      """WITH raw_items AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |items AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, count(*) OVER (PARTITION BY b) AS bn
+        |    FROM raw_items)
+        |  WHERE bn <= 1000),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i),
+        |pc AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2),
+        |pf AS (
+        |  SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b
+        |  FROM pc
+        |  JOIN ic ca ON ca.i = pc.item_a
+        |  JOIN ic cb ON cb.i = pc.item_b),
+        |sym AS (
+        |  SELECT item_a AS item, item_b AS neighbor, n_ab,
+        |    n_a AS n_i, n_b AS n_j FROM pf
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_ab, n_b, n_a FROM pf),
+        |sc AS (
+        |  SELECT *, CAST(n_ab AS DOUBLE) /
+        |    sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)) AS cos
+        |  FROM sym)
+        |SELECT item, neighbor, rank, n_ab, round(cos, 6) AS cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY cos DESC, neighbor) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5
+        |ORDER BY item, rank""".stripMargin,
+
+    // Fleiss replay: same complete-panel filter, same DECIMAL(19,0)²
+    // squared sums, same fixed P̄/P̄e/κ double trees
+    "q176_fleiss_kappa" ->
+      """WITH cells AS (
+        |  SELECT l_orderkey AS i, l_returnflag AS c,
+        |    CAST(count(*) AS BIGINT) AS nij
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |complete AS (SELECT i FROM cells GROUP BY i HAVING sum(nij) = 4),
+        |kept AS (SELECT cells.* FROM cells JOIN complete USING (i)),
+        |margins AS (
+        |  SELECT sum(CAST(cj AS DECIMAL(19,0)) * CAST(cj AS DECIMAL(19,0)))
+        |    AS sc2
+        |  FROM (SELECT sum(nij) AS cj FROM kept GROUP BY c)),
+        |tot AS (
+        |  SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+        |    sum(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0)))
+        |      AS s2
+        |  FROM kept),
+        |calc AS (
+        |  SELECT n_items,
+        |    (CAST(s2 AS DOUBLE) - CAST(n_items AS DOUBLE) * 4.0) /
+        |      (CAST(n_items AS DOUBLE) * 4.0 * 3.0) AS pbar,
+        |    CAST(sc2 AS DOUBLE) /
+        |      ((CAST(n_items AS DOUBLE) * 4.0) *
+        |       (CAST(n_items AS DOUBLE) * 4.0)) AS pe
+        |  FROM tot CROSS JOIN margins WHERE n_items > 0)
+        |SELECT n_items, CAST(4 AS BIGINT) AS n_raters,
+        |  round(pbar, 6) AS p_bar, round(pe, 6) AS p_e,
+        |  CASE WHEN 1.0 - pe <> 0 THEN round((pbar - pe) / (1.0 - pe), 6)
+        |    END AS kappa
+        |FROM calc""".stripMargin,
+
+    // hashing-trick replay: same md5 52-bit bucket and 14th-hex-digit
+    // sign hashes, same signed integer sums, zero rows dropped
+    "q177_hash_features" ->
+      """WITH dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY doc_id, term),
+        |h AS (
+        |  SELECT doc_id, tf,
+        |    ('0x' || substr(md5(term), 1, 13))::BIGINT % 64 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(term), 14, 1))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM dt)
+        |SELECT doc_id, bucket, CAST(sum(sign * tf) AS BIGINT) AS value
+        |FROM h GROUP BY doc_id, bucket
+        |HAVING sum(sign * tf) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    // shortest-paths replay: hop-bounded recursive walk over the
+    // min-weight edge frame; min(d) ≡ Bellman-Ford after 3 rounds
+    "q178_shortest_paths" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    greatest(0, date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |e AS (
+        |  SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+        |    SELECT src, dst, w FROM base
+        |    UNION ALL SELECT dst, src, w FROM base)
+        |  GROUP BY src, dst),
+        |seeds AS (SELECT n_nationkey AS node FROM nation WHERE n_nationkey = 0),
+        |walk AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS d, 0 AS hops FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.d + e.w, w.hops + 1
+        |  FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hops < 3)
+        |SELECT node, min(d) AS dist FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
 
     // Benford replay: same exact-cents digit, same dense grid, same

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Shared frame-shaping helpers for the statistics operators — ONE
   * definition of the two idioms they all lean on, so a semantics fix
@@ -52,5 +53,56 @@ private[operators] object FrameOps {
     sa.join(sb,
       groupCols.map(c => col(c) <=> col(s"__kb_$c")).reduce(_ && _))
       .drop(groupCols.map(c => s"__kb_$c"): _*)
+  }
+
+  /** Distributed running min/max of a double column in `sortExprs`
+    * order, WITHOUT the single-task `OVER ()` window: one range
+    * exchange, a per-partition extremum metadata agg (bounded at
+    * numPartitions rows on the driver), a driver prefix scan for the
+    * carry-ins, and a forward streaming pass per partition. `inclusive`
+    * includes the current row (the suffix-min shape, e.g. BH q-values);
+    * exclusive emits the extremum over strictly-preceding rows — null
+    * for the first row (the dominance-scan shape, e.g. skyline).
+    * Extrema are single `min`/`max` comparisons over exact doubles — no
+    * accumulation, so no quantization is needed for portability.
+    */
+  def orderedRunning(df: DataFrame, sortExprs: Seq[Column],
+                     valueCol: String, outCol: String, isMin: Boolean,
+                     inclusive: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = TrackedCaches.track(
+      df.repartitionByRange(nPart, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val extreme = if (isMin) min(col(valueCol)) else max(col(valueCol))
+    val partExt = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(extreme.as("__ext")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    val init = if (isMin) Double.PositiveInfinity else Double.NegativeInfinity
+    val op: (Double, Double) => Double =
+      if (isMin) math.min else math.max
+    // carry(pid) = extremum over partitions BEFORE pid in sort order
+    val carryIn = partExt.map(_._1)
+      .zip(partExt.map(_._2).scanLeft(init)(op)).toMap
+    val bCarry = spark.sparkContext.broadcast(carryIn)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(outCol, DoubleType, nullable = !inclusive))
+    val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var running = bCarry.value.getOrElse(pid, init)
+      rows.map { r =>
+        val v = r.getDouble(vIdx)
+        val emitted: Any =
+          if (inclusive) { running = op(running, v); running }
+          else {
+            val prev = if (running == init) null else (running: Any)
+            running = op(running, v)
+            prev
+          }
+        Row.fromSeq(r.toSeq :+ emitted)
+      }
+    }
+    spark.createDataFrame(scanned, outSchema)
   }
 }

@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object MarketBasket {
 
-  def pairStats(baskets: DataFrame, basketCol: String, itemCol: String,
-                minPairCount: Long = 1L,
-                maxBasketSize: Int = 1000): DataFrame = {
+  /** Shared pair scaffolding: per-pair co-occurrence counts joined with
+    * both single-item counts and the one-row basket total — columns
+    * (item_a, item_b, n_ab, n_a, n_b, n_baskets).
+    */
+  private def pairFrame(baskets: DataFrame, basketCol: String,
+                        itemCol: String, minPairCount: Long,
+                        maxBasketSize: Int): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     // a cap below 2 silently filters EVERY pair-capable basket — that is
     // always a caller typo, fail fast like the minPairCount guard
@@ -61,6 +65,12 @@ object MarketBasket {
       .join(itemCounts.select(col("i").as("item_b"),
         col("c").as("n_b")), Seq("item_b"))
       .crossJoin(broadcast(nBaskets))
+  }
+
+  def pairStats(baskets: DataFrame, basketCol: String, itemCol: String,
+                minPairCount: Long = 1L,
+                maxBasketSize: Int = 1000): DataFrame =
+    pairFrame(baskets, basketCol, itemCol, minPairCount, maxBasketSize)
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(col("n_ab").cast("double") / col("n_baskets"), 6).as("support"),
         round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
@@ -69,5 +79,38 @@ object MarketBasket {
         // for the magnitudes that matter
         round(col("n_ab").cast("double") * col("n_baskets") /
           (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+
+  /** "Related items": each item's `k` nearest neighbors by
+    * co-occurrence cosine `n_ab / √(n_a·n_b)` — the classic item-item
+    * collaborative-filtering similarity. Built on the same capped pair
+    * scaffolding as [[pairStats]]; the pair set is symmetrized
+    * (each unordered pair feeds both endpoints' lists) and the top-k
+    * cut is a per-item `row_number` window — items are NUMEROUS, so the
+    * window keeps full parallelism (this is its regime; TopKAgg would
+    * constrain item ids to bigint for no scale win here). Ties break on
+    * neighbor id. Cosine is one double tree over exact counts (widened
+    * before the multiply, the lift overflow lesson), rounded 6 dp.
+    */
+  def itemNeighbors(baskets: DataFrame, basketCol: String, itemCol: String,
+                    k: Int, minPairCount: Long = 1L,
+                    maxBasketSize: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pf = pairFrame(baskets, basketCol, itemCol, minPairCount,
+      maxBasketSize)
+    val sym = pf.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("n_ab"),
+        col("n_a").as("n_i"), col("n_b").as("n_j"))
+      .unionByName(pf.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("n_ab"),
+        col("n_b").as("n_i"), col("n_a").as("n_j")))
+      .withColumn("__cos", col("n_ab").cast("double") /
+        sqrt(col("n_i").cast("double") * col("n_j").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("__cos").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("rank"), col("n_ab"),
+        round(col("__cos"), 6).as("cosine"))
   }
 }

@@ -394,4 +394,100 @@ object Stats {
       .select(gc :+ col("n") :+ col("slope") :+ col("intercept") :+
         col("r2"): _*)
   }
+
+  /** Benjamini–Hochberg FDR control: adjusted q-values and reject flags
+    * for a frame of per-test p-values — the multiple-testing step after
+    * any per-group test battery (thousands of A/B cells, per-feature
+    * drift scans). `q_i = min(1, min_{j ≥ i} p_j·m/j)` over the p-sorted
+    * order.
+    *
+    * Distributed plan: the global p-rank comes from [[Ranking.rangeRank]]
+    * (range sort — no single-task `OVER ()` window). The suffix-min that
+    * makes q monotone is computed WITHOUT a global reverse sort task:
+    * a second range exchange on descending rank, per-partition minima of
+    * the adjusted values (one map-side-combinable metadata agg, bounded
+    * at numPartitions rows on the driver), a driver prefix-min scan over
+    * those partition minima for the carry-ins, and a forward streaming
+    * min per partition. Each q is a `min` over exact double terms
+    * `p·m/rank` — no accumulation, so no quantization is needed; the
+    * stored q is rounded to 6 dp.
+    *
+    * Output: input columns + `rank`, `q_value`, `reject`
+    * (q ≤ alpha, on the UNROUNDED q). Null p-values are dropped.
+    */
+  /** Fleiss' kappa: chance-corrected agreement for `n` raters per item
+    * over any number of categories — the multi-rater generalization of
+    * [[cohenKappa]], the standard QA statistic for labeling/annotation
+    * pipelines. Items whose rating count ≠ `n` are dropped (the
+    * statistic is undefined for ragged panels; silent inclusion would
+    * skew P̄).
+    *
+    * Everything reduces to exact integer sums — `P̄ = (Σ_{i,j} n_ij² −
+    * N·n) / (N·n·(n−1))` needs only the global sum of squared cell
+    * counts, and `P̄_e = Σ_j c_j² / (N·n)²` the squared category
+    * margins — so the plan is: one (item, category) count shuffle, one
+    * item-cardinality agg for the panel filter, one category-margin
+    * agg. Squared margins accumulate in DECIMAL(38,0) (the Cohen
+    * marginal-product lesson: c_j can reach N·n, whose square overflows
+    * long at ~3e9 ratings). κ is a fixed double tree on the exact sums,
+    * rounded 6 dp; null when P̄_e = 1 (a single category — chance
+    * agreement is saturated).
+    *
+    * Output: one row — n_items, n_raters, p_bar, p_e, kappa.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"fleissKappa needs n >= 2 raters per item, got $n")
+    val cells = df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    // keep only complete panels: items with exactly n ratings
+    val complete = cells.groupBy(col("__i"))
+      .agg(sum(col("__nij")).as("__ni"))
+      .filter(col("__ni") === n.toLong)
+      .select(col("__i"))
+    val kept = cells.join(complete, Seq("__i"))
+    val margins = kept.groupBy(col("__c"))
+      .agg(sum(col("__nij")).as("__cj"))
+      .agg(sum(col("__cj").cast("decimal(19,0)") *
+        col("__cj").cast("decimal(19,0)")).as("__sc2"))
+    val totals = kept.agg(
+      countDistinct(col("__i")).as("n_items"),
+      sum(col("__nij").cast("decimal(19,0)") *
+        col("__nij").cast("decimal(19,0)")).as("__s2"))
+    val nItems = col("n_items").cast("double")
+    val nD = lit(n.toDouble)
+    val pBar = (col("__s2").cast("double") - nItems * nD) /
+      (nItems * nD * lit((n - 1).toDouble))
+    val pE = col("__sc2").cast("double") /
+      ((nItems * nD) * (nItems * nD))
+    totals.crossJoin(broadcast(margins))
+      .filter(col("n_items") > 0L)
+      .withColumn("n_raters", lit(n.toLong))
+      .withColumn("p_bar", round(pBar, 6))
+      .withColumn("p_e", round(pE, 6))
+      .withColumn("kappa",
+        when(lit(1.0) - pE =!= 0d, round((pBar - pE) / (lit(1.0) - pE), 6)))
+      .select(col("n_items"), col("n_raters"), col("p_bar"), col("p_e"),
+        col("kappa"))
+  }
+
+  def bhFdr(df: DataFrame, pCol: String, tieCols: Seq[String],
+            alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val v = df.filter(col(pCol).isNotNull)
+    val ranked = Ranking.rangeRank(v, Nil, pCol +: tieCols, "rank")
+    val m = ranked.agg(count(lit(1)).as("__m"))
+    val withA = ranked.crossJoin(broadcast(m))
+      .withColumn("__a", col(pCol).cast("double") *
+        col("__m").cast("double") / col("rank").cast("double"))
+      .drop("__m")
+    // descending-rank range pass: a forward running min with
+    // carry-ins IS the suffix min in rank order
+    FrameOps.orderedRunning(withA, Seq(col("rank").desc), "__a", "__q",
+        isMin = true, inclusive = true)
+      .withColumn("q_value", round(least(col("__q"), lit(1.0)), 6))
+      .withColumn("reject", least(col("__q"), lit(1.0)) <= lit(alpha))
+      .drop("__a", "__q")
+  }
 }

@@ -38,4 +38,42 @@ class BfsSpec extends SparkSpecBase {
     val undir = run(edges((1L, 2L), (3L, 2L)), seeds(1L), depth = 3)
     assert(undir == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  private def wEdges(rows: (Long, Long, Long)*) =
+    rows.toDF("src", "dst", "w")
+
+  private def runSp(e: org.apache.spark.sql.DataFrame,
+                    s: org.apache.spark.sql.DataFrame, iters: Int,
+                    directed: Boolean = false) =
+    Bfs.shortestPaths(e, "src", "dst", "w", s, "node", iters, directed)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist"))
+      .toMap
+
+  test("shortestPaths: two cheap hops beat one expensive edge; " +
+      "maxIter bounds path length; parallel edges take the min") {
+    val e = wEdges((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L),
+      (1L, 3L, 40L))
+    assert(runSp(e, seeds(1L), iters = 3, directed = true) ==
+      Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // one round can only use single-edge paths: 3 costs 25 direct
+    assert(runSp(e, seeds(1L), iters = 1, directed = true) ==
+      Map(1L -> 0L, 2L -> 10L, 3L -> 25L))
+  }
+
+  test("shortestPaths: undirected symmetrizes; early convergence " +
+      "equals the full run; multi-source takes the nearest seed") {
+    val e = wEdges((1L, 2L, 5L), (2L, 3L, 5L))
+    assert(runSp(e, seeds(3L), iters = 9) ==
+      Map(3L -> 0L, 2L -> 5L, 1L -> 10L))
+    assert(runSp(e, seeds(3L), iters = 9) == runSp(e, seeds(3L), iters = 2))
+    assert(runSp(e, seeds(1L, 3L), iters = 9) ==
+      Map(1L -> 0L, 3L -> 0L, 2L -> 5L))
+  }
+
+  test("shortestPaths: negative weights fail loudly") {
+    val e = wEdges((1L, 2L, -1L))
+    assertThrows[Exception] {
+      runSp(e, seeds(1L), iters = 2)
+    }
+  }
 }

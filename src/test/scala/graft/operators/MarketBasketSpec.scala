@@ -55,4 +55,23 @@ class MarketBasketSpec extends SparkSpecBase {
     val ab = out.filter(col("item_a") === "a" && col("item_b") === "b").head()
     assert(ab.getAs[Double]("support") == 0.5)
   }
+
+  test("itemNeighbors: symmetrized cosine ranking with k cut") {
+    // a:3 b:3 c:1 d:1; pairs ab:2 ac:1 bc:1 bd:1
+    // cos(a,b) = 2/3; cos(a,c) = cos(b,c) = cos(b,d) = 1/√3
+    val out = MarketBasket.itemNeighbors(baskets, "basket", "item", k = 2)
+      .collect()
+      .map(r => (r.getAs[String]("item"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("neighbor"), r.getAs[Double]("cosine")))
+      .toMap
+    val r3 = round6(1.0 / math.sqrt(3.0))
+    assert(out(("a", 1L)) == ("b", round6(2.0 / 3)))
+    assert(out(("a", 2L)) == ("c", r3))
+    // b's neighbors: a at 2/3, then c before d on the neighbor tiebreak
+    assert(out(("b", 1L)) == ("a", round6(2.0 / 3)))
+    assert(out(("b", 2L)) == ("c", r3))
+    // c and d each see their sole partners; no rank-3 rows anywhere
+    assert(out(("c", 1L))._1 == "a" || out(("c", 1L))._1 == "b")
+    assert(!out.keySet.exists(_._2 > 2L))
+  }
 }

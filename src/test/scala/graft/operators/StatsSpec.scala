@@ -218,4 +218,85 @@ class StatsSpec extends SparkSpecBase {
     val r = Stats.groupOls(df, "x", "y", Seq("g")).collect()(0)
     assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 7.0 && r.isNullAt(4))
   }
+
+  test("fleissKappa: hand-computed panels, perfect and saturated cases") {
+    import spark.implicits._
+    // two items, two raters: item 1 unanimous "a", item 2 split.
+    // S2 = 4 + 2 = 6 -> p_bar = (6-4)/4 = 0.5; margins a=3, b=1 ->
+    // p_e = 10/16 = 0.625; kappa = -0.125/0.375 = -1/3
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")).toDF("i", "c")
+    val r = Stats.fleissKappa(df, "i", "c", n = 2).head()
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Double]("p_bar") == 0.5)
+    assert(r.getAs[Double]("p_e") == 0.625)
+    assert(r.getAs[Double]("kappa") == -0.333333)
+    // perfect two-category agreement: kappa = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("i", "c")
+    assert(Stats.fleissKappa(perfect, "i", "c", n = 2).head()
+      .getAs[Double]("kappa") == 1.0)
+    // single category: p_e = 1, kappa undefined
+    val sat = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("i", "c")
+    val rs = Stats.fleissKappa(sat, "i", "c", n = 2).head()
+    assert(rs.isNullAt(rs.fieldIndex("kappa")))
+  }
+
+  test("fleissKappa: ragged panels are dropped, not skewed into P̄") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), // complete panel
+      (2L, "a"), (2L, "b"), (2L, "b"), // 3 ratings -> dropped at n=2
+      (3L, "a")).toDF("i", "c") // 1 rating -> dropped
+    val r = Stats.fleissKappa(df, "i", "c", n = 2).head()
+    assert(r.getAs[Long]("n_items") == 1L)
+    assert(r.getAs[Double]("p_bar") == 1.0)
+  }
+
+  test("bhFdr: hand-computed q-values, suffix-min monotonicity") {
+    import spark.implicits._
+    // adjusted = p*m/rank = [0.04, 0.08, 0.06, 0.05] — the suffix min
+    // pulls rank 2 and 3 down to 0.05 (monotone non-decreasing q)
+    val df = Seq((1L, 0.01), (2L, 0.04), (3L, 0.045), (4L, 0.05))
+      .toDF("id", "p")
+    val out = Stats.bhFdr(df, "p", Seq("id"), alpha = 0.05)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Double]("q_value")).toSeq ==
+      Seq(0.04, 0.05, 0.05, 0.05))
+    assert(out.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, true, true, true))
+  }
+
+  test("bhFdr: matches a local reference across many partitions") {
+    import spark.implicits._
+    // deterministic pseudo-uniform p's, spread over partitions so the
+    // per-partition carry-in path is exercised
+    val ps = (1 to 97).map(i => (i.toLong, (i * 37 % 101) / 101.0 + 1e-9))
+    val out = Stats.bhFdr(ps.toDF("id", "p").repartition(7), "p", Seq("id"),
+        alpha = 0.1)
+      .select("id", "q_value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: sort, adjust, suffix-min, cap — plain Scala
+    val sorted = ps.sortBy { case (id, p) => (p, id) }
+    val m = sorted.length
+    val adj = sorted.zipWithIndex.map { case ((id, p), i) =>
+      id -> p * m / (i + 1) }
+    val qs = adj.scanRight(Double.PositiveInfinity) {
+      case ((_, a), acc) => math.min(a, acc) }.init
+    adj.map(_._1).zip(qs).foreach { case (id, q) =>
+      val want = math.floor(math.min(q, 1.0) * 1e6 + 0.5) / 1e6
+      assert(out(id) == want, s"id $id")
+    }
+  }
+
+  test("bhFdr: null p-values are dropped; reject uses unrounded q") {
+    import spark.implicits._
+    val df = Seq((1L, Some(0.02)), (2L, None), (3L, Some(0.8)))
+      .toDF("id", "p")
+    val out = Stats.bhFdr(df, "p", Seq("id"), alpha = 0.05)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    // m = 2: q1 = min(0.04, 0.8) = 0.04 -> reject; q2 = 0.8 -> keep
+    assert(out(0).getAs[Double]("q_value") == 0.04)
+    assert(out(0).getAs[Boolean]("reject"))
+    assert(!out(1).getAs[Boolean]("reject"))
+  }
 }
