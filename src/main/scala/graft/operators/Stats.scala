@@ -268,37 +268,38 @@ object Stats {
 
   /** Pairwise Pearson correlation matrix over named numeric columns,
     * per group, from ONE wide aggregation: d sums, d square-sums and
-    * d(d−1)/2 cross-sums (all per-row DECIMAL(30,6)-quantized, so
-    * order-free) ride a single map-side-combinable shuffle — never d²
-    * passes, never a driver-side matrix. Output: one row per unordered
-    * pair, `(groupCols…, col_a, col_b, n, r)`; pairs where either
-    * column is constant report null r. Rows with a null in ANY of
-    * `cols` are excluded entirely (listwise deletion), keeping every
-    * pair on the same n.
+    * d(d−1)/2 cross-sums (all per-row 6-dp-quantized and summed exactly
+    * via [[ExactSum]], so order-free at long-sum speed — the decimal-sum
+    * form of this agg measured ~8x slower) ride a single map-side-
+    * combinable shuffle — never d² passes, never a driver-side matrix.
+    * Output: one row per unordered pair,
+    * `(groupCols…, col_a, col_b, n, r)`; pairs where either column is
+    * constant report null r. Rows with a null in ANY of `cols` are
+    * excluded entirely (listwise deletion), keeping every pair on the
+    * same n.
     */
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  groupCols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     require(groupCols.nonEmpty, "corrMatrix needs at least one group column")
     val gc = groupCols.map(col)
-    val d = "decimal(30,6)"
     def cd(c: String) = col(c).cast("double")
     val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
     val aggs =
-      cols.map(c => sum(cd(c).cast(d)).as(s"__s_$c")) ++
-      cols.map(c => sum((cd(c) * cd(c)).cast(d)).as(s"__ss_$c")) ++
-      pairs.map { case (a, b) =>
-        sum((cd(a) * cd(b)).cast(d)).as(s"__sp_${a}_$b") }
+      cols.flatMap(c => ExactSum.aggs(s"s_$c", cd(c))) ++
+      cols.flatMap(c => ExactSum.aggs(s"ss_$c", cd(c) * cd(c))) ++
+      pairs.flatMap { case (a, b) =>
+        ExactSum.aggs(s"sp_${a}_$b", cd(a) * cd(b)) }
     val agged = complete.groupBy(gc: _*)
       .agg(count(lit(1)).as("n"), aggs: _*)
       .filter(col("n") >= 2L)
     val nD = col("n").cast("double")
-    def sD(c: String) = col(s"__s_$c").cast("double")
-    def ssD(c: String) = col(s"__ss_$c").cast("double")
+    def sD(c: String) = ExactSum.totalDouble(s"s_$c")
+    def ssD(c: String) = ExactSum.totalDouble(s"ss_$c")
     val pairRows = pairs.map { case (a, b) =>
-      val num = nD * col(s"__sp_${a}_$b").cast("double") - sD(a) * sD(b)
+      val num = nD * ExactSum.totalDouble(s"sp_${a}_$b") - sD(a) * sD(b)
       val da = nD * ssD(a) - sD(a) * sD(a)
       val db = nD * ssD(b) - sD(b) * sD(b)
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
