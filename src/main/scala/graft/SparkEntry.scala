@@ -5130,23 +5130,21 @@ object SparkEntry {
         |  SELECT l_returnflag,
         |    CAST(row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_shipdate)
-        |      AS DOUBLE) AS rx,
+        |      AS BIGINT) AS rx,
         |    CAST(row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_shipdate)
-        |      AS DOUBLE) AS ry
+        |      AS BIGINT) AS ry
         |  FROM lineitem
         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         |g AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(rx AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(ry AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(rx * rx AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(ry * ry AS DECIMAL(30,6))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(rx * ry AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |    sum((rx - ry) * (rx - ry)) AS sd2
         |  FROM ranked GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round((n * sxy - sx * sy) /
-        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+        |  CASE WHEN n > 1 THEN
+        |    round(1 - 6 * CAST(sd2 AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)), 6)
+        |  END AS spearman_rho
         |FROM g
         |ORDER BY l_returnflag""".stripMargin,
 

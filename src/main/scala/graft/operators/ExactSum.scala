@@ -56,8 +56,16 @@ object ExactSum {
     * single wide `.agg(...)`; recover the total with [[total]] /
     * [[totalDouble]] on the aggregated frame.
     */
-  def aggs(name: String, x: Column): Seq[Column] = {
-    val q = quantize6(x)
+  def aggs(name: String, x: Column): Seq[Column] =
+    aggsLong(name, quantize6(x))
+
+  /** Digit-split sums of an ALREADY-INTEGRAL long column — for exact
+    * integer statistics (rank differences, tie cubes) where no 6-dp
+    * quantization applies. Recover Σq with [[total]] (decimal(38,0));
+    * [[totalDouble]]'s /1e6 does NOT apply to this form.
+    */
+  def aggsLong(name: String, q0: Column): Seq[Column] = {
+    val q = q0.cast("long")
     Seq(sum(shiftright(q, 40)).as(s"__es2_$name"),
       sum(shiftright(q, 20).bitwiseAND(lit(Mask))).as(s"__es1_$name"),
       sum(q.bitwiseAND(lit(Mask))).as(s"__es0_$name"))

@@ -102,8 +102,15 @@ object Profile {
     * `row_number` over (value, `tieCols`): a DETERMINISTIC tie-break
     * (both engines replay it exactly) rather than the textbook averaged
     * ranks — documented divergence, negligible when ties are rare.
-    * Ranks + the [[exactCorr]] decimal-exact fold; integer ranks make
-    * the sums exactly representable.
+    *
+    * Because tie-broken ranks are permutations of 1..n, Pearson-on-ranks
+    * collapses to the classic difference identity
+    * `ρ = 1 − 6·Σ(rx−ry)² / (n(n²−1))` — ONE exact integer sum (via
+    * [[ExactSum.aggsLong]], pure long arithmetic) instead of five
+    * decimal product sums. Per-row `(rx−ry)²` must fit a long, so the
+    * bound is n ≤ ~3e9 rows per group (≈ 400 TB of lineitem in a single
+    * group); ANSI multiplication overflow fails loudly past it. Groups
+    * with n < 2 report null ρ.
     *
     * `rangeRanks = true` (default) computes both rank columns with
     * [[Ranking.rangeRank]] — full cluster parallelism even when
@@ -127,20 +134,25 @@ object Profile {
     val ranked = if (rangeRanks) {
       val rx = Ranking.rangeRank(filtered, groupCols, xCol +: tieCols, "__rxl")
       Ranking.rangeRank(rx, groupCols, yCol +: tieCols, "__ryl")
-        .withColumn("__rx", col("__rxl").cast("double"))
-        .withColumn("__ry", col("__ryl").cast("double"))
     } else {
       val wx = Window.partitionBy(groupCols.map(col): _*)
         .orderBy(col(xCol) +: tieCols.map(col): _*)
       val wy = Window.partitionBy(groupCols.map(col): _*)
         .orderBy(col(yCol) +: tieCols.map(col): _*)
       filtered
-        .withColumn("__rx", row_number().over(wx).cast("double"))
-        .withColumn("__ry", row_number().over(wy).cast("double"))
+        .withColumn("__rxl", row_number().over(wx).cast("long"))
+        .withColumn("__ryl", row_number().over(wy).cast("long"))
     }
-    exactCorr(ranked, "__rx", "__ry", groupCols)
-      .withColumnRenamed("corr_xy", "spearman_rho")
-      .drop("cov_samp")
+    val d = col("__rxl") - col("__ryl")
+    val g = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        ExactSum.aggsLong("sd2", d * d): _*)
+    val nD = col("n").cast("double")
+    g.withColumn("spearman_rho",
+        when(col("n") > 1L, round(lit(1d) -
+          lit(6d) * ExactSum.total("sd2").cast("double") /
+            (nD * (nD * nD - lit(1d))), 6)))
+      .drop("__es2_sd2", "__es1_sd2", "__es0_sd2")
   }
 
   /** Join-key skew diagnosis — the measurement that decides between a
@@ -206,6 +218,11 @@ object Profile {
     * expression tree. One shuffle (map-side partial long sums, ~8x
     * cheaper than the decimal-sum form); round(6) on the
     * transcendental outputs.
+    *
+    * Domain contract: per-row |x·y|, x², y² must stay ≤ ~9.2e12 so the
+    * 6-dp quantized product fits a long (ANSI fails loudly past it) —
+    * ample for price/measure domains; for wider domains or rank inputs
+    * use [[spearman]]'s integer identity or a decimal fold.
     */
   def exactCorr(df: DataFrame, xCol: String, yCol: String,
                 groupCols: Seq[String]): DataFrame = {

@@ -276,7 +276,8 @@ object Stats {
     * `(groupCols…, col_a, col_b, n, r)`; pairs where either column is
     * constant report null r. Rows with a null in ANY of `cols` are
     * excluded entirely (listwise deletion), keeping every pair on the
-    * same n.
+    * same n. Domain contract: per-row cross products must stay ≤ ~9.2e12
+    * (the 6-dp long-quantization bound; ANSI fails loudly past it).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  groupCols: Seq[String]): DataFrame = {
