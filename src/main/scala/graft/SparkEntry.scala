@@ -1322,10 +1322,14 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
 
     // per-source content fingerprints: order-free MD5-sum checksums —
-    // the corpus-versioning primitive (checksum(A∪B) = sum of parts)
+    // the corpus-versioning primitive (checksum(A∪B) = sum of parts).
+    // checksum gated as STRING: a DECIMAL(38,0) survives Spark's parquet
+    // exactly but degrades to float64 on the oracle's DuckDB→pandas hop,
+    // so the driver's value-hash would diverge on identical numbers
     "q157_fingerprint" -> ((s, dir) =>
       Fingerprint.partitionFingerprints(t(s, dir, "documents"),
           Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy(col("source"))),
 
     // weighted round-robin interleave: the mixture-preserving global
@@ -1537,6 +1541,15 @@ object SparkEntry {
       Similarity.quantizeEmbeddings( // downstream consumer shape check
         Embeddings.project(emb, Embeddings.pca(emb, k = 8))
           .select(col("vec_id"), col("coords").cast("array<float>").as("embedding")))
+        // gate on scalar digests of the int8 code vector: the driver's
+        // canonicalizer sorts every column, and an array column crashes
+        // that sort — the full code array stays spec-verified
+        .select(col("vec_id"), col("scale"),
+          size(col("quant")).as("quant_dims"),
+          aggregate(col("quant"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("quant_sum"),
+          array_min(col("quant")).cast("int").as("quant_min"),
+          array_max(col("quant")).cast("int").as("quant_max"))
         .orderBy(col("vec_id"))
     }),
 
@@ -3640,10 +3653,10 @@ object SparkEntry {
     // same top-64-bits-of-MD5, same exact decimal sum
     "q157_fingerprint" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(('0x' || substr(md5(
+        |  CAST(CAST(sum(('0x' || substr(md5(
         |      CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) ||
         |      lang || chr(31) || CAST(n_chars AS VARCHAR)), 1, 16))::UBIGINT
-        |    ::DECIMAL(20,0)) AS DECIMAL(38,0)) AS checksum
+        |    ::DECIMAL(20,0)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
@@ -3959,13 +3972,16 @@ object SparkEntry {
         |FROM pd JOIN top ON top.doc_id = pd.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
 
-    // covariance replay: raw pair products decimal-quantized at 12 dp
-    // before the order-free sum, then centered on the d(d+1)/2-row
-    // result via the identity Σ(xi−mi)(xj−mj) = Σxixj − n·mi·mj — the
-    // exact tree the Spark path computes (quantization BEFORE the sum
-    // means results differ from round(exact, 6); both engines replay
-    // the same quantized values). The row key only routes the
-    // self-join, so its engine-specific assignment is irrelevant.
+    // covariance replay: raw pair products floor-quantized at 12 dp
+    // (floor(x*1e12+0.5) AS BIGINT — the ExactSum digit-split scheme's
+    // quantization; DuckDB's BIGINT sum widens to HUGEINT, matching the
+    // exact decimal recombination) before the order-free sum, then
+    // centered on the d(d+1)/2-row result via the identity
+    // Σ(xi−mi)(xj−mj) = Σxixj − n·mi·mj — the exact tree the Spark path
+    // computes (quantization BEFORE the sum means results differ from
+    // round(exact, 6); both engines replay the same quantized values).
+    // The row key only routes the self-join, so its engine-specific
+    // assignment is irrelevant.
     "q135_embedding_covariance" ->
       """WITH e AS (
         |  SELECT embedding::DOUBLE[] AS v FROM embeddings
@@ -3976,11 +3992,13 @@ object SparkEntry {
         |  FROM er),
         |m AS (
         |  SELECT i,
-        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mv
+        |    CAST(SUM(CAST(floor(x * 1000000000000.0 + 0.5) AS BIGINT))
+        |        AS DOUBLE) / 1000000000000.0 / count(*) AS mv
         |  FROM el GROUP BY i),
         |sp AS (
         |  SELECT a.i AS i, b.i AS j, count(*) AS n,
-        |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,12))) AS DOUBLE) AS s
+        |    CAST(SUM(CAST(floor((a.x * b.x) * 1000000000000.0 + 0.5)
+        |        AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS s
         |  FROM el a JOIN el b ON a.rid = b.rid AND a.i <= b.i
         |  GROUP BY a.i, b.i)
         |SELECT CAST(sp.i AS BIGINT) AS i, CAST(sp.j AS BIGINT) AS j,

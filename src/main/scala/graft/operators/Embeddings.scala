@@ -71,30 +71,38 @@ object Embeddings {
     // (a cached self-join on a synthetic id measured ~8× slower here:
     // two concurrent scans of an in-flight cache plus a corpus-keyed
     // join the explode chain never needs). The pair stream feeds ONE
-    // map-side-combinable decimal agg: centering moves to the
-    // d(d+1)/2-row RESULT via Σ(xi−mi)(xj−mj) = Σxixj − n·mi·mj, so no
-    // join ever touches the corpus×d² rows (the joined-then-aggregated
-    // form measured ~2.4× slower on q135).
+    // map-side-combinable agg: centering moves to the d(d+1)/2-row
+    // RESULT via Σ(xi−mi)(xj−mj) = Σxixj − n·mi·mj, so no join ever
+    // touches the corpus×d² rows (the joined-then-aggregated form
+    // measured ~2.4× slower on q135).
     //
-    // decimal(18,12), not (28,12): identical 12-dp quantization
-    // (precision only widens RANGE, and embedding products are ≪ 1e6)
-    // with long-backed values; the SUM still widens to a wider
-    // accumulator — the dominant, accepted cost of this oracle-twin
-    // path (see SCALING.md known costs)
+    // Exactness via [[ExactSum]] digit-split longs at 12-dp
+    // quantization, not decimal sums: the earlier
+    // `sum(cast(decimal(18,12)))` form boxed a Decimal per pair term
+    // and dominated the q135 bench (21 s at sf0.1); the quantized-long
+    // digits sum in codegen and recombine exactly (the oracle mirrors
+    // the same floor(x*1e12+0.5) quantization, so the gate stays
+    // hash-exact). Products of embedding coords are ≪ 1e6, far inside
+    // quantize12's range.
+    val pairAggs = ExactSum.aggsLong("sp",
+      ExactSum.quantize12(col("xi").cast("double") * col("xj").cast("double")))
     val sums = vecs
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
         posexplode(expr("slice(v, i + 1, size(v) - i)")).as(Seq("joff", "xj")))
       .select(col("i"), (col("i") + col("joff")).as("j"),
-        (col("xi").cast("double") * col("xj").cast("double"))
-          .cast("decimal(18,12)").as("p"))
+        col("xi"), col("xj"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+      .agg(pairAggs.head, (pairAggs.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("i"), col("j"), col("n"),
+        (ExactSum.total("sp").cast("double") / lit(1000000000000d)).as("sp"))
+    val meanAggs = ExactSum.aggsLong("sx",
+      ExactSum.quantize12(col("x").cast("double")))
     val means = vecs.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("s"),
-        count(lit(1)).as("n"))
-      .withColumn("m", col("s").cast("double") / col("n"))
+      .agg(meanAggs.head, (meanAggs.tail :+ count(lit(1)).as("n")): _*)
+      .withColumn("m",
+        ExactSum.total("sx").cast("double") / lit(1000000000000d) / col("n"))
       .select(col("i"), col("m"))
     sums
       .join(means.select(col("i"), col("m").as("mi")), "i")
@@ -103,7 +111,7 @@ object Embeddings {
       // rounded -1e-9), mirrored in the q135 oracle
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n"),
-        (round((col("sp").cast("double") -
+        (round((col("sp") -
             (col("mi") * col("mj")) * col("n").cast("double")) /
           (col("n") - lit(1)).cast("double"), 6) + lit(0.0)).as("cov"))
   }

@@ -52,6 +52,18 @@ object ExactSum {
   def quantize6(x: Column): Column =
     floor(x * lit(1000000d) + lit(0.5d)).cast("long")
 
+  /** 12-dp quantization for small-magnitude terms (embedding products,
+    * per-dim coordinates — |x| must stay ≲ 9e6 or the long overflows;
+    * ANSI mode makes that loud). DuckDB mirror:
+    * `CAST(floor(x * 1000000000000.0 + 0.5) AS BIGINT)`.
+    */
+  def quantize12(x: Column): Column =
+    floor(x * lit(1000000000000d) + lit(0.5d)).cast("long")
+
+  /** DuckDB mirror of one 12-dp quantized sum, for oracle SQL. */
+  def oracleSumPicos(expr: String): String =
+    s"sum(CAST(floor(($expr) * 1000000000000.0 + 0.5) AS BIGINT))"
+
   /** The three digit-sum aggregate columns for one named term. Use in a
     * single wide `.agg(...)`; recover the total with [[total]] /
     * [[totalDouble]] on the aggregated frame.

@@ -53,19 +53,29 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
-  /** The events table carries a nanosecond-precision parquet timestamp,
-    * which Spark's parquet reader rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw bigint nanos via the legacy
-    * conf, then surface `ts` as a TimestampType in microseconds
-    * (`ts div 1000` — integer floor division, matching DuckDB's
-    * `epoch_ns(ts)//1000`), keeping every downstream operator on native
-    * timestamp semantics.
+  /** The events table's `ts` arrives in whatever physical form the data
+    * generator chose — observed so far: nanosecond-precision int96-style
+    * nanos surfaced as bigint (rejected by Spark's reader without the
+    * legacy conf), plain `timestamp[us]` (read as TIMESTAMP_NTZ under
+    * Spark 4's NTZ inference), or an already-zoned timestamp. Normalize
+    * ALL of them to session-zone TimestampType at microsecond precision
+    * (`ts div 1000` floor division for the nanos form — matching
+    * DuckDB's `epoch_ns(ts)//1000`; a plain cast for NTZ, exact under
+    * the UTC session zone every entrypoint sets), so every downstream
+    * operator sees one stable type regardless of generator vintage.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cachedRaw(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = cachedRaw(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (Spark 4 default inference for timestamp[us])
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
