@@ -1200,6 +1200,41 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // leakage-safe train/val/test split: the split hash runs on the
+    // near-dup cluster representative (exact n-gram Jaccard pairs →
+    // connected components), so a doc and its 95%-identical twin can
+    // never straddle train and test; unclustered docs represent
+    // themselves
+    "q179_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, shingleSize = 3, maxDf = 20L))
+      Sampling.clusterAwareSplit(docs, "doc_id", cc)
+        .select(col("doc_id"), col("source"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-anonymity / l-diversity audit of the customer table under the
+    // (nation, segment) quasi-identifier with the acctbal thousand-band
+    // as the sensitive attribute — every class below k=10 is a linkage
+    // surface
+    "q180_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymity(t(s, dir, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / lit(1000d)).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // the one-row corpus-level view of the same audit: the dataset's
+    // actual k (smallest crowd), worst l-diversity, and how many
+    // records sit below the k=10 bar
+    "q181_k_anonymity_summary" -> ((s, dir) =>
+      Privacy.kAnonymitySummary(t(s, dir, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / lit(1000d)).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
+
     // Benford first-digit conformance of extendedprice per return flag
     // — leading digit from exact integer cents, dense 1-9 grid so
     // absent digits still contribute expected mass
@@ -3307,6 +3342,73 @@ object SparkEntry {
         |  WHERE w.hops < 3)
         |SELECT node, min(d) AS dist FROM walk GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    // cluster-split replay: the q53-style recursive closure over exact
+    // df-capped jaccard pairs gives each doc its min-reachable-id
+    // representative; unclustered docs fall back to their own id, then
+    // the q48 md5-bucket thresholds decide the split
+    "q179_cluster_split" -> {
+      val b = Sampling.bucketSql("coalesce(cc.cluster, d.doc_id)")
+      s"""WITH RECURSIVE pairs AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20))}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |cc AS (
+         |  SELECT src AS doc, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id, d.source,
+         |  coalesce(cc.cluster, d.doc_id) AS split_key,
+         |  CASE WHEN $b < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |    WHEN $b < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // k-anonymity replay: two-level group (quasi, sensitive) → quasi,
+    // mirroring the map-side-combinable distinct-count tree
+    "q180_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    count(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(c) AS BIGINT) AS class_size,
+        |  CAST(count(CASE WHEN bal_band IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS l_diversity,
+        |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
+        |FROM cls GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q181_k_anonymity_summary" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    count(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |k AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(c) AS BIGINT) AS class_size,
+        |    CAST(count(CASE WHEN bal_band IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS l_diversity
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT min(class_size) AS k_anonymity,
+        |  min(l_diversity) AS l_diversity_min,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(count(CASE WHEN class_size < 10 THEN 1 END) AS BIGINT)
+        |    AS n_below_k,
+        |  CAST(coalesce(sum(CASE WHEN class_size < 10 THEN class_size END), 0)
+        |    AS BIGINT) AS records_below_k
+        |FROM k""".stripMargin,
 
     // Benford replay: same exact-cents digit, same dense grid, same
     // ln-ratio expected mass, decimal-quantized chi2 terms

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk audits for training corpora: k-anonymity and
+  * l-diversity over a quasi-identifier combination — "how small is the
+  * smallest crowd each record hides in, and how varied is the sensitive
+  * attribute inside that crowd?" (Sweeney 2002; Machanavajjhala et al.
+  * 2007). Training-data releases run this BEFORE publishing: any
+  * equivalence class below k is a linkage-attack surface.
+  *
+  * Scale: one hash aggregation on the quasi-identifier key (map-side
+  * combinable — distinct sensitive values via a second-level group
+  * rather than a per-class set), so the cost is one shuffle of
+  * class-count rows, never a per-record state. Class cardinality is
+  * bounded by the quasi-space, not the corpus.
+  */
+object Privacy {
+
+  /** One row per equivalence class: `(quasiCols…, class_size,
+    * l_diversity, anonymous)` where `anonymous` = class_size ≥ k.
+    * `l_diversity` counts distinct non-null sensitive values.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gc = quasiCols.map(col)
+    // two-level group: (quasi, sensitive) first, then quasi — exact
+    // distinct counts with map-side combine at both levels, no
+    // count_distinct set state carried through the shuffle
+    df.groupBy(gc :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(gc: _*)
+      .agg(sum(col("__c")).as("class_size"),
+        count(when(col("__s").isNotNull, lit(1))).as("l_diversity"))
+      .withColumn("anonymous", col("class_size") >= lit(k))
+  }
+
+  /** Corpus-level summary of [[kAnonymity]]: `(k_anonymity,
+    * l_diversity_min, n_classes, n_below_k, records_below_k)` — one row.
+    * `k_anonymity` is the smallest class size (the dataset's actual k).
+    */
+  def kAnonymitySummary(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, k: Long): DataFrame =
+    kAnonymity(df, quasiCols, sensitiveCol, k)
+      .agg(min(col("class_size")).as("k_anonymity"),
+        min(col("l_diversity")).as("l_diversity_min"),
+        count(lit(1)).as("n_classes"),
+        count(when(!col("anonymous"), lit(1))).as("n_below_k"),
+        coalesce(sum(when(!col("anonymous"), col("class_size"))), lit(0L))
+          .as("records_below_k"))
+}

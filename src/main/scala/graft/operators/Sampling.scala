@@ -60,6 +60,34 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test assignment: the split is decided by the
+    * near-dup CLUSTER representative, not the row id, so every member of
+    * a duplicate cluster lands in the same split — the guard against
+    * test-set contamination through near-duplicates that a per-document
+    * [[deterministicSplit]] cannot give (a doc and its 95%-identical
+    * twin would otherwise split independently). `clusters` is a
+    * `(memberCol, repCol)` frame — [[Dedup.connectedComponents]] output
+    * fits directly; rows absent from it represent themselves.
+    *
+    * Scale: one equi-join against the cluster frame (∝ clustered docs,
+    * typically a small fraction of the corpus — AQE broadcasts it when
+    * small, hash-joins otherwise), then the same per-row md5 bucketing
+    * as every other split. Emits `split_key` (the representative the
+    * hash ran on, for audit) and `split`.
+    */
+  def clusterAwareSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                        memberCol: String = "doc", repCol: String = "cluster",
+                        trainFraction: Double = 0.8,
+                        valFraction: Double = 0.1): DataFrame = {
+    val c = clusters.select(col(memberCol).as("__caw_m"),
+      col(repCol).as("__caw_rep"))
+    deterministicSplit(
+      df.join(c, col(idCol) === col("__caw_m"), "left")
+        .withColumn("split_key", coalesce(col("__caw_rep"), col(idCol)))
+        .drop("__caw_m", "__caw_rep"),
+      "split_key", trainFraction, valFraction)
+  }
+
   /** The oracle-side SQL for the same bucket (kept adjacent so the two
     * cannot drift), INCLUDING the null-id convention: a null id buckets
     * to 'ffff' on both sides — without the coalesce, `NULL < threshold`

@@ -202,4 +202,34 @@ class SamplingSpec extends SparkSpecBase {
       .select(col("source")).distinct().collect().map(_.getString(0))
     assert(tail.toSeq == Seq("b"))
   }
+
+  test("clusterAwareSplit: cluster members share a split, singletons " +
+      "fall back to their own id") {
+    import spark.implicits._
+    val docs = spark.range(0, 2000).select(col("id"))
+    // pair up even ids with their successor: rep = the even id
+    val clusters = spark.range(0, 2000).filter(col("id") % 2 === 1)
+      .select(col("id").as("doc"), (col("id") - 1).as("cluster"))
+      .union(spark.range(0, 2000).filter(col("id") % 2 === 0)
+        .select(col("id").as("doc"), col("id").as("cluster")))
+    val out = Sampling.clusterAwareSplit(docs, "id", clusters)
+      .select(col("id"), col("split_key"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // every odd doc must land exactly where its even twin landed
+    (0L until 2000L by 2).foreach { even =>
+      assert(out(even)._1 == even && out(even + 1)._1 == even)
+      assert(out(even)._2 == out(even + 1)._2,
+        s"pair ($even, ${even + 1}) split apart")
+    }
+    // and the per-doc split WOULD have separated at least one pair —
+    // otherwise this test proves nothing about leakage protection
+    val perDoc = Sampling.deterministicSplit(docs, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 2000L by 2).exists(e => perDoc(e) != perDoc(e + 1)))
+    // docs absent from the cluster frame keep their own id as the key
+    val solo = Sampling.clusterAwareSplit(docs,
+      "id", clusters.filter(col("doc") < 0))
+    assert(solo.filter(col("split_key") =!= col("id")).count() == 0L)
+  }
 }
