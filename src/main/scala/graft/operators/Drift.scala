@@ -44,7 +44,8 @@ object Drift {
     val cum = Ranking.rangeRankMulti(occ,
       groupCols ++ Seq(valueCol, tagCol),
       Seq(groupCols, groupCols :+ tagCol), Seq("__ks_ca", "__ks_ct"),
-      weightCol = Some("__c"))
+      weightCol = Some("__c"),
+      cacheInput = true) // occ ∝ distinct values — bounded
     // the union count inclusive of BOTH tags at a value is the max
     // cumulative over the (group, value) micro-partition — one window
     // shuffle, cheaper than a groupBy + self-join on the same key
@@ -106,7 +107,8 @@ object Drift {
     val vals = occ.groupBy(gc :+ col(valueCol): _*)
       .agg(sum(col("__c")).as("__t"))
     val cum = Ranking.rangeRankMulti(vals, groupCols :+ valueCol,
-      Seq(groupCols), Seq("__mw_cu"), weightCol = Some("__t"))
+      Seq(groupCols), Seq("__mw_cu"), weightCol = Some("__t"),
+      cacheInput = true) // vals ∝ distinct values — bounded
     val mid = cum.select(gc :+ col(valueCol) :+ col("__t") :+
       (col("__mw_cu").cast("double") -
         (col("__t").cast("double") - 1d) / 2d).as("__mid"): _*)
@@ -378,9 +380,11 @@ object Drift {
       .agg(sum(wq).as("__w"), count(lit(1)).as("__n"),
         sum((col(valueCol) * col(valueCol)).cast("decimal(30,6)")).as("__ss"))
     val cumW = Ranking.rangeRankMulti(pre, groupCols :+ "us",
-      Seq(groupCols), Seq("__cw"), weightCol = Some("__w"))
+      Seq(groupCols), Seq("__cw"), weightCol = Some("__w"),
+      cacheInput = true) // pre ∝ distinct (group, ts) — bounded
     val cum = Ranking.rangeRankMulti(cumW, groupCols :+ "us",
-      Seq(groupCols), Seq("__cn"), weightCol = Some("__n"))
+      Seq(groupCols), Seq("__cn"), weightCol = Some("__n"),
+      cacheInput = true) // same bounded cardinality as pre
     // totals from the cum frame itself (last-by-time, NOT max: the
     // quantized weights can be negative, so __cw is not monotone)
     val totals = cum.groupBy(gc: _*)

@@ -53,7 +53,8 @@ object Ranking {
                      groupSets: Seq[Seq[String]], outCols: Seq[String],
                      numPartitions: Int = 0,
                      weightCol: Option[String] = None,
-                     maxDriverStateRows: Int = 1 << 20): DataFrame = {
+                     maxDriverStateRows: Int = 1 << 20,
+                     cacheInput: Boolean = false): DataFrame = {
     require(groupSets.nonEmpty && groupSets.length == outCols.length,
       "need one output column per group set")
     // weights must be integral: the counts job and the per-row pass must
@@ -68,10 +69,21 @@ object Ranking {
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val keys = sortCols.map(col)
+    // cacheInput: the range partitioner SAMPLES its child before the
+    // real exchange runs it again, so an expensive upstream (a
+    // distinct-value aggregation, the usual rank-stat input) executes
+    // twice. Callers whose input frame is BOUNDED (∝ distinct values /
+    // groups, never raw-corpus-sized) pass true and pay one cached
+    // materialization instead — the cache is released as soon as the
+    // sorted frame is materialized below. Raw-corpus callers keep the
+    // default: persisting 100 TB to re-read it once is the worse trade.
+    val in = if (cacheInput) TrackedCaches.track(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else df
     // cached because the counts job and the rank pass must see the SAME
     // range boundaries and row order (and pay the sort once)
     val sorted = TrackedCaches.track(
-      df.repartitionByRange(nPart, keys: _*)
+      in.repartitionByRange(nPart, keys: _*)
         .sortWithinPartitions(keys: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one metadata job covers every set: counts per (partition, union of
@@ -91,6 +103,10 @@ object Ranking {
       // over-cap fails fast instead of silently OOMing the driver /
       // broadcasting a huge offsets map
       .take(maxDriverStateRows + 1)
+    // the counts job above materialized every partition of `sorted`
+    // (it aggregates the whole frame), so the input cache has served
+    // both its readers — release it now rather than at scope end
+    if (cacheInput) in.unpersist(false)
     require(countRows.length <= maxDriverStateRows,
       s"rangeRankMulti materializes numPartitions × numGroups count rows on " +
         s"the driver and this input exceeds maxDriverStateRows=" +
