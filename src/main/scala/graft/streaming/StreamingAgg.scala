@@ -59,6 +59,32 @@ object StreamingAgg {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Duplicate-rate monitor over the RAW (pre-dedup) stream: per
+    * event-time window, total arrivals vs distinct keys —
+    * `dup_rate = 1 − distinct/total` is the ingest-health metric a
+    * pipeline alarms on (a jump means an upstream started replaying).
+    * Exact distinct via two CHAINED stateful aggregations — (window,
+    * key) pre-group then window — both map-side combinable and
+    * watermark-evicted (Spark ≥ 3.4 multi-stateful-operator support);
+    * emitted once the watermark closes the window.
+    */
+  def duplicateRate(events: DataFrame, keys: Seq[String], tsCol: String,
+                    windowLength: String,
+                    watermarkDelay: String): DataFrame = {
+    require(keys.nonEmpty, "duplicateRate needs at least one key column")
+    val w = window(col(tsCol), windowLength)
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(w +: keys.map(col): _*)
+      .agg(count(lit(1)).as("__arrivals"))
+      .groupBy(col("window"))
+      .agg(sum(col("__arrivals")).as("n_arrivals"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("window.start").as("window_start"),
+        col("n_arrivals"), col("n_distinct"),
+        round(lit(1d) - col("n_distinct").cast("double") /
+          col("n_arrivals").cast("double"), 6).as("dup_rate"))
+  }
+
   /** Streaming counterpart of
     * [[graft.operators.Dedup.incrementalExact]]: drop streamed rows whose
     * key already exists in the STATIC ingested-corpus key set (a
