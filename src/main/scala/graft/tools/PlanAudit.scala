@@ -48,6 +48,10 @@ object PlanAudit {
     AllowedBroadcast("PageRank.scala", "dangling", "one-row dangling-mass aggregate"),
     AllowedBroadcast("Stats.scala", "total", "one-row global aggregate", count = 3),
     AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate", count = 2),
+    AllowedBroadcast("Stats.scala", "m", "one-row hypothesis-count aggregate (bhFdr)"),
+    AllowedBroadcast("Stats.scala", "margins", "one-row Σc² marginal aggregate (fleissKappa)"),
+    AllowedBroadcast("Encoding.scala", "global", "one-row global-mean aggregate (targetEncode prior)"),
+    AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning)"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
     AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 3),
@@ -161,7 +165,17 @@ object PlanAudit {
     Check("as-of running window", "q117_asof_forward",
       "the forward as-of is one key-partitioned running window over the " +
         "tagged union — no join product at all",
-      Seq("Window"), Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      Seq("Window"), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("cluster-aware split", "q179_cluster_split",
+      "the representative attach is a plain equi-join against the " +
+        "∝-clustered-docs frame; no join product anywhere in the " +
+        "pair/closure/split chain",
+      Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("k-anonymity two-level distinct", "q180_k_anonymity",
+      "l-diversity comes from the chained (quasi, sensitive) → quasi " +
+        "hash aggregations — no Expand-based count_distinct widening " +
+        "every input row",
+      Seq("HashAggregate"), Seq("Expand")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
