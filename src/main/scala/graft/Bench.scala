@@ -63,14 +63,20 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failedJson,"queries":$fullJson,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort write
     val budget = 1500 // chars for the queries map — line stays ≤ ~1700
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     var smallN = 0; var smallSum = 0.0
+    // stop at the FIRST entry that overflows: entries are slowest-first,
+    // so everything rolled up is strictly faster than everything kept —
+    // a shorter-keyed fast query must not displace a slow one into the
+    // invisible roll-up
+    var full = false
     entries.foreach { case (s, v) =>
-      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
-      else { smallN += 1; smallSum += v }
+      if (!full && used + s.length + 1 <= budget) {
+        kept += s; used += s.length + 1
+      } else { full = true; smallN += 1; smallSum += v }
     }
     val qs = kept.mkString("{", ",", "}")
     val smallJson = s"""{"n":$smallN,"sum":${f3(smallSum)}}"""

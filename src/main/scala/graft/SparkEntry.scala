@@ -4085,7 +4085,7 @@ object SparkEntry {
     // The row key only routes the self-join, so its engine-specific
     // assignment is irrelevant.
     "q135_embedding_covariance" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL),
         |er AS (SELECT row_number() OVER () AS rid, v FROM e),
@@ -4094,13 +4094,13 @@ object SparkEntry {
         |  FROM er),
         |m AS (
         |  SELECT i,
-        |    CAST(SUM(CAST(floor(x * 1000000000000.0 + 0.5) AS BIGINT))
+        |    CAST(${ExactSum.oracleSumPicos("x")}
         |        AS DOUBLE) / 1000000000000.0 / count(*) AS mv
         |  FROM el GROUP BY i),
         |sp AS (
         |  SELECT a.i AS i, b.i AS j, count(*) AS n,
-        |    CAST(SUM(CAST(floor((a.x * b.x) * 1000000000000.0 + 0.5)
-        |        AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS s
+        |    CAST(${ExactSum.oracleSumPicos("a.x * b.x")}
+        |        AS DOUBLE) / 1000000000000.0 AS s
         |  FROM el a JOIN el b ON a.rid = b.rid AND a.i <= b.i
         |  GROUP BY a.i, b.i)
         |SELECT CAST(sp.i AS BIGINT) AS i, CAST(sp.j AS BIGINT) AS j,

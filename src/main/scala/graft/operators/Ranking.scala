@@ -77,7 +77,13 @@ object Ranking {
     // materialization instead — the cache is released as soon as the
     // sorted frame is materialized below. Raw-corpus callers keep the
     // default: persisting 100 TB to re-read it once is the worse trade.
-    val in = if (cacheInput) TrackedCaches.track(
+    // respect a cache the CALLER already established on this plan:
+    // persist/unpersist key off the shared CacheManager, so unpersisting
+    // here would silently evict the caller's own entry mid-function
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val ownCache = cacheInput && !callerCached
+    val in = if (ownCache) TrackedCaches.track(
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else df
     // cached because the counts job and the rank pass must see the SAME
@@ -106,7 +112,7 @@ object Ranking {
     // the counts job above materialized every partition of `sorted`
     // (it aggregates the whole frame), so the input cache has served
     // both its readers — release it now rather than at scope end
-    if (cacheInput) in.unpersist(false)
+    if (ownCache) in.unpersist(false)
     require(countRows.length <= maxDriverStateRows,
       s"rangeRankMulti materializes numPartitions × numGroups count rows on " +
         s"the driver and this input exceeds maxDriverStateRows=" +

@@ -79,8 +79,14 @@ object Sampling {
                         memberCol: String = "doc", repCol: String = "cluster",
                         trainFraction: Double = 0.8,
                         valFraction: Double = 0.1): DataFrame = {
-    val c = clusters.select(col(memberCol).as("__caw_m"),
-      col(repCol).as("__caw_rep"))
+    // min-reduce the member → representative map first: a malformed
+    // clusters frame with duplicate member rows (raw pair output instead
+    // of component output) would otherwise fan corpus rows out through
+    // the join AND hand one doc two different splits — precisely the
+    // leakage this operator exists to prevent. One extra map-side
+    // combinable agg on an already-∝-clustered-docs frame.
+    val c = clusters.groupBy(col(memberCol).as("__caw_m"))
+      .agg(min(col(repCol)).as("__caw_rep"))
     deterministicSplit(
       df.join(c, col(idCol) === col("__caw_m"), "left")
         .withColumn("split_key", coalesce(col("__caw_rep"), col(idCol)))

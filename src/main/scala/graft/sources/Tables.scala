@@ -72,9 +72,17 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (Spark 4 default inference for timestamp[us])
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Spark 4's default inference for parquet timestamp[us]; exact
+        // under the UTC session zone every entrypoint sets
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case other => // a NEW vintage must fail loudly, not silently
+        // coerce (a numeric cast would read seconds, a string cast
+        // would parse in the session zone — both quietly wrong)
+        throw new IllegalStateException(
+          s"events.ts arrived as unrecognized type $other; add an " +
+            "explicit normalization for this generator vintage")
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")

@@ -232,4 +232,17 @@ class SamplingSpec extends SparkSpecBase {
       "id", clusters.filter(col("doc") < 0))
     assert(solo.filter(col("split_key") =!= col("id")).count() == 0L)
   }
+
+  test("clusterAwareSplit: duplicate member rows min-reduce instead of " +
+      "fanning out the corpus") {
+    import spark.implicits._
+    val docs = spark.range(0, 10).select(col("id"))
+    // malformed map: doc 5 claims two representatives (raw pair output)
+    val dup = Seq((5L, 3L), (5L, 4L), (6L, 2L)).toDF("doc", "cluster")
+    val out = Sampling.clusterAwareSplit(docs, "id", dup)
+    assert(out.count() == 10L) // no fan-out
+    val k5 = out.filter(col("id") === 5L).select("split_key")
+      .collect().map(_.getLong(0))
+    assert(k5.toSeq == Seq(3L)) // deterministic min representative
+  }
 }
