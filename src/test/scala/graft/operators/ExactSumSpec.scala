@@ -63,6 +63,23 @@ class ExactSumSpec extends SparkSpecBase {
     assert(j == 0.0)
   }
 
+  test("quantize12 digit-split total equals the BigInt reference " +
+      "(mixed signs, repartitioned)") {
+    val xs = Seq(0.123456789012, -0.999999999999, 1.5e-12, -1.5e-12,
+      3.999999, -2.718281828459, 0.0) ++
+      (1 to 20000).map(i => math.cos(i.toDouble) * 4.0)
+    val ref = xs.map(x => BigInt(math.floor(x * 1e12 + 0.5).toLong)).sum
+    val df = xs.toDF("x").withColumn("g", lit(1))
+    Seq(1, 7, 32).foreach { n =>
+      val q = ExactSum.quantize12(col("x"))
+      val out = df.repartition(n).groupBy(col("g"))
+        .agg(ExactSum.aggsLong("s", q).head, ExactSum.aggsLong("s", q).tail: _*)
+        .select(ExactSum.total("s").cast("string").as("t"))
+        .head().getString(0)
+      assert(BigInt(out) == ref, s"partitions=$n")
+    }
+  }
+
   test("oracle SQL mirror produces the same literal shape") {
     assert(ExactSum.oracleSumMicros("x * y") ==
       "sum(CAST(floor((x * y) * 1000000.0 + 0.5) AS BIGINT))")
