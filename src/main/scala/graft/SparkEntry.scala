@@ -1235,6 +1235,26 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // partition-level corpus-version diff from fingerprints alone:
+    // v2 edits src1's text, drops src2 entirely, and lands a new
+    // source — the diff must report exactly (changed, removed, added)
+    // from the two ∝-partition-count fingerprint frames, never
+    // rescanning either corpus
+    "q182_fingerprint_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v2 = docs.filter(col("source") =!= "src2")
+        .withColumn("text", when(col("source") === "src1",
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("source") === "src0")
+          .withColumn("source", lit("src_new")))
+      val cols = Seq("doc_id", "text")
+      Fingerprint.diffFingerprints(
+          Fingerprint.partitionFingerprints(docs, Seq("source"), cols),
+          Fingerprint.partitionFingerprints(v2, Seq("source"), cols),
+          Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // Benford first-digit conformance of extendedprice per return flag
     // — leading digit from exact integer cents, dense 1-9 grid so
     // absent digits still contribute expected mass
@@ -3388,6 +3408,43 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // fingerprint-diff replay: both versions' per-source (n, checksum)
+    // frames from the same chr(31)-canonical md5-top-64 sums as q157,
+    // full-outer-joined on source; unchanged partitions drop out
+    "q182_fingerprint_diff" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text),
+        |      1, 16))::UBIGINT::DECIMAL(20,0) AS hv
+        |  FROM documents),
+        |h2 AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) ||
+        |      CASE WHEN source = 'src1' THEN text || ' v2' ELSE text END),
+        |      1, 16))::UBIGINT::DECIMAL(20,0) AS hv
+        |  FROM documents WHERE source <> 'src2'
+        |  UNION ALL
+        |  SELECT 'src_new' AS source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text),
+        |      1, 16))::UBIGINT::DECIMAL(20,0) AS hv
+        |  FROM documents WHERE source = 'src0'),
+        |fb AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(hv) AS DECIMAL(38,0)) AS c
+        |  FROM h GROUP BY source),
+        |fa AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(hv) AS DECIMAL(38,0)) AS c
+        |  FROM h2 GROUP BY source)
+        |SELECT coalesce(fb.source, fa.source) AS source,
+        |  CASE WHEN fb.source IS NULL THEN 'added'
+        |    WHEN fa.source IS NULL THEN 'removed'
+        |    WHEN fb.c <> fa.c OR fb.n <> fa.n THEN 'changed' END AS status
+        |FROM fb FULL OUTER JOIN fa ON fb.source = fa.source
+        |WHERE fb.source IS NULL OR fa.source IS NULL
+        |  OR fb.c <> fa.c OR fb.n <> fa.n
+        |ORDER BY source""".stripMargin,
 
     "q181_k_anonymity_summary" ->
       """WITH cls AS (
