@@ -36,16 +36,25 @@ object Drift {
              groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "ksTest needs at least one group column")
     val gc = groupCols.map(col)
-    val occ = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
-      .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
-      .agg(count(lit(1)).as("__c"))
+    // persisted (not just rank-core-internally cached): this exact
+    // (filter → group-count) plan is ALSO [[mannWhitney]]'s occ frame,
+    // so a session running the usual drift battery (KS + MW + AUC over
+    // one split) gets the shared scan-and-count from the CacheManager
+    // instead of recomputing it per statistic — the same deliberate
+    // cross-query reuse the operator caches rely on. Bounded ∝ distinct
+    // values; swept by the session's cache release.
+    val occ = TrackedCaches.track(
+      df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
+        .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ONE weighted prefix-sum pass over the distinct-value frame gives
     // both inclusive cumulative counts: per (group) and per (group, tag)
     val cum = Ranking.rangeRankMulti(occ,
       groupCols ++ Seq(valueCol, tagCol),
       Seq(groupCols, groupCols :+ tagCol), Seq("__ks_ca", "__ks_ct"),
       weightCol = Some("__c"),
-      cacheInput = true) // occ ∝ distinct values — bounded
+      cacheInput = true) // caller-persisted above; rank core reuses it
     // the union count inclusive of BOTH tags at a value is the max
     // cumulative over the (group, value) micro-partition — one window
     // shuffle, cheaper than a groupBy + self-join on the same key
