@@ -1235,6 +1235,15 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // corpus novelty curve: never-seen-before trigram yield per
+    // 50-doc bucket in doc_id order, with the cumulative — the
+    // diminishing-returns signal behind "is more of this source worth
+    // ingesting?"
+    "q183_novelty_curve" -> ((s, dir) =>
+      Dedup.noveltyCurve(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, bucketSize = 50L)
+        .orderBy(col("bucket"))),
+
     // partition-level corpus-version diff from fingerprints alone:
     // v2 edits src1's text, drops src2 entirely, and lands a new
     // source — the diff must report exactly (changed, removed, added)
@@ -3408,6 +3417,30 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // novelty replay: q16's shingle CTE shape by STRING (the hash
+    // equivalence), first_seen = min doc per shingle, floor-div
+    // buckets, running-sum window over the bucket frame
+    "q183_novelty_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |  FROM toks),
+        |tok AS (SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |fs AS (SELECT term, min(doc_id) AS first_seen FROM tokf GROUP BY term),
+        |b AS (
+        |  SELECT first_seen // 50 AS bucket, count(*) AS n_new
+        |  FROM fs GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new
+        |FROM b ORDER BY bucket""".stripMargin,
 
     // fingerprint-diff replay: both versions' per-source (n, checksum)
     // frames from the same chr(31)-canonical md5-top-64 sums as q157,

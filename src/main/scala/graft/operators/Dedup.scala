@@ -326,6 +326,34 @@ object Dedup {
     jaccardOfCandidates(cand, arrays, threshold)
   }
 
+  /** Corpus novelty curve — the diminishing-returns measurement behind
+    * "is more of this source still worth ingesting?": walking docs in
+    * id order in buckets of `bucketSize`, how many NEVER-SEEN-BEFORE
+    * shingles does each bucket contribute, and cumulatively? A flat
+    * cumulative tail means new data is re-treading old n-grams (the
+    * saturation signal dedup/mixing decisions key on).
+    *
+    * One explode → min-agg (first_seen per shingle, map-side
+    * combinable), one bucket count, and the cumulative comes from the
+    * weighted range-rank core — no unpartitioned window even when the
+    * curve has millions of buckets. Shingles are the 64-bit hashes the
+    * whole dedup family joins on (counts identical to the string
+    * formulation w.h.p. — the q16 equivalence the oracle replays).
+    */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, bucketSize: Long = 50L): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val firstSeen = sharedShingleArrays(docs, idCol, textCol, shingleSize)
+      .select(col("doc"), explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc")).as("first_seen"))
+    val perBucket = firstSeen
+      .select(expr(s"first_seen div $bucketSize").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    Ranking.rangeRankMulti(perBucket, Seq("bucket"), Seq(Nil),
+        Seq("cum_new"), weightCol = Some("n_new"))
+      .select(col("bucket"), col("n_new"), col("cum_new"))
+  }
+
   /** Persist a MinHash-LSH near-dup index of a corpus, so later batches
     * dedup AGAINST it without re-signing the corpus — the incremental
     * form every production dedup service needs (the near-dup sibling of

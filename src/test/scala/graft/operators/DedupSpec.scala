@@ -234,4 +234,20 @@ class DedupSpec extends SparkSpecBase {
     assert(cc.collect().toSet == labelsBefore)
     Dedup.releaseCaches() // idempotent
   }
+
+  test("noveltyCurve: hand-computed new-shingle yield per bucket") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), // shingles {a b, b c} — both new
+      (1L, "a b d"), // {a b, b d} — only "b d" new
+      (2L, "x y z"), // {x y, y z} — both new
+      (3L, "a b c")  // exact dup — nothing new
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyCurve(docs, "doc_id", "text",
+        shingleSize = 2, bucketSize = 2L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("cum_new")))
+    assert(out.toSeq == Seq((0L, 3L, 3L), (1L, 2L, 5L)), s"got ${out.toSeq}")
+  }
 }
