@@ -1235,6 +1235,14 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // deterministic negative sampling: 3 pseudo-random other-doc
+    // negatives per doc — uniform, never self, a pure function of the
+    // id set (rerun/partitioning/engine-stable where rand() is not)
+    "q184_negative_samples" -> ((s, dir) =>
+      Sampling.negativeSamples(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("sample_no"))),
+
     // corpus novelty curve: never-seen-before trigram yield per
     // 50-doc bucket in doc_id order, with the cumulative — the
     // diminishing-returns signal behind "is more of this source worth
@@ -3417,6 +3425,26 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // negative-sample replay: same dense positions (row_number − 1 ≡
+    // the unique-id rank), same md5-offset ring arithmetic
+    "q184_negative_samples" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+        |cand AS (
+        |  SELECT r.doc_id, r.pos, j.j AS sample_no, n.c,
+        |    1 + (('0x' || substr(md5(CAST(r.doc_id AS VARCHAR) || '#' ||
+        |      CAST(j.j AS VARCHAR)), 1, 13))::UBIGINT::BIGINT % (n.c - 1))
+        |      AS off
+        |  FROM r CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) j)
+        |SELECT cand.doc_id, CAST(cand.sample_no AS BIGINT) AS sample_no,
+        |  r2.doc_id AS negative_id
+        |FROM cand JOIN r r2 ON r2.pos = (cand.pos + cand.off) % cand.c
+        |ORDER BY cand.doc_id, sample_no""".stripMargin,
 
     // novelty replay: q16's shingle CTE shape by STRING (the hash
     // equivalence), first_seen = min doc per shingle, floor-div

@@ -94,6 +94,42 @@ object Sampling {
       "split_key", trainFraction, valFraction)
   }
 
+  /** Deterministic negative sampling for contrastive training: each row
+    * gets `k` pseudo-random OTHER rows (`sample_no` 1..k), uniform over
+    * the corpus, never itself, and a pure function of (id set, id, j) —
+    * rerun-, partitioning- and engine-stable where `rand()` is none of
+    * those. Mechanics: rows take a dense 0-based position from the
+    * distributed rank core; negative j sits at position
+    * `(pos + 1 + (md5(id ‖ '#' ‖ j) mod (n−1))) mod n` — the offset
+    * never ≡ 0 (mod n), so self-pairing is impossible by construction.
+    *
+    * Scale: one global range-rank (dense positions), a k-way row-local
+    * explode, and ONE hash equi-join position→id; the only broadcast is
+    * the one-row corpus count.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = df.select(col(idCol))
+    val ranked = Ranking.rangeRank(ids, Nil, Seq(idCol), "__ns_rk")
+      .withColumn("__pos", col("__ns_rk") - 1L).drop("__ns_rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val hashed = ranked.crossJoin(broadcast(n))
+      .filter(col("__n") > 1L) // a 1-row corpus has no valid negative
+      .select(col(idCol), col("__pos"), col("__n"),
+        explode(array((1 to k).map(lit): _*)).as("sample_no"))
+      .withColumn("__off", lit(1L) + pmod(
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("#"),
+          col("sample_no").cast("string")).cast("binary")), 1, 13), 16, 10)
+          .cast("long"),
+        col("__n") - 1L))
+      .withColumn("__neg_pos", pmod(col("__pos") + col("__off"), col("__n")))
+    val lookup = ranked.select(col("__pos").as("__lk_pos"),
+      col(idCol).as("negative_id"))
+    hashed.join(lookup, col("__neg_pos") === col("__lk_pos"))
+      .select(col(idCol), col("sample_no").cast("long").as("sample_no"),
+        col("negative_id"))
+  }
+
   /** The oracle-side SQL for the same bucket (kept adjacent so the two
     * cannot drift), INCLUDING the null-id convention: a null id buckets
     * to 'ffff' on both sides — without the coalesce, `NULL < threshold`

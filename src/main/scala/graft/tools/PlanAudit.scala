@@ -51,6 +51,7 @@ object PlanAudit {
     AllowedBroadcast("Stats.scala", "m", "one-row hypothesis-count aggregate (bhFdr)"),
     AllowedBroadcast("Stats.scala", "margins", "one-row Σc² marginal aggregate (fleissKappa)"),
     AllowedBroadcast("Encoding.scala", "global", "one-row global-mean aggregate (targetEncode prior)"),
+    AllowedBroadcast("Sampling.scala", "n", "one-row corpus-count aggregate (negativeSamples ring modulus)"),
     AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning)"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),

@@ -233,6 +233,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(solo.filter(col("split_key") =!= col("id")).count() == 0L)
   }
 
+  test("negativeSamples: k per row, never self, stable under " +
+      "repartitioning, roughly uniform") {
+    val docs = spark.range(0, 500).select(col("id"))
+    val out = Sampling.negativeSamples(docs, "id", k = 3)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("sample_no"),
+        r.getAs[Long]("negative_id")))
+    assert(rows.length == 1500)
+    assert(rows.forall { case (id, _, neg) => id != neg }, "self-pair found")
+    // per-(id, j) exactly one negative
+    assert(rows.map(t => (t._1, t._2)).distinct.length == 1500)
+    // deterministic: same assignment from a differently-partitioned input
+    val again = Sampling.negativeSamples(docs.repartition(13), "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_no"),
+        r.getAs[Long]("negative_id"))).toSet
+    assert(again == rows.toSet)
+    // uniform-ish: no negative id hogs the distribution (expected 3,
+    // md5-uniform — allow a generous ceiling)
+    val counts = rows.groupBy(_._3).map(_._2.length)
+    assert(counts.max <= 15, s"max concentration ${counts.max}")
+  }
+
+  test("negativeSamples: a single-row corpus yields no negatives") {
+    val one = spark.range(0, 1).select(col("id"))
+    assert(Sampling.negativeSamples(one, "id", k = 2).count() == 0L)
+  }
+
   test("clusterAwareSplit: duplicate member rows min-reduce instead of " +
       "fanning out the corpus") {
     import spark.implicits._
