@@ -1235,6 +1235,14 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // session → training-document stitching: one row per (user,
+    // session) with event types joined in deterministic (ts, event_id)
+    // order — the chat-log/interaction-log → corpus-doc assembly step
+    "q185_session_transcripts" -> ((s, dir) =>
+      Sessionize.sessionTranscripts(Tables.events(s, dir),
+          gapMinutes = 30, textCol = "event_type")
+        .orderBy(col("user_id"), col("session_id"))),
+
     // deterministic negative sampling: 3 pseudo-random other-doc
     // negatives per doc — uniform, never self, a pure function of the
     // id set (rerun/partitioning/engine-stable where rand() is not)
@@ -3425,6 +3433,30 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // transcript replay: q10's gaps-and-islands sessionization + an
+    // ORDER BY inside string_agg — the same (ts_us, event_id) total
+    // order the Spark side sorts structs by
+    "q185_session_transcripts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS newf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts_us) AS start_us,
+        |  string_agg(event_type, ' ' ORDER BY ts_us, event_id) AS transcript
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // negative-sample replay: same dense positions (row_number − 1 ≡
     // the unique-id rank), same md5-offset ring arithmetic

@@ -55,4 +55,30 @@ object Sessionize {
         max(col("ts_us")).as("end_us"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
+  /** Session → training-document assembly (the chat-log/interaction-log →
+    * corpus-doc stitching step): one row per session with the session's
+    * `textCol` values joined in (ts, tiebreak) order. The in-session
+    * order is made deterministic WITHOUT an ordered-aggregation shuffle
+    * trick: events collect as (ts_us, tiebreak, text) structs, sort
+    * row-locally (struct ordering = lexicographic over fields), then
+    * project the text — session arrays are human-interaction-sized, so
+    * the row-local sort is bounded while the groupBy keeps full NUMEROUS-
+    * groups parallelism.
+    */
+  def sessionTranscripts(events: DataFrame, gapMinutes: Long,
+                         textCol: String,
+                         userCol: String = "user_id",
+                         tsCol: String = "ts",
+                         tiebreakCol: String = "event_id",
+                         sep: String = " "): DataFrame =
+    assignSessions(events, gapMinutes, userCol, tsCol, tiebreakCol)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts_us"), col(tiebreakCol),
+            col(textCol).cast("string").as("__txt")))),
+          x => x.getField("__txt")), sep).as("transcript"))
 }

@@ -34,6 +34,22 @@ class SessionizeSpec extends SparkSpecBase {
     assert(out.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("transcripts stitch text in (ts, tiebreak) order per session") {
+    import spark.implicits._
+    val tagged = Seq(
+      (0L, 1L, ts(0), "open"), (1L, 1L, ts(10), "click"),
+      (2L, 1L, ts(50), "buy"),                 // new session after gap
+      (4L, 2L, ts(5), "b"), (3L, 2L, ts(5), "a") // same ts → event_id order
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.sessionTranscripts(tagged, gapMinutes = 30,
+        textCol = "event_type")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id")) -> r.getAs[String]("transcript")).toMap
+    assert(out == Map(
+      (1L, 0L) -> "open click", (1L, 1L) -> "buy",
+      (2L, 0L) -> "a b"))
+  }
+
   test("batch session_window agrees with gaps-and-islands on real events") {
     val ev = Tables.events(spark, sf())
     val islands = Sessionize.sessionStats(ev, gapMinutes = 30)
