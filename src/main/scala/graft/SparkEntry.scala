@@ -1235,6 +1235,20 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // per-group robust scaling: (x − median)/IQR with EXACT rank-based
+    // quartiles from the distributed rank core — no percentile buffer,
+    // no per-group window over the 3 giant groups
+    "q186_robust_scale" -> ((s, dir) =>
+      // x is in the output: (l_orderkey, l_linenumber) is NOT unique in
+      // the synthetic lineitem, so rows must self-identify for the
+      // driver's sorted compare to be deterministic
+      Outliers.robustScale(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("x"), col("med"), col("scaled"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("x"))),
+
     // session → training-document stitching: one row per (user,
     // session) with event types joined in deterministic (ts, event_id)
     // order — the chat-log/interaction-log → corpus-doc assembly step
@@ -3433,6 +3447,29 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // robust-scale replay: row_number ≡ the unique-key rank, value at
+    // rank ceil(p·n) via conditional max, identical double ratio
+    "q186_robust_scale" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    l_extendedprice AS x,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (
+        |  SELECT l_returnflag,
+        |    max(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS q1,
+        |    max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN x END) AS med,
+        |    max(CASE WHEN rk = CAST(ceil(0.75 * n) AS BIGINT) THEN x END) AS q3
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT r.l_returnflag, r.l_orderkey, r.l_linenumber, r.x, q.med,
+        |  CASE WHEN q.q3 > q.q1
+        |    THEN round((r.x - q.med) / (q.q3 - q.q1), 6) END AS scaled
+        |FROM r JOIN q USING (l_returnflag)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, x""".stripMargin,
 
     // transcript replay: q10's gaps-and-islands sessionization + an
     // ORDER BY inside string_agg — the same (ts_us, event_id) total

@@ -104,6 +104,36 @@ object Outliers {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group robust scaling: `(x − median) / IQR` — the outlier-proof
+    * feature normalization (z-scores explode on heavy tails; quartiles
+    * don't move). Quartiles are exact order statistics (value at rank
+    * `ceil(p·n)`) from the distributed rank core — constant memory, NO
+    * per-group percentile value buffer, full parallelism under the
+    * few-giant-groups regime ([[madOutliers]]'s buffered percentile is
+    * fine for its group-cardinality output; this one touches every row,
+    * so the rank path matters). Zero-IQR groups scale to NULL (no
+    * verdict), never a division blow-up.
+    */
+  def robustScale(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  tieCols: Seq[String], outCol: String = "scaled"): DataFrame = {
+    require(groupCols.nonEmpty, "robustScale needs at least one group column")
+    val v = col(valueCol)
+    val filtered = df.filter(v.isNotNull)
+    val ranked = Ranking.rangeRank(filtered, groupCols,
+      valueCol +: tieCols, "__rs_rk")
+    val counts = ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__rs_rk")).as("__rs_n"))
+    val withN = FrameOps.statsJoinOn(ranked, counts, groupCols)
+    def atQ(p: Double, name: String) =
+      max(when(col("__rs_rk") ===
+        ceil(lit(p) * col("__rs_n")).cast("long"), v)).as(name)
+    val quarts = withN.groupBy(groupCols.map(col): _*)
+      .agg(atQ(0.25, "q1"), atQ(0.5, "med"), atQ(0.75, "q3"))
+    FrameOps.statsJoinOn(filtered, quarts, groupCols)
+      .withColumn(outCol, when(col("q3") > col("q1"),
+        round((v - col("med")) / (col("q3") - col("q1")), 6)))
+  }
+
   /** Rolling-baseline anomaly detection on an ordered per-group series —
     * the monitoring primitive over the q83-style daily rollups: each
     * point is z-scored against the PRECEDING `lookback` points (frame

@@ -120,4 +120,21 @@ class OutliersSpec extends SparkSpecBase {
       .map(r => Option(r.getString(0)) -> r.getAs[Long]("n")).toMap
     assert(out == Map(Some("a") -> 2L, None -> 2L))
   }
+
+  test("robustScale: hand-computed rank quartiles; zero-IQR group gets " +
+      "null verdicts") {
+    import spark.implicits._
+    // group a: 1..8 → q1 = rank ceil(2) = 2, med = rank 4 = 4,
+    // q3 = rank 6 = 6, IQR = 4; group c is constant → IQR 0 → null
+    val df = ((1 to 8).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("c", 1L, 9.0), ("c", 2L, 9.0), ("c", 3L, 9.0)))
+      .toDF("g", "id", "v")
+    val out = Outliers.robustScale(df, "v", Seq("g"), Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Double]("scaled"))).toMap
+    assert(out(("a", 8L)).contains(1.0))   // (8-4)/4
+    assert(out(("a", 1L)).contains(-0.75)) // (1-4)/4
+    assert(out(("a", 4L)).contains(0.0))
+    assert(out(("c", 1L)).isEmpty && out(("c", 3L)).isEmpty)
+  }
 }
