@@ -1235,6 +1235,24 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // language-ID confusion matrix: the n-gram classifier evaluated
+    // against the labeled lang column — per (true, predicted) counts
+    // and the share of the true language (row-normalized recall view).
+    // The window runs over the |langs|²-bounded counts frame, never
+    // the corpus
+    "q187_langid_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langIdCol(TextAnalysis.tokensCol(col("text")))
+            .as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_true",
+          round(col("n").cast("double") / sum(col("n")).over(w), 6))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
     // per-group robust scaling: (x − median)/IQR with EXACT rank-based
     // quartiles from the distributed rank core — no percentile buffer,
     // no per-group window over the 3 giant groups
@@ -3447,6 +3465,19 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // confusion replay: the SAME generated langid case chain, then the
+    // (true, predicted) group with a row-normalizing window
+    "q187_langid_confusion" ->
+      s"""WITH g AS (
+         |$langIdOracle
+         |)
+         |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |    CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE), 6)
+         |    AS frac_of_true
+         |FROM g GROUP BY lang, lang_guess
+         |ORDER BY lang, lang_guess""".stripMargin,
 
     // robust-scale replay: row_number ≡ the unique-key rank, value at
     // rank ceil(p·n) via conditional max, identical double ratio
