@@ -1235,6 +1235,39 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // decile lift table: orders ranked by totalprice into exact
+    // equi-depth deciles (decile 1 = highest), per-decile and
+    // cumulative urgent-order response rates vs the base rate — the
+    // scoring-model gains chart. Windows run over the 10-row decile
+    // frame only
+    "q188_decile_lift" -> ((s, dir) => {
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Ranking.equiDepthBins(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              (substring(col("o_orderpriority"), 1, 1) === "1").as("label")),
+          "o_totalprice", Seq("o_orderkey"), k = 10)
+        .withColumn("decile", lit(10L) - col("bin"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("responders"))
+        .withColumn("response_rate",
+          round(col("responders").cast("double") / col("n").cast("double"), 6))
+        .withColumn("cum_n", sum(col("n")).over(wc))
+        .withColumn("cum_responders", sum(col("responders")).over(wc))
+        .withColumn("lift", round(
+          (col("cum_responders").cast("double") / col("cum_n").cast("double")) /
+            (sum(col("responders")).over(wAll).cast("double") /
+              sum(col("n")).over(wAll).cast("double")), 6))
+        .orderBy(col("decile"))
+    }),
+
     // language-ID confusion matrix: the n-gram classifier evaluated
     // against the labeled lang column — per (true, predicted) counts
     // and the share of the true language (row-normalized recall view).
@@ -3465,6 +3498,32 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // lift replay: ntile deciles flipped to descending, same integer
+    // counts and double ratio trees, windows over the 10-row frame
+    "q188_decile_lift" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END
+        |      AS lab,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d AS (
+        |  SELECT 10 - bin AS decile, count(*) AS n, sum(lab) AS responders
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(responders AS BIGINT) AS responders,
+        |  round(CAST(responders AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS response_rate,
+        |  CAST(sum(n) OVER wc AS BIGINT) AS cum_n,
+        |  CAST(sum(responders) OVER wc AS BIGINT) AS cum_responders,
+        |  round((CAST(sum(responders) OVER wc AS DOUBLE) /
+        |      CAST(sum(n) OVER wc AS DOUBLE)) /
+        |    (CAST(sum(responders) OVER () AS DOUBLE) /
+        |      CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift
+        |FROM d
+        |WINDOW wc AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |ORDER BY decile""".stripMargin,
 
     // confusion replay: the SAME generated langid case chain, then the
     // (true, predicted) group with a row-normalizing window
