@@ -1235,6 +1235,20 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // collocation mining: token pairs that co-occur in ≥ 100 documents,
+    // scored by PMI (= ln lift) — q108's capped pair scaffolding over
+    // (doc, token) baskets instead of order baskets; the quadratic term
+    // stays confined to within-doc token sets
+    "q189_collocations" -> ((s, dir) =>
+      MarketBasket.pairStats(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("basket"),
+              explode(TextAnalysis.tokensCol(col("text"))).as("item"))
+            .filter(col("item") =!= ""),
+          "basket", "item", minPairCount = 100L)
+        .withColumn("pmi", round(log(col("lift")), 6))
+        .orderBy(col("item_a"), col("item_b"))),
+
     // decile lift table: orders ranked by totalprice into exact
     // equi-depth deciles (decile 1 = highest), per-decile and
     // cumulative urgent-order response rates vs the base rate — the
@@ -3498,6 +3512,40 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // collocation replay: q108's basket CTEs over tokenized docs, PMI
+    // as ln of the already-6dp-rounded lift (rounded again at 6dp —
+    // same two-step quantization as the Spark tree)
+    "q189_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS b,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS i
+        |  FROM documents),
+        |raw_items AS (SELECT DISTINCT b, i FROM toks WHERE i <> ''),
+        |items AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, count(*) OVER (PARTITION BY b) AS bn
+        |    FROM raw_items)
+        |  WHERE bn <= 1000),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM items),
+        |ic AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+        |pc AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 100),
+        |base AS (
+        |  SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |    round(n_ab::DOUBLE / nb.n, 6) AS support,
+        |    round(n_ab::DOUBLE / ca.c, 6) AS confidence,
+        |    round(n_ab::DOUBLE * nb.n / (ca.c::DOUBLE * cb.c), 6) AS lift
+        |  FROM pc
+        |  JOIN ic ca ON ca.i = pc.item_a
+        |  JOIN ic cb ON cb.i = pc.item_b
+        |  CROSS JOIN nb)
+        |SELECT item_a, item_b, n_ab, support, confidence, lift,
+        |  round(ln(lift), 6) AS pmi
+        |FROM base
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // lift replay: ntile deciles flipped to descending, same integer
     // counts and double ratio trees, windows over the 10-row frame
