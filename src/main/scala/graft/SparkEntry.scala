@@ -1235,6 +1235,25 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // Zipf rank-frequency fit: ln(freq) regressed on ln(rank) over the
+    // corpus vocabulary (freq ≥ 5) — the power-law conformance check
+    // (slope ≈ −1 for natural text). Ranks from the rank core on the
+    // NEGATED frequency (descending), OLS from the shared decimal-exact
+    // sums
+    "q190_zipf_fit" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5L)
+        .withColumn("nf", -col("freq"))
+      val xy = Ranking.rangeRank(tf, Nil, Seq("nf", "tok"), "rk")
+        .withColumn("x", log(col("rk").cast("double")))
+        .withColumn("y", log(col("freq").cast("double")))
+        .withColumn("g", lit("vocab"))
+      Stats.groupOls(xy, "x", "y", Seq("g"))
+    }),
+
     // collocation mining: token pairs that co-occur in ≥ 100 documents,
     // scored by PMI (= ln lift) — q108's capped pair scaffolding over
     // (doc, token) baskets instead of order baskets; the quadratic term
@@ -3512,6 +3531,49 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Zipf replay: row_number on (freq DESC, token) ≡ the negated-
+    // frequency rank, ln in double, then the q156 OLS decimal trees
+    "q190_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks WHERE tok <> ''
+        |  GROUP BY tok HAVING count(*) >= 5),
+        |xy AS (
+        |  SELECT 'vocab' AS g,
+        |    ln(CAST(row_number() OVER (ORDER BY -freq, tok) AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM tf),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(30,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(30,6))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(30,6))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(30,6))) AS syy,
+        |    sum(CAST(x * y AS DECIMAL(30,6))) AS sxy
+        |  FROM xy GROUP BY g HAVING count(*) >= 2),
+        |t AS (
+        |  SELECT g, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM s)
+        |SELECT g, n,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+        |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+        |  END AS slope,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+        |    round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |      * sxd) / nd, 6)
+        |  END AS intercept,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0 THEN
+        |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd) /
+        |      ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |  END AS r2
+        |FROM t""".stripMargin,
 
     // collocation replay: q108's basket CTEs over tokenized docs, PMI
     // as ln of the already-6dp-rounded lift (rounded again at 6dp —
