@@ -1235,6 +1235,16 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // Expected Calibration Error over q133's bins: the one-number
+    // miscalibration summary per return flag
+    "q191_ece" -> ((s, dir) =>
+      Drift.ece(
+          t(s, dir, "lineitem")
+            .withColumn("score", col("l_discount") * 10d)
+            .withColumn("label", col("l_quantity") > 25d),
+          "score", "label", Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
     // Zipf rank-frequency fit: ln(freq) regressed on ln(rank) over the
     // corpus vocabulary (freq ≥ 5) — the power-law conformance check
     // (slope ≈ −1 for natural text). Ranks from the rank core on the
@@ -3531,6 +3541,34 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // ECE replay: q133's bin CTEs, terms from the rounded bin rates,
+    // decimal-quantized before the k-bounded sum
+    "q191_ece" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, l_discount * 10 AS s,
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount * 10 >= 0 AND l_discount * 10 <= 1),
+        |binned AS (
+        |  SELECT g, CAST(least(floor(s * 10), 9) AS BIGINT) AS bin, s, y
+        |  FROM b),
+        |cal AS (
+        |  SELECT g, bin, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS mean_score,
+        |    round(sum(y)::DOUBLE / count(*), 6) AS frac_pos
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS nn FROM cal GROUP BY g)
+        |SELECT cal.g AS l_returnflag, max(tot.nn) AS n,
+        |  round(CAST(sum(CAST(
+        |    (CAST(cal.n AS DOUBLE) / CAST(tot.nn AS DOUBLE)) *
+        |      abs(cal.frac_pos - cal.mean_score)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece
+        |FROM cal JOIN tot ON cal.g = tot.g
+        |GROUP BY cal.g
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Zipf replay: row_number on (freq DESC, token) ≡ the negated-
     // frequency rank, ln in double, then the q156 OLS decimal trees

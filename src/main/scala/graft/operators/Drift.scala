@@ -211,6 +211,29 @@ object Drift {
         round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
   }
 
+  /** Expected Calibration Error per group — `Σ (n_i/N)·|frac_pos_i −
+    * mean_score_i|` over the [[calibration]] bins: the one-number
+    * miscalibration summary next to [[brierScore]]'s proper score. Terms
+    * are built from the bins' already-6dp-rounded rates and DECIMAL-
+    * quantized before the k-bounded sum, so the result is order-free
+    * and engine-portable. Cost: [[calibration]]'s single aggregate plus
+    * two group-cardinality passes over the k·groups bin frame.
+    */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+          groupCols: Seq[String], k: Int = 10): DataFrame = {
+    val gc = groupCols.map(col)
+    val cal = calibration(df, scoreCol, labelCol, groupCols, k)
+    val tot = cal.groupBy(gc: _*).agg(sum(col("n")).as("__N"))
+    FrameOps.statsJoinOn(cal, tot, groupCols)
+      .withColumn("__term",
+        (col("n").cast("double") / col("__N").cast("double")) *
+          abs(col("frac_pos") - col("mean_score")))
+      .groupBy(gc: _*)
+      .agg(max(col("__N")).as("n"),
+        round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("ece"))
+  }
+
   /** Brier score per group — `mean((s − y)²)`, the proper scoring rule
     * summarizing calibration AND sharpness in one number (0 perfect,
     * 0.25 = always-predict-0.5). Squared errors are DECIMAL-quantized

@@ -239,4 +239,16 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Double]("cusum_stat") == 1.414214)
     assert(r.getAs[Long]("change_us") == 400L)
   }
+
+  test("ece: hand-computed two-bin miscalibration") {
+    import spark.implicits._
+    // bin 1: mean 0.1, frac_pos 0.25 → |gap| 0.15, weight 4/8
+    // bin 9: mean 0.9, frac_pos 0.75 → |gap| 0.15, weight 4/8 → ECE 0.15
+    val df = (Seq.fill(1)(("a", 0.1, true)) ++ Seq.fill(3)(("a", 0.1, false)) ++
+      Seq.fill(3)(("a", 0.9, true)) ++ Seq.fill(1)(("a", 0.9, false)))
+      .toDF("g", "score", "label")
+    val r = Drift.ece(df, "score", "label", Seq("g")).head()
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("ece") == 0.15)
+  }
 }
