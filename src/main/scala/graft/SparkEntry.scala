@@ -1235,6 +1235,32 @@ object SparkEntry {
             floor(col("c_acctbal") / lit(1000d)).cast("long")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)),
 
+    // source-overlap matrix: pairwise vocabulary Jaccard between
+    // sources — corpus-level "which sources retread each other". The
+    // token join's fan-out is bounded by sources² per token (sources
+    // are structurally few); output ∝ source pairs
+    "q192_source_overlap_matrix" -> ((s, dir) => {
+      val sv = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sv.alias("a")
+        .join(sv.alias("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("source").as("src_a"), col("n").as("__na")),
+          "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("__nb")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("__na") + col("__nb") - col("n_common")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Expected Calibration Error over q133's bins: the one-number
     // miscalibration summary per return flag
     "q191_ece" -> ((s, dir) =>
@@ -3541,6 +3567,29 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) >= 10 AS anonymous
         |FROM cls GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // overlap-matrix replay: distinct (source, token) sets, ordered
+    // pair join, same Jaccard ratio tree
+    "q192_source_overlap_matrix" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |sv AS (SELECT DISTINCT source, tok FROM toks WHERE tok <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM sv GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.source = inter.src_a
+        |JOIN sz sb ON sb.source = inter.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // ECE replay: q133's bin CTEs, terms from the rounded bin rates,
     // decimal-quantized before the k-bounded sum
