@@ -4108,7 +4108,7 @@ object SparkEntry {
         |      ((CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE)) / 1000000.0) *
         |      ((CAST(t.tw AS DOUBLE) / CAST(t.tn AS DOUBLE)) / 1000000.0) AS varp
         |  FROM cum c JOIN tot t ON c.event_type = t.event_type)
-        |SELECT event_type, tn AS n, round(c_stat, 6) AS cusum_stat,
+        |SELECT event_type, CAST(tn AS BIGINT) AS n, round(c_stat, 6) AS cusum_stat,
         |  us AS change_us
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY c_stat DESC, us) AS rn
