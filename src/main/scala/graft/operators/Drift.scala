@@ -31,44 +31,66 @@ object Drift {
     * two-sample statistic is undefined otherwise; silently comparing
     * each tag against the pooled rest would diverge from the SQL
     * mirror).
+    *
+    * Caching caveat: the shared sorted frame [[driftCum]] leaves behind
+    * (released by the session cache sweep) is sized ∝ DISTINCT values.
+    * For a CONTINUOUS value column distinct ≈ corpus, so a long session
+    * running many KS tests over raw continuous metrics accumulates
+    * corpus-scale cached state — quantize/bucket such columns first
+    * (e.g. `round(v, 4)`; the exact-sup gap over the quantized ECDF is
+    * the KS statistic of the quantized distribution, which is what a
+    * drift monitor thresholds on anyway), or call
+    * `TrackedCaches.release()` between batteries.
     */
+  /** The drift battery's SHARED rank pass: per-(group, tag, value)
+    * counts with BOTH inclusive cumulative weights — per (group)
+    * (`__ca`, the union ECDF count) and per (group, tag) (`__ct`, the
+    * per-sample ECDF count) — from ONE range sort over the distinct-
+    * value frame.
+    *
+    * [[ksTest]], [[mannWhitney]], and [[aucByTag]] all build this frame
+    * with IDENTICAL plan structure, so a session running the usual
+    * battery (KS + MW + AUC over one split) pays the scan-and-count and
+    * the range sort ONCE: `rangeRankMulti` persists its sorted frame,
+    * and the CacheManager plan-matches the second and third statistics'
+    * identical `repartitionByRange → sortWithinPartitions` subtree onto
+    * the first's cache (the rank core's input cache is released as soon
+    * as its counts job completes — nothing corpus-scale lingers beyond
+    * the sorted distinct-value frame, which the session cache sweep
+    * releases).
+    */
+  private def driftCum(df: DataFrame, valueCol: String, tagCol: String,
+                       groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    val occ = df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
+      .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    Ranking.rangeRankMulti(occ,
+      groupCols ++ Seq(valueCol, tagCol),
+      Seq(groupCols, groupCols :+ tagCol), Seq("__ca", "__ct"),
+      weightCol = Some("__c"),
+      cacheInput = true) // occ is distinct-value-bounded, never raw-sized
+  }
+
   def ksTest(df: DataFrame, valueCol: String, tagCol: String,
              groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "ksTest needs at least one group column")
     val gc = groupCols.map(col)
-    // persisted (not just rank-core-internally cached): this exact
-    // (filter → group-count) plan is ALSO [[mannWhitney]]'s occ frame,
-    // so a session running the usual drift battery (KS + MW + AUC over
-    // one split) gets the shared scan-and-count from the CacheManager
-    // instead of recomputing it per statistic — the same deliberate
-    // cross-query reuse the operator caches rely on. Bounded ∝ distinct
-    // values; swept by the session's cache release.
-    val occ = TrackedCaches.track(
-      df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
-        .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
-        .agg(count(lit(1)).as("__c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // ONE weighted prefix-sum pass over the distinct-value frame gives
-    // both inclusive cumulative counts: per (group) and per (group, tag)
-    val cum = Ranking.rangeRankMulti(occ,
-      groupCols ++ Seq(valueCol, tagCol),
-      Seq(groupCols, groupCols :+ tagCol), Seq("__ks_ca", "__ks_ct"),
-      weightCol = Some("__c"),
-      cacheInput = true) // caller-persisted above; rank core reuses it
+    val cum = driftCum(df, valueCol, tagCol, groupCols)
     // the union count inclusive of BOTH tags at a value is the max
     // cumulative over the (group, value) micro-partition — one window
     // shuffle, cheaper than a groupBy + self-join on the same key
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gc :+ col(valueCol): _*)
     val points = cum
-      .withColumn("__c_all", max(col("__ks_ca")).over(w))
+      .withColumn("__c_all", max(col("__ca")).over(w))
       .select(gc :+ col(tagCol) :+ col(valueCol) :+
-        col("__ks_ct").as("__c_tag") :+ col("__c_all"): _*)
+        col("__ct").as("__c_tag") :+ col("__c_all"): _*)
     // sample sizes are the FINAL cumulative counts — aggregates over the
-    // cached cum frame, not extra passes over the raw input
+    // cheap cum frame (its sorted parent is cached), not raw-input passes
     val nOwn = cum.groupBy(gc :+ col(tagCol): _*)
-      .agg(max(col("__ks_ct")).as("__n_own"))
-    val nAll = cum.groupBy(gc: _*).agg(max(col("__ks_ca")).as("__n_all"))
+      .agg(max(col("__ct")).as("__n_own"))
+    val nAll = cum.groupBy(gc: _*).agg(max(col("__ca")).as("__n_all"))
     // enforce the two-sample contract: count tags per group (nOwn is
     // already one row per (group, tag)) and keep groups with exactly two
     val nTags = nOwn.groupBy(gc: _*).agg(count(lit(1)).as("__n_tags"))
@@ -106,32 +128,28 @@ object Drift {
                   groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "mannWhitney needs at least one group column")
     val gc = groupCols.map(col)
-    // occ feeds both the midrank path (via vals) and the rank-sum join —
-    // persist so the raw input is scanned once
-    val occ = TrackedCaches.track(
-      df.filter(col(valueCol).isNotNull && col(tagCol).isNotNull)
-        .groupBy(gc :+ col(tagCol) :+ col(valueCol): _*)
-        .agg(count(lit(1)).as("__c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val vals = occ.groupBy(gc :+ col(valueCol): _*)
-      .agg(sum(col("__c")).as("__t"))
-    val cum = Ranking.rangeRankMulti(vals, groupCols :+ valueCol,
-      Seq(groupCols), Seq("__mw_cu"), weightCol = Some("__t"),
-      cacheInput = true) // vals ∝ distinct values — bounded
-    val mid = cum.select(gc :+ col(valueCol) :+ col("__t") :+
-      (col("__mw_cu").cast("double") -
-        (col("__t").cast("double") - 1d) / 2d).as("__mid"): _*)
-    val keyedMid = mid.select(
-      (groupCols :+ valueCol).map(c => col(c).as(s"__k_$c")) :+
-        col("__mid") :+ col("__t"): _*)
-    val joined = occ.join(keyedMid,
-      (groupCols :+ valueCol).map(c => col(c) <=> col(s"__k_$c"))
-        .reduce(_ && _))
-    val rankSums = joined.groupBy(gc :+ col(tagCol): _*)
+    // the SAME shared pass ksTest runs (plan-identical → cache-shared):
+    // the inclusive union cumulative at a value is max(__ca) over the
+    // (group, value) micro-partition, the tie size t is the sum of the
+    // per-tag counts there, and the midrank follows directly —
+    // C(v) − (t−1)/2. No occ-side join: every row of cum already
+    // carries its tag's count __c, so rank sums aggregate in place.
+    val cum = driftCum(df, valueCol, tagCol, groupCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc :+ col(valueCol): _*)
+    val mid = cum
+      .withColumn("__t", sum(col("__c")).over(w))
+      .withColumn("__mid", max(col("__ca")).over(w).cast("double") -
+        (col("__t").cast("double") - 1d) / 2d)
+    val rankSums = mid.groupBy(gc :+ col(tagCol): _*)
       .agg(sum(col("__c")).as("__n_tag"),
         sum((col("__c") * col("__mid")).cast("decimal(28,6)")).as("__rsum"))
-    val tieTerm = mid.groupBy(gc: _*)
-      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+    // Σ(t³−t) needs each distinct value ONCE — collapse the ≤|tags|
+    // rows per (group, value) before the fold
+    val tieTerm = mid.groupBy(gc :+ col(valueCol): _*)
+      .agg(max(col("__t")).as("__tv"))
+      .groupBy(gc: _*)
+      .agg(sum(col("__tv") * col("__tv") * col("__tv") - col("__tv"))
         .as("__tie3"))
     val both = FrameOps.statsJoinOn(
       FrameOps.twoSamplePivot(rankSums, groupCols, tagCol,
@@ -168,14 +186,34 @@ object Drift {
     val tagged = df.filter(col(labelCol).try_cast("boolean").isNotNull)
       .withColumn("__auc_tag",
         when(col(labelCol).try_cast("boolean"), "pos").otherwise("neg"))
-    // tag_a is always "neg" (lexicographic), so u_stat is U_neg and
-    // U_pos = n_a·n_b − U_neg
-    val mw = mannWhitney(tagged, scoreCol, "__auc_tag", groupCols)
+    aucByTag(tagged, scoreCol, "__auc_tag", "pos", groupCols)
+  }
+
+  /** [[auc]] over an ALREADY-TAGGED two-sample frame: rows whose
+    * `tagCol` equals `posTag` are the positives, the (single) other tag
+    * the negatives. Same output as [[auc]] — groupCols, n_pos, n_neg,
+    * auc — but because the (df, valueCol, tagCol, groupCols) tuple can
+    * match a [[ksTest]]/[[mannWhitney]] call exactly, a drift battery
+    * that tags once and runs all three statistics shares ONE
+    * [[driftCum]] rank pass across them ([[auc]]'s internal pos/neg
+    * relabel builds a different plan and forfeits that reuse).
+    * `U_pos = U_a` when the positive tag sorts first, else
+    * `n_a·n_b − U_a`; groups lacking either class are dropped by the
+    * two-sample pivot.
+    */
+  def aucByTag(df: DataFrame, scoreCol: String, tagCol: String,
+               posTag: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "aucByTag needs at least one group column")
+    val mw = mannWhitney(df, scoreCol, tagCol, groupCols)
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
-    mw.select(groupCols.map(col) :+ col("n_b").as("n_pos") :+
-      col("n_a").as("n_neg") :+
-      round((na * nb - col("u_stat")) / (na * nb), 6).as("auc"): _*)
+    val posIsA = col("tag_a") === lit(posTag)
+    mw.filter(posIsA || col("tag_b") === lit(posTag))
+      .select(groupCols.map(col) :+
+        when(posIsA, col("n_a")).otherwise(col("n_b")).as("n_pos") :+
+        when(posIsA, col("n_b")).otherwise(col("n_a")).as("n_neg") :+
+        round(when(posIsA, col("u_stat"))
+          .otherwise(na * nb - col("u_stat")) / (na * nb), 6).as("auc"): _*)
   }
 
   /** Reliability diagram per group: bin predicted probabilities into

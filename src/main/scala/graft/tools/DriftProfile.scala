@@ -64,7 +64,11 @@ object DriftProfile {
       graft.operators.Drift.mannWhitney(li, "l_extendedprice", "disc_band",
         Seq("l_returnflag"))
         .write.format("noop").mode("overwrite").save())
-    time("full auc")(
+    time("full aucByTag (shared path)")(
+      graft.operators.Drift.aucByTag(li, "l_extendedprice", "disc_band",
+        "hi", Seq("l_returnflag"))
+        .write.format("noop").mode("overwrite").save())
+    time("full auc (private relabel)")(
       graft.operators.Drift.auc(
         li.withColumn("is_hi", col("l_discount") > 0.05),
         "l_extendedprice", "is_hi", Seq("l_returnflag"))
