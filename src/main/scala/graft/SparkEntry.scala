@@ -452,8 +452,12 @@ object SparkEntry {
           round(element_at(col("embedding"), 1).cast("double"), 4).as("emb0"))
         .orderBy(col("asset_id"))),
 
+    // runs the PRODUCTION frame-sample path: animated-GIF payloads get
+    // real JDK-decoded frames (spec-verified); these text payloads take
+    // its documented non-video fallback, which matches the stub shape,
+    // so the oracle is unchanged
     "q34_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(
+      Multimodal.sampleFramesDecoded(
           Multimodal.fromDocuments(t(s, dir, "documents")).filter(col("asset_id") < 50),
           n = 4)
         .select(col("asset_id"), col("media_type"), col("frame_no").cast("long").as("frame_no"))
@@ -1823,12 +1827,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
 
     // exact ROC-AUC of extendedprice as a predictor of the high-discount
-    // label, per return flag (U_pos/(n_pos*n_neg) — no threshold sweep)
+    // label, per return flag (U_pos/(n_pos*n_neg) — no threshold sweep).
+    // Tagged with the SAME disc_band expression as q119/q120 so the
+    // battery's three statistics share one driftCum rank pass via the
+    // CacheManager (aucByTag posTag="hi" ⇔ the old is_hi label).
     "q123_auc" -> ((s, dir) =>
-      Drift.auc(
-          t(s, dir, "lineitem").withColumn("is_hi",
-            col("l_discount") > 0.05),
-          "l_extendedprice", "is_hi", Seq("l_returnflag"))
+      Drift.aucByTag(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice", "disc_band", "hi", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
     // chi-square independence of return flag x line status, with
