@@ -18,7 +18,38 @@ private[graft] object TrackedCaches {
   // trust its size mark (the buffer was cleared under it)
   private var epoch = 0L
 
-  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  // ---- cross-query cache-reuse accounting (bench attribution) ----
+  // Bench calls beginQuery() before each query; track() stamps entries
+  // with the current query epoch and plan-matches new registrations
+  // against STILL-CACHED entries from earlier epochs. A match means the
+  // persist was a no-op on a cache a previous query created — i.e. this
+  // query's time is warm-cache-assisted and not attributable to the
+  // query alone. Within-query re-registration (one operator calling
+  // another over the same frame) does NOT count: the query would be
+  // equally fast standalone. Outside Bench nothing calls beginQuery(),
+  // every entry shares epoch 0, and the accounting is inert.
+  private var queryEpoch = 0L
+  private val entryEpochs = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var crossQueryReuse = 0L
+
+  def beginQuery(): Unit = synchronized { queryEpoch += 1 }
+
+  def crossQueryReuseCount: Long = synchronized(crossQueryReuse)
+
+  def track(df: DataFrame): DataFrame = synchronized {
+    if (queryEpoch > 0) {
+      val analyzed = df.queryExecution.analyzed
+      val reused = tracked.iterator.zip(entryEpochs.iterator).exists {
+        case (t, e) => e < queryEpoch &&
+          t.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+          t.queryExecution.analyzed.sameResult(analyzed)
+      }
+      if (reused) crossQueryReuse += 1
+    }
+    tracked += df
+    entryEpochs += queryEpoch
+    df
+  }
 
   def count: Int = synchronized(tracked.size)
 
@@ -32,6 +63,7 @@ private[graft] object TrackedCaches {
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist())
     tracked.clear()
+    entryEpochs.clear()
     epoch += 1
   }
 
@@ -52,9 +84,10 @@ private[graft] object TrackedCaches {
       // cannot detect this — post-clear registrations can grow the
       // buffer past the old mark again — hence the epoch.)
       val start = if (epoch != epochAtEntry) 0 else mark
-      val added = tracked.drop(start)
-      added.foreach(_.unpersist())
-      tracked.remove(start, tracked.size - start)
+      val n = tracked.size - start
+      tracked.drop(start).foreach(_.unpersist())
+      entryEpochs.remove(start, n)
+      tracked.remove(start, n)
     }
   }
 }
