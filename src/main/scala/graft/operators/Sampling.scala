@@ -106,10 +106,19 @@ object Sampling {
     * Scale: one global range-rank (dense positions), a k-way row-local
     * explode, and ONE hash equi-join position→id; the only broadcast is
     * the one-row corpus count.
+    *
+    * Contract: `idCol` is an IDENTITY — the operator samples over the
+    * DISTINCT id set (one output group of `k` negatives per distinct
+    * id). The distinct is enforced here (one map-side-combinable agg)
+    * rather than assumed: with duplicate id VALUES a positional
+    * "never-self" guarantee would be vacuous (a negative could equal
+    * the anchor id via its duplicate) and rank assignment among
+    * duplicates would be partition-order-arbitrary, voiding the
+    * documented rerun/engine determinism this operator exists for.
     */
   def negativeSamples(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val ids = df.select(col(idCol))
+    val ids = df.select(col(idCol)).distinct()
     val ranked = Ranking.rangeRank(ids, Nil, Seq(idCol), "__ns_rk")
       .withColumn("__pos", col("__ns_rk") - 1L).drop("__ns_rk")
     val n = ranked.agg(count(lit(1)).as("__n"))

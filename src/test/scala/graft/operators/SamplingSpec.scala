@@ -260,6 +260,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.negativeSamples(one, "id", k = 2).count() == 0L)
   }
 
+  test("negativeSamples: duplicate id values collapse to the distinct " +
+      "id set and never-self holds by VALUE") {
+    // 100 distinct ids, each duplicated 3x: identity semantics — one
+    // group of k negatives per DISTINCT id, no negative equal to its
+    // anchor via a duplicate, same output as the pre-deduped corpus
+    val dup = spark.range(0, 300).select((col("id") % 100).as("id"))
+    val out = Sampling.negativeSamples(dup, "id", k = 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("sample_no"),
+        r.getAs[Long]("negative_id")))
+    assert(rows.length == 200, "one k-group per distinct id")
+    assert(rows.forall { case (id, _, neg) => id != neg }, "self by value")
+    val clean = Sampling.negativeSamples(
+      spark.range(0, 100).select(col("id")), "id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("sample_no"),
+        r.getAs[Long]("negative_id"))).toSet
+    assert(rows.toSet == clean, "dup corpus ≡ distinct corpus")
+  }
+
   test("clusterAwareSplit: duplicate member rows min-reduce instead of " +
       "fanning out the corpus") {
     import spark.implicits._
