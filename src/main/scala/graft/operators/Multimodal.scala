@@ -30,13 +30,15 @@ import org.apache.spark.sql.types._
   *
   * Codec status: the IMAGE path is REAL — `javax.imageio` (JDK built-in,
   * headless-safe) decodes/resizes/re-encodes PNG · JPEG · GIF · BMP with
-  * no external libraries — and so is the AUDIO path for PCM WAV via
+  * no external libraries — and so are the AUDIO path for PCM WAV via
   * `javax.sound.sampled` (decode to mono samples, RMS energy-envelope
-  * features). Payloads with no JDK codec (video, compressed audio, text)
-  * fall back to a deterministic fake derived from the payload bytes,
-  * clearly marked below, so every stage stays total and testable on any
-  * input; swap the fallback for an ffmpeg binding in production without
-  * touching the plumbing.
+  * features) and the VIDEO frame-sample path for ANIMATED GIF via the
+  * JDK GIF reader's multi-image API ([[sampleFramesDecoded]]: composited
+  * canvases, evenly-spaced sampling). Payloads with no JDK codec
+  * (MP4/WebM video, compressed audio, text) fall back to a deterministic
+  * fake derived from the payload bytes, clearly marked below, so every
+  * stage stays total and testable on any input; swap the fallback for an
+  * ffmpeg binding in production without touching the plumbing.
   */
 object Multimodal {
 

@@ -41,6 +41,45 @@ class AppendFileSinkSpec extends SparkSpecBase {
     assert(counts2 == counts1.view.mapValues(_ * 2).toMap)
   }
 
+  test("at-least-once under retry (ref AppendOutputFormat.java:107-135): " +
+      "a mid-partition death leaves partial output VISIBLE; the rerun " +
+      "re-appends, duplicating exactly the pre-crash prefix") {
+    // The reference's no-op committer (needsTaskCommit=false, empty
+    // commit/abort hooks) means no staging and no rollback; this sink
+    // appends the same way. local[4] has task retries off
+    // (maxTaskFailures=1), so the retry is exercised at JOB level — the
+    // identical code path: a partition re-executing against files the
+    // dead attempt already appended into.
+    val dir = tmpDir()
+    val conf = AppendSinkConfig(outputDir = dir)
+    AppendFileSinkSpec.retryAttempts.set(0)
+    import spark.implicits._
+    val poisoned = spark.sparkContext.parallelize(0 until 10, 1)
+      .mapPartitions { it =>
+        val attempt = AppendFileSinkSpec.retryAttempts.getAndIncrement()
+        it.map { i =>
+          if (attempt == 0 && i >= 5)
+            throw new RuntimeException("simulated task death")
+          i
+        }
+      }.toDF("id").select(col("id"), concat(lit("name"), col("id")).as("name"))
+    intercept[org.apache.spark.SparkException] {
+      AppendFileSink.write(poisoned, conf, logicalStartTime = 1000L)
+    }
+    // no commit protocol => the dead attempt's lines are already visible
+    val partial = allLines(dir)
+    assert(partial.toSet == (0 until 5).map(i => s"$i,name$i").toSet,
+      s"partial output must be visible, got $partial")
+    // the retry (attempt 1) re-appends its WHOLE partition into the same
+    // candidate file: pre-crash prefix duplicated, suffix appearing once
+    AppendFileSink.write(poisoned, conf, logicalStartTime = 2000L)
+    assert(listFiles(dir).size == 1, "retry must reuse the candidate file")
+    val counts = allLines(dir).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = ((0 until 5).map(i => s"$i,name$i" -> 2) ++
+      (5 until 10).map(i => s"$i,name$i" -> 1)).toMap
+    assert(counts == expected, s"duplicate-on-retry multiset, got $counts")
+  }
+
   test("size threshold rotates to new files; 0 means unlimited") {
     val dir = tmpDir()
     // ~12 bytes/line, threshold 1 MB won't rotate; then write with a conf
@@ -180,4 +219,12 @@ class AppendFileSinkSpec extends SparkSpecBase {
     assert(back.count() == 30)
     assert(back.agg(sum("id")).head().getLong(0) == (0 until 30).sum)
   }
+}
+
+/** Cross-attempt state for the forced-retry test: local mode runs
+  * executors in this JVM, so a static counter distinguishes the first
+  * (poisoned) execution from the rerun.
+  */
+object AppendFileSinkSpec {
+  val retryAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }
