@@ -1265,6 +1265,46 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Gopher-style word/line-level quality rules (Rae et al. 2021
+    // defaults) — the WORD-level battery complementing q21's char-level
+    // ratios; pure map stage, every ratio an exact integer division
+    "q193_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("frac_alpha_words"), col("symbol_ratio"), col("bullet_ratio"),
+          col("ellipsis_ratio"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // blocked fuzzy linkage scored with the native codegen Jaro-Winkler
+    // expression — the oracle recomputes every score with DuckDB's OWN
+    // independent jaro_winkler_similarity (RapidFuzz lineage), so the
+    // gate is exact-double parity between two unrelated implementations
+    "q194_jaro_winkler" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      EntityResolution.jaroWinklerJoin(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          "doc_id", "text", blockLen = 12, maxLen = 64, minSim = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // lexical diversity per doc: TTR + Simpson concentration + token
+    // entropy — the repetition triad (exact ratios; decimal-quantized
+    // entropy fold)
+    "q195_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // entropy l-diversity over q180's quasi-identifier classes: the
+    // distribution-aware privacy check distinct-count l-diversity
+    // cannot express (a 99%-one-value class passes q180, fails here)
+    "q196_entropy_l_diversity" -> ((s, dir) =>
+      Privacy.entropyLDiversity(t(s, dir, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / lit(1000d)).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3.0)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Expected Calibration Error over q133's bins: the one-number
     // miscalibration summary per return flag
     "q191_ece" -> ((s, dir) =>
@@ -6176,7 +6216,127 @@ object SparkEntry {
         |    / count(*), 6) AS boilerplate_ratio
         |FROM tokf JOIN dfs USING (term)
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // word/line battery replay: same tokenization as the q23/q26 family,
+    // lines via chr(10) split + trim-filter; every ratio the identical
+    // integer-ratio expression tree
+    "q193_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> w <> '') AS toks,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+        |      AS n_ell
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(toks), 1) AS BIGINT) AS nw,
+        |    CAST(greatest(len(lines), 1) AS BIGINT) AS nl,
+        |    CAST(list_sum(list_transform(toks, w -> CAST(len(w) AS BIGINT)))
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    n_hash + n_ell AS n_sym,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+        |      AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+        |      AS n_ell_lines
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(sum_len AS DOUBLE) / nw AS mean_word_len,
+        |    CAST(n_alpha AS DOUBLE) / nw AS frac_alpha_words,
+        |    CAST(n_sym AS DOUBLE) / nw AS symbol_ratio,
+        |    CAST(n_bullet AS DOUBLE) / nl AS bullet_ratio,
+        |    CAST(n_ell_lines AS DOUBLE) / nl AS ellipsis_ratio
+        |  FROM sig)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+        |  symbol_ratio, bullet_ratio, ellipsis_ratio,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_word_len BETWEEN 3 AND 10)
+        |    AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3 AND frac_alpha_words > 0.8 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the verify stage re-scored by DuckDB's OWN jaro_winkler_similarity
+    // (RapidFuzz lineage — an implementation independent of graft's
+    // expression); the length-ratio pre-filter is output-invariant, so
+    // the oracle omits it
+    "q194_jaro_winkler" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 64) AS nm
+        |  FROM documents),
+        |a AS (SELECT doc_id, nm, substr(nm, 1, 12) AS blk
+        |      FROM n WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, nm, substr(nm, 1, 12) AS blk
+        |      FROM n WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  jaro_winkler_similarity(a.nm, b.nm) AS jw
+        |FROM a JOIN b ON a.blk = b.blk
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same (doc, token) counts as q26; TTR/Simpson exact integer ratios,
+    // entropy via the DECIMAL(28,12)-quantized order-free fold
+    "q195_lexical_diversity" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS same_pairs
+        |  FROM cnt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT cnt.doc_id,
+        |    round(CAST(sum(CAST(
+        |      -(c::DOUBLE / n_tokens::DOUBLE) * ln(c::DOUBLE / n_tokens::DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy_nats
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  n_types::DOUBLE / n_tokens::DOUBLE AS ttr,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    same_pairs::DOUBLE / (n_tokens * (n_tokens - 1))::DOUBLE END
+        |    AS simpson,
+        |  entropy_nats
+        |FROM tot JOIN ent USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q180's classes, entropy form: per-class sensitive-value entropy,
+    // decimal-quantized fold; exp applied to the ROUNDED entropy so both
+    // engines exponentiate the identical double
+    "q196_entropy_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    count(*) AS c
+        |  FROM customer
+        |  WHERE CAST(floor(c_acctbal / 1000.0) AS BIGINT) IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |sizes AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT)
+        |    AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT cells.c_nationkey, cells.c_mktsegment, class_size,
+        |    round(CAST(sum(CAST(
+        |      -(c::DOUBLE / class_size::DOUBLE)
+        |        * ln(c::DOUBLE / class_size::DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy_h
+        |  FROM cells JOIN sizes USING (c_nationkey, c_mktsegment)
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, class_size, entropy_h,
+        |  round(exp(entropy_h), 6) AS entropy_l,
+        |  round(exp(entropy_h), 6) >= 3.0 AS diverse
+        |FROM ent ORDER BY c_nationkey, c_mktsegment""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

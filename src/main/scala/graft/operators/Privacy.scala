@@ -51,4 +51,36 @@ object Privacy {
         count(when(!col("anonymous"), lit(1))).as("n_below_k"),
         coalesce(sum(when(!col("anonymous"), col("class_size"))), lit(0L))
           .as("records_below_k"))
+
+  /** Entropy ℓ-diversity (Machanavajjhala et al. 2007, def. 4.1):
+    * distinct-count l-diversity ([[kAnonymity]]) is satisfied by a class
+    * where one sensitive value covers 99% of records; the entropy form is
+    * not. Per equivalence class over the non-null-sensitive records:
+    * Shannon entropy H of the sensitive-value distribution (nats) and
+    * `entropy_l` = exp(H), the effective number of sensitive values; the
+    * class `diverse` iff entropy_l ≥ l, i.e. H ≥ ln(l).
+    *
+    * Same two-level hash-aggregation shape as [[kAnonymity]] (no per-class
+    * set state through the shuffle); entropy terms DECIMAL(28,12)-
+    * quantized before the order-free sum, H and exp(H) rounded to 6 dp
+    * (exp applied to the ROUNDED H, so both values replay identically in
+    * any engine).
+    */
+  def entropyLDiversity(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, l: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "entropyLDiversity needs quasi-identifier columns")
+    require(l >= 1.0, s"l must be >= 1, got $l")
+    val gc = quasiCols.map(col)
+    val cells = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(gc :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val sizes = cells.groupBy(gc: _*).agg(sum(col("__c")).as("class_size"))
+    val p = col("__c").cast("double") / col("class_size").cast("double")
+    cells.join(sizes, quasiCols)
+      .withColumn("__t", (-p * log(p)).cast("decimal(28,12)"))
+      .groupBy(gc :+ col("class_size"): _*)
+      .agg(round(sum(col("__t")).cast("double"), 6).as("entropy_h"))
+      .withColumn("entropy_l", round(exp(col("entropy_h")), 6))
+      .withColumn("diverse", col("entropy_l") >= lit(l))
+  }
 }

@@ -530,4 +530,102 @@ object TextAnalysis {
       .withColumn("sum_tfidf", round(col("total_tf") * col("idf"), 6))
       .drop("n_docs")
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1): the
+    * word- and line-level repetition/format signals the original filter
+    * thresholds, plus the combined `keep` verdict. Complements
+    * [[qualityFeatures]] (char-level ratios) with the WORD-level battery:
+    *
+    *   - `n_words`, `mean_word_len` — word count and mean word length
+    *     (50 ≤ words, 3 ≤ mean ≤ 10 in the paper's defaults);
+    *   - `frac_alpha_words` — fraction of words containing ≥1 letter
+    *     (> 0.8 to keep);
+    *   - `symbol_ratio` — (`#` + `...` occurrences) / words (< 0.1);
+    *   - `bullet_ratio` / `ellipsis_ratio` — fraction of non-empty lines
+    *     starting with a bullet (`- `, `* `) / ending in `...`
+    *     (≤ 0.9 / ≤ 0.3).
+    *
+    * ASCII bullet/ellipsis forms only (the corpus is ASCII; the paper's
+    * unicode variants add byte-vs-codepoint ambiguity with no coverage
+    * gain here). Every ratio is an exact small-integer division →
+    * bit-identical doubles across engines; per-document work only (split/
+    * filter/aggregate HOFs inside WholeStageCodegen), zero shuffle — at
+    * 100 TB this is a pure map stage that fuses into whatever scan feeds
+    * it.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(tokensCol(t), w => w =!= "")
+    val lines = filter(transform(split(t, "\n", -1), l => trim(l)), l => l =!= "")
+    val nWords = size(col("__toks")).cast("long")
+    val nLines = size(col("__lines")).cast("long")
+    val sumLen = aggregate(col("__toks"), lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(col("__toks"), w => w.rlike("[a-z]"))).cast("long")
+    val hashCnt = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    // '...' occurrences: replace() removes whole non-overlapping matches,
+    // so the length delta is always a multiple of 3
+    val ellCnt = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val bulletLines = size(filter(col("__lines"),
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellLines = size(filter(col("__lines"), l => l.endsWith("..."))).cast("long")
+    df.withColumn("__toks", toks).withColumn("__lines", lines)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", sumLen.cast("double") / greatest(nWords, lit(1L)))
+      .withColumn("frac_alpha_words",
+        alphaWords.cast("double") / greatest(nWords, lit(1L)))
+      .withColumn("symbol_ratio",
+        (hashCnt + ellCnt).cast("double") / greatest(nWords, lit(1L)))
+      .withColumn("bullet_ratio",
+        bulletLines.cast("double") / greatest(nLines, lit(1L)))
+      .withColumn("ellipsis_ratio",
+        ellLines.cast("double") / greatest(nLines, lit(1L)))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3d, 10d) &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("frac_alpha_words") > 0.8)
+      .drop("__toks", "__lines")
+  }
+
+  /** Per-document lexical-diversity battery over the whitespace token
+    * stream: `n_tokens` (N), `n_types` (V), type-token ratio V/N,
+    * Simpson concentration Σc(c−1)/(N(N−1)) (the probability two tokens
+    * drawn without replacement are the same type — high = repetitive),
+    * and Shannon entropy −Σ(c/N)·ln(c/N) in nats (low = repetitive).
+    *
+    * TTR and Simpson are exact integer ratios (bit-identical across
+    * engines); entropy terms are DECIMAL(28,12)-quantized before the
+    * order-free sum, then rounded to 6 dp. Plan: one (doc, token)
+    * hash aggregation (map-side combinable) feeding a per-doc rollup —
+    * the same two-shuffle shape as tf-idf, linear at 100 TB.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(tokensCol(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - 1L)).as("__same"))
+    val p = col("__c").cast("double") / col("n_tokens").cast("double")
+    val ent = counts
+      .join(totals.select(col(idCol), col("n_tokens")), Seq(idCol))
+      .withColumn("__t", (-p * log(p)).cast("decimal(28,12)"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("entropy_nats"))
+    totals.join(ent, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        col("n_types").cast("double") / col("n_tokens").cast("double") as "ttr",
+        when(col("n_tokens") > 1L,
+          col("__same").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"))
+          .as("simpson"),
+        col("entropy_nats"))
+  }
 }

@@ -92,4 +92,51 @@ class EntityResolutionSpec extends SparkSpecBase {
     // 8-edit verify accepts the reordering
     assert(out == Set((1L, 2L)))
   }
+
+  test("jaroWinklerJoin scores within-block pairs with the native expression") {
+    import graft.functions.StringSimilarity
+    import org.apache.spark.unsafe.types.UTF8String
+    def score(a: String, b: String) = StringSimilarity.jaroWinklerImpl(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    val out = EntityResolution.jaroWinklerJoin(left, right, "id", "name",
+        blockLen = 12, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fox = score("the quick brown fox jumps", "the quick brown fox jumped")
+    val variant = score("shared prefix aaaa variant one",
+      "shared prefix aaaa variant two")
+    assert(fox >= 0.9 && variant >= 0.9)
+    // id 2 / id 12 share no block; everything else scores exactly as the
+    // expression does on the normalized strings
+    assert(out == Set((1L, 10L, fox), (3L, 11L, variant)))
+  }
+
+  test("jaroWinklerJoin length prune is output-invariant") {
+    import spark.implicits._
+    // pairs spanning the prune boundary: same 4-char block, lengths 4 vs
+    // 40 (pruned: jw upper bound < 0.9) and 4 vs 5 (kept)
+    val a = Seq((1L, "abcd")).toDF("id", "name")
+    val b = Seq((2L, "abcd" + "x" * 36), (3L, "abcde")).toDF("id", "name")
+    val pruned = EntityResolution.jaroWinklerJoin(a, b, "id", "name",
+      blockLen = 4, minSim = 0.9).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // brute force: score every blocked pair without the prune
+    import graft.functions.StringSimilarity.jaroWinklerCol
+    val brute = a.crossJoin(b.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("name", "name_b"))
+      .select(col("id_b"), jaroWinklerCol(lower(trim(col("name"))),
+        lower(trim(col("name_b")))).as("jw"))
+      .filter(col("jw") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.toSet == brute.toSet)
+    assert(pruned.map(_._1).toSet == Set(3L))
+  }
+
+  test("jaroWinklerJoin selfPairs emits each unordered pair once") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "hello worlds"), (3L, "zzz"))
+      .toDF("id", "name")
+    val out = EntityResolution.jaroWinklerJoin(df, df, "id", "name",
+        blockLen = 5, minSim = 0.9, selfPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
 }

@@ -47,4 +47,42 @@ class PrivacySpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_below_k") == 0L)
     assert(row.getAs[Long]("records_below_k") == 0L)
   }
+
+  test("entropyLDiversity: uniform class reaches entropy_l = #values, skewed class does not") {
+    // uniform: 4 records, 4 distinct bals -> H = ln 4, entropy_l = 4
+    // skewed: 100 records, 99 of one value -> distinct-l = 2 but the
+    // entropy form sees the concentration
+    val uniform = (1 to 4).map(i => (1, "U", Some(i * 10)))
+    val skewed = Seq.fill(99)((1, "S", Some(10))) :+ ((1, "S", Some(20)))
+    val out = Privacy.entropyLDiversity(
+        (uniform ++ skewed).toDF("nation", "segment", "bal"),
+        Seq("nation", "segment"), "bal", l = 3.0)
+      .collect()
+      .map(r => r.getString(1) ->
+        (r.getAs[Long]("class_size"), r.getAs[Double]("entropy_h"),
+          r.getAs[Double]("entropy_l"), r.getAs[Boolean]("diverse"))).toMap
+    assert(out("U")._1 == 4L)
+    assert(out("U")._2 == 1.386294) // ln 4, rounded to 6 dp
+    assert(out("U")._3 == 3.999999) // exp of the ROUNDED H, itself rounded
+    assert(out("U")._4)
+    assert(out("S")._1 == 100L)
+    // H = -(0.99 ln 0.99 + 0.01 ln 0.01) = 0.056002 -> entropy_l ~ 1.06
+    assert(out("S")._2 == 0.056002)
+    assert(out("S")._3 < 1.1)
+    assert(!out("S")._4)
+  }
+
+  test("entropyLDiversity excludes null sensitive values from the class") {
+    val out = Privacy.entropyLDiversity(people, Seq("nation", "segment"),
+        "bal", l = 2.0)
+      .orderBy("nation", "segment").collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getAs[Long]("class_size"), r.getAs[Boolean]("diverse"))).toMap
+    // (2, "A") has one null bal: class counts only the non-null record
+    assert(out((2, "A"))._1 == 1L)
+    assert(!out((2, "A"))._2) // single value -> entropy_l = 1 < 2
+    // (1, "A"): 3 records, p = (2/3, 1/3) -> entropy_l = exp(0.636514)
+    assert(out((1, "A"))._1 == 3L)
+    assert(!out((1, "A"))._2) // 1.889... < 2
+  }
 }

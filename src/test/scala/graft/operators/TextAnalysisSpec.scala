@@ -342,4 +342,54 @@ class TextAnalysisSpec extends SparkSpecBase {
     // k = 2 everywhere, never more
     assert(out.keys.groupBy(_._1).values.forall(_.size <= 2))
   }
+
+  test("gopherRules computes the word/line battery on a crafted doc") {
+    import spark.implicits._
+    val text = "- bullet one\n* bullet two\nplain line...\n\n  \nhas # and ... marks"
+    val out = TextAnalysis.gopherRules(
+      Seq((1L, text)).toDF("doc_id", "text"), minWords = 2L).head()
+    // tokens of lower(trim(text)) split on \s+: 13 words
+    assert(out.getAs[Long]("n_words") == 13L)
+    // non-empty trimmed lines: 4 (the blank and whitespace-only lines drop)
+    assert(out.getAs[Double]("bullet_ratio") == 2.0 / 4)
+    // only "plain line..." ENDS with an ellipsis (the mid-line "..." does not)
+    assert(out.getAs[Double]("ellipsis_ratio") == 1.0 / 4)
+    // symbols: one '#', two '...' occurrences -> 3/13
+    assert(out.getAs[Double]("symbol_ratio") == 3.0 / 13)
+    // '-', '*', '#', '...' carry no letter -> 9 of 13 words are alphabetic
+    assert(out.getAs[Double]("frac_alpha_words") == 9.0 / 13)
+  }
+
+  test("gopherRules keep verdict follows the thresholds") {
+    import spark.implicits._
+    val good = ("w" * 4 + " ") * 60 // 60 words of length 4 -> keep
+    val short = "tiny doc"          // 2 words -> fail min words
+    val symbols = (("word " * 60) + "# " * 30).trim // symbol ratio >= 0.1
+    val out = TextAnalysis.gopherRules(
+      Seq((1L, good), (2L, short), (3L, symbols)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1L))
+    assert(!out(2L))
+    assert(!out(3L))
+  }
+
+  test("lexicalDiversity: exact TTR, Simpson and entropy on a known doc") {
+    import spark.implicits._
+    val out = TextAnalysis.lexicalDiversity(
+      Seq((1L, "a a b"), (2L, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") == 3L)
+    assert(d1.getAs[Long]("n_types") == 2L)
+    assert(d1.getAs[Double]("ttr") == 2.0 / 3)
+    // P(two draws same type) = (2*1)/(3*2) = 1/3
+    assert(d1.getAs[Double]("simpson") == 1.0 / 3)
+    // -(2/3 ln 2/3 + 1/3 ln 1/3) = ln3 - 2/3 ln2 = 0.636514
+    assert(d1.getAs[Double]("entropy_nats") == 0.636514)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_tokens") == 1L)
+    assert(d2.isNullAt(d2.fieldIndex("simpson"))) // undefined at N = 1
+    assert(d2.getAs[Double]("entropy_nats") == 0.0)
+    assert(d2.getAs[Double]("ttr") == 1.0)
+  }
 }
