@@ -1305,6 +1305,41 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3.0)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // q106's linkage re-verified with FULL Damerau-Levenshtein (native
+    // codegen, Lowrance-Wagner transpositions) — the oracle rescoring is
+    // DuckDB's OWN damerau_levenshtein, independent-implementation parity
+    // like q194; integer distances, zero float surface
+    "q197_damerau_linkage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      EntityResolution.damerauJoin(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+          "doc_id", "text", blockLen = 12, maxLen = 64, maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // cumulative distinct users WITHOUT a distinct-over-expanding-window:
+    // each user counts once at their first-seen day, so cum = running sum
+    // of new_users over the calendar-bounded per-day frame
+    "q198_cumulative_uniques" -> ((s, dir) =>
+      ProductAnalytics.cumulativeUniques(
+          Tables.events(s, dir).select(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day")))
+        .orderBy(col("day"))),
+
+    // Heaps'-law vocabulary-growth exponent per source — the corpus-slice
+    // health check (template spam collapses beta, noise inflates it)
+    "q199_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(t(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // inter-event burstiness per user (Goh-Barabasi B): exact decimal
+    // moment sums over integer-micro gaps; every derived double a
+    // correctly-rounded op — cross-engine parity without quantization
+    "q200_burstiness" -> ((s, dir) =>
+      TimeSeries.interEventStats(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
     // Expected Calibration Error over q133's bins: the one-number
     // miscalibration summary per return flag
     "q191_ece" -> ((s, dir) =>
@@ -6336,7 +6371,89 @@ object SparkEntry {
         |SELECT c_nationkey, c_mktsegment, class_size, entropy_h,
         |  round(exp(entropy_h), 6) AS entropy_l,
         |  round(exp(entropy_h), 6) >= 3.0 AS diverse
-        |FROM ent ORDER BY c_nationkey, c_mktsegment""".stripMargin
+        |FROM ent ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // q106's blocking, DuckDB's own (full) damerau_levenshtein as the
+    // independent rescoring implementation
+    "q197_damerau_linkage" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 64) AS nm
+        |  FROM documents),
+        |a AS (SELECT doc_id, nm, substr(nm, 1, 12) AS blk
+        |      FROM n WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, nm, substr(nm, 1, 12) AS blk
+        |      FROM n WHERE doc_id % 2 = 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(damerau_levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM a JOIN b ON a.blk = b.blk
+        |WHERE abs(length(a.nm) - length(b.nm)) <= 8
+        |  AND damerau_levenshtein(a.nm, b.nm) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // first-seen day per user -> per-day new counts -> running sum over
+    // the day frame; active = distinct users that day
+    "q198_cumulative_uniques" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS d
+        |  FROM events),
+        |np AS (
+        |  SELECT fd AS d, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM (SELECT u, min(d) AS fd FROM act GROUP BY u) GROUP BY fd),
+        |ap AS (SELECT d, CAST(count(*) AS BIGINT) AS active_users
+        |       FROM act GROUP BY d)
+        |SELECT ap.d AS day, active_users,
+        |  CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY ap.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM ap LEFT JOIN np ON ap.d = np.d
+        |ORDER BY day""".stripMargin,
+
+    // same two-level (source, token) counts as q192's vocab frames;
+    // exponent = ln V / ln N on exact bigints
+    "q199_heaps_law" ->
+      """WITH cnt AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY source, tok)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CASE WHEN CAST(sum(c) AS BIGINT) > 1 THEN
+        |    round(ln(count(*)::DOUBLE) / ln(CAST(sum(c) AS BIGINT)::DOUBLE), 6)
+        |  END AS heaps_exponent
+        |FROM cnt GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // integer-micro gaps of the per-user sorted ts sequence; DECIMAL
+    // moment sums; identical IEEE trees for mean/std/cv/burstiness
+    "q200_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        |  FROM (SELECT user_id, epoch_us(ts) AS us FROM events)),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gap AS DECIMAL(19,0))) AS s,
+        |    sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sq
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, n_gaps,
+        |    s::DOUBLE / n_gaps AS mean_gap_us,
+        |    sqrt(greatest(
+        |      (sq::DOUBLE - s::DOUBLE * s::DOUBLE / n_gaps) / (n_gaps - 1.0),
+        |      0.0)) AS std_gap_us
+        |  FROM a WHERE n_gaps >= 2)
+        |SELECT user_id, n_gaps, mean_gap_us, std_gap_us,
+        |  CASE WHEN mean_gap_us > 0 THEN round(std_gap_us / mean_gap_us, 6)
+        |    END AS cv,
+        |  CASE WHEN std_gap_us + mean_gap_us > 0 THEN
+        |    round((std_gap_us - mean_gap_us) / (std_gap_us + mean_gap_us), 6)
+        |    END AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -134,8 +134,27 @@ object GraftFunctions {
         TextScan.BpeTokenCount(args(0))
       })
 
+  val jaroWinkler: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] over UTF-8 bytes"),
+      { args =>
+        require(args.length == 2, "graft_jaro_winkler takes (string, string)")
+        StringSimilarity.JaroWinkler(args(0), args(1))
+      })
+
+  val damerauLevenshtein: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_damerau_levenshtein"),
+      info("graft_damerau_levenshtein",
+        "graft_damerau_levenshtein(a, b) - full Damerau-Levenshtein edit distance over UTF-8 bytes"),
+      { args =>
+        require(args.length == 2, "graft_damerau_levenshtein takes (string, string)")
+        StringSimilarity.DamerauLevenshtein(args(0), args(1))
+      })
+
   val all = Seq(vecDot, hyperplaneSig, intersectCount, countInSet,
-    simhash64, minhashSigs, hashedShingles, wsTokenCount, bpeTokenCount)
+    simhash64, minhashSigs, hashedShingles, wsTokenCount, bpeTokenCount,
+    jaroWinkler, damerauLevenshtein)
 
   /** Idempotently register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

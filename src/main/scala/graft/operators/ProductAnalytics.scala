@@ -209,4 +209,28 @@ object ProductAnalytics {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_users") >= minUsers)
   }
+
+  /** Per-day audience growth: active users, first-time ("new") users, and
+    * the cumulative distinct-user count — the standard DAU/cumulative-
+    * uniques board. Cumulative distinct is NOT a distinct-over-expanding-
+    * window (quadratic state): each user contributes once at their
+    * first-seen day, so cum_users = running sum of new_users — two hash
+    * aggregations (user-keyed min, then day-keyed counts) and a running
+    * sum over the PER-DAY frame, which is calendar-bounded (≈365 rows/
+    * year at any corpus size), the q126-style fixed-size window.
+    */
+  def cumulativeUniques(activity: DataFrame, userCol: String = "user_id",
+                        dayCol: String = "day"): DataFrame = {
+    val act = activity.select(col(userCol).as("u"), col(dayCol).as("d")).distinct()
+    val newPerDay = act.groupBy(col("u")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    val activePerDay = act.groupBy(col("d")).agg(count(lit(1)).as("active_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    activePerDay.join(newPerDay, Seq("d"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+      .select(col("d").as("day"), col("active_users"), col("new_users"),
+        col("cum_users"))
+  }
 }

@@ -628,4 +628,23 @@ object TextAnalysis {
           .as("simpson"),
         col("entropy_nats"))
   }
+
+  /** Heaps'-law vocabulary growth per corpus slice: total tokens N,
+    * vocabulary size V, and the empirical exponent ln V / ln N (Heaps
+    * 1978: V ≈ K·Nᵝ, β ≈ 0.4–0.6 for natural text — a slice whose β
+    * collapses toward 0 is template spam; toward 1, random noise).
+    * Exact distincts via the two-level (slice, token) aggregation — no
+    * count_distinct set state through the shuffle; one row per slice.
+    */
+  def heapsLaw(df: DataFrame, sliceCol: String = "source",
+               textCol: String = "text"): DataFrame =
+    df.select(col(sliceCol), explode(tokensCol(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sliceCol), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(sliceCol))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("vocab"))
+      .withColumn("heaps_exponent",
+        when(col("n_tokens") > 1L,
+          round(log(col("vocab").cast("double")) /
+            log(col("n_tokens").cast("double")), 6)))
 }

@@ -97,4 +97,49 @@ object TimeSeries {
             ((col("us") - col("__pus")) / (col("__nus") - col("__pus"))), 6))
           .as("value"))
   }
+
+  /** Per-key inter-event-time statistics: mean/std of the gaps between
+    * consecutive events (microseconds), their coefficient of variation,
+    * and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B → 1
+    * bursty, B = 0 Poisson, B → −1 periodic. The bot-vs-human /
+    * scraper-traffic signal on an event stream.
+    *
+    * Exactness: gaps are integer micros of the per-key SORTED timestamp
+    * sequence (sums over them are independent of how an engine breaks
+    * equal-timestamp ties); Σgap and Σgap² go through DECIMAL (gap² can
+    * exceed int64) so the moment sums are exact and order-free, and every
+    * derived double (mean, var, sqrt, ratios) is a correctly-rounded IEEE
+    * op on those exact sums — bit-identical in any engine, no quantization
+    * needed. One windowed lag over a user-keyed sort + one hash agg; keys
+    * with < `minGaps` gaps are dropped (moments undefined).
+    */
+  def interEventStats(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts", minGaps: Long = 2L): DataFrame = {
+    require(minGaps >= 2, s"sample std needs >= 2 gaps, got minGaps=$minGaps")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+    val gaps = events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val gd = col("__gap").cast("decimal(19,0)")
+    val agg = gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(gd).as("__s"), sum(gd * gd).as("__sq"))
+      .filter(col("n_gaps") >= minGaps)
+    val n = col("n_gaps").cast("double")
+    val s = col("__s").cast("double")
+    val sq = col("__sq").cast("double")
+    val mean = s / n
+    // cancellation can drive the exact-sum variance epsilon-negative;
+    // both engines clamp identically
+    val variance = greatest((sq - s * s / n) / (n - lit(1d)), lit(0d))
+    agg.select(col(keyCol), col("n_gaps"),
+        mean.as("mean_gap_us"), sqrt(variance).as("std_gap_us"))
+      .withColumn("cv", when(col("mean_gap_us") > 0d,
+        round(col("std_gap_us") / col("mean_gap_us"), 6)))
+      .withColumn("burstiness",
+        when(col("std_gap_us") + col("mean_gap_us") > 0d,
+          round((col("std_gap_us") - col("mean_gap_us")) /
+            (col("std_gap_us") + col("mean_gap_us")), 6)))
+  }
 }

@@ -84,4 +84,13 @@ class GraftFunctionsSpec extends SparkSpecBase {
       .head().getInt(0)
     assert(viaCol == 3)
   }
+
+  test("graft_jaro_winkler and graft_damerau_levenshtein callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw,
+        |  graft_damerau_levenshtein('CA', 'ABC') AS dl""".stripMargin).head()
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getInt(1) == 2)
+  }
 }

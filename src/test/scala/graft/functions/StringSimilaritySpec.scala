@@ -81,4 +81,40 @@ class StringSimilaritySpec extends SparkSpecBase {
       "gamma ray" -> "gamma-ray", "x" -> "xyzzy", "ab cd" -> "ba dc")
     pairs.foreach { case (a, b) => assert(jw(a, b) == jw(b, a), s"($a,$b)") }
   }
+
+  private def dl(a: String, b: String): Int =
+    StringSimilarity.damerauLevenshteinImpl(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerauLevenshtein is the FULL variant (transposition across later edits)") {
+    // the OSA/full discriminator: CA -> ABC is 2 full (swap CA->AC, then
+    // insert B inside the swapped pair), 3 restricted — DuckDB says 2
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("kitten", "sitting") == 3)  // pure levenshtein case agrees
+    assert(dl("abcdef", "abcfed") == 2)   // 'fed' from 'def': 2 swaps
+    assert(dl("abcdef", "abcdfe") == 1)   // one adjacent swap = 1 edit
+    assert(dl("same", "same") == 0)
+  }
+
+  test("damerauLevenshtein edges: empties, bytes, symmetry") {
+    assert(dl("", "") == 0)
+    assert(dl("", "abc") == 3)
+    assert(dl("abc", "") == 3)
+    // byte semantics like DuckDB: 'é' is two UTF-8 bytes
+    assert(dl("é", "e") == 2)
+    val pairs = Seq("alpha" -> "alpah", "ca" -> "abc", "ab" -> "ba")
+    pairs.foreach { case (a, b) => assert(dl(a, b) == dl(b, a), s"($a,$b)") }
+  }
+
+  test("damerauLevenshtein codegen and interpreted paths agree; nulls propagate") {
+    import spark.implicits._
+    import StringSimilarity.damerauLevenshteinCol
+    val df = Seq(("CA", "ABC"), ("abcdef", "abcdfe"), ("", "xy"))
+      .toDF("a", "b")
+    assert(df.select(damerauLevenshteinCol(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 1, 2))
+    val nulls = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    assert(nulls.select(damerauLevenshteinCol(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
 }

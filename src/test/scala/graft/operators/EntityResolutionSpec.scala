@@ -139,4 +139,17 @@ class EntityResolutionSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("damerauJoin: adjacent swaps cost 1 where levenshtein pays 2") {
+    import spark.implicits._
+    // two swaps after the 12-char block: "...details hte cat adn dog"
+    val a = Seq((1L, "prefix block details the cat and dog")).toDF("id", "name")
+    val b = Seq((2L, "prefix block details hte cat adn dog")).toDF("id", "name")
+    val dlOut = EntityResolution.damerauJoin(a, b, "id", "name",
+      blockLen = 12, maxDist = 2).collect()
+    assert(dlOut.length == 1 && dlOut.head.getInt(2) == 2)
+    // plain levenshtein sees 4 edits -> rejected at the same threshold
+    assert(EntityResolution.fuzzyJoin(a, b, "id", "name",
+      blockLen = 12, maxDist = 2).isEmpty)
+  }
 }

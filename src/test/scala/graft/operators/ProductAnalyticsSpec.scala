@@ -149,4 +149,18 @@ class ProductAnalyticsSpec extends SparkSpecBase {
     // user-3 loop fall under the distinct-user threshold
     assert(out.toSeq == Seq(("v", "c", "p", 2L, 2L)))
   }
+
+  test("cumulativeUniques: new vs active vs cumulative, hand-computed") {
+    import spark.implicits._
+    // day 1: users a,b (both new). day 2: a again + c (one new).
+    // day 3: a,b,c (none new). duplicate (a, day1) row must not double
+    val act = Seq((1L, 1L), (2L, 1L), (1L, 1L),
+      (1L, 2L), (3L, 2L),
+      (1L, 3L), (2L, 3L), (3L, 3L)).toDF("user_id", "day")
+    val out = ProductAnalytics.cumulativeUniques(act)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 2L), (2L, 2L, 1L, 3L),
+      (3L, 3L, 0L, 3L)))
+  }
 }

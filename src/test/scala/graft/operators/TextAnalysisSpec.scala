@@ -392,4 +392,20 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(d2.getAs[Double]("entropy_nats") == 0.0)
     assert(d2.getAs[Double]("ttr") == 1.0)
   }
+
+  test("heapsLaw: exact N and V per slice, exponent ln V / ln N") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", "a b a c"), ("web", "a d"),      // N=6, V=4
+      ("tiny", "x"))                            // N=1 -> exponent null
+      .toDF("source", "text")
+    val out = TextAnalysis.heapsLaw(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("web").getAs[Long]("n_tokens") == 6L)
+    assert(out("web").getAs[Long]("vocab") == 4L)
+    assert(math.abs(out("web").getAs[Double]("heaps_exponent") -
+      math.log(4.0) / math.log(6.0)) < 1e-6)
+    assert(out("tiny").getAs[Long]("n_tokens") == 1L)
+    assert(out("tiny").isNullAt(out("tiny").fieldIndex("heaps_exponent")))
+  }
 }

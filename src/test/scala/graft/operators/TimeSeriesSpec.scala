@@ -61,4 +61,33 @@ class TimeSeriesSpec extends SparkSpecBase {
       .sorted
     assert(out.toSeq == Seq((0L, 3L), (200L, 1L), (500L, 2L)))
   }
+
+  test("interEventStats: periodic user B = -1, known two-gap moments, short users dropped") {
+    val events = Seq(
+      // "tick": perfectly periodic, gaps (100, 100) -> std 0, B = -1
+      ("tick", 0L), ("tick", 100L), ("tick", 200L),
+      // "mix": gaps (100, 300) -> mean 200, sample std sqrt(20000)
+      ("mix", 0L), ("mix", 100L), ("mix", 400L),
+      // "two": a single gap -> dropped (sample std undefined)
+      ("two", 0L), ("two", 50L))
+      .toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeries.interEventStats(events, "user_id", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("two"))
+    val tick = out("tick")
+    assert(tick.getAs[Long]("n_gaps") == 2L)
+    assert(tick.getAs[Double]("mean_gap_us") == 100.0)
+    assert(tick.getAs[Double]("std_gap_us") == 0.0)
+    assert(tick.getAs[Double]("cv") == 0.0)
+    assert(tick.getAs[Double]("burstiness") == -1.0)
+    val mix = out("mix")
+    assert(mix.getAs[Double]("mean_gap_us") == 200.0)
+    // var = (100-200)^2 + (300-200)^2 over n-1=1 -> 20000
+    assert(mix.getAs[Double]("std_gap_us") == math.sqrt(20000.0))
+    val sd = math.sqrt(20000.0)
+    assert(math.abs(mix.getAs[Double]("burstiness") -
+      (sd - 200.0) / (sd + 200.0)) < 1e-6)
+    assert(math.abs(mix.getAs[Double]("cv") - sd / 200.0) < 1e-6)
+  }
 }
