@@ -1340,6 +1340,57 @@ object SparkEntry {
       TimeSeries.interEventStats(Tables.events(s, dir))
         .orderBy(col("user_id"))),
 
+    // deterministic Poisson bootstrap CI for the mean extendedprice per
+    // return flag: the resampling plan is a pure function of (row key,
+    // resample index) — no RNG state, so the oracle replays ALL 40
+    // resamples bit-for-bit
+    "q201_bootstrap_ci" -> ((s, dir) =>
+      Stats.bootstrapMeanCI(
+          t(s, dir, "lineitem").withColumn("ship_us",
+            unix_micros(col("l_shipdate").cast("timestamp"))),
+          "l_extendedprice",
+          keyCols = Seq("l_orderkey", "l_linenumber", "ship_us"),
+          groupCols = Seq("l_returnflag"), b = 40)
+        .orderBy(col("l_returnflag"))),
+
+    // the A/B readout q122's Welch test approximates parametrically:
+    // paired-resample percentile CI for the hi-vs-lo discount uplift in
+    // mean extendedprice — same deterministic Poisson draws as q201
+    "q202_bootstrap_ab" -> ((s, dir) =>
+      Stats.bootstrapDiffCI(
+          t(s, dir, "lineitem")
+            .withColumn("ship_us",
+              unix_micros(col("l_shipdate").cast("timestamp")))
+            .withColumn("disc_band",
+              when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice",
+          keyCols = Seq("l_orderkey", "l_linenumber", "ship_us"),
+          armCol = "disc_band", refArm = "lo", cmpArm = "hi", b = 40)),
+
+    // Mann-Kendall monotonic-trend test over each event type's DAILY
+    // count series — the nonparametric drift check; quadratic only in
+    // the calendar-bounded series length, never the corpus
+    "q203_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      TimeSeries.mannKendall(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
+    // Theil-Sen robust slope over the same daily series: the
+    // contamination-proof trend estimate OLS can't give; exact
+    // lower-median pairwise slope
+    "q204_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      TimeSeries.theilSen(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
     // Expected Calibration Error over q133's bins: the one-number
     // miscalibration summary per return flag
     "q191_ece" -> ((s, dir) =>
@@ -6453,7 +6504,181 @@ object SparkEntry {
         |  CASE WHEN std_gap_us + mean_gap_us > 0 THEN
         |    round((std_gap_us - mean_gap_us) / (std_gap_us + mean_gap_us), 6)
         |    END AS burstiness
-        |FROM m ORDER BY user_id""".stripMargin
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    // full 40-resample replay: u from the identical md5 ring, Poisson
+    // inverse CDF against the identical double literals, decimal-exact
+    // Σm·x, type-1 percentile ranks (1, 39) over (mean, b)
+    "q201_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_orderkey AS VARCHAR) || '#' ||
+        |      CAST(l_linenumber AS VARCHAR) || '#' ||
+        |      CAST(epoch_us(l_shipdate) AS VARCHAR) AS k
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |pt AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(28,6))) AS sx
+        |  FROM base GROUP BY g),
+        |drawn AS (
+        |  SELECT g, x, t.b,
+        |    (('0x' || substr(md5(k || '#' || CAST(t.b AS VARCHAR)), 1, 13))
+        |      ::BIGINT + 1.0) / 4503599627370496.0 AS u
+        |  FROM base, range(40) t(b)),
+        |mult AS (
+        |  SELECT g, x, b,
+        |    CASE WHEN u <= 0.36787944117144233 THEN 0
+        |         WHEN u <= 0.7357588823428847 THEN 1
+        |         WHEN u <= 0.9196986029286058 THEN 2
+        |         WHEN u <= 0.9810118431238463 THEN 3
+        |         WHEN u <= 0.9963401531726563 THEN 4
+        |         WHEN u <= 0.9994058151824183 THEN 5
+        |         WHEN u <= 0.999916758850712 THEN 6
+        |         WHEN u <= 0.9999897508033253 THEN 7
+        |         WHEN u <= 0.999998874797402 THEN 8
+        |         ELSE 9 END AS m
+        |  FROM drawn),
+        |res AS (
+        |  SELECT g, b,
+        |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6))) AS sm,
+        |    CAST(sum(m) AS BIGINT) AS nm
+        |  FROM mult GROUP BY g, b),
+        |ranked AS (
+        |  SELECT g, sm::DOUBLE / nm AS mean_b,
+        |    row_number() OVER (PARTITION BY g ORDER BY sm::DOUBLE / nm, b)
+        |      AS rn
+        |  FROM res WHERE nm > 0),
+        |ci AS (
+        |  SELECT g, max(CASE WHEN rn = 1 THEN mean_b END) AS ci_lo,
+        |    max(CASE WHEN rn = 39 THEN mean_b END) AS ci_hi,
+        |    CAST(count(*) AS BIGINT) AS n_resamples
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS l_returnflag, n, sx::DOUBLE / n AS mean,
+        |  ci_lo, ci_hi, n_resamples
+        |FROM pt JOIN ci USING (g)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // paired-resample diff replay: identical draws to q201, arm-
+    // conditional sums per b, rank picks (1, 39) over (diff, b)
+    "q202_bootstrap_ab" ->
+      """WITH base AS (
+        |  SELECT (l_discount > 0.05) AS iscmp,
+        |    CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_orderkey AS VARCHAR) || '#' ||
+        |      CAST(l_linenumber AS VARCHAR) || '#' ||
+        |      CAST(epoch_us(l_shipdate) AS VARCHAR) AS k
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |pt AS (
+        |  SELECT CAST(count(*) FILTER (NOT iscmp) AS BIGINT) AS n_ref,
+        |    CAST(count(*) FILTER (iscmp) AS BIGINT) AS n_cmp,
+        |    sum(CAST(x AS DECIMAL(28,6))) FILTER (NOT iscmp) AS sr,
+        |    sum(CAST(x AS DECIMAL(28,6))) FILTER (iscmp) AS sc
+        |  FROM base),
+        |mult AS (
+        |  SELECT iscmp, x, b,
+        |    CASE WHEN u <= 0.36787944117144233 THEN 0
+        |         WHEN u <= 0.7357588823428847 THEN 1
+        |         WHEN u <= 0.9196986029286058 THEN 2
+        |         WHEN u <= 0.9810118431238463 THEN 3
+        |         WHEN u <= 0.9963401531726563 THEN 4
+        |         WHEN u <= 0.9994058151824183 THEN 5
+        |         WHEN u <= 0.999916758850712 THEN 6
+        |         WHEN u <= 0.9999897508033253 THEN 7
+        |         WHEN u <= 0.999998874797402 THEN 8
+        |         ELSE 9 END AS m
+        |  FROM (
+        |    SELECT iscmp, x, t.b,
+        |      (('0x' || substr(md5(k || '#' || CAST(t.b AS VARCHAR)), 1, 13))
+        |        ::BIGINT + 1.0) / 4503599627370496.0 AS u
+        |    FROM base, range(40) t(b))),
+        |res AS (
+        |  SELECT b,
+        |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6)))
+        |      FILTER (NOT iscmp) AS smr,
+        |    CAST(sum(m) FILTER (NOT iscmp) AS BIGINT) AS nmr,
+        |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6)))
+        |      FILTER (iscmp) AS smc,
+        |    CAST(sum(m) FILTER (iscmp) AS BIGINT) AS nmc
+        |  FROM mult GROUP BY b),
+        |ranked AS (
+        |  SELECT smc::DOUBLE / nmc - smr::DOUBLE / nmr AS diff,
+        |    row_number() OVER (
+        |      ORDER BY smc::DOUBLE / nmc - smr::DOUBLE / nmr, b) AS rn
+        |  FROM res WHERE nmr > 0 AND nmc > 0),
+        |ci AS (
+        |  SELECT max(CASE WHEN rn = 1 THEN diff END) AS ci_lo,
+        |    max(CASE WHEN rn = 39 THEN diff END) AS ci_hi,
+        |    CAST(count(*) AS BIGINT) AS n_resamples
+        |  FROM ranked)
+        |SELECT n_ref, n_cmp,
+        |  sc::DOUBLE / n_cmp - sr::DOUBLE / n_ref AS diff,
+        |  ci_lo, ci_hi, n_resamples
+        |FROM pt, ci
+        |WHERE n_ref > 0 AND n_cmp > 0""".stripMargin,
+
+    // exact-integer S and tie term; var_s and z in the identical
+    // double tree
+    "q203_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CAST(sign(CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(sum(t1 * (t1 - 1) * (2 * t1 + 5)) AS BIGINT) AS tt
+        |  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t1
+        |        FROM d GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT p.event_type, n.n, p.s_stat,
+        |    CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tt AS DOUBLE) / 18
+        |      AS var_s
+        |  FROM p JOIN n USING (event_type) JOIN t USING (event_type))
+        |SELECT event_type, n, s_stat, var_s,
+        |  round(CASE WHEN s_stat > 0 THEN
+        |      (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+        |    ELSE 0 END, 6) AS z
+        |FROM v WHERE var_s > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // lower-median pairwise slope at rank (p+1)//2 over the
+    // (slope, ti, tj) total order
+    "q204_theil_sen" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS DOUBLE) AS day,
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events GROUP BY event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    (b.c - a.c) / (b.day - a.day) AS slope,
+        |    a.day AS ti, b.day AS tj
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+        |        FROM pr GROUP BY 1),
+        |rk AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope, ti, tj) AS rn
+        |  FROM pr)
+        |SELECT rk.event_type, cnt.n_pairs, round(rk.slope, 6) AS slope
+        |FROM rk JOIN cnt USING (event_type)
+        |WHERE rk.rn = (cnt.n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -133,6 +133,39 @@ object TextHashes {
     h
   }
 
+  /** Portable md5-derived uniform in (0, 1]: the top 52 digest bits plus
+    * one, over 2^52 — bit-identical to the SQL-replayable
+    * `(conv(substring(md5(s), 1, 13), 16, 10) + 1.0) / 2^52` ring (13 hex
+    * chars = top 52 bits) without materializing the hex string or parsing
+    * it back. The deterministic-sampling primitive (bootstrap
+    * multiplicities, weighted sampling keys).
+    */
+  def md5UniformImpl(s: UTF8String): Double =
+    ((md5Top64(s) >>> 12) + 1.0) / 4503599627370496.0 // 2^52
+
+  /** md5_uniform(s): DoubleType in (0, 1]; null-safe. */
+  case class Md5Uniform(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected string, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      md5UniformImpl(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.md5UniformImpl($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def md5Uniform(c: Column): Column =
+    GraftColumnShim.column(Md5Uniform(GraftColumnShim.expression(c)))
+
   /** Shared impl for [[SimHash64Md5]] eval + codegen. */
   def simHash64Md5Impl(arr: ArrayData): Long = {
     val votes = new Array[Long](64)

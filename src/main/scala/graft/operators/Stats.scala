@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classical hypothesis-test statistics as distributed aggregations —
@@ -491,5 +491,163 @@ object Stats {
       .withColumn("q_value", round(least(col("__q"), lit(1.0)), 6))
       .withColumn("reject", least(col("__q"), lit(1.0)) <= lit(alpha))
       .drop("__a", "__q")
+  }
+
+  /** Poisson(1) CDF thresholds for the deterministic bootstrap's inverse
+    * CDF. These exact double literals ARE the contract (an engine
+    * replaying the bootstrap compares the same u against the same
+    * literals); the tail is capped at multiplicity 9 (P ≈ 1.1e-6, bias
+    * far below the CI resolution).
+    */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402)
+
+  /** Deterministic Poisson bootstrap percentile CI for the mean, per
+    * group (Chamandy et al. 2012 — the streaming/distributed bootstrap):
+    * resample `b`'s multiplicity for a row is PoissonInv(u) with u drawn
+    * from md5(row key, b), so the ENTIRE resampling plan is a pure
+    * function of the data — rerun-stable, engine-replayable, no RNG
+    * state. Classical multinomial resampling needs the global n at draw
+    * time and a sequential RNG; Poisson(1) factorizes per row, which is
+    * what makes the bootstrap embarrassingly parallel at 100 TB.
+    *
+    * Each of the `b` resamples aggregates `Σ m·x / Σ m` with the product
+    * routed through DECIMAL(28,6) (order-free exact sums → bit-identical
+    * means in any engine); the CI is the type-1 percentile pair of the b
+    * resample means, ranked inside each group by (mean, b) — a window
+    * over the `b`-bounded frame, never the corpus. Cost: one map-side
+    * explode ×b feeding a (group, b)-keyed partial agg — rows×b
+    * lightweight tuples combined before the shuffle, which carries only
+    * groups×b partials.
+    *
+    * `keyCols` must identify rows uniquely (duplicate keys would
+    * correlate multiplicities); output per group: `n`, `mean` (exact
+    * point estimate), `ci_lo`, `ci_hi`, `n_resamples`.
+    */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, keyCols: Seq[String],
+                      groupCols: Seq[String], b: Int = 50,
+                      alpha: Double = 0.05): DataFrame = {
+    require(b >= 4, s"need >= 4 resamples, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(keyCols.nonEmpty, "bootstrapMeanCI needs row-identifying keyCols")
+    val gc = groupCols.map(col)
+    val keyStr = concat_ws("#", keyCols.map(col(_).cast("string")): _*)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(gc :+ col(valueCol).cast("double").as("__x")
+        :+ keyStr.as("__k"): _*)
+    val point = base.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(28,6)")).as("__sx"))
+    // native md5-uniform: same bits as the SQL-replayable
+    // (conv(substring(md5(k#b),1,13),16,10)+1)/2^52 ring, minus the hex
+    // round-trip (asserted equal in TextHashesSpec)
+    val u = graft.functions.TextHashes.md5Uniform(
+      concat(col("__k"), lit("#"), col("__b").cast("string")))
+    val m = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.length): Column) { case ((c, k), other) =>
+        when(u <= lit(c), lit(k)).otherwise(other)
+      }
+    // the explode multiplies per-row work ×b (md5 + conv per resample);
+    // when the scan yields fewer splits than the session's parallelism
+    // (small local files), that work would pile onto 1-2 cores — spread
+    // the narrow (group, x, key) projection first. At cluster scale the
+    // input's own splits already provide this and the repartition is a
+    // no-op branch.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (base.rdd.getNumPartitions < nPart) base.repartition(nPart) else base
+    val resampled = spread
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__m", m.cast("long"))
+      .groupBy(gc :+ col("__b"): _*)
+      // m <= 9 fits decimal(2,0); the product stays inside precision 38
+      .agg(sum(col("__m").cast("decimal(2,0)") *
+          col("__x").cast("decimal(28,6)")).as("__sm"),
+        sum(col("__m")).as("__nm"))
+      .filter(col("__nm") > 0L)
+      .withColumn("__mean",
+        col("__sm").cast("double") / col("__nm").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col("__mean"), col("__b"))
+    val loRank = math.ceil(alpha / 2 * b).toLong.max(1L)
+    val hiRank = math.ceil((1 - alpha / 2) * b).toLong
+    val ci = resampled.withColumn("__rn", row_number().over(w))
+      .groupBy(gc: _*)
+      .agg(max(when(col("__rn") === loRank, col("__mean"))).as("ci_lo"),
+        max(when(col("__rn") === hiRank, col("__mean"))).as("ci_hi"),
+        count(lit(1)).as("n_resamples"))
+    point.join(ci, groupCols)
+      .select(gc ++ Seq(col("n"),
+        (col("__sx").cast("double") / col("n").cast("double")).as("mean"),
+        col("ci_lo"), col("ci_hi"), col("n_resamples")): _*)
+  }
+
+  /** [[bootstrapMeanCI]]'s A/B form: percentile CI for the DIFFERENCE in
+    * means between two arms (cmp − ref) — the uplift interval an A/B
+    * readout actually wants, where the parametric alternative (Welch)
+    * assumes approximate normality this makes no claim about. Both arms
+    * resample inside the SAME Poisson draw per b (multiplicities keyed on
+    * (row, b) exactly as the one-sample form), so diff_b is a paired
+    * statistic. One arm-conditional aggregation per b — the same single
+    * shuffle of b partials; the CI window runs over the b-bounded frame.
+    * Output one row: n_ref, n_cmp, diff (exact point estimate), ci_lo,
+    * ci_hi, n_resamples.
+    */
+  def bootstrapDiffCI(df: DataFrame, valueCol: String, keyCols: Seq[String],
+                      armCol: String, refArm: String, cmpArm: String,
+                      b: Int = 50, alpha: Double = 0.05): DataFrame = {
+    require(b >= 4, s"need >= 4 resamples, got $b")
+    require(refArm != cmpArm, "refArm and cmpArm must differ")
+    require(keyCols.nonEmpty, "bootstrapDiffCI needs row-identifying keyCols")
+    val keyStr = concat_ws("#", keyCols.map(col(_).cast("string")): _*)
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        (col(armCol) === refArm || col(armCol) === cmpArm))
+      .select((col(armCol) === cmpArm).as("__cmp"),
+        col(valueCol).cast("double").as("__x"), keyStr.as("__k"))
+    val point = base.agg(
+      count(when(!col("__cmp"), lit(1))).as("n_ref"),
+      count(when(col("__cmp"), lit(1))).as("n_cmp"),
+      sum(when(!col("__cmp"), col("__x").cast("decimal(28,6)"))).as("__sr"),
+      sum(when(col("__cmp"), col("__x").cast("decimal(28,6)"))).as("__sc"))
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (base.rdd.getNumPartitions < nPart) base.repartition(nPart) else base
+    val u = graft.functions.TextHashes.md5Uniform(
+      concat(col("__k"), lit("#"), col("__b").cast("string")))
+    val m = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.length): Column) { case ((c, k), other) =>
+        when(u <= lit(c), lit(k)).otherwise(other)
+      }
+    val mx = col("__m").cast("decimal(2,0)") * col("__x").cast("decimal(28,6)")
+    val resampled = spread
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__m", m.cast("long"))
+      .groupBy(col("__b"))
+      .agg(sum(when(!col("__cmp"), mx)).as("__smr"),
+        sum(when(!col("__cmp"), col("__m"))).as("__nmr"),
+        sum(when(col("__cmp"), mx)).as("__smc"),
+        sum(when(col("__cmp"), col("__m"))).as("__nmc"))
+      .filter(col("__nmr") > 0L && col("__nmc") > 0L)
+      .withColumn("__diff",
+        col("__smc").cast("double") / col("__nmc").cast("double") -
+          col("__smr").cast("double") / col("__nmr").cast("double"))
+    // b-bounded frame (<= b rows): the unpartitioned window is fixed-size
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__diff"), col("__b"))
+    val loRank = math.ceil(alpha / 2 * b).toLong.max(1L)
+    val hiRank = math.ceil((1 - alpha / 2) * b).toLong
+    val ci = resampled.withColumn("__rn", row_number().over(w))
+      .agg(max(when(col("__rn") === loRank, col("__diff"))).as("ci_lo"),
+        max(when(col("__rn") === hiRank, col("__diff"))).as("ci_hi"),
+        count(lit(1)).as("n_resamples"))
+    point.crossJoin(ci)
+      .filter(col("n_ref") > 0L && col("n_cmp") > 0L)
+      .select(col("n_ref"), col("n_cmp"),
+        (col("__sc").cast("double") / col("n_cmp").cast("double") -
+          col("__sr").cast("double") / col("n_ref").cast("double")).as("diff"),
+        col("ci_lo"), col("ci_hi"), col("n_resamples"))
   }
 }

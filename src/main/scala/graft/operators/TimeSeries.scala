@@ -142,4 +142,89 @@ object TimeSeries {
           round((col("std_gap_us") - col("mean_gap_us")) /
             (col("std_gap_us") + col("mean_gap_us")), 6)))
   }
+
+  /** Mann-Kendall monotonic-trend test per series (Mann 1945; Kendall
+    * 1975), the nonparametric "is this metric drifting" check that
+    * assumes nothing about the distribution: `S = Σ_{i<j} sign(x_j −
+    * x_i)` over time-ordered observations, tie-corrected variance
+    * `(n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18`, continuity-corrected
+    * `z = (S ∓ 1)/σ`. Positive z = upward trend.
+    *
+    * Intended for AGGREGATED series (a daily metric per key): the pair
+    * join is quadratic in series length, which is calendar-bounded —
+    * never row-quadratic in the corpus. S and the tie term are exact
+    * integers; z's sqrt/division are single correctly-rounded ops.
+    * Input: one row per (series key, time); output per key: n, s_stat,
+    * var_s, z (6 dp).
+    */
+  def mannKendall(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                  valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mannKendall needs series key columns")
+    val gc = keyCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(gc :+ col(timeCol).as("__t") :+
+        col(valueCol).cast("double").as("__v"): _*)
+    val pairs = base.alias("a")
+      .join(base.alias("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.__t") < col("b.__t"))
+      .groupBy(keyCols.map(k => col(s"a.$k").as(k)): _*)
+      .agg(sum(signum(col("b.__v") - col("a.__v")).cast("long")).as("s_stat"))
+    val counts = base.groupBy(gc: _*).agg(count(lit(1)).as("n"))
+    val ties = base.groupBy(gc :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__t1"))
+      .groupBy(gc: _*)
+      .agg(sum(col("__t1") * (col("__t1") - 1L) *
+        (lit(2L) * col("__t1") + 5L)).as("__tt"))
+    val n = col("n")
+    val varS = (n * (n - 1L) * (lit(2L) * n + 5L) - col("__tt"))
+      .cast("double") / 18d
+    val s = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0L, (s - 1d) / sqrt(col("var_s")))
+      .when(col("s_stat") < 0L, (s + 1d) / sqrt(col("var_s")))
+      .otherwise(0d)
+    pairs.join(counts, keyCols).join(ties, keyCols)
+      .withColumn("var_s", varS)
+      .filter(col("var_s") > 0d) // constant series: no test
+      .select(gc ++ Seq(n, col("s_stat"), col("var_s"),
+        round(z, 6).as("z")): _*)
+  }
+
+  /** Theil–Sen robust slope per series: the MEDIAN of all pairwise
+    * slopes `(x_j − x_i)/(t_j − t_i)` — up to ~29% contamination does
+    * not move it, unlike OLS. Same calendar-bounded pair frame as
+    * [[mannKendall]]; the median is the exact lower-median value at
+    * rank `ceil(p/2)` over (slope, ti, tj)-ordered pairs (deterministic
+    * total order; even counts take the LOWER median so the output is an
+    * observed slope, engine-portable with no averaging convention).
+    * Output per key: n_pairs, slope (6 dp).
+    */
+  def theilSen(df: DataFrame, keyCols: Seq[String], timeCol: String,
+               valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "theilSen needs series key columns")
+    val gc = keyCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(gc :+ col(timeCol).cast("double").as("__t") :+
+        col(valueCol).cast("double").as("__v"): _*)
+    val pairs = base.alias("a")
+      .join(base.alias("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.__t") < col("b.__t"))
+      .select(keyCols.map(k => col(s"a.$k").as(k)) ++ Seq(
+        ((col("b.__v") - col("a.__v")) / (col("b.__t") - col("a.__t")))
+          .as("__slope"),
+        col("a.__t").as("__ti"), col("b.__t").as("__tj")): _*)
+    // pair frame is length²-bounded per series (calendar-bounded input)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(col("__slope"), col("__ti"), col("__tj"))
+    val counts = pairs.groupBy(gc: _*).agg(count(lit(1)).as("n_pairs"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .join(counts, keyCols)
+      // lower-median rank (p+1)/2, truncating — 4 pairs -> rank 2,
+      // 5 pairs -> rank 3
+      .filter(col("__rn") ===
+        ((col("n_pairs") + 1L) / 2L).cast("long"))
+      .select(gc ++ Seq(col("n_pairs"),
+        round(col("__slope"), 6).as("slope")): _*)
+  }
 }

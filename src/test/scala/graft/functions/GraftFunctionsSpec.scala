@@ -85,6 +85,19 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(viaCol == 3)
   }
 
+  test("md5Uniform equals the conv-hex-substring ring bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 500).map(i => s"key-$i#${i % 7}").toDF("k")
+    val rows = df.select(
+      TextHashes.md5Uniform(col("k")).as("native"),
+      ((conv(substring(md5(col("k").cast("binary")), 1, 13), 16, 10)
+        .cast("double") + lit(1.0)) / lit(4503599627370496.0)).as("ring"))
+      .collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+    assert(rows.forall(r => r.getDouble(0) > 0.0 && r.getDouble(0) <= 1.0))
+  }
+
   test("graft_jaro_winkler and graft_damerau_levenshtein callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

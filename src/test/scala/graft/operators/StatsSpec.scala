@@ -299,4 +299,62 @@ class StatsSpec extends SparkSpecBase {
     assert(out(0).getAs[Boolean]("reject"))
     assert(!out(1).getAs[Boolean]("reject"))
   }
+
+  test("bootstrapMeanCI: exact point mean, ordered CI, full resample count") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("grp", "id", "x")
+    val row = Stats.bootstrapMeanCI(df, "x", Seq("id"), Seq("grp"), b = 50)
+      .head()
+    assert(row.getAs[Long]("n") == 200L)
+    assert(row.getAs[Double]("mean") == 100.5) // exact decimal point estimate
+    assert(row.getAs[Long]("n_resamples") == 50L)
+    val (lo, hi) = (row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+    assert(lo < hi)
+    // uniform 1..200: resample means concentrate near 100.5 (se ~ 4.1);
+    // the 95% percentile CI must sit well inside +-5 se
+    assert(lo > 100.5 - 21 && hi < 100.5 + 21)
+    assert(lo < 100.5 && hi > 100.5)
+  }
+
+  test("bootstrapMeanCI is invariant under repartitioning (pure function of keys)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toLong,
+      (i * 3 % 17).toDouble)).toDF("grp", "id", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.bootstrapMeanCI(d, "x", Seq("id"), Seq("grp"), b = 20)
+        .orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getAs[Double]("mean"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))).toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
+
+  test("bootstrapDiffCI: exact point diff, CI brackets a large true uplift") {
+    import spark.implicits._
+    // ref ~ 10, cmp ~ 30: uplift 20 with small within-arm spread
+    val rows = (1 to 100).map(i => ("lo", i.toLong, 10.0 + (i % 5))) ++
+      (1 to 100).map(i => ("hi", 1000L + i, 30.0 + (i % 5)))
+    val row = Stats.bootstrapDiffCI(rows.toDF("arm", "id", "x"), "x",
+      Seq("id"), "arm", refArm = "lo", cmpArm = "hi", b = 30).head()
+    assert(row.getAs[Long]("n_ref") == 100L)
+    assert(row.getAs[Long]("n_cmp") == 100L)
+    assert(row.getAs[Double]("diff") == 20.0) // exact decimal point diff
+    assert(row.getAs[Long]("n_resamples") == 30L)
+    val (lo, hi) = (row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+    assert(lo < 20.0 && hi > 20.0 && lo > 18.0 && hi < 22.0)
+  }
+
+  test("bootstrapMeanCI drops null values and keeps groups independent") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, Some(20.0)),
+      ("b", 4L, Some(5.0)), ("b", 5L, Some(5.0)), ("b", 6L, Some(5.0)),
+      ("b", 7L, Some(5.0))).toDF("grp", "id", "x")
+    val out = Stats.bootstrapMeanCI(df, "x", Seq("id"), Seq("grp"), b = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n") == 2L) // the null row is excluded
+    assert(out("a").getAs[Double]("mean") == 15.0)
+    // constant column: every resample mean is exactly the constant
+    assert(out("b").getAs[Double]("ci_lo") == 5.0)
+    assert(out("b").getAs[Double]("ci_hi") == 5.0)
+  }
 }

@@ -90,4 +90,40 @@ class TimeSeriesSpec extends SparkSpecBase {
       (sd - 200.0) / (sd + 200.0)) < 1e-6)
     assert(math.abs(mix.getAs[Double]("cv") - sd / 200.0) < 1e-6)
   }
+
+  test("mannKendall: hand-computed S, tie correction, z sign") {
+    import spark.implicits._
+    // "up": strictly increasing 5-point series -> S = 10 (all pairs +1),
+    //   var = 5*4*15/18 = 50/3, z = 9/sqrt(50/3)
+    // "tied": values (1,1,2) -> S = sign(0)+sign(1)+sign(1) = 2,
+    //   var = (3*2*11 - 2*1*9)/18 = 48/18, z = 1/sqrt(48/18)
+    // "flat": constant -> var 0 -> dropped
+    val df = ((1 to 5).map(i => ("up", i.toLong, i.toDouble)) ++
+      Seq(("tied", 1L, 1.0), ("tied", 2L, 1.0), ("tied", 3L, 2.0)) ++
+      Seq(("flat", 1L, 7.0), ("flat", 2L, 7.0)))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.mannKendall(df, Seq("k"), "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("flat"))
+    val up = out("up")
+    assert(up.getAs[Long]("s_stat") == 10L)
+    assert(up.getAs[Double]("var_s") == 50.0 / 3)
+    assert(math.abs(up.getAs[Double]("z") - 9.0 / math.sqrt(50.0 / 3)) < 1e-6)
+    val tied = out("tied")
+    assert(tied.getAs[Long]("s_stat") == 2L)
+    assert(tied.getAs[Double]("var_s") == 48.0 / 18)
+    assert(math.abs(tied.getAs[Double]("z") -
+      1.0 / math.sqrt(48.0 / 18)) < 1e-6)
+  }
+
+  test("theilSen: robust to an outlier OLS would chase; exact lower median") {
+    import spark.implicits._
+    // y = 2t except one wild outlier at t=5: slopes stay clustered at 2
+    val clean = Seq(1L -> 2.0, 2L -> 4.0, 3L -> 6.0, 4L -> 8.0, 5L -> 100.0)
+    val df = clean.map { case (t, v) => ("s", t, v) }.toDF("k", "t", "v")
+    val row = TimeSeries.theilSen(df, Seq("k"), "t", "v").head()
+    assert(row.getAs[Long]("n_pairs") == 10L)
+    // 6 of 10 pairwise slopes are exactly 2.0; lower median (rank 5) = 2
+    assert(row.getAs[Double]("slope") == 2.0)
+  }
 }
