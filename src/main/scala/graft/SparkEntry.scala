@@ -1379,6 +1379,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // interpolated Kneser-Ney bigram model — continuation-probability
+    // smoothing over q111's raw conditionals; every factor an exact
+    // integer count in a fixed double tree
+    "q205_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.knBigram(t(s, dir, "documents"),
+          minContextCount = 50L, topPerContext = 3)
+        .orderBy(col("w1"), col("rank"))),
+
+    // DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
+    // bucket profiles, add-1 smoothed, per-doc log-ratio sums — "how
+    // src0-like is each document" for targeted data selection
+    "q206_dsir" -> ((s, dir) =>
+      DataSelection.dsirScores(t(s, dir, "documents"),
+          isTarget = col("source") === "src0", buckets = 1024)
+        .orderBy(col("doc_id"))),
+
     // Theil-Sen robust slope over the same daily series: the
     // contamination-proof trend estimate OLS can't give; exact
     // lower-median pairwise slope
@@ -6678,7 +6694,82 @@ object SparkEntry {
         |SELECT rk.event_type, cnt.n_pairs, round(rk.slope, 6) AS slope
         |FROM rk JOIN cnt USING (event_type)
         |WHERE rk.rn = (cnt.n_pairs + 1) // 2
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // q111's bigram counts + successor/predecessor type counts + the
+    // identical KN double tree (d = 0.75)
+    "q205_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |bg AS (
+        |  SELECT unnest([tk[i] || ' ' || tk[i + 1]
+        |    FOR i IN range(1, len(tk))]) AS g
+        |  FROM toks WHERE len(tk) >= 2),
+        |c AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+        |    CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT w1, w2, c12,
+        |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_fwd,
+        |    CAST(row_number() OVER (PARTITION BY w1
+        |      ORDER BY c12 DESC, w2) AS BIGINT) AS rank
+        |  FROM c),
+        |pred AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_back FROM c GROUP BY w2),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c)
+        |SELECT w1, ctx.w2, c12, c1, n1p_fwd, n1p_back, rank,
+        |  round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+        |      / CAST(c1 AS DOUBLE)
+        |    + (0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * (CAST(n1p_back AS DOUBLE) / CAST(t_types AS DOUBLE)), 6)
+        |    AS p_kn
+        |FROM ctx JOIN pred ON ctx.w2 = pred.w2 CROSS JOIN tt
+        |WHERE c1 >= 50 AND rank <= 3
+        |ORDER BY w1, rank""".stripMargin,
+
+    // identical feature stream (unigrams + space-joined bigrams), md5
+    // ring buckets mod 1024, add-1 smoothing, decimal-quantized
+    // log-ratio fold
+    "q206_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |idx AS (
+        |  SELECT doc_id, tgt, tk, unnest(range(1, len(tk) + 1)) AS i
+        |  FROM toks),
+        |feats AS (
+        |  SELECT doc_id, tgt, f FROM (
+        |    SELECT doc_id, tgt,
+        |      unnest([tk[i],
+        |        CASE WHEN i < len(tk) THEN tk[i] || ' ' || tk[i + 1] END]) AS f
+        |    FROM idx)
+        |  WHERE f IS NOT NULL AND f <> ''),
+        |bk AS (
+        |  SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(f), 1, 13))::BIGINT % 1024 AS bk
+        |  FROM feats),
+        |prof AS (
+        |  SELECT bk, CAST(count(*) FILTER (tgt) AS BIGINT) AS ct,
+        |    CAST(count(*) FILTER (NOT tgt) AS BIGINT) AS cr
+        |  FROM bk GROUP BY bk),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        |  FROM prof),
+        |stats AS (
+        |  SELECT bk,
+        |    CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE) AS pt,
+        |    CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE) AS pr
+        |  FROM prof CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(CAST(sum(CAST(ln(pt / pr) AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS dsir_score
+        |FROM bk JOIN stats USING (bk)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR — Xie et al. 2023,
+  * NeurIPS): score every raw document by how target-like its hashed
+  * n-gram profile is, `score(doc) = Σ_f log(p_target(h(f)) /
+  * p_raw(h(f)))` over the doc's unigram+bigram features hashed into a
+  * fixed bucket space — the method used to select LLM pretraining data
+  * toward a target domain without training a model.
+  *
+  * Determinism/portability: features hash via the md5 ring (`('0x' ||
+  * substr(md5(f), 1, 13)) % buckets` — the same arithmetic every SQL
+  * engine replays); bucket distributions are add-1-smoothed exact
+  * counts; per-feature log-ratios are DECIMAL(28,12)-quantized before
+  * the order-free per-doc sum.
+  *
+  * Scale shape: ONE explode of the corpus into (doc, bucket) feature
+  * rows feeding two aggregations — the bucket profile (B-bounded,
+  * parameter-small, broadcast back) and the per-doc score rollup. The
+  * corpus is scanned once; no vocab-sized state.
+  */
+object DataSelection {
+
+  private def bucketOf(f: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(conv(substring(md5(f.cast("binary")), 1, 13), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Per-document DSIR importance score against a target subset.
+    * `isTarget` marks the in-domain documents (they get scores too —
+    * useful as a sanity floor); `buckets` is the hashed feature space
+    * (paper uses 10⁴; any fixed B works). Output: (idCol, n_feats,
+    * dsir_score) with positive = more target-like than the raw pool.
+    */
+  def dsirScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    val base = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), isTarget.as("__tgt"), toks.as("__toks"))
+    // unigrams + bigrams in one pass: index i covers unigram i, and the
+    // bigram (i, i+1) when it exists
+    val feats = base
+      .select(col(idCol), col("__tgt"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")))).as("__i"))
+      .select(col(idCol), col("__tgt"),
+        element_at(col("__toks"), col("__i")).as("__u"),
+        when(col("__i") < size(col("__toks")),
+          concat_ws(" ", element_at(col("__toks"), col("__i")),
+            element_at(col("__toks"), col("__i") + 1))).as("__b2"))
+      .select(col(idCol), col("__tgt"),
+        explode(array(col("__u"), col("__b2"))).as("__f"))
+      .filter(col("__f").isNotNull && col("__f") =!= "")
+      .withColumn("__bk", bucketOf(col("__f"), buckets))
+    val profile = feats.groupBy(col("__bk"))
+      .agg(count(when(col("__tgt"), lit(1))).as("__ct"),
+        count(when(!col("__tgt"), lit(1))).as("__cr"))
+    val totals = profile.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))
+    // B-bounded profile × one-row totals: both structurally small
+    val stats = profile.crossJoin(broadcast(totals))
+      .select(col("__bk"),
+        ((col("__ct") + 1L).cast("double") /
+          (col("__nt") + lit(buckets.toLong)).cast("double")).as("__pt"),
+        ((col("__cr") + 1L).cast("double") /
+          (col("__nr") + lit(buckets.toLong)).cast("double")).as("__pr"))
+    feats.join(broadcast(stats), "__bk")
+      .withColumn("__term",
+        log(col("__pt") / col("__pr")).cast("decimal(28,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("__term")).cast("double"), 6).as("dsir_score"))
+  }
+}

@@ -459,6 +459,63 @@ object TextAnalysis {
         round(col("n").cast("double") / col("c1"), 6).as("p"))
   }
 
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999 — THE n-gram smoothing), the modeling upgrade over
+    * [[bigramModel]]'s raw conditionals: absolute discount `d` off every
+    * seen bigram, redistributed via the CONTINUATION probability — how
+    * many distinct contexts a word follows, not how often it occurs
+    * ("francisco" is frequent but follows only "san"; continuation
+    * weighting stops it leaking into fresh contexts):
+    *
+    *   p_kn(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1,·)/c1) · N1+(·,w2)/T
+    *
+    * with `N1+(w1,·)` distinct successors of w1, `N1+(·,w2)` distinct
+    * predecessors of w2, `T` total bigram types. Every factor is an
+    * exact integer count; the formula is a fixed double tree (6 dp) —
+    * engine-replayable. Plan: one (w1, w2) count shuffle; successor/
+    * context stats as windows on the w1 exchange; predecessor counts as
+    * one w2-keyed agg of the TYPE frame joined back; T broadcasts as a
+    * one-row aggregate. All frames after the count are vocab²-bounded.
+    */
+  def knBigram(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", discount: Double = 0.75,
+               minContextCount: Long = 50L,
+               topPerContext: Int = 3): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    require(topPerContext >= 1, s"topPerContext must be >= 1, got $topPerContext")
+    val pairs = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(tokensCol(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val wAll = Window.partitionBy(col("w1"))
+    val withCtx = counts
+      .withColumn("c1", sum(col("c12")).over(wAll))
+      .withColumn("n1p_fwd", count(lit(1)).over(wAll)) // distinct successors
+    val pred = counts.groupBy(col("w2")).agg(count(lit(1)).as("n1p_back"))
+    val tBig = counts.agg(count(lit(1)).as("t_types"))
+    val d = lit(discount)
+    val pKn = greatest(col("c12").cast("double") - d, lit(0d)) /
+      col("c1").cast("double") +
+      (d * col("n1p_fwd").cast("double") / col("c1").cast("double")) *
+        (col("n1p_back").cast("double") / col("t_types").cast("double"))
+    val wRank = Window.partitionBy(col("w1"))
+      .orderBy(col("c12").desc, col("w2"))
+    withCtx
+      .filter(col("c1") >= minContextCount)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topPerContext)
+      .join(pred, "w2")
+      .crossJoin(broadcast(tBig))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_fwd"), col("n1p_back"), col("rank"),
+        round(pKn, 6).as("p_kn"))
+  }
+
   /** Per-document boilerplate share: the fraction of a doc's DISTINCT
     * `n`-gram shingles that are corpus-common (document frequency ≥
     * `minDf`) — the cross-document complement of [[repetitionFeatures]]

@@ -38,6 +38,9 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
     AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate", count = 2),
+    AllowedBroadcast("TextAnalysis.scala", "tBig", "one-row bigram-type-count aggregate (knBigram's T)"),
+    AllowedBroadcast("DataSelection.scala", "totals", "one-row feature-count aggregate (dsir smoothing denominators)"),
+    AllowedBroadcast("DataSelection.scala", "stats", "hashed-bucket profile — B rows, parameter-bounded (buckets)"),
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverStateRows guard"),

@@ -393,6 +393,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(d2.getAs[Double]("ttr") == 1.0)
   }
 
+  test("knBigram: hand-computed Kneser-Ney probabilities") {
+    import spark.implicits._
+    // bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> c1(a)=3, c1(b)=1;
+    // successors: a->2, b->1; predecessors: each of a,b,c has 1; T=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigram(docs, minContextCount = 1L,
+        topPerContext = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("c12") == 2L && ab.getAs[Long]("c1") == 3L)
+    assert(ab.getAs[Long]("n1p_fwd") == 2L && ab.getAs[Long]("n1p_back") == 1L)
+    // (2-.75)/3 + (.75*2/3)*(1/3) = 0.583333
+    assert(ab.getAs[Double]("p_kn") == 0.583333)
+    assert(out(("a", "c")).getAs[Double]("p_kn") == 0.25)
+    assert(out(("b", "a")).getAs[Double]("p_kn") == 0.5)
+    // ranks: within context a, (a,b) beats (a,c)
+    assert(ab.getAs[Long]("rank") == 1L)
+    assert(out(("a", "c")).getAs[Long]("rank") == 2L)
+  }
+
   test("heapsLaw: exact N and V per slice, exponent ln V / ln N") {
     import spark.implicits._
     val docs = Seq(
