@@ -1395,6 +1395,21 @@ object SparkEntry {
           isTarget = col("source") === "src0", buckets = 1024)
         .orderBy(col("doc_id"))),
 
+    // BPE vocabulary learning (Sennrich et al. 2016): 8 corpus-wide
+    // most-frequent-pair merges from characters — tokenizer training as
+    // a first-class pipeline operator; k vocab-frame aggregations, the
+    // corpus scanned once
+    "q207_bpe_train" -> ((s, dir) =>
+      Bpe.learnMerges(t(s, dir, "documents"), merges = 8)
+        .orderBy(col("iteration"))),
+
+    // apply the learned q207 vocabulary back to the corpus: per-doc BPE
+    // token counts and chars-per-token compression — the tokenizer
+    // fertility diagnostic
+    "q208_bpe_compression" -> ((s, dir) =>
+      Bpe.compressionStats(t(s, dir, "documents"), merges = 8)
+        .orderBy(col("doc_id"))),
+
     // Theil-Sen robust slope over the same daily series: the
     // contamination-proof trend estimate OLS can't give; exact
     // lower-median pairwise slope
@@ -2556,6 +2571,73 @@ object SparkEntry {
          |ORDER BY node""".stripMargin
     head + iters + tail
   }
+
+  /** Unrolled BPE-training replay shared by q207/q208: one CTE trio
+    * (pair counts, best pair, rewritten sequences) per merge, the same
+    * double-space symbol encoding and single-space-padded `replace`
+    * rewrite [[graft.operators.Bpe]] executes — plain left-to-right
+    * string replacement, so no regex lookarounds and both engines
+    * reproduce the reference algorithm's leftmost-greedy merges
+    * identically. Scala builds the chain so the oracle can never drift
+    * from the merge count in q207.
+    */
+  private def bpeOracleCtes(merges: Int): String = {
+    val head =
+      """w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$')
+        |  GROUP BY word),
+        |s0 AS (
+        |  SELECT word, freq,
+        |    '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  ' AS seq
+        |  FROM w)""".stripMargin
+    val iters = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT sy[j] AS a, sy[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, sy, unnest(range(1, len(sy))) AS j
+         |    FROM (SELECT freq, string_split(trim(seq), '  ') AS sy FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT $i AS iteration, a AS sym_a, b AS sym_b, a || b AS merged,
+         |    cnt AS pair_count
+         |  FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS (
+         |  SELECT word, freq,
+         |    replace(seq, ' ' || sym_a || '  ' || sym_b || ' ',
+         |      ' ' || merged || ' ') AS seq
+         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + iters
+  }
+
+  private def bpeTrainOracleSql(merges: Int): String =
+    s"WITH ${bpeOracleCtes(merges)}\n" +
+      (1 to merges).map(i => s"SELECT * FROM b$i").mkString("\nUNION ALL ") +
+      "\nORDER BY iteration"
+
+  private def bpeCompressionOracleSql(merges: Int): String =
+    s"""WITH ${bpeOracleCtes(merges)},
+       |dwf AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |wt AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS word_tokens
+       |  FROM s$merges)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(word_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(length(word)) AS DOUBLE) /
+       |    CAST(sum(word_tokens) AS DOUBLE), 6) AS chars_per_token
+       |FROM dwf JOIN wt USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
     * the two queries must be byte-identical, so they share one oracle.
@@ -6769,7 +6851,11 @@ object SparkEntry {
         |    AS dsir_score
         |FROM bk JOIN stats USING (bk)
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q207_bpe_train" -> bpeTrainOracleSql(8),
+
+    "q208_bpe_compression" -> bpeCompressionOracleSql(8)
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning (Sennrich et al. 2016, ACL) —
+  * the tokenizer-training step of an LLM data pipeline: iteratively
+  * merge the most frequent adjacent symbol pair across the corpus,
+  * starting from characters, yielding the ordered merge table that IS a
+  * BPE vocabulary.
+  *
+  * Representation: each distinct word becomes one row carrying its
+  * corpus frequency and its current symbol sequence encoded as a
+  * double-space-delimited string (`"  l  o  w  </w>  "`). A merge of
+  * pair (a, b) is then the plain string replacement
+  * `replace(seq, ' a  b ', ' ab ')`: the single-space-padded pattern
+  * consumes one space of each flanking double-space separator, so
+  * adjacent pairs stay matchable and a symbol can never match inside a
+  * longer symbol — left-to-right non-overlapping `replace` semantics
+  * (identical in the JVM and every SQL engine; no regex lookarounds, so
+  * the DuckDB/RE2 oracle replays it verbatim) reproduce the reference
+  * algorithm's leftmost-greedy merge order.
+  *
+  * Words are restricted to `^[a-z0-9]+$` after lowercasing so
+  * per-character splitting is byte-unambiguous on every engine; the
+  * Sennrich end-of-word marker `</w>` is appended as its own symbol.
+  *
+  * Scale shape: the corpus is scanned ONCE into the (word, freq) vocab
+  * frame (Zipf-bounded — millions of rows at any corpus size, never
+  * corpus-sized). Each of the k iterations is one map-side-combinable
+  * pair-count aggregation over the vocab frame, a one-row best-pair
+  * sort-limit broadcast back, and a per-row replace — no corpus
+  * rescans, no driver-side state beyond the plan. Lineage is cut with
+  * an eager localCheckpoint per round (the PageRank lesson).
+  */
+object Bpe {
+
+  private val WordRe = "^[a-z0-9]+$"
+
+  /** Corpus (word, freq) vocabulary frame: lowercase whitespace tokens
+    * restricted to [a-z0-9]+. One shuffle, Zipf-bounded output.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
+      .filter(col("word").rlike(WordRe))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequence for a word: every character a symbol plus
+    * the `</w>` end marker, double-space delimited with leading and
+    * trailing double spaces.
+    */
+  private def initialSeq(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "), lit("</w>  "))
+
+  private def symbols(seq: Column): Column = split(trim(seq), "  ")
+
+  /** Learn `merges` BPE merges over the corpus. Output: one row per
+    * merge — (iteration, sym_a, sym_b, merged, pair_count) — ordered by
+    * iteration; `pair_count` is the frequency-weighted occurrence count
+    * of the winning pair at the time it was chosen. Ties break on
+    * (count DESC, sym_a ASC, sym_b ASC) — fully deterministic.
+    */
+  def learnMerges(docs: DataFrame, merges: Int,
+                  textCol: String = "text"): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    learned(docs, merges, textCol)._1
+  }
+
+  /** Internal: (merge table, final per-word symbol sequences). */
+  private def learned(docs: DataFrame, merges: Int,
+                      textCol: String): (DataFrame, DataFrame) = {
+    var seqs = wordFreqs(docs, textCol)
+      .select(col("word"), col("freq"), initialSeq(col("word")).as("seq"))
+      .localCheckpoint(true) // referenced twice per iteration: scan once
+    var table: DataFrame = null
+    for (i <- 1 to merges) {
+      val sy = symbols(col("seq"))
+      val pairs = seqs
+        .select(col("freq"), sy.as("sy"))
+        // a fully-merged word has ONE symbol: Spark's sequence(1, 0)
+        // counts DOWN, so guard before generating pair positions
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"),
+          explode(sequence(lit(1), size(col("sy")) - 1)).as("i"), col("sy"))
+        .select(col("freq"), element_at(col("sy"), col("i")).as("a"),
+          element_at(col("sy"), col("i") + 1).as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(lit(i).as("iteration"), col("a").as("sym_a"),
+          col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+          col("cnt").as("pair_count"))
+        .localCheckpoint(true) // one row; feeds output AND the rewrite
+      table = if (table == null) best else table.union(best)
+      seqs = seqs
+        .crossJoin(broadcast(best.select(
+          col("sym_a"), col("sym_b"), col("merged"))))
+        .select(col("word"), col("freq"),
+          expr("replace(seq, concat(' ', sym_a, '  ', sym_b, ' '), " +
+            "concat(' ', merged, ' '))").as("seq"))
+        .localCheckpoint(true) // cut per-iteration lineage growth
+    }
+    (table, seqs)
+  }
+
+  /** Apply the learned vocabulary back to the corpus: per document, the
+    * word count, character count, BPE token count under the final merge
+    * table, and the chars-per-token compression ratio — the standard
+    * "how well does this tokenizer compress this corpus" diagnostic.
+    * Only [a-z0-9]+ words count (same contract as training). Documents
+    * with no qualifying words are excluded.
+    *
+    * Scale shape: one corpus explode joined to the Zipf-bounded vocab
+    * frame on the word key (AQE-sized — the vocab side is small), then
+    * one per-doc rollup.
+    */
+  def compressionStats(docs: DataFrame, merges: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val finalSeqs = learned(docs, merges, textCol)._2
+      .select(col("word"),
+        size(symbols(col("seq"))).cast("long").as("word_tokens"))
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
+      .filter(col("word").rlike(WordRe))
+      .join(finalSeqs, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("word_tokens")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+class BpeSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // the Sennrich et al. 2016 worked example: low×5, lower×2, newest×6,
+  // widest×3 — spread across documents so wordFreqs does the counting
+  private lazy val sennrich = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  private def mergeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("learnMerges reproduces the textbook merge sequence with " +
+    "(count DESC, a, b) tie-breaks") {
+    // hand trace: counts (e,s)=(s,t)=(t,</w>)=9 tie → lexicographic a
+    // picks (e,s); then (es,t)=(t,</w>)=9 → (es,t); then (est,</w>)=9;
+    // then (l,o)=(o,w)=7 → (l,o); then (lo,w)=7
+    assert(mergeRows(Bpe.learnMerges(sennrich, merges = 5)) == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L)))
+  }
+
+  test("merge rewrite is leftmost-greedy non-overlapping: 'aaaa' merges " +
+    "twice in one pass") {
+    val one = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    // a a a a </w>: three (a,a) occurrences but only two non-overlapping
+    // merges land → aa aa </w>; iteration 2 then pairs (aa,aa) and
+    // (aa,</w>) at count 1, b-tiebreak '</w>' < 'aa'
+    assert(mergeRows(Bpe.learnMerges(one, merges = 2)) == Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "</w>", "aa</w>", 1L)))
+    val stats = Bpe.compressionStats(one, merges = 1).collect().head
+    assert(stats.getAs[Long]("n_bpe_tokens") == 3L) // aa aa </w>
+  }
+
+  test("non-[a-z0-9] words are excluded from training and stats") {
+    val docs = Seq((1L, "don't stop-me low low")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreqs(docs).collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(wf == Map("low" -> 2L))
+    val stats = Bpe.compressionStats(docs, merges = 1).collect().head
+    assert(stats.getAs[Long]("n_words") == 2L)
+    assert(stats.getAs[Long]("n_chars") == 6L)
+  }
+
+  test("compressionStats: hand-computed fertility on the textbook corpus") {
+    val probe = sennrich.union(Seq((9L, "low lower")).toDF("doc_id", "text"))
+    // after 5 merges: low → [low </w>] = 2 tokens; lower → [low e r </w>]
+    // = 4 tokens; chars 3 + 5 = 8 → 8/6
+    val row = Bpe.compressionStats(probe, merges = 5)
+      .filter($"doc_id" === 9L).collect().head
+    assert(row.getAs[Long]("n_words") == 2L)
+    assert(row.getAs[Long]("n_chars") == 8L)
+    assert(row.getAs[Long]("n_bpe_tokens") == 6L)
+    assert(row.getAs[Double]("chars_per_token") == math.rint(8.0 / 6.0 * 1e6) / 1e6)
+  }
+
+  test("learnMerges is invariant under repartitioning") {
+    val a = mergeRows(Bpe.learnMerges(sennrich, merges = 4))
+    val b = mergeRows(Bpe.learnMerges(sennrich.repartition(7), merges = 4))
+    assert(a == b)
+  }
+
+  test("merges must be >= 1") {
+    intercept[IllegalArgumentException] {
+      Bpe.learnMerges(sennrich, merges = 0)
+    }
+  }
+}
