@@ -1410,6 +1410,60 @@ object SparkEntry {
       Bpe.compressionStats(t(s, dir, "documents"), merges = 8)
         .orderBy(col("doc_id"))),
 
+    // HITS hubs/authorities over the q115 nation supply graph — which
+    // consumer nations are the strong hubs, which supplier nations the
+    // strong authorities; 3 L2-normalized iterations, decimal-exact sums
+    "q209_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      Hits.run(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // temperature-flattened source sampling (p_s ∝ n_s^0.5): the
+    // multilingual mixing rule as a deterministic downsample-only
+    // filter — smallest source kept whole, larger sources flattened.
+    // The synthetic corpus's sources are equal-sized (every rate would
+    // be 1.0 and the threshold compare never fire), so the gate groups
+    // by a deterministic 6/3/1-skewed tier instead
+    "q211_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+          t(s, dir, "documents").select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10L)) < 6, "big")
+              .when(pmod(col("doc_id"), lit(10L)) < 9, "mid")
+              .otherwise("small").as("tier")),
+          "tier", "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("tier"), col("keep_rate"))
+        .orderBy(col("doc_id"))),
+
+    // Z-order clustered layout (2-D data skipping): orders laid out on
+    // the Morton curve of (day, custkey), then a literal rectangle
+    // predicate on BOTH dimensions reads back — q87's one-key sorted
+    // layout generalized; the gate is content preservation, the spec
+    // pins the two-dimensional row-group pruning
+    "q210_zorder_skipping" -> ((s, dir) => {
+      val out = "/tmp/graft_scratch/zorder_skip"
+      freshDir(s, out)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      graft.operators.ZOrder.writeZOrdered(src, out, "day", "o_custkey",
+        numFiles = 16)
+      val lo = src.agg(min(col("day"))).head().getLong(0)
+      s.read.parquet(out)
+        .filter(col("day") < lit(lo + 60L) && col("o_custkey") < 500L)
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    }),
+
     // Theil-Sen robust slope over the same daily series: the
     // contamination-proof trend estimate OLS can't give; exact
     // lower-median pairwise slope
@@ -2611,6 +2665,58 @@ object SparkEntry {
          |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n", ",\n", "")
     head + iters
+  }
+
+  /** Unrolled HITS replay: per iteration one CTE quartet (auth raw,
+    * auth norm, hub raw, hub norm) with the same DECIMAL(38,18)
+    * quantization and zero-norm guard [[graft.operators.Hits.run]]
+    * executes. Scala builds the chain so the oracle can never drift
+    * from the iteration count in q209.
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sc0 AS (SELECT node, 1.0e0 AS auth, 1.0e0 AS hub FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, sum(CAST(p.hub AS DECIMAL(38,18))) AS s
+         |  FROM sc${i - 1} p JOIN e ON p.node = e.src GROUP BY 1),
+         |af$i AS (
+         |  SELECT nodes.node, coalesce(CAST(ar$i.s AS DOUBLE), 0.0e0) AS araw
+         |  FROM nodes LEFT JOIN ar$i USING (node)),
+         |an$i AS (
+         |  SELECT sqrt(CAST(sum(CAST(araw * araw AS DECIMAL(38,18))) AS DOUBLE))
+         |    AS nrm FROM af$i),
+         |a$i AS (
+         |  SELECT node, CASE WHEN nrm > 0 THEN araw / nrm ELSE 0.0e0 END AS auth
+         |  FROM af$i CROSS JOIN an$i),
+         |hr$i AS (
+         |  SELECT e.src AS node, sum(CAST(a.auth AS DECIMAL(38,18))) AS s
+         |  FROM a$i a JOIN e ON a.node = e.dst GROUP BY 1),
+         |hf$i AS (
+         |  SELECT nodes.node, coalesce(CAST(hr$i.s AS DOUBLE), 0.0e0) AS hraw
+         |  FROM nodes LEFT JOIN hr$i USING (node)),
+         |hn$i AS (
+         |  SELECT sqrt(CAST(sum(CAST(hraw * hraw AS DECIMAL(38,18))) AS DOUBLE))
+         |    AS nrm FROM hf$i),
+         |sc$i AS (
+         |  SELECT a$i.node, a$i.auth,
+         |    CASE WHEN hn$i.nrm > 0 THEN hf$i.hraw / hn$i.nrm
+         |      ELSE 0.0e0 END AS hub
+         |  FROM a$i JOIN hf$i USING (node) CROSS JOIN hn$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val tail =
+      s"""
+         |SELECT node, round(auth, 6) AS authority, round(hub, 6) AS hub
+         |FROM sc$iterations
+         |ORDER BY node""".stripMargin
+    head + iters + tail
   }
 
   private def bpeTrainOracleSql(merges: Int): String =
@@ -6855,7 +6961,40 @@ object SparkEntry {
 
     "q207_bpe_train" -> bpeTrainOracleSql(8),
 
-    "q208_bpe_compression" -> bpeCompressionOracleSql(8)
+    "q208_bpe_compression" -> bpeCompressionOracleSql(8),
+
+    "q209_hits" -> hitsOracleSql(3),
+
+    "q210_zorder_skipping" ->
+      """WITH d AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders),
+        |b AS (SELECT min(day) AS lo FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM d, b WHERE d.day < b.lo + 60 AND d.o_custkey < 500""".stripMargin,
+
+    "q211_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END AS tier
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT tier, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tier),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (
+        |  SELECT tier, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+        |  FROM c CROSS JOIN m)
+        |SELECT t.doc_id, t.tier, round(r.rate, 6) AS keep_rate
+        |FROM t JOIN r USING (tier)
+        |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |    + 1.0) / 4503599627370496.0 <= r.rate
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -349,4 +349,49 @@ object Sampling {
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("tokens_before") < budgetTokens)
   }
+
+  /** Temperature-flattened source sampling — the multilingual
+    * pretraining mixing rule (p_s ∝ n_s^α, the mBERT/XLM-R exponential
+    * smoothing): DOWNSAMPLE-ONLY rates
+    * `rate_s = (n_min / n_s)^(1-α)`, so the smallest source keeps every
+    * row and larger sources flatten toward it; α = 1 preserves natural
+    * proportions, α → 0 flattens to near-uniform source sizes. The
+    * kept-count of source s is then ∝ n_s^α up to hash noise — the
+    * target law, achieved without upsampling (which a filter cannot do).
+    *
+    * Keep decision: `md5_uniform(id) <= rate_s` — rerun-, repartition-
+    * and engine-stable. At α = 0.5 the rate is `sqrt(n_min/n_s)`: one
+    * exact long-ratio division and one correctly-rounded IEEE sqrt, so
+    * both engines compute the identical double and the comparison is
+    * exactly replayable; other α route through `pow`, where JVM and C
+    * libm may differ in the final ulp (fine in practice, not
+    * oracle-grade — the gated query pins α = 0.5).
+    *
+    * Output: kept rows plus their source's `keep_rate` (rounded 6 dp
+    * for display; the filter uses the unrounded double). Null ids or
+    * groups are dropped.
+    *
+    * Scale: one group-cardinality counts aggregate + one-row min + a
+    * hint-free rate join on the group key (AQE sizes it) + a row-local
+    * filter — the corpus shuffles zero times.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val base = df.filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    val ratio = col("__mn").cast("double") / col("__n").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol), rate.as("__rate"))
+    base.join(rates, Seq(groupCol))
+      .filter(graft.functions.TextHashes.md5Uniform(
+        col(idCol).cast("string")) <= col("__rate"))
+      .withColumn("keep_rate", round(col("__rate"), 6))
+      .drop("__rate")
+  }
 }

@@ -49,12 +49,16 @@ object PlanAudit {
     AllowedBroadcast("Ranking.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("Ranking.scala", "counts", "one-row global aggregate (groupCols.isEmpty branch only)"),
     AllowedBroadcast("PageRank.scala", "dangling", "one-row dangling-mass aggregate"),
+    AllowedBroadcast("Hits.scala", "anorm", "one-row L2-norm aggregate"),
+    AllowedBroadcast("Hits.scala", "hnorm", "one-row L2-norm aggregate"),
+    AllowedBroadcast("Bpe.scala", "best", "one-row best-pair aggregate (sort-limit 1)"),
     AllowedBroadcast("Stats.scala", "total", "one-row global aggregate", count = 3),
     AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate", count = 2),
     AllowedBroadcast("Stats.scala", "m", "one-row hypothesis-count aggregate (bhFdr)"),
     AllowedBroadcast("Stats.scala", "margins", "one-row Σc² marginal aggregate (fleissKappa)"),
     AllowedBroadcast("Encoding.scala", "global", "one-row global-mean aggregate (targetEncode prior)"),
     AllowedBroadcast("Sampling.scala", "n", "one-row corpus-count aggregate (negativeSamples ring modulus)"),
+    AllowedBroadcast("Sampling.scala", "minN", "one-row min-source-count aggregate (temperatureMix)"),
     AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning)"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),

@@ -291,4 +291,63 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(k5.toSeq == Seq(3L)) // deterministic min representative
   }
+
+  test("temperatureMix: smallest source kept whole, larger flattened at " +
+    "the exact sqrt rate") {
+    import spark.implicits._
+    val docs = ((1L to 16L).map(i => (i, "big")) ++
+      (101L to 104L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "source", "doc_id", alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Double]("keep_rate"))).toMap
+    // small: rate sqrt(4/4) = 1 — every row survives
+    assert((101L to 104L).forall(out.contains))
+    assert(out(101L)._2 == 1.0)
+    // big: rate sqrt(4/16) = 0.5; membership is exactly the md5 ring
+    val expectedBig = (1L to 16L).filter { i =>
+      graft.functions.TextHashes.md5UniformImpl(
+        org.apache.spark.unsafe.types.UTF8String.fromString(i.toString)) <= 0.5
+    }.toSet
+    assert(out.keySet.filter(_ <= 16L) == expectedBig)
+    assert(out(expectedBig.head)._2 == 0.5)
+  }
+
+  test("temperatureMix: alpha = 1 preserves natural proportions (keeps " +
+    "everything)") {
+    import spark.implicits._
+    val docs = ((1L to 30L).map(i => (i, "a")) ++
+      (31L to 40L).map(i => (i, "b"))).toDF("doc_id", "source")
+    assert(Sampling.temperatureMix(docs, "source", "doc_id", alpha = 1.0)
+      .count() == 40L)
+  }
+
+  test("temperatureMix: kept counts approach the n^alpha law on large " +
+    "sources") {
+    val docs = spark.range(0, 6400).selectExpr("id AS doc_id",
+      "CASE WHEN id < 6000 THEN 'big' ELSE 'small' END AS source")
+    val kept = Sampling.temperatureMix(docs, "source", "doc_id")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 400L)
+    // big keeps ≈ sqrt(400/6000)·6000 = sqrt(400·6000) ≈ 1549
+    assert(math.abs(kept("big") - 1549L) < 120, s"big kept ${kept("big")}")
+  }
+
+  test("temperatureMix: nulls drop, invalid alpha throws, repartition " +
+    "invariant") {
+    import spark.implicits._
+    val docs = (Seq((Option(1L), Option("a")), (None, Option("a")),
+      (Option(2L), None)) ++ (3L to 12L).map(i => (Option(i), Option("b"))))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "source", "doc_id")
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(2L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "source", "doc_id", alpha = 0.0)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(d, "source", "doc_id")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSeq
+    assert(run(docs) == run(docs.repartition(5)))
+  }
 }
