@@ -1443,6 +1443,39 @@ object SparkEntry {
         .select(col("doc_id"), col("tier"), col("keep_rate"))
         .orderBy(col("doc_id"))),
 
+    // centroid silhouette over the labeled embedding clusters: the
+    // clustering-quality score (n×k distances, not n²), portable decimal
+    // centroids + the proven cosine fold
+    "q213_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(t(s, dir, "embeddings"), portable = true)
+        .orderBy(col("label"))),
+
+    // per-class precision/recall/F1 of the q22 language-ID heuristic
+    // against the labeled lang column — the classifier-eval report on
+    // the |classes|²-bounded confusion frame (q187's matrix, rolled up)
+    "q214_langid_prf" -> ((s, dir) =>
+      Stats.classificationReport(
+          t(s, dir, "documents").select(col("lang"),
+            TextAnalysis.langIdCol(TextAnalysis.tokensCol(col("text")))
+              .as("lang_guess")),
+          "lang", "lang_guess")
+        .orderBy(col("label"))),
+
+    // perceptual-hash image near-dup: dHash + 16-bit pigeonhole blocking
+    // + hamming verify. Real dHash is spec territory (no image payloads
+    // in the synthetic corpus); the gate exercises the WHOLE relational
+    // pipeline on the documented md5 fake path, with payloads clustered
+    // (doc_id mod 97) so collisions exist and blocking+verify both fire
+    "q212_phash_neardups" -> ((s, dir) => {
+      val assets = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("asset_id"),
+          concat(lit("img:"), pmod(col("doc_id"), lit(97L)).cast("string"))
+            .cast("binary").as("payload"))
+      Multimodal.perceptualNearDups(assets, "asset_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Z-order clustered layout (2-D data skipping): orders laid out on
     // the Morton curve of (day, custkey), then a literal rectangle
     // predicate on BOTH dimensions reads back — q87's one-key sorted
@@ -6994,7 +7027,102 @@ object SparkEntry {
         |FROM t JOIN r USING (tier)
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q15's chunk-blocking mirror on the md5 fake phash (the skew cap is
+    // unreachable at oracle scale, so the mirror omits it — q15 precedent)
+    "q212_phash_neardups" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id, 'img:' || CAST(doc_id % 97 AS VARCHAR) AS p
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |sigs AS (
+        |  SELECT id, ('0x' || substr(md5(p), 1, 16))::UBIGINT AS sig FROM a),
+        |chunks AS (
+        |  SELECT id, c, (sig >> (16 * c)) & 65535 AS ck
+        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.ck = b.ck AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        |FROM cand
+        |JOIN sigs sa ON sa.id = cand.id_a
+        |JOIN sigs sb ON sb.id = cand.id_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q20's decimal-centroid CTEs + the proven list_cosine_similarity
+    // fold; per-point s in the identical guard tree, quantized mean
+    "q213_silhouette" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |scored AS (
+        |  SELECT v.vec_id, v.label, cen.cell,
+        |    1.0e0 - list_cosine_similarity(v.e, cen.c) AS dist
+        |  FROM vecs v CROSS JOIN centroids cen),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN cell = label THEN dist END) AS a,
+        |    min(CASE WHEN cell <> label THEN dist END) AS b
+        |  FROM scored GROUP BY vec_id, label),
+        |sv AS (
+        |  SELECT label,
+        |    CASE WHEN b IS NULL THEN NULL
+        |      WHEN greatest(a, b) = 0 THEN 0.0e0
+        |      ELSE (b - a) / greatest(a, b) END AS s
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(s), 6)
+        |    AS mean_silhouette
+        |FROM sv GROUP BY label
+        |ORDER BY label""".stripMargin,
+
+    "q214_langid_prf" ->
+      s"""WITH g AS (
+         |$langIdOracle
+         |),
+         |pairs AS (
+         |  SELECT lang AS t, lang_guess AS p, CAST(count(*) AS BIGINT) AS c
+         |  FROM g WHERE lang IS NOT NULL AND lang_guess IS NOT NULL
+         |  GROUP BY 1, 2),
+         |bt AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS n_true
+         |  FROM pairs GROUP BY 1),
+         |bp AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+         |  FROM pairs GROUP BY 1),
+         |tpc AS (SELECT t AS label, c AS tp FROM pairs WHERE t = p),
+         |r AS (
+         |  SELECT coalesce(bt.label, bp.label) AS label,
+         |    coalesce(bt.n_true, 0) AS n_true,
+         |    coalesce(bp.n_pred, 0) AS n_pred,
+         |    coalesce(tpc.tp, 0) AS tp
+         |  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+         |  LEFT JOIN tpc ON coalesce(bt.label, bp.label) = tpc.label)
+         |SELECT label, n_true, n_pred, tp,
+         |  CASE WHEN n_pred > 0
+         |    THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+         |  END AS precision,
+         |  CASE WHEN n_true > 0
+         |    THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         |  END AS recall,
+         |  CASE WHEN n_pred > 0 AND n_true > 0 THEN
+         |    CASE WHEN (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |        + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)) > 0
+         |      THEN round(2.0e0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+         |        * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+         |        / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |          + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
+         |      ELSE 0.0e0 END
+         |  END AS f1
+         |FROM r ORDER BY label""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -171,8 +171,8 @@ object Dedup {
     * bound the quadratic pair blowup but not the O(group) single-buffer
     * array.
     */
-  private def groupedPairs(df: DataFrame, groupCols: Seq[String],
-                           maxGroup: Long): DataFrame = {
+  private[operators] def groupedPairs(df: DataFrame, groupCols: Seq[String],
+                                      maxGroup: Long): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
     df.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxGroup)).drop("__n")

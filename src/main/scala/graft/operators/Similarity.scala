@@ -332,4 +332,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Simplified (centroid-based) silhouette over labeled embeddings —
+    * the standard clustering-quality diagnostic at corpus scale:
+    * a(i) = cosine distance to the own-cluster centroid, b(i) = min
+    * cosine distance to any OTHER centroid, s(i) = (b − a)/max(a, b)
+    * (0 when both distances are 0; null — excluded from means — when no
+    * other cluster exists). The full pairwise silhouette is O(n²); the
+    * centroid form is the established approximation that needs only
+    * n × k distances and is exact enough to rank clusterings.
+    *
+    * Output per cluster: (labelCol, n_points, mean_silhouette), the
+    * per-point scores DECIMAL(28,12)-quantized before the mean so the
+    * fold is order-free.
+    *
+    * Scale shape: centroids are k label-bounded rows (broadcast); the
+    * corpus joins them once (n × k scored rows), then two aggs. The
+    * `portable` flag routes centroids through the exact decimal
+    * relational path (oracle-replayable); default uses the one-pass
+    * VectorAvg UDAF.
+    */
+  def silhouette(corpus: DataFrame, labelCol: String = "label",
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 portable: Boolean = false): DataFrame = {
+    val cents = coarseCentroids(corpus, labelCol, vecCol, portable)
+    val scored = corpus
+      .select(col(idCol).as("id"), col(labelCol).as("cl"), col(vecCol).as("v"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("dist", lit(1.0) - cosineCol(col("v"), col("centroid")))
+    val ab = scored.groupBy(col("id"), col("cl"))
+      .agg(max(when(col("cell") === col("cl"), col("dist"))).as("a"),
+        min(when(col("cell") =!= col("cl"), col("dist"))).as("b"))
+    val sv = ab.select(col("cl"),
+      when(col("b").isNull, lit(null).cast("double"))
+        .when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+        .as("s"))
+    sv.groupBy(col("cl").as(labelCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("s").cast("decimal(28,12)")).cast("double") /
+          count(col("s")), 6).as("mean_silhouette"))
+  }
 }

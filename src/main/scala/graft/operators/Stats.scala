@@ -650,4 +650,46 @@ object Stats {
           col("__sr").cast("double") / col("n_ref").cast("double")).as("diff"),
         col("ci_lo"), col("ci_hi"), col("n_resamples"))
   }
+
+  /** Per-class precision / recall / F1 from (true, predicted) label
+    * pairs — the classifier-eval report behind every heuristic-labeler
+    * audit (langid vs gold labels, quality-filter vs human raters). One
+    * |classes|²-bounded (true, pred) count aggregation; every rollup
+    * after it runs on that structurally small frame (AQE-sized joins,
+    * never the corpus). A class appearing only in predictions (or only
+    * in truth) still reports, with the undefined ratio null rather than
+    * 0 — absence of evidence, not zero skill. Null labels on either
+    * side are dropped. Ratios are exact long divisions in fixed double
+    * trees, rounded 6 dp.
+    */
+  def classificationReport(df: DataFrame, trueCol: String,
+                           predCol: String): DataFrame = {
+    val pairs = df
+      .filter(col(trueCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(trueCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val byTrue = pairs.groupBy(col("t").as("label"))
+      .agg(sum(col("c")).as("n_true"))
+    val byPred = pairs.groupBy(col("p").as("label"))
+      .agg(sum(col("c")).as("n_pred"))
+    val tp = pairs.filter(col("t") === col("p"))
+      .select(col("t").as("label"), col("c").as("tp"))
+    val prec = col("tp").cast("double") / col("n_pred").cast("double")
+    val rec = col("tp").cast("double") / col("n_true").cast("double")
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0L, round(prec, 6)))
+      .withColumn("recall",
+        when(col("n_true") > 0L, round(rec, 6)))
+      .withColumn("f1",
+        when(col("n_pred") > 0L && col("n_true") > 0L,
+          when((prec + rec) > 0.0,
+            round(lit(2.0) * prec * rec / (prec + rec), 6))
+            .otherwise(lit(0.0)))) // both defined, zero skill → 0 (sklearn)
+  }
 }

@@ -33,7 +33,7 @@ object PlanAudit {
     AllowedBroadcast("Similarity.scala", "q", "query set — API contract: structurally small (a query batch, not a corpus)"),
     AllowedBroadcast("Similarity.scala", "centroids", "k centroid rows — parameter-bounded"),
     AllowedBroadcast("Similarity.scala", "probed", "queries × nProbe rows — parameter-bounded"),
-    AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded"),
+    AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
     AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
     AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate", count = 2),

@@ -237,4 +237,68 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.map(_.getAs[Map[String, String]]("meta")("frame")).toSet ==
       Set("0", "1"))
   }
+
+  /** PNG with a step edge at `frac` of the width (black left, white
+    * right) — the dHash fixture: the hash sees the edge position, not
+    * the pixel count.
+    */
+  private def edgePng(w: Int, h: Int, frac: Double,
+                      invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val white = (x >= w * frac) != invert
+      img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64 is scale-invariant on the REAL decode path: same scene " +
+    "at different resolutions hashes identically, inverted scene far") {
+    def h(bytes: Array[Byte]) = Multimodal.dHash64(
+      Multimodal.decodeImage(bytes).get)
+    val small = h(edgePng(64, 48, 0.5))
+    val big = h(edgePng(200, 100, 0.5))
+    val inverted = h(edgePng(64, 48, 0.5, invert = true))
+    assert(small == big)
+    assert(java.lang.Long.bitCount(small ^ inverted) > 3)
+  }
+
+  test("perceptualNearDups pairs re-rendered images, not different scenes") {
+    import org.apache.spark.sql.{Row => R}
+    val rows = Seq(
+      R(1L, edgePng(64, 48, 0.5), "image", Map.empty[String, String], null),
+      R(2L, edgePng(200, 100, 0.5), "image", Map.empty[String, String], null),
+      R(3L, edgePng(64, 48, 0.5, invert = true), "image",
+        Map.empty[String, String], null))
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.schema)
+    val pairs = Multimodal.perceptualNearDups(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
+  test("perceptualHash fake path: non-image payloads collide only when " +
+    "byte-identical; null payload hashes null") {
+    import org.apache.spark.sql.{Row => R}
+    val rows = Seq(
+      R(1L, "same text".getBytes("UTF-8"), "text", Map.empty[String, String], null),
+      R(2L, "same text".getBytes("UTF-8"), "text", Map.empty[String, String], null),
+      R(3L, "other text".getBytes("UTF-8"), "text", Map.empty[String, String], null),
+      R(4L, null, "text", Map.empty[String, String], null))
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.schema)
+    val hashed = Multimodal.perceptualHash(assets)
+      .select("asset_id", "phash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashed(1L).isDefined && hashed(1L) == hashed(2L))
+    assert(hashed(3L) != hashed(1L))
+    assert(hashed(4L).isEmpty)
+    val pairs = Multimodal.perceptualNearDups(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }

@@ -224,4 +224,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("silhouette: orthogonal pure clusters score exactly 1, a " +
+    "mislabeled point drags its cluster down") {
+    import spark.implicits._
+    val pure = Seq(
+      (1L, "A", Seq(1.0f, 0.0f)), (2L, "A", Seq(1.0f, 0.0f)),
+      (3L, "B", Seq(0.0f, 1.0f)), (4L, "B", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.silhouette(pure)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("mean_silhouette"))).toMap
+    assert(out == Map("A" -> (2L, 1.0), "B" -> (2L, 1.0)))
+    val mixed = pure.union(Seq((5L, "B", Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding"))
+    val m = Similarity.silhouette(mixed)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("mean_silhouette")).toMap
+    assert(m("B") < 1.0)
+    assert(m("A") > m("B"))
+  }
+
+  test("silhouette: single cluster has no other centroid — null mean; " +
+    "portable and default paths agree to 6 dp on real data") {
+    import spark.implicits._
+    val one = Seq((1L, "A", Seq(1.0f, 0.0f)), (2L, "A", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val row = Similarity.silhouette(one).collect().head
+    assert(row.isNullAt(row.fieldIndex("mean_silhouette")))
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    def run(p: Boolean) = Similarity.silhouette(emb, portable = p)
+      .orderBy("label").collect()
+      .map(r => (r.get(0), r.getLong(1),
+        r.getAs[Double]("mean_silhouette"))).toSeq
+    assert(run(true) == run(false))
+  }
 }

@@ -357,4 +357,43 @@ class StatsSpec extends SparkSpecBase {
     assert(out("b").getAs[Double]("ci_lo") == 5.0)
     assert(out("b").getAs[Double]("ci_hi") == 5.0)
   }
+
+  test("classificationReport: hand-computed per-class PRF1 including a " +
+    "never-predicted class") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "b")) ++ Seq(("c", "b")))
+      .toDF("truth", "pred")
+    val out = Stats.classificationReport(df, "truth", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_true") == 4L && a.getAs[Long]("n_pred") == 3L
+      && a.getAs[Long]("tp") == 3L)
+    assert(a.getAs[Double]("precision") == 1.0)
+    assert(a.getAs[Double]("recall") == 0.75)
+    assert(a.getAs[Double]("f1") == 0.857143)
+    val b = out("b")
+    assert(b.getAs[Double]("precision") == 0.5)
+    assert(b.getAs[Double]("recall") == 1.0)
+    assert(b.getAs[Double]("f1") == 0.666667)
+    // c is never predicted: recall 0, precision/f1 undefined → null
+    val c = out("c")
+    assert(c.getAs[Long]("n_pred") == 0L)
+    assert(c.isNullAt(c.fieldIndex("precision")))
+    assert(c.getAs[Double]("recall") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f1")))
+  }
+
+  test("classificationReport: zero-skill classes report f1 = 0, null " +
+    "labels drop") {
+    import spark.implicits._
+    val df = Seq(("a", "b"), ("b", "a"), (null, "a"), ("a", null))
+      .toDF("truth", "pred")
+    val out = Stats.classificationReport(df, "truth", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b"))
+    assert(out("a").getAs[Double]("precision") == 0.0)
+    assert(out("a").getAs[Double]("f1") == 0.0)
+    assert(out("b").getAs[Double]("f1") == 0.0)
+  }
 }
