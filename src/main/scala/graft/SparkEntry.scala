@@ -1461,6 +1461,29 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // Johnson–Lindenstrauss random projection 64→8 dims: storage-free
+    // md5-ring matrix, unbiased sqrt(3/k) scaling, decimal-exact sums
+    "q217_random_projection" -> ((s, dir) =>
+      Embeddings.randomProjection(t(s, dir, "embeddings"), k = 8, dim = 64)
+        .orderBy(col("vec_id"), col("dim"))),
+
+    // feature–label mutual information ranking: which lineitem numerics
+    // predict the return flag — one melt pass, equi-width bins, exact
+    // count MI in nats, k-row rank frame
+    "q216_feature_mi" -> ((s, dir) =>
+      Stats.featureMiRanking(t(s, dir, "lineitem"), "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          bins = 10)
+        .orderBy(col("feature"))),
+
+    // winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    // per-window minimum gram hashes with the shared-run guarantee —
+    // restricted to doc_id < 100 to keep the gate's output bounded
+    "q215_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(
+          t(s, dir, "documents").filter(col("doc_id") < 100), k = 4, w = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fingerprint"))),
+
     // perceptual-hash image near-dup: dHash + 16-bit pigeonhole blocking
     // + hamming verify. Real dHash is spec territory (no image payloads
     // in the synthetic corpus); the gate exercises the WHOLE relational
@@ -7028,6 +7051,105 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // JL projection replay: q19's md5-ring component recipe (real-valued),
+    // decimal-quantized products, one IEEE sqrt scale
+    "q217_random_projection" ->
+      """WITH comps AS (
+        |  SELECT p, j,
+        |    ((('0x' || substr(md5('rp:' || CAST(p AS VARCHAR) || ':'
+        |        || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % 20001)::BIGINT
+        |      - 10000) / 10000.0 AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+        |       (SELECT unnest(generate_series(0, 63)) AS j)),
+        |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, generate_subscripts(e, 1) - 1 AS j, unnest(e) AS x
+        |  FROM vecs)
+        |SELECT vec_id, CAST(p AS INTEGER) AS dim,
+        |  round(CAST(sum(CAST(x * c AS DECIMAL(28,12))) AS DOUBLE)
+        |    * sqrt(3.0 / 8), 6) AS value
+        |FROM el JOIN comps USING (j)
+        |GROUP BY vec_id, p
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    // q59-style UNION-ALL melt + q90 floor binning + the q124 MI term
+    // tree, decimal-quantized; rank replayed over the 4-row frame
+    "q216_feature_mi" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS label, 'l_quantity' AS feature,
+        |    CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', CAST(l_discount AS DOUBLE)
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', CAST(l_tax AS DOUBLE)
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_tax IS NOT NULL),
+        |b AS (SELECT feature, min(x) AS lo, max(x) AS hi FROM m GROUP BY 1),
+        |bn AS (
+        |  SELECT label, m.feature,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((x - lo) / (hi - lo) * 10) AS BIGINT), 9)
+        |    END AS bin
+        |  FROM m JOIN b USING (feature)),
+        |cells AS (
+        |  SELECT feature, bin, label, CAST(count(*) AS BIGINT) AS c
+        |  FROM bn GROUP BY 1, 2, 3),
+        |cbm AS (SELECT feature, bin, CAST(sum(c) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |clm AS (SELECT feature, label, CAST(sum(c) AS BIGINT) AS cl
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT feature, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |mi AS (
+        |  SELECT feature, max(n) AS n_rows,
+        |    round(CAST(sum(CAST(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |         (CAST(cb AS DOUBLE) * CAST(cl AS DOUBLE)))
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats
+        |  FROM cells
+        |  JOIN cbm USING (feature, bin)
+        |  JOIN clm USING (feature, label)
+        |  JOIN tot USING (feature)
+        |  GROUP BY feature)
+        |SELECT feature, n_rows, mi_nats,
+        |  CAST(row_number() OVER (ORDER BY mi_nats DESC, feature) AS BIGINT)
+        |    AS rank
+        |FROM mi
+        |ORDER BY feature""".stripMargin,
+
+    // winnowing replay: same tokenization as q153, gram hex hashes,
+    // one VARCHAR window-min over (hex || ':' || padded pos), distinct
+    "q215_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents
+        |  WHERE doc_id < 100 AND text IS NOT NULL AND trim(text) <> ''),
+        |g AS (
+        |  SELECT doc_id, len(tk) - 3 AS ng,
+        |    unnest(range(1, len(tk) - 2)) AS pos, tk
+        |  FROM d WHERE len(tk) >= 4),
+        |h AS (
+        |  SELECT doc_id, ng, pos,
+        |    substr(md5(array_to_string(tk[pos:pos+3], ' ')), 1, 16) AS hh
+        |  FROM g),
+        |sel AS (
+        |  SELECT doc_id, ng, pos,
+        |    min(hh || ':' || lpad(CAST(pos AS VARCHAR), 8, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        |  FROM h),
+        |picked AS (
+        |  SELECT DISTINCT doc_id, s FROM sel WHERE pos <= ng - 3)
+        |SELECT doc_id, CAST(substr(s, 18, 8) AS INTEGER) AS pos,
+        |  substr(s, 1, 16) AS fingerprint
+        |FROM picked
+        |ORDER BY doc_id, pos, fingerprint""".stripMargin,
 
     // q15's chunk-blocking mirror on the md5 fake phash (the skew cap is
     // unreachable at oracle scale, so the mirror omits it — q15 precedent)

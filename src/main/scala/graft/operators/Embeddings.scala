@@ -388,4 +388,47 @@ object Embeddings {
         .as("__pc"))
       .select(col(idCol), expr("transform(__pc, p -> p.__coord)").as("coords"))
   }
+
+  /** Johnson–Lindenstrauss random projection to `k` dimensions — the
+    * DATA-FREE dimensionality reduction next to [[pca]]'s data-derived
+    * one: y_p = sqrt(3/k) · Σ_j x_j · R(p, j) with R entries drawn
+    * uniform[−1, 1] from the md5 ring (`((md5_top64("rp:p:j") mod
+    * 20001) − 10000)/10000` — the q19/q40 hyperplane recipe, real-valued
+    * instead of sign-only), so the matrix needs no storage, no seed
+    * state, and every engine regenerates it bit-identically. The
+    * sqrt(3/k) factor unbiases (Var(U[−1,1]) = 1/3), making E‖y‖² =
+    * ‖x‖² — the JL distance-preservation contract (Achlioptas 2003
+    * database-friendly projections use the same sub-gaussian family).
+    *
+    * Per-term products are DECIMAL(28,12)-quantized before the
+    * order-free per-(id, p) sum; the k×d component frame is generated,
+    * parameter-bounded, and hint-free (AQE broadcasts it). Output long
+    * form: (idCol, dim, value) — `dim` ∈ [0, k), value rounded 6 dp.
+    *
+    * Scale: one d-fold corpus explode, one (id, p)-keyed aggregation —
+    * corpus-linear; no driver state at all.
+    */
+  def randomProjection(corpus: DataFrame, k: Int, dim: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val spark = corpus.sparkSession
+    val comps = spark.range(k).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(dim).select(col("id").cast("int").as("j")))
+      .select(col("p"), col("j"),
+        ((pmod(conv(substring(md5(concat(lit("rp:"), col("p").cast("string"),
+          lit(":"), col("j").cast("string")).cast("binary")), 1, 16), 16, 10)
+          .cast("decimal(20,0)"), lit(BigDecimal(20001))).cast("long")
+          - lit(10000L)).cast("double") / 10000.0).as("c"))
+    val scale = math.sqrt(3.0 / k)
+    corpus
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("j", "x")))
+      .join(comps, Seq("j"))
+      .groupBy(col(idCol), col("p"))
+      .agg(sum((col("x").cast("double") * col("c")).cast("decimal(28,12)"))
+        .as("s"))
+      .select(col(idCol), col("p").as("dim"),
+        round(col("s").cast("double") * lit(scale), 6).as("value"))
+  }
 }

@@ -692,4 +692,62 @@ object Stats {
             round(lit(2.0) * prec * rec / (prec + rec), 6))
             .otherwise(lit(0.0)))) // both defined, zero skill → 0 (sklearn)
   }
+
+  /** Feature–label mutual information ranking — the model-free feature-
+    * importance screen: every numeric feature is equi-width binned
+    * (q90's explicit floor arithmetic) and scored by I(bin; label) in
+    * nats; the output ranks features by how much label information they
+    * carry. Listwise per feature (each feature uses its own non-null
+    * rows, like [[corrMatrix]]'s pairs).
+    *
+    * Scale shape: ALL features melt in ONE corpus pass (k× row
+    * amplification, no per-feature rescans); per-feature bounds are a
+    * k-row aggregate joined back hint-free; every frame after the
+    * (feature, bin, label) cell aggregation is k·bins·|labels|-bounded.
+    * MI terms are DECIMAL(28,12)-quantized before the order-free sum;
+    * the final rank window runs over the k-row result frame only (the
+    * bounded-frame contract).
+    */
+  def featureMiRanking(df: DataFrame, labelCol: String,
+                       features: Seq[String], bins: Int = 10): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val melted = df.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        explode(array(features.map(f => struct(lit(f).as("feature"),
+          col(f).cast("double").as("x"))): _*)).as("s"))
+      .select(col("label"), col("s.feature").as("feature"), col("s.x").as("x"))
+      .filter(col("x").isNotNull)
+    val bounds = melted.groupBy(col("feature"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val binned = melted.join(bounds, Seq("feature"))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * bins)
+              .cast("long"),
+            lit(bins - 1L))))
+    val cells = binned.groupBy(col("feature"), col("bin"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val binMar = cells.groupBy(col("feature"), col("bin"))
+      .agg(sum(col("c")).as("cb"))
+    val labMar = cells.groupBy(col("feature"), col("label"))
+      .agg(sum(col("c")).as("cl"))
+    val tot = cells.groupBy(col("feature")).agg(sum(col("c")).as("n"))
+    val term = ((col("c").cast("double") / col("n").cast("double")) *
+      log((col("c").cast("double") * col("n").cast("double")) /
+        (col("cb").cast("double") * col("cl").cast("double"))))
+      .cast("decimal(28,12)")
+    val mi = cells
+      .join(binMar, Seq("feature", "bin"))
+      .join(labMar, Seq("feature", "label"))
+      .join(tot, Seq("feature"))
+      .groupBy(col("feature"))
+      .agg(max(col("n")).as("n_rows"),
+        round(sum(term).cast("double"), 6).as("mi_nats"))
+    // rank window over the k-feature result frame only (bounded frame)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mi_nats").desc, col("feature"))
+    mi.withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

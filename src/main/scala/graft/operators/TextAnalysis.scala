@@ -704,4 +704,54 @@ object TextAnalysis {
         when(col("n_tokens") > 1L,
           round(log(col("vocab").cast("double")) /
             log(col("n_tokens").cast("double")), 6)))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS scheme): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes, select the minimum per window, dedup —
+    * giving position-attributed fingerprints with the winnowing
+    * guarantee (any shared run of ≥ w+k−1 tokens produces at least one
+    * SHARED fingerprint), the local complement of [[fingerprint]]'s
+    * whole-document hashes.
+    *
+    * Portability: gram hashes are the md5-top-64 HEX STRINGS — unsigned
+    * 64-bit order IS lexicographic hex order, so the per-window min of
+    * `hex || ':' || zero-padded position` is one VARCHAR min both
+    * engines replay; the composite also resolves ties to the LEFTMOST
+    * minimal position (documented divergence from the paper's rightmost
+    * rule — a fixed deterministic choice either way). Docs with fewer
+    * than `w` grams emit nothing (no full window).
+    *
+    * Scale shape: one corpus explode into gram rows, per-doc sliding
+    * windows over millions of SMALL doc groups (the window's parallel
+    * regime — never a global sort), one distinct. Output ∝ selected
+    * fingerprints ≈ 2/(w+1) of gram count.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), tokensCol(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - (k - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        (size(col("__tk")) - (k - 1)).as("__g"),
+        substring(md5(concat_ws(" ",
+          slice(col("__tk"), col("pos"), lit(k))).cast("binary")), 1, 16)
+          .as("__h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("__sel",
+        min(concat(col("__h"), lit(":"),
+          lpad(col("pos").cast("string"), 8, "0"))).over(win))
+      .filter(col("pos") <= col("__g") - (w - 1)) // full windows only
+      .select(col(idCol), col("__sel")).distinct()
+      .select(col(idCol),
+        substring(col("__sel"), 18, 8).cast("int").as("pos"),
+        substring(col("__sel"), 1, 16).as("fingerprint"))
+  }
 }

@@ -110,4 +110,47 @@ class EmbeddingsSpec extends SparkSpecBase {
     val ok = vecDf(Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(4f, 5f, 6f))))
     intercept[Exception] { Embeddings.covariance(ok, maxDim = 2).collect() }
   }
+
+  test("randomProjection: zero vector maps to zero, projection is " +
+    "deterministic and repartition-invariant") {
+    val vs = vecDf(Seq((1L, Seq(0f, 0f, 0f, 0f)),
+      (2L, Seq(0.5f, 1.0f, -0.5f, 2.0f))))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.randomProjection(d, k = 4, dim = 4)
+        .orderBy("vec_id", "dim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val a = run(vs)
+    assert(a.filter(_._1 == 1L).forall(_._3 == 0.0))
+    assert(a == run(vs.repartition(5)))
+  }
+
+  test("randomProjection: exact linearity on dyadic inputs (decimal " +
+    "terms terminate)") {
+    // 0.5-multiples × m/10000 components terminate within 12 decimal
+    // digits, so quantization is exact and proj(2x) = 2·proj(x) exactly
+    val x = Seq(0.5f, -1.5f, 2.0f, 1.0f)
+    val vs = vecDf(Seq((1L, x), (2L, x.map(_ * 2))))
+    val out = Embeddings.randomProjection(vs, k = 6, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    (0 until 6).foreach { p =>
+      assert(math.abs(out((2L, p)) - 2.0 * out((1L, p))) <= 2e-6,
+        s"dim $p: ${out((2L, p))} vs 2×${out((1L, p))}")
+    }
+  }
+
+  test("randomProjection preserves norms on average (JL contract)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+    val orig = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(v => v * v.toDouble).sum
+    }.toMap
+    val proj = Embeddings.randomProjection(emb, k = 16, dim = 64)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => { val v = r.getDouble(2); v * v }).sum).toMap
+    val ratios = orig.keys.toSeq.filter(k => orig(k) > 0)
+      .map(k => proj(k) / orig(k))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.4, s"mean norm ratio $mean")
+  }
 }

@@ -396,4 +396,43 @@ class StatsSpec extends SparkSpecBase {
     assert(out("a").getAs[Double]("f1") == 0.0)
     assert(out("b").getAs[Double]("f1") == 0.0)
   }
+
+  test("featureMiRanking: perfect predictor scores ln 2, constant " +
+    "feature scores 0, ranks ordered") {
+    import spark.implicits._
+    val df = ((1 to 4).map(_ => ("A", 1.0, 7.0, Option(2.0))) ++
+      (1 to 4).map(_ => ("B", 0.0, 7.0, None)))
+      .toDF("label", "perfect", "constant", "sparse")
+    val out = Stats.featureMiRanking(df, "label",
+      Seq("perfect", "constant", "sparse"), bins = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = out("perfect")
+    assert(p.getAs[Long]("n_rows") == 8L)
+    assert(p.getAs[Double]("mi_nats") ==
+      math.rint(math.log(2.0) * 1e6) / 1e6)
+    assert(p.getAs[Long]("rank") == 1L)
+    assert(out("constant").getAs[Double]("mi_nats") == 0.0)
+    // sparse: listwise — only the 4 non-null rows count, all label A →
+    // single label, MI 0
+    assert(out("sparse").getAs[Long]("n_rows") == 4L)
+    assert(out("sparse").getAs[Double]("mi_nats") == 0.0)
+  }
+
+  test("featureMiRanking: informative beats noisy-but-related beats " +
+    "unrelated on a crafted frame") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      val label = if (i % 2 == 0) "pos" else "neg"
+      val strong = if (label == "pos") 10.0 + (i % 7) else 0.0 + (i % 7)
+      val weak = (if (label == "pos") 1.0 else 0.0) + (i % 13)
+      // i/2 strips the parity that defines the label — truly unrelated
+      val none = ((i / 2) % 10).toDouble
+      (label, strong, weak, none)
+    }
+    val out = Stats.featureMiRanking(rows.toDF("label", "strong", "weak", "none"),
+      "label", Seq("strong", "weak", "none"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mi_nats")).toMap
+    assert(out("strong") > out("weak"))
+    assert(out("weak") > out("none"))
+  }
 }

@@ -428,4 +428,58 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out("tiny").getAs[Long]("n_tokens") == 1L)
     assert(out("tiny").isNullAt(out("tiny").fieldIndex("heaps_exponent")))
   }
+
+  /** Local replay of the winnowing selection for a token list (k=4, w=4)
+    * — the same md5-hex gram hashes and leftmost-min rule.
+    */
+  private def winnowLocal(toks: Seq[String]): Set[(Int, String)] = {
+    def hhex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val grams = (1 to toks.length - 3)
+      .map(p => p -> hhex(toks.slice(p - 1, p + 3).mkString(" ")))
+    (1 to grams.length - 3).map { start =>
+      grams.slice(start - 1, start + 3)
+        .minBy { case (p, h) => (h, p) }
+    }.toSet.map((t: (Int, String)) => (t._1, t._2))
+  }
+
+  test("winnowFingerprints matches a local replay and honors the " +
+    "shared-run guarantee") {
+    import spark.implicits._
+    val run = "x1 x2 x3 x4 x5 x6 x7" // 7 tokens = w + k - 1
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, s"p q $run r s"),
+      (3L, s"m n o $run"),
+      (4L, "a b c d e f"), // 3 grams < w: no full window
+      (5L, "a b c")) // fewer than k tokens: no grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byDoc(1L) == winnowLocal("a b c d e f g h".split(" ").toSeq))
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // docs 2 and 3 share the 7-token run → at least one common fingerprint
+    val fp2 = byDoc(2L).map(_._2)
+    val fp3 = byDoc(3L).map(_._2)
+    assert(fp2.intersect(fp3).nonEmpty)
+  }
+
+  test("winnowFingerprints is repartition-invariant and position-sound") {
+    import spark.implicits._
+    val docs = Seq((1L, ('a' to 'z').mkString(" "))).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.winnowFingerprints(d)
+        .orderBy("doc_id", "pos", "fingerprint").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val a = run(docs)
+    assert(a == run(docs.repartition(4)))
+    // every selected position is a valid gram start
+    assert(a.forall { case (_, p, _) => p >= 1 && p <= 26 - 3 })
+    // coverage: consecutive selected positions are never more than w apart
+    val ps = a.map(_._2).distinct.sorted
+    assert(ps.zip(ps.tail).forall { case (x, y) => y - x <= 4 })
+  }
 }
