@@ -1461,6 +1461,18 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // seasonal-naive forecast eval (MASE): does the weekly pattern in
+    // daily event volume beat the one-step naive — true time-offset
+    // joins, exact-integer MAE sums, one double division
+    "q218_seasonal_mase" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      TimeSeries.seasonalNaiveEval(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
     // Johnson–Lindenstrauss random projection 64→8 dims: storage-free
     // md5-ring matrix, unbiased sqrt(3/k) scaling, decimal-exact sums
     "q217_random_projection" -> ((s, dir) =>
@@ -7051,6 +7063,31 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q203's daily frame + two self-joins at true offsets + exact MAE
+    "q218_seasonal_mase" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.day,
+        |    abs(d.cnt - s.cnt) AS aes, abs(d.cnt - n.cnt) AS ae1
+        |  FROM d
+        |  JOIN d s ON s.event_type = d.event_type AND s.day = d.day - 7
+        |  JOIN d n ON n.event_type = d.event_type AND n.day = d.day - 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(CAST(sum(aes) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mae_seasonal,
+        |  round(CAST(sum(ae1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mae_naive1,
+        |  CASE WHEN sum(ae1) > 0
+        |    THEN round(CAST(sum(aes) AS DOUBLE) / CAST(sum(ae1) AS DOUBLE), 6)
+        |  END AS mase
+        |FROM j GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // JL projection replay: q19's md5-ring component recipe (real-valued),
     // decimal-quantized products, one IEEE sqrt scale

@@ -51,4 +51,78 @@ object Sketches {
         .agg(hll_union_agg(col("sketch")).as("sketch"))
     merged.withColumn("estimate", hll_sketch_estimate(col("sketch")))
   }
+
+  // ----------------------------------------------- count-min (frequency)
+
+  private def cmsFromBytes(b: Array[Byte]) =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(b))
+
+  private def cmsToBytes(s: org.apache.spark.util.sketch.CountMinSketch) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    s.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Mergeable FREQUENCY sketches (count-min, via Spark's built-in
+    * `count_min_sketch` aggregate) — the heavy-hitter companion to the
+    * HLL cardinality family: per-group serialized sketches that answer
+    * "how often does key k appear" within `eps·N` overcount (never
+    * under), persistable and additive so incremental loads never rescan
+    * history. Keys are sketched AS STRINGS (one canonical byte form →
+    * point queries and merges are representation-independent).
+    */
+  def freqSketch(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                 eps: Double = 0.001, confidence: Double = 0.99,
+                 seed: Int = 42): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps out of (0,1): $eps")
+    val gc = groupCols.map(col)
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(gc: _*)
+      .agg(count_min_sketch(col(keyCol).cast("string"), lit(eps),
+        lit(confidence), lit(seed)).as("sketch"))
+  }
+
+  /** Counter-wise sum of CMS sketches (same eps/confidence/seed —
+    * enforced by the library's incompatible-merge exception): the
+    * merged sketch is BYTE-IDENTICAL to a one-pass build over the
+    * union, the additivity law that makes per-day sketch frames
+    * foldable. Runs on the sketch frame only.
+    */
+  def mergeFreqSketches(sketches: DataFrame,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    val merge = udaf(new org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] {
+      def zero: Array[Byte] = Array.emptyByteArray
+      def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+      def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+        if (x.isEmpty) y else if (y.isEmpty) x
+        else cmsToBytes(cmsFromBytes(x).mergeInPlace(cmsFromBytes(y)))
+      def finish(r: Array[Byte]): Array[Byte] = r
+      def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+      def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+    })
+    if (groupCols.isEmpty)
+      sketches.groupBy().agg(merge(col("sketch")).as("sketch"))
+    else sketches.groupBy(groupCols.map(col): _*)
+      .agg(merge(col("sketch")).as("sketch"))
+  }
+
+  /** Point-frequency estimates: one row per (sketch row × probe key),
+    * with the CMS guarantee estimate ≥ true count. The probe set is
+    * caller-bounded (heavy-hitter candidates, not the key universe);
+    * the lookup deserializes each group's sketch once per partition
+    * row — sketch frames are group-bounded, never corpus-sized.
+    */
+  def estimateFrequencies(sketches: DataFrame,
+                          probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe key")
+    val est = udf((bytes: Array[Byte], key: String) =>
+      if (bytes == null || bytes.isEmpty) 0L
+      else cmsFromBytes(bytes).estimateCount(key))
+    sketches
+      .withColumn("key", explode(array(probes.map(lit): _*)))
+      .withColumn("estimate", est(col("sketch"), col("key")))
+      .drop("sketch")
+  }
 }

@@ -227,4 +227,53 @@ object TimeSeries {
       .select(gc ++ Seq(col("n_pairs"),
         round(col("__slope"), 6).as("slope")): _*)
   }
+
+  /** Seasonal-naive forecast evaluation with MASE (Hyndman & Koehler
+    * 2006) — the baseline every volume-forecast and anomaly threshold
+    * should beat: forecast(d) = value(d − season), scored against the
+    * one-step naive forecast(d) = value(d − 1). MASE = MAE_seasonal /
+    * MAE_naive1 < 1 means the weekly pattern carries real signal.
+    *
+    * Lag semantics are TRUE time offsets via self-equi-joins on
+    * (group, t − season) / (group, t − 1) — not row lags, so calendar
+    * gaps can't silently misalign a "week ago"; the eval set is the
+    * days where BOTH references exist (same set for both MAEs — the
+    * MASE contract). Values are exact integers (counts), so both MAE
+    * sums are exact longs and MASE is ONE double division — engine-
+    * replayable without quantization.
+    *
+    * Scale: three scans of the (group, t) frame — already reduced from
+    * raw events, calendar-bounded — joined on its key. No windows, no
+    * sort.
+    */
+  def seasonalNaiveEval(df: DataFrame, groupCols: Seq[String],
+                        timeCol: String, valueCol: String,
+                        season: Long = 7L): DataFrame = {
+    require(season >= 2L, s"season must be >= 2, got $season")
+    val gc = groupCols.map(col)
+    val base = df.select(gc :+ col(timeCol).cast("long").as("__t")
+      :+ col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
+    val sRef = base.select(gc :+ (col("__t") + season).as("__t")
+      :+ col("__v").as("__fs"): _*)
+    val nRef = base.select(gc :+ (col("__t") + 1L).as("__t")
+      :+ col("__v").as("__f1"): _*)
+    val keys = groupCols :+ "__t"
+    base.join(sRef, keys).join(nRef, keys)
+      .select(gc :+ col("__t")
+        :+ abs(col("__v") - col("__fs")).as("__aes")
+        :+ abs(col("__v") - col("__f1")).as("__ae1"): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("__aes")).as("__ss"), sum(col("__ae1")).as("__s1"))
+      .filter(col("n_eval") > 0L)
+      .select(gc ++ Seq(col("n_eval"),
+        round(col("__ss").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae_seasonal"),
+        round(col("__s1").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae_naive1"),
+        when(col("__s1") > 0L,
+          round(col("__ss").cast("double") / col("__s1").cast("double"), 6))
+          .as("mase")): _*)
+  }
 }

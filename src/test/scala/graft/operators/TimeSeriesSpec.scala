@@ -126,4 +126,41 @@ class TimeSeriesSpec extends SparkSpecBase {
     // 6 of 10 pairwise slopes are exactly 2.0; lower median (rank 5) = 2
     assert(row.getAs[Double]("slope") == 2.0)
   }
+
+  test("seasonalNaiveEval: perfect weekly pattern scores MASE 0 with " +
+    "hand-computed naive MAE") {
+    import spark.implicits._
+    val df = (0L to 13L).map(d => ("a", d, d % 7)).toDF("k", "t", "v")
+    val row = TimeSeries.seasonalNaiveEval(df, Seq("k"), "t", "v").head()
+    assert(row.getAs[Long]("n_eval") == 7L)
+    assert(row.getAs[Double]("mae_seasonal") == 0.0)
+    // |d%7 − (d−1)%7| = 1 except the wrap at d=7 (|0−6| = 6): 12/7
+    assert(row.getAs[Double]("mae_naive1") ==
+      math.rint(12.0 / 7.0 * 1e6) / 1e6)
+    assert(row.getAs[Double]("mase") == 0.0)
+  }
+
+  test("seasonalNaiveEval: calendar gaps exclude misaligned days (true " +
+    "offsets, not row lags)") {
+    import spark.implicits._
+    val df = (0L to 13L).filter(_ != 9L).map(d => ("a", d, d % 7))
+      .toDF("k", "t", "v")
+    val row = TimeSeries.seasonalNaiveEval(df, Seq("k"), "t", "v").head()
+    // day 9 has no value; day 10 loses its d−1 reference — both out
+    assert(row.getAs[Long]("n_eval") == 5L)
+    assert(row.getAs[Double]("mae_seasonal") == 0.0)
+  }
+
+  test("seasonalNaiveEval: constant series yields null MASE (0/0), " +
+    "groups stay independent") {
+    import spark.implicits._
+    val df = ((0L to 13L).map(d => ("flat", d, 5L)) ++
+      (0L to 13L).map(d => ("var", d, d % 3))).toDF("k", "t", "v")
+    val out = TimeSeries.seasonalNaiveEval(df, Seq("k"), "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").isNullAt(out("flat").fieldIndex("mase")))
+    assert(out("flat").getAs[Double]("mae_seasonal") == 0.0)
+    // period-3 signal vs weekly seasonal lag: 14 % LCM misaligns → mase > 0
+    assert(out("var").getAs[Double]("mase") > 0.0)
+  }
 }
