@@ -33,6 +33,9 @@ object Maintenance {
     * where a plain sort only serves its leading column. Equi-depth
     * bucketing (rank-based, not value-based) makes the curve
     * skew-proof: a power-law column still spreads evenly over buckets.
+    * (The rank passes are the price; for roughly-uniform keys the
+    * bounds-quantized [[ZOrder.writeZOrdered]] gets the same rectangle
+    * property from one min/max aggregate — pick by key shape.)
     *
     * `tieCols` must complete a total order (ranks — and so z-values —
     * are deterministic and engine-replayable only under one). Rows

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * groups via min/max stats — where a linear (a, b) sort serves only
   * predicates on `a` and reads everything for a `b`-only filter.
   *
+  * This is the BOUNDS-QUANTIZED variant of the pair:
+  * [[Maintenance.zorderValues]] buckets each column EQUI-DEPTH through
+  * the rank core — skew-proof (a power-law key still spreads evenly)
+  * but costs one range shuffle per clustered column; this one
+  * quantizes linearly against the (min, max) bounds — ONE aggregate
+  * row of preparation and zero extra shuffles, the right default when
+  * keys are roughly uniform (days, sequential ids). Pick by key shape.
+  *
   * The z-value is a pure codegen'd expression tree (shifts, masks, ors
   * — the classic magic-number bit spreading), never a UDF; the layout
   * write is one range repartition + within-partition sort on it, and
