@@ -1461,6 +1461,33 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // per-source corpus data card: the dataset-datasheet one-pager —
+    // counts, dup rate, token volume/vocab, majority language
+    "q221_corpus_card" -> ((s, dir) =>
+      Profile.corpusCard(t(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // cross-group quantile normalization: every return flag's price
+    // distribution mapped onto the pooled one — exact value-at-rank,
+    // two rank-core passes, no interpolation convention
+    "q220_quantile_normalize" -> ((s, dir) =>
+      Ranking.quantileNormalize(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))),
+
+    // rendezvous (highest-random-weight) sharding: consistent output
+    // shard per doc — row-local argmax fold, zero shuffle; adding a
+    // shard moves only the keys the new shard wins
+    "q219_rendezvous_shard" -> ((s, dir) =>
+      Sampling.rendezvousShard(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          numShards = 8)
+        .orderBy(col("doc_id"))),
+
     // seasonal-naive forecast eval (MASE): does the weekly pattern in
     // daily event volume beat the one-step naive — true time-offset
     // joins, exact-integer MAE sums, one double division
@@ -7062,6 +7089,92 @@ object SparkEntry {
         |FROM t JOIN r USING (tier)
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
+        |ORDER BY doc_id""".stripMargin,
+
+    // composite mirror of the card's proven fragments: md5 distinct
+    // texts, regexp tokenization, (source, lang) mode window
+    "q221_corpus_card" ->
+      """WITH d1 AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) FILTER (text IS NULL OR trim(text) = '')
+        |      AS BIGINT) AS n_empty,
+        |    CAST(count(DISTINCT CASE WHEN text IS NOT NULL AND trim(text) <> ''
+        |      THEN md5(text) END) AS BIGINT) AS dt,
+        |    CAST(count(*) FILTER (lang IS NOT NULL) AS BIGINT) AS nl
+        |  FROM documents GROUP BY source),
+        |toks AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        |  FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |  WHERE tok <> '' GROUP BY source),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, lc AS top_n FROM (
+        |    SELECT source, lang, CAST(count(*) AS BIGINT) AS lc,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY count(*) DESC, lang) AS r
+        |    FROM documents WHERE lang IS NOT NULL GROUP BY source, lang)
+        |  WHERE r = 1)
+        |SELECT d1.source, n_docs, n_empty,
+        |  CASE WHEN n_docs - n_empty > 0
+        |    THEN round(1.0 - CAST(dt AS DOUBLE) /
+        |      CAST(n_docs - n_empty AS DOUBLE), 6) END AS dup_rate,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(vocab, 0) AS vocab,
+        |  CASE WHEN n_docs - n_empty > 0
+        |    THEN round(CAST(coalesce(n_tokens, 0) AS DOUBLE) /
+        |      CAST(n_docs - n_empty AS DOUBLE), 6) END AS mean_tokens,
+        |  top_lang,
+        |  CASE WHEN nl > 0
+        |    THEN round(CAST(top_n AS DOUBLE) / CAST(nl AS DOUBLE), 6)
+        |  END AS top_lang_share
+        |FROM d1
+        |LEFT JOIN toks USING (source)
+        |LEFT JOIN tl USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // q186-style rank replay: per-group and pooled row_numbers, the
+    // same ceil target-rank integer arithmetic, value-at-rank join
+    "q220_quantile_normalize" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_orderkey AS k1, l_linenumber AS k2,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT g, k1, k2, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, k1, k2)
+        |      AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM base),
+        |p AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v, k1, k2) AS BIGINT)
+        |    AS prk
+        |  FROM base),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base)
+        |SELECT r.g AS l_returnflag, r.k1 AS l_orderkey,
+        |  r.k2 AS l_linenumber, r.v AS l_extendedprice,
+        |  p.v AS normalized
+        |FROM r CROSS JOIN n
+        |JOIN p ON p.prk = (r.rk * n.nn + r.ng - 1) // r.ng
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    // argmax over the shard ring replayed as row_number over (h DESC,
+    // s DESC) — the same (hash, shard) struct-max tiebreak
+    "q219_rendezvous_shard" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id, s,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+        |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+        |r AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+        |      AS rn
+        |  FROM w)
+        |SELECT doc_id, CAST(s AS INTEGER) AS shard
+        |FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     // q203's daily frame + two self-joins at true offsets + exact MAE

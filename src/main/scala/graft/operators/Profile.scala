@@ -297,4 +297,61 @@ object Profile {
         round(col("mean"), 6).as("mean"),
         round(gMean, 6).as("global_mean"), col("z"))
   }
+
+  /** Per-source corpus data card — the one-frame dataset summary every
+    * published training set ships (datasheet/data-card convention):
+    * document counts, empty-text counts, exact-dup rate (distinct
+    * md5(text) vs non-empty texts), token volume and vocabulary,
+    * majority language and its share. Every number is a composition of
+    * gates proven elsewhere (q12's dup semantics, q23's tokenization,
+    * q187's lang counts) folded into source-bounded frames.
+    *
+    * Scale: one corpus pass for the text/dup aggregates (exact
+    * distinct via the Expand strategy — group cardinality is the
+    * bounded source count), one token-explode pass for volume/vocab,
+    * one |sources×langs|-bounded mode window.
+    */
+  def corpusCard(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val nonEmpty = col(textCol).isNotNull && trim(col(textCol)) =!= ""
+    val d1 = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!nonEmpty, lit(1))).as("n_empty"),
+        countDistinct(when(nonEmpty, md5(col(textCol).cast("binary"))))
+          .as("__distinct_texts"),
+        count(when(col(langCol).isNotNull, lit(1))).as("__n_lang"))
+    val toks = docs.filter(nonEmpty)
+      .select(col(sourceCol),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("__tok")).as("vocab"))
+    val langW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__lc").desc, col(langCol))
+    val topLang = docs.filter(col(langCol).isNotNull)
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__lc"))
+      .withColumn("__r", row_number().over(langW))
+      .filter(col("__r") === 1)
+      .select(col(sourceCol), col(langCol).as("top_lang"),
+        col("__lc").as("__top_n"))
+    d1.join(toks, Seq(sourceCol), "left")
+      .join(topLang, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("n_empty"),
+        when(col("n_docs") - col("n_empty") > 0L,
+          round(lit(1.0) - col("__distinct_texts").cast("double") /
+            (col("n_docs") - col("n_empty")).cast("double"), 6))
+          .as("dup_rate"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        when(col("n_docs") - col("n_empty") > 0L,
+          round(coalesce(col("n_tokens"), lit(0L)).cast("double") /
+            (col("n_docs") - col("n_empty")).cast("double"), 6))
+          .as("mean_tokens"),
+        col("top_lang"),
+        when(col("__n_lang") > 0L,
+          round(col("__top_n").cast("double") /
+            col("__n_lang").cast("double"), 6)).as("top_lang_share"))
+  }
 }

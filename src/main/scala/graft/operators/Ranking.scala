@@ -322,4 +322,40 @@ object Ranking {
             (col("__qt_n") - 1L).cast("double"), 6)))
       .drop("__qt_rk", "__qt_n")
   }
+
+  /** Cross-group quantile normalization — the batch-effect remover
+    * (microarray-classic, and the cross-source score-equalizer of a
+    * curation pipeline): each row's value is replaced by the POOLED
+    * distribution's value at the row's within-group quantile, so every
+    * group ends up with the identical marginal distribution while
+    * preserving within-group order. Exact value-at-rank form: target
+    * pooled rank = ceil(r·N / n_g) — integer arithmetic, no
+    * interpolation convention to diverge on.
+    *
+    * Scale: two passes of the distributed rank core (per-group ranks,
+    * pooled ranks — range sorts, never a single-task `OVER ()`), one
+    * group-bounded size join, one equi-join on the computed target
+    * rank. `tieCols` must complete a total order. ANSI note: r·N is a
+    * long multiply — overflow is loud; beyond ~3·10⁹ rows route the
+    * target-rank arithmetic through DECIMAL(38,0).
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, tieCols: Seq[String],
+                        outCol: String = "normalized"): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs group columns")
+    val base = df.filter(col(valueCol).isNotNull)
+    val ranked = rangeRank(base, groupCols, valueCol +: tieCols, "__qn_r")
+    val sizes = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__qn_ng"))
+    val pooled = rangeRank(base.select((valueCol +: tieCols).map(col): _*),
+        Nil, valueCol +: tieCols, "__qn_R")
+      .select(col("__qn_R").as("__qn_target"), col(valueCol).as(outCol))
+    val n = base.agg(count(lit(1)).as("__qn_n"))
+    ranked.join(sizes, groupCols)
+      .crossJoin(broadcast(n))
+      .withColumn("__qn_target",
+        expr("(__qn_r * __qn_n + __qn_ng - 1) DIV __qn_ng"))
+      .join(pooled, Seq("__qn_target"))
+      .drop("__qn_r", "__qn_ng", "__qn_n", "__qn_target")
+  }
 }

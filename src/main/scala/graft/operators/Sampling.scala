@@ -375,6 +375,34 @@ object Sampling {
     * hint-free rate join on the group key (AQE sizes it) + a row-local
     * filter — the corpus shuffles zero times.
     */
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent output-sharding rule: `shard(id) = argmax_s
+    * md5(id || '#' || s)`. Its defining property: growing N → N+1
+    * shards moves ONLY the keys the new shard wins (≈ 1/(N+1) of
+    * them), and every moved key moves TO the new shard — no
+    * rebalancing storm, unlike `id % N` which remaps nearly
+    * everything. Deterministic, rerun- and engine-stable.
+    *
+    * Row-local: the argmax folds over the N-element shard array inside
+    * one expression (array_max over (hash, shard) structs — md5 hex
+    * compares as unsigned 128-bit) — ZERO shuffle, no join, no
+    * N×corpus row amplification. N is structurally small (output
+    * shards), so the per-row loop is bounded.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String,
+                      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val idStr = col(idCol).cast("string")
+    val best = array_max(transform(
+      sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        md5(concat(idStr, lit("#"), s.cast("string")).cast("binary"))
+          .as("h"),
+        s.as("s"))))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("shard", best.getField("s").cast("int"))
+  }
+
   def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
                      alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")

@@ -44,7 +44,7 @@ object PlanAudit {
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverStateRows guard"),
-    AllowedBroadcast("Ranking.scala", "n", "one-row global aggregate", count = 2),
+    AllowedBroadcast("Ranking.scala", "n", "one-row global aggregate", count = 3),
     AllowedBroadcast("Ranking.scala", "p", "target-rank probe frame — |probs| rows, parameter-bounded"),
     AllowedBroadcast("Ranking.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("Ranking.scala", "counts", "one-row global aggregate (groupCols.isEmpty branch only)"),

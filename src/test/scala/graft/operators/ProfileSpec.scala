@@ -162,4 +162,42 @@ class ProfileSpec extends SparkSpecBase {
     // null dropped: total 10; b sits EXACTLY on the 0.3 threshold
     assert(out == Map("a" -> ((5L, 0.5, 10L)), "b" -> ((3L, 0.3, 10L))))
   }
+
+  test("corpusCard: hand-computed per-source datasheet") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", "en", "the cat sat"),
+      ("web", "en", "the cat sat"),  // exact dup
+      ("web", "de", "der hund"),
+      ("web", "en", ""),             // empty
+      ("web", null, null),           // null text + lang
+      ("tiny", "fr", "un deux trois"))
+      .toDF("source", "lang", "text")
+    val out = Profile.corpusCard(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w = out("web")
+    assert(w.getAs[Long]("n_docs") == 5L)
+    assert(w.getAs[Long]("n_empty") == 2L) // "" and null
+    // 3 non-empty texts, 2 distinct → dup rate 1/3
+    assert(w.getAs[Double]("dup_rate") == math.rint(1e6 / 3.0) / 1e6)
+    assert(w.getAs[Long]("n_tokens") == 8L) // 3 + 3 + 2
+    assert(w.getAs[Long]("vocab") == 5L) // the cat sat der hund
+    assert(w.getAs[String]("top_lang") == "en")
+    assert(w.getAs[Double]("top_lang_share") == 0.75) // 3 of 4 labeled
+    val t = out("tiny")
+    assert(t.getAs[Double]("dup_rate") == 0.0)
+    assert(t.getAs[Double]("mean_tokens") == 3.0)
+    assert(t.getAs[String]("top_lang") == "fr")
+  }
+
+  test("corpusCard: all-empty source carries nulls, not divisions by zero") {
+    import spark.implicits._
+    val docs = Seq(("dead", "en", ""), ("dead", "en", null))
+      .toDF("source", "lang", "text")
+    val r = Profile.corpusCard(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_empty") == 2L)
+    assert(r.isNullAt(r.fieldIndex("dup_rate")))
+    assert(r.isNullAt(r.fieldIndex("mean_tokens")))
+    assert(r.getAs[Long]("n_tokens") == 0L)
+  }
 }

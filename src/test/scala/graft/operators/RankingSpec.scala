@@ -169,4 +169,45 @@ class RankingSpec extends SparkSpecBase {
     assert(rho(true) == rho(false))
     TrackedCaches.release()
   }
+
+  test("quantileNormalize: same-shape groups at different scales land " +
+    "on the identical pooled marginal (hand-computed)") {
+    import spark.implicits._
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 10.0), ("B", 5L, 20.0), ("B", 6L, 30.0))
+      .toDF("g", "id", "v")
+    val out = Ranking.quantileNormalize(df, Seq("g"), "v", Seq("id"))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("normalized")).toMap
+    // pooled sorted: 1,2,3,10,20,30; both groups target ranks 2,4,6
+    assert(out(("A", 1.0)) == 2.0 && out(("A", 2.0)) == 10.0 &&
+      out(("A", 3.0)) == 30.0)
+    assert(out(("B", 10.0)) == 2.0 && out(("B", 20.0)) == 10.0 &&
+      out(("B", 30.0)) == 30.0)
+    TrackedCaches.release()
+  }
+
+  test("quantileNormalize: unequal group sizes, order preserved, nulls " +
+    "dropped, repartition-invariant") {
+    import spark.implicits._
+    val df = Seq(("A", 1L, Option(5.0)), ("A", 2L, Option(1.0)),
+      ("B", 3L, Option(7.0)), ("B", 4L, Option(2.0)),
+      ("B", 5L, Option(9.0)), ("B", 6L, Option(4.0)),
+      ("B", 7L, Option.empty[Double]))
+      .toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ranking.quantileNormalize(d, Seq("g"), "v", Seq("id"))
+        .orderBy("g", "id").collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+          r.getAs[Double]("normalized"))).toSeq
+    val a = run(df)
+    assert(a.size == 6) // null row dropped
+    val m = a.map(t => (t._1, t._2) -> t._3).toMap
+    // within-group order preserved: v(id2)=1 < v(id1)=5 in A; B's chain
+    assert(m(("A", 2L)) < m(("A", 1L)))
+    assert(m(("B", 4L)) < m(("B", 6L)) && m(("B", 6L)) < m(("B", 3L)) &&
+      m(("B", 3L)) < m(("B", 5L)))
+    assert(a == run(df.repartition(5)))
+    TrackedCaches.release()
+  }
 }

@@ -292,6 +292,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(k5.toSeq == Seq(3L)) // deterministic min representative
   }
 
+  test("rendezvousShard: matches a local HRW replay and balances shards") {
+    val out = Sampling.rendezvousShard(ids.withColumnRenamed("id", "doc_id"),
+      "doc_id", numShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def local(id: Long, n: Int): Int = (0 until n).maxBy { s =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, s)
+    }
+    Seq(0L, 1L, 4999L, 9999L).foreach(i => assert(out(i) == local(i, 8)))
+    val counts = out.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == 8)
+    assert(counts.values.forall(c => c > 1000 && c < 1500)) // ~1250 each
+  }
+
+  test("rendezvousShard: growing the ring moves keys ONLY to the new " +
+    "shard, ~1/(N+1) of them") {
+    val df = ids.withColumnRenamed("id", "doc_id")
+    val n8 = Sampling.rendezvousShard(df, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n9 = Sampling.rendezvousShard(df, "doc_id", 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = n8.keys.filter(k => n8(k) != n9(k)).toSeq
+    assert(moved.forall(k => n9(k) == 8)) // every move targets the new shard
+    assert(moved.size > 700 && moved.size < 1500, s"moved ${moved.size}")
+  }
+
   test("temperatureMix: smallest source kept whole, larger flattened at " +
     "the exact sqrt rate") {
     import spark.implicits._
