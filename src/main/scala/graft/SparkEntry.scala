@@ -1461,6 +1461,22 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // split-conformal upper bound per event type: distribution-free
+    // P(value ≤ q̂) ≥ 90% from a deterministic calibration split —
+    // finite-sample-corrected rank, exact value-at-rank
+    "q222_conformal_bound" -> ((s, dir) =>
+      Stats.conformalUpperBound(Tables.events(s, dir),
+          Seq("event_type"), "value", "event_id",
+          alpha = 0.1, calFraction = 0.5)
+        .orderBy(col("event_type"))),
+
+    // exponentially time-decayed engagement score per user (half-life
+    // 7 days, corpus-max anchor): the recency-weighted activity metric
+    "q223_decayed_score" -> ((s, dir) =>
+      ProductAnalytics.decayedScore(Tables.events(s, dir),
+          Seq("user_id"), halfLifeDays = 7.0)
+        .orderBy(col("user_id"))),
+
     // per-source corpus data card: the dataset-datasheet one-pager —
     // counts, dup rate, token volume/vocab, majority language
     "q221_corpus_card" -> ((s, dir) =>
@@ -7090,6 +7106,48 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q48's hex-bucket split + q186's value-at-rank + one exact division
+    "q222_conformal_bound" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id, value,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS b
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |cal AS (SELECT * FROM base WHERE b < '8000'),
+        |ev AS (SELECT * FROM base WHERE b >= '8000'),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM cal GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS cr
+        |  FROM cal),
+        |bd AS (
+        |  SELECT r.event_type, max(sz.n_cal) AS n_cal,
+        |    max(CASE WHEN cr = CAST(ceil(CAST(sz.n_cal + 1 AS DOUBLE) * 0.9e0)
+        |      AS BIGINT) THEN value END) AS q_hat
+        |  FROM r JOIN sz USING (event_type) GROUP BY r.event_type)
+        |SELECT ev.event_type, max(bd.n_cal) AS n_cal, max(bd.q_hat) AS q_hat,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(CAST(count(*) FILTER (bd.q_hat IS NULL OR ev.value <= bd.q_hat)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+        |FROM ev JOIN bd USING (event_type)
+        |GROUP BY ev.event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // q137's ln/exp replay family: exact integer ages, quantized weights
+    "q223_decayed_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT max(us) AS mx FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(exp((-ln(2)) *
+        |    (CAST(mx - us AS DOUBLE) / 86400000000.0) / 7.0)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_score
+        |FROM e CROSS JOIN m
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // composite mirror of the card's proven fragments: md5 distinct
     // texts, regexp tokenization, (source, lang) mode window

@@ -233,4 +233,38 @@ object ProductAnalytics {
       .select(col("d").as("day"), col("active_users"), col("new_users"),
         col("cum_users"))
   }
+
+  /** Exponentially time-decayed engagement score — the recency-weighted
+    * activity metric (half-life form): each event contributes
+    * `2^(−age/halfLife)`, so an event exactly one half-life old counts
+    * half. The anchor is the corpus max timestamp (one-row aggregate,
+    * broadcast) — deterministic across reruns, unlike wall-clock now().
+    *
+    * Portability: age is exact integer micros; the weight is
+    * `exp(−ln 2 · age_days / halfLifeDays)` — the same ln/exp tree the
+    * q137 survival oracle already replays bit-for-bit — and weights
+    * quantize to DECIMAL(28,12) before the order-free per-key sum.
+    *
+    * Scale: one corpus scan + one keyed aggregation (map-side
+    * combined); the anchor is the only non-keyed state.
+    */
+  def decayedScore(events: DataFrame, keyCols: Seq[String],
+                   tsCol: String = "ts",
+                   halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    val gc = keyCols.map(col)
+    val us = unix_micros(col(tsCol))
+    val base = events.filter(col(tsCol).isNotNull)
+      .select(gc :+ us.as("__us"): _*)
+    val anchor = base.agg(max(col("__us")).as("__mx"))
+    base.crossJoin(broadcast(anchor))
+      .withColumn("__w",
+        exp(lit(-math.log(2.0)) *
+          ((col("__mx") - col("__us")).cast("double") / lit(86400e6)) /
+          lit(halfLifeDays))
+          .cast("decimal(28,12)"))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__w")).cast("double"), 6).as("decayed_score"))
+  }
 }

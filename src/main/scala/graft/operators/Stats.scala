@@ -750,4 +750,57 @@ object Stats {
       .orderBy(col("mi_nats").desc, col("feature"))
     mi.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Split-conformal upper bound per group (Vovk's distribution-free
+    * coverage guarantee, the split/inductive form): a deterministic
+    * md5-hash calibration split, the bound q̂ = the
+    * ⌈(n_cal + 1)(1 − α)⌉-th smallest calibration value (the
+    * finite-sample-corrected rank — NOT the plain quantile), and the
+    * held-out coverage check P(value ≤ q̂), which the guarantee says is
+    * ≥ 1 − α in expectation regardless of the value distribution.
+    * When the corrected rank exceeds n_cal the bound is vacuous (+∞):
+    * q̂ reports null and coverage 1.
+    *
+    * Determinism: the split is the md5-bucket rule (q48), the rank is
+    * exact (rank core + conditional-max value-at-rank, the q186
+    * shape), and coverage is one exact long division. ⌈(n+1)(1−α)⌉
+    * computes in doubles — one multiply + ceil, identical both
+    * engines.
+    *
+    * Scale: one rank-core pass over the calibration side, group-
+    * bounded bound frame joined back hint-free, one eval aggregation.
+    */
+  def conformalUpperBound(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, idCol: String,
+                          alpha: Double = 0.1,
+                          calFraction: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    require(calFraction > 0 && calFraction < 1,
+      s"calFraction out of (0,1): $calFraction")
+    val gc = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__b", substring(md5(col(idCol).cast("string")
+        .cast("binary")), 1, 4))
+    val thr = graft.operators.Sampling.hexThreshold(calFraction)
+    val cal = base.filter(col("__b") < thr)
+    val eval_ = base.filter(col("__b") >= thr)
+    val sizes = cal.groupBy(gc: _*).agg(count(lit(1)).as("n_cal"))
+    val ranked = Ranking.rangeRank(cal, groupCols,
+      Seq(valueCol, idCol), "__cr")
+    val bounds = ranked.join(sizes, groupCols)
+      .withColumn("__k",
+        ceil((col("n_cal") + lit(1L)).cast("double") * (1.0 - alpha))
+          .cast("long"))
+      .groupBy(gc: _*)
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(when(col("__cr") === col("__k"), col(valueCol))).as("q_hat"))
+    eval_.join(bounds, groupCols)
+      .groupBy(gc: _*)
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_eval"),
+        round(count(when(col("q_hat").isNull ||
+            col(valueCol) <= col("q_hat"), lit(1))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("coverage"))
+  }
 }

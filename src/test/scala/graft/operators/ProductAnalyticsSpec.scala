@@ -163,4 +163,25 @@ class ProductAnalyticsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 2L, 2L, 2L), (2L, 2L, 1L, 3L),
       (3L, 3L, 0L, 3L)))
   }
+
+  test("decayedScore: exact half-life weights against the corpus-max " +
+    "anchor; users independent; reruns stable") {
+    import spark.implicits._
+    val day = 86400000000L
+    val anchor = 1700000000000000L
+    def ts(aged: Long) = new java.sql.Timestamp((anchor - aged * day) / 1000L)
+    val df = Seq(
+      ("u1", ts(0)), ("u1", ts(7)), ("u1", ts(14)),
+      ("u2", ts(0))).toDF("user_id", "ts")
+    val out = ProductAnalytics.decayedScore(df, Seq("user_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("decayed_score"))).toMap
+    // ages 0 / 7d / 14d at half-life 7 → weights 1, 0.5, 0.25
+    assert(out("u1") == (3L, 1.75))
+    assert(out("u2") == (1L, 1.0))
+    val again = ProductAnalytics.decayedScore(df.repartition(5),
+      Seq("user_id")).collect().map(r => r.getString(0) ->
+        r.getAs[Double]("decayed_score")).toMap
+    assert(again("u1") == 1.75)
+  }
 }

@@ -435,4 +435,47 @@ class StatsSpec extends SparkSpecBase {
     assert(out("strong") > out("weak"))
     assert(out("weak") > out("none"))
   }
+
+  /** Local replay of the conformal machinery: md5 4-hex split + the
+    * corrected-rank bound.
+    */
+  private def conformalLocal(ids: Seq[Long], values: Map[Long, Double],
+                             alpha: Double): (Long, Option[Double]) = {
+    def bucket(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_))
+      .mkString
+    val cal = ids.filter(bucket(_) < "8000")
+    val sorted = cal.map(i => (values(i), i)).sorted.map(_._1)
+    val k = math.ceil((cal.size + 1).toDouble * (1.0 - alpha)).toLong
+    (cal.size.toLong,
+      if (k <= cal.size) Some(sorted(k.toInt - 1)) else None)
+  }
+
+  test("conformalUpperBound matches a local replay and covers the " +
+    "held-out set") {
+    import spark.implicits._
+    val ids = (1L to 400L)
+    val values = ids.map(i => i -> (i % 97).toDouble).toMap
+    val df = ids.map(i => ("g", i, values(i))).toDF("grp", "id", "v")
+    val row = Stats.conformalUpperBound(df, Seq("grp"), "v", "id",
+      alpha = 0.1).head()
+    val (nCal, qHat) = conformalLocal(ids, values, 0.1)
+    assert(row.getAs[Long]("n_cal") == nCal)
+    assert(row.getAs[Double]("q_hat") == qHat.get)
+    // the distribution-free guarantee: ~90% of held-out values covered
+    assert(row.getAs[Double]("coverage") > 0.8)
+    assert(row.getAs[Long]("n_eval") == 400L - nCal)
+  }
+
+  test("conformalUpperBound: corrected rank beyond n_cal is the vacuous " +
+    "bound (null, full coverage)") {
+    import spark.implicits._
+    // tiny calibration side + alpha 0.01: ceil((n+1)·0.99) > n always
+    val df = (1L to 12L).map(i => ("g", i, i.toDouble))
+      .toDF("grp", "id", "v")
+    val row = Stats.conformalUpperBound(df, Seq("grp"), "v", "id",
+      alpha = 0.01).head()
+    assert(row.isNullAt(row.fieldIndex("q_hat")))
+    assert(row.getAs[Double]("coverage") == 1.0)
+  }
 }
