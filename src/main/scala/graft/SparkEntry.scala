@@ -1461,6 +1461,25 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // dictionary keyword tagging: taxonomy labels via one distinct
+    // (doc, token) equi-join against the term list — no regex blowup
+    "q224_keyword_tags" -> ((s, dir) =>
+      TextAnalysis.tagKeywords(t(s, dir, "documents"),
+          Seq("data" -> "tech", "model" -> "tech", "quality" -> "curation",
+            "sample" -> "curation", "event" -> "product"))
+        .orderBy(col("doc_id"))),
+
+    // count-dispersion diagnostic per event type: Poisson or bursty —
+    // variance/mean over the full calendar span, zero-day inflation
+    "q225_dispersion" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      TimeSeries.dispersionCheck(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
     // split-conformal upper bound per event type: distribution-free
     // P(value ≤ q̂) ≥ 90% from a deterministic calibration split —
     // finite-sample-corrected rank, exact value-at-rank
@@ -7106,6 +7125,55 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // distinct-token join against the VALUES dictionary; sorted
+    // distinct tags joined to one string
+    "q224_keyword_tags" ->
+      """WITH dict(term, tag) AS (VALUES
+        |  ('data', 'tech'), ('model', 'tech'), ('quality', 'curation'),
+        |  ('sample', 'curation'), ('event', 'product')),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE tok <> '')
+        |SELECT doc_id,
+        |  string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_matched_terms
+        |FROM toks JOIN dict ON toks.tok = dict.term
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact integer span arithmetic + the identical variance/zero trees
+    "q225_dispersion" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS active,
+        |    max(day) - min(day) + 1 AS span_days,
+        |    CAST(sum(v) AS BIGINT) AS sx, CAST(sum(v * v) AS BIGINT) AS sxx
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, span_days, active AS n_active_days,
+        |  round(CAST(sx AS DOUBLE) / CAST(span_days AS DOUBLE), 6)
+        |    AS mean_per_day,
+        |  CASE WHEN sx > 0 THEN
+        |    round((CAST(sxx AS DOUBLE) - CAST(span_days AS DOUBLE) *
+        |        (CAST(sx AS DOUBLE) / CAST(span_days AS DOUBLE)) *
+        |        (CAST(sx AS DOUBLE) / CAST(span_days AS DOUBLE))) /
+        |      CAST(span_days - 1 AS DOUBLE) /
+        |      (CAST(sx AS DOUBLE) / CAST(span_days AS DOUBLE)), 6)
+        |  END AS dispersion,
+        |  round(CAST(span_days - active AS DOUBLE) /
+        |    CAST(span_days AS DOUBLE), 6) AS zero_frac_obs,
+        |  round(exp(0.0e0 - CAST(sx AS DOUBLE) / CAST(span_days AS DOUBLE)), 6)
+        |    AS zero_frac_poisson
+        |FROM a WHERE span_days > 1
+        |ORDER BY event_type""".stripMargin,
 
     // q48's hex-bucket split + q186's value-at-rank + one exact division
     "q222_conformal_bound" ->

@@ -726,6 +726,35 @@ object TextAnalysis {
     * regime — never a global sort), one distinct. Output ∝ selected
     * fingerprints ≈ 2/(w+1) of gram count.
     */
+  /** Dictionary keyword tagging — the taxonomy labeler of a curation
+    * pipeline ("which docs mention finance/medical/legal terms"):
+    * documents are tagged with every tag whose term list intersects
+    * their token set. Relational, not per-row scanning: one distinct
+    * (doc, token) frame equi-joined to the (term, tag) dictionary —
+    * the dictionary side is structurally small (a curated taxonomy),
+    * AQE broadcasts it; no regex alternation blowup, no UDF.
+    *
+    * Output: (idCol, tags — comma-joined sorted distinct,
+    * n_matched_terms — distinct matching terms). Docs with no match
+    * are absent (inner join — the tagged subset IS the result).
+    */
+  def tagKeywords(docs: DataFrame, dictionary: Seq[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(dictionary.nonEmpty, "dictionary must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = dictionary.toDF("__term", "__tag")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokensCol(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .distinct()
+      .join(dict, col("__tok") === col("__term"))
+      .groupBy(col(idCol))
+      .agg(concat_ws(",", array_sort(collect_set(col("__tag")))).as("tags"),
+        countDistinct(col("__term")).as("n_matched_terms"))
+  }
+
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {

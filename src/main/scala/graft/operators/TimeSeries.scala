@@ -228,6 +228,54 @@ object TimeSeries {
         round(col("__slope"), 6).as("slope")): _*)
   }
 
+  /** Count-dispersion diagnostic over a per-(group, day) count frame —
+    * "is this event stream Poisson, or bursty/zero-inflated": the
+    * variance-to-mean dispersion index over the FULL calendar span
+    * (absent days are true zeros, not missing data — computed as
+    * span − active days, never materialized), plus the observed vs
+    * Poisson-expected zero-day fraction. Dispersion ≈ 1 → Poisson;
+    * ≫ 1 → burst clustering; observed zeros ≫ e^(−λ) → zero
+    * inflation. Index > 1 says a mean-rate alarm threshold will
+    * misfire; q89/q148's z-scores assume it's checked.
+    *
+    * Exactness: Σx and Σx² are exact integer sums; span arithmetic is
+    * integer; every derived double is a fixed tree both engines
+    * replay (variance uses the n−1 computational identity on the
+    * span-sized population including zeros).
+    *
+    * Scale: one map-side-combinable aggregation over the
+    * calendar-bounded count frame.
+    */
+  def dispersionCheck(df: DataFrame, groupCols: Seq[String],
+                      timeCol: String, valueCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val base = df.select(gc :+ col(timeCol).cast("long").as("__t")
+      :+ col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull && col("__t").isNotNull)
+    base.groupBy(gc: _*)
+      .agg(count(lit(1)).as("__active"),
+        (max(col("__t")) - min(col("__t")) + 1L).as("span_days"),
+        sum(col("__v")).as("__sx"),
+        sum(col("__v") * col("__v")).as("__sxx"))
+      .filter(col("span_days") > 1L)
+      .select(gc ++ Seq(
+        col("span_days"), col("__active").as("n_active_days"),
+        round(col("__sx").cast("double") / col("span_days").cast("double"), 6)
+          .as("mean_per_day"),
+        when(col("__sx") > 0L,
+          round((col("__sxx").cast("double") -
+              col("span_days").cast("double") *
+              (col("__sx").cast("double") / col("span_days").cast("double")) *
+              (col("__sx").cast("double") / col("span_days").cast("double"))) /
+            (col("span_days") - 1L).cast("double") /
+            (col("__sx").cast("double") / col("span_days").cast("double")), 6))
+          .as("dispersion"),
+        round((col("span_days") - col("__active")).cast("double") /
+          col("span_days").cast("double"), 6).as("zero_frac_obs"),
+        round(exp(lit(0.0) - col("__sx").cast("double") /
+          col("span_days").cast("double")), 6).as("zero_frac_poisson")): _*)
+  }
+
   /** Seasonal-naive forecast evaluation with MASE (Hyndman & Koehler
     * 2006) — the baseline every volume-forecast and anomaly threshold
     * should beat: forecast(d) = value(d − season), scored against the

@@ -467,6 +467,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fp2.intersect(fp3).nonEmpty)
   }
 
+  test("tagKeywords: tags via distinct-token dictionary join, " +
+    "unmatched docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Data model flows"),
+      (2L, "quality Sample data data"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val dict = Seq("data" -> "tech", "model" -> "tech",
+      "quality" -> "curation", "sample" -> "curation")
+    val out = TextAnalysis.tagKeywords(docs, dict)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_matched_terms"))).toMap
+    assert(out == Map(
+      1L -> ("tech", 2L),
+      2L -> ("curation,tech", 3L)))
+  }
+
   test("winnowFingerprints is repartition-invariant and position-sound") {
     import spark.implicits._
     val docs = Seq((1L, ('a' to 'z').mkString(" "))).toDF("doc_id", "text")

@@ -127,6 +127,28 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(row.getAs[Double]("slope") == 2.0)
   }
 
+  test("dispersionCheck: hand-computed span-aware dispersion, zero " +
+    "fractions; constant rate underdisperses; single-day groups drop") {
+    import spark.implicits._
+    val df = (Seq(("bursty", 0L, 2L), ("bursty", 1L, 4L), ("bursty", 3L, 6L)) ++
+      (0L to 3L).map(d => ("flat", d, 5L)) ++
+      Seq(("oneday", 9L, 3L))).toDF("k", "t", "v")
+    val out = TimeSeries.dispersionCheck(df, Seq("k"), "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("oneday"))
+    val b = out("bursty")
+    assert(b.getAs[Long]("span_days") == 4L)
+    assert(b.getAs[Long]("n_active_days") == 3L)
+    assert(b.getAs[Double]("mean_per_day") == 3.0)
+    // var = (56 − 4·9)/3 = 20/3; dispersion = 20/9
+    assert(b.getAs[Double]("dispersion") ==
+      math.rint(20.0 / 9.0 * 1e6) / 1e6)
+    assert(b.getAs[Double]("zero_frac_obs") == 0.25)
+    assert(b.getAs[Double]("zero_frac_poisson") ==
+      math.rint(math.exp(-3.0) * 1e6) / 1e6)
+    assert(out("flat").getAs[Double]("dispersion") == 0.0)
+  }
+
   test("seasonalNaiveEval: perfect weekly pattern scores MASE 0 with " +
     "hand-computed naive MAE") {
     import spark.implicits._
