@@ -1461,6 +1461,34 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // Youden-J optimal operating point per return flag: the threshold
+    // companion to q123's AUC — exact cumulative counts, KS-argmax rule
+    "q228_best_threshold" -> ((s, dir) =>
+      Drift.bestThreshold(
+          t(s, dir, "lineitem").withColumn("disc_band",
+            when(col("l_discount") > 0.05, "hi").otherwise("lo")),
+          "l_extendedprice", "disc_band", "hi", Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
+    // readability (Flesch / FK grade): the audience-level quality
+    // signal — exact integer word/sentence/syllable counts, fixed trees
+    "q226_readability" -> ((s, dir) =>
+      TextAnalysis.readability(
+          t(s, dir, "documents").filter(col("doc_id") < 200))
+        .orderBy(col("doc_id"))),
+
+    // FK discovery: distinct-key containment of every fact→dim edge of
+    // the schema, plus a deliberately-broken relation for contrast
+    "q227_fk_discovery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val p = t(s, dir, "part")
+      Profile.containment(li, "l_orderkey", o, "o_orderkey")
+        .union(Profile.containment(o, "o_custkey", c, "c_custkey"))
+        .union(Profile.containment(li, "l_partkey", p, "p_partkey"))
+        .union(Profile.containment(o, "o_orderkey", c, "c_custkey"))
+        .orderBy(col("relation"))
+    }),
+
     // dictionary keyword tagging: taxonomy labels via one distinct
     // (doc, token) equi-join against the term list — no regex blowup
     "q224_keyword_tags" -> ((s, dir) =>
@@ -7125,6 +7153,112 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // RANGE-framed conditional cumulative counts (peers included, so
+    // both tags at one score see the identical inclusive pair), Youden
+    // tree, argmax by (J DESC, score)
+    "q228_best_threshold" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    CASE WHEN l_discount > 0.05 THEN 'pos' ELSE 'neg' END AS tag,
+        |    l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |occ AS (
+        |  SELECT g, tag, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |cums AS (
+        |  SELECT g, v,
+        |    CAST(sum(CASE WHEN tag = 'pos' THEN c ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN tag = 'neg' THEN c ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cn
+        |  FROM occ),
+        |dcum AS (SELECT DISTINCT g, v, cp, cn FROM cums),
+        |tot AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN tag = 'pos' THEN c END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN tag = 'neg' THEN c END) AS BIGINT) AS n
+        |  FROM occ GROUP BY g),
+        |sel AS (
+        |  SELECT dcum.g, v, p, n, cp, cn,
+        |    row_number() OVER (PARTITION BY dcum.g
+        |      ORDER BY (CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(cp AS DOUBLE) / CAST(p AS DOUBLE)) DESC, v) AS rn
+        |  FROM dcum JOIN tot USING (g)
+        |  WHERE p IS NOT NULL AND n IS NOT NULL)
+        |SELECT g AS l_returnflag, p AS n_pos, n AS n_neg, v AS threshold,
+        |  round(CAST(p - cp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS tpr,
+        |  round(CAST(n - cn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS fpr,
+        |  round(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(cp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS youden_j
+        |FROM sel WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // one regexp scan per count, the identical double trees
+    "q226_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL AND trim(text) <> '')
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59e0, 6) AS fk_grade,
+        |  round(206.835e0
+        |    - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch_ease
+        |FROM d WHERE n_words > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-relation distinct containment via NOT EXISTS counts
+    "q227_fk_discovery" ->
+      """WITH rel AS (
+        |  SELECT 'l_orderkey->o_orderkey' AS relation,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL) AS nc,
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k
+        |       FROM lineitem WHERE l_orderkey IS NOT NULL) t
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders
+        |       WHERE o_orderkey = t.k)) AS orph
+        |  UNION ALL
+        |  SELECT 'o_custkey->c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |     WHERE o_custkey IS NOT NULL),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k
+        |       FROM orders WHERE o_custkey IS NOT NULL) t
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer
+        |       WHERE c_custkey = t.k))
+        |  UNION ALL
+        |  SELECT 'l_partkey->p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |     WHERE l_partkey IS NOT NULL),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k
+        |       FROM lineitem WHERE l_partkey IS NOT NULL) t
+        |     WHERE NOT EXISTS (SELECT 1 FROM part
+        |       WHERE p_partkey = t.k))
+        |  UNION ALL
+        |  SELECT 'o_orderkey->c_custkey',
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders
+        |     WHERE o_orderkey IS NOT NULL),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS k
+        |       FROM orders WHERE o_orderkey IS NOT NULL) t
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer
+        |       WHERE c_custkey = t.k)))
+        |SELECT relation, CAST(nc AS BIGINT) AS n_child_distinct,
+        |  CAST(nc - orph AS BIGINT) AS n_contained,
+        |  CASE WHEN nc > 0 THEN
+        |    round(CAST(nc - orph AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+        |  END AS containment
+        |FROM rel
+        |ORDER BY relation""".stripMargin,
 
     // distinct-token join against the VALUES dictionary; sorted
     // distinct tags joined to one string

@@ -112,6 +112,62 @@ object Drift {
         round(max(col("__gap")), 6).as("ks_stat"))
   }
 
+  /** Optimal decision threshold per group by Youden's J (the
+    * operating-point selector an [[auc]] number doesn't give): over
+    * candidate thresholds t = observed scores with the rule "positive
+    * iff score > t", J(t) = TPR − FPR = cumNeg(≤t)/N − cumPos(≤t)/P;
+    * the maximizer is exactly the KS argmax between the class score
+    * distributions. `posTag`-vs-REST semantics: every other tag counts
+    * negative (tags are lumped before the rank pass, so this does NOT
+    * plan-share the strict-two-tag battery's [[driftCum]] cache).
+    * Ties break to the smallest threshold. Groups missing either class
+    * are dropped.
+    *
+    * Exactness: cumulative counts are exact longs from the rank core's
+    * weighted prefix sums; TPR/FPR/J are fixed double trees; the
+    * argmax is a per-group window over the distinct-score frame (the
+    * cusum argmax shape).
+    */
+  def bestThreshold(df: DataFrame, scoreCol: String, tagCol: String,
+                    posTag: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "bestThreshold needs at least one group column")
+    val gc = groupCols.map(col)
+    val lumped = df.filter(col(scoreCol).isNotNull && col(tagCol).isNotNull)
+      .withColumn("__bt_tag",
+        when(col(tagCol) === lit(posTag), "pos").otherwise("neg"))
+    val cum = driftCum(lumped, scoreCol, "__bt_tag", groupCols)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc :+ col(scoreCol): _*)
+    val points = cum
+      .withColumn("__c_all", max(col("__ca")).over(wAll))
+      .withColumn("__cp", when(col("__bt_tag") === "pos", col("__ct"))
+        .otherwise(col("__c_all") - col("__ct")))
+      .withColumn("__cn", when(col("__bt_tag") === "pos",
+        col("__c_all") - col("__ct")).otherwise(col("__ct")))
+      .select(gc :+ col(scoreCol) :+ col("__cp") :+ col("__cn"): _*)
+      .distinct() // the two tags' rows at one score carry identical pairs
+    val totals = cum.groupBy(gc :+ col("__bt_tag"): _*)
+      .agg(max(col("__ct")).as("__n"))
+      .groupBy(gc: _*)
+      .agg(max(when(col("__bt_tag") === "pos", col("__n"))).as("__p"),
+        max(when(col("__bt_tag") === "neg", col("__n"))).as("__nn"))
+      .filter(col("__p").isNotNull && col("__nn").isNotNull)
+    val j = (col("__cn").cast("double") / col("__nn").cast("double")) -
+      (col("__cp").cast("double") / col("__p").cast("double"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy(gc: _*).orderBy(j.desc, col(scoreCol))
+    FrameOps.statsJoinOn(points, totals, groupCols)
+      .withColumn("__rn", row_number().over(wArg))
+      .filter(col("__rn") === 1)
+      .select(gc ++ Seq(col("__p").as("n_pos"), col("__nn").as("n_neg"),
+        col(scoreCol).as("threshold"),
+        round((col("__p") - col("__cp")).cast("double") /
+          col("__p").cast("double"), 6).as("tpr"),
+        round((col("__nn") - col("__cn")).cast("double") /
+          col("__nn").cast("double"), 6).as("fpr"),
+        round(j, 6).as("youden_j")): _*)
+  }
+
   /** Exact Mann–Whitney U rank-sum test per group — the nonparametric
     * location-shift companion to [[ksTest]]. Standard midranks: tied
     * values across BOTH samples share the average of their positions,

@@ -298,6 +298,32 @@ object Profile {
         round(gMean, 6).as("global_mean"), col("z"))
   }
 
+  /** Key-containment check — the foreign-key discovery / referential-
+    * integrity probe of schema profiling: what fraction of the child
+    * column's DISTINCT values exist in the parent column. 1.0 → an FK
+    * candidate (and a broadcast-dim join is safe); < 1.0 quantifies
+    * orphaned keys. One distinct reduction per side, one left-anti
+    * count — the distinct frames are key-cardinality, not row-count,
+    * sized.
+    */
+  def containment(child: DataFrame, childCol: String,
+                  parent: DataFrame, parentCol: String): DataFrame = {
+    val c = child.filter(col(childCol).isNotNull)
+      .select(col(childCol).as("__k")).distinct()
+    val p = parent.filter(col(parentCol).isNotNull)
+      .select(col(parentCol).as("__k")).distinct()
+    val nChild = c.agg(count(lit(1)).as("n_child_distinct"))
+    val orphans = c.join(p, Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("__orph"))
+    nChild.crossJoin(orphans)
+      .select(lit(s"$childCol->$parentCol").as("relation"),
+        col("n_child_distinct"),
+        (col("n_child_distinct") - col("__orph")).as("n_contained"),
+        when(col("n_child_distinct") > 0L,
+          round((col("n_child_distinct") - col("__orph")).cast("double") /
+            col("n_child_distinct").cast("double"), 6)).as("containment"))
+  }
+
   /** Per-source corpus data card — the one-frame dataset summary every
     * published training set ships (datasheet/data-card convention):
     * document counts, empty-text counts, exact-dup rate (distinct

@@ -726,6 +726,39 @@ object TextAnalysis {
     * regime — never a global sort), one distinct. Output ∝ selected
     * fingerprints ≈ 2/(w+1) of gram count.
     */
+  /** Readability scores (Flesch reading ease + Flesch-Kincaid grade) —
+    * the classic audience-level quality signal (used as a C4/Gopher-era
+    * heuristic filter dimension): words = whitespace tokens, sentences
+    * ≈ max(1, terminal-punctuation runs), syllables ≈ vowel-group runs
+    * (`[aeiouy]+`) — the standard dictionary-free approximation, each
+    * an exact integer count from one regexp scan, feeding fixed double
+    * trees. Pure map stage, zero shuffle; empty/wordless docs are
+    * excluded.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = size(tokensCol(col(textCol)))
+    val sents = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+    val sylls = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), words.cast("long").as("n_words"),
+        sents.cast("long").as("n_sentences"),
+        sylls.cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59), 6))
+      .withColumn("flesch_ease",
+        round(lit(206.835) - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 6))
+  }
+
   /** Dictionary keyword tagging — the taxonomy labeler of a curation
     * pipeline ("which docs mention finance/medical/legal terms"):
     * documents are tagged with every tag whose term list intersects

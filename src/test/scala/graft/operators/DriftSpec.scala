@@ -251,4 +251,31 @@ class DriftSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n") == 8L)
     assert(r.getAs[Double]("ece") == 0.15)
   }
+
+  test("bestThreshold: hand-computed Youden optimum, ties to smallest " +
+    "threshold, pos-vs-rest lumping, missing-class drop") {
+    import spark.implicits._
+    val df = (Seq((5.0, "pos"), (6.0, "pos"), (7.0, "pos"),
+      (1.0, "neg"), (2.0, "neg"), (6.0, "neg")).map(t => ("g", t._1, t._2)) ++
+      Seq(("empty", 3.0, "pos"))) // no negatives → dropped
+      .toDF("grp", "score", "tag")
+    val out = Drift.bestThreshold(df, "score", "tag", "pos", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("empty"))
+    val g = out("g")
+    // J at t=2: cumNeg 2/3 − cumPos 0/3 = 2/3; rule "score > 2" gives
+    // TPR 1, FPR 1/3
+    assert(g.getAs[Double]("threshold") == 2.0)
+    assert(g.getAs[Double]("youden_j") == 0.666667)
+    assert(g.getAs[Double]("tpr") == 1.0)
+    assert(g.getAs[Double]("fpr") == 0.333333)
+    assert(g.getAs[Long]("n_pos") == 3L && g.getAs[Long]("n_neg") == 3L)
+    // a third tag lumps into the negatives
+    val lump = Drift.bestThreshold(
+      df.union(Seq(("g", 1.5, "other")).toDF("grp", "score", "tag")),
+      "score", "tag", "pos", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(lump("g").getAs[Long]("n_neg") == 4L)
+    TrackedCaches.release()
+  }
 }

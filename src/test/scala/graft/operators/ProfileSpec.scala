@@ -190,6 +190,24 @@ class ProfileSpec extends SparkSpecBase {
     assert(t.getAs[String]("top_lang") == "fr")
   }
 
+  test("containment: orphan fractions, full-FK case, empty child") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 3L, 3L).toDF("k")
+    val parent = Seq(1L, 2L, 9L).toDF("p")
+    val r = Profile.containment(child, "k", parent, "p").head()
+    assert(r.getAs[String]("relation") == "k->p")
+    assert(r.getAs[Long]("n_child_distinct") == 3L)
+    assert(r.getAs[Long]("n_contained") == 2L)
+    assert(r.getAs[Double]("containment") == 0.666667)
+    val full = Profile.containment(Seq(1L, 2L).toDF("k"), "k",
+      parent, "p").head()
+    assert(full.getAs[Double]("containment") == 1.0)
+    val empty = Profile.containment(
+      Seq.empty[Long].toDF("k"), "k", parent, "p").head()
+    assert(empty.getAs[Long]("n_child_distinct") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("containment")))
+  }
+
   test("corpusCard: all-empty source carries nulls, not divisions by zero") {
     import spark.implicits._
     val docs = Seq(("dead", "en", ""), ("dead", "en", null))

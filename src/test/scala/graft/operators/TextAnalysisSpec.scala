@@ -467,6 +467,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fp2.intersect(fp3).nonEmpty)
   }
 
+  test("readability: hand-computed Flesch / FK-grade on a two-sentence " +
+    "doc; wordless docs excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat. It was flat!"), (2L, "   "),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    // 0.39·3 + 11.8·1 − 15.59 ; 206.835 − 1.015·3 − 84.6·1
+    assert(r.getAs[Double]("fk_grade") == -2.62)
+    assert(r.getAs[Double]("flesch_ease") == 119.19)
+  }
+
   test("tagKeywords: tags via distinct-token dictionary join, " +
     "unmatched docs absent") {
     import spark.implicits._
