@@ -1461,6 +1461,34 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // per-user feature-store snapshot + churn label: the one-pass
+    // behavioral-model materialization (fixed feature schema)
+    "q231_user_features" -> ((s, dir) =>
+      ProductAnalytics.userFeatures(Tables.events(s, dir),
+          Seq("click", "view", "purchase"), churnDays = 14L)
+        .orderBy(col("user_id"))),
+
+    // tf-weighted Jaccard near-dup: the multiset refinement of q16 —
+    // Σmin/Σmax over trigram-shingle multiplicities, rare-shingle
+    // blocking (unigrams are vacuous on this corpus's 31-token vocab)
+    "q229_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // difference-in-differences on event values: user-parity treatment
+    // × calendar-midpoint period split — the 2×2 causal contrast
+    "q230_diff_in_diff" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("value"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+      val mid = e.agg(expr("(min(day) + max(day)) DIV 2").as("m"))
+        .head().getLong(0)
+      Stats.diffInDiff(e, pmod(col("user_id"), lit(2L)) === 0L,
+        col("day") > lit(mid), "value")
+    }),
+
     // Youden-J optimal operating point per return flag: the threshold
     // companion to q123's AUC — exact cumulative counts, KS-argmax rule
     "q228_best_threshold" -> ((s, dir) =>
@@ -7153,6 +7181,102 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // one conditional-aggregation pass + the corpus-max anchor
+    "q231_user_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT max(day) AS mx FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |    AS n_purchase,
+        |  min(day) AS first_day, max(day) AS last_day,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+        |  round(coalesce(CAST(sum(CAST(value AS DECIMAL(30,6)))
+        |    FILTER (event_type = 'purchase') AS DOUBLE), 0.0e0), 6)
+        |    AS purchase_value,
+        |  mx - max(day) AS recency_days,
+        |  mx - max(day) > 14 AS churned
+        |FROM e CROSS JOIN m
+        |GROUP BY user_id, mx
+        |ORDER BY user_id""".stripMargin,
+
+    // string-shingle mirror of the blocking + Σmin identity (the q16
+    // gram generator with multiplicities kept)
+    "q229_weighted_jaccard" ->
+      """WITH tf AS (
+        |  SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id AS doc,
+        |      array_to_string(tk[p:p+2], ' ') AS tok
+        |    FROM (
+        |      SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS p
+        |      FROM (
+        |        SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |        FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |      WHERE len(tk) >= 3))
+        |  GROUP BY doc, tok),
+        |tot AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY doc),
+        |rare AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+        |  WHERE df BETWEEN 2 AND 5),
+        |cand AS (
+        |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc < b.doc
+        |  WHERE a.tok IN (SELECT tok FROM rare)),
+        |smin AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sm
+        |  FROM cand c
+        |  JOIN tf a ON a.doc = c.doc_a
+        |  JOIN tf b ON b.doc = c.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(sm AS DOUBLE) / CAST(ta.t + tb.t - sm AS DOUBLE), 6)
+        |    AS wjaccard
+        |FROM smin
+        |JOIN tot ta ON ta.doc = doc_a
+        |JOIN tot tb ON tb.doc = doc_b
+        |WHERE CAST(sm AS DOUBLE) / CAST(ta.t + tb.t - sm AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // 2x2 cell means from decimal-exact sums, the DiD contrast tree
+    "q230_diff_in_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        |cells AS (
+        |  SELECT user_id % 2 = 0 AS t, day > mid AS p,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(30,6))) AS s
+        |  FROM e CROSS JOIN m GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN t AND NOT p THEN n END) AS n_treat_pre,
+        |    max(CASE WHEN t AND p THEN n END) AS n_treat_post,
+        |    max(CASE WHEN NOT t AND NOT p THEN n END) AS n_ctrl_pre,
+        |    max(CASE WHEN NOT t AND p THEN n END) AS n_ctrl_post,
+        |    CAST(max(CASE WHEN t AND NOT p THEN s END) AS DOUBLE) /
+        |      CAST(max(CASE WHEN t AND NOT p THEN n END) AS DOUBLE) AS mtp,
+        |    CAST(max(CASE WHEN t AND p THEN s END) AS DOUBLE) /
+        |      CAST(max(CASE WHEN t AND p THEN n END) AS DOUBLE) AS mtq,
+        |    CAST(max(CASE WHEN NOT t AND NOT p THEN s END) AS DOUBLE) /
+        |      CAST(max(CASE WHEN NOT t AND NOT p THEN n END) AS DOUBLE) AS mcp,
+        |    CAST(max(CASE WHEN NOT t AND p THEN s END) AS DOUBLE) /
+        |      CAST(max(CASE WHEN NOT t AND p THEN n END) AS DOUBLE) AS mcq
+        |  FROM cells)
+        |SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+        |  round(mtp, 6) AS mean_treat_pre, round(mtq, 6) AS mean_treat_post,
+        |  round(mcp, 6) AS mean_ctrl_pre, round(mcq, 6) AS mean_ctrl_post,
+        |  round((mtq - mtp) - (mcq - mcp), 6) AS did
+        |FROM w""".stripMargin,
 
     // RANGE-framed conditional cumulative counts (peers included, so
     // both tags at one score see the identical inclusive pair), Youden

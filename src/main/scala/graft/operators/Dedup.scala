@@ -317,6 +317,62 @@ object Dedup {
     * (collision-free w.h.p., so counts — and the exact integer-ratio
     * Jaccard — are identical to the string formulation the oracle runs).
     */
+  /** TF-weighted Jaccard near-dup pairs — the multiset refinement of
+    * [[ngramJaccardPairs]]: `WJ(a, b) = Σ_t min(tf_a, tf_b) /
+    * Σ_t max(tf_a, tf_b)`, which a set Jaccard overstates when one doc
+    * repeats a shared phrase (weighting is the standard fix). Computed
+    * exactly from the identity `Σ max = T_a + T_b − Σ min` — one
+    * candidate-restricted equi-join for the Σ min, two token-count
+    * totals; all integer counts, so the ratio is exact.
+    *
+    * Blocking: candidates must share a RARE shingle (corpus df in
+    * [2, maxDf]) — q16's blocking predicate; multiplicities are the
+    * per-doc SHINGLE repeat counts (`shingleSize` word grams, 1 =
+    * plain tokens); join keys are xxhash64 gram hashes (collision-free
+    * w.h.p., so counts match the oracle's string formulation).
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, shingleSize: Int = 3,
+                           maxDf: Long = 5L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold out of (0,1]: $threshold")
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    val k = shingleSize
+    val tf = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc"),
+        TextAnalysis.tokensCol(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col("doc"), col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - (k - 1))).as("__p"))
+      .select(col("doc"), xxhash64(concat_ws(" ",
+        slice(col("__tk"), col("__p"), lit(k)))).as("h"))
+      .groupBy(col("doc"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("doc")).agg(sum(col("tf")).as("t"))
+    val rare = tf.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2L, maxDf)).select(col("h"))
+    val cand = groupedPairs(tf.join(rare, Seq("h"))
+      .select(col("doc"), col("h")), Seq("h"), maxDf)
+    val smin = cand
+      .join(tf.select(col("doc").as("doc_a"), col("h"),
+        col("tf").as("__ta")), Seq("doc_a"))
+      .join(tf.select(col("doc").as("doc_b"), col("h"),
+        col("tf").as("__tb")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("__ta"), col("__tb"))).as("__sm"))
+    smin
+      .join(totals.select(col("doc").as("doc_a"), col("t").as("__Ta")),
+        Seq("doc_a"))
+      .join(totals.select(col("doc").as("doc_b"), col("t").as("__Tb")),
+        Seq("doc_b"))
+      .withColumn("wjaccard", col("__sm").cast("double") /
+        (col("__Ta") + col("__Tb") - col("__sm")).cast("double"))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("wjaccard"), 6).as("wjaccard"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleSize: Int = 3,
                         maxDf: Long = 5L): DataFrame = {

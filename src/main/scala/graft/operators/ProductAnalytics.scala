@@ -234,6 +234,42 @@ object ProductAnalytics {
         col("cum_users"))
   }
 
+  /** Per-user feature-store snapshot + churn label — the one-pass
+    * materialization a behavioral model trains on: event volume,
+    * per-type conditional counts, exact purchase value, activity span
+    * and distinct active days, recency vs the corpus-max day (the
+    * deterministic "now"), and the churn label `recency > churnDays`.
+    * Everything folds in ONE map-side-combinable aggregation over
+    * events plus a one-row anchor broadcast; type columns are
+    * caller-fixed (a feature schema is fixed by contract — dynamic
+    * pivot would break train/serve parity).
+    */
+  def userFeatures(events: DataFrame, typeCounts: Seq[String],
+                   churnDays: Long = 14L): DataFrame = {
+    require(typeCounts.nonEmpty, "need at least one counted event type")
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_date(to_date(col("ts"))).cast("long").as("__day"))
+    val anchor = base.agg(max(col("__day")).as("__mx"))
+    val typeCols = typeCounts.map(t =>
+      count(when(col("event_type") === t, lit(1))).as(s"n_$t"))
+    val aggs = count(lit(1)).as("n_events") +: (typeCols ++ Seq(
+      sum(when(col("event_type") === "purchase",
+        col("value").cast("decimal(30,6)"))).as("__pv"),
+      min(col("__day")).as("first_day"),
+      max(col("__day")).as("last_day"),
+      countDistinct(col("__day")).as("active_days")))
+    base.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(anchor))
+      .withColumn("purchase_value",
+        round(coalesce(col("__pv").cast("double"), lit(0.0)), 6))
+      .withColumn("recency_days", col("__mx") - col("last_day"))
+      .withColumn("churned", col("recency_days") > churnDays)
+      .drop("__pv", "__mx")
+  }
+
   /** Exponentially time-decayed engagement score — the recency-weighted
     * activity metric (half-life form): each event contributes
     * `2^(−age/halfLife)`, so an event exactly one half-life old counts

@@ -751,6 +751,46 @@ object Stats {
     mi.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Difference-in-differences — the standard two-group two-period
+    * causal contrast for a rollout/experiment with a pre-period:
+    * DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) over
+    * cell means. One 2×2-cell aggregation: per-cell counts and
+    * DECIMAL(30,6)-quantized value sums (exact, order-free), cell
+    * means and the contrast as fixed double trees. Cells with no rows
+    * make the estimate null rather than silently zero.
+    */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+                 valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull &&
+        treatCol.isNotNull && postCol.isNotNull)
+      .groupBy(treatCol.as("__t"), postCol.as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(30,6)")).as("__s"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c)))
+    val wide = cells.agg(
+      cell(true, false, "__n").as("n_treat_pre"),
+      cell(true, true, "__n").as("n_treat_post"),
+      cell(false, false, "__n").as("n_ctrl_pre"),
+      cell(false, true, "__n").as("n_ctrl_post"),
+      (cell(true, false, "__s").cast("double") /
+        cell(true, false, "__n").cast("double")).as("__mtp"),
+      (cell(true, true, "__s").cast("double") /
+        cell(true, true, "__n").cast("double")).as("__mtq"),
+      (cell(false, false, "__s").cast("double") /
+        cell(false, false, "__n").cast("double")).as("__mcp"),
+      (cell(false, true, "__s").cast("double") /
+        cell(false, true, "__n").cast("double")).as("__mcq"))
+    wide.select(col("n_treat_pre"), col("n_treat_post"),
+      col("n_ctrl_pre"), col("n_ctrl_post"),
+      round(col("__mtp"), 6).as("mean_treat_pre"),
+      round(col("__mtq"), 6).as("mean_treat_post"),
+      round(col("__mcp"), 6).as("mean_ctrl_pre"),
+      round(col("__mcq"), 6).as("mean_ctrl_post"),
+      round((col("__mtq") - col("__mtp")) - (col("__mcq") - col("__mcp")), 6)
+        .as("did"))
+  }
+
   /** Split-conformal upper bound per group (Vovk's distribution-free
     * coverage guarantee, the split/inductive form): a deterministic
     * md5-hash calibration split, the bound q̂ = the

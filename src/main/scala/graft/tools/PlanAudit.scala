@@ -67,7 +67,7 @@ object PlanAudit {
     AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
-    AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore)"),
+    AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore/userFeatures)", count = 2),
     AllowedBroadcast("Maintenance.scala", "total", "one-row count aggregate (z-order rank denominator)"),
     AllowedBroadcast("SparkEntry.scala", "nat", "nation — fixed 25-row dimension by schema contract", count = 2),
     AllowedBroadcast("SparkEntry.scala", "reg", "region — fixed 5-row dimension by schema contract", count = 3),

@@ -250,4 +250,49 @@ class DedupSpec extends SparkSpecBase {
         r.getAs[Long]("cum_new")))
     assert(out.toSeq == Seq((0L, 3L, 3L), (1L, 2L, 5L)), s"got ${out.toSeq}")
   }
+
+  test("weightedJaccardPairs: multiplicity-aware score where set " +
+    "Jaccard saturates; threshold and blocking enforced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana banana rareword"),
+      (2L, "apple banana rareword rareword"),
+      (3L, "totally different words here"),
+      (4L, "apple zebra yak xylophone"))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("wjaccard")).toMap
+    // identical token SETS but different multiplicities: Σmin 3,
+    // Σmax 4+4−3=5 → 0.6 (set Jaccard would claim 1.0)
+    assert(out == Map((1L, 2L) -> 0.6))
+    // (1,4)/(2,4) share only 'apple': 1/7 — below threshold, filtered
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("weightedJaccardPairs: trigram shingles catch a repeated shared " +
+    "phrase with multiset weighting; repartition-invariant") {
+    import spark.implicits._
+    val phrase = "quick brown fox"
+    val docs = Seq(
+      (1L, s"$phrase $phrase jumps high"),    // phrase twice
+      (2L, s"$phrase sleeps"),                // phrase once
+      (3L, "wholly unrelated words entirely never overlap"))
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("wjaccard")).toMap
+    // doc1 grams (6): qbf, bfq(uick), fqb... includes 'quick brown fox'
+    // ×2; doc2 grams (2): 'quick brown fox', 'brown fox sleeps'.
+    // Σmin = 1 (the shared gram, min(2,1)); Σmax = 6 + 2 − 1 = 7
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == math.rint(1.0 / 7.0 * 1e6) / 1e6)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.weightedJaccardPairs(d, "doc_id", "text", 0.1)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+  }
 }

@@ -164,6 +164,35 @@ class ProductAnalyticsSpec extends SparkSpecBase {
       (3L, 3L, 0L, 3L)))
   }
 
+  test("userFeatures: one-pass snapshot with hand-computed counts, " +
+    "purchase value, recency and churn label") {
+    import spark.implicits._
+    val day = 86400000L // millis
+    def ts(d: Long) = new java.sql.Timestamp(d * day)
+    val df = Seq(
+      ("u1", "click", 0.0, ts(100)), ("u1", "purchase", 9.5, ts(100)),
+      ("u1", "purchase", 0.5, ts(110)), ("u1", "error", 0.0, ts(110)),
+      ("u2", "view", 0.0, ts(90)))
+      .toDF("user_id", "event_type", "value", "ts")
+    val out = ProductAnalytics.userFeatures(df,
+      Seq("click", "view", "purchase"), churnDays = 14L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u1 = out("u1")
+    assert(u1.getAs[Long]("n_events") == 4L)
+    assert(u1.getAs[Long]("n_click") == 1L)
+    assert(u1.getAs[Long]("n_purchase") == 2L)
+    assert(u1.getAs[Long]("n_view") == 0L)
+    assert(u1.getAs[Double]("purchase_value") == 10.0)
+    assert(u1.getAs[Long]("first_day") == 100L)
+    assert(u1.getAs[Long]("active_days") == 2L)
+    assert(u1.getAs[Long]("recency_days") == 0L)
+    assert(!u1.getAs[Boolean]("churned"))
+    val u2 = out("u2")
+    assert(u2.getAs[Double]("purchase_value") == 0.0)
+    assert(u2.getAs[Long]("recency_days") == 20L)
+    assert(u2.getAs[Boolean]("churned"))
+  }
+
   test("decayedScore: exact half-life weights against the corpus-max " +
     "anchor; users independent; reruns stable") {
     import spark.implicits._

@@ -467,6 +467,25 @@ class StatsSpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_eval") == 400L - nCal)
   }
 
+  test("diffInDiff: hand-computed 2x2 contrast; missing cell nulls the " +
+    "estimate") {
+    import spark.implicits._
+    val df = Seq(
+      (true, false, 1.0), (true, false, 3.0),
+      (true, true, 5.0), (true, true, 7.0),
+      (false, false, 2.0), (false, true, 3.0))
+      .toDF("t", "p", "v")
+    import org.apache.spark.sql.functions.col
+    val r = Stats.diffInDiff(df, col("t"), col("p"), "v").head()
+    assert(r.getAs[Long]("n_treat_pre") == 2L)
+    assert(r.getAs[Double]("mean_treat_post") == 6.0)
+    // (6 − 2) − (3 − 2) = 3
+    assert(r.getAs[Double]("did") == 3.0)
+    val missing = Stats.diffInDiff(
+      df.filter(!(col("t") && col("p"))), col("t"), col("p"), "v").head()
+    assert(missing.isNullAt(missing.fieldIndex("did")))
+  }
+
   test("conformalUpperBound: corrected rank beyond n_cal is the vacuous " +
     "bound (null, full coverage)") {
     import spark.implicits._
