@@ -1461,6 +1461,13 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // word2phrase collocation promotion: discounted-lift phrase pairs
+    // for tokenizer/vocab preprocessing (Mikolov phrases pass)
+    "q232_phrase_detect" -> ((s, dir) =>
+      TextAnalysis.phraseDetect(t(s, dir, "documents"),
+          threshold = 1.2, delta = 5L)
+        .orderBy(col("w1"), col("w2"))),
+
     // per-user feature-store snapshot + churn label: the one-pass
     // behavioral-model materialization (fixed feature schema)
     "q231_user_features" -> ((s, dir) =>
@@ -7181,6 +7188,32 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // adjacent-pair + unigram counts, the discounted-lift tree
+    "q232_phrase_detect" ->
+      """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM tk) WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |pr AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT)
+        |    AS n_pair
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM tk WHERE len(t) >= 2)
+        |  WHERE t[i] <> '' AND t[i + 1] <> '' GROUP BY 1, 2)
+        |SELECT w1, w2, n_pair,
+        |  round(CAST(n_pair - 5 AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 6) AS score
+        |FROM pr
+        |JOIN uni a ON a.w = pr.w1
+        |JOIN uni b ON b.w = pr.w2
+        |CROSS JOIN tot
+        |WHERE CAST(n_pair - 5 AS DOUBLE) * CAST(n AS DOUBLE) /
+        |  (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) >= 1.2
+        |ORDER BY w1, w2""".stripMargin,
 
     // one conditional-aggregation pass + the corpus-max anchor
     "q231_user_features" ->

@@ -726,6 +726,50 @@ object TextAnalysis {
     * regime — never a global sort), one distinct. Output ∝ selected
     * fingerprints ≈ 2/(w+1) of gram count.
     */
+  /** word2phrase collocation promotion (Mikolov et al. 2013, the
+    * phrase-vocabulary pass of word2vec preprocessing):
+    * `score(a, b) = (c_ab − δ) · N / (c_a · c_b)` over adjacent token
+    * pairs — a discounted lift; pairs above `threshold` are promoted
+    * to single phrase tokens downstream. δ kills rare-pair noise.
+    *
+    * Exactness: all counts integers from two map-side-combinable
+    * aggregations (pairs, unigrams) + a one-row total; the score is a
+    * fixed double tree (counts cast before multiplication — no i64
+    * overflow at any corpus size). Output: (w1, w2, n_pair, score).
+    *
+    * Scale: one corpus explode for pairs, one for unigrams; the
+    * unigram frame is vocab-bounded, joins AQE-sized.
+    */
+  def phraseDetect(docs: DataFrame, threshold: Double, delta: Long = 5L,
+                   textCol: String = "text"): DataFrame = {
+    require(delta >= 0L, s"delta must be >= 0, got $delta")
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(tokensCol(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    val uni = toks.select(explode(col("__tk")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val pairs = toks.filter(size(col("__tk")) >= 2)
+      .select(col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - 1)).as("__i"))
+      .select(element_at(col("__tk"), col("__i")).as("w1"),
+        element_at(col("__tk"), col("__i") + 1).as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("n_pair") - lit(delta)).cast("double") * col("n").cast("double") /
+          (col("__c1").cast("double") * col("__c2").cast("double")))
+      .filter(col("score") >= threshold)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Readability scores (Flesch reading ease + Flesch-Kincaid grade) —
     * the classic audience-level quality signal (used as a C4/Gopher-era
     * heuristic filter dimension): words = whitespace tokens, sentences

@@ -483,6 +483,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getAs[Double]("flesch_ease") == 119.19)
   }
 
+  test("phraseDetect: hand-computed discounted lift; delta suppresses " +
+    "rare pairs; threshold filters") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, "new york")) ++
+      (11 to 15).map(i => (i.toLong, "old car")) ++
+      (16 to 20).map(i => (i.toLong, "car old")))
+      .toDF("doc_id", "text")
+    // N=40; c(new)=c(york)=10, pair 10 → δ=0 score 10·40/100 = 4;
+    // (old,car)/(car,old) each 5 → 5·40/100 = 2
+    val noDelta = TextAnalysis.phraseDetect(docs, threshold = 3.0,
+      delta = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pair"), r.getAs[Double]("score"))).toMap
+    assert(noDelta == Map(("new", "york") -> (10L, 4.0)))
+    // δ=5 discounts: (new,york) → 5·40/100 = 2; (old,car) → 0
+    val d5 = TextAnalysis.phraseDetect(docs, threshold = 1.0, delta = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("score")).toMap
+    assert(d5 == Map(("new", "york") -> 2.0))
+  }
+
   test("tagKeywords: tags via distinct-token dictionary join, " +
     "unmatched docs absent") {
     import spark.implicits._
