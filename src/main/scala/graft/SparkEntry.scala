@@ -1461,6 +1461,41 @@ object SparkEntry {
           "lang", "lang_guess")
         .orderBy(col("label"))),
 
+    // token frequency-of-frequencies: the Good-Turing input and the
+    // corpus-health fingerprint (hapax shelf vs template depletion)
+    "q234_freq_spectrum" -> ((s, dir) =>
+      TextAnalysis.frequencySpectrum(t(s, dir, "documents"))
+        .orderBy(col("r"))),
+
+    // Good-Turing smoothed counts over the low-r shelf: r* and the
+    // smoothed probabilities LM smoothing actually uses
+    "q235_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(t(s, dir, "documents"), shelfSize = 10)
+        .orderBy(col("r"))),
+
+    // dedup-evaluation harness: PRF1 of the q15 simhash detector's
+    // pairs against q16's exact-Jaccard truth — two proven operators
+    // composed through the q214 report; quantifies what hamming<=3
+    // misses at Jaccard 0.5
+    "q233_dedup_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, shingleSize = 3, maxDf = 20)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("__t"))
+      val pred = Dedup.simhashNearDups(docs, "doc_id", "text",
+          maxHamming = 3, portable = true)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("__p"))
+      Stats.classificationReport(
+        truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+          .select(
+            when(col("__t").isNotNull, "dup").otherwise("clean")
+              .as("truth_label"),
+            when(col("__p").isNotNull, "dup").otherwise("clean")
+              .as("pred_label")),
+        "truth_label", "pred_label")
+        .orderBy(col("label"))
+    }),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -2818,6 +2853,41 @@ object SparkEntry {
          |ORDER BY node""".stripMargin
     head + iters + tail
   }
+
+  /** Shared by q15 (the simhash gate) and q233 (the dedup-eval
+    * harness, which scores these predictions against exact-Jaccard
+    * truth): the full portable-md5 simhash replay — votes, signature
+    * bits, chunk blocking, hamming verify.
+    */
+  private val simhashNearDupOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |bits AS (SELECT unnest(generate_series(0, 63)) AS k),
+        |votes AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN ((('0x' || substr(md5(tok), 1, 16))::UBIGINT >> k) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN bits
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << k) ELSE 0::UBIGINT END)
+        |      AS UBIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, c, (sig >> (16 * c)) & 65535 AS ck
+        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        |FROM cand
+        |JOIN sigs sa ON sa.doc_id = cand.doc_a
+        |JOIN sigs sb ON sb.doc_id = cand.doc_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Unrolled BPE-training replay shared by q207/q208: one CTE trio
     * (pair counts, best pair, rewritten sequences) per merge, the same
@@ -5123,35 +5193,7 @@ object SparkEntry {
     // the portable MD5 family: DuckDB reads the same 64 bits Spark hashes
     // via ('0x' || substr(md5(tok),1,16))::UBIGINT. The chunk-bucket skew
     // cap (100000) is unreachable at oracle scale, so the mirror omits it.
-    "q15_simhash_neardups" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |bits AS (SELECT unnest(generate_series(0, 63)) AS k),
-        |votes AS (
-        |  SELECT doc_id, k,
-        |    SUM(CASE WHEN ((('0x' || substr(md5(tok), 1, 16))::UBIGINT >> k) & 1) = 1
-        |        THEN 1 ELSE -1 END) AS v
-        |  FROM toks CROSS JOIN bits
-        |  GROUP BY doc_id, k),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << k) ELSE 0::UBIGINT END)
-        |      AS UBIGINT) AS sig
-        |  FROM votes GROUP BY doc_id),
-        |chunks AS (
-        |  SELECT doc_id, c, (sig >> (16 * c)) & 65535 AS ck
-        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM chunks a JOIN chunks b
-        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
-        |FROM cand
-        |JOIN sigs sa ON sa.doc_id = cand.doc_a
-        |JOIN sigs sb ON sb.doc_id = cand.doc_b
-        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q15_simhash_neardups" -> simhashNearDupOracleSql,
 
     // exhaustive exact-jaccard pairs (q14's oracle) fed through a
     // recursive transitive closure; cluster = min reachable id
@@ -7188,6 +7230,93 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 13))::BIGINT
         |    + 1.0) / 4503599627370496.0 <= r.rate
         |ORDER BY doc_id""".stripMargin,
+
+    // two-level count aggregation + the exact mass ratio
+    "q234_freq_spectrum" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS tok
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |  WHERE tok <> '' GROUP BY tok),
+        |s AS (SELECT r, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY r),
+        |t AS (SELECT CAST(sum(r * n_tokens) AS BIGINT) AS n FROM s)
+        |SELECT r, n_tokens,
+        |  round(CAST(r * n_tokens AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mass
+        |FROM s CROSS JOIN t
+        |ORDER BY r""".stripMargin,
+
+    // the spectrum self-joined at r+1, exact GT ratios (no regression
+    // fallback — N_{r+1}=0 rows stay null by contract)
+    "q235_good_turing" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS tok
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |  WHERE tok <> '' GROUP BY tok),
+        |s AS (SELECT r, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY r),
+        |t AS (SELECT CAST(sum(r * n_tokens) AS BIGINT) AS n FROM s)
+        |SELECT s.r, s.n_tokens,
+        |  round(CAST(s.r + 1 AS DOUBLE) * CAST(nx.n_tokens AS DOUBLE) /
+        |    CAST(s.n_tokens AS DOUBLE), 6) AS r_star,
+        |  round(CAST(s.r + 1 AS DOUBLE) * CAST(nx.n_tokens AS DOUBLE) /
+        |    CAST(s.n_tokens AS DOUBLE) / CAST(t.n AS DOUBLE), 9) AS p_gt
+        |FROM (SELECT r, n_tokens,
+        |        row_number() OVER (ORDER BY r) AS rk FROM s) s
+        |LEFT JOIN (SELECT r, n_tokens FROM s) nx ON nx.r = s.r + 1
+        |CROSS JOIN t
+        |WHERE s.rk <= 10
+        |ORDER BY s.r""".stripMargin,
+
+    // both proven mirrors nested as CTEs + the q214 report rollup
+    "q233_dedup_eval" ->
+      s"""WITH truth AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20))}
+         |),
+         |pred AS (
+         |$simhashNearDupOracleSql
+         |),
+         |lp AS (
+         |  SELECT CASE WHEN t.doc_a IS NOT NULL THEN 'dup' ELSE 'clean' END
+         |      AS tl,
+         |    CASE WHEN p.doc_a IS NOT NULL THEN 'dup' ELSE 'clean' END AS pl
+         |  FROM truth t FULL OUTER JOIN pred p
+         |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+         |pairs AS (
+         |  SELECT tl AS t, pl AS p, CAST(count(*) AS BIGINT) AS c
+         |  FROM lp GROUP BY 1, 2),
+         |bt AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS n_true
+         |  FROM pairs GROUP BY 1),
+         |bp AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+         |  FROM pairs GROUP BY 1),
+         |tpc AS (SELECT t AS label, c AS tp FROM pairs WHERE t = p),
+         |r AS (
+         |  SELECT coalesce(bt.label, bp.label) AS label,
+         |    coalesce(bt.n_true, 0) AS n_true,
+         |    coalesce(bp.n_pred, 0) AS n_pred,
+         |    coalesce(tpc.tp, 0) AS tp
+         |  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+         |  LEFT JOIN tpc ON coalesce(bt.label, bp.label) = tpc.label)
+         |SELECT label, n_true, n_pred, tp,
+         |  CASE WHEN n_pred > 0
+         |    THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+         |  END AS precision,
+         |  CASE WHEN n_true > 0
+         |    THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         |  END AS recall,
+         |  CASE WHEN n_pred > 0 AND n_true > 0 THEN
+         |    CASE WHEN (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |        + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)) > 0
+         |      THEN round(2.0e0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+         |        * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+         |        / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         |          + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
+         |      ELSE 0.0e0 END
+         |  END AS f1
+         |FROM r ORDER BY label""".stripMargin,
 
     // adjacent-pair + unigram counts, the discounted-lift tree
     "q232_phrase_detect" ->

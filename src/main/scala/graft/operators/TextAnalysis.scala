@@ -726,6 +726,65 @@ object TextAnalysis {
     * regime — never a global sort), one distinct. Output ∝ selected
     * fingerprints ≈ 2/(w+1) of gram count.
     */
+  /** Token frequency-of-frequencies spectrum — N_r = how many distinct
+    * tokens occur exactly r times — the Good–Turing input and the
+    * standard corpus-health fingerprint (a template-heavy corpus shows
+    * a depleted hapax shelf; natural text follows N_r ∝ r^−2). Two
+    * map-side-combinable aggregations: (token → count), then
+    * (count → token count); output ∝ distinct frequencies. `mass` is
+    * the exact token-occurrence share r·N_r/N.
+    */
+  def frequencySpectrum(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokensCol(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok")).agg(count(lit(1)).as("r"))
+    val spectrum = counts.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val total = spectrum.agg(sum(col("r") * col("n_tokens")).as("__n"))
+    spectrum.crossJoin(broadcast(total))
+      .select(col("r"), col("n_tokens"),
+        round((col("r") * col("n_tokens")).cast("double") /
+          col("__n").cast("double"), 6).as("mass"))
+  }
+
+  /** Good–Turing smoothed counts r* = (r+1)·N_{r+1}/N_r over the
+    * [[frequencySpectrum]] (Gale & Sampson's simple form WITHOUT the
+    * log-linear regression fallback — exact spectrum ratios only, so
+    * rows where N_{r+1} = 0 report null rather than an extrapolated
+    * guess; the gated low-r region is where GT matters and where the
+    * raw estimator is exact). `p_gt` is the smoothed probability
+    * r_star / N; the output keeps the `shelfSize` SMALLEST observed
+    * frequencies — relative, because an absolute cap goes vacuous on a
+    * small-vocabulary corpus whose minimum count is already large.
+    *
+    * Scale: runs entirely on the spectrum frame (∝ distinct
+    * frequencies — structurally tiny; its rank window is the bounded
+    * frame), self-joined at r+1.
+    */
+  def goodTuring(docs: DataFrame, shelfSize: Int = 10,
+                 textCol: String = "text"): DataFrame = {
+    require(shelfSize >= 1, s"shelfSize must be >= 1, got $shelfSize")
+    val spec = frequencySpectrum(docs, textCol)
+      .select(col("r"), col("n_tokens"))
+    val total = spec.agg(sum(col("r") * col("n_tokens")).as("__n"))
+    val next = spec.select((col("r") - 1L).as("r"),
+      col("n_tokens").as("__n_next"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+    spec.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= shelfSize).drop("__rk")
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("r"), col("n_tokens"),
+        round((col("r") + 1L).cast("double") * col("__n_next").cast("double") /
+          col("n_tokens").cast("double"), 6).as("r_star"),
+        round((col("r") + 1L).cast("double") * col("__n_next").cast("double") /
+          col("n_tokens").cast("double") / col("__n").cast("double"), 9)
+          .as("p_gt"))
+  }
+
   /** word2phrase collocation promotion (Mikolov et al. 2013, the
     * phrase-vocabulary pass of word2vec preprocessing):
     * `score(a, b) = (c_ab − δ) · N / (c_a · c_b)` over adjacent token

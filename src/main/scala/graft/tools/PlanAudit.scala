@@ -37,7 +37,7 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
     AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
     AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate", count = 2),
-    AllowedBroadcast("TextAnalysis.scala", "total", "one-row token-count aggregate (phraseDetect)"),
+    AllowedBroadcast("TextAnalysis.scala", "total", "one-row token-count aggregate (phraseDetect/frequencySpectrum/goodTuring)", count = 3),
     AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "tBig", "one-row bigram-type-count aggregate (knBigram's T)"),
     AllowedBroadcast("DataSelection.scala", "totals", "one-row feature-count aggregate (dsir smoothing denominators)"),

@@ -483,6 +483,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getAs[Double]("flesch_ease") == 119.19)
   }
 
+  test("frequencySpectrum + goodTuring: hand-computed N_r, mass, r* " +
+    "and the null fallback at the shelf edge") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val spec = TextAnalysis.frequencySpectrum(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("mass"))).toMap
+    assert(spec == Map(
+      1L -> (1L, 0.166667), 2L -> (1L, 0.333333), 3L -> (1L, 0.5)))
+    val gt = TextAnalysis.goodTuring(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(gt(1L).getAs[Double]("r_star") == 2.0) // 2·N2/N1
+    assert(gt(1L).getAs[Double]("p_gt") ==
+      math.rint(2.0 / 6.0 * 1e9) / 1e9)
+    assert(gt(2L).getAs[Double]("r_star") == 3.0)
+    assert(gt(3L).isNullAt(gt(3L).fieldIndex("r_star"))) // N4 = 0
+  }
+
   test("phraseDetect: hand-computed discounted lift; delta suppresses " +
     "rare pairs; threshold filters") {
     import spark.implicits._
