@@ -47,6 +47,38 @@ object StreamingDrift {
           .as("ref_frac"))
   }
 
+  /** Per-window top-k terms — the trending-topics monitor: a
+    * watermarked (window, term) count aggregation chained into a
+    * per-window rollup whose top-k is a row-local sorted-slice over
+    * the collected (count, term) structs (array_sort gives
+    * (count ASC, term ASC); reverse + slice takes the k heaviest with
+    * deterministic ties — no window function, which streaming plans
+    * forbid). State: window×term counts, watermark-evicted; the
+    * collected list is per-window-vocabulary bounded — right for
+    * dashboard windows, not unbounded vocabularies (cap upstream with
+    * a dictionary filter if the token space is open).
+    */
+  def topTermsPerWindow(events: DataFrame, termCol: String,
+                        windowLength: String, k: Int = 5,
+                        watermarkDelay: String = "10 minutes",
+                        tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    events
+      .filter(col(termCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col(termCol).as("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(sum(col("n")).as("n_events"),
+        collect_list(struct(col("n"), col("term"))).as("__ts"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"),
+        expr(s"""transform(
+           |  slice(reverse(array_sort(__ts)), 1, $k),
+           |  s -> named_struct('term', s.term, 'n', s.n))""".stripMargin)
+          .as("top_terms"))
+  }
+
   /** Windowed PSI vs the reference: (window_start, window_end,
     * n_events, psi), append mode.
     */

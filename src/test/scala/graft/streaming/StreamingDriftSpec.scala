@@ -69,6 +69,34 @@ class StreamingDriftSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("topTermsPerWindow: per-window heaviest terms, deterministic " +
+    "ties, watermark-closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = StreamingDrift.topTermsPerWindow(input.toDF(), "cat",
+      windowLength = "10 minutes", k = 2, watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory")
+      .queryName("tt_out").outputMode("append").start()
+    try {
+      // window 1: a×3, b×2, c×1; window 2: c×2, a×1 (b/c tie broken by term)
+      input.addData(
+        Seq.fill(3)(Ev("a", ts(1))) ++ Seq.fill(2)(Ev("b", ts(2))) ++
+          Seq(Ev("c", ts(3))) ++
+          Seq.fill(2)(Ev("c", ts(12))) ++ Seq(Ev("a", ts(13))): _*)
+      input.addData(Ev("z", ts(120))) // close both windows
+      query.processAllAvailable()
+      val rows = spark.table("tt_out").collect()
+        .map { r =>
+          val tops = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top_terms")
+            .map(t => (t.getAs[String]("term"), t.getAs[Long]("n"))).toList
+          r.getAs[Long]("n_events") -> tops
+        }.toMap
+      assert(rows(6L) == List(("a", 3L), ("b", 2L)))
+      assert(rows(3L) == List(("c", 2L), ("a", 1L)))
+    } finally query.stop()
+  }
+
   test("referenceProfile: exact fractions, null categories dropped") {
     import spark.implicits._
     val ref = Seq("x", "x", "x", "y", null).toDF("cat")
