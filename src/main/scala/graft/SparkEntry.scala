@@ -2189,26 +2189,24 @@ object SparkEntry {
     }),
 
     // PRODUCTION-path PCA pipeline: one-pass accumulator covariance,
-    // driver Jacobi eigen, k=8 projection — the plan users run (no
-    // oracle: double accumulation + eigendecomposition are not
-    // SQL-replayable; the decimal covariance core is gated at q135 and
-    // the eigen/projection math is spec-verified in EmbeddingsSpec)
-    "q136_pca_project" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.quantizeEmbeddings( // downstream consumer shape check
-        Embeddings.project(emb, Embeddings.pca(emb, k = 8))
-          .select(col("vec_id"), col("coords").cast("array<float>").as("embedding")))
-        // gate on scalar digests of the int8 code vector: the driver's
-        // canonicalizer sorts every column, and an array column crashes
-        // that sort — the full code array stays spec-verified
-        .select(col("vec_id"), col("scale"),
-          size(col("quant")).as("quant_dims"),
-          aggregate(col("quant"), lit(0L), (a, x) => a + x.cast("long"))
-            .as("quant_sum"),
-          array_min(col("quant")).cast("int").as("quant_min"),
-          array_max(col("quant")).cast("int").as("quant_max"))
-        .orderBy(col("vec_id"))
-    }),
+    // driver Jacobi eigen, k=8 projection. Double accumulation +
+    // eigendecomposition are not SQL-replayable (the decimal covariance
+    // core is gated at q135), so the gate is the DERIVED invariant frame
+    // (Embeddings.pcaCheck): per-component eigenvector unit-norm and
+    // orthogonality residuals, descending-spectrum check, and the
+    // projection-side variance law Var⟨x,v_c⟩ = λ_c computed through the
+    // real project() plan. Measured margins (GateProbe, round 8):
+    // norm_err ≤ 2e-14, max_cross ≤ 3e-15, eig_drop ≥ 1e-4, var_rel_err
+    // ≤ 3e-8 at all three SFs — gates sit 5+ orders of magnitude out.
+    // n_vecs cross-checks the oracle's count(*).
+    "q136_pca_project" -> ((s, dir) =>
+      Embeddings.pcaCheck(t(s, dir, "embeddings"), k = 8)
+        .select(col("component"), col("n_vecs"),
+          (col("norm_err") < 1e-9).cast("long").as("norm_ok"),
+          (col("max_cross") < 1e-9).cast("long").as("ortho_ok"),
+          (col("eig_drop") >= -1e-9).cast("long").as("monotone_ok"),
+          (col("var_rel_err") < 1e-4).cast("long").as("var_ok"))
+        .orderBy(col("component"))),
 
     // asymmetric shingle containment (quote/subset detection): pairs
     // where either doc has >= 50% of its shingles inside the other —
@@ -2749,24 +2747,43 @@ object SparkEntry {
           TextAnalysis.truncateTokensCol(col("text"), maxTokens = 5).as("first5"))
         .orderBy(col("doc_id"))),
 
-    // PRODUCTION-path bench twins of q20/q40: identical queries with the
-    // default fast float paths (portable = false) instead of the
-    // decimal-exact/md5 families the DuckDB hash gate requires. These are
-    // what a real user runs — benching them keeps BENCH honest about the
-    // production plan (no oracle: float centroid sums are not
-    // engine-replayable by design; recall vs brute force is spec-asserted
-    // in SimilaritySpec).
+    // PRODUCTION-path twins of q20/q40: the same queries on the default
+    // fast float paths (portable = false) instead of the decimal/md5
+    // families the hash gate replays. Raw float outputs are not
+    // engine-replayable by design, so each emits a DETERMINISTIC DERIVED
+    // frame — integer agreement counts against an exact in-engine twin
+    // plus thresholded flags whose margins are measured (GateProbe,
+    // round 8): q127 aggregate recall@5 holds at 0.28±0.02 across
+    // sf0.001/0.01/0.1 (gate 0.10 — catastrophic-breakage floor, e.g.
+    // broken centroids degrade to ~0.003 random), q128 recall 0.71–1.0
+    // (gate 0.5) with n_exact cross-checked against the oracle's
+    // brute-force SQL and n_extra structurally 0 (both paths filter on
+    // the identical codegen cosine). Flags are BIGINT 1/0 — hash-stable
+    // away from the measured-margin boundary.
     "q127_ann_ivf_fast" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5, nProbe = 2)
-        .orderBy(col("query_id"), col("rank"))
+      val qs = emb.filter(col("vec_id") < 20)
+      val fast = Similarity.ivfTopK(emb, qs, k = 5, nProbe = 2)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+      val agree = Similarity.topKAgreement(fast, exact)
+      val tot = agree.agg(
+        (sum(col("n_hit")) / sum(col("n_approx"))).as("__recall"))
+      agree.crossJoin(broadcast(tot)) // one-row aggregate — structurally tiny
+        .select(col("query_id"), col("n_approx"),
+          (col("__recall") >= 0.10).cast("long").as("recall_ok"))
+        .orderBy(col("query_id"))
     }),
 
-    "q128_lsh_neardups_fast" -> ((s, dir) =>
-      Similarity.cosineNearDupsLsh(
-          t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
-          threshold = 0.4, numBits = 4)
-        .orderBy(col("id_a"), col("id_b"))),
+    "q128_lsh_neardups_fast" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") % 4 === 0)
+      val fast = Similarity.cosineNearDupsLsh(sub, threshold = 0.4, numBits = 4)
+      val exact = Similarity.cosineNearDups(sub, threshold = 0.4)
+      Similarity.pairAgreement(fast, exact)
+        .select(col("n_exact"), col("n_extra"),
+          when(col("n_exact") === 0L, lit(1L))
+            .otherwise((col("n_hit") / col("n_exact") >= 0.5).cast("long"))
+            .as("recall_ok"))
+    }),
 
     // reusable ANN index: build + PERSIST (decimal-exact centroids +
     // hive-partitioned inverted lists), then search FROM THE LOADED
@@ -5282,6 +5299,37 @@ object SparkEntry {
          |WHERE cosine >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // DERIVED gates for the fast-float production twins: the frames are
+    // deterministic integers/flags (see the query comments for measured
+    // margins), so the oracle asserts the expected-agreement shape —
+    // q127 enumerates the 20 query ids with full result sets and an
+    // all-pass recall flag; q128's n_exact is genuinely recomputed by
+    // brute-force SQL (cross-engine float-cosine parity, the q17 CTE),
+    // n_extra is structurally 0, recall flag all-pass; q136 enumerates
+    // the k components, recomputes n_vecs, and asserts every invariant
+    // flag.
+    "q127_ann_ivf_fast" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_approx,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    "q128_lsh_neardups_fast" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+        |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(0 AS BIGINT) AS n_extra, CAST(1 AS BIGINT) AS recall_ok
+        |FROM ex""".stripMargin,
+
+    "q136_pca_project" ->
+      """SELECT CAST(r.range AS BIGINT) AS component,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE embedding IS NOT NULL) AS n_vecs,
+        |  CAST(1 AS BIGINT) AS norm_ok, CAST(1 AS BIGINT) AS ortho_ok,
+        |  CAST(1 AS BIGINT) AS monotone_ok, CAST(1 AS BIGINT) AS var_ok
+        |FROM range(8) r ORDER BY component""".stripMargin,
+
     // symmetric int8 quantization replayed element-wise: unnest +
     // generate_subscripts co-unnest positionally in DuckDB
     "q56_vector_quantize" ->
@@ -6945,9 +6993,11 @@ object SparkEntry {
         |    END AS burstiness
         |FROM m ORDER BY user_id""".stripMargin,
 
-    // full 40-resample replay: u from the identical md5 ring, Poisson
-    // inverse CDF against the identical double literals, decimal-exact
-    // Σm·x, type-1 percentile ranks (1, 39) over (mean, b)
+    // full 40-resample replay: u from the identical TWO-LANE md5 ring
+    // (resample b = 2d + lane reads substr(md5(k#d), 1 + 16·lane, 13) —
+    // 20 digests serve 40 draws), Poisson inverse CDF against the
+    // identical double literals, decimal-exact Σm·x, type-1 percentile
+    // ranks (1, 39) over (mean, b)
     "q201_bootstrap_ci" ->
       """WITH base AS (
         |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x,
@@ -6960,10 +7010,10 @@ object SparkEntry {
         |    sum(CAST(x AS DECIMAL(28,6))) AS sx
         |  FROM base GROUP BY g),
         |drawn AS (
-        |  SELECT g, x, t.b,
-        |    (('0x' || substr(md5(k || '#' || CAST(t.b AS VARCHAR)), 1, 13))
-        |      ::BIGINT + 1.0) / 4503599627370496.0 AS u
-        |  FROM base, range(40) t(b)),
+        |  SELECT g, x, (t.d * 2 + l.lane) AS b,
+        |    (('0x' || substr(md5(k || '#' || CAST(t.d AS VARCHAR)),
+        |        1 + 16 * l.lane, 13))::BIGINT + 1.0) / 4503599627370496.0 AS u
+        |  FROM base, range(20) t(d), (VALUES (0), (1)) l(lane)),
         |mult AS (
         |  SELECT g, x, b,
         |    CASE WHEN u <= 0.36787944117144233 THEN 0
@@ -7026,10 +7076,10 @@ object SparkEntry {
         |         WHEN u <= 0.999998874797402 THEN 8
         |         ELSE 9 END AS m
         |  FROM (
-        |    SELECT iscmp, x, t.b,
-        |      (('0x' || substr(md5(k || '#' || CAST(t.b AS VARCHAR)), 1, 13))
-        |        ::BIGINT + 1.0) / 4503599627370496.0 AS u
-        |    FROM base, range(40) t(b))),
+        |    SELECT iscmp, x, (t.d * 2 + l.lane) AS b,
+        |      (('0x' || substr(md5(k || '#' || CAST(t.d AS VARCHAR)),
+        |          1 + 16 * l.lane, 13))::BIGINT + 1.0) / 4503599627370496.0 AS u
+        |    FROM base, range(20) t(d), (VALUES (0), (1)) l(lane))),
         |res AS (
         |  SELECT b,
         |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6)))

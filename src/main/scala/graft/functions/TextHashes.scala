@@ -166,6 +166,50 @@ object TextHashes {
   def md5Uniform(c: Column): Column =
     GraftColumnShim.column(Md5Uniform(GraftColumnShim.expression(c)))
 
+  /** TWO uniforms per digest: md5 yields 128 bits but the ring uses only
+    * the top 52, so one digest can serve two independent draws — lane 0
+    * reads hex chars 1–13 (bit-identical to [[md5UniformImpl]]), lane 1
+    * reads hex chars 17–29 (the top 52 of the LOW 64 bits). Halves the
+    * per-row digest count of ×b constructions (bootstrap resampling:
+    * b draws now cost b/2 md5s). Both lanes stay SQL-replayable:
+    * `('0x' || substr(md5(s), 1 + 16·lane, 13))::BIGINT`.
+    */
+  def md5TwoUniformsImpl(s: UTF8String): ArrayData = {
+    val md = md5Digest.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 8) { hi = (hi << 8) | (digest(b) & 0xFFL); b += 1 }
+    while (b < 16) { lo = (lo << 8) | (digest(b) & 0xFFL); b += 1 }
+    new GenericArrayData(Array(
+      ((hi >>> 12) + 1.0) / 4503599627370496.0, // 2^52
+      ((lo >>> 12) + 1.0) / 4503599627370496.0))
+  }
+
+  /** md5_uniforms2(s): array<double> of the two lane draws; null-safe. */
+  case class Md5Uniforms2(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected string, got ${other.simpleString}")
+    }
+
+    override protected def nullSafeEval(a: Any): Any =
+      md5TwoUniformsImpl(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashes.md5TwoUniformsImpl($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def md5Uniforms2(c: Column): Column =
+    GraftColumnShim.column(Md5Uniforms2(GraftColumnShim.expression(c)))
+
   /** Shared impl for [[SimHash64Md5]] eval + codegen. */
   def simHash64Md5Impl(arr: ArrayData): Long = {
     val votes = new Array[Long](64)

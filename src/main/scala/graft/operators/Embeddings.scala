@@ -389,6 +389,80 @@ object Embeddings {
       .select(col(idCol), expr("transform(__pc, p -> p.__coord)").as("coords"))
   }
 
+  /** Deterministic invariant frame for the PCA→project production path —
+    * the q136 derived gate. The raw pipeline (double accumulation +
+    * Jacobi eigendecomposition) is not SQL-replayable, but its
+    * CORRECTNESS is fully characterized by invariants that are
+    * hash-stable away from their tolerance boundaries:
+    *
+    *   - `norm_err`   = |‖v_c‖² − 1| (eigenvectors are unit length),
+    *   - `max_cross`  = max_{j≠c} |⟨v_c, v_j⟩| (mutually orthogonal),
+    *   - `eig_drop`   = λ_{c−1} − λ_c (spectrum sorted descending;
+    *                    0.0 for the first component),
+    *   - `var_rel_err` = |sampleVar(coord_c) − λ_c| / max(λ_c, eps) —
+    *     the projection-side check: the sample variance of the data's
+    *     c-th projected coordinate IS the c-th eigenvalue (Var⟨x,v⟩ =
+    *     vᵀΣv), so this single number ties the executed projection back
+    *     to the eigen solve through the real production plan.
+    *
+    * Output: one row per component, (component, n_vecs, eigenvalue,
+    * norm_err, max_cross, eig_drop, var_rel_err). `n_vecs` counts the
+    * projected rows — cross-checked against the oracle's `count(*)`.
+    *
+    * Scale: the component frame is k rows (parameter-bounded — the k²
+    * driver-side dot products are on k·d doubles, same contract as
+    * [[pca]]'s driver eigen solve); the corpus-side cost is the
+    * [[project]] pass plus one (component)-keyed aggregation over the
+    * k-fold coordinate explode — corpus-linear, no extra shuffle shape.
+    */
+  def pcaCheck(corpus: DataFrame, k: Int,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id",
+               eps: Double = 1e-12): DataFrame = {
+    val spark = corpus.sparkSession
+    val comps = pca(corpus, vecCol, k)
+    // k rows by construction — a parameter-bounded collect
+    val rows = comps.orderBy(col("component")).collect()
+    val vecs = rows.map(_.getAs[Seq[Double]]("vector").toArray)
+    val eigs = rows.map(_.getAs[Double]("eigenvalue"))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val metaRows = rows.indices.map { c =>
+      val cross = rows.indices.filter(_ != c)
+        .map(j => math.abs(dot(vecs(c), vecs(j))))
+      Row(c.toLong, eigs(c),
+        math.abs(dot(vecs(c), vecs(c)) - 1.0),
+        if (cross.isEmpty) 0.0 else cross.max,
+        if (c == 0) 0.0 else eigs(c - 1) - eigs(c))
+    }
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaRows, 1),
+      StructType(Seq(
+        StructField("component", LongType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("norm_err", DoubleType, nullable = false),
+        StructField("max_cross", DoubleType, nullable = false),
+        StructField("eig_drop", DoubleType, nullable = false))))
+    val coordStats = project(corpus, comps, idCol, vecCol)
+      .select(posexplode(col("coords")).as(Seq("component", "coord")))
+      .groupBy(col("component").cast("long").as("component"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("coord")).as("s1"),
+        sum(col("coord") * col("coord")).as("s2"))
+      .select(col("component"), col("n_vecs"),
+        ((col("s2") - col("s1") * col("s1") / col("n_vecs")) /
+          (col("n_vecs") - 1)).as("proj_var"))
+    // k-row meta side — hint-free equi-join, AQE broadcasts it
+    coordStats.join(meta, Seq("component"))
+      .select(col("component"), col("n_vecs"), col("eigenvalue"),
+        col("norm_err"), col("max_cross"), col("eig_drop"),
+        (abs(col("proj_var") - col("eigenvalue")) /
+          greatest(col("eigenvalue"), lit(eps))).as("var_rel_err"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `k` dimensions — the
     * DATA-FREE dimensionality reduction next to [[pca]]'s data-derived
     * one: y_p = sqrt(3/k) · Σ_j x_j · R(p, j) with R entries drawn

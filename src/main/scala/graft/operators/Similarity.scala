@@ -112,6 +112,44 @@ object Similarity {
       dotCol(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
+  /** Per-query agreement of an approximate top-k result against its
+    * exact twin — the deterministic DERIVED frame that gates the
+    * fast-float production paths (q127) on the driver board: float
+    * nondeterminism lives in the last ulp of cosine scores, so the raw
+    * neighbor lists are not hash-stable, but "how many of the exact
+    * top-k did the approximate path find" is an integer that only moves
+    * when recall genuinely changes. Output: (query_id, n_approx, n_hit)
+    * with `n_hit = |approx ∩ exact|` per query.
+    *
+    * Scale: both inputs are already k-bounded per query, so the join and
+    * the per-query count are trivially small regardless of corpus size.
+    */
+  def topKAgreement(approx: DataFrame, exact: DataFrame): DataFrame =
+    approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_approx"), count(col("__hit")).as("n_hit"))
+
+  /** One-row agreement summary of an approximate pair set against its
+    * exact twin, both keyed by (id_a, id_b) — the q128 derived gate:
+    * `n_exact` (cross-checked against the oracle's brute-force SQL),
+    * `n_extra` (approx pairs NOT in the exact set — structurally 0 for
+    * verify-then-emit LSH because both paths filter on the identical
+    * codegen cosine expression), and `n_hit` (pairs both found).
+    */
+  def pairAgreement(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("id_a"), col("id_b")).withColumn("__a", lit(1))
+    val e = exact.select(col("id_a"), col("id_b")).withColumn("__e", lit(1))
+    a.join(e, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("__e")).as("n_exact"),
+        sum(when(col("__a").isNotNull && col("__e").isNull, 1L)
+          .otherwise(0L)).as("n_extra"),
+        sum(when(col("__a").isNotNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+  }
+
   /** Per-cell mean vectors — the coarse quantizer shared by [[ivfTopK]]
     * and [[semDedup]]. Default = the typed VectorAvg UDAF — one shuffle
     * row per cell instead of posexplode's dim rows per vector, but its

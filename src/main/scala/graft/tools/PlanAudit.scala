@@ -72,7 +72,7 @@ object PlanAudit {
     AllowedBroadcast("Maintenance.scala", "total", "one-row count aggregate (z-order rank denominator)"),
     AllowedBroadcast("SparkEntry.scala", "nat", "nation — fixed 25-row dimension by schema contract", count = 2),
     AllowedBroadcast("SparkEntry.scala", "reg", "region — fixed 5-row dimension by schema contract", count = 3),
-    AllowedBroadcast("SparkEntry.scala", "tot", "one-row grand-total aggregate (q167)"),
+    AllowedBroadcast("SparkEntry.scala", "tot", "one-row grand-total aggregate (q167, q127 recall)", count = 2),
     AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"))
 
   /** Returns (violations, inventory). A violation is an explicit

@@ -98,6 +98,30 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getDouble(0) > 0.0 && r.getDouble(0) <= 1.0))
   }
 
+  test("md5Uniforms2 lane parity: lane 0 equals md5Uniform, both lanes " +
+    "equal their conv-hex-substring rings bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ring(off: Int) =
+      (conv(substring(md5(col("k").cast("binary")), off, 13), 16, 10)
+        .cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val rows = (1 to 500).map(i => s"key-$i#${i % 7}").toDF("k")
+      .select(TextHashes.md5Uniforms2(col("k")).as("lanes"),
+        TextHashes.md5Uniform(col("k")).as("lane0"),
+        ring(1).as("ring0"), ring(17).as("ring1"))
+      .collect()
+    rows.foreach { r =>
+      val lanes = r.getSeq[Double](r.fieldIndex("lanes"))
+      assert(lanes.length == 2)
+      assert(lanes(0) == r.getAs[Double]("lane0"))
+      assert(lanes(0) == r.getAs[Double]("ring0"))
+      assert(lanes(1) == r.getAs[Double]("ring1"))
+      assert(lanes(1) > 0.0 && lanes(1) <= 1.0)
+      // the two lanes are distinct digest bits — they must not collide
+      assert(lanes(0) != lanes(1))
+    }
+  }
+
   test("graft_jaro_winkler and graft_damerau_levenshtein callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

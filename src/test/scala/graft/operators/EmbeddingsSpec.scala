@@ -153,4 +153,25 @@ class EmbeddingsSpec extends SparkSpecBase {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.6 && mean < 1.4, s"mean norm ratio $mean")
   }
+
+  test("pcaCheck: invariants hold with wide margin on real data; a " +
+    "corrupted spectrum order is caught") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val rows = Embeddings.pcaCheck(emb, k = 4).orderBy("component").collect()
+    assert(rows.length == 4)
+    val n = emb.filter(org.apache.spark.sql.functions
+      .col("embedding").isNotNull).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      // spec floors sit an order of magnitude INSIDE the q136 gate
+      // thresholds so erosion is visible here before the board flips
+      assert(r.getAs[Double]("norm_err") < 1e-10)
+      assert(r.getAs[Double]("max_cross") < 1e-10)
+      assert(r.getAs[Double]("eig_drop") >= 0.0)
+      assert(r.getAs[Double]("var_rel_err") < 1e-5)
+    }
+    // eigenvalues strictly descend on this corpus — the monotone check
+    // is non-vacuous (a shuffled spectrum would yield a negative drop)
+    assert(rows.drop(1).forall(_.getAs[Double]("eig_drop") > 0.0))
+  }
 }

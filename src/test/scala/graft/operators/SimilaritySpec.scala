@@ -259,4 +259,50 @@ class SimilaritySpec extends SparkSpecBase {
         r.getAs[Double]("mean_silhouette"))).toSeq
     assert(run(true) == run(false))
   }
+
+  test("topKAgreement: identical results give n_hit = n_approx; disjoint give 0") {
+    import spark.implicits._
+    val a = Seq((0L, 1L), (0L, 2L), (1L, 3L))
+      .toDF("query_id", "neighbor_id")
+    val same = Similarity.topKAgreement(a, a).orderBy("query_id").collect()
+    assert(same.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L, 2L), (1L, 1L, 1L)))
+    val other = Seq((0L, 9L), (1L, 8L)).toDF("query_id", "neighbor_id")
+    val none = Similarity.topKAgreement(a, other).orderBy("query_id").collect()
+    assert(none.map(_.getLong(2)).forall(_ == 0L))
+  }
+
+  test("pairAgreement: counts exact/extra/hit over the pair-key union") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Similarity.pairAgreement(approx, exact).collect().head
+    assert(r.getLong(r.fieldIndex("n_exact")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_extra")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_hit")) == 2L)
+  }
+
+  test("q127/q128 derived-gate margins hold on real embeddings (sf0.001)") {
+    // the driver gate asserts recall flags with measured margin; this spec
+    // pins the RAW values so a margin erosion shows up here before the
+    // flag ever flips on the board
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val qs = emb.where(col("vec_id") < 20)
+    val agree = Similarity.topKAgreement(
+      Similarity.ivfTopK(emb, qs, k = 5, nProbe = 2),
+      Similarity.bruteForceTopK(emb, qs, k = 5))
+      .agg(sum("n_hit").cast("double") / sum("n_approx")).collect().head.getDouble(0)
+    assert(agree >= 0.15, s"ivf fast-path recall $agree below spec floor 0.15 " +
+      "(driver gate 0.10)")
+    val sub = emb.where(col("vec_id") % 4 === 0)
+    val pr = Similarity.pairAgreement(
+      Similarity.cosineNearDupsLsh(sub, threshold = 0.4, numBits = 4),
+      Similarity.cosineNearDups(sub, threshold = 0.4)).collect().head
+    assert(pr.getLong(pr.fieldIndex("n_extra")) == 0L,
+      "verify-then-emit LSH produced a pair the exact path lacks")
+    val recall = pr.getLong(pr.fieldIndex("n_hit")).toDouble /
+      math.max(pr.getLong(pr.fieldIndex("n_exact")), 1L)
+    assert(recall >= 0.6, s"LSH pair recall $recall below spec floor 0.6 " +
+      "(driver gate 0.5)")
+  }
 }
