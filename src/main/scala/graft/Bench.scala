@@ -11,6 +11,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Four queries run an UNPARTITIONED window over a structurally
+    // k-bounded frame (top-K fusion, calendar days, frequency shelf,
+    // k bins — see docs/SCALING.md "WindowExec warning waiver"); the
+    // per-task "No Partition Defined ... serious performance
+    // degradation" warning is noise for those frames and floods the
+    // battery tail. Silence the WINDOW package only — unbounded-window
+    // regressions stay guarded by PlanAudit's no-Window plan checks,
+    // not by this logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM / codegen / parquet-footer paths so the first timed
     // query doesn't absorb one-time session costs.
     try {

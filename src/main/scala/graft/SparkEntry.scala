@@ -1496,6 +1496,37 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // q233 widened to the detector FAMILY matrix: PRF1 of four proven
+    // near-dup detectors against the same exact-Jaccard truth (q16's
+    // gate), one row each — the "which detector fits this corpus"
+    // readout. minhash_lsh evaluates the q14 pipeline (verify-then-emit
+    // at the truth's own threshold but WITHOUT its rare-shingle
+    // blocking, so precision measures what df-blocking discards),
+    // containment the q134 directed-ratio variant, simhash the q15
+    // hamming family, weighted_jaccard the q229 multiset refinement.
+    // Non-vacuity: this corpus's dup structure is BIMODAL (pairs sit at
+    // wjaccard >= 0.9 or ~0), so the three set-based rows legitimately
+    // read 1.0/1.0 — each is still a live gate (it pins recall/precision
+    // EXACTLY 1.0; broken banding/blocking flips the hash) — while the
+    // simhash row (recall 0.48 at sf0.01) shows where families really
+    // diverge: bit-sampling loses near-misses that set overlap keeps.
+    "q236_dedup_eval_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.detectorEval(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            threshold = 0.5, shingleSize = 3, maxDf = 20),
+          Seq(
+            "minhash_lsh" -> Dedup.minhashNearDups(docs, "doc_id", "text",
+              threshold = 0.5),
+            "ngram_containment" -> Dedup.containmentPairs(docs, "doc_id",
+              "text", threshold = 0.5, shingleSize = 3, maxDf = 20L),
+            "simhash" -> Dedup.simhashNearDups(docs, "doc_id", "text",
+              maxHamming = 3, portable = true),
+            "weighted_jaccard" -> Dedup.weightedJaccardPairs(docs, "doc_id",
+              "text", threshold = 0.3)))
+        .orderBy(col("detector"))
+    }),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -1660,12 +1691,18 @@ object SparkEntry {
     // + hamming verify. Real dHash is spec territory (no image payloads
     // in the synthetic corpus); the gate exercises the WHOLE relational
     // pipeline on the documented md5 fake path, with payloads clustered
-    // (doc_id mod 97) so collisions exist and blocking+verify both fire
+    // in FIXED-SIZE groups (doc_id DIV 5 — 5 members at every SF) so
+    // collisions exist and blocking+verify both fire while the pair
+    // output stays corpus-LINEAR. (The original doc_id-mod-97 keying
+    // grew every cluster with the corpus, making the sf1 scale row read
+    // 10.3× — output-proportional gate hostility, not operator cost;
+    // round-7 verdict item 6. Real hostile clustering is what
+    // `maxChunkBucket` caps.)
     "q212_phash_neardups" -> ((s, dir) => {
       val assets = t(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id").as("asset_id"),
-          concat(lit("img:"), pmod(col("doc_id"), lit(97L)).cast("string"))
+          concat(lit("img:"), expr("doc_id DIV 5").cast("string"))
             .cast("binary").as("payload"))
       Multimodal.perceptualNearDups(assets, "asset_id")
         .orderBy(col("id_a"), col("id_b"))
@@ -2906,6 +2943,95 @@ object SparkEntry {
         |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared by q229 (the weighted-Jaccard gate) and q236 (the detector
+    * matrix): trigram-shingle multiset Σmin/Σmax with rare-shingle
+    * candidate blocking (df 2–5).
+    */
+  private val weightedJaccardOracleSql: String =
+    """WITH tf AS (
+      |  SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id AS doc,
+      |      array_to_string(tk[p:p+2], ' ') AS tok
+      |    FROM (
+      |      SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS p
+      |      FROM (
+      |        SELECT doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |        FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+      |      WHERE len(tk) >= 3))
+      |  GROUP BY doc, tok),
+      |tot AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY doc),
+      |rare AS (
+      |  SELECT tok FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+      |  WHERE df BETWEEN 2 AND 5),
+      |cand AS (
+      |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc < b.doc
+      |  WHERE a.tok IN (SELECT tok FROM rare)),
+      |smin AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sm
+      |  FROM cand c
+      |  JOIN tf a ON a.doc = c.doc_a
+      |  JOIN tf b ON b.doc = c.doc_b AND b.tok = a.tok
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(sm AS DOUBLE) / CAST(ta.t + tb.t - sm AS DOUBLE), 6)
+      |    AS wjaccard
+      |FROM smin
+      |JOIN tot ta ON ta.doc = doc_a
+      |JOIN tot tb ON tb.doc = doc_b
+      |WHERE CAST(sm AS DOUBLE) / CAST(ta.t + tb.t - sm AS DOUBLE) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q236: every detector's FULL pair oracle runs as a MATERIALIZED
+    * nested-WITH CTE (materialization stops DuckDB re-inlining each
+    * pair pipeline per reference — the q209 lesson), then per-detector
+    * counts reuse q233's PRF1 arithmetic on the dup class. Scala builds
+    * the statement from the same per-detector oracle strings the
+    * individual gates use, so the matrix can never drift from them.
+    */
+  private def dedupEvalMatrixOracleSql: String = {
+    val dets = Seq(
+      "minhash_lsh" -> ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None),
+      "ngram_containment" ->
+        ngramContainmentOracle(threshold = 0.5, n = 3, maxDf = 20L),
+      "simhash" -> simhashNearDupOracleSql,
+      "weighted_jaccard" -> weightedJaccardOracleSql)
+    val ctes = dets.zipWithIndex.map { case ((_, sql), i) =>
+      s"p$i AS MATERIALIZED (\n$sql\n)"
+    }.mkString(",\n")
+    val rows = dets.zipWithIndex.map { case ((name, _), i) =>
+      s"""  SELECT '$name' AS detector,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p$i) AS n_pred,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |       JOIN p$i p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS tp""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH truth AS MATERIALIZED (
+       |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(20))}
+       |),
+       |$ctes,
+       |m AS (
+       |$rows)
+       |SELECT detector, n_true, n_pred, tp,
+       |  CASE WHEN n_pred > 0
+       |    THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+       |  END AS precision,
+       |  CASE WHEN n_true > 0
+       |    THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+       |  END AS recall,
+       |  CASE WHEN n_pred > 0 AND n_true > 0 THEN
+       |    CASE WHEN (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |        + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)) > 0
+       |      THEN round(2.0e0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+       |        * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+       |        / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |          + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
+       |      ELSE 0.0e0 END
+       |  END AS f1
+       |FROM m ORDER BY detector""".stripMargin
+  }
+
   /** Unrolled BPE-training replay shared by q207/q208: one CTE trio
     * (pair counts, best pair, rewritten sequences) per merge, the same
     * double-space symbol encoding and single-space-padded `replace`
@@ -2947,45 +3073,57 @@ object SparkEntry {
     head + iters
   }
 
-  /** Unrolled HITS replay: per iteration one CTE quartet (auth raw,
-    * auth norm, hub raw, hub norm) with the same DECIMAL(38,18)
-    * quantization and zero-norm guard [[graft.operators.Hits.run]]
-    * executes. Scala builds the chain so the oracle can never drift
+  /** Unrolled HITS replay: per iteration one CTE sextet (auth raw,
+    * max-abs, norm; hub raw, max-abs, norm) with the same max-abs
+    * pre-scaled DECIMAL(38,18) quantization and zero-norm guard
+    * [[graft.operators.Hits.run]] executes. Scala builds the chain so the oracle can never drift
     * from the iteration count in q209.
     */
   private def hitsOracleSql(iterations: Int): String = {
+    // MATERIALIZED on every multiply-referenced CTE: the norm chain
+    // references each frame 2-3 times per iteration, and DuckDB's
+    // default CTE INLINING would re-expand the whole upstream chain at
+    // every reference — exponential in the iteration count (observed as
+    // a file-handle explosion on the base-table scans)
     val head =
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
         |sc0 AS (SELECT node, 1.0e0 AS auth, 1.0e0 AS hub FROM nodes)""".stripMargin
     val iters = (1 to iterations).map { i =>
       s"""ar$i AS (
          |  SELECT e.dst AS node, sum(CAST(p.hub AS DECIMAL(38,18))) AS s
          |  FROM sc${i - 1} p JOIN e ON p.node = e.src GROUP BY 1),
-         |af$i AS (
+         |af$i AS MATERIALIZED (
          |  SELECT nodes.node, coalesce(CAST(ar$i.s AS DOUBLE), 0.0e0) AS araw
          |  FROM nodes LEFT JOIN ar$i USING (node)),
+         |am$i AS (SELECT max(abs(araw)) AS mx FROM af$i),
          |an$i AS (
-         |  SELECT sqrt(CAST(sum(CAST(araw * araw AS DECIMAL(38,18))) AS DOUBLE))
-         |    AS nrm FROM af$i),
-         |a$i AS (
+         |  SELECT max(mx) * sqrt(CAST(sum(CASE WHEN mx > 0
+         |      THEN CAST((araw / mx) * (araw / mx) AS DECIMAL(38,18))
+         |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)) AS nrm
+         |  FROM af$i CROSS JOIN am$i),
+         |a$i AS MATERIALIZED (
          |  SELECT node, CASE WHEN nrm > 0 THEN araw / nrm ELSE 0.0e0 END AS auth
          |  FROM af$i CROSS JOIN an$i),
          |hr$i AS (
          |  SELECT e.src AS node, sum(CAST(a.auth AS DECIMAL(38,18))) AS s
          |  FROM a$i a JOIN e ON a.node = e.dst GROUP BY 1),
-         |hf$i AS (
+         |hf$i AS MATERIALIZED (
          |  SELECT nodes.node, coalesce(CAST(hr$i.s AS DOUBLE), 0.0e0) AS hraw
          |  FROM nodes LEFT JOIN hr$i USING (node)),
+         |hm$i AS (SELECT max(abs(hraw)) AS mx FROM hf$i),
          |hn$i AS (
-         |  SELECT sqrt(CAST(sum(CAST(hraw * hraw AS DECIMAL(38,18))) AS DOUBLE))
-         |    AS nrm FROM hf$i),
-         |sc$i AS (
+         |  SELECT max(mx) * sqrt(CAST(sum(CASE WHEN mx > 0
+         |      THEN CAST((hraw / mx) * (hraw / mx) AS DECIMAL(38,18))
+         |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)) AS nrm
+         |  FROM hf$i CROSS JOIN hm$i),
+         |sc$i AS MATERIALIZED (
          |  SELECT a$i.node, a$i.auth,
          |    CASE WHEN hn$i.nrm > 0 THEN hf$i.hraw / hn$i.nrm
          |      ELSE 0.0e0 END AS hub
@@ -7368,6 +7506,8 @@ object SparkEntry {
          |  END AS f1
          |FROM r ORDER BY label""".stripMargin,
 
+    "q236_dedup_eval_matrix" -> dedupEvalMatrixOracleSql,
+
     // adjacent-pair + unigram counts, the discounted-lift tree
     "q232_phrase_detect" ->
       """WITH tk AS (
@@ -7420,41 +7560,7 @@ object SparkEntry {
 
     // string-shingle mirror of the blocking + Σmin identity (the q16
     // gram generator with multiplicities kept)
-    "q229_weighted_jaccard" ->
-      """WITH tf AS (
-        |  SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf FROM (
-        |    SELECT doc_id AS doc,
-        |      array_to_string(tk[p:p+2], ' ') AS tok
-        |    FROM (
-        |      SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS p
-        |      FROM (
-        |        SELECT doc_id,
-        |          regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-        |        FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
-        |      WHERE len(tk) >= 3))
-        |  GROUP BY doc, tok),
-        |tot AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY doc),
-        |rare AS (
-        |  SELECT tok FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
-        |  WHERE df BETWEEN 2 AND 5),
-        |cand AS (
-        |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc < b.doc
-        |  WHERE a.tok IN (SELECT tok FROM rare)),
-        |smin AS (
-        |  SELECT c.doc_a, c.doc_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sm
-        |  FROM cand c
-        |  JOIN tf a ON a.doc = c.doc_a
-        |  JOIN tf b ON b.doc = c.doc_b AND b.tok = a.tok
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(sm AS DOUBLE) / CAST(ta.t + tb.t - sm AS DOUBLE), 6)
-        |    AS wjaccard
-        |FROM smin
-        |JOIN tot ta ON ta.doc = doc_a
-        |JOIN tot tb ON tb.doc = doc_b
-        |WHERE CAST(sm AS DOUBLE) / CAST(ta.t + tb.t - sm AS DOUBLE) >= 0.3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q229_weighted_jaccard" -> weightedJaccardOracleSql,
 
     // 2x2 cell means from decimal-exact sums, the DiD contrast tree
     "q230_diff_in_diff" ->
@@ -7901,7 +8007,7 @@ object SparkEntry {
     // unreachable at oracle scale, so the mirror omits it — q15 precedent)
     "q212_phash_neardups" ->
       """WITH a AS (
-        |  SELECT doc_id AS id, 'img:' || CAST(doc_id % 97 AS VARCHAR) AS p
+        |  SELECT doc_id AS id, 'img:' || CAST(doc_id // 5 AS VARCHAR) AS p
         |  FROM documents WHERE doc_id IS NOT NULL),
         |sigs AS (
         |  SELECT id, ('0x' || substr(md5(p), 1, 16))::UBIGINT AS sig FROM a),

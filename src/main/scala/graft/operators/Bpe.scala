@@ -74,7 +74,9 @@ object Bpe {
       .select(col("word"), col("freq"), initialSeq(col("word")).as("seq"))
       .localCheckpoint(true) // referenced twice per iteration: scan once
     var table: DataFrame = null
-    for (i <- 1 to merges) {
+    var i = 1
+    var exhausted = false
+    while (i <= merges && !exhausted) {
       val sy = symbols(col("seq"))
       val pairs = seqs
         .select(col("freq"), sy.as("sy"))
@@ -93,13 +95,25 @@ object Bpe {
           col("cnt").as("pair_count"))
         .localCheckpoint(true) // one row; feeds output AND the rewrite
       table = if (table == null) best else table.union(best)
-      seqs = seqs
-        .crossJoin(broadcast(best.select(
-          col("sym_a"), col("sym_b"), col("merged"))))
-        .select(col("word"), col("freq"),
-          expr("replace(seq, concat(' ', sym_a, '  ', sym_b, ' '), " +
-            "concat(' ', merged, ' '))").as("seq"))
-        .localCheckpoint(true) // cut per-iteration lineage growth
+      if (best.isEmpty) {
+        // merges > achievable: every word is a single symbol, so no
+        // pair exists anywhere. STOP — rewriting against the empty
+        // best frame would cross-join `seqs` down to zero rows and
+        // silently empty every downstream consumer (compressionStats
+        // inner-joins the vocab). `seqs` keeps the fully-merged
+        // sequences; the merge table just ends short. (Head-check on
+        // the one-row checkpointed frame — no extra job.)
+        exhausted = true
+      } else {
+        seqs = seqs
+          .crossJoin(broadcast(best.select(
+            col("sym_a"), col("sym_b"), col("merged"))))
+          .select(col("word"), col("freq"),
+            expr("replace(seq, concat(' ', sym_a, '  ', sym_b, ' '), " +
+              "concat(' ', merged, ' '))").as("seq"))
+          .localCheckpoint(true) // cut per-iteration lineage growth
+      }
+      i += 1
     }
     (table, seqs)
   }

@@ -613,4 +613,42 @@ object Dedup {
     // cleanup) — intermediates were already freed in-loop above.
     labels
   }
+
+  /** Detector-evaluation MATRIX: precision/recall/F1 of each named
+    * detector's (doc_a, doc_b) pair set against one exact-truth pair
+    * set — the harness that turns "which near-dup detector should this
+    * corpus use" into a measured table (q233's single-detector report
+    * widened to a family comparison). One row per detector:
+    * (detector, n_true, n_pred, tp, precision, recall, f1), null
+    * precision/recall when the respective denominator is 0, F1 by the
+    * q233 formula from UNROUNDED components.
+    *
+    * Scale shape: per detector one (doc_a, doc_b)-keyed full-outer join
+    * of two already-thresholded pair frames (≪ corpus) plus a one-row
+    * aggregate; the k-detector union is k rows. The expensive parts are
+    * the detectors themselves — each already bucketed/blocked by its
+    * own operator.
+    */
+  def detectorEval(truth: DataFrame,
+                   detectors: Seq[(String, DataFrame)]): DataFrame = {
+    require(detectors.nonEmpty, "need at least one detector")
+    val t = truth.select(col("doc_a"), col("doc_b")).withColumn("__t", lit(1))
+    val counts = detectors.map { case (name, pred) =>
+      t.join(pred.select(col("doc_a"), col("doc_b")).withColumn("__p", lit(1)),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("__t")).as("n_true"), count(col("__p")).as("n_pred"),
+          sum(when(col("__t").isNotNull && col("__p").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(lit(name).as("detector"), col("n_true"), col("n_pred"),
+          col("tp"))
+    }.reduce(_.union(_))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / col("n_true").cast("double")
+    counts
+      .withColumn("precision", when(col("n_pred") > 0, round(p, 6)))
+      .withColumn("recall", when(col("n_true") > 0, round(r, 6)))
+      .withColumn("f1", when(col("n_pred") > 0 && col("n_true") > 0,
+        when(p + r > 0, round(lit(2.0) * p * r / (p + r), 6))
+          .otherwise(lit(0.0))))
+  }
 }

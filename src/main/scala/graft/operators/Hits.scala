@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * state.
   *
   * Determinism/oracle-portability: per-edge contributions and the
-  * squared scores are DECIMAL(38,18)-quantized before their sums —
-  * exact order-free addition — and every derived double (sqrt of the
-  * decimal norm, the normalizing division) is a single correctly-
-  * rounded IEEE op both engines reproduce bit-for-bit. Final scores
-  * round to 6 dp.
+  * max-abs-scaled squared scores are DECIMAL(38,18)-quantized before
+  * their sums — exact order-free addition — and every derived double
+  * (the pre-scale division, sqrt of the decimal sum, the max-abs
+  * remultiply, the normalizing division) is a single correctly-rounded
+  * IEEE op both engines reproduce bit-for-bit. Final scores round to
+  * 6 dp.
   *
   * Scale notes for 100 TB graphs: hub/auth frames re-derive per
   * iteration, so lineage is cut with an eager localCheckpoint per round
@@ -31,6 +32,26 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   private val D = "decimal(38,18)"
+
+  /** One-row L2-norm frame of `v` via max-abs pre-scaling: Σx² would
+    * overflow DECIMAL(38,18)'s 20 integer digits once |x| > ~1.3e10 —
+    * and the FIRST iteration's raw authority IS the in-degree, so a
+    * celebrity node on a web-scale graph would kill the run (round-7
+    * advice). ‖v‖ = m·‖v/m‖ with m = max|x| keeps every squared term
+    * ≤ 1: the decimal sum then holds to 1e20 rows. Determinism is
+    * intact — x/m and m·√s are single correctly-rounded IEEE ops both
+    * engines reproduce, and the scaled squares still sum order-free
+    * through the decimal. m = 0 (edgeless) yields norm 0, which the
+    * caller's `nrm > 0` guard maps to all-zero scores.
+    */
+  private def scaledNorm(frame: DataFrame, v: String): DataFrame = {
+    val mx = frame.agg(max(abs(col(v))).as("mx"))
+    frame.crossJoin(broadcast(mx))
+      .agg((max(col("mx")) * sqrt(
+        sum(when(col("mx") > 0,
+          ((col(v) / col("mx")) * (col(v) / col("mx"))).cast(D))
+          .otherwise(lit(0).cast(D))).cast("double"))).as("nrm"))
+  }
 
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int = 3): DataFrame = {
@@ -52,9 +73,7 @@ object Hits {
       val authFrame = nodes.join(authRaw, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("araw").cast("double"), lit(0.0)).as("araw"))
-      val anorm = authFrame
-        .agg(sqrt(sum((col("araw") * col("araw")).cast(D)).cast("double"))
-          .as("nrm"))
+      val anorm = scaledNorm(authFrame, "araw")
       // zero norm (edgeless graph) keeps scores at 0 instead of inf/NaN
       val auths = authFrame.crossJoin(broadcast(anorm))
         .select(col("node"), when(col("nrm") > 0,
@@ -67,9 +86,7 @@ object Hits {
       val hubFrame = nodes.join(hubRaw, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("hraw").cast("double"), lit(0.0)).as("hraw"))
-      val hnorm = hubFrame
-        .agg(sqrt(sum((col("hraw") * col("hraw")).cast(D)).cast("double"))
-          .as("nrm"))
+      val hnorm = scaledNorm(hubFrame, "hraw")
       val hubs = hubFrame.crossJoin(broadcast(hnorm))
         .select(col("node"), when(col("nrm") > 0,
           col("hraw") / col("nrm")).otherwise(lit(0.0)).as("hub"))

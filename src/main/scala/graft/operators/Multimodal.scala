@@ -343,10 +343,11 @@ object Multimodal {
   }
 
   /** Frame-sample stage STUB for video payloads: emits `n` frame rows per
-    * asset (payload passthrough — no JDK video codec exists; a production
-    * implementation decodes actual frames via ffmpeg). Shows the 1→N
-    * explode shape with stable ids. For animated GIFs the REAL
-    * decode-backed variant is [[sampleFramesDecoded]].
+    * asset (payload passthrough — no general JDK video codec exists; a
+    * production implementation decodes actual frames via ffmpeg). Shows
+    * the 1→N explode shape with stable ids. For animated GIFs and
+    * MJPEG-in-AVI the REAL decode-backed variant is
+    * [[sampleFramesDecoded]].
     */
   def sampleFrames(assets: DataFrame, n: Int): DataFrame =
     assets
@@ -447,13 +448,83 @@ object Multimodal {
       }
     } catch { case _: Exception => (0, 0) }
 
-  /** REAL frame sampling for animated GIF payloads: decode the frame
-    * sequence (JDK-only), pick `n` evenly spaced frames (all of them
-    * when the animation is shorter), and emit one row per sampled frame
-    * with the frame re-encoded as a standalone PNG payload and
-    * `meta.frame` / `meta.n_frames_total` set. Non-GIF payloads fall
-    * back to [[sampleFrames]]' documented stub shape (payload
-    * passthrough, `n` rows) so mixed-asset frames keep one schema.
+  /** Sampled frames of an MJPEG-in-AVI payload — the second REAL video
+    * path next to [[decodeGifSampledFrames]], still JDK-only: the AVI
+    * container is plain RIFF chunked binary (fourcc + LE u32 size,
+    * word-aligned; `LIST` chunks nest), and Motion-JPEG stores each
+    * video frame chunk (`NNdc`/`NNdb`) as a standalone JPEG that
+    * ImageIO decodes. Two passes: an INDEX walk over chunk headers
+    * collects every frame's (offset, length) without touching pixel
+    * data (so counting a 10k-frame clip costs header reads only), then
+    * only the `wanted` indices decode. Malformed chunk sizes or an
+    * undecodable wanted frame return None — the caller falls back to
+    * the documented stub, keeping the stage total. (AVI1-style JPEGs
+    * with stripped Huffman tables are not reconstructed — the one
+    * MJPEG variant the JDK decoder cannot read; documented limitation.)
+    */
+  private[operators] def decodeAviSampledFrames(
+      payload: Array[Byte],
+      wanted: Int => Set[Int]): Option[(Int, Vector[(Int, BufferedImage)])] = {
+    def cc(p: Int, s: String): Boolean =
+      p + 4 <= payload.length && (0 until 4).forall(i => payload(p + i) == s(i))
+    def leU32(p: Int): Long =
+      (payload(p) & 0xFFL) | ((payload(p + 1) & 0xFFL) << 8) |
+        ((payload(p + 2) & 0xFFL) << 16) | ((payload(p + 3) & 0xFFL) << 24)
+    if (payload == null || payload.length < 12 ||
+        !cc(0, "RIFF") || !cc(8, "AVI ")) None
+    else {
+      def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+      def isFrameChunk(p: Int): Boolean =
+        isDigit(payload(p)) && isDigit(payload(p + 1)) &&
+          payload(p + 2) == 'd' &&
+          (payload(p + 3) == 'c' || payload(p + 3) == 'b')
+      val frames = Vector.newBuilder[(Int, Int)]
+      var malformed = false
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (!malformed && p + 8 <= end) {
+          val size = leU32(p + 4)
+          val dataStart = p + 8
+          if (size < 0 || dataStart + size > end) malformed = true
+          else {
+            if (cc(p, "LIST") && size >= 4)
+              walk(dataStart + 4, dataStart + size.toInt)
+            else if (isFrameChunk(p) && size > 0)
+              frames += ((dataStart, size.toInt))
+            p = dataStart + size.toInt + (size.toInt & 1) // word-aligned
+          }
+        }
+      }
+      walk(12, math.min(12L + leU32(4) - 4, payload.length.toLong).toInt)
+      val idx = frames.result()
+      if (malformed || idx.isEmpty) None
+      else {
+        val want = wanted(idx.length)
+        require(want.nonEmpty && want.forall(i => i >= 0 && i < idx.length),
+          s"wanted frame indices out of [0, ${idx.length}): $want")
+        val out = Vector.newBuilder[(Int, BufferedImage)]
+        var failed = false
+        want.toSeq.sorted.foreach { i =>
+          if (!failed) {
+            val (off, len) = idx(i)
+            val img = try ImageIO.read(new ByteArrayInputStream(payload, off, len))
+              catch { case _: Exception => null }
+            if (img == null) failed = true else out += ((i, img))
+          }
+        }
+        if (failed) None else Some((idx.length, out.result()))
+      }
+    }
+  }
+
+  /** REAL frame sampling for animated GIF and MJPEG-AVI payloads:
+    * decode the frame sequence (JDK-only), pick `n` evenly spaced
+    * frames (all of them when the animation is shorter), and emit one
+    * row per sampled frame with the frame re-encoded as a standalone
+    * PNG payload and `meta.frame` / `meta.n_frames_total` set. Other
+    * payloads (mp4/webm — no JDK codec) fall back to [[sampleFrames]]'
+    * documented stub shape (payload passthrough, `n` rows) so
+    * mixed-asset frames keep one schema.
     *
     * Scale shape: per-row decode inside mapPartitions (the codec works
     * on one payload at a time; no shuffle), 1→≤n explode on the output
@@ -478,7 +549,8 @@ object Multimodal {
           val take = math.min(n, total)
           (0 until take).map(i => (i.toLong * total / take).toInt).toSet
         }
-        decodeGifSampledFrames(payload, sampleIdx) match {
+        decodeGifSampledFrames(payload, sampleIdx)
+          .orElse(decodeAviSampledFrames(payload, sampleIdx)) match {
           case Some((total, frames)) =>
             frames.iterator.map { case (fi, img) =>
               val bos = new ByteArrayOutputStream()

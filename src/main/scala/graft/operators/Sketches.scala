@@ -110,19 +110,25 @@ object Sketches {
 
   /** Point-frequency estimates: one row per (sketch row × probe key),
     * with the CMS guarantee estimate ≥ true count. The probe set is
-    * caller-bounded (heavy-hitter candidates, not the key universe);
-    * the lookup deserializes each group's sketch once per partition
-    * row — sketch frames are group-bounded, never corpus-sized.
+    * caller-bounded (heavy-hitter candidates, not the key universe).
+    * The whole probe list is evaluated in ONE udf call per sketch row —
+    * one deserialization serves all |probes| lookups — and the
+    * (key, estimate) structs explode afterwards (round-7 advice: the
+    * explode-before-udf order deserialized the sketch |probes| times).
     */
   def estimateFrequencies(sketches: DataFrame,
                           probes: Seq[String]): DataFrame = {
     require(probes.nonEmpty, "need at least one probe key")
-    val est = udf((bytes: Array[Byte], key: String) =>
-      if (bytes == null || bytes.isEmpty) 0L
-      else cmsFromBytes(bytes).estimateCount(key))
+    val est = udf((bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) probes.map(k => (k, 0L))
+      else {
+        val cms = cmsFromBytes(bytes)
+        probes.map(k => (k, cms.estimateCount(k)))
+      })
     sketches
-      .withColumn("key", explode(array(probes.map(lit): _*)))
-      .withColumn("estimate", est(col("sketch"), col("key")))
-      .drop("sketch")
+      .withColumn("__kv", explode(est(col("sketch"))))
+      .withColumn("key", col("__kv._1"))
+      .withColumn("estimate", col("__kv._2"))
+      .drop("sketch", "__kv")
   }
 }

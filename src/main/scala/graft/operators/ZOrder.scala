@@ -60,10 +60,22 @@ object ZOrder {
     * they cluster together.
     */
   private def quantize(c: Column, lo: Long, hi: Long): Column = {
-    val span = hi - lo + 1
+    // span arithmetic must stay in signed range: the row-side base
+    // subtraction (c − lo) runs under ANSI and would throw on the same
+    // inputs anyway — fail fast with an actionable message instead of
+    // spinning (the old shift LOOP never terminated on span overflow:
+    // a negative span keeps (span−1) >> k at −1 for every k, and Java
+    // masks shift distances mod 64) or dying mid-job
+    val span = try math.subtractExact(hi, lo) catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"z-order key span [$lo, $hi] exceeds Long range — rescale or " +
+          "hash-bucket the key before clustering (a near-full-range key " +
+          "has no meaningful 16-bit quantization)")
+    }
     val base = coalesce(c.cast("long"), lit(lo)) - lit(lo)
-    var shift = 0
-    while (((span - 1) >> (16 + shift)) != 0) shift += 1
+    // smallest shift with span >> (16 + shift) == 0, from the span's
+    // bit length — loop-free, and exact for every non-overflowing span
+    val shift = math.max(0, 48 - java.lang.Long.numberOfLeadingZeros(span))
     if (shift == 0) base else shiftright(base, shift)
   }
 

@@ -78,4 +78,19 @@ class BpeSpec extends SparkSpecBase {
       Bpe.learnMerges(sennrich, merges = 0)
     }
   }
+
+  test("merges beyond achievable stop at exhaustion; stats saturate " +
+    "instead of emptying") {
+    // 'ab' exhausts after 2 merges (a+b, ab+</w>); asking for 10 must
+    // return the 2 achievable rows — and compressionStats must see the
+    // fully-merged vocab, not an empty frame erased by the empty-best
+    // rewrite (round-7 advice)
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val table = Bpe.learnMerges(tiny, merges = 10).collect()
+    assert(table.length == 2)
+    val row = Bpe.compressionStats(tiny, merges = 10).collect()
+    assert(row.length == 1, "stats emptied out on over-asked merges")
+    assert(row.head.getAs[Long]("n_words") == 2L)
+    assert(row.head.getAs[Long]("n_bpe_tokens") == 2L) // 1 symbol/word
+  }
 }

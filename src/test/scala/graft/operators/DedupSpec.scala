@@ -295,4 +295,26 @@ class DedupSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("detectorEval: hand-computed PRF1 matrix over synthetic pair sets") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val perfect = truth
+    val half = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b") // recall .5
+    val noisy = Seq((1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b") // prec .5
+    val out = Dedup.detectorEval(truth,
+        Seq("perfect" -> perfect, "half" -> half, "noisy" -> noisy))
+      .orderBy("detector").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("perfect").getAs[Long]("tp") == 4L)
+    assert(out("perfect").getAs[Double]("f1") == 1.0)
+    assert(out("half").getAs[Double]("recall") == 0.5)
+    assert(out("half").getAs[Double]("precision") == 1.0)
+    assert(out("noisy").getAs[Double]("precision") == 0.5)
+    assert(out("noisy").getAs[Double]("recall") == 0.25)
+    // f1 = 2pr/(p+r) from unrounded components
+    assert(out("noisy").getAs[Double]("f1") ==
+      math.rint(2.0 * 0.5 * 0.25 / 0.75 * 1e6) / 1e6)
+  }
 }

@@ -220,6 +220,78 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  /** A real MJPEG-in-AVI: RIFF('AVI ') { LIST(hdrl){avih}, LIST(movi)
+    * {00dc JPEG frames} } — each frame a solid-color JPEG, the layout
+    * any MJPEG encoder emits (minus the optional idx1 index).
+    */
+  private def aviBytes(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    def jpeg(c: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi",
+      colors.toArray.flatMap(c => chunk("00dc", jpeg(c))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("sampleFramesDecoded extracts REAL evenly-spaced MJPEG-AVI frames") {
+    import org.apache.spark.sql.{Row => R}
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff)
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(R(1L, aviBytes(8, 6, colors),
+        "video", Map.empty[String, String], null)), 1), Multimodal.schema)
+    val out = Multimodal.sampleFramesDecoded(assets, n = 3)
+      .orderBy("frame_no").collect()
+    assert(out.length == 3)
+    val picked = out.map(_.getAs[Map[String, String]]("meta")("frame").toInt).toSeq
+    assert(picked == Seq(0, 1, 3)) // evenly spaced over 5 frames
+    assert(out.forall(_.getAs[Map[String, String]]("meta")("frames_real") == "true"))
+    assert(out.forall(_.getAs[Map[String, String]]("meta")("n_frames_total") == "5"))
+    // each payload is a standalone PNG; JPEG is lossy, so compare
+    // channel-dominance, not exact RGB
+    out.zip(Seq((true, false, false), (false, true, false),
+        (true, true, false))).foreach { case (r, (wantR, wantG, wantB)) =>
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(png.getWidth == 8 && png.getHeight == 6)
+      val rgb = png.getRGB(4, 3)
+      val (cr, cg, cb) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+      assert((cr > 128) == wantR && (cg > 128) == wantG && (cb > 128) == wantB,
+        f"frame color $rgb%06x vs dominance ($wantR, $wantG, $wantB)")
+    }
+  }
+
+  test("truncated/malformed AVI falls back to the stub shape, not a crash") {
+    import org.apache.spark.sql.{Row => R}
+    val good = aviBytes(4, 4, Seq(0xff0000, 0x0000ff))
+    val truncated = good.take(good.length / 2)
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        R(1L, truncated, "video", Map.empty[String, String], null),
+        R(2L, "RIFFxxxxAVI corrupted".getBytes("US-ASCII"), "video",
+          Map.empty[String, String], null)), 1), Multimodal.schema)
+    val out = Multimodal.sampleFramesDecoded(assets, n = 2).collect()
+    assert(out.length == 4) // 2 stub rows each
+    assert(out.forall(
+      _.getAs[Map[String, String]]("meta")("frames_real") == "false"))
+  }
+
   test("sampleFramesDecoded: non-GIF payloads fall back to the stub shape") {
     val out = Multimodal.sampleFramesDecoded(
       imageAssets((1L, 10, 10)), n = 4).collect()

@@ -89,6 +89,16 @@ class ZOrderSpec extends SparkSpecBase {
     assert(hit <= 10000L, s"wide-span x-scan emitted $hit rows")
   }
 
+  test("full-Long key span fails fast instead of hanging the driver") {
+    // a hash-valued key spanning nearly the whole Long range overflows
+    // the span arithmetic; the old shift loop spun forever on it
+    val hashy = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(hashy, s"$dir-overflow", "x", "y", numFiles = 2)
+    }
+    assert(e.getMessage.contains("exceeds Long range"))
+  }
+
   test("empty and all-null-key inputs write without clustering") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     ZOrder.writeZOrdered(empty, s"$dir-empty", "x", "y", numFiles = 4)
