@@ -1527,6 +1527,31 @@ object SparkEntry {
         .orderBy(col("detector"))
     }),
 
+    // quality-classifier TRAINING: full-batch logistic regression over
+    // the q21 feature family (gradient ascent, 5 fixed iterations,
+    // decimal-exact gradients — the PageRank/HITS recipe applied to
+    // model fitting). Label = rule-derived "long document" (n_tokens >=
+    // 50, the corpus median is 56); features deliberately EXCLUDE the
+    // token count so the model must learn the correlated signals.
+    "q237_logreg_train" -> ((s, dir) =>
+      LogReg.train(
+        TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+          .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+        "label", LogRegFeatures, iterations = 5, lr = 0.5)),
+
+    // the pipeline USE of q237's model: score every document and emit
+    // the keep/drop verdict — the quality-filter stage a curation run
+    // applies after training (full replay: the oracle re-trains the
+    // identical chain, then scores each row)
+    "q238_logreg_score" -> ((s, dir) =>
+      LogReg.trainAndScore(
+          TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+            .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+          "label", LogRegFeatures, iterations = 5, lr = 0.5)
+        .select(col("doc_id"), col("p_quality"),
+          col("pred_quality").cast("int").as("pred_quality"))
+        .orderBy(col("doc_id"))),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -3031,6 +3056,121 @@ object SparkEntry {
        |  END AS f1
        |FROM m ORDER BY detector""".stripMargin
   }
+
+  private val LogRegFeatures =
+    Seq("avg_token_len", "punct_ratio", "stopword_ratio", "alpha_ratio")
+
+  /** Unrolled logistic-regression training replay shared by q237/q238:
+    * the q21 feature CTE plus the rule label, then one (p, gradient,
+    * weight-update) CTE trio per iteration — the identical σ/quantize/
+    * recombine arithmetic [[graft.operators.LogReg]] executes, weights
+    * starting at zero. Every multiply-referenced CTE is MATERIALIZED
+    * (the q209 inlining lesson — the weight chain would otherwise
+    * re-expand exponentially). Scala builds the chain so the oracle can
+    * never drift from the iteration count or feature list.
+    */
+  private def logRegOracleCtes(iterations: Int, lr: Double): String = {
+    val d = LogRegFeatures.length
+    val stop = "('the','a','an','of','and','to','in','is','that','it'," +
+      "'on','for','with','as','at','by')"
+    val head =
+      s"""lrf AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS x1,
+         |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS x2,
+         |    CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE)
+         |      / greatest(len(toks), 1) AS x3,
+         |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS x4,
+         |    CASE WHEN len(toks) >= 50 THEN 1.0e0 ELSE 0.0e0 END AS y
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(length(text) AS BIGINT) AS n_chars,
+         |      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT)
+         |        AS n_punct,
+         |      CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT)
+         |        AS n_alpha
+         |    FROM documents WHERE text IS NOT NULL)),
+         |lrstats AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS sn,
+         |${(1 to d).map(j =>
+        s"    ${ExactSum.oracleSumPicos(s"x$j")} AS s$j,\n" +
+          s"    ${ExactSum.oracleSumPicos(s"x$j * x$j")} AS ss$j")
+        .mkString(",\n")}
+         |  FROM lrf),
+         |lrmu AS MATERIALIZED (
+         |  SELECT ${(1 to d).map(j => s"m$j").mkString(", ")},
+         |${(1 to d).map(j =>
+        s"    greatest(sqrt(greatest(e$j - m$j * m$j, 0.0e0)), 1e-12) AS sd$j")
+        .mkString(",\n")}
+         |  FROM (
+         |    SELECT
+         |${(1 to d).map(j =>
+        s"      (CAST(s$j AS DOUBLE) / 1000000000000.0) / sn AS m$j,\n" +
+          s"      (CAST(ss$j AS DOUBLE) / 1000000000000.0) / sn AS e$j")
+        .mkString(",\n")}
+         |    FROM lrstats)),
+         |lrstd AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |${(1 to d).map(j => s"    (x$j - m$j) / sd$j AS x$j").mkString(",\n")}
+         |  FROM lrf CROSS JOIN lrmu),
+         |lrw0 AS (SELECT 0.0e0 AS b, ${(1 to d).map(j => s"0.0e0 AS w$j").mkString(", ")})""".stripMargin
+    val z = s"b + ${(1 to d).map(j => s"w$j * x$j").mkString(" + ")}"
+    val iters = (1 to iterations).map { i =>
+      val grads = (1 to d).map(j =>
+        s"    ${ExactSum.oracleSumPicos(s"x$j * (y - p)")} AS q$j").mkString(",\n")
+      val ups = (1 to d).map(j =>
+        s"    w$j + $lr * ((CAST(q$j AS DOUBLE) / 1000000000000.0) / n) AS w$j")
+        .mkString(",\n")
+      s"""lrp$i AS (
+         |  SELECT doc_id, y, ${(1 to d).map(j => s"x$j").mkString(", ")},
+         |    1.0e0 / (1.0e0 + exp(-($z))) AS p
+         |  FROM lrstd CROSS JOIN lrw${i - 1}),
+         |lrg$i AS MATERIALIZED (
+         |  SELECT count(*) AS n,
+         |    ${ExactSum.oracleSumPicos("y - p")} AS q0,
+         |$grads
+         |  FROM lrp$i),
+         |lrw$i AS MATERIALIZED (
+         |  SELECT b + $lr * ((CAST(q0 AS DOUBLE) / 1000000000000.0) / n) AS b,
+         |$ups
+         |  FROM lrg$i CROSS JOIN lrw${i - 1})""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val scored =
+      s""",
+         |lrfinal AS MATERIALIZED (
+         |  SELECT doc_id, y, ${(1 to d).map(j => s"x$j").mkString(", ")},
+         |    1.0e0 / (1.0e0 + exp(-($z))) AS p
+         |  FROM lrstd CROSS JOIN lrw$iterations)""".stripMargin
+    head + iters + scored
+  }
+
+  private def logRegTrainOracleSql(iterations: Int, lr: Double): String = {
+    val ws = LogRegFeatures.zipWithIndex.map { case (f, j) =>
+      s"round(w${j + 1}, 6) AS w_$f" }.mkString(", ")
+    s"""WITH ${logRegOracleCtes(iterations, lr)},
+       |lrs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CASE WHEN CAST(p >= 0.5 AS INT) = CAST(y AS INT)
+       |        THEN 1 ELSE 0 END) AS ok,
+       |    ${ExactSum.oracleSumPicos(
+      "CASE WHEN y >= 0.5 THEN ln(greatest(p, 1e-300)) " +
+        "ELSE ln(greatest(1.0e0 - p, 1e-300)) END")} AS qll
+       |  FROM lrfinal)
+       |SELECT n,
+       |  round(CAST(ok AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+       |  round((0.0e0 - CAST(qll AS DOUBLE) / 1000000000000.0)
+       |    / CAST(n AS DOUBLE), 6) AS log_loss,
+       |  round(b, 6) AS w0, $ws
+       |FROM lrs CROSS JOIN lrw$iterations""".stripMargin
+  }
+
+  private def logRegScoreOracleSql(iterations: Int, lr: Double): String =
+    s"""WITH ${logRegOracleCtes(iterations, lr)}
+       |SELECT doc_id, round(p, 6) AS p_quality,
+       |  CAST(p >= 0.5 AS INT) AS pred_quality
+       |FROM lrfinal ORDER BY doc_id""".stripMargin
 
   /** Unrolled BPE-training replay shared by q207/q208: one CTE trio
     * (pair counts, best pair, rewritten sequences) per merge, the same
@@ -7507,6 +7647,13 @@ object SparkEntry {
          |FROM r ORDER BY label""".stripMargin,
 
     "q236_dedup_eval_matrix" -> dedupEvalMatrixOracleSql,
+
+    // full training replay: q21's feature arithmetic + unrolled
+    // gradient-ascent CTE chain, decimal-exact gradient sums
+    "q237_logreg_train" -> logRegTrainOracleSql(iterations = 5, lr = 0.5),
+
+    // the same chain re-trained, then every row scored
+    "q238_logreg_score" -> logRegScoreOracleSql(iterations = 5, lr = 0.5),
 
     // adjacent-pair + unigram counts, the discounted-lift tree
     "q232_phrase_detect" ->

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed full-batch logistic regression — the quality-classifier
+  * TRAINING step of a training-data pipeline (label a small rule-derived
+  * set, fit weights over interpretable text features, score and filter
+  * the corpus; the fastText-classifier pattern of DataComp/CCNet-style
+  * curation, re-expressed with a linear model the engine can both train
+  * and REPLAY exactly).
+  *
+  * Determinism/oracle-portability (the PageRank/HITS/BPE recipe applied
+  * to model training): gradient ascent on the log-likelihood with a
+  * FIXED iteration count from an all-zero start. Per iteration each
+  * row's residual terms `x_j · (y − p)` are 12-dp-quantized
+  * ([[ExactSum]] digit-split sums — order-free, map-side-combinable,
+  * long-speed), so the gradient is an exact integer both engines
+  * recombine identically; every derived double (σ via `exp`, the /n,
+  * the `lr·g` update) is a correctly-rounded IEEE op DuckDB reproduces
+  * bit-for-bit. The whole training run is a pure function of the data —
+  * an unrolled CTE chain replays it (q237's oracle).
+  *
+  * Scale shape: ONE aggregation job per iteration over the cached
+  * feature frame — a handful of digit-split long sums, no shuffle
+  * beyond the one-row partial-agg combine, no driver state beyond the
+  * (d+1)-double weight vector (parameter-bounded, the Pq-codebook
+  * precedent). At 100 TB each iteration is one corpus scan; `df` should
+  * arrive pre-projected to the feature columns.
+  */
+object LogReg {
+
+  /** σ(w·x) as a column: z folds left over (intercept, features) in
+    * declared order — the exact association the oracle mirrors.
+    */
+  private def sigmoid(w: Array[Double], feats: Seq[String]): Column = {
+    val z = feats.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (f, j)) => acc + lit(w(j + 1)) * col(f)
+    }
+    lit(1.0) / (lit(1.0) + exp(negate(z)))
+  }
+
+  /** Per-feature (mean, stddev) from one exact-sum pass — the
+    * standardization statistics. σ floors at 1e-12 (constant features
+    * contribute z-score 0 rather than a division blow-up); every
+    * derived double (the /n, the subtract, `sqrt`, the floors) is a
+    * correctly-rounded IEEE op the oracle mirrors term for term.
+    */
+  private def featureStats(base: DataFrame,
+                           feats: Seq[String]): Seq[(Double, Double)] = {
+    val aggs = feats.flatMap { f =>
+      ExactSum.aggsLong(s"s_$f", ExactSum.quantize12(col(f))) ++
+        ExactSum.aggsLong(s"ss_$f", ExactSum.quantize12(col(f) * col(f)))
+    } :+ count(lit(1)).as("__n")
+    val row = base.agg(aggs.head, aggs.tail: _*)
+      .select(feats.flatMap(f => Seq(
+        (ExactSum.total(s"s_$f").cast("double") / lit(1e12)).as(s"s_$f"),
+        (ExactSum.total(s"ss_$f").cast("double") / lit(1e12)).as(s"ss_$f")))
+        :+ col("__n"): _*)
+      .head() // 2d doubles + a count — parameter-bounded driver state
+    val n = row.getAs[Long]("__n")
+    require(n > 0, "logistic regression needs at least one labeled row")
+    feats.map { f =>
+      val m = row.getAs[Double](s"s_$f") / n
+      val v = row.getAs[Double](s"ss_$f") / n - m * m
+      (m, math.max(math.sqrt(math.max(v, 0.0)), 1e-12))
+    }
+  }
+
+  /** `base` with each feature z-scored by the TRAINING statistics —
+    * plain GD needs comparably-scaled features to converge in a fixed
+    * small iteration count (unscaled, the largest-magnitude feature
+    * monopolizes the gradient and the model degenerates to
+    * majority-class predictions).
+    */
+  private def standardized(base: DataFrame, feats: Seq[String],
+                           stats: Seq[(Double, Double)]): DataFrame =
+    base.select(col("__y") +: feats.zip(stats).map {
+      case (f, (m, s)) => ((col(f) - lit(m)) / lit(s)).as(f)
+    }: _*)
+
+  /** Weights after `iterations` full-batch gradient-ascent steps from
+    * w = 0: `w ← w + lr · (Σ x·(y−p)) / n`. Returns the raw driver-side
+    * vector (intercept first) plus the filtered row count — building
+    * block for [[train]] / [[trainAndScore]].
+    */
+  private def fit(base: DataFrame, featureCols: Seq[String],
+                  iterations: Int, lr: Double): (Array[Double], Long) = {
+    var w = Array.fill(featureCols.length + 1)(0.0)
+    var n = 0L
+    for (_ <- 1 to iterations) {
+      val r = col("__y") - sigmoid(w, featureCols)
+      val aggCols = (ExactSum.aggsLong("g0", ExactSum.quantize12(r)) ++
+        featureCols.zipWithIndex.flatMap { case (f, j) =>
+          ExactSum.aggsLong(s"g${j + 1}", ExactSum.quantize12(col(f) * r))
+        }) :+ count(lit(1)).as("__n")
+      val row = base.agg(aggCols.head, aggCols.tail: _*)
+        .select((0 to featureCols.length).map(j =>
+          (ExactSum.total(s"g$j").cast("double") / lit(1e12)).as(s"g$j"))
+          :+ col("__n"): _*)
+        .head() // one row, d+1 doubles — parameter-bounded driver state
+      n = row.getAs[Long]("__n")
+      require(n > 0, "logistic regression needs at least one labeled row")
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + lr * (row.getAs[Double](s"g$j") / n)
+      }
+    }
+    (w, n)
+  }
+
+  private def cleanFrame(df: DataFrame, labelCol: String,
+                         featureCols: Seq[String]): DataFrame =
+    df.filter((col(labelCol) +: featureCols.map(col)).map(_.isNotNull)
+        .reduce(_ && _))
+      .select(col(labelCol).cast("double").as("__y") +:
+        featureCols.map(f => col(f).cast("double").as(f)): _*)
+
+  /** One-row training summary: (n, accuracy, log_loss, w0,
+    * w_<feature>...) — weights and metrics rounded 6 dp. `labelCol`
+    * must be 0/1-valued (boolean casts fine); rows with a null label or
+    * feature are dropped. Log-loss probabilities are clamped at 1e-300
+    * so a saturated σ can never evaluate ln 0.
+    */
+  def train(df: DataFrame, labelCol: String, featureCols: Seq[String],
+            iterations: Int = 5, lr: Double = 1.0): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val raw = cleanFrame(df, labelCol, featureCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = featureStats(raw, featureCols)
+      val base = standardized(raw, featureCols, stats)
+      val (w, _) = fit(base, featureCols, iterations, lr)
+      val p = sigmoid(w, featureCols)
+      val ll = when(col("__y") >= 0.5, log(greatest(p, lit(1e-300))))
+        .otherwise(log(greatest(lit(1.0) - p, lit(1e-300))))
+      val aggSeq = Seq(count(lit(1)).as("n"),
+        sum(when((p >= 0.5).cast("int") === col("__y").cast("int"), 1L)
+          .otherwise(0L)).as("__ok")) ++
+        ExactSum.aggsLong("ll", ExactSum.quantize12(ll))
+      val outCols = Seq(col("n"),
+        round(col("__ok").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"),
+        round((lit(0.0) - ExactSum.total("ll").cast("double") / lit(1e12))
+          / col("n").cast("double"), 6).as("log_loss"),
+        round(lit(w(0)), 6).as("w0")) ++
+        featureCols.zipWithIndex.map { case (f, j) =>
+          round(lit(w(j + 1)), 6).as(s"w_$f")
+        }
+      base.agg(aggSeq.head, aggSeq.tail: _*).select(outCols: _*)
+    } finally raw.unpersist()
+  }
+
+  /** Per-row probability under a freshly-trained model: returns `df`
+    * plus `probCol` (rounded 6 dp) and `predCol` (p ≥ threshold). The
+    * train pass uses only rows where the label AND features are
+    * non-null; scoring covers every row with non-null features.
+    */
+  def trainAndScore(df: DataFrame, labelCol: String,
+                    featureCols: Seq[String], iterations: Int = 5,
+                    lr: Double = 1.0, threshold: Double = 0.5,
+                    probCol: String = "p_quality",
+                    predCol: String = "pred_quality"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val raw = cleanFrame(df, labelCol, featureCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (stats, w) = try {
+      val st = featureStats(raw, featureCols)
+      (st, fit(standardized(raw, featureCols, st), featureCols,
+        iterations, lr)._1)
+    } finally raw.unpersist()
+    // score with the TRAINING-set statistics (the fitted preprocessing
+    // is part of the model)
+    val z = featureCols.zip(stats).zipWithIndex
+      .foldLeft(lit(w(0)): Column) { case (acc, ((f, (m, s)), j)) =>
+        acc + lit(w(j + 1)) * ((col(f) - lit(m)) / lit(s))
+      }
+    val p = lit(1.0) / (lit(1.0) + exp(negate(z)))
+    df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(probCol, round(p, 6))
+      .withColumn(predCol, p >= threshold)
+  }
+}
