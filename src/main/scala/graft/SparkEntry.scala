@@ -7307,13 +7307,13 @@ object SparkEntry {
         |  FROM drawn),
         |res AS (
         |  SELECT g, b,
-        |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6))) AS sm,
+        |    sum(m * CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qm,
         |    CAST(sum(m) AS BIGINT) AS nm
         |  FROM mult GROUP BY g, b),
         |ranked AS (
-        |  SELECT g, sm::DOUBLE / nm AS mean_b,
-        |    row_number() OVER (PARTITION BY g ORDER BY sm::DOUBLE / nm, b)
-        |      AS rn
+        |  SELECT g, (CAST(qm AS DOUBLE) / 1000000.0) / nm AS mean_b,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY (CAST(qm AS DOUBLE) / 1000000.0) / nm, b) AS rn
         |  FROM res WHERE nm > 0),
         |ci AS (
         |  SELECT g, max(CASE WHEN rn = 1 THEN mean_b END) AS ci_lo,
@@ -7360,17 +7360,19 @@ object SparkEntry {
         |    FROM base, range(20) t(d), (VALUES (0), (1)) l(lane))),
         |res AS (
         |  SELECT b,
-        |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6)))
-        |      FILTER (NOT iscmp) AS smr,
+        |    sum(m * CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+        |      FILTER (NOT iscmp) AS qmr,
         |    CAST(sum(m) FILTER (NOT iscmp) AS BIGINT) AS nmr,
-        |    sum(CAST(m AS DECIMAL(2,0)) * CAST(x AS DECIMAL(28,6)))
-        |      FILTER (iscmp) AS smc,
+        |    sum(m * CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+        |      FILTER (iscmp) AS qmc,
         |    CAST(sum(m) FILTER (iscmp) AS BIGINT) AS nmc
         |  FROM mult GROUP BY b),
         |ranked AS (
-        |  SELECT smc::DOUBLE / nmc - smr::DOUBLE / nmr AS diff,
+        |  SELECT (CAST(qmc AS DOUBLE) / 1000000.0) / nmc
+        |      - (CAST(qmr AS DOUBLE) / 1000000.0) / nmr AS diff,
         |    row_number() OVER (
-        |      ORDER BY smc::DOUBLE / nmc - smr::DOUBLE / nmr, b) AS rn
+        |      ORDER BY (CAST(qmc AS DOUBLE) / 1000000.0) / nmc
+        |        - (CAST(qmr AS DOUBLE) / 1000000.0) / nmr, b) AS rn
         |  FROM res WHERE nmr > 0 AND nmc > 0),
         |ci AS (
         |  SELECT max(CASE WHEN rn = 1 THEN diff END) AS ci_lo,

@@ -162,13 +162,17 @@ object LogReg {
                     probCol: String = "p_quality",
                     predCol: String = "pred_quality"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val raw = cleanFrame(df, labelCol, featureCols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (stats, w) = try {
-      val st = featureStats(raw, featureCols)
-      (st, fit(standardized(raw, featureCols, st), featureCols,
-        iterations, lr)._1)
-    } finally raw.unpersist()
+    // ONE cache serves training and scoring: the feature columns are
+    // typically derived (qualityFeatures' token scans), and the
+    // train-only persist would leave the scoring pass recomputing them
+    // from scratch. Session-tracked so long-lived batteries reclaim it.
+    val scoped = TrackedCaches.track(
+      df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val raw = cleanFrame(scoped, labelCol, featureCols)
+    val stats = featureStats(raw, featureCols)
+    val w = fit(standardized(raw, featureCols, stats), featureCols,
+      iterations, lr)._1
     // score with the TRAINING-set statistics (the fitted preprocessing
     // is part of the model)
     val z = featureCols.zip(stats).zipWithIndex
@@ -176,8 +180,7 @@ object LogReg {
         acc + lit(w(j + 1)) * ((col(f) - lit(m)) / lit(s))
       }
     val p = lit(1.0) / (lit(1.0) + exp(negate(z)))
-    df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
-      .withColumn(probCol, round(p, 6))
+    scoped.withColumn(probCol, round(p, 6))
       .withColumn(predCol, p >= threshold)
   }
 }

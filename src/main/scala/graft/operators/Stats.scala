@@ -586,15 +586,20 @@ object Stats {
     val point = base.groupBy(gc: _*)
       .agg(count(lit(1)).as("n"),
         sum(col("__x").cast("decimal(28,6)")).as("__sx"))
+    // Σ m·x as a LONG-speed exact sum: m ≤ 9 times the 6-dp-quantized
+    // value is an exact long product (|x| loud-overflows past ~9e12 —
+    // ANSI), digit-split-summed order-free (ExactSum — the decimal
+    // formulation boxed a Decimal per row, ~8× slower on this ×b-fanned
+    // aggregation, the round-8 bootstrap profile)
+    val mAggs = ExactSum.aggsLong("sm",
+      col("__m") * ExactSum.quantize6(col("__x"))) :+
+      sum(col("__m")).as("__nm")
     val resampled = withPoissonDraws(spreadNarrow(base), b)
       .groupBy(gc :+ col("__b"): _*)
-      // m <= 9 fits decimal(2,0); the product stays inside precision 38
-      .agg(sum(col("__m").cast("decimal(2,0)") *
-          col("__x").cast("decimal(28,6)")).as("__sm"),
-        sum(col("__m")).as("__nm"))
+      .agg(mAggs.head, mAggs.tail: _*)
       .filter(col("__nm") > 0L)
       .withColumn("__mean",
-        col("__sm").cast("double") / col("__nm").cast("double"))
+        ExactSum.totalDouble("sm") / col("__nm").cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gc: _*).orderBy(col("__mean"), col("__b"))
     val loRank = math.ceil(alpha / 2 * b).toLong.max(1L)
@@ -638,17 +643,20 @@ object Stats {
       count(when(col("__cmp"), lit(1))).as("n_cmp"),
       sum(when(!col("__cmp"), col("__x").cast("decimal(28,6)"))).as("__sr"),
       sum(when(col("__cmp"), col("__x").cast("decimal(28,6)"))).as("__sc"))
-    val mx = col("__m").cast("decimal(2,0)") * col("__x").cast("decimal(28,6)")
+    // the q201 long-speed Σ m·x (see bootstrapMeanCI), arm-conditional:
+    // the un-matched arm contributes null, which every digit sum skips
+    val mq = col("__m") * ExactSum.quantize6(col("__x"))
+    val mAggs = ExactSum.aggsLong("smr", when(!col("__cmp"), mq)) ++
+      ExactSum.aggsLong("smc", when(col("__cmp"), mq)) ++ Seq(
+        sum(when(!col("__cmp"), col("__m"))).as("__nmr"),
+        sum(when(col("__cmp"), col("__m"))).as("__nmc"))
     val resampled = withPoissonDraws(spreadNarrow(base), b)
       .groupBy(col("__b"))
-      .agg(sum(when(!col("__cmp"), mx)).as("__smr"),
-        sum(when(!col("__cmp"), col("__m"))).as("__nmr"),
-        sum(when(col("__cmp"), mx)).as("__smc"),
-        sum(when(col("__cmp"), col("__m"))).as("__nmc"))
+      .agg(mAggs.head, mAggs.tail: _*)
       .filter(col("__nmr") > 0L && col("__nmc") > 0L)
       .withColumn("__diff",
-        col("__smc").cast("double") / col("__nmc").cast("double") -
-          col("__smr").cast("double") / col("__nmr").cast("double"))
+        ExactSum.totalDouble("smc") / col("__nmc").cast("double") -
+          ExactSum.totalDouble("smr") / col("__nmr").cast("double"))
     // b-bounded frame (<= b rows): the unpartitioned window is fixed-size
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__diff"), col("__b"))
