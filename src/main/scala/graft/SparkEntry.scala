@@ -1552,6 +1552,15 @@ object SparkEntry {
           col("pred_quality").cast("int").as("pred_quality"))
         .orderBy(col("doc_id"))),
 
+    // DoReMi-style domain reweighting: per-source excess surprisal
+    // (global LM vs own-domain LM) softmaxed into mixture weights with
+    // uniform smoothing — the data-mixture optimization step between
+    // q206's per-doc selection and q211's temperature mixing
+    "q239_domain_reweight" -> ((s, dir) =>
+      DataSelection.domainReweight(t(s, dir, "documents"),
+          domainCol = "source", eta = 5.0, smoothing = 0.1)
+        .orderBy(col("domain"))),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -7649,6 +7658,45 @@ object SparkEntry {
          |FROM r ORDER BY label""".stripMargin,
 
     "q236_dedup_eval_matrix" -> dedupEvalMatrixOracleSql,
+
+    // q73's LM arithmetic at domain granularity, twice (global + own
+    // model), then the closed-form EG softmax with uniform smoothing
+    "q239_domain_reweight" ->
+      """WITH dt AS MATERIALIZED (
+        |  SELECT source AS domain, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE source IS NOT NULL)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |g AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cg FROM dt GROUP BY term),
+        |gt AS (SELECT CAST(sum(cg) AS BIGINT) AS ctot,
+        |  CAST(count(*) AS BIGINT) AS vocab FROM g),
+        |dtot AS (SELECT domain, CAST(sum(tf) AS BIGINT) AS ct_d,
+        |  CAST(count(*) AS BIGINT) AS vocab_d FROM dt GROUP BY domain),
+        |sc AS (
+        |  SELECT domain,
+        |    sum(CAST(CAST(tf AS DOUBLE) *
+        |        (-ln(CAST(cg + 1 AS DOUBLE) / (ctot + vocab)))
+        |      AS DECIMAL(28,12))) AS sg,
+        |    sum(CAST(CAST(tf AS DOUBLE) *
+        |        (-ln(CAST(tf + 1 AS DOUBLE) / (ct_d + vocab_d)))
+        |      AS DECIMAL(28,12))) AS sd,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM dt JOIN g USING (term) JOIN dtot USING (domain) CROSS JOIN gt
+        |  GROUP BY domain),
+        |ex AS (
+        |  SELECT domain, n_tokens,
+        |    (CAST(sg AS DOUBLE) - CAST(sd AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+        |      AS excess,
+        |    exp(5.0e0 * ((CAST(sg AS DOUBLE) - CAST(sd AS DOUBLE))
+        |      / CAST(n_tokens AS DOUBLE))) AS w_raw
+        |  FROM sc),
+        |nm AS (SELECT sum(CAST(w_raw AS DECIMAL(28,12))) AS z,
+        |  CAST(count(*) AS BIGINT) AS k FROM ex)
+        |SELECT domain, n_tokens, round(excess, 6) AS excess_surprisal,
+        |  round((1.0e0 - 0.1e0) * (w_raw / CAST(z AS DOUBLE))
+        |    + 0.1e0 / CAST(k AS DOUBLE), 6) AS weight
+        |FROM ex CROSS JOIN nm ORDER BY domain""".stripMargin,
 
     // full training replay: q21's feature arithmetic + unrolled
     // gradient-ascent CTE chain, decimal-exact gradient sums

@@ -74,4 +74,75 @@ object DataSelection {
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("__term")).cast("double"), 6).as("dsir_score"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi"):
+    * upweight the training-mixture domains the GLOBAL model predicts
+    * worst relative to a domain-fit model — the excess-loss signal that
+    * drives DoReMi's exponentiated-gradient mixture update, here in its
+    * batch closed form: with a constant per-domain excess ℓ_d the T EG
+    * steps collapse to one softmax, `α_d ∝ exp(η·ℓ_d)`, followed by
+    * DoReMi's uniform smoothing `α' = (1−c)·α + c/k`.
+    *
+    * ℓ_d = mean token surprisal of domain d's text under the add-1
+    * corpus-wide unigram LM minus under d's OWN unigram LM (both the
+    * [[TextAnalysis.lmSurprisal]] family's arithmetic) — "how much
+    * worse does one shared model fit this domain than a dedicated one",
+    * the proxy/reference loss gap without training neural models.
+    *
+    * Output per domain: (domain, n_tokens, excess_surprisal, weight),
+    * weights summing to 1 (6 dp). Fully oracle-replayable: exact token
+    * counts, `ln`/`exp` correctly-rounded IEEE, per-domain sums
+    * DECIMAL(28,12)-quantized order-free, the k-domain normalizer a
+    * decimal sum of the quantized raw weights.
+    *
+    * Scale shape: ONE tokenize pass into the (domain, term) count frame
+    * (vocab × k bounded — persisted, read three times), then vocab-keyed
+    * equi-joins and k-row aggregations; the corpus never shuffles.
+    */
+  def domainReweight(docs: DataFrame, domainCol: String = "source",
+                     eta: Double = 1.0, smoothing: Double = 0.1,
+                     textCol: String = "text"): DataFrame = {
+    require(eta > 0, s"eta must be > 0, got $eta")
+    require(smoothing >= 0 && smoothing <= 1,
+      s"smoothing must be in [0, 1], got $smoothing")
+    val counts = TrackedCaches.track(docs
+      .filter(col(domainCol).isNotNull)
+      .select(col(domainCol).as("domain"),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("domain"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val g = counts.groupBy(col("term")).agg(sum(col("tf")).as("cg"))
+    val gt = g.agg(sum(col("cg")).as("ctot"), count(lit(1)).as("vocab"))
+    val dTot = counts.groupBy(col("domain"))
+      .agg(sum(col("tf")).as("ct_d"), count(lit(1)).as("vocab_d"))
+    val sc = counts
+      .join(g, "term")       // vocab-keyed equi-join
+      .join(dTot, "domain")  // k-row side — hint-free, AQE broadcasts
+      .crossJoin(broadcast(gt)) // one-row global totals
+      .withColumn("__nlp_g",
+        -log((col("cg") + 1).cast("double") / (col("ctot") + col("vocab"))))
+      .withColumn("__nlp_d",
+        -log((col("tf") + 1).cast("double") / (col("ct_d") + col("vocab_d"))))
+      .groupBy(col("domain"))
+      .agg(
+        sum((col("tf").cast("double") * col("__nlp_g"))
+          .cast("decimal(28,12)")).as("__sg"),
+        sum((col("tf").cast("double") * col("__nlp_d"))
+          .cast("decimal(28,12)")).as("__sd"),
+        sum(col("tf")).as("n_tokens"))
+    val ex = sc
+      .withColumn("__excess",
+        (col("__sg").cast("double") - col("__sd").cast("double")) /
+          col("n_tokens").cast("double"))
+      .withColumn("__w_raw", exp(lit(eta) * col("__excess")))
+    val norm = ex.agg(sum(col("__w_raw").cast("decimal(28,12)")).as("__z"),
+      count(lit(1)).as("__k"))
+    ex.crossJoin(broadcast(norm)) // one-row normalizer
+      .select(col("domain"), col("n_tokens"),
+        round(col("__excess"), 6).as("excess_surprisal"),
+        round((lit(1.0) - lit(smoothing)) *
+          (col("__w_raw") / col("__z").cast("double")) +
+          lit(smoothing) / col("__k").cast("double"), 6).as("weight"))
+  }
 }

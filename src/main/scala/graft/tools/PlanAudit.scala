@@ -42,6 +42,8 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "tBig", "one-row bigram-type-count aggregate (knBigram's T)"),
     AllowedBroadcast("DataSelection.scala", "totals", "one-row feature-count aggregate (dsir smoothing denominators)"),
     AllowedBroadcast("DataSelection.scala", "stats", "hashed-bucket profile — B rows, parameter-bounded (buckets)"),
+    AllowedBroadcast("DataSelection.scala", "gt", "one-row global LM totals (domainReweight)"),
+    AllowedBroadcast("DataSelection.scala", "norm", "one-row softmax normalizer (domainReweight)"),
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverStateRows guard"),

@@ -45,4 +45,37 @@ class DataSelectionSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_feats")).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("domainReweight: a vocabulary-distinct domain earns the highest " +
+    "weight; weights sum to 1 and respect the smoothing floor") {
+    // common: generic text the global model fits everywhere; exotic: a
+    // private vocabulary the global model (diluted by the others)
+    // predicts far worse than the domain-own model
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "common_a", "the cat sat on the mat")) ++
+      (7 to 12).map(i => (i.toLong, "common_b", "the dog sat on the rug")) ++
+      (13 to 18).map(i =>
+        (i.toLong, "exotic", "zyx wvu tsr qpo nml kji"))).toDF(
+      "doc_id", "source", "text")
+    val out = DataSelection.domainReweight(docs, eta = 2.0, smoothing = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("excess_surprisal"), r.getAs[Double]("weight"))).toMap
+    assert(out.keySet == Set("common_a", "common_b", "exotic"))
+    assert(out("exotic")._1 > out("common_a")._1)
+    assert(out("exotic")._2 > out("common_a")._2)
+    val total = out.values.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"weights sum to $total")
+    // uniform smoothing floors every weight at c/k = 0.2/3
+    assert(out.values.forall(_._2 >= 0.2 / 3 - 1e-9))
+  }
+
+  test("domainReweight is invariant under repartitioning (quantized sums)") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"src${i % 3}", s"tok${i % 7} tok${i % 5} shared common"))
+      .toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DataSelection.domainReweight(d).orderBy("domain").collect()
+        .map(_.toSeq).toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+  }
 }
