@@ -1561,6 +1561,20 @@ object SparkEntry {
           domainCol = "source", eta = 5.0, smoothing = 0.1)
         .orderBy(col("domain"))),
 
+    // classifier-audit composition: per-SOURCE reliability bins + ECE of
+    // the q237 model's probabilities against the training labels — "is
+    // the quality filter calibrated on every domain it will gate"
+    "q240_logreg_calibration" -> ((s, dir) => {
+      val scored = LogReg.trainAndScore(
+        TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+          .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+        "label", LogRegFeatures, iterations = 5, lr = 0.5)
+      Drift.calibration(scored, "p_quality", "label", Seq("source"))
+        .join(Drift.ece(scored, "p_quality", "label", Seq("source"))
+          .select(col("source"), col("ece")), "source")
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -7704,6 +7718,34 @@ object SparkEntry {
 
     // the same chain re-trained, then every row scored
     "q238_logreg_score" -> logRegScoreOracleSql(iterations = 5, lr = 0.5),
+
+    // q238's scored rows joined back to their source, then q133's
+    // reliability-bin + ECE arithmetic per source
+    "q240_logreg_calibration" ->
+      s"""WITH ${logRegOracleCtes(iterations = 5, lr = 0.5)},
+         |scored AS MATERIALIZED (
+         |  SELECT d.source, round(l.p, 6) AS s, CAST(l.y AS BIGINT) AS y
+         |  FROM lrfinal l JOIN documents d USING (doc_id)),
+         |binned AS (
+         |  SELECT source, CAST(least(floor(s * 10), 9) AS BIGINT) AS bin, s, y
+         |  FROM scored WHERE s >= 0 AND s <= 1),
+         |cal AS MATERIALIZED (
+         |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+         |    round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+         |      / count(*), 6) AS mean_score,
+         |    round(sum(y)::DOUBLE / count(*), 6) AS frac_pos
+         |  FROM binned GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nn
+         |  FROM cal GROUP BY source),
+         |e AS (
+         |  SELECT cal.source,
+         |    round(CAST(sum(CAST((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * abs(frac_pos - mean_score) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS ece
+         |  FROM cal JOIN tot USING (source) GROUP BY cal.source)
+         |SELECT cal.source, bin, n, mean_score, frac_pos, ece
+         |FROM cal JOIN e USING (source)
+         |ORDER BY source, bin""".stripMargin,
 
     // adjacent-pair + unigram counts, the discounted-lift tree
     "q232_phrase_detect" ->
