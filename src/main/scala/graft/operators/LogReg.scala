@@ -30,8 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object LogReg {
 
-  /** σ(w·x) as a column: z folds left over (intercept, features) in
-    * declared order — the exact association the oracle mirrors.
+  /** A fitted model: feature names in training order, the z-score
+    * standardization statistics (part of the model — scoring must apply
+    * the TRAINING-set preprocessing), and the weight vector (intercept
+    * first). Plain driver values, so the deployment pattern "train in a
+    * batch job, apply anywhere" needs no frame round-trip — including a
+    * Structured Streaming pipeline, where [[probability]] is a
+    * stateless per-row expression
+    * ([[graft.streaming.StreamingQualityFilter]]).
+    */
+  case class Model(featureCols: Seq[String], stats: Seq[(Double, Double)],
+                   weights: Array[Double]) {
+    /** σ(w·z(x)) over THIS frame's feature columns — z folds left over
+      * (intercept, standardized features) in declared order, the exact
+      * association the oracle mirrors.
+      */
+    def probability: Column = {
+      val z = featureCols.zip(stats).zipWithIndex
+        .foldLeft(lit(weights(0)): Column) { case (acc, ((f, (m, s)), j)) =>
+          acc + lit(weights(j + 1)) * ((col(f) - lit(m)) / lit(s))
+        }
+      lit(1.0) / (lit(1.0) + exp(negate(z)))
+    }
+  }
+
+  /** σ(w·x) as a column over ALREADY-standardized features: z folds
+    * left over (intercept, features) in declared order — the exact
+    * association the oracle mirrors.
     */
   private def sigmoid(w: Array[Double], feats: Seq[String]): Column = {
     val z = feats.zipWithIndex.foldLeft(lit(w(0)): Column) {
@@ -169,18 +194,35 @@ object LogReg {
     val scoped = TrackedCaches.track(
       df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val raw = cleanFrame(scoped, labelCol, featureCols)
+    val model = fitOn(scoped, labelCol, featureCols, iterations, lr)
+    val p = model.probability
+    scoped.withColumn(probCol, round(p, 6))
+      .withColumn(predCol, p >= threshold)
+  }
+
+  /** Fit and return the [[Model]] — the batch-train half of the
+    * train-offline / apply-anywhere deployment split. Same training
+    * plan as [[train]] minus the metrics pass.
+    */
+  def fitModel(df: DataFrame, labelCol: String, featureCols: Seq[String],
+               iterations: Int = 5, lr: Double = 1.0): Model = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val raw = df.filter((col(labelCol) +: featureCols.map(col))
+        .map(_.isNotNull).reduce(_ && _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitOn(raw, labelCol, featureCols, iterations, lr)
+    finally raw.unpersist()
+  }
+
+  /** Shared fit path over an already-persisted frame. */
+  private def fitOn(persisted: DataFrame, labelCol: String,
+                    featureCols: Seq[String], iterations: Int,
+                    lr: Double): Model = {
+    val raw = cleanFrame(persisted, labelCol, featureCols)
     val stats = featureStats(raw, featureCols)
     val w = fit(standardized(raw, featureCols, stats), featureCols,
       iterations, lr)._1
-    // score with the TRAINING-set statistics (the fitted preprocessing
-    // is part of the model)
-    val z = featureCols.zip(stats).zipWithIndex
-      .foldLeft(lit(w(0)): Column) { case (acc, ((f, (m, s)), j)) =>
-        acc + lit(w(j + 1)) * ((col(f) - lit(m)) / lit(s))
-      }
-    val p = lit(1.0) / (lit(1.0) + exp(negate(z)))
-    scoped.withColumn(probCol, round(p, 6))
-      .withColumn(predCol, p >= threshold)
+    Model(featureCols, stats, w)
   }
 }
