@@ -136,16 +136,21 @@ object Drift {
       .withColumn("__bt_tag",
         when(col(tagCol) === lit(posTag), "pos").otherwise("neg"))
     val cum = driftCum(lumped, scoreCol, "__bt_tag", groupCols)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(gc :+ col(scoreCol): _*)
+    // ONE hash aggregation to per-score points: where a tag has no row
+    // at a score, its inclusive cumulative is implied by the union
+    // cumulative minus the other tag's (__ca counts BOTH tags ≤ score
+    // regardless of row existence). The previous form computed the same
+    // pairs row-wise under a (group, score) micro-WINDOW and collapsed
+    // the two tags' identical rows with distinct() — one exchange+sort
+    // plus one exchange more than this aggregate (round-8 profile).
     val points = cum
-      .withColumn("__c_all", max(col("__ca")).over(wAll))
-      .withColumn("__cp", when(col("__bt_tag") === "pos", col("__ct"))
-        .otherwise(col("__c_all") - col("__ct")))
-      .withColumn("__cn", when(col("__bt_tag") === "pos",
-        col("__c_all") - col("__ct")).otherwise(col("__ct")))
-      .select(gc :+ col(scoreCol) :+ col("__cp") :+ col("__cn"): _*)
-      .distinct() // the two tags' rows at one score carry identical pairs
+      .groupBy(gc :+ col(scoreCol): _*)
+      .agg(max(col("__ca")).as("__c_all"),
+        max(when(col("__bt_tag") === "pos", col("__ct"))).as("__ctp"),
+        max(when(col("__bt_tag") === "neg", col("__ct"))).as("__ctn"))
+      .select(gc :+ col(scoreCol) :+
+        coalesce(col("__ctp"), col("__c_all") - col("__ctn")).as("__cp") :+
+        coalesce(col("__ctn"), col("__c_all") - col("__ctp")).as("__cn"): _*)
     val totals = cum.groupBy(gc :+ col("__bt_tag"): _*)
       .agg(max(col("__ct")).as("__n"))
       .groupBy(gc: _*)
