@@ -129,9 +129,14 @@ object Outliers {
         ceil(lit(p) * col("__rs_n")).cast("long"), v)).as(name)
     val quarts = withN.groupBy(groupCols.map(col): _*)
       .agg(atQ(0.25, "q1"), atQ(0.5, "med"), atQ(0.75, "q3"))
-    FrameOps.statsJoinOn(filtered, quarts, groupCols)
+    // attach to the RANKED frame (already materialized through the rank
+    // core's sort — same rows as `filtered`), not the input: joining the
+    // input would scan the base data a second time for rows the sort
+    // pass has already produced (round-8 profile)
+    FrameOps.statsJoinOn(ranked, quarts, groupCols)
       .withColumn(outCol, when(col("q3") > col("q1"),
         round((v - col("med")) / (col("q3") - col("q1")), 6)))
+      .drop("__rs_rk")
   }
 
   /** Rolling-baseline anomaly detection on an ordered per-group series —
