@@ -480,7 +480,11 @@ object Multimodal {
           (payload(p + 3) == 'c' || payload(p + 3) == 'b')
       val frames = Vector.newBuilder[(Int, Int)]
       var malformed = false
-      def walk(start: Int, end: Int): Unit = {
+      // depth cap: real AVIs nest ~3 LISTs deep; a hostile container of
+      // nothing but nested LIST headers would otherwise recurse
+      // payload/12 frames deep and overflow the task stack
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) { malformed = true; return }
         var p = start
         while (!malformed && p + 8 <= end) {
           val size = leU32(p + 4)
@@ -488,14 +492,14 @@ object Multimodal {
           if (size < 0 || dataStart + size > end) malformed = true
           else {
             if (cc(p, "LIST") && size >= 4)
-              walk(dataStart + 4, dataStart + size.toInt)
+              walk(dataStart + 4, dataStart + size.toInt, depth + 1)
             else if (isFrameChunk(p) && size > 0)
               frames += ((dataStart, size.toInt))
             p = dataStart + size.toInt + (size.toInt & 1) // word-aligned
           }
         }
       }
-      walk(12, math.min(12L + leU32(4) - 4, payload.length.toLong).toInt)
+      walk(12, math.min(12L + leU32(4) - 4, payload.length.toLong).toInt, 0)
       val idx = frames.result()
       if (malformed || idx.isEmpty) None
       else {

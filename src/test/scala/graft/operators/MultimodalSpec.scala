@@ -281,13 +281,30 @@ class MultimodalSpec extends SparkSpecBase {
     import org.apache.spark.sql.{Row => R}
     val good = aviBytes(4, 4, Seq(0xff0000, 0x0000ff))
     val truncated = good.take(good.length / 2)
+    // a hostile container of nothing but nested LIST headers — must hit
+    // the depth cap, not the task stack
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val levels = 5000
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes("US-ASCII"))
+    bomb.write(le32(4 + levels * 12))
+    bomb.write("AVI ".getBytes("US-ASCII"))
+    for (i <- levels to 1 by -1) {
+      bomb.write("LIST".getBytes("US-ASCII"))
+      bomb.write(le32(4 + (i - 1) * 12))
+      bomb.write("nest".getBytes("US-ASCII"))
+    }
     val assets = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         R(1L, truncated, "video", Map.empty[String, String], null),
         R(2L, "RIFFxxxxAVI corrupted".getBytes("US-ASCII"), "video",
+          Map.empty[String, String], null),
+        R(3L, bomb.toByteArray, "video",
           Map.empty[String, String], null)), 1), Multimodal.schema)
     val out = Multimodal.sampleFramesDecoded(assets, n = 2).collect()
-    assert(out.length == 4) // 2 stub rows each
+    assert(out.length == 6) // 2 stub rows each
     assert(out.forall(
       _.getAs[Map[String, String]]("meta")("frames_real") == "false"))
   }
