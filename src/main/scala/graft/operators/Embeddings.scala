@@ -55,7 +55,11 @@ object Embeddings {
     */
   private def widened(raw: DataFrame): DataFrame = {
     val target = raw.sparkSession.sessionState.conf.numShufflePartitions
-    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+    // internal-row RDD probe: one physical planning pass, no
+    // row-deserializer lineage, no job (same fix as Stats.spreadNarrow)
+    if (raw.queryExecution.toRdd.getNumPartitions < target)
+      raw.repartition(target)
+    else raw
   }
 
   private def covarianceRelational(vecs: DataFrame): DataFrame = {
