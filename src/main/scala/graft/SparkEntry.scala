@@ -1575,6 +1575,19 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // HELD-OUT evaluation of the quality classifier: stratified 3-fold
+    // CV (q110's deterministic assigner on the label) — per fold, train
+    // on the rest and score the fold; the out-of-sample accuracy q237's
+    // in-sample number cannot give
+    "q241_logreg_cv" -> ((s, dir) =>
+      LogReg.crossValidate(
+          Sampling.stratifiedKFold(
+            TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+              .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+            "label", "doc_id", k = 3),
+          "fold", "label", LogRegFeatures, k = 3, iterations = 5, lr = 0.5)
+        .orderBy(col("fold"))),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -3092,37 +3105,47 @@ object SparkEntry {
     * re-expand exponentially). Scala builds the chain so the oracle can
     * never drift from the iteration count or feature list.
     */
-  private def logRegOracleCtes(iterations: Int, lr: Double): String = {
-    val d = LogRegFeatures.length
+  /** The q21 feature CTE + rule label — the shared training input. */
+  private val logRegFeatureCte: String = {
     val stop = "('the','a','an','of','and','to','in','is','that','it'," +
       "'on','for','with','as','at','by')"
+    s"""lrf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |      / greatest(len(toks), 1) AS x1,
+       |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS x2,
+       |    CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE)
+       |      / greatest(len(toks), 1) AS x3,
+       |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS x4,
+       |    CASE WHEN len(toks) >= 50 THEN 1.0e0 ELSE 0.0e0 END AS y
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT)
+       |        AS n_punct,
+       |      CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT)
+       |        AS n_alpha
+       |    FROM documents WHERE text IS NOT NULL))""".stripMargin
+  }
+
+  /** One full training chain (stats → standardize → unrolled gradient
+    * ascent → scored frame) over source CTE `src`, all CTE names
+    * prefixed `px` — so q237/q238 run one chain and q241 runs one per
+    * fold from the SAME generator.
+    */
+  private def logRegChainCtes(src: String, px: String,
+                              iterations: Int, lr: Double): String = {
+    val d = LogRegFeatures.length
     val head =
-      s"""lrf AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-         |      / greatest(len(toks), 1) AS x1,
-         |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS x2,
-         |    CAST(len(list_filter(toks, t -> t IN $stop)) AS DOUBLE)
-         |      / greatest(len(toks), 1) AS x3,
-         |    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS x4,
-         |    CASE WHEN len(toks) >= 50 THEN 1.0e0 ELSE 0.0e0 END AS y
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(length(text) AS BIGINT) AS n_chars,
-         |      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
-         |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT)
-         |        AS n_punct,
-         |      CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT)
-         |        AS n_alpha
-         |    FROM documents WHERE text IS NOT NULL)),
-         |lrstats AS MATERIALIZED (
+      s"""${px}stats AS MATERIALIZED (
          |  SELECT CAST(count(*) AS BIGINT) AS sn,
          |${(1 to d).map(j =>
         s"    ${ExactSum.oracleSumPicos(s"x$j")} AS s$j,\n" +
           s"    ${ExactSum.oracleSumPicos(s"x$j * x$j")} AS ss$j")
         .mkString(",\n")}
-         |  FROM lrf),
-         |lrmu AS MATERIALIZED (
+         |  FROM $src),
+         |${px}mu AS MATERIALIZED (
          |  SELECT ${(1 to d).map(j => s"m$j").mkString(", ")},
          |${(1 to d).map(j =>
         s"    greatest(sqrt(greatest(e$j - m$j * m$j, 0.0e0)), 1e-12) AS sd$j")
@@ -3133,12 +3156,12 @@ object SparkEntry {
         s"      (CAST(s$j AS DOUBLE) / 1000000000000.0) / sn AS m$j,\n" +
           s"      (CAST(ss$j AS DOUBLE) / 1000000000000.0) / sn AS e$j")
         .mkString(",\n")}
-         |    FROM lrstats)),
-         |lrstd AS MATERIALIZED (
+         |    FROM ${px}stats)),
+         |${px}std AS MATERIALIZED (
          |  SELECT doc_id, y,
          |${(1 to d).map(j => s"    (x$j - m$j) / sd$j AS x$j").mkString(",\n")}
-         |  FROM lrf CROSS JOIN lrmu),
-         |lrw0 AS (SELECT 0.0e0 AS b, ${(1 to d).map(j => s"0.0e0 AS w$j").mkString(", ")})""".stripMargin
+         |  FROM $src CROSS JOIN ${px}mu),
+         |${px}w0 AS (SELECT 0.0e0 AS b, ${(1 to d).map(j => s"0.0e0 AS w$j").mkString(", ")})""".stripMargin
     val z = s"b + ${(1 to d).map(j => s"w$j * x$j").mkString(" + ")}"
     val iters = (1 to iterations).map { i =>
       val grads = (1 to d).map(j =>
@@ -3146,27 +3169,67 @@ object SparkEntry {
       val ups = (1 to d).map(j =>
         s"    w$j + $lr * ((CAST(q$j AS DOUBLE) / 1000000000000.0) / n) AS w$j")
         .mkString(",\n")
-      s"""lrp$i AS (
+      s"""${px}p$i AS (
          |  SELECT doc_id, y, ${(1 to d).map(j => s"x$j").mkString(", ")},
          |    1.0e0 / (1.0e0 + exp(-($z))) AS p
-         |  FROM lrstd CROSS JOIN lrw${i - 1}),
-         |lrg$i AS MATERIALIZED (
+         |  FROM ${px}std CROSS JOIN ${px}w${i - 1}),
+         |${px}g$i AS MATERIALIZED (
          |  SELECT count(*) AS n,
          |    ${ExactSum.oracleSumPicos("y - p")} AS q0,
          |$grads
-         |  FROM lrp$i),
-         |lrw$i AS MATERIALIZED (
+         |  FROM ${px}p$i),
+         |${px}w$i AS MATERIALIZED (
          |  SELECT b + $lr * ((CAST(q0 AS DOUBLE) / 1000000000000.0) / n) AS b,
          |$ups
-         |  FROM lrg$i CROSS JOIN lrw${i - 1})""".stripMargin
+         |  FROM ${px}g$i CROSS JOIN ${px}w${i - 1})""".stripMargin
     }.mkString(",\n", ",\n", "")
     val scored =
       s""",
-         |lrfinal AS MATERIALIZED (
+         |${px}final AS MATERIALIZED (
          |  SELECT doc_id, y, ${(1 to d).map(j => s"x$j").mkString(", ")},
          |    1.0e0 / (1.0e0 + exp(-($z))) AS p
-         |  FROM lrstd CROSS JOIN lrw$iterations)""".stripMargin
+         |  FROM ${px}std CROSS JOIN ${px}w$iterations)""".stripMargin
     head + iters + scored
+  }
+
+  private def logRegOracleCtes(iterations: Int, lr: Double): String =
+    logRegFeatureCte + ",\n" + logRegChainCtes("lrf", "lr", iterations, lr)
+
+  /** q241: the q110 fold assigner over the feature frame, then one full
+    * training chain PER FOLD (prefix `cv{f}_`) and a held-out eval CTE
+    * applying that fold's standardization + weights to the fold's rows.
+    */
+  private def logRegCvOracleSql(k: Int, iterations: Int,
+                                lr: Double): String = {
+    val d = LogRegFeatures.length
+    val chains = (0 until k).map { f =>
+      val zTest = s"b + ${(1 to d).map(j =>
+        s"w$j * ((t.x$j - m$j) / sd$j)").mkString(" + ")}"
+      s"""cvt$f AS MATERIALIZED (SELECT * FROM lrfold WHERE fold <> $f),
+         |${logRegChainCtes(s"cvt$f", s"cv${f}_", iterations, lr)},
+         |cv${f}eval AS (
+         |  SELECT t.y, 1.0e0 / (1.0e0 + exp(-($zTest))) AS p
+         |  FROM (SELECT * FROM lrfold WHERE fold = $f) t
+         |  CROSS JOIN cv${f}_mu CROSS JOIN cv${f}_w$iterations)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until k).map { f =>
+      s"""  SELECT CAST($f AS BIGINT) AS fold,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cvt$f) AS n_train,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    round(CAST(sum(CASE WHEN CAST(p >= 0.5 AS INT) = CAST(y AS INT)
+         |        THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |      AS test_accuracy
+         |  FROM cv${f}eval""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $logRegFeatureCte,
+       |lrfold AS MATERIALIZED (
+       |  SELECT lrf.*,
+       |    (row_number() OVER (PARTITION BY y
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % $k AS fold
+       |  FROM lrf),
+       |$chains
+       |$rows
+       |ORDER BY fold""".stripMargin
   }
 
   private def logRegTrainOracleSql(iterations: Int, lr: Double): String = {
@@ -7718,6 +7781,9 @@ object SparkEntry {
 
     // the same chain re-trained, then every row scored
     "q238_logreg_score" -> logRegScoreOracleSql(iterations = 5, lr = 0.5),
+
+    // q110's fold assigner + three full training chains + held-out evals
+    "q241_logreg_cv" -> logRegCvOracleSql(k = 3, iterations = 5, lr = 0.5),
 
     // q238's scored rows joined back to their source, then q133's
     // reliability-bin + ECE arithmetic per source

@@ -225,4 +225,43 @@ object LogReg {
       iterations, lr)._1
     Model(featureCols, stats, w)
   }
+
+  /** k-fold cross-validated evaluation — the HELD-OUT accuracy [[train]]'s
+    * in-sample number cannot give: for each fold f, fit on the other
+    * folds (fresh standardization from the TRAIN split only — fitted
+    * preprocessing must never see test rows) and score fold f. Output
+    * one row per fold: (fold, n_train, n_test, test_accuracy).
+    *
+    * `foldCol` comes from a deterministic assigner
+    * ([[Sampling.stratifiedKFold]]) so the whole evaluation is a pure
+    * function of the data — q241's oracle replays all k training chains.
+    *
+    * Scale: one persisted pass over the labeled feature frame serves
+    * every fold's stats/fit/eval aggregations; cost is k × the [[train]]
+    * job count, driver state k weight vectors.
+    */
+  def crossValidate(df: DataFrame, foldCol: String, labelCol: String,
+                    featureCols: Seq[String], k: Int,
+                    iterations: Int = 5, lr: Double = 1.0): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val scoped = TrackedCaches.track(
+      df.filter((col(labelCol) +: featureCols.map(col))
+          .map(_.isNotNull).reduce(_ && _))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    (0 until k).map { f =>
+      val train = scoped.filter(col(foldCol) =!= f)
+      val model = fitOn(train, labelCol, featureCols, iterations, lr)
+      val nTrain = train.count()
+      val p = model.probability
+      scoped.filter(col(foldCol) === f)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when((p >= 0.5).cast("int") === col(labelCol).cast("int"), 1L)
+            .otherwise(0L)).as("__ok"))
+        .select(lit(f.toLong).as("fold"), lit(nTrain).as("n_train"),
+          col("n_test"),
+          round(col("__ok").cast("double") / col("n_test").cast("double"), 6)
+            .as("test_accuracy"))
+    }.reduce(_.union(_))
+  }
 }

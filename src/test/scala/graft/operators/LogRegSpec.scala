@@ -59,6 +59,20 @@ class LogRegSpec extends SparkSpecBase {
       iterations = 5, lr = 0.5).count() == 40L)
   }
 
+  test("crossValidate: separable data stays separable out of fold; " +
+    "train/test partition the rows") {
+    val folded = Sampling.stratifiedKFold(separable, "label", "id", k = 4)
+    val rows = LogReg.crossValidate(folded, "fold", "label", Seq("x"),
+      k = 4, iterations = 20, lr = 1.0).orderBy("fold").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 40L)
+      assert(r.getAs[Long]("n_test") == 10L) // stratified: exact quarters
+      assert(r.getAs[Double]("test_accuracy") == 1.0,
+        s"fold ${r.getAs[Long]("fold")} not separable out of sample")
+    }
+  }
+
   test("empty labeled set fails loudly") {
     val e = intercept[Exception] {
       LogReg.train(separable.filter(lit(false)), "label", Seq("x")).collect()
