@@ -1588,6 +1588,28 @@ object SparkEntry {
           "fold", "label", LogRegFeatures, k = 3, iterations = 5, lr = 0.5)
         .orderBy(col("fold"))),
 
+    // the mixture loop CLOSED: q239's learned weights become per-domain
+    // sampling rates (weight / max weight — the top domain keeps all its
+    // rows, others downsample pro rata) applied through q65's
+    // deterministic md5-bucket mix; exact survivor counts per source.
+    // The weights frame is k rows — a parameter-bounded driver collect
+    // (the Pq-codebook precedent).
+    "q242_doremi_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = DataSelection.domainReweight(docs, "source",
+          eta = 5.0, smoothing = 0.1)
+        .select(col("domain"), col("weight")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val wmax = weights.values.max
+      Sampling.weightedMix(docs, "source", "doc_id",
+          fractions = weights.map { case (d, w) => d -> (w / wmax) },
+          defaultFraction = 0.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    }),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -3095,6 +3117,43 @@ object SparkEntry {
 
   private val LogRegFeatures =
     Seq("avg_token_len", "punct_ratio", "stopword_ratio", "alpha_ratio")
+
+  /** The q239 domain-reweight replay up to the (domain, w_raw) frame and
+    * one-row normalizer — shared by q239's weight output and q242's
+    * weight-derived resampling thresholds.
+    */
+  private val domainReweightOracleCtes: String =
+    """dt AS MATERIALIZED (
+      |  SELECT source AS domain, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |    FROM documents WHERE source IS NOT NULL)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |g AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cg FROM dt GROUP BY term),
+      |gt AS (SELECT CAST(sum(cg) AS BIGINT) AS ctot,
+      |  CAST(count(*) AS BIGINT) AS vocab FROM g),
+      |dtot AS (SELECT domain, CAST(sum(tf) AS BIGINT) AS ct_d,
+      |  CAST(count(*) AS BIGINT) AS vocab_d FROM dt GROUP BY domain),
+      |sc AS (
+      |  SELECT domain,
+      |    sum(CAST(CAST(tf AS DOUBLE) *
+      |        (-ln(CAST(cg + 1 AS DOUBLE) / (ctot + vocab)))
+      |      AS DECIMAL(28,12))) AS sg,
+      |    sum(CAST(CAST(tf AS DOUBLE) *
+      |        (-ln(CAST(tf + 1 AS DOUBLE) / (ct_d + vocab_d)))
+      |      AS DECIMAL(28,12))) AS sd,
+      |    CAST(sum(tf) AS BIGINT) AS n_tokens
+      |  FROM dt JOIN g USING (term) JOIN dtot USING (domain) CROSS JOIN gt
+      |  GROUP BY domain),
+      |ex AS MATERIALIZED (
+      |  SELECT domain, n_tokens,
+      |    (CAST(sg AS DOUBLE) - CAST(sd AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+      |      AS excess,
+      |    exp(5.0e0 * ((CAST(sg AS DOUBLE) - CAST(sd AS DOUBLE))
+      |      / CAST(n_tokens AS DOUBLE))) AS w_raw
+      |  FROM sc),
+      |nm AS (SELECT sum(CAST(w_raw AS DECIMAL(28,12))) AS z,
+      |  CAST(count(*) AS BIGINT) AS k FROM ex)""".stripMargin
 
   /** Unrolled logistic-regression training replay shared by q237/q238:
     * the q21 feature CTE plus the rule label, then one (p, gradient,
@@ -7739,41 +7798,34 @@ object SparkEntry {
     // q73's LM arithmetic at domain granularity, twice (global + own
     // model), then the closed-form EG softmax with uniform smoothing
     "q239_domain_reweight" ->
-      """WITH dt AS MATERIALIZED (
-        |  SELECT source AS domain, term, CAST(count(*) AS BIGINT) AS tf FROM (
-        |    SELECT source,
-        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |    FROM documents WHERE source IS NOT NULL)
-        |  WHERE term <> '' GROUP BY 1, 2),
-        |g AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cg FROM dt GROUP BY term),
-        |gt AS (SELECT CAST(sum(cg) AS BIGINT) AS ctot,
-        |  CAST(count(*) AS BIGINT) AS vocab FROM g),
-        |dtot AS (SELECT domain, CAST(sum(tf) AS BIGINT) AS ct_d,
-        |  CAST(count(*) AS BIGINT) AS vocab_d FROM dt GROUP BY domain),
-        |sc AS (
-        |  SELECT domain,
-        |    sum(CAST(CAST(tf AS DOUBLE) *
-        |        (-ln(CAST(cg + 1 AS DOUBLE) / (ctot + vocab)))
-        |      AS DECIMAL(28,12))) AS sg,
-        |    sum(CAST(CAST(tf AS DOUBLE) *
-        |        (-ln(CAST(tf + 1 AS DOUBLE) / (ct_d + vocab_d)))
-        |      AS DECIMAL(28,12))) AS sd,
-        |    CAST(sum(tf) AS BIGINT) AS n_tokens
-        |  FROM dt JOIN g USING (term) JOIN dtot USING (domain) CROSS JOIN gt
-        |  GROUP BY domain),
-        |ex AS (
-        |  SELECT domain, n_tokens,
-        |    (CAST(sg AS DOUBLE) - CAST(sd AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
-        |      AS excess,
-        |    exp(5.0e0 * ((CAST(sg AS DOUBLE) - CAST(sd AS DOUBLE))
-        |      / CAST(n_tokens AS DOUBLE))) AS w_raw
-        |  FROM sc),
-        |nm AS (SELECT sum(CAST(w_raw AS DECIMAL(28,12))) AS z,
-        |  CAST(count(*) AS BIGINT) AS k FROM ex)
-        |SELECT domain, n_tokens, round(excess, 6) AS excess_surprisal,
-        |  round((1.0e0 - 0.1e0) * (w_raw / CAST(z AS DOUBLE))
-        |    + 0.1e0 / CAST(k AS DOUBLE), 6) AS weight
-        |FROM ex CROSS JOIN nm ORDER BY domain""".stripMargin,
+      s"""WITH $domainReweightOracleCtes
+         |SELECT domain, n_tokens, round(excess, 6) AS excess_surprisal,
+         |  round((1.0e0 - 0.1e0) * (w_raw / CAST(z AS DOUBLE))
+         |    + 0.1e0 / CAST(k AS DOUBLE), 6) AS weight
+         |FROM ex CROSS JOIN nm ORDER BY domain""".stripMargin,
+
+    // q239's replayed weights turned into per-domain hexThreshold
+    // sampling rates (weight / max weight), then the q65 md5-bucket
+    // filter and exact per-source survivor counts
+    "q242_doremi_resample" -> {
+      val b = Sampling.bucketSql("doc_id")
+      s"""WITH $domainReweightOracleCtes,
+         |wts AS MATERIALIZED (
+         |  SELECT domain,
+         |    round((1.0e0 - 0.1e0) * (w_raw / CAST(z AS DOUBLE))
+         |      + 0.1e0 / CAST(k AS DOUBLE), 6) AS w
+         |  FROM ex CROSS JOIN nm),
+         |mxw AS (SELECT max(w) AS wmax FROM wts),
+         |th AS (
+         |  SELECT domain,
+         |    CAST(floor((w / wmax) * 65536.0 + 0.5) AS BIGINT) AS n
+         |  FROM wts CROSS JOIN mxw)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(d.doc_id) AS BIGINT) AS min_id
+         |FROM documents d JOIN th ON th.domain = d.source
+         |WHERE ('0x' || $b)::BIGINT < th.n
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
 
     // full training replay: q21's feature arithmetic + unrolled
     // gradient-ascent CTE chain, decimal-exact gradient sums
