@@ -1610,6 +1610,42 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // first-class corpus k-means (Lloyd over full vectors): md5-keyed
+    // deterministic init, decimal-exact per-dim means, fixed iterations —
+    // the Pq.trainCodebooks recipe at corpus granularity; the q243 oracle
+    // replays init, every iteration, and the final assignment
+    "q243_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      KMeans.assign(emb, KMeans.fit(emb, k = 8, iters = 3))
+        .select(col("vec_id"), col("cluster"),
+          (round(col("dist2"), 6) + lit(0.0)).as("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // clustering-quality scoring of the fitted q243 clusters in their own
+    // metric: L2 centroid silhouette, nearest + runner-up centroid found
+    // in ONE bounded TopKAgg pass over the n×k expansion
+    "q244_kmeans_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.silhouetteKMeans(emb, KMeans.fit(emb, k = 8, iters = 3))
+        .orderBy(col("cluster"))
+    }),
+
+    // SemDeDup over the FITTED k-means clusters (the paper's own
+    // composition, decoupled from the label column): q243's centroids
+    // partition the corpus, then the q79 keep-lowest-id cosine verdict
+    // runs within each cluster. Threshold 0.4 is the measured
+    // non-vacuous point on this isotropic corpus (within-cluster
+    // max_lower_cos tops out at 0.48/0.49/0.53 across
+    // sf0.001/0.01/0.1 — q79's 0.9 would drop nothing): 24/27/264
+    // rows drop at the three SFs, both verdict classes present
+    "q245_semdedup_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedupKMeans(emb, threshold = 0.4,
+          centroids = KMeans.fit(emb, k = 8, iters = 3))
+        .orderBy(col("vec_id"))
+    }),
+
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
     "q232_phrase_detect" -> ((s, dir) =>
@@ -2722,9 +2758,12 @@ object SparkEntry {
     // SemDeDup: nearest-centroid assignment (portable decimal-sum
     // centroids, so the oracle regenerates them exactly), then the
     // keep-lowest-id rule within each cluster — quadratic work confined
-    // inside cells
+    // inside cells. Threshold re-keyed 0.9 → 0.4 in round 9: the
+    // isotropic corpus never exceeds within-cell cosine 0.48/0.49/0.60
+    // (sf0.001/0.01/0.1), so 0.9 made the dropped flag vacuous; at 0.4
+    // the measured drop counts are 21/14/225 — both classes present
     "q79_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(t(s, dir, "embeddings"), threshold = 0.9,
+      Similarity.semDedup(t(s, dir, "embeddings"), threshold = 0.4,
           portable = true)
         .orderBy(col("vec_id"))),
 
@@ -7131,7 +7170,7 @@ object SparkEntry {
         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  GROUP BY b.vec_id)
         |SELECT v.vec_id, v.cell, round(m.mx, 6) AS max_lower_cos,
-        |  coalesce(m.mx >= 0.9e0, false) AS dropped
+        |  coalesce(m.mx >= 0.4e0, false) AS dropped
         |FROM assigned v LEFT JOIN lower_max m USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
@@ -7836,6 +7875,14 @@ object SparkEntry {
 
     // q110's fold assigner + three full training chains + held-out evals
     "q241_logreg_cv" -> logRegCvOracleSql(k = 3, iterations = 5, lr = 0.5),
+
+    "q243_kmeans" -> kmeansAssignOracleSql(k = 8, d = 64, iters = 3),
+
+    "q244_kmeans_silhouette" ->
+      kmeansSilhouetteOracleSql(k = 8, d = 64, iters = 3),
+
+    "q245_semdedup_kmeans" ->
+      kmeansSemDedupOracleSql(k = 8, d = 64, iters = 3, threshold = 0.4),
 
     // q238's scored rows joined back to their source, then q133's
     // reliability-bin + ECE arithmetic per source
@@ -8652,6 +8699,119 @@ object SparkEntry {
        |  ORDER BY score DESC, vec_id) <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Generated DuckDB replay of the [[KMeans]] Lloyd chain (init, every
+    * iteration, final assignment) — the q149/pqOracle recipe at corpus
+    * granularity. `closer` appends the consumer-specific CTEs + SELECT
+    * (q243 assignment, q244 L2 silhouette, q245 within-cluster semdedup).
+    * `vecs` and `fin` are multiply-referenced → `AS MATERIALIZED`
+    * (DuckDB inlines CTEs by default; the q209 lesson).
+    */
+  private def kmeansOracle(k: Int, d: Int, iters: Int, closer: String): String = {
+    def dotList(vx: String, cx: String) =
+      s"list_sum(list_transform(generate_series(1, $d), j -> $vx[j] * $cx[j]))"
+    def assignCte(name: String, cbName: String, mat: Boolean) =
+      s"""$name AS${if (mat) " MATERIALIZED" else ""} (
+         |  SELECT vec_id, x, cluster, dist2 FROM (
+         |    SELECT v.vec_id, v.x, c.cluster,
+         |      (v.xn2 - 2.0 * ${dotList("v.x", "c.cent")}) + c.cn2 AS dist2,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        (v.xn2 - 2.0 * ${dotList("v.x", "c.cent")}) + c.cn2,
+         |        c.cluster) AS rn
+         |    FROM vecs v JOIN $cbName c ON true)
+         |  WHERE rn = 1)"""
+    def meanCtes(it: Int) =
+      s"""mean$it AS (
+         |  SELECT cluster, j,
+         |    CAST(SUM(CAST(x[j] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS comp
+         |  FROM a$it, (SELECT unnest(generate_series(1, $d)) AS j) jj
+         |  GROUP BY cluster, j),
+         |cbl$it AS (
+         |  SELECT cluster, list(comp ORDER BY j) AS cent
+         |  FROM mean$it GROUP BY cluster),
+         |cb$it AS (
+         |  SELECT cluster, cent, ${dotList("cent", "cent")} AS cn2
+         |  FROM cbl$it)"""
+    val iterCtes = (1 to iters).map(it =>
+      assignCte(s"a$it", s"cb${it - 1}", mat = false) + ",\n" + meanCtes(it))
+      .mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, x, ${dotList("x", "x")} AS xn2 FROM e),
+       |init AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
+       |      vec_id) AS INT) - 1 AS cluster
+       |  FROM vecs
+       |  QUALIFY cluster < $k),
+       |cb0 AS (
+       |  SELECT i.cluster, v.x AS cent, v.xn2 AS cn2
+       |  FROM init i JOIN vecs v USING (vec_id)),
+       |$iterCtes,
+       |${assignCte("fin", s"cb$iters", mat = true)}
+       |$closer""".stripMargin
+  }
+
+  /** q243: the final assignment verbatim. */
+  private def kmeansAssignOracleSql(k: Int, d: Int, iters: Int): String =
+    kmeansOracle(k, d, iters,
+      """SELECT vec_id, cluster, round(dist2, 6) + 0 AS dist2
+        |FROM fin ORDER BY vec_id""".stripMargin)
+
+  /** q244: L2 centroid silhouette — nearest + runner-up centroid per
+    * point (rn ≤ 2 mirrors the TopKAgg(k=2) element order), a/b = the
+    * two distances, decimal-quantized mean per cluster. `two` is
+    * referenced twice → MATERIALIZED.
+    */
+  private def kmeansSilhouetteOracleSql(k: Int, d: Int, iters: Int): String = {
+    val dot =
+      s"list_sum(list_transform(generate_series(1, $d), j -> v.x[j] * c.cent[j]))"
+    kmeansOracle(k, d, iters,
+      s""",
+         |two AS MATERIALIZED (
+         |  SELECT vec_id, cluster, dist2, rn FROM (
+         |    SELECT v.vec_id, c.cluster,
+         |      (v.xn2 - 2.0 * $dot) + c.cn2 AS dist2,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        (v.xn2 - 2.0 * $dot) + c.cn2, c.cluster) AS rn
+         |    FROM vecs v JOIN cb$iters c ON true)
+         |  WHERE rn <= 2),
+         |ab AS (
+         |  SELECT o.cluster, sqrt(greatest(o.dist2, 0.0)) AS a,
+         |    CASE WHEN n.vec_id IS NULL THEN NULL
+         |      ELSE sqrt(greatest(n.dist2, 0.0)) END AS b
+         |  FROM two o LEFT JOIN two n ON n.vec_id = o.vec_id AND n.rn = 2
+         |  WHERE o.rn = 1),
+         |sv AS (
+         |  SELECT cluster, CASE WHEN b IS NULL THEN NULL
+         |    WHEN greatest(a, b) = 0.0 THEN 0.0e0
+         |    ELSE (b - a) / greatest(a, b) END AS s
+         |  FROM ab)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+         |  round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(s), 6)
+         |    AS mean_silhouette
+         |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin)
+  }
+
+  /** q245: the q79 within-cluster keep-lowest-id verdict over the FITTED
+    * clusters (`fin` is MATERIALIZED in the shared chain — referenced by
+    * both self-join sides and the final verdict join).
+    */
+  private def kmeansSemDedupOracleSql(k: Int, d: Int, iters: Int,
+                                      threshold: Double): String =
+    kmeansOracle(k, d, iters,
+      s""",
+         |lower_max AS (
+         |  SELECT b.vec_id, max(list_cosine_similarity(a.x, b.x)) AS mx
+         |  FROM fin a JOIN fin b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  GROUP BY b.vec_id)
+         |SELECT f.vec_id, f.cluster AS cell, round(m.mx, 6) AS max_lower_cos,
+         |  coalesce(m.mx >= ${threshold}e0, false) AS dropped
+         |FROM fin f LEFT JOIN lower_max m USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin)
 
   private def ngramJaccardOracle(threshold: Double, n: Int,
                                  maxDf: Option[Long],

@@ -295,18 +295,43 @@ object Similarity {
     // the map-side partial aggregate, so the shuffle carries corpus rows,
     // not corpus×k (a row_number window would shuffle and sort the
     // expansion)
-    // persisted: the assignment subtree (corpus scan + centroid agg +
-    // broadcast cosine + per-id argmax) is referenced THREE times below
-    // (both self-join sides and the final verdict join) and would rerun
-    // per reference; registered with TrackedCaches like the shingle
-    // arrays (released via Dedup.releaseCaches / Curation.report)
-    val assigned = TrackedCaches.track(v.join(broadcast(cents), lit(true))
+    val assigned = v.join(broadcast(cents), lit(true))
       .withColumn("csim", cosineCol(col("v"), col("centroid")))
       .groupBy(col(idCol))
       .agg(min(struct((-col("csim")).as("neg"), col("cell").as("cell"),
         col("v").as("v"), col("vn").as("vn"))).as("best"))
       .select(col(idCol), col("best.v").as("v"), col("best.vn").as("vn"),
         col("best.cell").as("cell"))
+    semDedupOnAssigned(assigned, threshold, idCol)
+  }
+
+  /** SemDeDup over [[KMeans]] clusters — the paper's own composition
+    * (k-means partition, then within-cluster cosine): assignment by the
+    * KMeans squared-L2 rule against FITTED centroids (so clustering is
+    * decoupled from any label column), then the identical keep-lowest-id
+    * verdict. `centroids` is a [[KMeans.fit]] frame (cluster, centroid,
+    * cn2) — k rows, parameter-bounded. Output shape matches [[semDedup]]
+    * with `cell` = the k-means cluster id.
+    */
+  def semDedupKMeans(corpus: DataFrame, threshold: Double,
+                     centroids: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    semDedupOnAssigned(
+      KMeans.assignWithVec(corpus, centroids, idCol, vecCol)
+        .select(col("vec_id").as(idCol), col("x").as("v"),
+          normCol(col("x")).as("vn"), col("cluster").as("cell")),
+      threshold, idCol)
+
+  /** The within-cluster keep-lowest-id verdict shared by [[semDedup]]
+    * and [[semDedupKMeans]]; `assigned` carries (idCol, v, vn, cell).
+    * Persisted: the assignment subtree is referenced THREE times below
+    * (both self-join sides and the final verdict join) and would rerun
+    * per reference; registered with TrackedCaches like the shingle
+    * arrays (released via Dedup.releaseCaches / Curation.report).
+    */
+  private def semDedupOnAssigned(assignedPlan: DataFrame, threshold: Double,
+                                 idCol: String): DataFrame = {
+    val assigned = TrackedCaches.track(assignedPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = assigned.select(col("cell"), col(idCol).as("a_id"),
       col("v").as("av"), col("vn").as("an"))
@@ -407,6 +432,54 @@ object Similarity {
         .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
         .as("s"))
     sv.groupBy(col("cl").as(labelCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("s").cast("decimal(28,12)")).cast("double") /
+          count(col("s")), 6).as("mean_silhouette"))
+  }
+
+  /** Centroid silhouette of a [[KMeans]] clustering, in the clustering's
+    * own metric: each point's cluster is its L2-nearest centroid (the
+    * KMeans assignment rule), a(i)/b(i) are the L2 distances to the
+    * nearest and second-nearest centroid, s(i) = (b − a)/max(a, b)
+    * (0 when both are 0; null — excluded from the mean — when only one
+    * centroid exists). `centroids` is a [[KMeans.fit]] frame (cluster,
+    * centroid, cn2).
+    *
+    * Scale shape: one n × k scored expansion collapsed by the bounded
+    * [[graft.functions.TopKAgg]] partial aggregate (k = 2 — nearest and
+    * runner-up in ONE pass, so the shuffle carries ≤ 2 struct rows per
+    * point, never the expansion); distances by the `xn² − 2·x·c + cn²`
+    * double tree, bit-identical to the q244 oracle's list fold; the
+    * per-point scores DECIMAL(28,12)-quantized before the order-free
+    * mean.
+    */
+  def silhouetteKMeans(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("x"))
+      .withColumn("xn2", dotCol(col("x"), col("x")))
+    val scored = v.join(broadcast(centroids), lit(true))
+      .withColumn("dist2",
+        col("xn2") - (lit(2.0) * dotCol(col("x"), col("centroid"))) + col("cn2"))
+    // top-2 by score DESC on −dist2 = the 2 smallest dist2, ties to the
+    // lowest cluster id — element order equals row_number() OVER
+    // (ORDER BY dist2, cluster)
+    val two = scored.groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.topK(-col("dist2"),
+        col("cluster").cast("long"), 2).as("tp"))
+      .select(col("id"), col("tp")(0).as("own"),
+        when(size(col("tp")) > 1, col("tp")(1)).as("nxt"))
+    val sv = two.select(col("own.id").cast("int").as("cluster"),
+        sqrt(greatest(-col("own.score"), lit(0.0))).as("a"),
+        when(col("nxt").isNull, lit(null).cast("double"))
+          .otherwise(sqrt(greatest(-col("nxt.score"), lit(0.0)))).as("b"))
+      .select(col("cluster"),
+        when(col("b").isNull, lit(null).cast("double"))
+          .when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("s"))
+    sv.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"),
         round(sum(col("s").cast("decimal(28,12)")).cast("double") /
           count(col("s")), 6).as("mean_silhouette"))

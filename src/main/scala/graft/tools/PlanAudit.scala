@@ -31,7 +31,7 @@ object PlanAudit {
                                       count: Int = 1)
   private val allowedBroadcasts = Seq(
     AllowedBroadcast("Similarity.scala", "q", "query set — API contract: structurally small (a query batch, not a corpus)"),
-    AllowedBroadcast("Similarity.scala", "centroids", "k centroid rows — parameter-bounded"),
+    AllowedBroadcast("Similarity.scala", "centroids", "k centroid rows — parameter-bounded", count = 2),
     AllowedBroadcast("Similarity.scala", "probed", "queries × nProbe rows — parameter-bounded"),
     AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
@@ -68,6 +68,7 @@ object PlanAudit {
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
     AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 3),
+    AllowedBroadcast("KMeans.scala", "cb", "k-means centroid frame — k rows, parameter-bounded (collected per iteration as a literal frame)"),
     AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
