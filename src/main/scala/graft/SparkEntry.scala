@@ -1410,6 +1410,22 @@ object SparkEntry {
       Bpe.compressionStats(t(s, dir, "documents"), merges = 8)
         .orderBy(col("doc_id"))),
 
+    // train-once / apply-anywhere tokenizer: q207's merge table
+    // PERSISTED (writeMerges — the k merge rows ARE the tokenizer
+    // state), read back, and applied to the corpus as ONE composed
+    // nested-replace map pass (no retraining, zero iteration jobs) —
+    // byte-identical to q208's training-time rewrite, so it shares
+    // q208's oracle verbatim (the q129 shared-oracle pattern)
+    "q246_bpe_apply" -> ((s, dir) => {
+      val saved = "/tmp/graft_scratch/bpe_merges_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, saved)
+      Bpe.writeMerges(Bpe.learnMerges(t(s, dir, "documents"), merges = 8),
+        saved)
+      Bpe.encodeFromMerges(t(s, dir, "documents"), Bpe.readMerges(s, saved))
+        .orderBy(col("doc_id"))
+    }),
+
     // HITS hubs/authorities over the q115 nation supply graph — which
     // consumer nations are the strong hubs, which supplier nations the
     // strong authorities; 3 L2-normalized iterations, decimal-exact sums
@@ -7711,6 +7727,11 @@ object SparkEntry {
     "q207_bpe_train" -> bpeTrainOracleSql(8),
 
     "q208_bpe_compression" -> bpeCompressionOracleSql(8),
+
+    // q246 loads q207's persisted merges and must be byte-identical to
+    // the from-scratch q208 — one oracle, two queries (the q20/q129
+    // shared-oracle precedent)
+    "q246_bpe_apply" -> bpeCompressionOracleSql(8),
 
     "q209_hits" -> hitsOracleSql(3),
 

@@ -133,14 +133,79 @@ object Bpe {
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    val finalSeqs = learned(docs, merges, textCol)._2
-      .select(col("word"),
-        size(symbols(col("seq"))).cast("long").as("word_tokens"))
+    statsFromWordTokens(docs,
+      learned(docs, merges, textCol)._2
+        .select(col("word"),
+          size(symbols(col("seq"))).cast("long").as("word_tokens")),
+      idCol, textCol)
+  }
+
+  /** Persist a [[learnMerges]] table for train-once / apply-anywhere
+    * tokenization (the writeIvfIndex / LogReg.Model precedent): merges
+    * are the WHOLE tokenizer state, k rows, so new batches encode
+    * without touching the training corpus again.
+    */
+  def writeMerges(mergeTable: DataFrame, dir: String): Unit =
+    mergeTable
+      .select(col("iteration"), col("sym_a"), col("sym_b"), col("merged"),
+        col("pair_count"))
+      .repartition(1) // k rows — one footer beats k tiny files
+      .write.mode("overwrite").parquet(dir)
+
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Tokenize a batch under a SAVED merge table, without retraining:
+    * the k merge rows (parameter-bounded — the tokenizer's entire
+    * state) collect to the driver and compose, in iteration order, into
+    * ONE nested `replace` column — a single codegen map pass over the
+    * batch's Zipf-bounded vocab frame, byte-identical to the
+    * training-time rewrite because sequential replace application IS
+    * function composition (q246 shares q208's oracle verbatim).
+    * Output matches [[compressionStats]]: (idCol, n_words, n_chars,
+    * n_bpe_tokens, chars_per_token).
+    *
+    * Scale shape: zero iteration jobs — where training runs k
+    * aggregate+rewrite rounds, applying runs none; the only shuffles
+    * are the batch's word-vocab groupBy and the per-doc rollup. Very
+    * large k would nest the expression past codegen comfort
+    * (~thousands); at vocabulary-building scale (k ≤ a few hundred
+    * here) the composed expression stays a single whole-stage span.
+    */
+  def encodeFromMerges(docs: DataFrame, mergeTable: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ms = mergeTable
+      .select(col("iteration").cast("int"), col("sym_a"), col("sym_b"),
+        col("merged"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val seqCol = ms.foldLeft(initialSeq(col("word"))) { (c, r) =>
+      replace(c, lit(s" ${r.getString(1)}  ${r.getString(2)} "),
+        lit(s" ${r.getString(3)} "))
+    }
+    val vocab = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
+      .filter(col("word").rlike(WordRe))
+      .distinct()
+    statsFromWordTokens(docs,
+      vocab.select(col("word"),
+        size(symbols(seqCol)).cast("long").as("word_tokens")),
+      idCol, textCol)
+  }
+
+  /** Per-doc rollup shared by [[compressionStats]] and
+    * [[encodeFromMerges]]: join the corpus words to the per-word token
+    * counts, aggregate counts and the chars-per-token ratio.
+    */
+  private def statsFromWordTokens(docs: DataFrame, wordTokens: DataFrame,
+                                  idCol: String, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
         explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
       .filter(col("word").rlike(WordRe))
-      .join(finalSeqs, Seq("word"))
+      .join(wordTokens, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).cast("long").as("n_chars"),
@@ -148,5 +213,4 @@ object Bpe {
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") /
           col("n_bpe_tokens").cast("double"), 6))
-  }
 }

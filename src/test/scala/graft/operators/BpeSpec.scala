@@ -93,4 +93,31 @@ class BpeSpec extends SparkSpecBase {
     assert(row.head.getAs[Long]("n_words") == 2L)
     assert(row.head.getAs[Long]("n_bpe_tokens") == 2L) // 1 symbol/word
   }
+
+  test("persisted merges round-trip: encodeFromMerges ≡ compressionStats") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.writeMerges(Bpe.learnMerges(sennrich, merges = 5), dir)
+    val fromScratch = Bpe.compressionStats(sennrich, merges = 5)
+      .orderBy("doc_id").collect().toSeq
+    val fromSaved = Bpe.encodeFromMerges(sennrich,
+        Bpe.readMerges(spark, dir))
+      .orderBy("doc_id").collect().toSeq
+    assert(fromSaved == fromScratch,
+      "loaded-merges encode diverged from the training-time rewrite")
+  }
+
+  test("encodeFromMerges tokenizes UNSEEN words under the saved vocabulary") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.writeMerges(Bpe.learnMerges(sennrich, merges = 5), dir)
+    // 'lowest' never occurs in training; its encode must still apply
+    // the learned merges in order (es, est, est</w>, lo, low):
+    // l o w e s t </w> → l o w est</w> → lo w est</w> → low est</w>
+    // = 2 tokens
+    val out = Bpe.encodeFromMerges(
+        Seq((9L, "lowest")).toDF("doc_id", "text"),
+        Bpe.readMerges(spark, dir)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_bpe_tokens") == 2L,
+      s"unseen word mis-encoded: ${out.head}")
+  }
 }
