@@ -2188,6 +2188,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the pipeline's LAST MILE: rendezvous-sharded (q219), greedily
+    // packed (q55), hive-partitioned training-data export — gated on
+    // the per-shard manifest computed from the WRITTEN files (content
+    // preservation through the write, the q150 pattern; checksum =
+    // q157's order-free additive md5 sum, STRING-cast)
+    "q247_training_export" -> ((s, dir) => {
+      val out = "/tmp/graft_scratch/export_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, out)
+      Curation.export(t(s, dir, "documents"), out,
+          numShards = 8, budget = 300L)
+        .orderBy(col("shard"))
+    }),
+
     // cross-corpus novelty: every document scored under a unigram model
     // trained ONLY on source src0 — OOD detection vs a curated
     // reference, with the unseen-token share split out as oov_frac
@@ -8289,6 +8303,59 @@ object SparkEntry {
 
     // argmax over the shard ring replayed as row_number over (h DESC,
     // s DESC) — the same (hash, shard) struct-max tiebreak
+    // q247: q219's rendezvous CTE + q55's recursive packing per shard +
+    // the q157 additive checksum, rolled to the per-shard manifest
+    "q247_training_export" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id, s,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+        |sh AS (
+        |  SELECT doc_id, CAST(s AS INTEGER) AS shard FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+        |        AS rn
+        |    FROM w)
+        |  WHERE rn = 1),
+        |ord AS (
+        |  SELECT t.doc_id, t.n_tokens, sh.shard,
+        |    row_number() OVER (PARTITION BY sh.shard ORDER BY t.doc_id) AS rn
+        |  FROM toks t JOIN sh ON sh.doc_id = t.doc_id),
+        |rec AS (
+        |  SELECT shard, doc_id, rn, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq_no, n_tokens AS acc
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.rn, o.n_tokens,
+        |    CASE WHEN r.acc + o.n_tokens > 300 THEN r.seq_no + 1
+        |         ELSE r.seq_no END,
+        |    CASE WHEN r.acc + o.n_tokens > 300 THEN o.n_tokens
+        |         ELSE r.acc + o.n_tokens END
+        |  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1),
+        |st AS (
+        |  SELECT shard, seq_no, sum(n_tokens) AS seq_tokens
+        |  FROM rec GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT shard, CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens
+        |  FROM st GROUP BY shard)
+        |SELECT r.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(r.seq_no) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(('0x' || substr(md5(
+        |      CAST(d.doc_id AS VARCHAR) || chr(31) || d.text), 1, 16))::UBIGINT
+        |    ::DECIMAL(20,0)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+        |  m.max_seq_tokens
+        |FROM rec r
+        |JOIN documents d ON d.doc_id = r.doc_id
+        |JOIN mx m ON m.shard = r.shard
+        |GROUP BY r.shard, m.max_seq_tokens
+        |ORDER BY r.shard""".stripMargin,
+
     "q219_rendezvous_shard" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
         |w AS (

@@ -132,4 +132,59 @@ object Curation {
     import sp.implicits._
     counts.toDF("stage", "n_docs").orderBy(col("stage"))
   }
+
+  /** The pipeline's LAST MILE: write the curated corpus as
+    * shard-balanced, sequence-packed training data, and return the
+    * per-shard manifest computed FROM THE WRITTEN FILES — so the
+    * manifest gate proves content preservation through the write (the
+    * q150 compaction pattern), not just through the plan.
+    *
+    * Composition (every piece is an existing gated operator):
+    *   - [[Sampling.rendezvousShard]] balances docs over `numShards`
+    *     with minimal-movement semantics (zero shuffle, row-local);
+    *   - [[Packing.packSequences]] greedily packs each shard's docs
+    *     into ≤ `budget`-token sequences in deterministic id order
+    *     (sequences never span shards — one key shuffle);
+    *   - one hive-partitioned parquet write (`shard=N/…` — the layout
+    *     a trainer's data loader consumes shard-parallel, and the same
+    *     dynamic-pruning lever as the q129 IVF lists);
+    *   - manifest per shard, from readback: docs, sequences, tokens,
+    *     the max packed-sequence token total (the budget law made
+    *     visible), and [[Fingerprint]]'s order-free additive checksum
+    *     over (id, text) — STRING-cast, the q157 decimal-hop lesson.
+    *
+    * Scale shape: two corpus passes (write, manifest readback) plus
+    * the packing shuffle; the manifest is numShards rows. At 100 TB
+    * the write is the job — everything else rides it.
+    */
+  def export(docs: DataFrame, dir: String, numShards: Int, budget: Long,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val withTok = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        size(TextAnalysis.tokensCol(col(textCol))).cast("long").as("n_tokens"))
+    val sharded = Sampling.rendezvousShard(withTok, idCol, numShards)
+    val packed = Packing.packSequences(sharded, "shard", idCol,
+        "n_tokens", budget)
+      .select(col("id").as(idCol), col("group").cast("int").as("shard"),
+        col("seq_no"))
+    sharded.select(col(idCol), col(textCol), col("n_tokens"))
+      .join(packed, Seq(idCol))
+      .select(col("shard"), col("seq_no"), col(idCol), col("n_tokens"),
+        col(textCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .withColumn("shard", col("shard").cast("int"))
+    val seqTotals = back.groupBy(col("shard"), col("seq_no"))
+      .agg(sum(col("n_tokens")).as("__seq_tokens"))
+      .groupBy(col("shard"))
+      .agg(max(col("__seq_tokens")).cast("long").as("max_seq_tokens"))
+    back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("seq_no")) + 1).cast("long").as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(Fingerprint.rowHashCol(Seq(col(idCol), col(textCol))))
+          .cast("decimal(38,0)").cast("string").as("checksum"))
+      .join(seqTotals, Seq("shard"))
+  }
 }

@@ -92,4 +92,32 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.head._2 == 30L)
     rows.map(_._2).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
   }
+
+  test("export: manifest preserves content, respects the budget, balances shards") {
+    val docs = (1L to 60L).map(i => (i, prose(i.toInt), "src0"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val manifest = Curation.export(docs, dir, numShards = 4, budget = 60L)
+      .collect()
+    assert(manifest.length == 4, "every shard must appear in the manifest")
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == 60L)
+    // each doc is 25 tokens → ≤ 2 per 60-token sequence; budget law holds
+    assert(manifest.forall(_.getAs[Long]("max_seq_tokens") <= 60L))
+    // additive checksum: Σ per-shard == the whole-input fingerprint
+    // (content preserved THROUGH the write — the export's entire point)
+    val total = Fingerprint.datasetFingerprint(docs, Seq("doc_id", "text"))
+      .collect().head.getDecimal(1)
+    val summed = manifest.map(r => BigDecimal(r.getAs[String]("checksum")))
+      .sum
+    assert(summed == BigDecimal(total),
+      s"checksums lost content: $summed != $total")
+    // hive layout: one shard=N directory per shard
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 4).map(s => s"shard=$s"))
+    // re-reading one shard's directory yields exactly that shard's docs
+    val shard0 = spark.read.parquet(s"$dir/shard=0").count()
+    assert(shard0 == manifest.find(_.getAs[Int]("shard") == 0).get
+      .getAs[Long]("n_docs"))
+  }
 }
