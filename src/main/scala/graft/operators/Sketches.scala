@@ -108,6 +108,84 @@ object Sketches {
       .agg(merge(col("sketch")).as("sketch"))
   }
 
+  // ----------------------------------------------- quantiles (GK)
+
+  /** Mergeable QUANTILE sketches — the percentile member completing the
+    * incremental-monitoring family (HLL = cardinality, CMS = frequency,
+    * GK = rank): one compressed Greenwald–Khanna summary per group as a
+    * persistable binary column ([[graft.functions.QuantileSketchAgg]])
+    * plus the exact row count. A query at fraction p returns a value
+    * with rank within ±ε·n of target; the merge law preserves the bound
+    * for the union, so per-day sketch frames fold without rescanning
+    * history — [[Outliers.winsorize]]'s `exact=false` path computes the
+    * same GK summaries transiently; this persists them.
+    *
+    * Unlike the HLL/CMS rows, GK merge output is order-dependent WITHIN
+    * the error bound, so the family is spec-verified (rank-error law,
+    * parquet round-trip, merged-n additivity), not hash-gated —
+    * documented like the HLL q-less row.
+    */
+  def quantileSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     relativeError: Double = 0.01): DataFrame = {
+    val gc = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(gc: _*)
+      .agg(graft.functions.QuantileSketchAgg
+          .sketch(col(valueCol).cast("double"), relativeError).as("sketch"),
+        count(lit(1)).as("n"))
+  }
+
+  /** GK merge of a quantile-sketch frame down to a coarser group set
+    * (empty = whole corpus): runs on the sketch frame only. `n` stays
+    * exact (plain sum).
+    */
+  def mergeQuantileSketches(sketches: DataFrame,
+                            groupCols: Seq[String] = Nil): DataFrame = {
+    val qs = graft.functions.QuantileSketchAgg
+    val merge = udaf(new org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] {
+      def zero: Array[Byte] = Array.emptyByteArray
+      def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+      def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+        if (x.isEmpty) y else if (y.isEmpty) x
+        else qs.toBytes(qs.fromBytes(x).merge(qs.fromBytes(y)))
+      def finish(r: Array[Byte]): Array[Byte] = r
+      def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+      def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+    })
+    if (groupCols.isEmpty)
+      sketches.groupBy().agg(merge(col("sketch")).as("sketch"),
+        sum(col("n")).cast("long").as("n"))
+    else sketches.groupBy(groupCols.map(col): _*)
+      .agg(merge(col("sketch")).as("sketch"),
+        sum(col("n")).cast("long").as("n"))
+  }
+
+  /** Quantile estimates from a sketch frame: one row per (sketch row ×
+    * probe fraction). The whole probe list runs in ONE udf call per
+    * sketch row (the [[estimateFrequencies]] one-deserialization
+    * lesson). Empty sketches yield null values.
+    */
+  def estimateQuantiles(sketches: DataFrame,
+                        probes: Seq[Double]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe fraction")
+    require(probes.forall(p => p >= 0 && p <= 1),
+      s"probe fractions out of [0,1]: $probes")
+    val qs = graft.functions.QuantileSketchAgg
+    val est = udf((bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty)
+        probes.map(p => (p, Option.empty[Double]))
+      else {
+        val s = qs.fromBytes(bytes)
+        probes.map(p => (p, s.query(p)))
+      })
+    sketches
+      .withColumn("__qv", explode(est(col("sketch"))))
+      .withColumn("q", col("__qv._1"))
+      .withColumn("value", col("__qv._2"))
+      .drop("sketch", "__qv")
+  }
+
   /** Point-frequency estimates: one row per (sketch row × probe key),
     * with the CMS guarantee estimate ≥ true count. The probe set is
     * caller-bounded (heavy-hitter candidates, not the key universe).

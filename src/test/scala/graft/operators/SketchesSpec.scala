@@ -107,4 +107,78 @@ class SketchesSpec extends SparkSpecBase {
       assert(e <= 1L + math.ceil(0.01 * 500 * 3).toLong, s"overcount $e")
     }
   }
+
+  // ---------------------------------------------------- quantile (GK)
+
+  // 3 sources over distinct value ranges so per-source and union
+  // quantiles genuinely differ; n = 7000, values 0..6999 shuffled by
+  // a fixed multiplicative permutation (insertion order must not be
+  // sorted — GK compresses as it goes)
+  private lazy val qrows = (0 until 7000)
+    .map(i => (i * 2654435761L % 7000).toInt)
+    .zipWithIndex.map { case (v, i) =>
+      (if (v < 3000) "a" else if (v < 5000) "b" else "c", v.toDouble)
+    }
+  private lazy val qdf = qrows.toDF("source", "x")
+
+  /** rank-error check: the estimate's true rank must be within
+    * ε·n (+1 slack for interpolation at the boundary) of p·n.
+    */
+  private def assertWithinRank(est: Double, p: Double, eps: Double,
+                               sorted: Seq[Double]): Unit = {
+    val n = sorted.size
+    val rank = sorted.count(_ <= est)
+    assert(math.abs(rank - p * n) <= eps * n + 1,
+      s"q=$p: estimate $est has rank $rank of $n (bound ${eps * n})")
+  }
+
+  test("quantileSketch estimates satisfy the GK rank-error law per group") {
+    val eps = 0.01
+    val est = Sketches.estimateQuantiles(
+        Sketches.quantileSketch(qdf, "x", Seq("source"), eps),
+        Seq(0.1, 0.5, 0.9))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("q"),
+        r.getAs[Double]("value")))
+    val bySource = qrows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(est.length == 9)
+    est.foreach { case (s, p, v) => assertWithinRank(v, p, eps, bySource(s)) }
+  }
+
+  test("merged per-source quantile sketches answer for the UNION within " +
+    "the bound, with exact n") {
+    val eps = 0.01
+    val merged = Sketches.mergeQuantileSketches(
+      Sketches.quantileSketch(qdf, "x", Seq("source"), eps))
+    assert(merged.collect().head.getAs[Long]("n") == 7000L)
+    val est = Sketches.estimateQuantiles(merged, Seq(0.25, 0.5, 0.75, 0.99))
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("value"))
+    val all = qrows.map(_._2).sorted
+    est.foreach { case (p, v) => assertWithinRank(v, p, eps, all) }
+  }
+
+  test("quantile sketch bytes survive a parquet round trip with identical " +
+    "estimates (the persisted-frame contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("gk_sketch").toString
+    val sk = Sketches.quantileSketch(qdf, "x", Seq("source"))
+    sk.write.mode("overwrite").parquet(dir)
+    val probes = Seq(0.1, 0.5, 0.9)
+    val before = Sketches.estimateQuantiles(sk, probes)
+      .collect().map(r => (r.getString(0), r.getAs[Double]("q")) ->
+        r.getAs[Double]("value")).toMap
+    val after = Sketches.estimateQuantiles(
+        spark.read.parquet(dir), probes)
+      .collect().map(r => (r.getString(0), r.getAs[Double]("q")) ->
+        r.getAs[Double]("value")).toMap
+    assert(after == before, "estimates drifted across the parquet round trip")
+  }
+
+  test("quantile sketch: empty probe target yields null values, n stays 0") {
+    val empty = Sketches.quantileSketch(
+      qdf.filter(col("x") < -1), "x", Seq.empty)
+    // groupBy().agg over zero rows still emits one row with an empty
+    // sketch (count 0) — querying it must yield nulls, not a crash
+    val est = Sketches.estimateQuantiles(empty, Seq(0.5)).collect()
+    assert(est.length == 1 && est.head.isNullAt(est.head.fieldIndex("value")))
+  }
 }
