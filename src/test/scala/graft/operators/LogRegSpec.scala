@@ -79,4 +79,27 @@ class LogRegSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("at least one labeled row"))
   }
+
+  test("out-of-range feature magnitudes fail with the column named, " +
+    "not an opaque cast error") {
+    import spark.implicits._
+    // margin zone (3000 < |x| < ~3036): the quantized cast survives, the
+    // stats-pass max check fires pre-emptively
+    val margin = Seq((1L, 3010.0, 1), (2L, 1.0, 0))
+      .toDF("id", "big_feat", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      LogReg.train(margin, "label", Seq("big_feat")).collect()
+    }
+    assert(e1.getMessage.contains("big_feat") &&
+      e1.getMessage.contains("rescale"), e1.getMessage)
+    // far out of range: the aggregation itself overflows under ANSI —
+    // the catch path probes the maxes and still names the column
+    val wild = Seq((1L, 50000.0, 1), (2L, 1.0, 0))
+      .toDF("id", "big_feat", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      LogReg.train(wild, "label", Seq("big_feat")).collect()
+    }
+    assert(e2.getMessage.contains("big_feat") &&
+      e2.getMessage.contains("rescale"), e2.getMessage)
+  }
 }
