@@ -1426,6 +1426,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenize TO TOKEN IDS — the pipeline's actual tokenizer output:
+    // per-(doc, position) symbol ids under the learned q207 vocabulary
+    // (dense ids in symbol sort order; per-word encode runs once per
+    // DISTINCT word and joins back; the only corpus-row window is
+    // doc-partitioned)
+    "q248_bpe_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // HITS hubs/authorities over the q115 nation supply graph — which
     // consumer nations are the strong hubs, which supplier nations the
     // strong authorities; 3 L2-normalized iterations, decimal-exact sums
@@ -1661,6 +1672,28 @@ object SparkEntry {
           centroids = KMeans.fit(emb, k = 8, iters = 3))
         .orderBy(col("vec_id"))
     }),
+
+    // cluster-balanced sampling — the DataComp/SemDeDup curation move
+    // k-means exists for: cap every FITTED cluster at a quota so no
+    // region of embedding space dominates the mix (q54's deterministic
+    // md5-order quota over q243's clusters). Quota 60 splits the
+    // sf0.01 cluster sizes (56–75): some clusters cap, some keep all
+    "q249_cluster_balanced_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sampling.quotaSample(
+          KMeans.assign(emb, KMeans.fit(emb, k = 8, iters = 3))
+            .select(col("vec_id"), col("cluster")),
+          "cluster", "vec_id", quota = 60)
+        .orderBy(col("vec_id"))
+    }),
+
+    // the Lloyd convergence curve: Σ min-dist² per centroid state
+    // (decimal-exact, non-increasing — the elbow-method diagnostic);
+    // the oracle reads each iteration's dist2 straight out of the
+    // replayed q243 chain
+    "q250_kmeans_inertia" -> ((s, dir) =>
+      KMeans.inertiaHistory(t(s, dir, "embeddings"), k = 8, iters = 3)
+        .orderBy(col("iteration"))),
 
     // word2phrase collocation promotion: discounted-lift phrase pairs
     // for tokenizer/vocab preprocessing (Mikolov phrases pass)
@@ -3516,6 +3549,43 @@ object SparkEntry {
        |FROM dwf JOIN wt USING (word)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** q248: the q207 training chain, then the corpus tokenized to ids —
+    * per-word positions via list-comprehension unnest (wpos over the
+    * FULL token array, filter after — mirroring posexplode-then-filter),
+    * symbol ids dense in sort order, document position by
+    * (wpos, spos) rank.
+    */
+  private def bpeTokenIdsOracleSql(merges: Int): String =
+    s"""WITH ${bpeOracleCtes(merges)},
+       |dtk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |dw AS (
+       |  SELECT doc_id, u['wpos'] AS wpos, u['word'] AS word FROM (
+       |    SELECT doc_id,
+       |      unnest([{'wpos': i, 'word': tk[i]} FOR i IN range(1, len(tk) + 1)]) AS u
+       |    FROM dtk)
+       |  WHERE regexp_matches(u['word'], '^[a-z0-9]+$$')),
+       |ws AS (SELECT word, string_split(trim(seq), '  ') AS syms FROM s$merges),
+       |voc AS (
+       |  SELECT symbol,
+       |    CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id
+       |  FROM (SELECT DISTINCT unnest(syms) AS symbol FROM ws)),
+       |sy AS (
+       |  SELECT doc_id, wpos, v['spos'] AS spos, v['sym'] AS symbol FROM (
+       |    SELECT d.doc_id, d.wpos,
+       |      unnest([{'spos': i, 'sym': w.syms[i]} FOR i IN range(1, len(w.syms) + 1)]) AS v
+       |    FROM dw d JOIN ws w USING (word))),
+       |pos AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1
+       |      AS BIGINT) AS pos,
+       |    symbol
+       |  FROM sy)
+       |SELECT p.doc_id, p.pos, v.token_id
+       |FROM pos p JOIN voc v USING (symbol)
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
     * the two queries must be byte-identical, so they share one oracle.
@@ -7755,6 +7825,8 @@ object SparkEntry {
     // shared-oracle precedent)
     "q246_bpe_apply" -> bpeCompressionOracleSql(8),
 
+    "q248_bpe_token_ids" -> bpeTokenIdsOracleSql(8),
+
     "q209_hits" -> hitsOracleSql(3),
 
     "q210_zorder_skipping" ->
@@ -7926,6 +7998,36 @@ object SparkEntry {
 
     "q245_semdedup_kmeans" ->
       kmeansSemDedupOracleSql(k = 8, d = 64, iters = 3, threshold = 0.4),
+
+    // q249: the q243 chain + q54's md5-order quota window per cluster
+    "q249_cluster_balanced_sample" ->
+      kmeansOracle(k = 8, d = 64, iters = 3,
+        """,
+          |rk AS (
+          |  SELECT vec_id, cluster,
+          |    row_number() OVER (PARTITION BY cluster
+          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          |  FROM fin)
+          |SELECT vec_id, cluster FROM rk
+          |WHERE rk <= 60
+          |ORDER BY vec_id""".stripMargin),
+
+    // q250: inertia_t = Σ dist2 of the chain's own assignment CTEs —
+    // a1..a3 carry the min-dist² under cb0..cb2, fin under cb3
+    "q250_kmeans_inertia" ->
+      kmeansOracle(k = 8, d = 64, iters = 3,
+        (0 to 3).map { t =>
+          val src = if (t == 3) "fin" else s"a${t + 1}"
+          s""",
+             |in$t AS (
+             |  SELECT CAST($t AS BIGINT) AS iteration,
+             |    CAST(count(*) AS BIGINT) AS n_points,
+             |    round(CAST(SUM(CAST(dist2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+             |      AS inertia
+             |  FROM $src)""".stripMargin
+        }.mkString("") +
+          "\n" + (0 to 3).map(t => s"SELECT * FROM in$t")
+            .mkString("\nUNION ALL ") + "\nORDER BY iteration"),
 
     // q238's scored rows joined back to their source, then q133's
     // reliability-bin + ECE arithmetic per source
@@ -8828,8 +8930,11 @@ object SparkEntry {
          |cb$it AS (
          |  SELECT cluster, cent, ${dotList("cent", "cent")} AS cn2
          |  FROM cbl$it)"""
+    // a$it MATERIALIZED: q250 references each assignment CTE twice
+    // (means chain + inertia row) — DuckDB would re-expand the whole
+    // upstream chain per reference (the q209 lesson)
     val iterCtes = (1 to iters).map(it =>
-      assignCte(s"a$it", s"cb${it - 1}", mat = false) + ",\n" + meanCtes(it))
+      assignCte(s"a$it", s"cb${it - 1}", mat = true) + ",\n" + meanCtes(it))
       .mkString(",\n")
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings

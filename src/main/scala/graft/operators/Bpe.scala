@@ -175,24 +175,84 @@ object Bpe {
     */
   def encodeFromMerges(docs: DataFrame, mergeTable: DataFrame,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    statsFromWordTokens(docs,
+      distinctWords(docs, textCol).select(col("word"),
+        size(symbols(composedReplace(mergeTable))).cast("long")
+          .as("word_tokens")),
+      idCol, textCol)
+
+  /** The k merges of a saved table composed, in iteration order, into
+    * one nested `replace` column over [[initialSeq]] — sequential
+    * replace application IS function composition, so this equals the
+    * training-time rewrite byte for byte.
+    */
+  private def composedReplace(mergeTable: DataFrame): org.apache.spark.sql.Column = {
     val ms = mergeTable
       .select(col("iteration").cast("int"), col("sym_a"), col("sym_b"),
         col("merged"))
       .collect()
       .sortBy(_.getInt(0))
-    val seqCol = ms.foldLeft(initialSeq(col("word"))) { (c, r) =>
+    ms.foldLeft(initialSeq(col("word"))) { (c, r) =>
       replace(c, lit(s" ${r.getString(1)}  ${r.getString(2)} "),
         lit(s" ${r.getString(3)} "))
     }
-    val vocab = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+  }
+
+  private def distinctWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
       .filter(col("word").rlike(WordRe))
       .distinct()
-    statsFromWordTokens(docs,
-      vocab.select(col("word"),
-        size(symbols(seqCol)).cast("long").as("word_tokens")),
-      idCol, textCol)
+
+  /** Deterministic symbol vocabulary of a corpus encoded under a saved
+    * merge table: (symbol, token_id) with dense 0-based ids in symbol
+    * sort order — the id table a trainer's tokenizer ships with. The
+    * frame is STRUCTURALLY tiny (≤ base alphabet + |merges| + 1
+    * symbols), so the unpartitioned id window is k-bounded by
+    * construction (the q228 waiver class, never corpus-sized).
+    */
+  def symbolVocab(docs: DataFrame, mergeTable: DataFrame,
+                  textCol: String = "text"): DataFrame =
+    distinctWords(docs, textCol)
+      .select(explode(symbols(composedReplace(mergeTable))).as("symbol"))
+      .distinct()
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("symbol"))) - 1).cast("long"))
+
+  /** Tokenize a corpus TO TOKEN IDS under a saved merge table — the
+    * pipeline's actual tokenizer output (ids, not counts): one row per
+    * (document, position) with the symbol's [[symbolVocab]] id.
+    * Document order is (word position, symbol position within word),
+    * positions dense 0-based per document; only `[a-z0-9]+` words
+    * participate (the training contract).
+    *
+    * Scale shape: the per-word encode runs once per DISTINCT word
+    * (Zipf-bounded) and joins back on the word key; the vocab join is
+    * symbol-bounded; the only per-corpus-row window is partitioned by
+    * document. Output: (idCol, pos, token_id).
+    */
+  def encodeIds(docs: DataFrame, mergeTable: DataFrame,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val words = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokensCol(col(textCol))).as(Seq("wpos", "word")))
+      .filter(col("word").rlike(WordRe))
+    val wordSyms = distinctWords(docs, textCol)
+      .select(col("word"), symbols(composedReplace(mergeTable)).as("syms"))
+    val vocab = symbolVocab(docs, mergeTable, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("wpos"), col("spos"))
+    words.join(wordSyms, Seq("word"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "symbol")))
+      .join(vocab, Seq("symbol"))
+      .select(col(idCol),
+        (row_number().over(w) - 1).cast("long").as("pos"),
+        col("token_id"))
   }
 
   /** Per-doc rollup shared by [[compressionStats]] and

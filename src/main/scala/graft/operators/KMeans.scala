@@ -81,7 +81,17 @@ object KMeans {
     * `cluster` ∈ [0, k) (empty clusters drop).
     */
   def fit(corpus: DataFrame, k: Int, iters: Int = 3,
-          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    fitHistory(corpus, k, iters, idCol, vecCol)._2.last
+
+  /** The Lloyd loop, keeping every centroid state: returns the tracked
+    * vector frame and the iters+1 local codebook frames cb₀ (init) …
+    * cb_iters (final) — [[fit]] takes the last; [[inertiaHistory]]
+    * scores each.
+    */
+  private def fitHistory(corpus: DataFrame, k: Int, iters: Int,
+                         idCol: String, vecCol: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val spark = corpus.sparkSession
     val v = TrackedCaches.track(vecs(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -97,6 +107,8 @@ object KMeans {
     var cb = toLocal(spark,
       v.join(initIds, "vec_id")
         .select(col("cluster"), col("x").as("centroid"), col("xn2").as("cn2")))
+    val history = Seq.newBuilder[DataFrame]
+    history += cb
     for (_ <- 1 to iters) {
       val cents = assignVecs(v, cb)
         .select(col("cluster"), posexplode(col("x")).as(Seq("j", "xx")))
@@ -110,8 +122,38 @@ object KMeans {
           expr("transform(pc, p -> p.comp)").as("centroid"))
         .withColumn("cn2", dot(col("centroid"), col("centroid")))
       cb = toLocal(spark, cents)
+      history += cb
     }
-    cb
+    (v, history.result())
+  }
+
+  /** The Lloyd convergence curve — one row per centroid state t ∈
+    * [0, iters]: (iteration, n_points, inertia) with inertia_t =
+    * Σ min-dist² under the iteration-t centroids, DECIMAL(28,12)-summed
+    * (order-free) and rounded 6 dp. Inertia is non-increasing in t —
+    * Lloyd's monotonicity, the elbow-method diagnostic that tells a
+    * data-map pipeline when k or iters is enough. One bounded
+    * aggregation per state over the cached vector frame; driver state
+    * is iters+1 (long, long, double) rows.
+    */
+  def inertiaHistory(corpus: DataFrame, k: Int, iters: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val (v, cbs) = fitHistory(corpus, k, iters, idCol, vecCol)
+    val rows = cbs.zipWithIndex.map { case (cb, t) =>
+      val r = assignVecs(v, cb)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("dist2").cast("decimal(28,12)")).cast("double"), 6)
+            .as("inertia"))
+        .head()
+      Row(t.toLong, r.getLong(0), r.getDouble(1))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("iteration", LongType, nullable = false),
+        StructField("n_points", LongType, nullable = false),
+        StructField("inertia", DoubleType, nullable = false))))
   }
 
   /** Assign each corpus row to its nearest centroid (squared L2, ties to

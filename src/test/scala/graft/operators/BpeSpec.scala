@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 
 class BpeSpec extends SparkSpecBase {
 
@@ -119,5 +120,21 @@ class BpeSpec extends SparkSpecBase {
     assert(out.length == 1)
     assert(out.head.getAs[Long]("n_bpe_tokens") == 2L,
       s"unseen word mis-encoded: ${out.head}")
+  }
+
+  test("encodeIds: hand-traced id sequence under the sorted symbol vocab") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    // final seqs: low→{low,</w>} lower→{low,e,r,</w>} newest→{n,e,w,est</w>}
+    // widest→{w,i,d,est</w>}; distinct symbols sorted:
+    // </w>=0 d=1 e=2 est</w>=3 i=4 low=5 n=6 r=7 w=8
+    val vocab = Bpe.symbolVocab(sennrich, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("</w>" -> 0L, "d" -> 1L, "e" -> 2L, "est</w>" -> 3L,
+      "i" -> 4L, "low" -> 5L, "n" -> 6L, "r" -> 7L, "w" -> 8L), vocab)
+    // doc 2 = "lower lower" → low e r </w> twice
+    val ids = Bpe.encodeIds(sennrich, merges)
+      .filter(col("doc_id") === 2L).orderBy("pos").collect()
+      .map(_.getAs[Long]("token_id")).toSeq
+    assert(ids == Seq(5L, 2L, 7L, 0L, 5L, 2L, 7L, 0L), ids)
   }
 }

@@ -77,6 +77,20 @@ class KMeansSpec extends SparkSpecBase {
       "a single centroid has no runner-up — mean silhouette must be null")
   }
 
+  test("inertiaHistory is non-increasing (Lloyd monotonicity) and counts every row") {
+    val hist = KMeans.inertiaHistory(separated, k = 3, iters = 4)
+      .orderBy("iteration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hist.map(_._1).toSeq == (0L to 4L))
+    assert(hist.forall(_._2 == 24L))
+    hist.map(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"inertia increased: ${hist.mkString(", ")}")
+    }
+    // separated clusters converge: the final inertia is the within-group
+    // jitter only, far below the init state's cross-group assignments
+    assert(hist.last._3 < hist.head._3)
+  }
+
   test("semDedupKMeans verdicts match within-cluster pairwise cosine (sf0.001)") {
     val emb = Tables.embeddings(spark, sf()).limit(100)
     val cb = KMeans.fit(emb, k = 4, iters = 2)
