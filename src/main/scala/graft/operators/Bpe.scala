@@ -67,9 +67,33 @@ object Bpe {
     learned(docs, merges, textCol)._1
   }
 
+  // Session-scoped training memo keyed by the canonicalized corpus plan
+  // + merge count: the merge table and final sequences are a pure
+  // function of (docs, merges), and four driver queries (train,
+  // compression, persisted apply, token ids) consume the same chain —
+  // one training per session, the checkpointed frames reused directly.
+  // Swept by TrackedCaches.release() (cold benches retrain per query).
+  private val trainMemo = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, String), (DataFrame, DataFrame, Long)]
+  TrackedCaches.onRelease(() => trainMemo.synchronized(trainMemo.clear()))
+
   /** Internal: (merge table, final per-word symbol sequences). */
   private def learned(docs: DataFrame, merges: Int,
                       textCol: String): (DataFrame, DataFrame) = {
+    // plan-object key: structural equality covers LocalRelation data,
+    // which the truncating toString would not
+    val memoKey = (docs.queryExecution.analyzed.canonicalized,
+      merges, textCol)
+    trainMemo.synchronized(trainMemo.get(memoKey)) match {
+      case Some((table, seqs, trainedEpoch)) =>
+        // cross-QUERY reuse flags the bench row warm, like track()'s
+        // plan match (within-query reuse is the query's own)
+        if (trainedEpoch < TrackedCaches.currentQueryEpoch)
+          TrackedCaches.noteMemoReuse()
+        return (table, seqs)
+      case None => ()
+    }
     var seqs = wordFreqs(docs, textCol)
       .select(col("word"), col("freq"), initialSeq(col("word")).as("seq"))
       .localCheckpoint(true) // referenced twice per iteration: scan once
@@ -114,6 +138,12 @@ object Bpe {
           .localCheckpoint(true) // cut per-iteration lineage growth
       }
       i += 1
+    }
+    // table/seqs are localCheckpoint-backed — storing the frames keeps
+    // the checkpoints alive for session reuse; the release hook drops
+    // the references and the ContextCleaner reclaims them
+    trainMemo.synchronized {
+      trainMemo(memoKey) = (table, seqs, TrackedCaches.currentQueryEpoch)
     }
     (table, seqs)
   }

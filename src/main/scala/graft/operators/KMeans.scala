@@ -84,6 +84,19 @@ object KMeans {
           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     fitHistory(corpus, k, iters, idCol, vecCol)._2.last
 
+  // Session-scoped fitted-codebook memo, keyed by the CANONICALIZED
+  // corpus plan + parameters: the battery's k-means consumers (assign,
+  // silhouette, semdedup, balanced sample, inertia) each need the same
+  // fit, and training is a pure function of (corpus, k, iters) — so a
+  // session trains once and every later consumer replays the collected
+  // k-row states for free (the TrackedCaches reuse philosophy lifted to
+  // driver-side model state; swept by TrackedCaches.release(), so COLD
+  // benches retrain per query).
+  private val fitMemo = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, String, String), (Seq[Array[Row]], Long)]
+  TrackedCaches.onRelease(() => fitMemo.synchronized(fitMemo.clear()))
+
   /** The Lloyd loop, keeping every centroid state: returns the tracked
     * vector frame and the iters+1 local codebook frames cb₀ (init) …
     * cb_iters (final) — [[fit]] takes the last; [[inertiaHistory]]
@@ -95,6 +108,21 @@ object KMeans {
     val spark = corpus.sparkSession
     val v = TrackedCaches.track(vecs(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // keyed on the canonicalized PLAN OBJECT: structural equality covers
+    // LocalRelation data, which the truncating toString would not
+    val memoKey = (corpus.queryExecution.analyzed.canonicalized,
+      k, iters, idCol, vecCol)
+    val hit = fitMemo.synchronized(fitMemo.get(memoKey))
+    hit match {
+      case Some((states, trainedEpoch)) =>
+        // cross-QUERY reuse flags the bench row warm (within-query
+        // re-fits — silhouette after assign — are the query's own)
+        if (trainedEpoch < TrackedCaches.currentQueryEpoch)
+          TrackedCaches.noteMemoReuse()
+        return (v, states.map(rows => spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), cbSchema)))
+      case None => ()
+    }
     // init: k rows by ascending md5-52-bit key (TopKAgg on the negated
     // key — bounded partial agg, no global window); position = cluster.
     val u = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
@@ -124,7 +152,12 @@ object KMeans {
       cb = toLocal(spark, cents)
       history += cb
     }
-    (v, history.result())
+    val states = history.result()
+    fitMemo.synchronized {
+      fitMemo(memoKey) = // k-row local frames + the training query epoch
+        (states.map(_.collect()), TrackedCaches.currentQueryEpoch)
+    }
+    (v, states)
   }
 
   /** The Lloyd convergence curve — one row per centroid state t ∈

@@ -18,6 +18,18 @@ private[graft] object TrackedCaches {
   // trust its size mark (the buffer was cleared under it)
   private var epoch = 0L
 
+  // driver-side memo invalidators (KMeans fitted codebooks, Bpe merge
+  // chains): session-scoped model state follows the same lifecycle as
+  // the frame caches — global release() sweeps it, so COLD benches and
+  // long sessions reclaim everything through the one entry point.
+  // Global-release-only by design: scopedRelease cleans one query's
+  // internal frames and must not evict another query's models.
+  private val releaseHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private[graft] def onRelease(f: () => Unit): Unit = synchronized {
+    releaseHooks += f
+  }
+
   // ---- cross-query cache-reuse accounting (bench attribution) ----
   // Bench calls beginQuery() before each query; track() stamps entries
   // with the current query epoch and plan-matches new registrations
@@ -35,6 +47,17 @@ private[graft] object TrackedCaches {
   def beginQuery(): Unit = synchronized { queryEpoch += 1 }
 
   def crossQueryReuseCount: Long = synchronized(crossQueryReuse)
+
+  private[graft] def currentQueryEpoch: Long = synchronized(queryEpoch)
+
+  /** Driver-side model memos (KMeans/Bpe) report a hit on state an
+    * EARLIER query trained — same warm-attribution contract as the
+    * frame-cache plan match in [[track]]: the benefiting query's bench
+    * time is flagged warm, never silently assisted.
+    */
+  private[graft] def noteMemoReuse(): Unit = synchronized {
+    if (queryEpoch > 0) crossQueryReuse += 1
+  }
 
   def track(df: DataFrame): DataFrame = synchronized {
     if (queryEpoch > 0) {
@@ -65,6 +88,7 @@ private[graft] object TrackedCaches {
     tracked.clear()
     entryEpochs.clear()
     epoch += 1
+    releaseHooks.foreach(_.apply())
   }
 
   /** Run `f` and release ONLY the caches registered during it — the shape
