@@ -1426,6 +1426,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenize a NEW BATCH under the FULL corpus's FIXED vocabulary —
+    // stable ids across batches (the deployment contract a trainer
+    // needs): every doc_id % 5 = 0 document encodes to exactly the id
+    // rows q248 assigns it, because the vocab is pinned to the training
+    // corpus rather than re-derived from the batch
+    "q252_bpe_ids_stable_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, merges = 8)
+      Bpe.encodeIdsWithVocab(docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+          merges, Bpe.symbolVocab(docs, merges))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // tokenize TO TOKEN IDS — the pipeline's actual tokenizer output:
     // per-(doc, position) symbol ids under the learned q207 vocabulary
     // (dense ids in symbol sort order; per-word encode runs once per
@@ -1670,6 +1683,22 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.semDedupKMeans(emb, threshold = 0.4,
           centroids = KMeans.fit(emb, k = 8, iters = 3))
+        .orderBy(col("vec_id"))
+    }),
+
+    // train-once / assign-anywhere clustering: q243's centroids
+    // PERSISTED (the k-row frame IS the model; doubles survive parquet
+    // bit-exact), read back, and assigned from the LOADED frame —
+    // byte-identical to q243, so it shares q243's oracle verbatim
+    "q251_kmeans_index" -> ((s, dir) => {
+      val saved = "/tmp/graft_scratch/kmeans_cents_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, saved)
+      val emb = t(s, dir, "embeddings")
+      KMeans.writeCentroids(KMeans.fit(emb, k = 8, iters = 3), saved)
+      KMeans.assign(emb, KMeans.readCentroids(s, saved))
+        .select(col("vec_id"), col("cluster"),
+          (round(col("dist2"), 6) + lit(0.0)).as("dist2"))
         .orderBy(col("vec_id"))
     }),
 
@@ -3556,11 +3585,13 @@ object SparkEntry {
     * symbol ids dense in sort order, document position by
     * (wpos, spos) rank.
     */
-  private def bpeTokenIdsOracleSql(merges: Int): String =
+  private def bpeTokenIdsOracleSql(merges: Int,
+                                   docWhere: String = "TRUE"): String =
     s"""WITH ${bpeOracleCtes(merges)},
        |dtk AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND trim(text) <> '' AND ($docWhere)),
        |dw AS (
        |  SELECT doc_id, u['wpos'] AS wpos, u['word'] AS word FROM (
        |    SELECT doc_id,
@@ -3584,7 +3615,7 @@ object SparkEntry {
        |    symbol
        |  FROM sy)
        |SELECT p.doc_id, p.pos, v.token_id
-       |FROM pos p JOIN voc v USING (symbol)
+       |FROM pos p LEFT JOIN voc v USING (symbol)
        |ORDER BY doc_id, pos""".stripMargin
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
@@ -7827,6 +7858,12 @@ object SparkEntry {
 
     "q248_bpe_token_ids" -> bpeTokenIdsOracleSql(8),
 
+    // q252: the q248 chain with the encode corpus restricted — the
+    // vocabulary STAYS the full training corpus's (ws/voc build from
+    // the training chain, not from dtk)
+    "q252_bpe_ids_stable_vocab" ->
+      bpeTokenIdsOracleSql(8, docWhere = "doc_id % 5 = 0"),
+
     "q209_hits" -> hitsOracleSql(3),
 
     "q210_zorder_skipping" ->
@@ -7992,6 +8029,10 @@ object SparkEntry {
     "q241_logreg_cv" -> logRegCvOracleSql(k = 3, iterations = 5, lr = 0.5),
 
     "q243_kmeans" -> kmeansAssignOracleSql(k = 8, d = 64, iters = 3),
+
+    // q251 assigns from PERSISTED centroids and must be byte-identical
+    // to q243 — one oracle, two queries (the q20/q129 precedent)
+    "q251_kmeans_index" -> kmeansAssignOracleSql(k = 8, d = 64, iters = 3),
 
     "q244_kmeans_silhouette" ->
       kmeansSilhouetteOracleSql(k = 8, d = 64, iters = 3),

@@ -265,7 +265,26 @@ object Bpe {
     */
   def encodeIds(docs: DataFrame, mergeTable: DataFrame,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text"): DataFrame =
+    encodeIdsCore(docs, mergeTable,
+      symbolVocab(docs, mergeTable, textCol), idCol, textCol)
+
+  /** [[encodeIds]] under a FIXED vocabulary — stable ids across
+    * batches: pair with [[writeMerges]]-persisted merges and a
+    * persisted [[symbolVocab]] so every future batch tokenizes to the
+    * SAME id space the trainer saw. Symbols absent from `vocab` (a new
+    * batch can carry characters the vocab corpus lacked) surface as a
+    * null `token_id` AT THEIR POSITION — positions are assigned before
+    * the vocab join, so OOV can never silently renumber a document.
+    */
+  def encodeIdsWithVocab(docs: DataFrame, mergeTable: DataFrame,
+                         vocab: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    encodeIdsCore(docs, mergeTable, vocab, idCol, textCol)
+
+  private def encodeIdsCore(docs: DataFrame, mergeTable: DataFrame,
+                            vocab: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     val words = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
@@ -273,16 +292,16 @@ object Bpe {
       .filter(col("word").rlike(WordRe))
     val wordSyms = distinctWords(docs, textCol)
       .select(col("word"), symbols(composedReplace(mergeTable)).as("syms"))
-    val vocab = symbolVocab(docs, mergeTable, textCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("wpos"), col("spos"))
     words.join(wordSyms, Seq("word"))
       .select(col(idCol), col("wpos"),
         posexplode(col("syms")).as(Seq("spos", "symbol")))
-      .join(vocab, Seq("symbol"))
       .select(col(idCol),
         (row_number().over(w) - 1).cast("long").as("pos"),
-        col("token_id"))
+        col("symbol"))
+      .join(vocab, Seq("symbol"), "left")
+      .select(col(idCol), col("pos"), col("token_id"))
   }
 
   /** Per-doc rollup shared by [[compressionStats]] and

@@ -204,4 +204,19 @@ object KMeans {
   private[operators] def assignWithVec(corpus: DataFrame, centroids: DataFrame,
                                        idCol: String, vecCol: String): DataFrame =
     assignVecs(vecs(corpus, idCol, vecCol), centroids)
+
+  /** Persist fitted centroids for train-once / assign-anywhere use
+    * (the writeIvfIndex / Bpe.writeMerges precedent): the k-row frame
+    * IS the whole model, and centroid doubles survive parquet
+    * bit-exact, so a loaded-centroid [[assign]] is byte-identical to
+    * assigning under the in-memory fit (q251 shares q243's oracle).
+    */
+  def writeCentroids(centroids: DataFrame, dir: String): Unit =
+    centroids.select(col("cluster").cast("int"),
+        col("centroid").cast("array<double>"), col("cn2").cast("double"))
+      .repartition(1) // k rows — one footer beats k tiny files
+      .write.mode("overwrite").parquet(dir)
+
+  def readCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

@@ -137,4 +137,19 @@ class BpeSpec extends SparkSpecBase {
       .map(_.getAs[Long]("token_id")).toSeq
     assert(ids == Seq(5L, 2L, 7L, 0L, 5L, 2L, 7L, 0L), ids)
   }
+
+  test("encodeIdsWithVocab: OOV symbols yield null ids AT their position, " +
+    "never a renumbering") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    // "low xz": low→{low,</w>}=[5,0]; xz→{x,z,</w>} with x,z unseen
+    val out = Bpe.encodeIdsWithVocab(
+        Seq((9L, "low xz")).toDF("doc_id", "text"), merges, vocab)
+      .orderBy("pos").collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.toSeq == Seq(
+      0L -> Some(5L), 1L -> Some(0L),                   // low </w>
+      2L -> None, 3L -> None, 4L -> Some(0L)), out.toSeq) // x z </w>
+  }
 }
