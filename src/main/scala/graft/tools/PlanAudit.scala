@@ -186,6 +186,11 @@ object PlanAudit {
         "∝-clustered-docs frame; no join product anywhere in the " +
         "pair/closure/split chain",
       Seq(), Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("k-means map-side argmin", "q243_kmeans",
+      "the n×k assignment expansion collapses in the partial min(struct) " +
+        "aggregate BELOW the exchange (shuffle carries corpus rows, not " +
+        "corpus×k); the only loop join is against the k-row literal codebook",
+      Seq("partial_min"), Seq("CartesianProduct")),
     Check("k-anonymity two-level distinct", "q180_k_anonymity",
       "l-diversity comes from the chained (quasi, sensitive) → quasi " +
         "hash aggregations — no Expand-based count_distinct widening " +
