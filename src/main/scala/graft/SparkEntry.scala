@@ -1686,6 +1686,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // data-constrained mixture planning (Muennighoff 2023): per-domain
+    // token availability vs a skewed target mixture ((N%4+1)/50 per
+    // srcN — the corpus's equal sources make FLAT weights vacuous) at a
+    // budget of 1.2× the corpus — heavy-weight domains go into deficit
+    // (epochs > 1: repetition), light ones don't, at EVERY SF because
+    // domain shares stay ~equal
+    "q253_token_budget_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(
+        sum(size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+          .cast("long")).head().getLong(0) // one long — parameter-bounded
+      val weights = (0 until 20)
+        .map(n => s"src$n" -> (n % 4 + 1).toDouble / 50.0).toMap
+      DataSelection.tokenBudgetPlan(docs, "source", weights,
+          budgetTokens = math.floor(1.2 * total + 0.5).toLong)
+        .orderBy(col("domain"))
+    }),
+
     // train-once / assign-anywhere clustering: q243's centroids
     // PERSISTED (the k-row frame IS the model; doubles survive parquet
     // bit-exact), read back, and assigned from the LOADED frame —
@@ -8039,6 +8057,36 @@ object SparkEntry {
 
     "q245_semdedup_kmeans" ->
       kmeansSemDedupOracleSql(k = 8, d = 64, iters = 3, threshold = 0.4),
+
+    // q253: availability agg + the same (N%4+1)/50 weight and
+    // 1.2×-total budget arithmetic, term for term
+    "q253_token_budget_plan" ->
+      """WITH avail AS (
+        |  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(floor(1.2 * CAST(sum(
+        |      len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |    + 0.5) AS BIGINT) AS budget
+        |  FROM documents),
+        |w AS (
+        |  SELECT domain,
+        |    CAST(CAST(substr(domain, 4) AS INT) % 4 + 1 AS DOUBLE) / 50.0
+        |      AS weight
+        |  FROM avail)
+        |SELECT a.domain, a.n_docs, a.n_tokens,
+        |  round(w.weight, 6) AS weight,
+        |  CAST(floor(CAST(t.budget AS DOUBLE) * w.weight + 0.5) AS BIGINT)
+        |    AS tokens_required,
+        |  round(CAST(floor(CAST(t.budget AS DOUBLE) * w.weight + 0.5)
+        |      AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) AS epochs,
+        |  CAST(floor(CAST(t.budget AS DOUBLE) * w.weight + 0.5) AS BIGINT)
+        |    > a.n_tokens AS deficit
+        |FROM avail a JOIN w USING (domain) CROSS JOIN tot t
+        |ORDER BY a.domain""".stripMargin,
 
     // q249: the q243 chain + q54's md5-order quota window per cluster
     "q249_cluster_balanced_sample" ->

@@ -145,4 +145,44 @@ object DataSelection {
           (col("__w_raw") / col("__z").cast("double")) +
           lit(smoothing) / col("__k").cast("double"), 6).as("weight"))
   }
+
+  /** Data-constrained mixture PLANNING (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): given per-domain
+    * availability and target mixture weights, how many tokens does a
+    * training budget draw from each domain, and how many EPOCHS of that
+    * domain does the draw imply — epochs > 1 means repetition (with its
+    * documented diminishing returns), surfaced as the `deficit` flag.
+    * The planning table every mixture decision (q239's learned weights,
+    * a hand-tuned recipe) should be checked against BEFORE launching a
+    * run that silently epochs a small domain five times.
+    *
+    * One availability aggregation over the corpus (map-side combinable);
+    * the weights are a k-row literal frame; everything derived is plain
+    * IEEE arithmetic both engines reproduce. Domains absent from
+    * `weights` are unplanned and drop (inner join — deliberate: the
+    * caller's weight map IS the mixture).
+    */
+  def tokenBudgetPlan(docs: DataFrame, groupCol: String,
+                      weights: Map[String, Double], budgetTokens: Long,
+                      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(weights.nonEmpty, "need at least one domain weight")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokensCol(col(textCol))).cast("long"))
+          .cast("long").as("n_tokens"))
+    val wdf = weights.toSeq.sortBy(_._1).toDF("domain", "weight")
+    val required = floor(lit(budgetTokens.toDouble) * col("weight") +
+      lit(0.5)).cast("long")
+    avail.join(wdf, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("weight"), 6).as("weight"),
+        required.as("tokens_required"),
+        round(required.cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"),
+        (required > col("n_tokens")).as("deficit"))
+  }
 }

@@ -78,4 +78,26 @@ class DataSelectionSpec extends SparkSpecBase {
         .map(_.toSeq).toSeq
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("tokenBudgetPlan: hand-checked epochs and deficit; unweighted " +
+    "domains drop") {
+    // a: 2 docs × 3 tokens = 6; b: 1 doc × 4 tokens = 4; c unweighted
+    val docs = Seq((1L, "a", "x y z"), (2L, "a", "p q r"),
+      (3L, "b", "w x y z"), (4L, "c", "m n"))
+      .toDF("doc_id", "source", "text")
+    val out = DataSelection.tokenBudgetPlan(docs, "source",
+        Map("a" -> 0.25, "b" -> 0.75), budgetTokens = 8L)
+      .orderBy("domain").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"),
+      "unweighted domain c must drop from the plan")
+    val a = out(0); val b = out(1)
+    // a: required = round(8·0.25) = 2 of 6 → 0.333333 epochs, no deficit
+    assert(a.getAs[Long]("tokens_required") == 2L)
+    assert(a.getAs[Double]("epochs") == 0.333333)
+    assert(!a.getAs[Boolean]("deficit"))
+    // b: required = round(8·0.75) = 6 of 4 → 1.5 epochs, deficit
+    assert(b.getAs[Long]("tokens_required") == 6L)
+    assert(b.getAs[Double]("epochs") == 1.5)
+    assert(b.getAs[Boolean]("deficit"))
+  }
 }
