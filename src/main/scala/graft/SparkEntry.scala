@@ -1686,6 +1686,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // GPT-style concat-and-chunk packing: q248's token-id stream cut
+    // into exact 512-token training sequences ACROSS doc boundaries
+    // (zero padding waste); global index from the rank core, per-seq
+    // position-weighted checksum pins content AND order
+    "q254_token_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.chunkTokenStream(
+          Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+          seqLen = 512)
+        .orderBy(col("seq_no"))
+    }),
+
     // data-constrained mixture planning (Muennighoff 2023): per-domain
     // token availability vs a skewed target mixture ((N%4+1)/50 per
     // srcN — the corpus's equal sources make FLAT weights vacuous) at a
@@ -7875,6 +7887,30 @@ object SparkEntry {
     "q246_bpe_apply" -> bpeCompressionOracleSql(8),
 
     "q248_bpe_token_ids" -> bpeTokenIdsOracleSql(8),
+
+    // q254: the q248 id chain + row_number global index + per-sequence
+    // rollup (the checksum is Σ token_id·(offset+1) — order-free
+    // integer, pins content and order)
+    "q254_token_chunks" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |gx AS (
+          |  SELECT doc_id, token_id,
+          |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+          |  FROM ids)
+          |SELECT CAST(idx // 512 AS BIGINT) AS seq_no,
+          |  CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  max(CASE WHEN idx % 512 = 0 THEN token_id END) AS first_token,
+          |  CAST(sum(token_id * (idx % 512 + 1)) AS BIGINT) AS checksum
+          |FROM gx
+          |GROUP BY 1
+          |ORDER BY seq_no""".stripMargin
+    },
 
     // q252: the q248 chain with the encode corpus restricted — the
     // vocabulary STAYS the full training corpus's (ws/voc build from

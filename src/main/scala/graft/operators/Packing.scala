@@ -53,4 +53,38 @@ object Packing {
         }
       }
   }
+
+  /** GPT-style concat-and-chunk packing — the OTHER packing mode real
+    * trainers use ([[packSequences]] keeps documents atomic; this cuts
+    * the corpus's token-id stream, in deterministic (doc, pos) order,
+    * into EXACT `seqLen`-token training sequences that CROSS document
+    * boundaries — zero padding waste; attention masking across the
+    * boundary is the trainer's concern). Input is a
+    * [[Bpe.encodeIds]]-shaped frame (idCol, posCol, tokCol).
+    *
+    * The global token index comes from the distributed rank core
+    * ([[Ranking.rangeRank]] — range sort + per-partition offsets, NO
+    * single-task `OVER ()` window), so the cut is a pure function of
+    * the id frame at any scale. Output: one row per sequence —
+    * (seq_no, n_tokens [= seqLen except the tail], n_docs spanned,
+    * first_token, checksum = Σ token_id·(offset+1), an order-free
+    * position-weighted integer that pins both content AND order).
+    */
+  def chunkTokenStream(ids: DataFrame, seqLen: Int,
+                       idCol: String = "doc_id", posCol: String = "pos",
+                       tokCol: String = "token_id"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val ranked = Ranking.rangeRank(ids, Nil, Seq(idCol, posCol), "__idx")
+    // exact INTEGER division/mod (div/pmod on longs) — a double floor
+    // would round past 2^53 tokens
+    ranked
+      .withColumn("seq_no", expr(s"(__idx - 1) div $seqLen").cast("long"))
+      .withColumn("offset", pmod(col("__idx") - 1, lit(seqLen.toLong)))
+      .groupBy(col("seq_no"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        max(when(col("offset") === 0, col(tokCol))).as("first_token"),
+        sum(col(tokCol) * (col("offset") + lit(1L))).cast("long")
+          .as("checksum"))
+  }
 }

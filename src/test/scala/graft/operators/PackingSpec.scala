@@ -54,4 +54,25 @@ class PackingSpec extends SparkSpecBase {
       assert(bySeq(k) + firstOfNext(k + 1) > 100L, s"seq $k not maximal")
     }
   }
+
+  test("chunkTokenStream: hand-checked cuts across doc boundaries, " +
+    "repartition-invariant") {
+    import spark.implicits._
+    // doc 1: tokens 10,11,12; doc 2: 20,21; doc 3: 30 — stream of 6,
+    // seqLen 4 → seq 0 = [10,11,12,20] (2 docs), seq 1 = [21,30] (2 docs)
+    val ids = Seq((1L, 0L, 10L), (1L, 1L, 11L), (1L, 2L, 12L),
+      (2L, 0L, 20L), (2L, 1L, 21L), (3L, 0L, 30L))
+      .toDF("doc_id", "pos", "token_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.chunkTokenStream(d, seqLen = 4).orderBy("seq_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val out = run(ids)
+    assert(out == Seq(
+      // checksum seq0: 10·1+11·2+12·3+20·4 = 148; seq1: 21·1+30·2 = 81
+      (0L, 4L, 2L, 10L, 148L),
+      (1L, 2L, 2L, 21L, 81L)), out)
+    assert(run(ids.repartition(5)) == out,
+      "global index must not depend on partitioning")
+  }
 }
