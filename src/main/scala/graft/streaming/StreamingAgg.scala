@@ -103,4 +103,34 @@ object StreamingAgg {
   def dedupedAgainstCorpus(stream: DataFrame, knownKeys: DataFrame,
                            keyCol: String): DataFrame =
     stream.join(knownKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
+
+  /** Per-window DISTINCT-count monitoring at constant state — the HLL
+    * member of the streaming sketch matrix (PSI = categorical mix,
+    * [[StreamingQuantiles]] = numeric percentiles, this = cardinality:
+    * "unique users per window" without buffering the keys): the
+    * `hll_sketch_agg` binary accumulates inside the watermarked
+    * streaming aggregation (~4 KB per open window at the default lgK),
+    * and the closed window emits count, estimate, and the
+    * distinct-per-event ratio — a collapsing ratio is the bot-flood /
+    * stuck-producer alarm. Append mode. The emitted sketch column also
+    * unions register-wise downstream ([[graft.operators.Sketches
+    * .mergeSketches]]) for day-over-day rollups without re-reading
+    * events.
+    */
+  def distinctPerWindow(events: DataFrame, keyCol: String,
+                        windowLength: String,
+                        watermarkDelay: String = "10 minutes",
+                        tsCol: String = "ts", lgK: Int = 12): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"),
+        col("sketch"),
+        hll_sketch_estimate(col("sketch")).as("n_distinct"),
+        round(hll_sketch_estimate(col("sketch")).cast("double") /
+          col("n_events").cast("double"), 6).as("distinct_ratio"))
 }

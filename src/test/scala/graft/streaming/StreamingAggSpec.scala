@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpecBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class StreamingAggSpec extends SparkSpecBase {
 
@@ -86,6 +87,37 @@ class StreamingAggSpec extends SparkSpecBase {
       val users = spark.table("dedup_out").collect()
         .map(_.getAs[Long]("user_id")).sorted.toSeq
       assert(users == Seq(1L, 2L), users.toString)
+    } finally query.stop()
+  }
+
+  test("distinctPerWindow: exact small-window estimates, collapsing ratio " +
+    "flags the flood, sketches union downstream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = StreamingAgg.distinctPerWindow(input.toDF(), "user_id",
+      windowLength = "10 minutes", watermarkDelay = "0 minutes")
+    val query = out.writeStream.format("memory")
+      .queryName("dist_out").outputMode("append").start()
+    try {
+      // window 1: 10 events from 10 distinct users — ratio 1.0
+      input.addData((1 to 10).map(i => Ev(i.toLong, ts(i % 9), 0.0)): _*)
+      // window 2: 10 events all from ONE user — the flood, ratio 0.1
+      input.addData((1 to 10).map(i => Ev(77L, ts(10 + i % 9), 0.0)): _*)
+      input.addData(Ev(0L, ts(100), 0.0)) // advance the watermark
+      query.processAllAvailable()
+      val rows = spark.table("dist_out").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 60000L - 100 ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("n_distinct"),
+            r.getAs[Double]("distinct_ratio"))).toMap
+      // HLL is exact at these cardinalities
+      assert(rows(0L) == ((10L, 10L, 1.0)), s"$rows")
+      assert(rows(10L) == ((10L, 1L, 0.1)), s"$rows")
+      // the emitted sketches merge downstream: union distinct = 11
+      val merged = graft.operators.Sketches.mergeSketches(
+        spark.table("dist_out").filter(col("window_start") < ts(50)))
+        .collect().head.getAs[Long]("estimate")
+      assert(merged == 11L, s"register union off: $merged")
     } finally query.stop()
   }
 }
