@@ -39,10 +39,43 @@ object Outliers {
         expr(s"approx_percentile($valueCol, $lower, $accuracy)").cast("double").as("__lo"),
         expr(s"approx_percentile($valueCol, $upper, $accuracy)").cast("double").as("__hi"))
     val bounds = df.groupBy(groupCols.map(col): _*).agg(boundsAgg.head, boundsAgg.tail: _*)
-    // null-SAFE join keys: groupBy treats a null key as a real group (so
-    // the bounds frame has a row for it), but a plain equi-join would
-    // silently DROP every null-group input row (null != null) — the
-    // null group must clip against its own bounds like any other
+    clipAgainstBounds(df, valueCol, groupCols, bounds)
+  }
+
+  /** Winsorize a batch against bounds probed from a PERSISTED
+    * [[Sketches.quantileSketch]] frame — the train-once / apply-anywhere
+    * member of the GK family: the REFERENCE distribution's clip bounds
+    * apply to tomorrow's batch without rescanning yesterday's data (and
+    * without letting the new batch's own outliers move the bounds, the
+    * property a self-computed [[winsorize]] cannot have). `sketches`
+    * carries one row per `groupCols` value; groups absent from the
+    * sketch frame pass through unclipped (`${valueCol}_w` null — no
+    * bounds, no verdict). GK rank error applies to the bounds
+    * (±ε·n of the reference), so this is spec-verified like the rest
+    * of the sketch family.
+    */
+  def winsorizeFromSketch(df: DataFrame, valueCol: String,
+                          groupCols: Seq[String], sketches: DataFrame,
+                          lower: Double = 0.01,
+                          upper: Double = 0.99): DataFrame = {
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"need 0 <= lower < upper <= 1, got [$lower, $upper]")
+    require(groupCols.nonEmpty, "winsorizeFromSketch needs group columns")
+    val bounds = Sketches.estimateQuantiles(sketches, Seq(lower, upper))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("q") === lower, col("value"))).as("__lo"),
+        max(when(col("q") === upper, col("value"))).as("__hi"))
+    clipAgainstBounds(df, valueCol, groupCols, bounds)
+  }
+
+  /** The shared clip tail: null-SAFE join keys (groupBy treats a null
+    * key as a real group, but a plain equi-join would silently DROP
+    * every null-group input row — the null group must clip against its
+    * own bounds like any other), then the null-preserving clip.
+    */
+  private def clipAgainstBounds(df: DataFrame, valueCol: String,
+                                groupCols: Seq[String],
+                                bounds: DataFrame): DataFrame = {
     val renamedBounds = bounds.select(
       (groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__lo") :+ col("__hi")): _*)
     val joinCond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
@@ -51,7 +84,7 @@ object Outliers {
       // DuckDB) — they would clip a null value to the lower bound;
       // a null measurement must stay null
       .withColumn(s"${valueCol}_w",
-        when(col(valueCol).isNotNull,
+        when(col(valueCol).isNotNull && col("__lo").isNotNull,
           least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop(groupCols.map(c => s"__g_$c") :+ "__lo" :+ "__hi": _*)
   }

@@ -137,4 +137,29 @@ class OutliersSpec extends SparkSpecBase {
     assert(out(("a", 4L)).contains(0.0))
     assert(out(("c", 1L)).isEmpty && out(("c", 3L)).isEmpty)
   }
+
+  test("winsorizeFromSketch: REFERENCE bounds clip the new batch; its own " +
+    "outliers cannot move them; unsketched groups pass unclipped") {
+    import spark.implicits._
+    // reference: group g over 1..100 — p10 ≈ 10, p90 ≈ 90 (GK exact here)
+    val ref = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val sk = Sketches.quantileSketch(ref, "x", Seq("grp"))
+    // new batch: an extreme outlier, a low value, a mid value, and a
+    // group the reference never saw
+    val batch = Seq(("g", 1e9), ("g", 1.0), ("g", 50.0), ("new", 7.0))
+      .toDF("grp", "x")
+    val out = Outliers.winsorizeFromSketch(batch, "x", Seq("grp"), sk,
+        lower = 0.1, upper = 0.9)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val hi = out(("g", 1e9)).get
+    val lo = out(("g", 1.0)).get
+    // the reference's p90/p10 (within GK rank error), NOT the batch's —
+    // a self-computed winsorize would have dragged the p90 toward 1e9
+    assert(hi >= 88.0 && hi <= 92.0, s"upper clip $hi")
+    assert(lo >= 9.0 && lo <= 12.0, s"lower clip $lo")
+    assert(out(("g", 50.0)).contains(50.0), "the middle must pass through")
+    assert(out(("new", 7.0)).isEmpty,
+      "a group absent from the sketch frame has no bounds — no verdict")
+  }
 }
