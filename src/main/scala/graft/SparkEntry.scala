@@ -234,6 +234,22 @@ object SparkEntry {
           threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // keep-BEST-copy dedup: q53's clusters re-judged by QUALITY (token
+    // count) instead of lowest id — the production "keep the longest/
+    // cleanest copy" rule; every q53 cluster has score variety on this
+    // corpus, so the argmax genuinely picks different survivors than
+    // the id rule
+    "q255_keep_best_copy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBest(
+          docs.select(col("doc_id"),
+            size(TextAnalysis.tokensCol(col("text"))).cast("double")
+              .as("score")),
+          Dedup.connectedComponents(
+            Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- B3 similarity search -------------------------------------------
     "q18_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -5853,6 +5869,44 @@ object SparkEntry {
          |SELECT src AS doc, least(src, min(dst)) AS cluster
          |FROM reach GROUP BY src
          |ORDER BY doc""".stripMargin,
+
+    // q255: the q53 closure + per-doc token score + per-cluster argmax
+    // (s DESC, id — the min(struct(-s, id)) tiebreak)
+    "q255_keep_best_copy" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None)}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |cc AS (
+         |  SELECT src AS doc, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS DOUBLE) AS s
+         |  FROM documents),
+         |j AS (
+         |  SELECT sc.doc_id, cc.cluster, sc.s
+         |  FROM sc LEFT JOIN cc ON cc.doc = sc.doc_id),
+         |best AS (
+         |  SELECT cluster, doc_id AS best FROM (
+         |    SELECT cluster, doc_id,
+         |      row_number() OVER (PARTITION BY cluster
+         |        ORDER BY s DESC, doc_id) AS rn
+         |    FROM j WHERE cluster IS NOT NULL)
+         |  WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster, round(j.s, 6) AS score,
+         |  (j.cluster IS NULL OR j.doc_id = b.best) AS survivor
+         |FROM j LEFT JOIN best b ON b.cluster = j.cluster
+         |ORDER BY j.doc_id""".stripMargin,
 
     "q17_cosine_neardups" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)

@@ -651,4 +651,35 @@ object Dedup {
         when(p + r > 0, round(lit(2.0) * p * r / (p + r), 6))
           .otherwise(lit(0.0))))
   }
+
+  /** Keep-BEST-copy survivor selection — the production refinement of
+    * the keep-lowest-id rule every dedup stage here defaults to: within
+    * each duplicate cluster (a [[connectedComponents]] frame), the
+    * survivor is the member with the HIGHEST `scoreCol` (the cleanest /
+    * longest / best-quality copy; ties to the lowest id), and docs in
+    * no cluster survive by definition. One row per input doc:
+    * (idCol, cluster — null for singletons, score, survivor).
+    *
+    * Scale shape: one left join onto the cluster frame (∝ duplicate
+    * docs, not the corpus), a map-side-combinable min(struct) argmax
+    * per cluster, and a cluster-keyed join back — no window over the
+    * corpus, no driver state.
+    */
+  def keepBest(scored: DataFrame, clusters: DataFrame,
+               idCol: String = "doc_id",
+               scoreCol: String = "score"): DataFrame = {
+    val withC = scored
+      .select(col(idCol), col(scoreCol).cast("double").as("__s"))
+      .join(clusters.select(col("doc").as(idCol), col("cluster")),
+        Seq(idCol), "left")
+    val best = withC.filter(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(min(struct((-col("__s")).as("n"), col(idCol).as("id"))).as("b"))
+      .select(col("cluster"), col("b.id").as("__best"))
+    withC.join(best, Seq("cluster"), "left")
+      .select(col(idCol), col("cluster"),
+        round(col("__s"), 6).as(scoreCol),
+        (col("cluster").isNull || col(idCol) === col("__best"))
+          .as("survivor"))
+  }
 }

@@ -317,4 +317,19 @@ class DedupSpec extends SparkSpecBase {
     assert(out("noisy").getAs[Double]("f1") ==
       math.rint(2.0 * 0.5 * 0.25 / 0.75 * 1e6) / 1e6)
   }
+
+  test("keepBest: highest score survives per cluster (ties to lowest id), " +
+    "singletons always survive") {
+    import spark.implicits._
+    // cluster 1 = {1, 2, 3}: 2 has the best score; cluster 10 = {10, 11}:
+    // tie — lowest id 10 wins; 99 is in no cluster
+    val scored = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0), (99L, 1.0)).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "cluster")
+    val out = Dedup.keepBest(scored, clusters).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false, 99L -> true), out.toString)
+  }
 }
