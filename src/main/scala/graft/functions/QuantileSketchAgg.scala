@@ -105,12 +105,27 @@ object QuantileSketchAgg {
     bb.array()
   }
 
+  /** Inverse of [[toBytes]]. These bytes round-trip USER-SUPPLIED parquet
+    * (persisted sketch columns fed back through `mergeQuantileSketches` /
+    * `estimateQuantiles`), so the shape is validated up front: truncated
+    * or foreign binary must surface as a named error, not a raw
+    * `BufferUnderflowException` — or worse, silently misparse into a
+    * plausible-looking bogus sketch.
+    */
   def fromBytes(bytes: Array[Byte]): QuantileSummaries = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"not a graft quantile sketch: $why (${bytes.length} bytes)")
+    if (bytes.length < 24) bad("header needs 24 bytes")
     val bb = ByteBuffer.wrap(bytes)
     val threshold = bb.getInt
     val err = bb.getDouble
     val count = bb.getLong
     val n = bb.getInt
+    if (threshold <= 0) bad(s"compressThreshold $threshold must be > 0")
+    if (!(err > 0.0 && err < 1.0)) bad(s"relativeError $err outside (0, 1)")
+    if (count < 0) bad(s"count $count negative")
+    if (n < 0 || bytes.length != 24 + n.toLong * 24)
+      bad(s"declared $n entries needs ${24 + n.toLong * 24} bytes")
     val stats = Array.fill(n)(Stats(bb.getDouble, bb.getLong, bb.getLong))
     new QuantileSummaries(threshold, err, stats, count, true)
   }

@@ -73,7 +73,13 @@ object Bpe {
   // compression, persisted apply, token ids) consume the same chain —
   // one training per session, the checkpointed frames reused directly.
   // Swept by TrackedCaches.release() (cold benches retrain per query).
-  private val trainMemo = scala.collection.mutable.Map
+  // LinkedHashMap (insertion-ordered) and BOUNDED: entries pin
+  // localCheckpoint blocks (executor storage) and analyzed-plan keys, so
+  // a session training many distinct corpora evicts oldest-first — the
+  // dropped references let the ContextCleaner reclaim the checkpoints —
+  // instead of accumulating driver+executor state without limit.
+  private val memoBound = 4
+  private val trainMemo = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Int, String), (DataFrame, DataFrame, Long)]
   TrackedCaches.onRelease(() => trainMemo.synchronized(trainMemo.clear()))
@@ -142,8 +148,15 @@ object Bpe {
     // table/seqs are localCheckpoint-backed — storing the frames keeps
     // the checkpoints alive for session reuse; the release hook drops
     // the references and the ContextCleaner reclaims them
+    // Read the epoch into a LOCAL before taking the memo lock:
+    // TrackedCaches.release() holds ITS lock while invoking the onRelease
+    // hook (which takes this lock), so nesting the TrackedCaches lock
+    // inside the memo lock would be an ABBA deadlock against a concurrent
+    // release() from another driver thread.
+    val epoch = TrackedCaches.currentQueryEpoch
     trainMemo.synchronized {
-      trainMemo(memoKey) = (table, seqs, TrackedCaches.currentQueryEpoch)
+      if (trainMemo.size >= memoBound) trainMemo -= trainMemo.head._1
+      trainMemo(memoKey) = (table, seqs, epoch)
     }
     (table, seqs)
   }

@@ -660,6 +660,13 @@ object Dedup {
     * no cluster survive by definition. One row per input doc:
     * (idCol, cluster — null for singletons, score, survivor).
     *
+    * Null-score contract: a member with a null `scoreCol` never wins a
+    * cluster over a scored member (nulls rank below every real score —
+    * without the coalesce below, Spark's struct ordering would sort the
+    * null field FIRST and a null-scored doc would win its cluster); a
+    * cluster whose members are ALL null-scored falls back to the
+    * lowest-id rule.
+    *
     * Scale shape: one left join onto the cluster frame (∝ duplicate
     * docs, not the corpus), a map-side-combinable min(struct) argmax
     * per cluster, and a cluster-keyed join back — no window over the
@@ -674,7 +681,8 @@ object Dedup {
         Seq(idCol), "left")
     val best = withC.filter(col("cluster").isNotNull)
       .groupBy(col("cluster"))
-      .agg(min(struct((-col("__s")).as("n"), col(idCol).as("id"))).as("b"))
+      .agg(min(struct(coalesce(-col("__s"), lit(Double.PositiveInfinity))
+        .as("n"), col(idCol).as("id"))).as("b"))
       .select(col("cluster"), col("b.id").as("__best"))
     withC.join(best, Seq("cluster"), "left")
       .select(col(idCol), col("cluster"),

@@ -69,13 +69,17 @@ object KMeans {
     * frame — breaks per-iteration lineage growth and makes the broadcast
     * side trivially known-small (the [[Pq]] `toLocalCodebook` pattern).
     */
-  private def toLocal(spark: SparkSession, cb: DataFrame): DataFrame = {
-    val rows = cb.select(col("cluster").cast("int"),
+  private def collectCb(cb: DataFrame): Array[Row] =
+    cb.select(col("cluster").cast("int"),
         col("centroid").cast("array<double>"), col("cn2").cast("double"))
       .collect()
       .map(r => Row(r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  private def fromRows(spark: SparkSession, rows: Array[Row]): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), cbSchema)
-  }
+
+  private def toLocal(spark: SparkSession, cb: DataFrame): DataFrame =
+    fromRows(spark, collectCb(cb))
 
   /** Train centroids; returns (cluster, centroid, cn2) with
     * `cluster` ∈ [0, k) (empty clusters drop).
@@ -92,7 +96,11 @@ object KMeans {
   // k-row states for free (the TrackedCaches reuse philosophy lifted to
   // driver-side model state; swept by TrackedCaches.release(), so COLD
   // benches retrain per query).
-  private val fitMemo = scala.collection.mutable.Map
+  // LinkedHashMap (insertion-ordered) so the memo is BOUNDED: a long-lived
+  // session fitting many distinct corpora evicts oldest-first instead of
+  // accumulating analyzed-plan keys without limit.
+  private val memoBound = 8
+  private val fitMemo = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Int, Int, String, String), (Seq[Array[Row]], Long)]
   TrackedCaches.onRelease(() => fitMemo.synchronized(fitMemo.clear()))
@@ -132,9 +140,23 @@ object KMeans {
       .agg(graft.functions.TopKAgg.topK(-u, col("vec_id"), k).as("top"))
       .select(posexplode(col("top")).as(Seq("cluster", "e")))
       .select(col("e.id").as("vec_id"), col("cluster").cast("int").as("cluster"))
-    var cb = toLocal(spark,
+    val initRows = collectCb(
       v.join(initIds, "vec_id")
         .select(col("cluster"), col("x").as("centroid"), col("xn2").as("cn2")))
+    // Fail fast on misuse instead of silently emitting an empty model: a
+    // non-long-castable idCol (string ids) nulls the whole init frame —
+    // TopKAgg drops nulls — and every downstream consumer would return
+    // empty with no error. Only probed on the (rare) empty-init path, so
+    // the happy path pays no extra job.
+    if (initRows.isEmpty) {
+      val probe = v.agg(count(lit(1)).as("n"),
+        count(col("vec_id").cast("long")).as("n_cast")).head()
+      if (probe.getLong(0) > 0 && probe.getLong(1) == 0)
+        throw new IllegalArgumentException(
+          s"KMeans: idCol '$idCol' does not cast to long for any row — " +
+            "deterministic init requires long-castable ids")
+    }
+    var cb = fromRows(spark, initRows)
     val history = Seq.newBuilder[DataFrame]
     history += cb
     for (_ <- 1 to iters) {
@@ -153,9 +175,17 @@ object KMeans {
       history += cb
     }
     val states = history.result()
+    // Run the collect() jobs and read the epoch into LOCALS before taking
+    // the memo lock: TrackedCaches.release() holds ITS lock while invoking
+    // the onRelease hook (which takes this lock), so nesting the
+    // TrackedCaches lock — or Spark jobs — inside the memo lock would be
+    // an ABBA deadlock against a concurrent release() from another driver
+    // thread.
+    val collected = states.map(_.collect()) // k-row local frames
+    val epoch = TrackedCaches.currentQueryEpoch
     fitMemo.synchronized {
-      fitMemo(memoKey) = // k-row local frames + the training query epoch
-        (states.map(_.collect()), TrackedCaches.currentQueryEpoch)
+      if (fitMemo.size >= memoBound) fitMemo -= fitMemo.head._1
+      fitMemo(memoKey) = (collected, epoch)
     }
     (v, states)
   }

@@ -73,12 +73,14 @@ object LogReg {
     */
   val MaxFeatureAbs = 3000.0
 
-  private def overflowCause(e: Throwable): Boolean =
-    e != null && (e.isInstanceOf[ArithmeticException] ||
+  // depth-bounded cause walk: a cyclic cause chain (initCause abuse)
+  // must not stack-overflow inside error handling
+  private def overflowCause(e: Throwable, depth: Int = 16): Boolean =
+    depth > 0 && e != null && (e.isInstanceOf[ArithmeticException] ||
       (e.getMessage != null && (e.getMessage.contains("overflow") ||
         e.getMessage.contains("ARITHMETIC_OVERFLOW") ||
         e.getMessage.contains("CAST_OVERFLOW"))) ||
-      overflowCause(e.getCause))
+      overflowCause(e.getCause, depth - 1))
 
   /** Per-feature (mean, stddev) from one exact-sum pass — the
     * standardization statistics. σ floors at 1e-12 (constant features
@@ -113,6 +115,10 @@ object LogReg {
         val mxAggs = feats.map(f => max(abs(col(f))).as(f))
         val mxRow = base.agg(mxAggs.head, mxAggs.tail: _*).head()
         val bad = feats.filter(f => mxRow.getAs[Double](f) > MaxFeatureAbs)
+        // no feature over the bound → the overflow came from somewhere
+        // else; rethrow the original rather than misattribute it to an
+        // empty feature list
+        if (bad.isEmpty) throw e
         throw new IllegalArgumentException(
           s"feature(s) ${bad.mkString(", ")} exceed the 12-dp exact-sum " +
             s"range (|x| <= $MaxFeatureAbs: the square must stay a " +

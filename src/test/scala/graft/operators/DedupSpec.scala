@@ -332,4 +332,20 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false,
       10L -> true, 11L -> false, 99L -> true), out.toString)
   }
+
+  test("keepBest: a null-scored member never survives over a scored one; " +
+    "an all-null cluster falls back to lowest id") {
+    import spark.implicits._
+    // cluster 1 = {1 (null), 2 (0.5)}: 2 must win despite struct ordering
+    // sorting nulls first; cluster 10 = {10 (null), 11 (null)}: lowest id
+    val scored = Seq((1L, Option.empty[Double]), (2L, Some(0.5)),
+      (10L, Option.empty[Double]), (11L, Option.empty[Double]))
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "cluster")
+    val out = Dedup.keepBest(scored, clusters).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 10L -> true, 11L -> false),
+      out.toString)
+  }
 }

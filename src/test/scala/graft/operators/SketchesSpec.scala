@@ -181,4 +181,21 @@ class SketchesSpec extends SparkSpecBase {
     val est = Sketches.estimateQuantiles(empty, Seq(0.5)).collect()
     assert(est.length == 1 && est.head.isNullAt(est.head.fieldIndex("value")))
   }
+
+  test("fromBytes rejects truncated or foreign binary with a named error " +
+    "instead of a BufferUnderflow or a silently bogus sketch") {
+    import graft.functions.QuantileSketchAgg
+    val good = QuantileSketchAgg.toBytes(
+      new org.apache.spark.sql.catalyst.util.QuantileSummaries(1000, 0.01))
+    QuantileSketchAgg.fromBytes(good) // sanity: the real layout parses
+    val cases = Seq(
+      "truncated header" -> Array.fill[Byte](10)(1),
+      "truncated body" -> good.dropRight(1),
+      "foreign bytes" -> "not a sketch at all, just text".getBytes("UTF-8"))
+    cases.foreach { case (label, bytes) =>
+      val e = intercept[IllegalArgumentException](
+        QuantileSketchAgg.fromBytes(bytes))
+      assert(e.getMessage.contains("not a graft quantile sketch"), label)
+    }
+  }
 }
