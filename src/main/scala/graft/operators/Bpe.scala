@@ -317,6 +317,102 @@ object Bpe {
       .select(col(idCol), col("pos"), col("token_id"))
   }
 
+  /** The base symbol alphabet every tokenizer here can fall back to:
+    * the training contract's `[a-z0-9]` characters plus the end-of-word
+    * marker. Merges only ever CONCATENATE these units, so every symbol
+    * any merge table can produce decomposes uniquely into them.
+    */
+  private[graft] val BaseSymbols: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ "</w>"
+
+  /** GPT-2-style byte-fallback extension of a persisted [[symbolVocab]]:
+    * every base symbol absent from `vocab` gets a dense id AFTER the
+    * persisted range (max persisted id + 1 onward, in symbol sort
+    * order). Persisted ids never renumber — a trainer's checkpoints
+    * stay valid — and with the full base alphabet present, NO symbol
+    * sequence is ever out of vocabulary (the production guarantee
+    * byte-level BPE tokenizers provide, cf. GPT-2's 256 byte-level
+    * initial entries).
+    *
+    * Scale shape: the vocab frame is symbol-bounded (≤ base alphabet +
+    * |merges| + 1 rows); the max-id frame is a one-row aggregate
+    * (broadcast allowlisted) and the id window runs over ≤37 candidate
+    * rows — k-bounded by construction.
+    */
+  def byteFallbackVocab(vocab: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val ids = vocab.select(col("symbol"),
+      col("token_id").cast("long").as("token_id"))
+    val mx = ids.agg(coalesce(max(col("token_id")), lit(-1L)).as("__mx"))
+    val missing = BaseSymbols.toDF("symbol")
+      .join(ids.select("symbol"), Seq("symbol"), "left_anti")
+      .crossJoin(broadcast(mx))
+      .withColumn("token_id",
+        col("__mx") + row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("symbol"))).cast("long"))
+      .select(col("symbol"), col("token_id"))
+    ids.union(missing)
+  }
+
+  /** A symbol's base-unit decomposition: strip the `</w>` suffix if
+    * present, split the remainder into characters, re-append the marker
+    * as its own unit. `</w>` itself decomposes to `['</w>']`.
+    */
+  private def decomposeUnits(symbol: Column): Column = {
+    val hasMarker = symbol.endsWith(lit("</w>"))
+    val core = when(hasMarker,
+      symbol.substr(lit(1), length(symbol) - lit(4))).otherwise(symbol)
+    val chars = filter(
+      split(regexp_replace(core, "(.)", "$1"), ""),
+      c => c =!= lit(""))
+    when(hasMarker, concat(chars, array(lit("</w>")))).otherwise(chars)
+  }
+
+  /** [[encodeIdsWithVocab]] with BYTE-LEVEL FALLBACK — the production
+    * tokenizer contract where nothing is ever OOV: a symbol missing
+    * from the (fallback-extended) vocabulary decomposes into its base
+    * units — characters plus the end marker, each guaranteed an id by
+    * [[byteFallbackVocab]] — and each unit becomes its own token at its
+    * own position. In-vocabulary symbols encode exactly as
+    * [[encodeIdsWithVocab]] would, at the same ids; only the null
+    * positions q252's contract surfaces are replaced, by the
+    * decomposed id runs. Output: (idCol, pos, token_id), token_id
+    * never null.
+    *
+    * Scale shape: the per-word encode still runs once per DISTINCT
+    * word; both vocab joins are symbol-bounded sides (AQE broadcasts
+    * them, hint-free); the only corpus-row window is doc-partitioned.
+    */
+  def encodeIdsByteFallback(docs: DataFrame, mergeTable: DataFrame,
+                            vocab: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val ext = byteFallbackVocab(vocab)
+    val words = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokensCol(col(textCol))).as(Seq("wpos", "word")))
+      .filter(col("word").rlike(WordRe))
+    val wordSyms = distinctWords(docs, textCol)
+      .select(col("word"), symbols(composedReplace(mergeTable)).as("syms"))
+    val units = words.join(wordSyms, Seq("word"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "symbol")))
+      .join(ext.select(col("symbol"), col("token_id").as("__direct")),
+        Seq("symbol"), "left")
+      .withColumn("units", when(col("__direct").isNotNull,
+        array(col("symbol"))).otherwise(decomposeUnits(col("symbol"))))
+      .select(col(idCol), col("wpos"), col("spos"),
+        posexplode(col("units")).as(Seq("bpos", "unit")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("wpos"), col("spos"), col("bpos"))
+    units
+      .join(ext.select(col("symbol").as("unit"), col("token_id")), Seq("unit"))
+      .select(col(idCol),
+        (row_number().over(w) - 1).cast("long").as("pos"),
+        col("token_id"))
+  }
+
   /** Per-doc rollup shared by [[compressionStats]] and
     * [[encodeFromMerges]]: join the corpus words to the per-word token
     * counts, aggregate counts and the chars-per-token ratio.
