@@ -94,8 +94,14 @@ object Bench {
         val short = k.takeWhile(_ != '_')
         s""""$short":{"sec":${f3(v)},"warm":${warmSet.contains(short)}}"""
       }.mkString(",") + "}"
+    // A SPARK_GRAFT_ONLY iteration run must never overwrite the
+    // full-battery snapshot: round-over-round adjudication reads
+    // bench_full.json as the baseline, and a 4-query partial landing
+    // there corrupts the comparison record (round-10 ADVICE). Filtered
+    // runs write bench_partial.json instead.
+    val fullOut = if (only.isDefined) "bench_partial.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(fullOut),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm":$warmJson,"queries":$fullJson,"rows":$rowsJson,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () } // best-effort write
     val budget = 1500 // chars for the queries map — line stays ≤ ~1700

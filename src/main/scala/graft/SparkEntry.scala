@@ -1466,6 +1466,48 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // GPT-2-style byte-fallback encode: a STALE persisted vocab (every
+    // merged symbol of length >= 4 dropped — a checkpoint persisted
+    // before the later merges landed) over a batch that also carries
+    // characters the corpus alphabet lacks (x, z, digits — the corpus
+    // is a-w,y only). q252's null positions must all fill: dropped
+    // merged symbols decompose to their base-unit id runs, never-seen
+    // base characters take the dense fallback ids after the persisted
+    // range, and in-vocab symbols keep their persisted ids exactly
+    "q256_bpe_byte_fallback" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, merges = 8)
+      val stale = Bpe.symbolVocab(docs, merges)
+        .filter(length(col("symbol")) <= 3 || col("symbol") === "</w>")
+      val batch = docs.select(col("doc_id"),
+        concat(col("text"), lit(" zx"),
+          pmod(col("doc_id"), lit(10L)).cast("string")).as("text"))
+      Bpe.encodeIdsByteFallback(batch, merges, stale)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // EXTENDED-alphabet byte fallback — the full production
+    // pre-tokenizer: case, punctuation and (BMP) Unicode reach the
+    // encoder instead of being filtered by the training contract's
+    // [a-z0-9] gate, and every out-of-vocabulary symbol decomposes to
+    // its UTF-8 bytes as <0xNN> tokens (SentencePiece byte_fallback).
+    // The batch appends an uppercased prefix echo and a 'q<d>é!' word
+    // to every document; token_id is never null by construction.
+    // (Astral code points are spec-covered — the gate fixture stays
+    // BMP so Spark's UTF-16 and DuckDB's code-point length agree.)
+    "q257_bpe_byte_fallback_ext" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, merges = 8)
+      val vocab = Bpe.symbolVocab(docs, merges)
+      val batch = docs.select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          upper(substring(col("text"), 1, 3)), lit(" q"),
+          pmod(col("doc_id"), lit(10L)).cast("string"), lit("é!"))
+          .as("text"))
+      Bpe.encodeIdsByteFallbackExt(batch, merges, vocab)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // HITS hubs/authorities over the q115 nation supply graph — which
     // consumer nations are the strong hubs, which supplier nations the
     // strong authorities; 3 L2-normalized iterations, decimal-exact sums
@@ -1711,6 +1753,20 @@ object SparkEntry {
       Packing.chunkTokenStream(
           Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
           seqLen = 512)
+        .orderBy(col("seq_no"))
+    }),
+
+    // deterministic epoch shuffle of the q254 packed sequences: the
+    // training loop's per-epoch global reorder + data-parallel shard
+    // map as a pure function of (epoch, seq_no) — md5-keyed rank-core
+    // order, rendezvous shards, both ranks from ONE range exchange
+    "q258_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.epochShuffle(
+          Packing.chunkTokenStream(
+            Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+            seqLen = 512),
+          epoch = 1, numShards = 8)
         .orderBy(col("seq_no"))
     }),
 
@@ -3503,7 +3559,14 @@ object SparkEntry {
     * identically. Scala builds the chain so the oracle can never drift
     * from the merge count in q207.
     */
-  private def bpeOracleCtes(merges: Int): String = {
+  private def bpeOracleCtes(merges: Int,
+                            materialize: Boolean = false): String = {
+    // materialize = pin b/s frames when a CONSUMER multiplies their
+    // reference count (the byte-fallback oracles replay the merge chain
+    // a second time over the batch words) — the r8 HITS lesson: DuckDB
+    // may inline multiply-referenced CTEs, re-expanding the whole
+    // upstream chain per reference
+    val m = if (materialize) " MATERIALIZED" else ""
     val head =
       """w AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -3522,11 +3585,11 @@ object SparkEntry {
          |    SELECT freq, sy, unnest(range(1, len(sy))) AS j
          |    FROM (SELECT freq, string_split(trim(seq), '  ') AS sy FROM s${i - 1}))
          |  GROUP BY 1, 2),
-         |b$i AS (
+         |b$i AS$m (
          |  SELECT $i AS iteration, a AS sym_a, b AS sym_b, a || b AS merged,
          |    cnt AS pair_count
          |  FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-         |s$i AS (
+         |s$i AS$m (
          |  SELECT word, freq,
          |    replace(seq, ' ' || sym_a || '  ' || sym_b || ' ',
          |      ' ' || merged || ' ') AS seq
@@ -3534,6 +3597,122 @@ object SparkEntry {
     }.mkString(",\n", ",\n", "")
     head + iters
   }
+
+  /** Shared replay for q256/q257: the training chain, a (possibly
+    * stale-filtered) persisted vocab, the fallback-extended id table,
+    * the batch re-tokenized and re-encoded through the SAME merge chain
+    * (new words get the full replace cascade via e0..ek — batch words
+    * need not appear in the training corpus), and the per-symbol
+    * decompose-or-direct unit expansion with (wpos, spos, bpos)
+    * position ranks. Parameters select the alphabet mode.
+    */
+  private def bpeFallbackOracleSql(merges: Int, staleWhere: String,
+                                   candidatesSql: String, batchTextSql: String,
+                                   tokenSplitSql: String, wordRe: String,
+                                   unitsSql: String): String = {
+    val encChain = (1 to merges).map { i =>
+      s"""e$i AS (
+         |  SELECT word, replace(seq, ' ' || sym_a || '  ' || sym_b || ' ',
+         |    ' ' || merged || ' ') AS seq
+         |  FROM e${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeOracleCtes(merges, materialize = true)},
+       |voc AS MATERIALIZED (
+       |  SELECT symbol,
+       |    CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id
+       |  FROM (SELECT DISTINCT unnest(string_split(trim(seq), '  ')) AS symbol
+       |        FROM s$merges)),
+       |stale AS MATERIALIZED (SELECT * FROM voc WHERE $staleWhere),
+       |mx AS (SELECT coalesce(max(token_id), -1) AS m FROM stale),
+       |missing AS (
+       |  SELECT symbol,
+       |    m + CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS token_id
+       |  FROM (SELECT c.symbol FROM ($candidatesSql) c
+       |        LEFT JOIN stale s USING (symbol) WHERE s.symbol IS NULL)
+       |  CROSS JOIN mx),
+       |ext AS MATERIALIZED (
+       |  SELECT * FROM stale UNION ALL SELECT * FROM missing),
+       |dtk AS (
+       |  SELECT doc_id, $tokenSplitSql AS tk
+       |  FROM (SELECT doc_id, $batchTextSql AS btext FROM documents)
+       |  WHERE btext IS NOT NULL AND trim(btext) <> ''),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, u['wpos'] AS wpos, u['word'] AS word FROM (
+       |    SELECT doc_id,
+       |      unnest([{'wpos': i, 'word': tk[i]} FOR i IN range(1, len(tk) + 1)]) AS u
+       |    FROM dtk)
+       |  WHERE regexp_matches(u['word'], '$wordRe')),
+       |e0 AS (
+       |  SELECT word,
+       |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  ' AS seq
+       |  FROM (SELECT DISTINCT word FROM dw)),
+       |$encChain,
+       |ws AS (SELECT word, string_split(trim(seq), '  ') AS syms FROM e$merges),
+       |sy AS (
+       |  SELECT doc_id, wpos, v['spos'] AS spos, v['sym'] AS symbol FROM (
+       |    SELECT d.doc_id, d.wpos,
+       |      unnest([{'spos': i, 'sym': w.syms[i]} FOR i IN range(1, len(w.syms) + 1)]) AS v
+       |    FROM dw d JOIN ws w USING (word))),
+       |un0 AS (
+       |  SELECT doc_id, wpos, spos,
+       |    CASE WHEN d.token_id IS NOT NULL THEN [sy2.symbol]
+       |         ELSE $unitsSql END AS ul
+       |  FROM (SELECT *, hex(encode(core)) AS hx FROM (
+       |          SELECT *, CASE WHEN symbol LIKE '%</w>'
+       |            THEN substr(symbol, 1, len(symbol) - 4) ELSE symbol END AS core
+       |          FROM sy) sy1) sy2
+       |  LEFT JOIN ext d USING (symbol)),
+       |un AS (
+       |  SELECT doc_id, wpos, spos, u['bpos'] AS bpos, u['unit'] AS unit FROM (
+       |    SELECT doc_id, wpos, spos,
+       |      unnest([{'bpos': i, 'unit': ul[i]} FOR i IN range(1, len(ul) + 1)]) AS u
+       |    FROM un0)),
+       |pos AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos, bpos) - 1
+       |      AS BIGINT) AS pos,
+       |    unit
+       |  FROM un)
+       |SELECT p.doc_id, p.pos, v.token_id
+       |FROM pos p JOIN ext v ON v.symbol = p.unit
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** q256: stale persisted vocab (merged symbols of length ≥ 4 other
+    * than the marker dropped) + [a-z0-9]/marker base-symbol fallback
+    * over a batch appending ' zx<d>' — chars the corpus alphabet lacks.
+    */
+  private def bpeByteFallbackOracleSql(merges: Int): String =
+    bpeFallbackOracleSql(merges,
+      staleWhere = "len(symbol) <= 3 OR symbol = '</w>'",
+      candidatesSql = "SELECT unnest(" + graft.operators.Bpe.BaseSymbols
+        .map(s => s"'$s'").mkString("[", ", ", "]") + ") AS symbol",
+      batchTextSql = "text || ' zx' || CAST(doc_id % 10 AS VARCHAR)",
+      tokenSplitSql = "regexp_split_to_array(trim(lower(btext)), '\\s+')",
+      wordRe = "^[a-z0-9]+$",
+      unitsSql = """[core[i] FOR i IN range(1, len(core) + 1)] ||
+        |      CASE WHEN sy2.symbol LIKE '%</w>' THEN ['</w>']
+        |           ELSE []::VARCHAR[] END""".stripMargin)
+
+  /** q257: extended raw-text alphabet — full persisted vocab, base +
+    * 256 `<0xNN>` byte-token fallback, case/punct/Unicode preserved,
+    * OOV symbols decomposed to their UTF-8 bytes.
+    */
+  private def bpeByteFallbackExtOracleSql(merges: Int): String =
+    bpeFallbackOracleSql(merges,
+      staleWhere = "TRUE",
+      candidatesSql = "SELECT unnest(" + graft.operators.Bpe.BaseSymbols
+        .map(s => s"'$s'").mkString("[", ", ", "]") + ") AS symbol " +
+        "UNION ALL SELECT '<0x' || lpad(upper(to_hex(i)), 2, '0') || '>' " +
+        "FROM range(0, 256) t(i)",
+      batchTextSql = "text || ' ' || upper(substr(text, 1, 3)) || ' q' || " +
+        "CAST(doc_id % 10 AS VARCHAR) || 'é!'",
+      tokenSplitSql = "regexp_split_to_array(trim(btext), '\\s+')",
+      wordRe = "^[^\\s<>]+$",
+      unitsSql = """['<0x' || substr(hx, 2 * i - 1, 2) || '>'
+        |        FOR i IN range(1, len(hx) // 2 + 1)] ||
+        |      CASE WHEN sy2.symbol LIKE '%</w>' THEN ['</w>']
+        |           ELSE []::VARCHAR[] END""".stripMargin)
 
   /** Unrolled HITS replay: per iteration one CTE sextet (auth raw,
     * max-abs, norm; hub raw, max-abs, norm) with the same max-abs
@@ -7942,6 +8121,12 @@ object SparkEntry {
 
     "q248_bpe_token_ids" -> bpeTokenIdsOracleSql(8),
 
+    // q256/q257: the byte-fallback encodes — batch words are re-run
+    // through the SAME merge cascade (e0..e8) because the augmented
+    // batch carries words the training corpus never saw
+    "q256_bpe_byte_fallback" -> bpeByteFallbackOracleSql(8),
+    "q257_bpe_byte_fallback_ext" -> bpeByteFallbackExtOracleSql(8),
+
     // q254: the q248 id chain + row_number global index + per-sequence
     // rollup (the checksum is Σ token_id·(offset+1) — order-free
     // integer, pins content and order)
@@ -7971,6 +8156,58 @@ object SparkEntry {
     // the training chain, not from dtk)
     "q252_bpe_ids_stable_vocab" ->
       bpeTokenIdsOracleSql(8, docWhere = "doc_id % 5 = 0"),
+
+    // q258: the q254 sequence frame + epoch-1 md5-keyed global order
+    // (row_number over the key replays the rank core) + the q219
+    // rendezvous shard of the same epoch-salted id + per-shard rank
+    "q258_epoch_shuffle" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |gx AS (
+          |  SELECT doc_id, token_id,
+          |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+          |  FROM ids),
+          |ch AS MATERIALIZED (
+          |  SELECT CAST(idx // 512 AS BIGINT) AS seq_no,
+          |    CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |    max(CASE WHEN idx % 512 = 0 THEN token_id END) AS first_token,
+          |    CAST(sum(token_id * (idx % 512 + 1)) AS BIGINT) AS checksum
+          |  FROM gx
+          |  GROUP BY 1),
+          |k AS MATERIALIZED (
+          |  SELECT seq_no, md5('1#' || CAST(seq_no AS VARCHAR)) AS k FROM ch),
+          |rw AS (
+          |  SELECT seq_no, s,
+          |    md5('1#' || CAST(seq_no AS VARCHAR) || '#' || CAST(s AS VARCHAR))
+          |      AS h
+          |  FROM ch CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+          |sh AS (
+          |  SELECT seq_no, CAST(s AS INTEGER) AS shard FROM (
+          |    SELECT seq_no, s,
+          |      row_number() OVER (PARTITION BY seq_no ORDER BY h DESC, s DESC)
+          |        AS rn
+          |    FROM rw)
+          |  WHERE rn = 1),
+          |o AS (
+          |  SELECT seq_no,
+          |    CAST(row_number() OVER (ORDER BY k, seq_no) - 1 AS BIGINT)
+          |      AS epoch_pos
+          |  FROM k),
+          |o2 AS (
+          |  SELECT sh.seq_no, sh.shard,
+          |    CAST(row_number() OVER (PARTITION BY sh.shard
+          |      ORDER BY k.k, k.seq_no) - 1 AS BIGINT) AS shard_pos
+          |  FROM sh JOIN k USING (seq_no))
+          |SELECT ch.seq_no, ch.n_tokens, ch.n_docs, ch.first_token,
+          |  ch.checksum, o2.shard, o.epoch_pos, o2.shard_pos
+          |FROM ch JOIN o USING (seq_no) JOIN o2 USING (seq_no)
+          |ORDER BY seq_no""".stripMargin
+    },
 
     "q209_hits" -> hitsOracleSql(3),
 

@@ -37,6 +37,13 @@ object Bpe {
 
   private val WordRe = "^[a-z0-9]+$"
 
+  /** Extended (raw-text) word shape: any non-whitespace run with
+    * `<`/`>` excluded — those two characters are reserved so the
+    * `</w>` marker and the `<0xNN>` byte tokens can never collide with
+    * text symbols.
+    */
+  private val WordReExt = "^[^\\s<>]+$"
+
   /** Corpus (word, freq) vocabulary frame: lowercase whitespace tokens
     * restricted to [a-z0-9]+. One shuffle, Zipf-bounded output.
     */
@@ -339,13 +346,35 @@ object Bpe {
     * (broadcast allowlisted) and the id window runs over ≤37 candidate
     * rows — k-bounded by construction.
     */
-  def byteFallbackVocab(vocab: DataFrame): DataFrame = {
+  def byteFallbackVocab(vocab: DataFrame): DataFrame =
+    fallbackExtended(vocab, BaseSymbols)
+
+  /** The 256 byte tokens `<0x00>`..`<0xFF>` — SentencePiece's
+    * byte_fallback surface: with all of them in the vocabulary, ANY
+    * character (mixed case, punctuation, full Unicode) decomposes to
+    * in-vocabulary units via its UTF-8 bytes.
+    */
+  private[graft] val ByteSymbols: Seq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  /** [[byteFallbackVocab]] for the EXTENDED raw-text alphabet: the
+    * persisted vocab plus every missing `[a-z0-9]`/marker base symbol
+    * AND every missing `<0xNN>` byte token, dense ids after the
+    * persisted range in symbol sort order. Persisted ids never
+    * renumber, and with the byte alphabet complete no symbol any text
+    * can produce is out of vocabulary.
+    */
+  def byteFallbackVocabExt(vocab: DataFrame): DataFrame =
+    fallbackExtended(vocab, BaseSymbols ++ ByteSymbols)
+
+  private def fallbackExtended(vocab: DataFrame,
+                               candidates: Seq[String]): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
     val ids = vocab.select(col("symbol"),
       col("token_id").cast("long").as("token_id"))
     val mx = ids.agg(coalesce(max(col("token_id")), lit(-1L)).as("__mx"))
-    val missing = BaseSymbols.toDF("symbol")
+    val missing = candidates.toDF("symbol")
       .join(ids.select("symbol"), Seq("symbol"), "left_anti")
       .crossJoin(broadcast(mx))
       .withColumn("token_id",
@@ -386,14 +415,44 @@ object Bpe {
     */
   def encodeIdsByteFallback(docs: DataFrame, mergeTable: DataFrame,
                             vocab: DataFrame, idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
-    val ext = byteFallbackVocab(vocab)
+                            textCol: String = "text"): DataFrame =
+    encodeIdsFallbackCore(docs, mergeTable, byteFallbackVocab(vocab),
+      TextAnalysis.tokensCol, WordRe, decomposeUnits, idCol, textCol)
+
+  /** [[encodeIdsByteFallback]] over the EXTENDED raw-text alphabet —
+    * the full production pre-tokenizer: words are whitespace tokens
+    * with case, punctuation and Unicode PRESERVED (only `<`/`>` are
+    * excluded — reserved for the end-of-word marker and the `<0xNN>`
+    * byte tokens), so mixed-case and non-ASCII text actually reaches
+    * the fallback instead of being filtered out by the training
+    * contract's `[a-z0-9]` gate. An out-of-vocabulary symbol
+    * decomposes into its UTF-8 BYTES as `<0xNN>` tokens (SentencePiece
+    * byte_fallback semantics), each guaranteed an id by
+    * [[byteFallbackVocabExt]] — token_id never null on ANY input.
+    * In-vocabulary symbols (and `[a-z0-9]` base characters) encode at
+    * exactly their [[encodeIdsWithVocab]] ids.
+    *
+    * Scale shape: identical to [[encodeIdsByteFallback]] — per-DISTINCT
+    * word encode, symbol-bounded vocab joins (≤ persisted + 37 + 256
+    * rows), one doc-partitioned window.
+    */
+  def encodeIdsByteFallbackExt(docs: DataFrame, mergeTable: DataFrame,
+                               vocab: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    encodeIdsFallbackCore(docs, mergeTable, byteFallbackVocabExt(vocab),
+      t => split(trim(t), "\\s+"), WordReExt, decomposeBytes, idCol, textCol)
+
+  private def encodeIdsFallbackCore(docs: DataFrame, mergeTable: DataFrame,
+                                    ext: DataFrame,
+                                    tokens: Column => Column, wordRe: String,
+                                    decompose: Column => Column,
+                                    idCol: String, textCol: String): DataFrame = {
     val words = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
-        posexplode(TextAnalysis.tokensCol(col(textCol))).as(Seq("wpos", "word")))
-      .filter(col("word").rlike(WordRe))
-    val wordSyms = distinctWords(docs, textCol)
+        posexplode(tokens(col(textCol))).as(Seq("wpos", "word")))
+      .filter(col("word").rlike(wordRe))
+    val wordSyms = words.select(col("word")).distinct()
       .select(col("word"), symbols(composedReplace(mergeTable)).as("syms"))
     val units = words.join(wordSyms, Seq("word"))
       .select(col(idCol), col("wpos"),
@@ -401,7 +460,7 @@ object Bpe {
       .join(ext.select(col("symbol"), col("token_id").as("__direct")),
         Seq("symbol"), "left")
       .withColumn("units", when(col("__direct").isNotNull,
-        array(col("symbol"))).otherwise(decomposeUnits(col("symbol"))))
+        array(col("symbol"))).otherwise(decompose(col("symbol"))))
       .select(col(idCol), col("wpos"), col("spos"),
         posexplode(col("units")).as(Seq("bpos", "unit")))
     val w = org.apache.spark.sql.expressions.Window
@@ -411,6 +470,26 @@ object Bpe {
       .select(col(idCol),
         (row_number().over(w) - 1).cast("long").as("pos"),
         col("token_id"))
+  }
+
+  /** Byte-level decomposition of an out-of-vocabulary symbol (the
+    * extended-alphabet twin of [[decomposeUnits]]): strip the `</w>`
+    * suffix if present, expand the remainder into its UTF-8 bytes as
+    * uppercase-hex `<0xNN>` tokens, re-append the marker as its own
+    * unit. `</w>` itself decomposes to `['</w>']`.
+    */
+  private def decomposeBytes(symbol: Column): Column = {
+    val hasMarker = symbol.endsWith(lit("</w>"))
+    val core = when(hasMarker,
+      symbol.substr(lit(1), length(symbol) - lit(4))).otherwise(symbol)
+    val hx = hex(encode(core, "UTF-8"))
+    val n = (length(hx) / lit(2)).cast("int")
+    // sequence(1, 0) counts DOWN (the learnMerges lesson) — guard the
+    // empty core ("</w>" itself) before generating byte positions
+    val bytes = when(n <= 0, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), n), i =>
+        concat(lit("<0x"), hx.substr(i * lit(2) - lit(1), lit(2)), lit(">"))))
+    when(hasMarker, concat(bytes, array(lit("</w>")))).otherwise(bytes)
   }
 
   /** Per-doc rollup shared by [[compressionStats]] and

@@ -665,7 +665,10 @@ object Dedup {
     * without the coalesce below, Spark's struct ordering would sort the
     * null field FIRST and a null-scored doc would win its cluster); a
     * cluster whose members are ALL null-scored falls back to the
-    * lowest-id rule.
+    * lowest-id rule. NaN scores are treated as UNSCORED, same as null:
+    * a negated NaN is still NaN, which Spark's total ordering ranks
+    * ABOVE +Infinity, so without the nanvl below a NaN-scored member
+    * would rank below even null-scored ones — inverting the contract.
     *
     * Scale shape: one left join onto the cluster frame (∝ duplicate
     * docs, not the corpus), a map-side-combinable min(struct) argmax
@@ -681,7 +684,8 @@ object Dedup {
         Seq(idCol), "left")
     val best = withC.filter(col("cluster").isNotNull)
       .groupBy(col("cluster"))
-      .agg(min(struct(coalesce(-col("__s"), lit(Double.PositiveInfinity))
+      .agg(min(struct(coalesce(nanvl(-col("__s"),
+          lit(Double.PositiveInfinity)), lit(Double.PositiveInfinity))
         .as("n"), col(idCol).as("id"))).as("b"))
       .select(col("cluster"), col("b.id").as("__best"))
     withC.join(best, Seq("cluster"), "left")

@@ -70,6 +70,41 @@ object Packing {
     * first_token, checksum = Σ token_id·(offset+1), an order-free
     * position-weighted integer that pins both content AND order).
     */
+  /** Deterministic EPOCH SHUFFLE of packed training sequences — the
+    * training loop's "new global order every epoch" step, as a pure
+    * function of (epoch, seq_no): each sequence is keyed by
+    * `md5(epoch || '#' || seq_no)`, the epoch's global order is the
+    * rank of that key, and the sequence's data-parallel worker is the
+    * rendezvous shard of the same epoch-salted id (so both the order
+    * AND the shard map re-randomize per epoch, yet any engine, rerun,
+    * or partitioning reproduces them bit-for-bit — no RNG state to
+    * checkpoint). Input columns pass through; appended: `shard`,
+    * `epoch_pos` (0-based global), `shard_pos` (0-based within shard,
+    * consistent with the global order).
+    *
+    * Scale shape: the rendezvous argmax is row-local (zero shuffle)
+    * and BOTH ranks come from ONE rank-core pass
+    * ([[Ranking.rangeRankMulti]] — a single range exchange, no
+    * single-task `OVER ()` window): sorted by (key, seq_no), the
+    * global group and the shard groups are ranked in the same
+    * per-partition sweep.
+    */
+  def epochShuffle(seqs: DataFrame, epoch: Int, numShards: Int,
+                   seqNoCol: String = "seq_no"): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val keyed = Sampling.rendezvousShard(
+        seqs.withColumn("__eid",
+          concat(lit(s"$epoch#"), col(seqNoCol).cast("string"))),
+        "__eid", numShards)
+      .withColumn("__k", md5(col("__eid").cast("binary")))
+    Ranking.rangeRankMulti(keyed, Seq("__k", seqNoCol),
+        Seq(Nil, Seq("shard")), Seq("__g", "__s"))
+      .withColumn("epoch_pos", (col("__g") - 1).cast("long"))
+      .withColumn("shard_pos", (col("__s") - 1).cast("long"))
+      .drop("__eid", "__k", "__g", "__s")
+  }
+
   def chunkTokenStream(ids: DataFrame, seqLen: Int,
                        idCol: String = "doc_id", posCol: String = "pos",
                        tokCol: String = "token_id"): DataFrame = {

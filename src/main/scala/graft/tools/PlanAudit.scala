@@ -70,6 +70,7 @@ object PlanAudit {
     AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 3),
     AllowedBroadcast("KMeans.scala", "cb", "k-means centroid frame — k rows, parameter-bounded (collected per iteration as a literal frame)"),
     AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument"),
+    AllowedBroadcast("Bpe.scala", "mx", "one-row max-persisted-token-id aggregate (byte-fallback vocab extension)"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
     AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore/userFeatures)", count = 2),

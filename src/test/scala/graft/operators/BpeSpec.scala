@@ -152,4 +152,96 @@ class BpeSpec extends SparkSpecBase {
       0L -> Some(5L), 1L -> Some(0L),                   // low </w>
       2L -> None, 3L -> None, 4L -> Some(0L)), out.toSeq) // x z </w>
   }
+
+  // ---- byte-fallback encode ------------------------------------------
+  // sennrich vocab: </w>=0 d=1 e=2 est</w>=3 i=4 low=5 n=6 r=7 w=8;
+  // missing base symbols get dense ids after 8 in sort order — digits
+  // 0-9 → 9..18, then letters a,b,c,f,g,h,j,k,l,m,o,p,q,s,t,u,v,x,y,z
+  // → 19..38 (s=32, t=33, x=36, z=38)
+
+  test("byteFallbackVocab: persisted ids never renumber; missing base " +
+    "symbols get dense ids after the persisted range") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    val ext = Bpe.byteFallbackVocab(vocab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    orig.foreach { case (s, id) => assert(ext(s) == id, s"renumbered $s") }
+    // 9 persisted + 30 missing base (37 candidates, 7 already present)
+    assert(ext.size == 39, ext.size)
+    assert(ext("0") == 9L && ext("9") == 18L && ext("a") == 19L &&
+      ext("s") == 32L && ext("t") == 33L && ext("x") == 36L &&
+      ext("z") == 38L, ext.toSeq.sortBy(_._2).mkString(","))
+  }
+
+  test("encodeIdsByteFallback ≡ encodeIdsWithVocab when nothing is OOV") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    val a = Bpe.encodeIdsByteFallback(sennrich, merges, vocab)
+      .orderBy("doc_id", "pos").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Bpe.encodeIdsWithVocab(sennrich, merges, vocab)
+      .orderBy("doc_id", "pos").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
+  test("encodeIdsByteFallback: OOV base characters take fallback ids at " +
+    "their positions — q252's null positions, filled, never renumbered") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    val out = Bpe.encodeIdsByteFallback(
+        Seq((9L, "low xz")).toDF("doc_id", "text"), merges, vocab)
+      .orderBy("pos").collect().map(r => r.getLong(1) -> r.getLong(2))
+    // identical shape to the encodeIdsWithVocab spec above: the two
+    // null positions carry x=36, z=38; everything else unchanged
+    assert(out.toSeq == Seq(0L -> 5L, 1L -> 0L,
+      2L -> 36L, 3L -> 38L, 4L -> 0L), out.toSeq)
+  }
+
+  test("encodeIdsByteFallback: a multi-char OOV symbol (stale vocab) " +
+    "decomposes to its base-unit id RUN at the right positions") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    // a vocab persisted before merge 3 landed: est</w> is missing, so
+    // newest → {n,e,w,est</w>} hits the decompose path for its tail
+    val stale = Bpe.symbolVocab(sennrich, merges)
+      .filter(col("symbol") =!= "est</w>")
+    val out = Bpe.encodeIdsByteFallback(
+        Seq((9L, "newest")).toDF("doc_id", "text"), merges, stale)
+      .orderBy("pos").collect().map(r => r.getLong(1) -> r.getLong(2))
+    // n e w (est</w> → e s t </w>) = 6 2 8 2 32 33 0, no nulls
+    assert(out.toSeq == Seq(0L -> 6L, 1L -> 2L, 2L -> 8L,
+      3L -> 2L, 4L -> 32L, 5L -> 33L, 6L -> 0L), out.toSeq)
+  }
+
+  test("encodeIdsByteFallbackExt: mixed case, punctuation and Unicode " +
+    "reach the byte fallback — hand-traced <0xNN> ids, zero nulls") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    // ext vocab ids: persisted 0..8, digits 9..18, <0x00>..<0xFF> at
+    // 19..274 (19 + NN), letters a.. at 275.. — so L(0x4C)=95,
+    // O(0x4F)=98, W(0x57)=106, !(0x21)=52, é = C3 A9 = 214 188
+    val out = Bpe.encodeIdsByteFallbackExt(
+        Seq((9L, "low LOW é!")).toDF("doc_id", "text"), merges, vocab)
+      .orderBy("pos").collect()
+    assert(out.forall(!_.isNullAt(2)))
+    val ids = out.map(r => r.getLong(1) -> r.getLong(2)).toSeq
+    assert(ids == Seq(
+      0L -> 5L, 1L -> 0L,                         // low </w>
+      2L -> 95L, 3L -> 98L, 4L -> 106L, 5L -> 0L, // L O W </w>
+      6L -> 214L, 7L -> 188L, 8L -> 52L, 9L -> 0L), ids) // é ! </w>
+  }
+
+  test("encodeIdsByteFallbackExt: token_id is never null on arbitrary " +
+    "text (astral Unicode included); <>-bearing tokens are excluded") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    val docs = Seq((1L, "Мир 🌍 a<b>c Low-er 42"))
+      .toDF("doc_id", "text")
+    val out = Bpe.encodeIdsByteFallbackExt(docs, merges, vocab).collect()
+    assert(out.nonEmpty && out.forall(!_.isNullAt(2)))
+    // "a<b>c" is filtered by the reserved-character word shape: 4 words
+    // remain, each ending in one </w> token (id 0)
+    assert(out.count(_.getLong(2) == 0L) == 4, out.length)
+  }
 }

@@ -348,4 +348,20 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Map(1L -> false, 2L -> true, 10L -> true, 11L -> false),
       out.toString)
   }
+
+  test("keepBest: NaN scores rank as UNSCORED — a NaN member never beats " +
+    "a scored one, and an all-NaN/null cluster falls back to lowest id") {
+    import spark.implicits._
+    // negated NaN is still NaN, which Spark's total order ranks ABOVE
+    // +Infinity — without nanvl a NaN member would lose even to nulls
+    // AND an (all-NaN, scored-last) cluster could invert; pin both
+    val scored = Seq((1L, Double.NaN), (2L, -99.0),
+      (10L, Double.NaN), (11L, Double.NaN)).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "cluster")
+    val out = Dedup.keepBest(scored, clusters).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 10L -> true, 11L -> false),
+      out.toString)
+  }
 }

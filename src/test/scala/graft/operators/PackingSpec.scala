@@ -75,4 +75,53 @@ class PackingSpec extends SparkSpecBase {
     assert(run(ids.repartition(5)) == out,
       "global index must not depend on partitioning")
   }
+
+  test("epochShuffle: epoch_pos is a permutation, shard_pos is dense per " +
+    "shard and order-consistent, output is repartition-invariant") {
+    import spark.implicits._
+    val seqs = (0L until 100L).map(i => (i, i * 10)).toDF("seq_no", "payload")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.epochShuffle(d, epoch = 1, numShards = 4)
+        .orderBy("seq_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val out = run(seqs)
+    // payload passes through untouched
+    assert(out.forall { case (s, p, _, _, _) => p == s * 10 })
+    // permutation: epoch positions are exactly 0..99
+    assert(out.map(_._4).sorted == (0L until 100L), "not a permutation")
+    // shard_pos dense 0..count-1 within each shard, and ordered exactly
+    // as the global epoch order restricted to the shard
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      val byGlobal = rows.sortBy(_._4)
+      assert(byGlobal.map(_._5) == (0L until rows.length.toLong),
+        s"shard $shard positions not dense/order-consistent")
+    }
+    assert(run(seqs.repartition(7)) == out, "partitioning leaked in")
+  }
+
+  test("epochShuffle: consecutive epochs decorrelate — the order and the " +
+    "shard map both re-randomize, deterministically") {
+    import spark.implicits._
+    val seqs = (0L until 100L).toDF("seq_no")
+    def run(epoch: Int) =
+      Packing.epochShuffle(seqs, epoch, numShards = 4)
+        .orderBy("seq_no").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val e1 = run(1)
+    val e2 = run(2)
+    assert(run(1) == e1, "epoch shuffle must be deterministic")
+    // measured on this fixture: 98/100 sequences change global position,
+    // 74/100 change shard — both far from the ~0 a stuck RNG would give
+    // (74 ≈ the 3/4 an independent uniform 4-shard remap predicts)
+    val posMoved = e1.zip(e2).count { case (a, b) => a._3 != b._3 }
+    val shardMoved = e1.zip(e2).count { case (a, b) => a._2 != b._2 }
+    assert(posMoved >= 90, s"only $posMoved/100 positions moved")
+    assert(shardMoved >= 60, s"only $shardMoved/100 shards moved")
+    // |pos1 - pos2| averages ~n/3 for independent uniform orders;
+    // measured 35.7 here — assert the same magnitude, not mere inequality
+    val meanAbs = e1.zip(e2).map { case (a, b) =>
+      math.abs(a._3 - b._3) }.sum / 100.0
+    assert(meanAbs > 20.0, s"mean |Δpos| $meanAbs — orders too correlated")
+  }
 }
