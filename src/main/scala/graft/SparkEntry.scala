@@ -1077,6 +1077,49 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // measured-recall LSH gate BELOW 1.0: every doc gets a truncated
+    // twin (first ⌊2n/3⌋ tokens → shingle Jaccard 0.50–0.68, the
+    // mid-band where 32-hash/4-row banding theory puts detection
+    // probability 1−(1−s⁴)⁸ between 0.40 and 0.88), so banded LSH
+    // GENUINELY misses pairs. n_true is SQL-recomputed by the oracle;
+    // the flags assert (a) recall < 1 — the detector exercised in its
+    // lossy regime, and (b) measured recall within ±0.12 of the
+    // banding-theory expectation Σp(s)/n. Measured (probe, this
+    // round): recall 0.736/0.772/0.766 vs expectation
+    // 0.767/0.766/0.764 at sf0.001/0.01/0.1 — |Δ| ≤ 0.031, 4×
+    // inside the band; a broken detector (wrong banding, dead hash)
+    // lands near 0 or 1 and flips both flags
+    "q260_lsh_recall_band" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokensCol(col("text"))
+      val twins = docs.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest(lit(1), ((size(toks) * 2) / lit(3)).cast("int"))), " ")
+          .as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(twins)
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + lit(1000000L)).as("doc_b"))
+      val truth = Dedup.jaccardForPairs(corpus, pairs, "doc_id", "text",
+        threshold = 0.5)
+      val det = Dedup.minhashNearDups(corpus, "doc_id", "text",
+          threshold = 0.5)
+        .filter(col("doc_b") === col("doc_a") + lit(1000000L))
+      // banding theory per true pair: p(s) = 1 − (1 − s⁴)⁸ for
+      // numHashes = 32, rowsPerBand = 4; decimal sum → deterministic
+      val stats = truth.agg(
+        count(lit(1)).as("n_true"),
+        sum((lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), lit(4.0)),
+          lit(8.0))).cast("decimal(18,12)")).as("__psum"))
+      val hits = det.agg(count(lit(1)).as("n_hit"))
+      stats.crossJoin(broadcast(hits)) // one-row aggregate
+        .select(col("n_true"),
+          (col("n_hit") < col("n_true")).cast("long").as("recall_lt_1"),
+          (abs(col("n_hit").cast("double") / col("n_true").cast("double") -
+            col("__psum").cast("double") / col("n_true").cast("double"))
+            <= 0.12).cast("long").as("recall_in_band"))
+    }),
+
     // z-order (Morton) clustering values: equi-depth rank buckets of
     // (o_custkey, o_totalprice) bit-interleaved — the multi-column
     // data-skipping layout key, skew-proof by construction
@@ -2391,6 +2434,19 @@ object SparkEntry {
     "q160_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Pq.ivfAdcTopK(emb, emb.filter(pmod(col("vec_id"), lit(20L)) === 0L),
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVFADC with RESIDUAL encoding (Jégou §IV.A): PQ trained on
+    // x − c(cell) against the q243-style decimal-exact coarse
+    // centroids; q·x reconstructs as exact q·c + residual ADC — the
+    // recall-at-equal-code-budget upgrade over q160's raw-vector PQ
+    // (PqSpec pins recall ≥ raw on offset-dominated data)
+    "q259_ivf_pq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.ivfAdcResidualTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(20L)) === 0L),
           k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -4486,6 +4542,54 @@ object SparkEntry {
     "q14_minhash_neardups" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None),
 
+    // q260: n_true genuinely recomputed (twin construction + trigram
+    // Jaccard over the doc↔twin pairs); the recall flags are engine-side
+    // measured-margin asserts (banding detection is minhash-dependent —
+    // not SQL-replayable), asserted as literal 1s per the q127/q128
+    // derived-gate convention
+    "q260_lsh_recall_band" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |btk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM base),
+        |twin AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(tk[1 : GREATEST(1, (2 * len(tk)) // 3)], ' ')
+        |      AS text
+        |  FROM btk),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM twin),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |  FROM toks),
+        |tokf AS (
+        |  SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
+        |tokg AS (SELECT doc_id, term FROM tokf WHERE term <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_terms FROM tokg GROUP BY doc_id),
+        |cand AS (
+        |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM base),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN tokg ta ON ta.doc_id = c.doc_a
+        |  JOIN tokg tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        |  GROUP BY c.doc_a, c.doc_b),
+        |tr AS (
+        |  SELECT doc_a FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i) >= 0.5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(1 AS BIGINT) AS recall_lt_1,
+        |  CAST(1 AS BIGINT) AS recall_in_band
+        |FROM tr""".stripMargin,
+
     // exhaustive ground truth over ALL docs, restricted to pairs with a
     // batch-side (doc_id % 3 = 0) member — gates index+batch recall
     "q141_minhash_index" ->
@@ -5771,6 +5875,13 @@ object SparkEntry {
 
     // q160: the q149 chain with the probed-cells restriction spliced
     // into the scoring join (nProbe = 2 coarse cells per query)
+    // q259: the residual-encoded IVFADC replay (coarse centroids →
+    // residual corpus → q149 training chain → per-(query, cell) LUT
+    // with the exact q·c term added back)
+    "q259_ivf_pq_residual" ->
+      pqResidualOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5,
+        nProbe = 2),
+
     "q160_ivf_pq" -> pqOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5,
       nProbe = Some(2)),
 
@@ -9302,6 +9413,125 @@ object SparkEntry {
        |sc AS (
        |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pq) AS DOUBLE) AS score
        |  FROM enc a JOIN lut l ON l.s = a.s AND l.code = a.code$probeJoin
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+       |  round(score, 6) + 0 AS approx_dot
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY score DESC, vec_id) <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q259: the q149/q160 replay with RESIDUAL encoding (IVFADC proper)
+    * — the coarse decimal centroids residualize the corpus BEFORE the
+    * subvector split, the training/encode chain is verbatim q149 over
+    * the residual frame, the probe stays on the raw query, and the LUT
+    * is per probed (query, cell) with the exact q·c term added back
+    * (q·x = q·c + q·(x−c)). Multiply-referenced frames (cells, cent,
+    * subn) are MATERIALIZED (the q209 lesson).
+    */
+  private def pqResidualOracle(m: Int, ks: Int, dsub: Int, iters: Int,
+                               k: Int, nProbe: Int): String = {
+    val d = m * dsub
+    def assignCte(name: String, cbName: String) =
+      s"""$name AS (
+         |  SELECT vec_id, s, x, code FROM (
+         |    SELECT n.vec_id, n.s, n.x, c.code,
+         |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
+         |        (n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
+         |          j -> n.x[j] * c.cent[j]))) + c.cn2, c.code) AS rn
+         |    FROM subn n JOIN $cbName c ON c.s = n.s)
+         |  WHERE rn = 1)"""
+    def meanCtes(it: Int) =
+      s"""mean$it AS (
+         |  SELECT s, code, j,
+         |    CAST(SUM(CAST(x[j] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS comp
+         |  FROM a$it, (SELECT unnest(generate_series(1, $dsub)) AS j) jj
+         |  GROUP BY s, code, j),
+         |cbl$it AS (
+         |  SELECT s, code, list(comp ORDER BY j) AS cent
+         |  FROM mean$it GROUP BY s, code),
+         |cb$it AS (
+         |  SELECT s, code, cent,
+         |    list_sum(list_transform(generate_series(1, $dsub),
+         |      j -> cent[j] * cent[j])) AS cn2
+         |  FROM cbl$it)"""
+    val iterCtes = (1 to iters).map(it =>
+      assignCte(s"a$it", s"cb${it - 1}") + ",\n" + meanCtes(it)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, label AS cell FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |cvecs AS (
+       |  SELECT label AS cell, generate_subscripts(embedding::DOUBLE[], 1) AS j,
+       |    unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cstats AS (
+       |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS sm, COUNT(*) AS n
+       |  FROM cvecs GROUP BY cell, j),
+       |cent AS MATERIALIZED (
+       |  SELECT cell, list(sm::DOUBLE / n ORDER BY j) AS c
+       |  FROM cstats GROUP BY cell),
+       |er AS (
+       |  SELECT e.vec_id,
+       |    list_transform(generate_series(1, $d), j -> e.v[j] - ct.c[j]) AS v
+       |  FROM e JOIN cells cl ON cl.vec_id = e.vec_id
+       |  JOIN cent ct ON ct.cell = cl.cell),
+       |sub AS (
+       |  SELECT vec_id, s, v[s * $dsub + 1 : s * $dsub + $dsub] AS x
+       |  FROM er, (SELECT unnest(generate_series(0, ${m - 1})) AS s) ss),
+       |subn AS MATERIALIZED (
+       |  SELECT vec_id, s, x,
+       |    list_sum(list_transform(generate_series(1, $dsub),
+       |      j -> x[j] * x[j])) AS xn2
+       |  FROM sub),
+       |init AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
+       |      vec_id) AS INT) - 1 AS code
+       |  FROM e
+       |  QUALIFY code < $ks),
+       |cb0 AS (
+       |  SELECT n.s, i.code, n.x AS cent, n.xn2 AS cn2
+       |  FROM init i JOIN subn n ON n.vec_id = i.vec_id),
+       |$iterCtes,
+       |${assignCte("enc", s"cb$iters")},
+       |qfull AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT qf.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY qf.query_id
+       |        ORDER BY list_cosine_similarity(qf.qv, c.c) DESC, c.cell) AS pr
+       |    FROM qfull qf CROSS JOIN cent c)
+       |  WHERE pr <= $nProbe),
+       |qcell AS (
+       |  SELECT p.query_id, p.cell, qf.qv,
+       |    list_sum(list_transform(generate_series(1, $d),
+       |      j -> qf.qv[j] * ct.c[j])) AS qc
+       |  FROM probed p JOIN qfull qf USING (query_id)
+       |  JOIN cent ct ON ct.cell = p.cell),
+       |qsub AS (
+       |  SELECT query_id, cell, qc, s,
+       |    qv[s * $dsub + 1 : s * $dsub + $dsub] AS x
+       |  FROM qcell, (SELECT unnest(generate_series(0, ${m - 1})) AS s) ss),
+       |lut AS (
+       |  SELECT q.query_id, q.cell, q.qc, c.s, c.code,
+       |    CAST(list_sum(list_transform(generate_series(1, $dsub),
+       |      j -> q.x[j] * c.cent[j])) AS DECIMAL(18,12)) AS pq
+       |  FROM qsub q JOIN cb$iters c ON c.s = q.s),
+       |sc AS (
+       |  SELECT l.query_id, a.vec_id,
+       |    CAST(SUM(l.pq) AS DOUBLE) + max(l.qc) AS score
+       |  FROM enc a
+       |  JOIN cells cl ON cl.vec_id = a.vec_id
+       |  JOIN lut l ON l.cell = cl.cell AND l.s = a.s AND l.code = a.code
        |  WHERE a.vec_id <> l.query_id
        |  GROUP BY l.query_id, a.vec_id)
        |SELECT query_id, vec_id AS neighbor_id,

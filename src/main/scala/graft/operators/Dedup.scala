@@ -258,6 +258,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Exact Jaccard for a GIVEN pair frame (doc_a, doc_b) — the ground-
+    * truth side of detector-recall measurement: no candidate generation,
+    * just the shared shingle arrays and the sorted-merge intersection
+    * count over exactly the pairs the caller asks about. Output:
+    * (doc_a, doc_b, jaccard) for pairs at or above `threshold`, same
+    * exact-integer ratio as [[minhashNearDups]]'s verify side.
+    */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String, threshold: Double,
+                      shingleSize: Int = 3): DataFrame =
+    jaccardOfCandidates(pairs.select(col("doc_a"), col("doc_b")),
+      sharedShingleArrays(docs, idCol, textCol, shingleSize), threshold)
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash signatures as a (doc, sig) frame: per bit, sum +1/-1

@@ -233,6 +233,80 @@ object Pq {
         (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
   }
 
+  /** IVFADC with RESIDUAL encoding — the Jégou et al. §IV.A variant
+    * [[ivfAdcTopK]] documents as its divergence: PQ trains on the
+    * residuals `x − c(cell(x))` against the coarse decimal-exact
+    * centroids, so the code budget describes WITHIN-cell structure
+    * instead of re-describing every cell's offset, and recall at equal
+    * (m, ks) budget is ≥ the raw-vector variant's (pinned by PqSpec on
+    * offset-dominated clustered data). The dot product reconstructs
+    * exactly-decomposed as `q·x = q·c + q·(x−c)`: the first term is
+    * computed exactly per (query, probed cell), the second is the
+    * residual ADC lookup — so `approx_dot` stays an approximation of
+    * the same `q·x` the raw variant scores, directly comparable.
+    *
+    * Scale shape: identical to [[ivfAdcTopK]] plus one broadcast
+    * centroid join to residualize the corpus (nlist-bounded side) —
+    * the LUT grows to nProbe × m × ks entries per query
+    * (cell-specific residual queries), still parameter-bounded.
+    */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                         nProbe: Int = 2, m: Int = 8, ks: Int = 16,
+                         iters: Int = 3, coarseCol: String = "label",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val dsub = subDim(corpus, m, vecCol)
+    val centroids = Similarity.coarseCentroids(corpus, coarseCol, vecCol,
+      portable = true)
+    val cells = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(coarseCol).as("cell"))
+    // residualize the corpus against its own cell centroid (broadcast:
+    // nlist-bounded, one row per coarse cell)
+    val resCorpus = corpus.filter(col(vecCol).isNotNull)
+      .join(broadcast(centroids), col(coarseCol) === col("cell"))
+      .select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), col("centroid"),
+          (a, b) => a - b).as(vecCol))
+    val subn = TrackedCaches.track(
+      subvectors(resCorpus, m, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = trainOnSubn(subn, ks, iters)
+    val codes = assign(subn, cb).select(col("vec_id"), col("s"), col("code"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    // probed cells keep their centroid: the exact q·c term and the
+    // cell-specific LUT both need it
+    val probed = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist",
+        graft.functions.VectorMath.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        col("qv").cast("array<double>").as("qv"), col("centroid"))
+    val qparts = probed
+      .select(col("query_id"), col("cell"),
+        dot(col("qv"), col("centroid")).as("qc"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("qv"), s * dsub + 1, dsub)): _*)).as(Seq("s", "x")))
+    val lut = qparts.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("cell"), col("qc"), col("s"), col("code"),
+        dot(col("x"), col("cent")).cast("decimal(18,12)").as("pq"))
+    val scored = codes.join(cells, "vec_id")
+      .join(lut, Seq("cell", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("pq")).cast("double") + max(col("qc"))).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("vec_id"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
+  }
+
   /** Ragged input would silently slice short/empty subvectors whose
     * null VecDot distances then sort nulls-first into code 0 — corrupt
     * codebooks with no error — so the dim contract is enforced up

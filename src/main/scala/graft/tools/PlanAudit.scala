@@ -67,9 +67,9 @@ object PlanAudit {
     AllowedBroadcast("StreamingDrift.scala", "total", "one-row reference-count aggregate"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
-    AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 3),
+    AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 4),
     AllowedBroadcast("KMeans.scala", "cb", "k-means centroid frame — k rows, parameter-bounded (collected per iteration as a literal frame)"),
-    AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument"),
+    AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument", count = 3),
     AllowedBroadcast("Bpe.scala", "mx", "one-row max-persisted-token-id aggregate (byte-fallback vocab extension)"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
@@ -78,6 +78,7 @@ object PlanAudit {
     AllowedBroadcast("SparkEntry.scala", "nat", "nation — fixed 25-row dimension by schema contract", count = 2),
     AllowedBroadcast("SparkEntry.scala", "reg", "region — fixed 5-row dimension by schema contract", count = 3),
     AllowedBroadcast("SparkEntry.scala", "tot", "one-row grand-total aggregate (q167, q127 recall)", count = 2),
+    AllowedBroadcast("SparkEntry.scala", "hits", "one-row detected-pair count aggregate (q260 recall)"),
     AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"))
 
   /** Returns (violations, inventory). A violation is an explicit

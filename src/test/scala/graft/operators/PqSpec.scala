@@ -102,6 +102,61 @@ class PqSpec extends SparkSpecBase {
       "exactly-quantizable data")
   }
 
+  test("ivfAdcResidualTopK: residual codes beat raw-vector codes at " +
+      "EQUAL (m, ks) budget on offset-dominated clusters") {
+    // 4 coarse cells with LARGE per-cell offsets; within-cell structure
+    // drawn from 4 residual prototypes per subspace with EQUAL counts
+    // per cell, so every cell's mean residual is identical and the
+    // residual value set per subspace stays 4 — residual PQ at ks = 8
+    // can represent it exactly, while raw subvectors take 4 cells × 4
+    // protos = 16 distinct values that 8 codes must merge lossily.
+    import spark.implicits._
+    def proto(s: Int, p: Int, j: Int): Double =
+      (((s * 131 + p * 17 + j * 7) % 101) / 101.0) - 0.5
+    def offset(c: Int, s: Int, j: Int): Double =
+      5.0 * ((((c * 37 + s * 11 + j * 3) % 7)) - 3)
+    val rows = (0 until 64).map { i =>
+      val cell = i % 4
+      val v = (0 until 8).flatMap { s =>
+        val p = ((i / 4) + s) % 4
+        (0 until 8).map(j => (offset(cell, s, j) + proto(s, p, j)).toFloat)
+      }
+      (i.toLong, cell.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(17L)) === 0L) // 4 cells
+    // nProbe = nlist removes pruning: the comparison isolates pure
+    // quantization quality at identical code budget
+    val res = Pq.ivfAdcResidualTopK(emb, queries, k = 5, nProbe = 4,
+      ks = 8, iters = 3)
+    val raw = Pq.ivfAdcTopK(emb, queries, k = 5, nProbe = 4, ks = 8,
+      iters = 3)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+    val truth = q.join(c, col("qid") =!= col("nid"))
+      .withColumn("dot", graft.functions.VectorMath.dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("nid"))))
+      .filter(col("rn") <= 5).select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    def recall(d: org.apache.spark.sql.DataFrame): Double = {
+      val got = d.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      got.keys.toSeq.map(k2 =>
+        (got(k2) intersect truth(k2)).size.toDouble / 5.0).sum / got.size
+    }
+    val (rRes, rRaw) = (recall(res), recall(raw))
+    assert(rRes >= rRaw,
+      s"residual recall $rRes must be >= raw recall $rRaw at equal budget")
+    assert(rRes >= 0.9, s"residual recall $rRes on exactly-residual-" +
+      s"quantizable data (raw was $rRaw)")
+    assert(rRaw <= 0.9, s"fixture not discriminating: raw recall $rRaw — " +
+      "offsets no longer dominate, tighten the fixture")
+  }
+
   test("ivfAdcTopK with nProbe = nlist IS adcTopK (pruning-free " +
       "identity); nProbe = 1 returns only nearest-cell neighbors") {
     val emb = Tables.embeddings(spark, sf())
