@@ -1551,6 +1551,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // tokenizer coverage report — the per-batch monitoring view a
+    // tokenizer owner runs before training: per SOURCE, token counts
+    // and the OOV rate under a STALE persisted vocab (q256's fixture —
+    // merged symbols of length ≥ 4 missing), surfacing exactly the
+    // null positions the q252 contract guarantees and q256's fallback
+    // would fill
+    "q261_tokenizer_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, merges = 8)
+      val stale = Bpe.symbolVocab(docs, merges)
+        .filter(length(col("symbol")) <= 3 || col("symbol") === "</w>")
+      Bpe.encodeIdsWithVocab(docs, merges, stale)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("token_id").isNull.cast("long")).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 6))
+        .orderBy(col("source"))
+    }),
+
     // HITS hubs/authorities over the q115 nation supply graph — which
     // consumer nations are the strong hubs, which supplier nations the
     // strong authorities; 3 L2-normalized iterations, decimal-exact sums
@@ -1798,6 +1819,16 @@ object SparkEntry {
           seqLen = 512)
         .orderBy(col("seq_no"))
     }),
+
+    // curriculum ordering: ascending-n_chars quality tiers (4 equal
+    // rank-quartiles) with a deterministic md5 shuffle within each
+    // tier — the quality-annealed data schedule, reproducible from
+    // (epoch, doc_id) alone
+    "q262_curriculum_order" -> ((s, dir) =>
+      Packing.curriculumOrder(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", tiers = 4, epoch = 1)
+        .orderBy(col("doc_id"))),
 
     // deterministic epoch shuffle of the q254 packed sequences: the
     // training loop's per-epoch global reorder + data-parallel shard
@@ -8267,6 +8298,47 @@ object SparkEntry {
     // the training chain, not from dtk)
     "q252_bpe_ids_stable_vocab" ->
       bpeTokenIdsOracleSql(8, docWhere = "doc_id % 5 = 0"),
+
+    // q262: rank-quartile tiers by (n_chars, doc_id), then the global
+    // (tier, md5, id) order — both rank-core passes replay as plain
+    // row_number windows
+    "q262_curriculum_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(((r - 1) * 4) // n AS INT) AS tier,
+        |    md5('1#' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM r)
+        |SELECT doc_id, n_chars, tier,
+        |  CAST(row_number() OVER (ORDER BY tier, k, doc_id) - 1 AS BIGINT)
+        |    AS curriculum_pos
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    // q261: the q248 chain with the stale-filtered vocab (q256's
+    // filter), per-source OOV rollup over the LEFT-join nulls
+    "q261_tokenizer_coverage" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """stale AS (
+          |  SELECT * FROM voc WHERE len(symbol) <= 3 OR symbol = '</w>'),
+          |ids AS (
+          |  SELECT p.doc_id, v.token_id
+          |  FROM pos p LEFT JOIN stale v USING (symbol))
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN i.token_id IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_oov,
+          |  round(CAST(sum(CASE WHEN i.token_id IS NULL THEN 1 ELSE 0 END)
+          |      AS DOUBLE) / count(*), 6) AS oov_rate
+          |FROM ids i JOIN documents d USING (doc_id)
+          |GROUP BY d.source
+          |ORDER BY d.source""".stripMargin
+    },
 
     // q258: the q254 sequence frame + epoch-1 md5-keyed global order
     // (row_number over the key replays the rank core) + the q219

@@ -105,6 +105,37 @@ object Packing {
       .drop("__eid", "__k", "__g", "__s")
   }
 
+  /** Curriculum ordering of training examples (Bengio et al. 2009, the
+    * quality-annealed data schedules LLM trainers run): ascending-score
+    * TIER schedule — equal-size tiers by the rank of `scoreCol`, low
+    * tiers (easy / low-quality-first or however the caller keys the
+    * score) trained first — with a deterministic md5 shuffle WITHIN
+    * each tier, so the schedule is coarse-grained curriculum + fine-
+    * grained decorrelation, reproducible from (epoch, id) alone.
+    * Output: input columns + `tier` (0-based) + `curriculum_pos`
+    * (0-based global training order).
+    *
+    * Scale shape: two rank-core passes (tier rank by score, final
+    * order by (tier, key)) — each one range exchange, no single-task
+    * window; the row count enters as a broadcast one-row aggregate.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      tiers: Int, epoch: Int = 1): DataFrame = {
+    require(tiers >= 1, s"tiers must be >= 1, got $tiers")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val base = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+    val ranked = Ranking.rangeRank(base, Nil, Seq(scoreCol, idCol), "__r")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val keyed = ranked.crossJoin(broadcast(n)) // one-row count aggregate
+      .withColumn("tier",
+        expr(s"CAST(((__r - 1) * $tiers) div __n AS INT)"))
+      .withColumn("__k", md5(concat(lit(s"$epoch#"),
+        col(idCol).cast("string")).cast("binary")))
+    Ranking.rangeRank(keyed, Nil, Seq("tier", "__k", idCol), "__c")
+      .withColumn("curriculum_pos", (col("__c") - 1).cast("long"))
+      .drop("__r", "__n", "__k", "__c")
+  }
+
   def chunkTokenStream(ids: DataFrame, seqLen: Int,
                        idCol: String = "doc_id", posCol: String = "pos",
                        tokCol: String = "token_id"): DataFrame = {

