@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.UnicodeNorm
 import graft.operators._
 import graft.sources.{Partitioned, Tables}
 
@@ -1829,6 +1830,31 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", tiers = 4, epoch = 1)
         .orderBy(col("doc_id"))),
+
+    // Unicode NFC canonicalization (graft.functions.UnicodeNorm — the
+    // native codegen expression DuckDB mirrors as nfc_normalize). The
+    // corpus is ASCII, so the gate derives a doc-keyed accent tail:
+    // doc_id%4==0 decomposed e+U+0301/a+U+0300 (NFC composes — the
+    // only rows with changed=1 and a shorter result), ==1 precomposed
+    // é/à (already NFC), ==2 x+U+0301 (a combining mark with NO
+    // precomposed form — NFC keeps it, proving the pass is canonical
+    // composition and not mark-stripping), ==3 plain ASCII (fast path)
+    "q263_nfc_normalize" -> ((s, dir) => {
+      val tail = when(col("doc_id") % 4 === 0,
+          lit(" cafe\u0301 a\u0300"))          // decomposed: e+◌́ a+◌̀
+        .when(col("doc_id") % 4 === 1, lit(" caf\u00e9 \u00e0")) // é à
+        .when(col("doc_id") % 4 === 2, lit(" x\u0301"))   // x+◌́ (no NFC pair)
+        .otherwise(lit(" cafe a"))
+      val fixed = t(s, dir, "documents")
+        .select(col("doc_id"), concat(substring(col("text"), 1, 40), tail).as("t"))
+      fixed.select(
+          col("doc_id"),
+          length(col("t")).as("len_before"),
+          length(UnicodeNorm.nfc(col("t"))).as("len_after"),
+          (UnicodeNorm.nfc(col("t")) =!= col("t")).cast("int").as("changed"),
+          md5(UnicodeNorm.nfc(col("t")).cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // deterministic epoch shuffle of the q254 packed sequences: the
     // training loop's per-epoch global reorder + data-parallel shard
@@ -8317,6 +8343,28 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY tier, k, doc_id) - 1 AS BIGINT)
         |    AS curriculum_pos
         |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    // q263: DuckDB's nfc_normalize (utf8proc) mirrors the JDK
+    // Normalizer — both implement Unicode canonical composition; the
+    // fixture tail is rebuilt with chr() so the SQL file stays ASCII
+    "q263_nfc_normalize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ' cafe' || chr(769) || ' a' || chr(768)
+        |      WHEN 1 THEN ' caf' || chr(233) || ' ' || chr(224)
+        |      WHEN 2 THEN ' x' || chr(769)
+        |      ELSE ' cafe a' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS INT) AS len_before,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS len_after,
+        |  CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS INT)
+        |    AS changed,
+        |  md5(nfc_normalize(t)) AS norm_md5
+        |FROM f
         |ORDER BY doc_id""".stripMargin,
 
     // q261: the q248 chain with the stale-filtered vocab (q256's

@@ -152,9 +152,17 @@ object GraftFunctions {
         StringSimilarity.DamerauLevenshtein(args(0), args(1))
       })
 
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical composition"),
+      { args =>
+        require(args.length == 1, "graft_nfc takes (string)")
+        UnicodeNorm.NfcNormalize(args(0))
+      })
+
   val all = Seq(vecDot, hyperplaneSig, intersectCount, countInSet,
     simhash64, minhashSigs, hashedShingles, wsTokenCount, bpeTokenCount,
-    jaroWinkler, damerauLevenshtein)
+    jaroWinkler, damerauLevenshtein, nfcNormalize)
 
   /** Idempotently register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
