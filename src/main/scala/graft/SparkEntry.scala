@@ -1821,6 +1821,74 @@ object SparkEntry {
         .orderBy(col("seq_no"))
     }),
 
+    // vocabulary coverage curve — tokens ranked by corpus frequency
+    // with cumulative mass: the vocab-sizing readout (how many entries
+    // cover 90/99% of tokens)
+    "q266_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverageCurve(t(s, dir, "documents"))
+        .orderBy(col("rank"))),
+
+    // tokenizer fertility report — per SOURCE, tokens per word and
+    // chars per token under the q248 tokenizer: the compression
+    // readout a tokenizer owner compares across domains (a source
+    // whose fertility spikes is one the vocab serves badly)
+    "q267_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8))
+      val src = docs.select(col("doc_id"), col("source"))
+      val wordStats = docs
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(TextAnalysis.tokensCol(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+      val tokStats = ids.join(src, Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      wordStats.join(tokStats, Seq("source"))
+        .select(col("source"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"),
+          round(col("n_chars").cast("double") /
+            col("n_tokens").cast("double"), 6).as("chars_per_token"))
+        .orderBy(col("source"))
+    }),
+
+    // padding-waste report — the one-row accounting that justifies
+    // q254's concat-and-chunk packing: token waste under per-document
+    // padding to seqLen multiples vs the packed stream's tail-only
+    // waste, and the fraction of padded volume saved
+    "q268_padding_waste" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8))
+      ids.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(expr("(n + 511) DIV 512")).as("pad_seqs"))
+        .select(col("n_docs"), col("total_tokens"), col("pad_seqs"),
+          (col("pad_seqs") * lit(512L) - col("total_tokens"))
+            .as("pad_waste"),
+          expr("(total_tokens + 511) DIV 512").as("packed_seqs"),
+          (expr("(total_tokens + 511) DIV 512") * lit(512L) -
+            col("total_tokens")).as("packed_waste"))
+        .withColumn("saved_frac",
+          round((col("pad_waste") - col("packed_waste")).cast("double") /
+            (col("pad_seqs") * lit(512L)).cast("double"), 6))
+    }),
+
+    // per-sequence document-segment map over the q254 packing — the
+    // block-diagonal attention-mask spec: where each document's span
+    // starts inside each packed sequence, and for how many tokens
+    "q265_seq_boundaries" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.sequenceBoundaries(
+          Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+          seqLen = 512)
+        .orderBy(col("seq_no"), col("seg_no"))
+    }),
+
     // curriculum ordering: ascending-n_chars quality tiers (4 equal
     // rank-quartiles) with a deterministic md5 shuffle within each
     // tier — the quality-annealed data schedule, reproducible from
@@ -1853,6 +1921,32 @@ object SparkEntry {
           length(UnicodeNorm.nfc(col("t"))).as("len_after"),
           (UnicodeNorm.nfc(col("t")) =!= col("t")).cast("int").as("changed"),
           md5(UnicodeNorm.nfc(col("t")).cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE decode — the inverse of q248's encode, closing the tokenizer
+    // round trip: ids → symbols → text must reproduce the exact
+    // filtered word sequence the encoder saw, for every document
+    "q264_bpe_decode_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, merges = 8)
+      val decoded = Bpe.decodeIds(
+        Bpe.encodeIds(docs, merges), Bpe.symbolVocab(docs, merges))
+      val expected = docs
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokensCol(col("text")))
+            .as(Seq("wpos", "word")))
+        .filter(col("word").rlike("^[a-z0-9]+$"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("wpos").as("p"),
+          col("word").as("w")))).as("__ws"))
+        .select(col("doc_id"),
+          array_join(expr("transform(__ws, x -> x.w)"), " ").as("expected"))
+      decoded.join(expected, Seq("doc_id"))
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === col("expected")).cast("bigint")
+            .as("roundtrip_ok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -8319,6 +8413,109 @@ object SparkEntry {
           |ORDER BY seq_no""".stripMargin
     },
 
+    // q266: token counts + rank/running-sum windows over the distinct-
+    // token frame
+    "q266_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |f AS (
+        |  SELECT token, count(*) AS freq FROM tk
+        |  WHERE token <> '' GROUP BY token),
+        |r AS (
+        |  SELECT token, freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank,
+        |    sum(freq) OVER () AS total,
+        |    sum(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cumf
+        |  FROM f)
+        |SELECT CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(freq AS BIGINT) AS freq,
+        |  CAST(cumf AS BIGINT) AS cum_freq,
+        |  round(CAST(cumf AS DOUBLE) / total, 6) AS cum_share
+        |FROM r
+        |ORDER BY rank""".stripMargin,
+
+    // q267: the q248 chain's id stream and word frame rolled up per
+    // source; fertility = tokens/words, chars_per_token = chars/tokens
+    "q267_tokenizer_fertility" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |tok AS (
+          |  SELECT d.source, count(*) AS n_tokens
+          |  FROM ids i JOIN documents d USING (doc_id)
+          |  GROUP BY d.source),
+          |wst AS (
+          |  SELECT d.source, count(*) AS n_words,
+          |    sum(length(w.word)) AS n_chars
+          |  FROM dw w JOIN documents d USING (doc_id)
+          |  GROUP BY d.source)
+          |SELECT w.source, CAST(w.n_words AS BIGINT) AS n_words,
+          |  CAST(w.n_chars AS BIGINT) AS n_chars,
+          |  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+          |  round(CAST(t.n_tokens AS DOUBLE) / w.n_words, 6) AS fertility,
+          |  round(CAST(w.n_chars AS DOUBLE) / t.n_tokens, 6)
+          |    AS chars_per_token
+          |FROM wst w JOIN tok t USING (source)
+          |ORDER BY source""".stripMargin
+    },
+
+    // q268: per-doc token counts off the same chain; integer ceil-div
+    // padding arithmetic on both strategies
+    "q268_padding_waste" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |pd AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY doc_id),
+          |tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(n) AS BIGINT) AS total_tokens,
+          |    CAST(sum((n + 511) // 512) AS BIGINT) AS pad_seqs
+          |  FROM pd)
+          |SELECT n_docs, total_tokens, pad_seqs,
+          |  CAST(pad_seqs * 512 - total_tokens AS BIGINT) AS pad_waste,
+          |  CAST((total_tokens + 511) // 512 AS BIGINT) AS packed_seqs,
+          |  CAST(((total_tokens + 511) // 512) * 512 - total_tokens
+          |    AS BIGINT) AS packed_waste,
+          |  round(CAST(pad_seqs * 512 - total_tokens
+          |      - (((total_tokens + 511) // 512) * 512 - total_tokens)
+          |      AS DOUBLE) / (pad_seqs * 512), 6) AS saved_frac
+          |FROM tot""".stripMargin
+    },
+
+    // q265: q254's idx replay grouped to (seq_no, doc) segments, the
+    // within-sequence rank replayed as a seq_no-partitioned window
+    "q265_seq_boundaries" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |gx AS (
+          |  SELECT doc_id, row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+          |  FROM ids),
+          |seg AS (
+          |  SELECT CAST(idx // 512 AS BIGINT) AS seq_no, doc_id,
+          |    CAST(min(idx % 512) AS BIGINT) AS start_offset,
+          |    CAST(count(*) AS BIGINT) AS seg_len
+          |  FROM gx GROUP BY 1, 2)
+          |SELECT seq_no,
+          |  CAST(row_number() OVER (PARTITION BY seq_no
+          |    ORDER BY start_offset) - 1 AS BIGINT) AS seg_no,
+          |  doc_id, start_offset, seg_len
+          |FROM seg
+          |ORDER BY seq_no, seg_no""".stripMargin
+    },
+
     // q252: the q248 chain with the encode corpus restricted — the
     // vocabulary STAYS the full training corpus's (ws/voc build from
     // the training chain, not from dtk)
@@ -8366,6 +8563,32 @@ object SparkEntry {
         |  md5(nfc_normalize(t)) AS norm_md5
         |FROM f
         |ORDER BY doc_id""".stripMargin,
+
+    // q264: the q248 chain to ids, decoded back — vocab join, ordered
+    // per-doc concat, '</w>' → space — and compared to the filtered
+    // word sequence straight out of the chain's own dw CTE
+    "q264_bpe_decode_roundtrip" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |dec AS (
+          |  SELECT i.doc_id,
+          |    trim(replace(string_agg(v.symbol, '' ORDER BY i.pos),
+          |      '</w>', ' ')) AS decoded
+          |  FROM ids i JOIN voc v USING (token_id)
+          |  GROUP BY i.doc_id),
+          |orig AS (
+          |  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS expected
+          |  FROM dw GROUP BY doc_id)
+          |SELECT d.doc_id, d.decoded,
+          |  CAST(CASE WHEN d.decoded = o.expected THEN 1 ELSE 0 END
+          |    AS BIGINT) AS roundtrip_ok
+          |FROM dec d JOIN orig o USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin
+    },
 
     // q261: the q248 chain with the stale-filtered vocab (q256's
     // filter), per-source OOV rollup over the LEFT-join nulls

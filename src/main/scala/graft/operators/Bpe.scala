@@ -324,6 +324,37 @@ object Bpe {
       .select(col(idCol), col("pos"), col("token_id"))
   }
 
+  /** Decode a token-id stream back to text — the inverse of
+    * [[encodeIds]] and the other half of the tokenizer surface (what a
+    * trainer runs to inspect samples, and what the round-trip gate
+    * needs to prove the id stream is lossless). Joins ids to the vocab,
+    * reassembles each document's symbols in position order, and turns
+    * the `</w>` end-of-word markers back into spaces.
+    *
+    * Contract: positions whose `tokCol` is null (a stable-vocab OOV
+    * from [[encodeIdsWithVocab]]) are SKIPPED — a lossy encode decodes
+    * lossily; use the byte-fallback encoders when decode must be exact
+    * over any input.
+    *
+    * Scale shape: one symbol-bounded vocab join (AQE broadcasts it), one
+    * per-document shuffle for the reassembly agg; the per-doc symbol
+    * array is doc-length-bounded, same class as every per-doc rollup
+    * here. `array_sort` over (pos, symbol) structs makes the concat
+    * order-free, so the agg stays combinable and partition-invariant.
+    */
+  def decodeIds(ids: DataFrame, vocab: DataFrame,
+                idCol: String = "doc_id", posCol: String = "pos",
+                tokCol: String = "token_id"): DataFrame =
+    ids.join(vocab.select(col("token_id").as(tokCol), col("symbol")),
+        Seq(tokCol))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col(posCol).as("p"),
+        col("symbol").as("s")))).as("__ss"))
+      .select(col(idCol),
+        trim(regexp_replace(
+          array_join(expr("transform(__ss, x -> x.s)"), ""),
+          "</w>", " ")).as("decoded"))
+
   /** The base symbol alphabet every tokenizer here can fall back to:
     * the training contract's `[a-z0-9]` characters plus the end-of-word
     * marker. Merges only ever CONCATENATE these units, so every symbol

@@ -136,6 +136,39 @@ object Packing {
       .drop("__r", "__n", "__k", "__c")
   }
 
+  /** Per-sequence document-segment map for [[chunkTokenStream]]-packed
+    * sequences — the block-diagonal attention-mask spec: packing
+    * concatenates documents, so a trainer needs, per packed sequence,
+    * where each document's span starts and how long it runs, both to
+    * stop attention from crossing document boundaries and to key
+    * per-document loss masks. One row per (sequence, document
+    * segment): 0-based `seg_no` within the sequence, `start_offset`,
+    * `seg_len`; a document crossing a sequence boundary contributes
+    * one segment to EACH sequence it spans.
+    *
+    * Scale shape: the same single range exchange as the packer, one
+    * (seq_no, doc) agg; the only window is partitioned by seq_no,
+    * whose groups are seqLen-bounded (k-bounded by construction).
+    */
+  def sequenceBoundaries(ids: DataFrame, seqLen: Int,
+                         idCol: String = "doc_id",
+                         posCol: String = "pos"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val ranked = Ranking.rangeRank(ids, Nil, Seq(idCol, posCol), "__idx")
+    val segs = ranked
+      .withColumn("seq_no", expr(s"(__idx - 1) div $seqLen").cast("long"))
+      .withColumn("__off", pmod(col("__idx") - 1, lit(seqLen.toLong)))
+      .groupBy(col("seq_no"), col(idCol))
+      .agg(min(col("__off")).as("start_offset"),
+        count(lit(1)).as("seg_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seq_no")).orderBy(col("start_offset"))
+    segs
+      .withColumn("seg_no", (row_number().over(w) - 1).cast("long"))
+      .select(col("seq_no"), col("seg_no"), col(idCol),
+        col("start_offset"), col("seg_len"))
+  }
+
   def chunkTokenStream(ids: DataFrame, seqLen: Int,
                        idCol: String = "doc_id", posCol: String = "pos",
                        tokCol: String = "token_id"): DataFrame = {

@@ -734,6 +734,43 @@ object TextAnalysis {
     * (count → token count); output ∝ distinct frequencies. `mass` is
     * the exact token-occurrence share r·N_r/N.
     */
+  /** Vocabulary coverage curve: tokens ranked by corpus frequency with
+    * the cumulative mass each prefix of the ranking covers — the
+    * "how many vocabulary entries cover 90% / 99% of the corpus"
+    * readout a tokenizer owner sizes vocabularies with (and the
+    * head/tail shape a Zipf fit summarizes into one number, q).
+    * Output per distinct token: `rank` (1-based, freq DESC then token),
+    * `freq`, `cum_freq`, `cum_share` (6-dp).
+    *
+    * Scale shape: one map-side-combined token count (the corpus's only
+    * shuffle), then rank + running sum as windows over the DISTINCT-
+    * token frame — Zipf-bounded, the same structurally-tiny class as
+    * [[frequencySpectrum]]'s spectrum, so its single-partition windows
+    * never see corpus-sized data.
+    */
+  def vocabCoverageCurve(docs: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokensCol(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .select(
+        row_number().over(byFreq).cast("long").as("rank"),
+        col("token"), col("freq"),
+        sum(col("freq")).over(byFreq
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cum_freq"),
+        sum(col("freq")).over(all).as("__total"))
+      .withColumn("cum_share", round(
+        col("cum_freq").cast("double") / col("__total").cast("double"), 6))
+      .drop("__total")
+  }
+
   def frequencySpectrum(docs: DataFrame,
                         textCol: String = "text"): DataFrame = {
     val counts = docs

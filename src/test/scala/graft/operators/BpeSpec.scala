@@ -244,4 +244,36 @@ class BpeSpec extends SparkSpecBase {
     // remain, each ending in one </w> token (id 0)
     assert(out.count(_.getLong(2) == 0L) == 4, out.length)
   }
+
+  // ---- decode ---------------------------------------------------------
+
+  test("decodeIds inverts encodeIds: every document round-trips to its " +
+    "filtered word sequence") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val out = Bpe.decodeIds(
+        Bpe.encodeIds(sennrich, merges), Bpe.symbolVocab(sennrich, merges))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(out == Seq(
+      1L -> "low low low low low",
+      2L -> "lower lower",
+      3L -> "newest newest newest newest newest newest",
+      4L -> "widest widest widest"), out)
+  }
+
+  test("decodeIds skips null-id positions (lossy stable-vocab encode " +
+    "decodes lossily) and is repartition-invariant") {
+    val merges = Bpe.learnMerges(sennrich, merges = 5)
+    val vocab = Bpe.symbolVocab(sennrich, merges)
+    // "low xz": x,z are OOV → null ids at pos 2,3; decode keeps low</w>
+    // plus xz's surviving </w> marker → a trailing word boundary only
+    val ids = Bpe.encodeIdsWithVocab(
+      Seq((9L, "low xz")).toDF("doc_id", "text"), merges, vocab)
+    val dec = Bpe.decodeIds(ids, vocab).collect()
+    assert(dec.length == 1 && dec.head.getString(1) == "low",
+      dec.mkString(","))
+    val rep = Bpe.decodeIds(ids.repartition(7), vocab).collect()
+    assert(rep.head.getString(1) == dec.head.getString(1),
+      "partitioning leaked into decode order")
+  }
 }

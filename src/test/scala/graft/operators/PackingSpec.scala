@@ -100,6 +100,35 @@ class PackingSpec extends SparkSpecBase {
     assert(run(seqs.repartition(7)) == out, "partitioning leaked in")
   }
 
+  test("sequenceBoundaries: hand-checked segment map across doc and " +
+    "sequence boundaries, tiling and repartition invariance") {
+    import spark.implicits._
+    // doc1: 6 tokens, doc2: 3, doc3: 1 — stream of 10, seqLen 4:
+    //   seq0 = d1[0..3]; seq1 = d1[4..5] + d2[0..1]; seq2 = d2[2] + d3[0]
+    val ids = (0L until 6L).map(p => (1L, p, 10L)) ++
+      (0L until 3L).map(p => (2L, p, 20L)) ++ Seq((3L, 0L, 30L))
+    val df = ids.toDF("doc_id", "pos", "token_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.sequenceBoundaries(d, seqLen = 4)
+        .orderBy("seq_no", "seg_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val out = run(df)
+    assert(out == Seq(
+      (0L, 0L, 1L, 0L, 4L),
+      (1L, 0L, 1L, 0L, 2L), (1L, 1L, 2L, 2L, 2L),
+      (2L, 0L, 2L, 0L, 1L), (2L, 1L, 3L, 1L, 1L)), out)
+    // segments tile each sequence contiguously: next start = start + len
+    out.groupBy(_._1).values.foreach { segs =>
+      segs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._5 == b._4, s"gap after $a")
+        case _ => ()
+      }
+    }
+    assert(out.map(_._5).sum == 10L, "segment lengths must cover the stream")
+    assert(run(df.repartition(5)) == out, "partitioning leaked in")
+  }
+
   test("curriculumOrder: equal ascending-score tiers scheduled in order, " +
     "md5-shuffled within, epoch-stable membership, repartition-invariant") {
     import spark.implicits._

@@ -554,4 +554,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     val ps = a.map(_._2).distinct.sorted
     assert(ps.zip(ps.tail).forall { case (x, y) => y - x <= 4 })
   }
+
+  test("vocabCoverageCurve: hand-computed ranks, cumulative mass and " +
+    "shares; ties break by token; repartition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "b d"), (3L, null: String))
+      .toDF("doc_id", "text")
+    // freqs: a=3 b=3 c=1 d=1, total 8; rank by (freq DESC, token):
+    // a(3) b(3) c(1) d(1); cum 3,6,7,8 → shares .375 .75 .875 1.0
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.vocabCoverageCurve(d).orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val out = run(docs)
+    assert(out == Seq(
+      (1L, "a", 3L, 3L, 0.375), (2L, "b", 3L, 6L, 0.75),
+      (3L, "c", 1L, 7L, 0.875), (4L, "d", 1L, 8L, 1.0)), out)
+    assert(run(docs.repartition(4)) == out, "partitioning leaked in")
+  }
 }
