@@ -1889,6 +1889,22 @@ object SparkEntry {
         .orderBy(col("seq_no"), col("seg_no"))
     }),
 
+    // unigram-LM tokenizer (SentencePiece family), hard-EM: final
+    // Viterbi segmentation of every model word — the second classical
+    // subword algorithm next to q246's BPE; row-local DP, 2 EM rounds
+    "q269_unigram_segment" -> ((s, dir) =>
+      UnigramLm.segmentation(t(s, dir, "documents"), maxPieceLen = 4,
+          maxWordLen = 12, iterations = 2)
+        .orderBy(col("word"))),
+
+    // the fitted unigram vocab: per piece, final usage count and the
+    // add-one-smoothed log-prob — pins the whole E/M chain (a broken
+    // recount or smoothing shows up directly in cnt/lp6)
+    "q270_unigram_vocab" -> ((s, dir) =>
+      UnigramLm.vocab(t(s, dir, "documents"), maxPieceLen = 4,
+          maxWordLen = 12, iterations = 2)
+        .orderBy(col("rank"))),
+
     // curriculum ordering: ascending-n_chars quality tiers (4 equal
     // rank-quartiles) with a deterministic md5 shuffle within each
     // tier — the quality-annealed data schedule, reproducible from
@@ -4049,6 +4065,98 @@ object SparkEntry {
        |SELECT p.doc_id, p.pos, v.token_id
        |FROM pos p LEFT JOIN voc v USING (symbol)
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Generated oracle for the unigram-LM tokenizer (q269/q270):
+    * position-unrolled Viterbi DP (one CTE per word position, the
+    * `ORDER BY score DESC, path` window mirroring the operator's
+    * array_sort tie-break) repeated per hard-EM round, with the add-one
+    * smoothed DECIMAL(28,12) log-prob chain between rounds. Every
+    * multiply-referenced CTE is MATERIALIZED (the r8 q209 lesson).
+    * Returns the shared CTE body ending with `efseg` (final
+    * segmentations) and `ulpF` (final log-probs); callers append their
+    * own tail.
+    */
+  private def unigramOracleCtes(maxPieceLen: Int, maxWordLen: Int,
+                                iterations: Int): String = {
+    def lpCte(name: String, from: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, CAST(ln(CAST(cnt + 1 AS DOUBLE) /
+         |      CAST(tot + np AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+         |  FROM $from, (SELECT sum(cnt) AS tot, count(*) AS np
+         |               FROM $from) t)""".stripMargin
+    def eStep(p: String, lpTable: String): String = {
+      val b0 = s"""${p}b0 AS (
+                  |  SELECT word, CAST(0 AS DECIMAL(28,12)) AS score, '' AS path
+                  |  FROM uwf)""".stripMargin
+      val bs = (1 to maxWordLen).map { j =>
+        val arms = (math.max(0, j - maxPieceLen) until j).map { i =>
+          s"""      SELECT b.word,
+             |        CAST(b.score + l.lp AS DECIMAL(28,12)) AS score,
+             |        b.path || ' ' || substring(b.word, ${i + 1}, ${j - i}) AS path
+             |      FROM ${p}b$i b JOIN $lpTable l
+             |        ON l.piece = substring(b.word, ${i + 1}, ${j - i})
+             |      WHERE length(b.word) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""${p}b$j AS MATERIALIZED (
+           |  SELECT word, score, path FROM (
+           |    SELECT word, score, path,
+           |      row_number() OVER (PARTITION BY word
+           |        ORDER BY score DESC, path) AS rn
+           |    FROM (
+           |$arms
+           |    ) cand) ranked
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val segArms = (1 to maxWordLen).map { j =>
+        s"    SELECT word, score, path FROM ${p}b$j WHERE length(word) = $j"
+      }.mkString("\n    UNION ALL\n")
+      val seg = s"""${p}seg AS MATERIALIZED (
+                   |  SELECT b.word, w.freq, ltrim(b.path) AS seg, b.score
+                   |  FROM (
+                   |$segArms
+                   |  ) b JOIN uwf w USING (word))""".stripMargin
+      (b0 +: bs :+ seg).mkString(",\n")
+    }
+    def mStep(cName: String, segTable: String): String =
+      s"""$cName AS MATERIALIZED (
+         |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+         |  FROM (SELECT piece FROM uc0) c
+         |  LEFT JOIN (
+         |    SELECT piece, sum(freq) AS used FROM (
+         |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
+         |      FROM $segTable) x
+         |    GROUP BY piece) u USING (piece))""".stripMargin
+    val base =
+      s"""dtk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |dw AS (
+         |  SELECT doc_id, u['wpos'] AS wpos, u['word'] AS word FROM (
+         |    SELECT doc_id,
+         |      unnest([{'wpos': i, 'word': tk[i]} FOR i IN range(1, len(tk) + 1)]) AS u
+         |    FROM dtk)
+         |  WHERE regexp_matches(u['word'], '^[a-z0-9]+$$')),
+         |uwf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM dw
+         |  WHERE length(word) <= $maxWordLen GROUP BY word),
+         |upp AS MATERIALIZED (
+         |  SELECT word, freq, i, l, substring(word, i, l) AS piece FROM (
+         |    SELECT word, freq, i,
+         |      unnest(range(1, least($maxPieceLen, length(word) - i + 1) + 1)) AS l
+         |    FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+         |          FROM uwf) ii) ll),
+         |uc0 AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM upp GROUP BY piece),
+         |${lpCte("ulp0", "uc0")}""".stripMargin
+    val rounds = (1 to iterations).map { t =>
+      eStep(s"e${t - 1}", s"ulp${t - 1}") + ",\n" +
+        mStep(s"uc$t", s"e${t - 1}seg") + ",\n" +
+        lpCte(s"ulp$t", s"uc$t")
+    }
+    val finalE = eStep("ef", s"ulp$iterations")
+    (Seq(base) ++ rounds ++ Seq(finalE)).mkString(",\n")
+  }
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
     * the two queries must be byte-identical, so they share one oracle.
@@ -8436,6 +8544,32 @@ object SparkEntry {
         |  round(CAST(cumf AS DOUBLE) / total, 6) AS cum_share
         |FROM r
         |ORDER BY rank""".stripMargin,
+
+    // q269: the generated position-unrolled Viterbi/EM replay; final
+    // segmentations off efseg
+    "q269_unigram_segment" ->
+      s"""WITH ${unigramOracleCtes(4, 12, 2)}
+         |SELECT word, freq, seg AS segmentation,
+         |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces,
+         |  round(CAST(score AS DOUBLE), 6) AS score6
+         |FROM efseg ORDER BY word""".stripMargin,
+
+    // q270: final usage counts over efseg + the final smoothed lp table
+    "q270_unigram_vocab" ->
+      s"""WITH ${unigramOracleCtes(4, 12, 2)},
+         |fcnt AS (
+         |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+         |  FROM (SELECT piece FROM uc0) c
+         |  LEFT JOIN (
+         |    SELECT piece, sum(freq) AS used FROM (
+         |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
+         |      FROM efseg) x GROUP BY piece) u USING (piece))
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+         |    AS BIGINT) AS rank,
+         |  piece, cnt, round(CAST(lp AS DOUBLE), 6) AS lp6
+         |FROM fcnt JOIN ulp2 USING (piece)
+         |WHERE cnt > 0
+         |ORDER BY rank""".stripMargin,
 
     // q267: the q248 chain's id stream and word frame rolled up per
     // source; fertility = tokens/words, chars_per_token = chars/tokens

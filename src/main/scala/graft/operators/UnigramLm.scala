@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (SentencePiece-flavored), deterministic hard-EM.
+  *
+  * The second classical subword-tokenizer family next to BPE
+  * ([[Bpe]]): instead of greedy pair merges, a unigram language model
+  * over a FIXED candidate-piece set (all substrings of model words up
+  * to `maxPieceLen`), refined by hard EM —
+  *
+  *   - E-step: Viterbi-segment every distinct word under the current
+  *     piece log-probabilities (maximize the sum of piece log-probs;
+  *     ties break to the lexicographically smallest path).
+  *   - M-step: re-estimate piece probabilities from the frequency-
+  *     weighted segmentation counts, add-one smoothed over the fixed
+  *     candidate set (so no piece's probability ever reaches zero and
+  *     every word stays segmentable).
+  *
+  * Initial probabilities come from overlap-inflated raw substring
+  * counts (every occurrence of every substring counts); the first
+  * M-step is therefore the big correction — from "how often does this
+  * piece APPEAR" to "how often is it USED". All probabilities are
+  * ln-transformed once and quantized to DECIMAL(28,12) (the house
+  * cross-engine exactness pattern: one rounding per piece per
+  * iteration, decimal-exact sums inside the DP), so the whole chain
+  * replays bit-identically in the DuckDB oracle.
+  *
+  * Scale design (100 TB): everything runs over the DISTINCT-word frame
+  * (Heaps-bounded, orders of magnitude below corpus size). The Viterbi
+  * DP is ROW-LOCAL — each word's candidate pieces are assembled into
+  * one array column (one piece-table join + groupBy per E-step) and
+  * the DP runs inside a single higher-order `aggregate` expression:
+  * zero shuffles per DP position, no driver-side per-word state. Each
+  * EM iteration is 3 vocabulary-scale shuffles (piece join, recount,
+  * smoothing), `localCheckpoint` between iterations truncates lineage
+  * (the PageRank lesson). Words longer than `maxWordLen` are excluded
+  * from the model (documented contract, mirrored by the oracle) so the
+  * oracle's position-unrolled DP stays bounded.
+  *
+  * Reference context: the reference plugin (`FileAppenderSink.java`)
+  * has no tokenizer; this extends the mandated tokenizer family
+  * (SURVEY §2B4) beyond BPE.
+  */
+object UnigramLm {
+
+  /** Candidate-piece occurrence frame over the model words: one row
+    * per (word, start, len) substring occurrence, `i` 1-based.
+    */
+  private def pieces(wf: DataFrame, maxPieceLen: Int): DataFrame =
+    wf.select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word))")).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(expr(
+          s"sequence(1, least($maxPieceLen, length(word) - i + 1))")).as("l"))
+      .withColumn("piece", expr("substring(word, i, l)"))
+
+  /** Add-one-smoothed piece log-probabilities over the fixed candidate
+    * set: lp = ln((cnt + 1) / (total + |candidates|)), quantized to
+    * DECIMAL(28,12). `tot` is a one-row aggregate (parameter-bounded
+    * broadcast, PlanAudit-allowlisted).
+    */
+  private def logProbs(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cnt")).as("tot"),
+      count(lit(1)).as("np"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        expr("CAST(ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + np AS DOUBLE))" +
+          " AS DECIMAL(28,12))").as("lp"))
+  }
+
+  /** Row-local Viterbi DP: the accumulator is the best-(score, path)
+    * array over word positions 0..len; candidates at position j are the
+    * pieces ending there, each extending the best prefix at its start.
+    * Max score wins, ties break to the lexicographically smallest path
+    * (the array_sort comparator — mirrored by the oracle's
+    * `ORDER BY score DESC, path` window). Scores re-quantize to
+    * DECIMAL(28,12) each step so the decimal type never widens.
+    */
+  private val dpExpr = """
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('score', CAST(0 AS DECIMAL(28,12)), 'path', '')),
+      (acc, j) -> array_append(acc,
+        element_at(
+          array_sort(
+            transform(
+              filter(parr, p -> p.i + p.l - 1 = j),
+              p -> named_struct(
+                'score', CAST(element_at(acc, p.i).score + p.lp
+                              AS DECIMAL(28,12)),
+                'path', concat(element_at(acc, p.i).path, ' ', p.piece))),
+            (a, b) -> CASE WHEN a.score > b.score THEN -1
+                           WHEN a.score < b.score THEN 1
+                           WHEN a.path < b.path THEN -1
+                           WHEN a.path > b.path THEN 1 ELSE 0 END),
+          1)),
+      acc -> element_at(acc, length(word) + 1))"""
+
+  /** E-step: segment every model word under `lp`. Output:
+    * (word, freq, segmentation, score, n_pieces).
+    */
+  private def viterbi(pcs: DataFrame, lp: DataFrame): DataFrame =
+    pcs.join(lp, Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(collect_list(
+        struct(col("i"), col("l"), col("piece"), col("lp"))).as("parr"))
+      .withColumn("fin", expr(dpExpr))
+      .select(col("word"), col("freq"),
+        ltrim(col("fin.path")).as("segmentation"),
+        col("fin.score").as("score"))
+      .withColumn("n_pieces",
+        size(split(col("segmentation"), " ")).cast("long"))
+
+  /** M-step counts: frequency-weighted piece usage over the
+    * segmentations, zero-filled over the full candidate set.
+    */
+  private def recount(seg: DataFrame, candidates: DataFrame): DataFrame = {
+    val used = seg.select(col("freq"),
+        explode(split(col("segmentation"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("used"))
+    candidates.join(used, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
+  }
+
+  /** Fit the model: returns (final segmentation frame, final piece
+    * counts + log-probs). `iterations` EM rounds, then one final
+    * E-step under the last probabilities. The returned counts are the
+    * usage counts of the FINAL segmentation (a last M-count, purely
+    * reporting) with the final lp joined — so a gate on them pins the
+    * whole E/M chain, not just the DP.
+    */
+  def fit(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
+          iterations: Int = 2,
+          textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+      s"bad piece/word bounds ($maxPieceLen, $maxWordLen)")
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val wf = Bpe.wordFreqs(docs, textCol)
+      .filter(length(col("word")) <= maxWordLen)
+    val pcs = pieces(wf, maxPieceLen).localCheckpoint()
+    val c0 = pcs.groupBy(col("piece"))
+      .agg(sum(col("freq")).as("cnt")).localCheckpoint()
+    var lp = logProbs(c0).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val seg = viterbi(pcs, lp)
+      lp = logProbs(recount(seg, c0.select(col("piece"))))
+        .localCheckpoint()
+    }
+    val segFinal = viterbi(pcs, lp).localCheckpoint()
+    val vocab = recount(segFinal, c0.select(col("piece")))
+      .filter(col("cnt") > 0)
+      .join(lp, Seq("piece"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece"))).cast("long"))
+      .select(col("rank"), col("piece"), col("cnt"),
+        round(col("lp").cast("double"), 6).as("lp6"))
+    (segFinal, vocab)
+  }
+
+  /** Final per-word segmentation view for the gate: score exposed as a
+    * 6-dp double (the decimal itself would hash-differ on formatting).
+    */
+  def segmentation(docs: DataFrame, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 12, iterations: Int = 2,
+                   textCol: String = "text"): DataFrame =
+    fit(docs, maxPieceLen, maxWordLen, iterations, textCol)._1
+      .select(col("word"), col("freq"), col("segmentation"),
+        col("n_pieces"), round(col("score").cast("double"), 6).as("score6"))
+
+  /** Final piece vocabulary (usage count + smoothed log-prob, ranked by
+    * count desc then piece).
+    */
+  def vocab(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
+            iterations: Int = 2, textCol: String = "text"): DataFrame =
+    fit(docs, maxPieceLen, maxWordLen, iterations, textCol)._2
+}

@@ -72,6 +72,7 @@ object PlanAudit {
     AllowedBroadcast("KMeans.scala", "cb", "k-means centroid frame — k rows, parameter-bounded (collected per iteration as a literal frame)"),
     AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument", count = 3),
     AllowedBroadcast("Bpe.scala", "mx", "one-row max-persisted-token-id aggregate (byte-fallback vocab extension)"),
+    AllowedBroadcast("UnigramLm.scala", "tot", "one-row (Σcnt, |candidates|) smoothing-denominator aggregate"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
     AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore/userFeatures)", count = 2),
