@@ -1905,6 +1905,29 @@ object SparkEntry {
           maxWordLen = 12, iterations = 2)
         .orderBy(col("rank"))),
 
+    // the unigram tokenizer's actual output: the corpus tokenized to
+    // dense model ids — the unigram twin of q248's BPE id stream
+    "q271_unigram_ids" -> ((s, dir) =>
+      UnigramLm.encodeIds(t(s, dir, "documents"), maxPieceLen = 4,
+          maxWordLen = 12, iterations = 2)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // train-once / apply-anywhere: the persisted model frame reloaded
+    // and applied with ONE guarded Viterbi pass (zero EM jobs) must
+    // reproduce q271 byte-for-byte — shares its oracle verbatim (the
+    // q246/q251 precedent)
+    "q272_unigram_apply" -> ((s, dir) => {
+      val saved = "/tmp/graft_scratch/unigram_model_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, saved)
+      val docs = t(s, dir, "documents")
+      UnigramLm.writeModel(UnigramLm.model(docs, maxPieceLen = 4,
+        maxWordLen = 12, iterations = 2), saved)
+      UnigramLm.encodeIdsWithModel(docs, UnigramLm.readModel(s, saved),
+          maxPieceLen = 4, maxWordLen = 12)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // curriculum ordering: ascending-n_chars quality tiers (4 equal
     // rank-quartiles) with a deterministic md5 shuffle within each
     // tier — the quality-annealed data schedule, reproducible from
@@ -4157,6 +4180,38 @@ object SparkEntry {
     val finalE = eStep("ef", s"ulp$iterations")
     (Seq(base) ++ rounds ++ Seq(finalE)).mkString(",\n")
   }
+
+  /** Shared by q271 (from-scratch unigram encode) and q272 (persisted-
+    * model apply): byte-identical by contract, one oracle (the
+    * q246/q251 precedent). Full-candidate final counts → dense ids by
+    * (cnt desc, piece), segmentation pieces position-unnested per doc.
+    */
+  private def unigramIdsOracleSql(maxPieceLen: Int, maxWordLen: Int,
+                                  iterations: Int): String =
+    s"""WITH ${unigramOracleCtes(maxPieceLen, maxWordLen, iterations)},
+       |fcf AS MATERIALIZED (
+       |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+       |  FROM (SELECT piece FROM uc0) c
+       |  LEFT JOIN (
+       |    SELECT piece, sum(freq) AS used FROM (
+       |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
+       |      FROM efseg) x GROUP BY piece) u USING (piece)),
+       |uids AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+       |    AS BIGINT) AS token_id
+       |  FROM fcf),
+       |uwp AS MATERIALIZED (
+       |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
+       |    SELECT word,
+       |      unnest([{'spos': i, 'piece': sp[i]}
+       |              FOR i IN range(1, len(sp) + 1)]) AS u
+       |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM efseg) s0))
+       |SELECT d.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY d.doc_id
+       |    ORDER BY d.wpos, w.spos) - 1 AS BIGINT) AS pos,
+       |  w.piece, i.token_id
+       |FROM dw d JOIN uwp w USING (word) JOIN uids i ON i.piece = w.piece
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
     * the two queries must be byte-identical, so they share one oracle.
@@ -8570,6 +8625,11 @@ object SparkEntry {
          |FROM fcnt JOIN ulp2 USING (piece)
          |WHERE cnt > 0
          |ORDER BY rank""".stripMargin,
+
+    // q271/q272: the unigram id stream — q272 applies the persisted
+    // model and must be byte-identical, so it shares the oracle
+    "q271_unigram_ids" -> unigramIdsOracleSql(4, 12, 2),
+    "q272_unigram_apply" -> unigramIdsOracleSql(4, 12, 2),
 
     // q267: the q248 chain's id stream and word frame rolled up per
     // source; fertility = tokens/words, chars_per_token = chars/tokens

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private val WordRe = "^[a-z0-9]+$"
+  private[operators] val WordRe = "^[a-z0-9]+$"
 
   /** Extended (raw-text) word shape: any non-whitespace run with
     * `<`/`>` excluded — those two characters are reserved so the

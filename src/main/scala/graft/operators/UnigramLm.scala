@@ -125,16 +125,12 @@ object UnigramLm {
       .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
   }
 
-  /** Fit the model: returns (final segmentation frame, final piece
-    * counts + log-probs). `iterations` EM rounds, then one final
-    * E-step under the last probabilities. The returned counts are the
-    * usage counts of the FINAL segmentation (a last M-count, purely
-    * reporting) with the final lp joined — so a gate on them pins the
-    * whole E/M chain, not just the DP.
+  /** Internal fit: runs the EM chain and returns
+    * (candidate counts c0, final log-probs, final segmentation frame).
     */
-  def fit(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
-          iterations: Int = 2,
-          textCol: String = "text"): (DataFrame, DataFrame) = {
+  private def fitted(docs: DataFrame, maxPieceLen: Int, maxWordLen: Int,
+                     iterations: Int, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       s"bad piece/word bounds ($maxPieceLen, $maxWordLen)")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
@@ -149,7 +145,21 @@ object UnigramLm {
       lp = logProbs(recount(seg, c0.select(col("piece"))))
         .localCheckpoint()
     }
-    val segFinal = viterbi(pcs, lp).localCheckpoint()
+    (c0, lp, viterbi(pcs, lp).localCheckpoint())
+  }
+
+  /** Fit the model: returns (final segmentation frame, final piece
+    * counts + log-probs). `iterations` EM rounds, then one final
+    * E-step under the last probabilities. The returned counts are the
+    * usage counts of the FINAL segmentation (a last M-count, purely
+    * reporting) with the final lp joined — so a gate on them pins the
+    * whole E/M chain, not just the DP.
+    */
+  def fit(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
+          iterations: Int = 2,
+          textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (c0, lp, segFinal) =
+      fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
     val vocab = recount(segFinal, c0.select(col("piece")))
       .filter(col("cnt") > 0)
       .join(lp, Seq("piece"))
@@ -176,4 +186,131 @@ object UnigramLm {
   def vocab(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
             iterations: Int = 2, textCol: String = "text"): DataFrame =
     fit(docs, maxPieceLen, maxWordLen, iterations, textCol)._2
+
+  /** The model state for train-once / apply-anywhere: the FULL
+    * candidate-piece frame — `(token_id, piece, cnt, lp)` — with final
+    * usage counts, the exact DECIMAL(28,12) log-probs (they survive
+    * parquet bit-exact, so a loaded model segments byte-identically),
+    * and dense token ids ranked by (cnt desc, piece). Zero-count pieces
+    * stay IN the model (tail ids): add-one smoothing keeps them alive,
+    * and they are what lets an unseen apply-batch word segment at all.
+    * Restricted to used pieces the ids coincide with [[vocab]]'s rank.
+    *
+    * Ids are assigned with the rank core ([[Ranking.rangeRank]]), not a
+    * global window: the candidate frame is sublinear in the corpus
+    * (Heaps-bounded distinct words × ≤ maxPieceLen·maxWordLen pieces)
+    * but still far too large for a one-task `OVER ()` at 100 TB.
+    */
+  def model(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
+            iterations: Int = 2, textCol: String = "text"): DataFrame = {
+    val (c0, lp, segFinal) =
+      fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
+    modelFrame(c0, lp, segFinal)
+  }
+
+  private def modelFrame(c0: DataFrame, lp: DataFrame,
+                         segFinal: DataFrame): DataFrame = {
+    val full = recount(segFinal, c0.select(col("piece")))
+      .join(lp, Seq("piece"))
+    Ranking.rangeRank(full.withColumn("__nc", -col("cnt")),
+        Nil, Seq("__nc", "piece"), "token_id")
+      .select(col("token_id").cast("long").as("token_id"),
+        col("piece"), col("cnt"), col("lp"))
+  }
+
+  /** Persist / load the model frame. The k rows ARE the tokenizer:
+    * loading them back and calling [[encodeIdsWithModel]] reproduces
+    * the trainer's segmentations and ids byte-for-byte with zero
+    * EM jobs.
+    */
+  def writeModel(model: DataFrame, dir: String): Unit =
+    model.write.mode("overwrite").parquet(dir)
+
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** [[viterbi]] under a LOADED model, guarded for coverage: a word
+    * containing a character outside the model's alphabet has no DP
+    * path (every model piece is a substring of a training word, so an
+    * unknown character can appear in no piece) — such words surface
+    * with a null segmentation (the UNK contract) instead of an ANSI
+    * empty-array error. Coverage ⟺ every position has its single-char
+    * piece in the model, the SentencePiece UNK condition exactly.
+    */
+  private def viterbiGuarded(pcs: DataFrame, lp: DataFrame): DataFrame =
+    pcs.join(lp, Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(collect_list(
+        struct(col("i"), col("l"), col("piece"), col("lp"))).as("parr"))
+      .withColumn("covered", expr(
+        "forall(sequence(1, length(word))," +
+          " j -> exists(parr, p -> p.l = 1 AND p.i = j))"))
+      .withColumn("fin", when(col("covered"), expr(dpExpr)))
+      .select(col("word"),
+        when(col("covered"), ltrim(col("fin.path"))).as("segmentation"))
+
+  /** Tokenize the corpus to dense ids under its own fitted model —
+    * the unigram twin of [[Bpe.encodeIds]]: `(idCol, pos, piece,
+    * token_id)`, `pos` 0-based per document over (word, piece)
+    * position. Per-DISTINCT-word segmentation joined back on the word
+    * key; the only corpus-row window is the doc-partitioned position
+    * rank (doc-length-bounded groups).
+    */
+  def encodeIds(docs: DataFrame, maxPieceLen: Int = 4,
+                maxWordLen: Int = 12, iterations: Int = 2,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val (c0, lp, segFinal) =
+      fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
+    encodeCore(docs, segFinal.select(col("word"), col("segmentation")),
+      modelFrame(c0, lp, segFinal), maxWordLen, idCol, textCol)
+  }
+
+  /** Tokenize a batch under a persisted model — one guarded Viterbi
+    * pass, zero EM jobs. Words whose characters all lie in the model
+    * alphabet segment and id exactly as the trainer would; a word with
+    * an out-of-alphabet character contributes ONE position with null
+    * piece/token_id (the UNK token), so OOV can never silently
+    * renumber a document. `maxPieceLen`/`maxWordLen` must be ≥ the
+    * trained values (larger only wastes candidate rows — the model
+    * join discards pieces it never saw).
+    */
+  def encodeIdsWithModel(docs: DataFrame, model: DataFrame,
+                         maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val wf = Bpe.wordFreqs(docs, textCol)
+      .filter(length(col("word")) <= maxWordLen)
+    val seg = viterbiGuarded(pieces(wf, maxPieceLen),
+      model.select(col("piece"), col("lp")))
+    encodeCore(docs, seg, model, maxWordLen, idCol, textCol)
+  }
+
+  private def encodeCore(docs: DataFrame, seg: DataFrame, model: DataFrame,
+                         maxWordLen: Int, idCol: String,
+                         textCol: String): DataFrame = {
+    val words = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokensCol(col(textCol)))
+          .as(Seq("wpos", "word")))
+      .filter(col("word").rlike(Bpe.WordRe) &&
+        length(col("word")) <= maxWordLen)
+    // posexplode_outer: an UNK word (null segmentation) keeps exactly
+    // one (null piece) row so its position survives
+    val wordPieces = seg.select(col("word"),
+      posexplode_outer(split(col("segmentation"), " "))
+        .as(Seq("spos", "piece")))
+      .withColumn("spos", coalesce(col("spos"), lit(0)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("wpos"), col("spos"))
+    words.join(wordPieces, Seq("word"))
+      .select(col(idCol), col("wpos"), col("spos"), col("piece"))
+      .select(col(idCol),
+        (row_number().over(w) - 1).cast("long").as("pos"), col("piece"))
+      .join(model.select(col("piece"), col("token_id")),
+        Seq("piece"), "left")
+      .select(col(idCol), col("pos"), col("piece"), col("token_id"))
+  }
 }

@@ -75,4 +75,57 @@ class UnigramLmSpec extends SparkSpecBase {
       assert(s.split(" ").mkString("") == w, s"$w -> $s")
     }
   }
+
+  test("model ids rank by (cnt desc, piece) over the FULL candidate set " +
+    "and encodeIds matches the written-and-reloaded model apply") {
+    val m = UnigramLm.model(fixtureDocs, maxPieceLen = 3, maxWordLen = 12,
+      iterations = 2).orderBy("token_id").collect()
+    // full candidate set: used pieces lead in vocab-rank order, zero-
+    // count pieces (like the no-longer-used 'a') trail
+    val byPiece = m.map(r => r.getString(1) ->
+      (r.getLong(0), r.getLong(2))).toMap
+    assert(byPiece("aa") == (1L, 12L) && byPiece("aab") == (2L, 6L) &&
+      byPiece("ba") == (3L, 4L) && byPiece("bb") == (4L, 2L))
+    assert(byPiece.contains("a") && byPiece("a")._2 == 0L,
+      "zero-count pieces stay in the model")
+    assert(m.map(_.getLong(0)).toSeq == (1L to m.length.toLong))
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("unigram_model").toString
+    UnigramLm.writeModel(UnigramLm.model(fixtureDocs, maxPieceLen = 3,
+      maxWordLen = 12, iterations = 2), dir)
+    val fromScratch = UnigramLm.encodeIds(fixtureDocs, maxPieceLen = 3,
+      maxWordLen = 12, iterations = 2).orderBy("doc_id", "pos").collect()
+    val applied = UnigramLm.encodeIdsWithModel(fixtureDocs,
+        UnigramLm.readModel(spark, dir), maxPieceLen = 3, maxWordLen = 12)
+      .orderBy("doc_id", "pos").collect()
+    assert(fromScratch.map(_.toString).toSeq ==
+      applied.map(_.toString).toSeq)
+    assert(fromScratch.nonEmpty &&
+      fromScratch.forall(r => !r.isNullAt(3)), "no OOV on own corpus")
+  }
+
+  test("apply under a loaded model: known-alphabet unseen words segment, " +
+    "out-of-alphabet words yield ONE null-id UNK position") {
+    import spark.implicits._
+    val model = UnigramLm.model(fixtureDocs, maxPieceLen = 3,
+      maxWordLen = 12, iterations = 2)
+    // "abba": unseen word, chars all in {a,b} → segments via model
+    // pieces; "cab": 'c' outside the alphabet → UNK (one null row);
+    // "aab": training word → trainer's segmentation
+    val batch = Seq((9L, "abba cab aab")).toDF("doc_id", "text")
+    val rows = UnigramLm.encodeIdsWithModel(batch, model,
+        maxPieceLen = 3, maxWordLen = 12)
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // positions stay contiguous across the UNK: abba -> pieces, then
+    // exactly one null position for "cab", then aab's id
+    val unkRows = rows.filter(_._2.isEmpty)
+    assert(unkRows.length == 1 && unkRows.head._3 == -1L)
+    val abba = rows.takeWhile(_._2.nonEmpty)
+    assert(abba.flatMap(_._2).mkString("") == "abba")
+    assert(rows.last._2.contains("aab") && rows.last._3 == 2L)
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
+  }
 }
