@@ -1928,6 +1928,40 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // bigram-LM perplexity scoring (CCNet family): per-document mean
+    // negative log-likelihood under the corpus's own add-one-smoothed
+    // bigram model, with a BOS context so every token is scored —
+    // exact BIGINT counts, one 6-dp ln quantization per bigram type,
+    // order-free long sums per doc
+    "q273_bigram_nll" -> ((s, dir) =>
+      NgramLm.docNll(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet head/middle/tail buckets: documents ranked by (nll, id)
+    // on the rank core and cut into perplexity terciles — the standard
+    // keep-the-head curation decision, reproducible from counts alone
+    "q274_ppl_buckets" -> ((s, dir) =>
+      NgramLm.pplBuckets(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // WordPiece vocabulary: every single-char form (the coverage
+    // floor) plus the top-K multi-char `##`-convention forms by
+    // frequency-weighted occurrence count, densely id'd by
+    // (cnt desc, form) on the rank core
+    "q275_wordpiece_vocab" -> ((s, dir) =>
+      WordPiece.vocab(t(s, dir, "documents"), maxPieceLen = 4,
+          maxWordLen = 12, topK = 40)
+        .orderBy(col("token_id"))),
+
+    // WordPiece greedy longest-match-first encode: the corpus
+    // tokenized to dense ids — the third id stream next to q248 (BPE)
+    // and q271 (unigram); the row-local cursor walk runs inside one
+    // higher-order aggregate, per DISTINCT word
+    "q276_wordpiece_encode" -> ((s, dir) =>
+      WordPiece.encodeIds(t(s, dir, "documents"), maxPieceLen = 4,
+          maxWordLen = 12, topK = 40)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // curriculum ordering: ascending-n_chars quality tiers (4 equal
     // rank-quartiles) with a deterministic md5 shuffle within each
     // tier — the quality-annealed data schedule, reproducible from
@@ -4212,6 +4246,108 @@ object SparkEntry {
        |  w.piece, i.token_id
        |FROM dw d JOIN uwp w USING (word) JOIN uids i ON i.piece = w.piece
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Shared CTE chain for q275/q276: the WordPiece vocabulary build +
+    * position-unrolled greedy longest-match replay. Same tokenization
+    * base as the unigram oracle (lower, \\s+ split, `^[a-z0-9]+$`
+    * words, length ≤ maxWordLen). The greedy walk unrolls to
+    * `maxWordLen` steps — each step advances the cursor by ≥ 1 (the
+    * single-char floor), finished words pass through unchanged. At a
+    * fixed (word, position) every candidate length yields a distinct
+    * form, so the per-step argmax orders by length alone.
+    */
+  private def wordPieceOracleCtes(maxPieceLen: Int, maxWordLen: Int,
+                                  topK: Int): String = {
+    val steps = (1 to maxWordLen).map { t =>
+      s"""wg$t AS MATERIALIZED (
+         |  SELECT word, pos, path FROM wg${t - 1} WHERE pos > length(word)
+         |  UNION ALL
+         |  SELECT word, pos + l AS pos, path || ' ' || form AS path FROM (
+         |    SELECT g.word, g.pos, g.path, c.l, c.form,
+         |      row_number() OVER (PARTITION BY g.word
+         |        ORDER BY c.l DESC) AS rn
+         |    FROM wg${t - 1} g JOIN wcand c
+         |      ON c.word = g.word AND c.i = g.pos
+         |    WHERE g.pos <= length(g.word)) x
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""wtk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |wdw AS (
+       |  SELECT doc_id, u['wpos'] AS wpos, u['word'] AS word FROM (
+       |    SELECT doc_id,
+       |      unnest([{'wpos': i, 'word': tk[i]} FOR i IN range(1, len(tk) + 1)]) AS u
+       |    FROM wtk)
+       |  WHERE regexp_matches(u['word'], '^[a-z0-9]+$$')),
+       |wwf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM wdw
+       |  WHERE length(word) <= $maxWordLen GROUP BY word),
+       |wocc AS MATERIALIZED (
+       |  SELECT word, freq, i, l,
+       |    (CASE WHEN i = 1 THEN '' ELSE '##' END) || substring(word, i, l)
+       |      AS form
+       |  FROM (
+       |    SELECT word, freq, i,
+       |      unnest(range(1, least($maxPieceLen, length(word) - i + 1) + 1)) AS l
+       |    FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+       |          FROM wwf) ii) ll),
+       |wcnt AS MATERIALIZED (
+       |  SELECT form, (l = 1) AS is_char, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wocc GROUP BY form, (l = 1)),
+       |wvocab AS MATERIALIZED (
+       |  SELECT form, cnt FROM wcnt WHERE is_char
+       |  UNION ALL
+       |  SELECT form, cnt FROM (
+       |    SELECT form, cnt, row_number() OVER (ORDER BY cnt DESC, form) AS rn
+       |    FROM wcnt WHERE NOT is_char) x
+       |  WHERE rn <= $topK),
+       |wids AS MATERIALIZED (
+       |  SELECT form, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, form)
+       |    AS BIGINT) AS token_id
+       |  FROM wvocab),
+       |wcand AS MATERIALIZED (
+       |  SELECT o.word, o.i, o.l, o.form
+       |  FROM wocc o JOIN wvocab v USING (form)),
+       |wg0 AS (SELECT word, 1 AS pos, '' AS path FROM wwf),
+       |$steps,
+       |wseg AS MATERIALIZED (
+       |  SELECT g.word, w.freq, ltrim(g.path) AS seg
+       |  FROM wg$maxWordLen g JOIN wwf w USING (word))""".stripMargin
+  }
+
+  /** Shared CTE chain for q273/q274: the bigram-LM training + scoring
+    * replay. Tokenization mirrors `TextAnalysis.tokensCol` (lower,
+    * \\s+ split, non-empty docs); BOS = `<s>` at position 1 so every
+    * token contributes one scored bigram. `sum(lp6)` is CAST back to
+    * BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    */
+  private val bigramNllCtes: String =
+    """btk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |bg AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END AS prev,
+      |    tk[i] AS cur
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+      |        FROM btk) x),
+      |bc2 AS MATERIALIZED (
+      |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+      |  FROM bg GROUP BY prev, cur),
+      |bc1 AS MATERIALIZED (
+      |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM bc2 GROUP BY prev),
+      |bv AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM bg),
+      |blp AS MATERIALIZED (
+      |  SELECT prev, cur,
+      |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
+      |  FROM bc2 JOIN bc1 USING (prev), bv),
+      |dnll AS MATERIALIZED (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(l.lp6) AS BIGINT) AS s
+      |  FROM bg b JOIN blp l ON l.prev = b.prev AND l.cur = b.cur
+      |  GROUP BY b.doc_id)""".stripMargin
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
     * the two queries must be byte-identical, so they share one oracle.
@@ -8630,6 +8766,58 @@ object SparkEntry {
     // model and must be byte-identical, so it shares the oracle
     "q271_unigram_ids" -> unigramIdsOracleSql(4, 12, 2),
     "q272_unigram_apply" -> unigramIdsOracleSql(4, 12, 2),
+
+    // q273: the bigram-LM replay — exact BIGINT counts, one ln
+    // quantization per bigram type (floor(x*1e6+0.5), the quantize6
+    // mirror), exact long sum per doc, then the two-rounding double
+    // division the engine computes (s→double, /−1e6, /n)
+    "q273_bigram_nll" ->
+      s"""WITH $bigramNllCtes
+         |SELECT doc_id, n_tokens,
+         |  CAST(s AS DOUBLE) / (-1000000.0) / n_tokens AS nll,
+         |  CAST(floor(exp(CAST(s AS DOUBLE) / (-1000000.0) / n_tokens)
+         |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl6
+         |FROM dnll ORDER BY doc_id""".stripMargin,
+
+    // q275: the WordPiece vocabulary replay — char floor ∪ top-K
+    // multi-char forms, ids by (cnt desc, form)
+    "q275_wordpiece_vocab" ->
+      s"""WITH ${wordPieceOracleCtes(4, 12, 40)}
+         |SELECT token_id, form, cnt FROM wids ORDER BY token_id""".stripMargin,
+
+    // q276: the position-unrolled greedy walk off wseg, pieces
+    // position-unnested per doc and id'd from wids
+    "q276_wordpiece_encode" ->
+      s"""WITH ${wordPieceOracleCtes(4, 12, 40)},
+         |wwp AS MATERIALIZED (
+         |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
+         |    SELECT word,
+         |      unnest([{'spos': i, 'piece': sp[i]} FOR i IN range(1, len(sp) + 1)]) AS u
+         |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM wseg) s0))
+         |SELECT d.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY d.doc_id
+         |    ORDER BY d.wpos, w.spos) - 1 AS BIGINT) AS pos,
+         |  w.piece, i.token_id
+         |FROM wdw d JOIN wwp w USING (word)
+         |JOIN wids i ON i.form = w.piece
+         |WHERE length(d.word) <= 12
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // q274: terciles over the q273 frame — rank by (nll, doc_id),
+    // bucket by rank*3 against the doc count
+    "q274_ppl_buckets" ->
+      s"""WITH $bigramNllCtes,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dnll),
+         |rk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY CAST(s AS DOUBLE) / (-1000000.0) / n_tokens,
+         |               doc_id) AS BIGINT) AS rank
+         |  FROM dnll)
+         |SELECT r.doc_id, r.rank,
+         |  CASE WHEN r.rank * 3 <= nd THEN 'head'
+         |       WHEN r.rank * 3 <= 2 * nd THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM rk r, nd ORDER BY doc_id""".stripMargin,
 
     // q267: the q248 chain's id stream and word frame rolled up per
     // source; fertility = tokens/words, chars_per_token = chars/tokens

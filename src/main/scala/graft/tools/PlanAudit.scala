@@ -73,6 +73,8 @@ object PlanAudit {
     AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument", count = 3),
     AllowedBroadcast("Bpe.scala", "mx", "one-row max-persisted-token-id aggregate (byte-fallback vocab extension)"),
     AllowedBroadcast("UnigramLm.scala", "tot", "one-row (Σcnt, |candidates|) smoothing-denominator aggregate"),
+    AllowedBroadcast("NgramLm.scala", "v", "one-row |vocabulary| distinct-count aggregate (bigram smoothing denominator)"),
+    AllowedBroadcast("NgramLm.scala", "nd", "one-row doc-count aggregate (perplexity-tercile denominator)"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
     AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore/userFeatures)", count = 2),

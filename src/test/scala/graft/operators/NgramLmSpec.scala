@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Bigram-LM perplexity: hand-replayed tiny corpus + tercile buckets. */
+class NgramLmSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  private def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  test("docNll replays the add-one bigram model by hand") {
+    import spark.implicits._
+    // doc1: a b b   doc2: b a        V = {a, b} = 2
+    // bigrams: (<s>,a) (a,b) (b,b) | (<s>,b) (b,a)
+    // contexts: c1(<s>)=2 c1(a)=1 c1(b)=2
+    val docs = Seq((1L, "a b b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = NgramLm.docNll(docs).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+
+    val lpSA = q6(math.log(2.0 / 4)) // (<s>,a): (1+1)/(2+2)
+    val lpAB = q6(math.log(2.0 / 3)) // (a,b):   (1+1)/(1+2)
+    val lpBB = q6(math.log(2.0 / 4)) // (b,b):   (1+1)/(2+2)
+    val lpSB = q6(math.log(2.0 / 4)) // (<s>,b)
+    val lpBA = q6(math.log(2.0 / 4)) // (b,a)
+
+    val nll1 = (lpSA + lpAB + lpBB).toDouble / -1e6 / 3
+    val nll2 = (lpSB + lpBA).toDouble / -1e6 / 2
+    assert(out(0) === ((1L, 3L, nll1, q6(math.exp(nll1)).toDouble / 1e6)))
+    assert(out(1) === ((2L, 2L, nll2, q6(math.exp(nll2)).toDouble / 1e6)))
+  }
+
+  test("every token is scored: n_tokens equals the doc token count") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "  x   y  z ")).toDF("doc_id", "text")
+    val n = NgramLm.docNll(docs).orderBy("doc_id")
+      .select("n_tokens").as[Long].collect()
+    assert(n.toSeq === Seq(1L, 3L))
+  }
+
+  test("pplBuckets cuts nll terciles with head = lowest perplexity") {
+    import spark.implicits._
+    // 6 docs: the more repetitive the text, the lower its nll under
+    // the corpus model — assert bucket sizes and that the bucket
+    // order agrees with the docNll order.
+    val docs = Seq(
+      (1L, "a a a a a a"), (2L, "a a a a a b"), (3L, "a b a b c c"),
+      (4L, "c b a d e f"), (5L, "f e d c b a"), (6L, "a c e b d f")
+    ).toDF("doc_id", "text")
+    val nll = NgramLm.docNll(docs)
+      .orderBy("nll", "doc_id").select("doc_id")
+      .as[Long].collect().toSeq
+    val buckets = NgramLm.pplBuckets(docs)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(buckets.values.map(_._2).groupBy(identity)
+      .view.mapValues(_.size).toMap ===
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(nll.map(buckets(_)._1).toSeq === (1L to 6L),
+      "rank order must equal the (nll, doc_id) order")
+    assert(nll.take(2).forall(buckets(_)._2 == "head"))
+    assert(nll.slice(2, 4).forall(buckets(_)._2 == "middle"))
+    assert(nll.drop(4).forall(buckets(_)._2 == "tail"))
+  }
+
+  test("null and blank documents are excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, null), (3L, "   "))
+      .toDF("doc_id", "text")
+    assert(NgramLm.docNll(docs).count() === 1)
+  }
+}
