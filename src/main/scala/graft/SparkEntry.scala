@@ -1944,6 +1944,64 @@ object SparkEntry {
       NgramLm.pplBuckets(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // C4-style line filter (Raffel 2020 §2.2): the corpus is single-
+    // line and punctuation-free, so the gate derives a doc-keyed
+    // 5-line fixture (the q263 precedent) exercising every rule —
+    // short line, missing terminal punctuation, `{`, and the two
+    // banned phrases in mixed case — with keep_doc flipping on
+    // doc_id%4 (3 kept lines vs 2)
+    "q277_c4_line_filter" -> ((s, dir) => {
+      val l3 = when(col("doc_id") % 4 === 0,
+          lit("this sentence mentions Lorem Ipsum filler text."))
+        .when(col("doc_id") % 4 === 1,
+          lit("this sentence is perfectly clean and long enough."))
+        .when(col("doc_id") % 4 === 2, lit("var code = { a: 1 };"))
+        .otherwise(lit("does JavaScript belong in a corpus anyway?"))
+      val synth = concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(" end of line one.")),
+        lit("too short."),
+        l3,
+        concat(substring(col("text"), 41, 40),
+          lit(" trailing clause without punctuation")),
+        lit("one more good sentence to close the document."))
+      Cleaning.c4LineFilter(
+          t(s, dir, "documents").select(col("doc_id"), synth.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // trained language-ID profiles (Cavnar–Trenkle 1994): per-language
+    // top-N character-trigram RANK profiles over _-padded words — the
+    // trained counterpart of q22/q214's heuristic langid, using the
+    // corpus's labeled lang column
+    "q278_langid_profiles" -> ((s, dir) =>
+      LangProfile.profiles(t(s, dir, "documents"), topN = 30)
+        .orderBy(col("lang"), col("rank"))),
+
+    // rank-distance classification: every doc scored against every
+    // profile by out-of-place distance (penalty = topN for missing
+    // trigrams), argmin via a map-side min(struct) — plus the labeled
+    // correctness bit. The gate pins the exact decision replay;
+    // accuracy is a property of the data — the synthetic langs share
+    // one 31-token vocabulary and differ only in frequency, so sf0.01
+    // reads 0.28 vs 0.20 uniform chance (probed flat in topN 30–150
+    // and for word-level profiles; LangProfileSpec shows perfect
+    // separation once vocabularies actually differ)
+    "q279_langid_classify" -> ((s, dir) =>
+      LangProfile.classify(t(s, dir, "documents"), topN = 30)
+        .orderBy(col("doc_id"))),
+
+    // multinomial Naive Bayes classification (add-one smoothing): the
+    // generative trained classifier next to q237's LogReg and q279's
+    // rank profiles — exact long score arithmetic (one 6-dp ln
+    // quantization per (label, word)), unknown-word mass covers
+    // unmatched tokens so every label gets a full-likelihood score.
+    // On the frequency-only synthetic langs NB (the true model family
+    // for the generator) reads 0.47 accuracy at sf0.01 vs 0.28 for
+    // q279's rank profiles and 0.20 chance
+    "q280_nb_classify" -> ((s, dir) =>
+      NaiveBayes.classify(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // WordPiece vocabulary: every single-char form (the coverage
     // floor) plus the top-K multi-char `##`-convention forms by
     // frequency-weighted occurrence count, densely id'd by
@@ -4246,6 +4304,32 @@ object SparkEntry {
        |  w.piece, i.token_id
        |FROM dw d JOIN uwp w USING (word) JOIN uids i ON i.piece = w.piece
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Shared CTE chain for q278/q279: the Cavnar–Trenkle trigram stream
+    * (per-occurrence trigrams of `_`-padded lowercase words carrying
+    * both doc_id and lang), per-lang counts, and the top-30 rank
+    * profiles.
+    */
+  private val langIdOracleCtes: String =
+    """cilt AS (
+      |  SELECT doc_id, lang, '_' || u || '_' AS p FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS u
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND trim(text) <> '') w),
+      |citg AS MATERIALIZED (
+      |  SELECT doc_id, lang, substring(p, i, 3) AS tri
+      |  FROM (SELECT doc_id, lang, p,
+      |          unnest(range(1, length(p) - 1)) AS i
+      |        FROM cilt) x),
+      |cicnt AS MATERIALIZED (
+      |  SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM citg GROUP BY lang, tri),
+      |ciprof AS MATERIALIZED (
+      |  SELECT lang, tri, lr FROM (
+      |    SELECT lang, tri, CAST(row_number() OVER (
+      |      PARTITION BY lang ORDER BY cnt DESC, tri) AS BIGINT) AS lr
+      |    FROM cicnt) x WHERE lr <= 30)""".stripMargin
 
   /** Shared CTE chain for q275/q276: the WordPiece vocabulary build +
     * position-unrolled greedy longest-match replay. Same tokenization
@@ -8778,6 +8862,148 @@ object SparkEntry {
          |  CAST(floor(exp(CAST(s AS DOUBLE) / (-1000000.0) / n_tokens)
          |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl6
          |FROM dnll ORDER BY doc_id""".stripMargin,
+
+    // q277: the same fixture + line predicate in DuckDB list lambdas;
+    // empty-survivor coalesce mirrors Spark's array_join('') semantics
+    "q277_c4_line_filter" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' end of line one.' || chr(10) ||
+        |    'too short.' || chr(10) ||
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'this sentence mentions Lorem Ipsum filler text.'
+        |      WHEN 1 THEN 'this sentence is perfectly clean and long enough.'
+        |      WHEN 2 THEN 'var code = { a: 1 };'
+        |      ELSE 'does JavaScript belong in a corpus anyway?' END || chr(10) ||
+        |    substring(text, 41, 40) || ' trailing clause without punctuation'
+        |      || chr(10) ||
+        |    'one more good sentence to close the document.' AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |lf AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |          w -> w <> '')) >= 5
+        |      AND regexp_matches(rtrim(l), '[.!?"]$')
+        |      AND NOT contains(l, '{')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM synth)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN len(kept) >= 3 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS keep_doc,
+        |  CAST(length(coalesce(list_aggregate(kept, 'string_agg', chr(10)),
+        |    '')) AS BIGINT) AS kept_chars,
+        |  md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''))
+        |    AS kept_md5,
+        |  coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')
+        |    AS cleaned
+        |FROM lf ORDER BY doc_id""".stripMargin,
+
+    // q278/q279: the Cavnar–Trenkle replay — shared trigram stream,
+    // per-lang and per-doc rank profiles, out-of-place distance with
+    // the missing-trigram penalty, argmin by (dist, lang)
+    "q278_langid_profiles" ->
+      s"""WITH $langIdOracleCtes
+         |SELECT l.lang, l.lr AS rank, l.tri, c.cnt
+         |FROM ciprof l JOIN cicnt c USING (lang, tri)
+         |ORDER BY lang, rank""".stripMargin,
+
+    "q279_langid_classify" ->
+      s"""WITH $langIdOracleCtes,
+         |cidcnt AS MATERIALIZED (
+         |  SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM citg GROUP BY doc_id, tri),
+         |cidprof AS MATERIALIZED (
+         |  SELECT doc_id, tri, dr FROM (
+         |    SELECT doc_id, tri, CAST(row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY cnt DESC, tri) AS BIGINT) AS dr
+         |    FROM cidcnt) x WHERE dr <= 30),
+         |cipsz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS p
+         |  FROM cidprof GROUP BY doc_id),
+         |cidist AS MATERIALIZED (
+         |  SELECT dc.doc_id, dc.lang,
+         |    dc.s + (z.p - dc.m) * 30 AS dist
+         |  FROM (
+         |    SELECT d.doc_id, l.lang,
+         |      CAST(sum(abs(d.dr - l.lr)) AS BIGINT) AS s,
+         |      CAST(count(*) AS BIGINT) AS m
+         |    FROM cidprof d JOIN ciprof l USING (tri)
+         |    GROUP BY d.doc_id, l.lang) dc
+         |  JOIN cipsz z USING (doc_id)),
+         |cibest AS (
+         |  SELECT doc_id, lang AS pred_lang, dist FROM (
+         |    SELECT doc_id, lang, dist, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY dist, lang) AS rn
+         |    FROM cidist) x WHERE rn = 1)
+         |SELECT b.doc_id, d.lang, b.pred_lang, b.dist,
+         |  CASE WHEN d.lang = b.pred_lang THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS correct
+         |FROM cibest b JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q280: the NB replay — per-label likelihood table, prior +
+    // unknown-word mass, full (doc × label) grid, argmax by
+    // (score desc, label)
+    "q280_nb_classify" ->
+      """WITH nbw AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |nbv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM nbw),
+        |nbdt AS (SELECT CAST(count(*) AS BIGINT) AS dt FROM documents
+        |         WHERE text IS NOT NULL AND trim(text) <> ''),
+        |nblwc AS MATERIALIZED (
+        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cw
+        |  FROM nbw GROUP BY lang, word),
+        |nbltot AS MATERIALIZED (
+        |  SELECT lang, CAST(sum(cw) AS BIGINT) AS tot
+        |  FROM nblwc GROUP BY lang),
+        |nblp AS MATERIALIZED (
+        |  SELECT w.lang, w.word,
+        |    CAST(floor(ln(CAST(cw + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
+        |  FROM nblwc w JOIN nbltot USING (lang), nbv),
+        |nbls AS MATERIALIZED (
+        |  SELECT d.lang,
+        |    CAST(floor(ln(CAST(dl AS DOUBLE) / CAST(dt AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS prior6,
+        |    CAST(floor(ln(1.0 / CAST(tot + v AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS u6
+        |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS dl FROM documents
+        |        WHERE text IS NOT NULL AND trim(text) <> ''
+        |        GROUP BY lang) d
+        |  JOIN nbltot USING (lang), nbv, nbdt),
+        |nbdwc AS MATERIALIZED (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM nbw GROUP BY doc_id, word),
+        |nbdn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        |         FROM nbdwc GROUP BY doc_id),
+        |nbm AS MATERIALIZED (
+        |  SELECT d.doc_id, l.lang, CAST(sum(d.c * l.lp6) AS BIGINT) AS sm,
+        |    CAST(sum(d.c) AS BIGINT) AS m
+        |  FROM nbdwc d JOIN nblp l USING (word)
+        |  GROUP BY d.doc_id, l.lang),
+        |nbsc AS MATERIALIZED (
+        |  SELECT dn.doc_id, s.lang,
+        |    s.prior6 + coalesce(m.sm, 0) + (dn.n - coalesce(m.m, 0)) * s.u6
+        |      AS score6
+        |  FROM nbdn dn CROSS JOIN nbls s
+        |  LEFT JOIN nbm m ON m.doc_id = dn.doc_id AND m.lang = s.lang),
+        |nbbest AS (
+        |  SELECT doc_id, lang AS pred_label, score6 FROM (
+        |    SELECT doc_id, lang, score6, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score6 DESC, lang) AS rn
+        |    FROM nbsc) x WHERE rn = 1)
+        |SELECT b.doc_id, d.lang, b.pred_label, CAST(b.score6 AS BIGINT)
+        |    AS score6,
+        |  CASE WHEN d.lang = b.pred_label THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS correct
+        |FROM nbbest b JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q275: the WordPiece vocabulary replay — char floor ∪ top-K
     // multi-char forms, ids by (cnt desc, form)

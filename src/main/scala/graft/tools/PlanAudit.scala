@@ -75,6 +75,9 @@ object PlanAudit {
     AllowedBroadcast("UnigramLm.scala", "tot", "one-row (Σcnt, |candidates|) smoothing-denominator aggregate"),
     AllowedBroadcast("NgramLm.scala", "v", "one-row |vocabulary| distinct-count aggregate (bigram smoothing denominator)"),
     AllowedBroadcast("NgramLm.scala", "nd", "one-row doc-count aggregate (perplexity-tercile denominator)"),
+    AllowedBroadcast("NaiveBayes.scala", "v", "one-row |vocabulary| distinct-count aggregate (NB smoothing denominator)", count = 2),
+    AllowedBroadcast("NaiveBayes.scala", "dt", "one-row doc-count aggregate (NB prior denominator)"),
+    AllowedBroadcast("NaiveBayes.scala", "ls", "per-label prior/unknown-mass stats — ≤|labels| rows, schema-bounded dimension (nation/region precedent)"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
     AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore/userFeatures)", count = 2),
