@@ -2002,6 +2002,22 @@ object SparkEntry {
       NaiveBayes.classify(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // int8 scalar quantization of the embedding corpus: per-dim
+    // min-max codes + exact reconstruction error — the byte-per-dim
+    // compression tier below q149's PQ; constant dims code to 0
+    "q281_scalar_quant" -> ((s, dir) =>
+      ScalarQuant.quantize(t(s, dir, "embeddings"), levels = 255)
+        .orderBy(col("vec_id"), col("j"))),
+
+    // held-out bigram perplexity per source — the honest form of
+    // q273's self-scoring: model trained on the md5-half of docs,
+    // the complement scored with smoothed unseen-bigram mass (no
+    // held-out token drops), rolled up per source
+    "q282_heldout_ppl" -> ((s, dir) =>
+      NgramLm.heldOutNllBySource(t(s, dir, "documents"),
+          trainFrac = 0.5)
+        .orderBy(col("source"))),
+
     // WordPiece vocabulary: every single-char form (the coverage
     // floor) plus the top-K multi-char `##`-convention forms by
     // frequency-weighted occurrence count, densely id'd by
@@ -9004,6 +9020,78 @@ object SparkEntry {
         |       ELSE CAST(0 AS BIGINT) END AS correct
         |FROM nbbest b JOIN documents d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q281: per-dim min/max (no arithmetic — exact cross-engine),
+    // code/reconstruct/error replay with the 12-dp error quantization
+    "q281_scalar_quant" ->
+      """WITH sqv AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sqel AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM sqv),
+        |sqst AS MATERIALIZED (
+        |  SELECT j, min(x) AS mn, max(x) AS mx FROM sqel GROUP BY j),
+        |sqc AS (
+        |  SELECT e.vec_id, e.j, e.x, s.mn, s.mx,
+        |    CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor((e.x - s.mn) / (s.mx - s.mn) * 255.0
+        |           + 0.5) AS BIGINT) END AS code
+        |  FROM sqel e JOIN sqst s USING (j))
+        |SELECT vec_id, CAST(j AS BIGINT) AS j, code,
+        |  CAST(floor((x - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn)))
+        |    * (x - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn)))
+        |    * 1000000000000.0 + 0.5) AS BIGINT) AS err12
+        |FROM sqc ORDER BY vec_id, j""".stripMargin,
+
+    // q282: the q273 chain restricted to the md5-train half, the
+    // complement scored with the unseen-bigram smoothed mass, per-
+    // source rollup
+    "q282_heldout_ppl" -> {
+      val b = Sampling.bucketSql("doc_id")
+      val thr = Sampling.hexThreshold(0.5)
+      s"""WITH hbtk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |hbg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END AS prev,
+         |    tk[i] AS cur
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |        FROM hbtk) x),
+         |htr AS MATERIALIZED (
+         |  SELECT * FROM hbg WHERE $b < '$thr'),
+         |hc2 AS MATERIALIZED (
+         |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+         |  FROM htr GROUP BY prev, cur),
+         |hc1 AS MATERIALIZED (
+         |  SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM hc2 GROUP BY prev),
+         |hv AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM htr),
+         |hlp AS MATERIALIZED (
+         |  SELECT prev, cur,
+         |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
+         |  FROM hc2 JOIN hc1 USING (prev), hv),
+         |hsc AS MATERIALIZED (
+         |  SELECT h.doc_id,
+         |    coalesce(l.lp6,
+         |      CAST(floor(ln(1.0 / CAST(coalesce(c.c1, 0) + v AS DOUBLE))
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS lp6e
+         |  FROM (SELECT * FROM hbg WHERE NOT ($b < '$thr')) h
+         |  LEFT JOIN hlp l ON l.prev = h.prev AND l.cur = h.cur
+         |  LEFT JOIN hc1 c ON c.prev = h.prev, hv),
+         |hsrc AS (
+         |  SELECT d.source, CAST(count(DISTINCT s.doc_id) AS BIGINT)
+         |      AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(s.lp6e) AS BIGINT) AS s
+         |  FROM hsc s JOIN documents d USING (doc_id)
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(s AS DOUBLE) / (-1000000.0) / n_tokens AS nll,
+         |  CAST(floor(exp(CAST(s AS DOUBLE) / (-1000000.0) / n_tokens)
+         |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl6
+         |FROM hsrc ORDER BY source""".stripMargin
+    },
 
     // q275: the WordPiece vocabulary replay — char floor ∪ top-K
     // multi-char forms, ids by (cnt desc, form)

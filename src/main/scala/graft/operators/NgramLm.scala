@@ -62,18 +62,28 @@ object NgramLm {
     * (parameter-bounded broadcast, PlanAudit-allowlisted).
     */
   def bigramModel(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    modelParts(docs, idCol, textCol)._1
+
+  /** Internal model pieces: (full likelihood table, context-count
+    * table, one-row |V| frame) — the latter two are what smoothed
+    * UNSEEN-bigram scoring needs ([[heldOutNllBySource]]).
+    */
+  private def modelParts(docs: DataFrame, idCol: String,
+                         textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val bg = bigrams(docs, idCol, textCol)
     val c2 = bg.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val v = bg.agg(countDistinct(col("cur")).as("v"))
-    c2.join(c1, Seq("prev"))
+    val lp = c2.join(c1, Seq("prev"))
       .crossJoin(broadcast(v))
       .select(col("prev"), col("cur"), col("c2"), col("c1"),
         ExactSum.quantize6(
           log((col("c2") + lit(1L)).cast("double") /
               (col("c1") + col("v")).cast("double"))).as("lp6"))
+    (lp, c1, v)
   }
 
   /** Per-document negative log-likelihood under the corpus's own
@@ -96,6 +106,49 @@ object NgramLm {
       .select(col(idCol), col("n_tokens"), nll.as("nll"),
         (ExactSum.quantize6(exp(nll)).cast("double") / lit(1000000.0))
           .as("ppl6"))
+  }
+
+  /** HELD-OUT perplexity per group — the honest form of q273's
+    * self-scoring: train the bigram model on a deterministic md5
+    * fraction of documents ([[Sampling.hexThreshold]] ring, so the
+    * split is reproducible from ids alone) and score the COMPLEMENT,
+    * rolled up per `groupCol` (source). Bigrams the training split
+    * never saw still score — the add-one mass
+    * `ln(1/(c1(prev) + |V|))` (with c1 = 0 for an unseen context)
+    * covers them, so no held-out token silently drops.
+    *
+    * Output: `(groupCol, n_docs, n_tokens, nll, ppl6)`.
+    */
+  def heldOutNllBySource(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         groupCol: String = "source",
+                         trainFrac: Double = 0.5): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac must be in (0,1), got $trainFrac")
+    val thr = Sampling.hexThreshold(trainFrac)
+    val bkt = substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    val (lp, c1t, v) =
+      modelParts(docs.filter(bkt < lit(thr)), idCol, textCol)
+    val held = docs.filter(!(bkt < lit(thr)))
+    val unseen = ExactSum.quantize6(log(lit(1.0) /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+    val scored = bigrams(held, idCol, textCol)
+      .join(lp.select(col("prev"), col("cur"), col("lp6")),
+        Seq("prev", "cur"), "left")
+      .join(c1t, Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), coalesce(col("lp6"), unseen).as("lp6e"))
+    val bySrc = scored
+      .join(held.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"), sum(col("lp6e")).as("s"))
+    val nll = col("s").cast("double") / lit(-1000000.0) / col("n_tokens")
+    bySrc.select(col(groupCol), col("n_docs"), col("n_tokens"),
+      nll.as("nll"),
+      (ExactSum.quantize6(exp(nll)).cast("double") / lit(1000000.0))
+        .as("ppl6"))
   }
 
   /** CCNet head/middle/tail perplexity terciles: documents ranked by

@@ -73,7 +73,7 @@ object PlanAudit {
     AllowedBroadcast("Pq.scala", "centroids", "IVF coarse-centroid frame — one row per cell (nlist-bounded), the q129 probe-path argument", count = 3),
     AllowedBroadcast("Bpe.scala", "mx", "one-row max-persisted-token-id aggregate (byte-fallback vocab extension)"),
     AllowedBroadcast("UnigramLm.scala", "tot", "one-row (Σcnt, |candidates|) smoothing-denominator aggregate"),
-    AllowedBroadcast("NgramLm.scala", "v", "one-row |vocabulary| distinct-count aggregate (bigram smoothing denominator)"),
+    AllowedBroadcast("NgramLm.scala", "v", "one-row |vocabulary| distinct-count aggregate (bigram smoothing denominator; heldOut unseen-mass twin)", count = 2),
     AllowedBroadcast("NgramLm.scala", "nd", "one-row doc-count aggregate (perplexity-tercile denominator)"),
     AllowedBroadcast("NaiveBayes.scala", "v", "one-row |vocabulary| distinct-count aggregate (NB smoothing denominator)", count = 2),
     AllowedBroadcast("NaiveBayes.scala", "dt", "one-row doc-count aggregate (NB prior denominator)"),

@@ -62,6 +62,41 @@ class NgramLmSpec extends SparkSpecBase {
     assert(nll.drop(4).forall(buckets(_)._2 == "tail"))
   }
 
+  private def trainSide(id: Long): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = d.take(2).map(b => f"$b%02x").mkString
+    hex < "8000"
+  }
+
+  test("heldOutNllBySource: no held-out token drops, even unseen words") {
+    import spark.implicits._
+    // ids split by the md5 ring; give every held-out doc one word the
+    // train half cannot know, so the unseen-bigram mass is exercised
+    val ids = (1L to 40L)
+    val docs = ids.map { i =>
+      val text = if (trainSide(i)) "a b a b" else s"a b zz$i b"
+      (i, "src" + (i % 2), text)
+    }.toDF("doc_id", "lang", "text")
+      .withColumnRenamed("lang", "source")
+    val heldIds = ids.filterNot(trainSide)
+    val out = NgramLm.heldOutNllBySource(docs).collect()
+    val totTokens = out.map(_.getLong(2)).sum
+    val totDocs = out.map(_.getLong(1)).sum
+    assert(totDocs === heldIds.size.toLong)
+    // every held doc has exactly 4 tokens — none may silently drop
+    assert(totTokens === 4L * heldIds.size)
+    out.foreach(r => assert(r.getDouble(3) > 0))
+  }
+
+  test("heldOutNllBySource validates trainFrac") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "a b")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      NgramLm.heldOutNllBySource(docs, trainFrac = 1.0)
+    }
+  }
+
   test("null and blank documents are excluded") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, null), (3L, "   "))
