@@ -2002,6 +2002,29 @@ object SparkEntry {
       NaiveBayes.classify(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // label-noise audit off the q280 grid (confident-learning-lite):
+    // docs whose own label loses the NB argmax, with the log-score
+    // margin — the relabeling triage order
+    "q283_nb_label_audit" -> ((s, dir) =>
+      NaiveBayes.labelAudit(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // windowed co-occurrence PMI (the GloVe/word2vec context-matrix
+    // statistic): unordered pairs within ±3 positions via an
+    // offset-explode EQUI-join (never a range self-join), exact
+    // counts, one 6-dp ln quantization
+    "q284_windowed_pmi" -> ((s, dir) =>
+      Cooccurrence.windowedPmi(t(s, dir, "documents"), window = 3,
+          minCount = 5)
+        .orderBy(col("a"), col("b"))),
+
+    // per-token dispersion (variance-to-mean of per-doc counts, zeros
+    // included) + doc frequency — the classic boilerplate/burstiness
+    // detector over the corpus vocabulary
+    "q285_token_dispersion" -> ((s, dir) =>
+      Cooccurrence.tokenDispersion(t(s, dir, "documents"))
+        .orderBy(col("word"))),
+
     // int8 scalar quantization of the embedding corpus: per-dim
     // min-max codes + exact reconstruction error — the byte-per-dim
     // compression tier below q149's PQ; constant dims code to 0
@@ -4320,6 +4343,55 @@ object SparkEntry {
        |  w.piece, i.token_id
        |FROM dw d JOIN uwp w USING (word) JOIN uids i ON i.piece = w.piece
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** Shared CTE chain for q280/q283: the multinomial-NB replay up to
+    * the full (doc × label) score grid `nbsc`.
+    */
+  private val nbOracleCtes: String =
+    """nbw AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |nbv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM nbw),
+      |nbdt AS (SELECT CAST(count(*) AS BIGINT) AS dt FROM documents
+      |         WHERE text IS NOT NULL AND trim(text) <> ''),
+      |nblwc AS MATERIALIZED (
+      |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cw
+      |  FROM nbw GROUP BY lang, word),
+      |nbltot AS MATERIALIZED (
+      |  SELECT lang, CAST(sum(cw) AS BIGINT) AS tot
+      |  FROM nblwc GROUP BY lang),
+      |nblp AS MATERIALIZED (
+      |  SELECT w.lang, w.word,
+      |    CAST(floor(ln(CAST(cw + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
+      |  FROM nblwc w JOIN nbltot USING (lang), nbv),
+      |nbls AS MATERIALIZED (
+      |  SELECT d.lang,
+      |    CAST(floor(ln(CAST(dl AS DOUBLE) / CAST(dt AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS prior6,
+      |    CAST(floor(ln(1.0 / CAST(tot + v AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS u6
+      |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS dl FROM documents
+      |        WHERE text IS NOT NULL AND trim(text) <> ''
+      |        GROUP BY lang) d
+      |  JOIN nbltot USING (lang), nbv, nbdt),
+      |nbdwc AS MATERIALIZED (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM nbw GROUP BY doc_id, word),
+      |nbdn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+      |         FROM nbdwc GROUP BY doc_id),
+      |nbm AS MATERIALIZED (
+      |  SELECT d.doc_id, l.lang, CAST(sum(d.c * l.lp6) AS BIGINT) AS sm,
+      |    CAST(sum(d.c) AS BIGINT) AS m
+      |  FROM nbdwc d JOIN nblp l USING (word)
+      |  GROUP BY d.doc_id, l.lang),
+      |nbsc AS MATERIALIZED (
+      |  SELECT dn.doc_id, s.lang,
+      |    s.prior6 + coalesce(m.sm, 0) + (dn.n - coalesce(m.m, 0)) * s.u6
+      |      AS score6
+      |  FROM nbdn dn CROSS JOIN nbls s
+      |  LEFT JOIN nbm m ON m.doc_id = dn.doc_id AND m.lang = s.lang)""".stripMargin
 
   /** Shared CTE chain for q278/q279: the Cavnar–Trenkle trigram stream
     * (per-occurrence trigrams of `_`-padded lowercase words carrying
@@ -8965,61 +9037,87 @@ object SparkEntry {
     // unknown-word mass, full (doc × label) grid, argmax by
     // (score desc, label)
     "q280_nb_classify" ->
-      """WITH nbw AS (
-        |  SELECT doc_id, lang,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      s"""WITH $nbOracleCtes,
+         |nbbest AS (
+         |  SELECT doc_id, lang AS pred_label, score6 FROM (
+         |    SELECT doc_id, lang, score6, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score6 DESC, lang) AS rn
+         |    FROM nbsc) x WHERE rn = 1)
+         |SELECT b.doc_id, d.lang, b.pred_label, CAST(b.score6 AS BIGINT)
+         |    AS score6,
+         |  CASE WHEN d.lang = b.pred_label THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS correct
+         |FROM nbbest b JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q283: the audit view off the same grid — argmax row vs the
+    // labeled row, disagreements only, with the confidence margin
+    "q283_nb_label_audit" ->
+      s"""WITH $nbOracleCtes,
+         |nbbest AS (
+         |  SELECT doc_id, lang AS pred_label, score6 FROM (
+         |    SELECT doc_id, lang, score6, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score6 DESC, lang) AS rn
+         |    FROM nbsc) x WHERE rn = 1)
+         |SELECT b.doc_id, d.lang, b.pred_label,
+         |  CAST(b.score6 AS BIGINT) AS score6,
+         |  CAST(s.score6 AS BIGINT) AS label_score6,
+         |  CAST(b.score6 - s.score6 AS BIGINT) AS margin6
+         |FROM nbbest b
+         |JOIN documents d USING (doc_id)
+         |JOIN nbsc s ON s.doc_id = b.doc_id AND s.lang = d.lang
+         |WHERE b.pred_label <> d.lang
+         |ORDER BY doc_id""".stripMargin,
+
+    // q284: pair stream via the same offset expansion, counts, PMI
+    // with the engine's exact division order
+    "q284_windowed_pmi" ->
+      """WITH ptk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-        |nbv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM nbw),
-        |nbdt AS (SELECT CAST(count(*) AS BIGINT) AS dt FROM documents
-        |         WHERE text IS NOT NULL AND trim(text) <> ''),
-        |nblwc AS MATERIALIZED (
-        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cw
-        |  FROM nbw GROUP BY lang, word),
-        |nbltot AS MATERIALIZED (
-        |  SELECT lang, CAST(sum(cw) AS BIGINT) AS tot
-        |  FROM nblwc GROUP BY lang),
-        |nblp AS MATERIALIZED (
-        |  SELECT w.lang, w.word,
-        |    CAST(floor(ln(CAST(cw + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
-        |  FROM nblwc w JOIN nbltot USING (lang), nbv),
-        |nbls AS MATERIALIZED (
-        |  SELECT d.lang,
-        |    CAST(floor(ln(CAST(dl AS DOUBLE) / CAST(dt AS DOUBLE))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS prior6,
-        |    CAST(floor(ln(1.0 / CAST(tot + v AS DOUBLE))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS u6
-        |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS dl FROM documents
-        |        WHERE text IS NOT NULL AND trim(text) <> ''
-        |        GROUP BY lang) d
-        |  JOIN nbltot USING (lang), nbv, nbdt),
-        |nbdwc AS MATERIALIZED (
-        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
-        |  FROM nbw GROUP BY doc_id, word),
-        |nbdn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
-        |         FROM nbdwc GROUP BY doc_id),
-        |nbm AS MATERIALIZED (
-        |  SELECT d.doc_id, l.lang, CAST(sum(d.c * l.lp6) AS BIGINT) AS sm,
-        |    CAST(sum(d.c) AS BIGINT) AS m
-        |  FROM nbdwc d JOIN nblp l USING (word)
-        |  GROUP BY d.doc_id, l.lang),
-        |nbsc AS MATERIALIZED (
-        |  SELECT dn.doc_id, s.lang,
-        |    s.prior6 + coalesce(m.sm, 0) + (dn.n - coalesce(m.m, 0)) * s.u6
-        |      AS score6
-        |  FROM nbdn dn CROSS JOIN nbls s
-        |  LEFT JOIN nbm m ON m.doc_id = dn.doc_id AND m.lang = s.lang),
-        |nbbest AS (
-        |  SELECT doc_id, lang AS pred_label, score6 FROM (
-        |    SELECT doc_id, lang, score6, row_number() OVER (
-        |      PARTITION BY doc_id ORDER BY score6 DESC, lang) AS rn
-        |    FROM nbsc) x WHERE rn = 1)
-        |SELECT b.doc_id, d.lang, b.pred_label, CAST(b.score6 AS BIGINT)
-        |    AS score6,
-        |  CASE WHEN d.lang = b.pred_label THEN CAST(1 AS BIGINT)
-        |       ELSE CAST(0 AS BIGINT) END AS correct
-        |FROM nbbest b JOIN documents d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ppos AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS pos, tk[i] AS w
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        |        FROM ptk) x),
+        |ppair AS MATERIALIZED (
+        |  SELECT least(l.w, r.w) AS a, greatest(l.w, r.w) AS b
+        |  FROM (SELECT doc_id, pos, w, unnest([1, 2, 3]) AS k
+        |        FROM ppos) l
+        |  JOIN ppos r ON r.doc_id = l.doc_id AND r.pos = l.pos + l.k),
+        |pcab AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM ppair GROUP BY a, b),
+        |pnp AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM pcab),
+        |pcw AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM ppos GROUP BY w),
+        |pnw AS (SELECT CAST(sum(c) AS BIGINT) AS nw FROM pcw)
+        |SELECT p.a, p.b, p.c_ab,
+        |  CAST(floor(ln((CAST(p.c_ab AS DOUBLE) / np) /
+        |    ((CAST(ca.c AS DOUBLE) / nw) * (CAST(cb.c AS DOUBLE) / nw)))
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pmi6
+        |FROM pcab p
+        |JOIN pcw ca ON ca.w = p.a
+        |JOIN pcw cb ON cb.w = p.b, pnp, pnw
+        |WHERE p.c_ab >= 5
+        |ORDER BY a, b""".stripMargin,
+
+    // q285: (doc, word) counts → Σc², tot, df; vmr = Σc²/tot − tot/D
+    "q285_token_dispersion" ->
+      """WITH dtk2 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dtk2),
+        |ddwc AS MATERIALIZED (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(tk) AS w FROM dtk2) x
+        |  GROUP BY doc_id, w)
+        |SELECT w AS word, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(c) AS BIGINT) AS tot,
+        |  CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) AS BIGINT) -
+        |    CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / d AS vmr
+        |FROM ddwc, dd
+        |GROUP BY w, d
+        |ORDER BY word""".stripMargin,
 
     // q281: per-dim min/max (no arithmetic — exact cross-engine),
     // code/reconstruct/error replay with the 12-dp error quantization

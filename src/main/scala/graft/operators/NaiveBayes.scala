@@ -44,6 +44,20 @@ object NaiveBayes {
   def classify(docs: DataFrame, idCol: String = "doc_id",
                labelCol: String = "lang",
                textCol: String = "text"): DataFrame = {
+    val scored = scoredGrid(docs, idCol, labelCol, textCol)
+    val best = scored.groupBy(col(idCol))
+      .agg(min(struct((-col("score6")).as("ns"), col("__label"))).as("b"))
+      .select(col(idCol), col("b.__label").as("pred_label"),
+        (-col("b.ns")).as("score6"))
+    best.join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(col(idCol), col(labelCol), col("pred_label"), col("score6"),
+        when(col(labelCol) === col("pred_label"), lit(1L))
+          .otherwise(lit(0L)).as("correct"))
+  }
+
+  /** The full (doc × label) score grid: `(idCol, __label, score6)`. */
+  private def scoredGrid(docs: DataFrame, idCol: String,
+                         labelCol: String, textCol: String): DataFrame = {
     val base = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
     val words = base.select(col(idCol), col(labelCol),
@@ -84,19 +98,45 @@ object NaiveBayes {
       .agg(sum(col("c") * col("lp6")).as("sm"), sum(col("c")).as("m"))
       .withColumnRenamed(labelCol, "__label")
 
-    val scored = dn.crossJoin(broadcast(ls))
+    dn.crossJoin(broadcast(ls))
       .join(matched, Seq(idCol, "__label"), "left")
       .select(col(idCol), col("__label"),
         (col("prior6") + coalesce(col("sm"), lit(0L)) +
           (col("n") - coalesce(col("m"), lit(0L))) * col("u6"))
           .as("score6"))
-    val best = scored.groupBy(col(idCol))
-      .agg(min(struct((-col("score6")).as("ns"), col("__label"))).as("b"))
-      .select(col(idCol), col("b.__label").as("pred_label"),
-        (-col("b.ns")).as("score6"))
-    best.join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
-      .select(col(idCol), col(labelCol), col("pred_label"), col("score6"),
-        when(col(labelCol) === col("pred_label"), lit(1L))
-          .otherwise(lit(0L)).as("correct"))
+  }
+
+  /** Label-noise audit (confident-learning-lite): the documents whose
+    * own label LOSES the NB argmax, with the log-score margin
+    * `best − labeled` — the triage order for human relabeling (largest
+    * margin = the model is most confident the label is wrong). The
+    * per-doc score frame is |labels| rows, so the rank window is
+    * label-count-bounded.
+    *
+    * Output: `(idCol, labelCol, pred_label, score6, label_score6,
+    * margin6)`, disagreeing documents only.
+    */
+  def labelAudit(docs: DataFrame, idCol: String = "doc_id",
+                 labelCol: String = "lang",
+                 textCol: String = "text"): DataFrame = {
+    val scored = scoredGrid(docs, idCol, labelCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score6").desc, col("__label"))
+    val perDoc = scored.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__rn") === 1, col("__label"))).as("pred_label"),
+        max(when(col("__rn") === 1, col("score6"))).as("score6"))
+    val labeled = scored
+      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .filter(col("__label") === col(labelCol))
+      .select(col(idCol), col(labelCol),
+        col("score6").as("label_score6"))
+    perDoc.join(labeled, Seq(idCol))
+      .filter(col("pred_label") =!= col(labelCol))
+      .select(col(idCol), col(labelCol), col("pred_label"),
+        col("score6"), col("label_score6"),
+        (col("score6") - col("label_score6")).as("margin6"))
   }
 }

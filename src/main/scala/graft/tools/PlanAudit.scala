@@ -78,6 +78,9 @@ object PlanAudit {
     AllowedBroadcast("NaiveBayes.scala", "v", "one-row |vocabulary| distinct-count aggregate (NB smoothing denominator)", count = 2),
     AllowedBroadcast("NaiveBayes.scala", "dt", "one-row doc-count aggregate (NB prior denominator)"),
     AllowedBroadcast("NaiveBayes.scala", "ls", "per-label prior/unknown-mass stats — ≤|labels| rows, schema-bounded dimension (nation/region precedent)"),
+    AllowedBroadcast("Cooccurrence.scala", "np", "one-row total-pair-count aggregate (PMI normalizer)"),
+    AllowedBroadcast("Cooccurrence.scala", "nw", "one-row total-token-count aggregate (PMI normalizer)"),
+    AllowedBroadcast("Cooccurrence.scala", "d", "one-row doc-count aggregate (dispersion denominator)"),
     AllowedBroadcast("Profile.scala", "total", "one-row global aggregate"),
     AllowedBroadcast("MarketBasket.scala", "nBaskets", "one-row basket-count aggregate"),
     AllowedBroadcast("ProductAnalytics.scala", "anchor", "one-row max-timestamp aggregate (decayedScore/userFeatures)", count = 2),

@@ -46,6 +46,25 @@ class NaiveBayesSpec extends SparkSpecBase {
     assert(out.map(_._5).toSeq === Seq(1L, 0L))
   }
 
+  test("labelAudit surfaces exactly the argmax disagreements with margin") {
+    import spark.implicits._
+    // all-correct corpus -> empty audit
+    val good = Seq((1L, "aa", "x x y"), (2L, "aa", "x y"),
+      (3L, "bb", "y z")).toDF("doc_id", "lang", "text")
+    assert(NaiveBayes.labelAudit(good).count() === 0)
+    // doc3 labeled bb but indistinguishable from aa text: prior wins,
+    // margin = q6(ln(2/3)) - q6(ln(1/3)) (likelihoods identical, V=1)
+    val noisy = Seq((1L, "aa", "x x x"), (2L, "aa", "x x"),
+      (3L, "bb", "x x")).toDF("doc_id", "lang", "text")
+    val audit = NaiveBayes.labelAudit(noisy)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(audit.length === 1)
+    val m = q6(math.log(2.0 / 3)) - q6(math.log(1.0 / 3))
+    assert(audit.head._1 === 3L)
+    assert(audit.head._3 === "aa")
+    assert(audit.head._6 === m)
+  }
+
   test("null and blank documents are excluded") {
     import spark.implicits._
     val docs = Seq((1L, "aa", "x y"), (2L, "aa", null), (3L, "bb", " "))
