@@ -2025,6 +2025,21 @@ object SparkEntry {
       Cooccurrence.tokenDispersion(t(s, dir, "documents"))
         .orderBy(col("word"))),
 
+    // pairwise source KL-divergence matrix over add-one-smoothed
+    // unigram distributions (global-vocab grid, so every term is
+    // finite) — the domain-shift map a mixture planner reads next to
+    // q239/q253
+    "q286_source_kl" -> ((s, dir) =>
+      DataSelection.sourceKlMatrix(t(s, dir, "documents"))
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // embedding-space health: cosine histogram over the md5-ring
+    // successor pairing — the collapse diagnostic to read before
+    // trusting cosine-threshold dedup (q40) on a new encoder
+    "q287_cosine_histogram" -> ((s, dir) =>
+      Embeddings.cosineHistogram(t(s, dir, "embeddings"), bins = 20)
+        .orderBy(col("bin"))),
+
     // int8 scalar quantization of the embedding corpus: per-dim
     // min-max codes + exact reconstruction error — the byte-per-dim
     // compression tier below q149's PQ; constant dims code to 0
@@ -9068,6 +9083,58 @@ object SparkEntry {
          |JOIN nbsc s ON s.doc_id = b.doc_id AND s.lang = d.lang
          |WHERE b.pred_label <> d.lang
          |ORDER BY doc_id""".stripMargin,
+
+    // q287: md5-rank successor pairs, DOUBLE[] cosine (the q18
+    // cross-engine contract), 6-dp round, equal [-1,1] bins
+    "q287_cosine_histogram" ->
+      """WITH chv AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |chr0 AS MATERIALIZED (
+        |  SELECT vec_id, CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS r
+        |  FROM chv),
+        |chp AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid
+        |  FROM chr0 a JOIN chr0 b ON b.r = a.r + 1),
+        |chc AS (
+        |  SELECT round(list_cosine_similarity(ea.e, eb.e), 6) AS c
+        |  FROM chp
+        |  JOIN chv ea ON ea.vec_id = chp.aid
+        |  JOIN chv eb ON eb.vec_id = chp.bid)
+        |SELECT least(CAST(floor((c + 1.0) * 10.0) AS BIGINT),
+        |    CAST(19 AS BIGINT)) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM chc GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // q286: dense zero-filled grid, smoothed ratios as doubles, 12-dp
+    // term quantization, exact long Σ per ordered pair
+    "q286_source_kl" ->
+      """WITH klw AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |klc AS MATERIALIZED (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM klw GROUP BY source, word),
+        |klvoc AS (SELECT DISTINCT word FROM klc),
+        |klv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM klvoc),
+        |klss AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+        |         FROM klc GROUP BY source),
+        |klgrid AS MATERIALIZED (
+        |  SELECT s.source, w.word, s.ts, coalesce(c.c, 0) AS c
+        |  FROM klvoc w CROSS JOIN klss s
+        |  LEFT JOIN klc c ON c.source = s.source AND c.word = w.word)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(sum(CAST(floor(
+        |    (CAST(a.c + 1 AS DOUBLE) / (a.ts + v)) *
+        |    ln((CAST(a.c + 1 AS DOUBLE) / (a.ts + v)) /
+        |       (CAST(b.c + 1 AS DOUBLE) / (b.ts + v)))
+        |    * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    / 1000000000000.0 AS kl
+        |FROM klgrid a JOIN klgrid b USING (word), klv
+        |WHERE a.source <> b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // q284: pair stream via the same offset expansion, counts, PMI
     // with the engine's exact division order

@@ -185,4 +185,59 @@ object DataSelection {
           .as("epochs"),
         (required > col("n_tokens")).as("deficit"))
   }
+
+  /** Pairwise KL divergence between the sources' add-one-smoothed
+    * unigram token distributions — the domain-shift matrix a mixture
+    * planner ([[domainReweight]], [[tokenBudgetPlan]]) reads to see
+    * which domains are near-duplicates of each other and which carry
+    * genuinely distinct text:
+    *
+    *   KL(a‖b) = Σ_w p_a(w) · ln(p_a(w)/p_b(w)),
+    *   p_s(w)  = (c_s(w) + 1) / (tokens_s + |V|)
+    *
+    * over the GLOBAL vocabulary (smoothing keeps every term finite;
+    * a word a source never saw contributes its 1/(tokens+|V|) mass).
+    * Each term is 12-dp quantized, so the Σ is an exact long and the
+    * DuckDB oracle replays bit-identically. Output `(src_a, src_b,
+    * kl)` for a ≠ b, kl ≥ 0 up to quantization.
+    *
+    * Scale: the dense (source × word) grid is |sources| × |vocab| —
+    * sources are a schema-bounded dimension (tens), vocab is Heaps-
+    * bounded, so the pairwise frame is |sources|² × |vocab| rows,
+    * evenly sharded by the word key. The source-stats frame broadcasts
+    * (≤|sources| rows); ratios divide as doubles (never integer cross-
+    * products, which would overflow at petabyte token counts).
+    */
+  def sourceKlMatrix(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val words = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(groupCol),
+        explode(graft.operators.TextAnalysis.tokensCol(col(textCol)))
+          .as("word"))
+    val csw = words.groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = csw.select(col("word")).distinct()
+    val vtot = vocab.agg(count(lit(1)).as("v"))
+    val ss = csw.groupBy(col(groupCol)).agg(sum(col("c")).as("ts"))
+    // dense grid: every (source, word), zero-filled
+    val grid = vocab.crossJoin(broadcast(ss))
+      .join(csw, Seq(groupCol, "word"), "left")
+      .select(col(groupCol), col("word"), col("ts"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col(groupCol).as("src_a"), col("word"),
+      col("ts").as("ta"), col("c").as("ca"))
+    val b = grid.select(col(groupCol).as("src_b"), col("word"),
+      col("ts").as("tb"), col("c").as("cb"))
+    val pa = (col("ca") + lit(1L)).cast("double") / (col("ta") + col("v"))
+    val pb = (col("cb") + lit(1L)).cast("double") / (col("tb") + col("v"))
+    a.join(b, Seq("word"))
+      .filter(col("src_a") =!= col("src_b"))
+      .crossJoin(broadcast(vtot))
+      .select(col("src_a"), col("src_b"),
+        ExactSum.quantize12(pa * log(pa / pb)).as("t12"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg((sum(col("t12")).cast("double") / lit(1000000000000.0))
+        .as("kl"))
+  }
 }

@@ -509,4 +509,46 @@ object Embeddings {
       .select(col(idCol), col("p").as("dim"),
         round(col("s").cast("double") * lit(scale), 6).as("value"))
   }
+
+  /** Embedding-space health histogram: cosine similarity over a
+    * deterministic pseudo-random pairing of the corpus — vectors
+    * ranked by md5(id) (the house ring), each paired with its rank
+    * successor — binned into `bins` equal slices of [−1, 1]. A healthy
+    * embedding space puts random-pair mass near 0; mass piling at the
+    * top bins is the classic EMBEDDING-COLLAPSE signal (all vectors
+    * nearly parallel), the diagnostic to check before trusting any
+    * cosine-threshold dedup (SemDeDup, q40) on a new encoder.
+    *
+    * Cosines use the q18 codegen expression rounded to 6 dp (the
+    * established cross-engine contract with DuckDB's
+    * `list_cosine_similarity` on `DOUBLE[]`). The md5 rank runs on an
+    * (id, hash) projection through the rank core; vectors join back by
+    * id, so the wide embedding column never enters the range exchange.
+    * Output: `(bin, n_pairs)` — ≤ `bins` rows from n−1 pairs, one
+    * map-side-combinable count.
+    */
+  def cosineHistogram(corpus: DataFrame, bins: Int = 20,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val ranked = Ranking.rangeRank(
+        corpus.select(col(idCol),
+          md5(col(idCol).cast("string").cast("binary")).as("__h")),
+        Nil, Seq("__h", idCol), "r")
+      .select(col(idCol), col("r"))
+      .localCheckpoint()
+    val pairs = ranked.select(col(idCol).as("__aid"), col("r"))
+      .join(ranked.select(col(idCol).as("__bid"), (col("r") - 1).as("r")),
+        Seq("r"))
+    val cos = round(graft.functions.VectorMath.cosine(
+      col("__ea"), col("__eb")), 6)
+    pairs
+      .join(corpus.select(col(idCol).as("__aid"), col(vecCol).as("__ea")),
+        Seq("__aid"))
+      .join(corpus.select(col(idCol).as("__bid"), col(vecCol).as("__eb")),
+        Seq("__bid"))
+      .select(least(floor((cos + lit(1.0)) * lit(bins / 2.0)).cast("long"),
+        lit(bins.toLong - 1)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -44,6 +44,8 @@ object PlanAudit {
     AllowedBroadcast("DataSelection.scala", "stats", "hashed-bucket profile — B rows, parameter-bounded (buckets)"),
     AllowedBroadcast("DataSelection.scala", "gt", "one-row global LM totals (domainReweight)"),
     AllowedBroadcast("DataSelection.scala", "norm", "one-row softmax normalizer (domainReweight)"),
+    AllowedBroadcast("DataSelection.scala", "ss", "per-source token totals — ≤|sources| rows, schema-bounded dimension (sourceKlMatrix)"),
+    AllowedBroadcast("DataSelection.scala", "vtot", "one-row |vocabulary| aggregate (sourceKlMatrix smoothing)"),
     AllowedBroadcast("BloomPrune.scala", "filter", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("BloomPrune.scala", "bf", "fixed-size Bloom bitset — parameter-bounded (numBits)"),
     AllowedBroadcast("Ranking.scala", "offsetsPerSet", "numPartitions × numGroups longs — capped by maxDriverStateRows guard"),

@@ -100,4 +100,33 @@ class DataSelectionSpec extends SparkSpecBase {
     assert(b.getAs[Double]("epochs") == 1.5)
     assert(b.getAs[Boolean]("deficit"))
   }
+
+  test("sourceKlMatrix: hand-replayed smoothed KL, asymmetric, >= 0") {
+    import spark.implicits._
+    def q12(x: Double): Long = math.floor(x * 1e12 + 0.5).toLong
+    // A: x x y (t=3)   B: y (t=1)   V=2
+    val docs = Seq((1L, "A", "x x y"), (2L, "B", "y"))
+      .toDF("doc_id", "source", "text")
+    val out = DataSelection.sourceKlMatrix(docs)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Double)].collect()
+    val pAx = 3.0 / 5; val pAy = 2.0 / 5
+    val pBx = 1.0 / 3; val pBy = 2.0 / 3
+    val klAB = (q12(pAx * math.log(pAx / pBx)) +
+      q12(pAy * math.log(pAy / pBy))).toDouble / 1e12
+    val klBA = (q12(pBx * math.log(pBx / pAx)) +
+      q12(pBy * math.log(pBy / pAy))).toDouble / 1e12
+    assert(out.toSeq === Seq(("A", "B", klAB), ("B", "A", klBA)))
+    assert(klAB > 0 && klBA > 0 && klAB != klBA)
+  }
+
+  test("sourceKlMatrix: identical distributions give zero divergence") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "x y"), (2L, "B", "y x"))
+      .toDF("doc_id", "source", "text")
+    val out = DataSelection.sourceKlMatrix(docs)
+      .as[(String, String, Double)].collect()
+    assert(out.length === 2)
+    assert(out.forall(_._3 === 0.0))
+  }
 }

@@ -174,4 +174,40 @@ class EmbeddingsSpec extends SparkSpecBase {
     // is non-vacuous (a shuffled spectrum would yield a negative drop)
     assert(rows.drop(1).forall(_.getAs[Double]("eig_drop") > 0.0))
   }
+
+  test("cosineHistogram: collapse piles every pair in the top bin") {
+    import spark.implicits._
+    val collapsed = (0L until 10L).map(i => (i, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.cosineHistogram(collapsed, bins = 20)
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((19L, 9L)), "n-1 pairs, all at cos=1")
+  }
+
+  test("cosineHistogram: orthogonal pairs land in the center bin") {
+    import spark.implicits._
+    // alternate two orthogonal axes by md5-rank parity is not
+    // controllable; instead make EVERY pair orthogonal via distinct
+    // one-hot axes — any pairing has cosine 0 → bin 10
+    val oneHot = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Embeddings.cosineHistogram(oneHot, bins = 20)
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((10L, 7L)))
+  }
+
+  test("cosineHistogram: pair count is n-1 and bins validated") {
+    import spark.implicits._
+    val vs = (0L until 25L).map(i =>
+      (i, Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.cosineHistogram(vs, bins = 4)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_pairs"))
+      .head.getLong(0) === 24L)
+    assert(out.filter("bin < 0 OR bin > 3").count() === 0)
+    intercept[IllegalArgumentException] {
+      Embeddings.cosineHistogram(vs, bins = 0)
+    }
+  }
 }
