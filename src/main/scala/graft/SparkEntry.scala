@@ -2025,6 +2025,34 @@ object SparkEntry {
       Cooccurrence.tokenDispersion(t(s, dir, "documents"))
         .orderBy(col("word"))),
 
+    // tokenizer bake-off: the three subword families (q248 BPE, q271
+    // unigram, q276 WordPiece), each at its gated parameters, reduced
+    // to the two comparable corpus statistics — total tokens produced
+    // (compression) and distinct ids used (effective vocab)
+    "q288_tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def stats(ids: DataFrame, name: String) = ids.agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token_id")).as("vocab_used"))
+        .select(lit(name).as("tokenizer"), col("n_tokens"),
+          col("vocab_used"))
+      stats(Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+          "bpe")
+        .union(stats(UnigramLm.encodeIds(docs, maxPieceLen = 4,
+          maxWordLen = 12, iterations = 2), "unigram"))
+        .union(stats(WordPiece.encodeIds(docs, maxPieceLen = 4,
+          maxWordLen = 12, topK = 40), "wordpiece"))
+        .orderBy(col("tokenizer"))
+    }),
+
+    // order-invariant corpus checksum: Σ of md5-top-52-bit row
+    // fingerprints + row count — the fingerprint that verifies two
+    // 100 TB copies are identical without sorting either one (the
+    // repartition/replication audit primitive)
+    "q289_corpus_checksum" -> ((s, dir) =>
+      Maintenance.corpusChecksum(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // pairwise source KL-divergence matrix over add-one-smoothed
     // unigram distributions (global-vocab grid, so every term is
     // finite) — the domain-shift map a mixture planner reads next to
@@ -4502,6 +4530,26 @@ object SparkEntry {
        |  SELECT g.word, w.freq, ltrim(g.path) AS seg
        |  FROM wg$maxWordLen g JOIN wwf w USING (word))""".stripMargin
   }
+
+  /** Full WordPiece id-stream oracle (q276; reused aggregated by
+    * q288's tokenizer bake-off).
+    */
+  private def wordPieceIdsOracleSql(maxPieceLen: Int, maxWordLen: Int,
+                                    topK: Int): String =
+    s"""WITH ${wordPieceOracleCtes(maxPieceLen, maxWordLen, topK)},
+       |wwp AS MATERIALIZED (
+       |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
+       |    SELECT word,
+       |      unnest([{'spos': i, 'piece': sp[i]} FOR i IN range(1, len(sp) + 1)]) AS u
+       |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM wseg) s0))
+       |SELECT d.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY d.doc_id
+       |    ORDER BY d.wpos, w.spos) - 1 AS BIGINT) AS pos,
+       |  w.piece, i.token_id
+       |FROM wdw d JOIN wwp w USING (word)
+       |JOIN wids i ON i.form = w.piece
+       |WHERE length(d.word) <= $maxWordLen
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** Shared CTE chain for q273/q274: the bigram-LM training + scoring
     * replay. Tokenization mirrors `TextAnalysis.tokensCol` (lower,
@@ -9106,6 +9154,33 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM chc GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    // q288: each family's FULL gated oracle as a subquery, reduced to
+    // the two comparable statistics (the q236 multi-oracle precedent —
+    // gate-side cost, not engine-side)
+    "q288_tokenizer_compare" -> {
+      def wrap(name: String, inner: String) =
+        s"""SELECT '$name' AS tokenizer,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT token_id) AS BIGINT) AS vocab_used
+           |FROM (
+           |$inner
+           |) ${name}_ids""".stripMargin
+      wrap("bpe", bpeTokenIdsOracleSql(8)) + "\nUNION ALL\n" +
+        wrap("unigram", unigramIdsOracleSql(4, 12, 2)) +
+        "\nUNION ALL\n" +
+        wrap("wordpiece", wordPieceIdsOracleSql(4, 12, 40)) +
+        "\nORDER BY tokenizer"
+    },
+
+    // q289: order-invariant Σ of 52-bit md5 row fingerprints + count;
+    // DECIMAL(38,0) on both sides (the engine's ANSI-safe accumulator
+    // type — a HUGEINT here would value-match but type-mismatch)
+    "q289_corpus_checksum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(doc_id || text || lang || source ||
+        |    n_chars), 1, 13))::BIGINT) AS DECIMAL(38,0)) AS checksum
+        |FROM documents""".stripMargin,
+
     // q286: dense zero-filled grid, smoothed ratios as doubles, 12-dp
     // term quantization, exact long Σ per ordered pair
     "q286_source_kl" ->
@@ -9266,21 +9341,7 @@ object SparkEntry {
 
     // q276: the position-unrolled greedy walk off wseg, pieces
     // position-unnested per doc and id'd from wids
-    "q276_wordpiece_encode" ->
-      s"""WITH ${wordPieceOracleCtes(4, 12, 40)},
-         |wwp AS MATERIALIZED (
-         |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
-         |    SELECT word,
-         |      unnest([{'spos': i, 'piece': sp[i]} FOR i IN range(1, len(sp) + 1)]) AS u
-         |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM wseg) s0))
-         |SELECT d.doc_id,
-         |  CAST(row_number() OVER (PARTITION BY d.doc_id
-         |    ORDER BY d.wpos, w.spos) - 1 AS BIGINT) AS pos,
-         |  w.piece, i.token_id
-         |FROM wdw d JOIN wwp w USING (word)
-         |JOIN wids i ON i.form = w.piece
-         |WHERE length(d.word) <= 12
-         |ORDER BY doc_id, pos""".stripMargin,
+    "q276_wordpiece_encode" -> wordPieceIdsOracleSql(4, 12, 40),
 
     // q274: terciles over the q273 frame — rank by (nll, doc_id),
     // bucket by rank*3 against the doc count

@@ -99,4 +99,27 @@ object Maintenance {
       .write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Order-invariant corpus checksum: Σ over rows of the 52-bit
+    * md5-ring fingerprint of the concatenated column renderings, plus
+    * the row count. Verifies two copies of a dataset are identical —
+    * across repartitions, replications, or engines — without sorting
+    * either one: the Σ is commutative, every engine renders the same
+    * string, and DuckDB replays it as
+    * `sum(('0x' || substr(md5(c1 || … || cn), 1, 13))::BIGINT)`.
+    * The sum accumulates in DECIMAL(38,0) (Σ of 52-bit values
+    * overflows i64 beyond ~2¹¹ row-mass at petabyte counts; ANSI would
+    * throw) — the [[ExactSum]] precedent, hash-equal to the oracle's
+    * HUGEINT.
+    */
+  def corpusChecksum(df: org.apache.spark.sql.DataFrame,
+                     cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "corpusChecksum needs at least one column")
+    import org.apache.spark.sql.functions._
+    val cat = concat(cols.map(c => col(c).cast("string")): _*)
+    df.select(conv(substring(md5(cat.cast("binary")), 1, 13), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("checksum"))
+  }
 }

@@ -77,4 +77,34 @@ class MaintenanceSpec extends SparkSpecBase {
       Maintenance.compactParquet(spark, s"$base/in", s"$base/out")
     }
   }
+
+  test("corpusChecksum is order- and partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"text$i")).toDF("id", "t")
+    def ck(d: org.apache.spark.sql.DataFrame) =
+      Maintenance.corpusChecksum(d, Seq("id", "t")).collect().head
+    val base = ck(df)
+    assert(base.getLong(0) === 100L)
+    assert(ck(df.orderBy(org.apache.spark.sql.functions.col("t").desc))
+      === base)
+    assert(ck(df.repartition(7)) === base)
+    // any single-row change moves the checksum
+    val tweaked = (1L to 100L)
+      .map(i => (i, if (i == 50) "TEXT50" else s"text$i")).toDF("id", "t")
+    assert(ck(tweaked).getDecimal(1) !== base.getDecimal(1))
+  }
+
+  test("corpusChecksum replays the md5-ring fingerprint by hand") {
+    import spark.implicits._
+    val df = Seq((7L, "abc")).toDF("id", "t")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("7abc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = java.lang.Long.parseLong(hex.take(13), 16)
+    val r = Maintenance.corpusChecksum(df, Seq("id", "t")).collect().head
+    assert(r.getLong(0) === 1L)
+    assert(r.getDecimal(1).longValueExact() === expected)
+    intercept[IllegalArgumentException] {
+      Maintenance.corpusChecksum(df, Nil)
+    }
+  }
 }
