@@ -2064,6 +2064,19 @@ object SparkEntry {
     // embedding-space health: cosine histogram over the md5-ring
     // successor pairing — the collapse diagnostic to read before
     // trusting cosine-threshold dedup (q40) on a new encoder
+    // semantic decontamination: the embedding-space complement of
+    // q49's n-gram matching — corpus vectors flagged by max cosine to
+    // a derived eval set (vec_id%50==0, 10 vecs at sf0.01; paraphrased
+    // leakage that shares no shingle). τ=0.35 flags 24/490 at sf0.01
+    "q290_semantic_decon" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Decontamination.semanticFlags(
+          v.filter(col("vec_id") % 50 =!= 0),
+          v.filter(col("vec_id") % 50 === 0),
+          threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     "q287_cosine_histogram" -> ((s, dir) =>
       Embeddings.cosineHistogram(t(s, dir, "embeddings"), bins = 20)
         .orderBy(col("bin"))),
@@ -9131,6 +9144,21 @@ object SparkEntry {
          |JOIN nbsc s ON s.doc_id = b.doc_id AND s.lang = d.lang
          |WHERE b.pred_label <> d.lang
          |ORDER BY doc_id""".stripMargin,
+
+    // q290: cross-set max cosine + threshold flag
+    "q290_semantic_decon" ->
+      """WITH sdv AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sdev AS (SELECT e FROM sdv WHERE vec_id % 50 = 0),
+        |sdco AS (SELECT vec_id, e FROM sdv WHERE vec_id % 50 <> 0),
+        |sdm AS (
+        |  SELECT c.vec_id,
+        |    max(round(list_cosine_similarity(c.e, v.e), 6)) AS max_cos6
+        |  FROM sdco c CROSS JOIN sdev v GROUP BY c.vec_id)
+        |SELECT vec_id, max_cos6,
+        |  CASE WHEN max_cos6 >= 0.35 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS contaminated
+        |FROM sdm ORDER BY vec_id""".stripMargin,
 
     // q287: md5-rank successor pairs, DOUBLE[] cosine (the q18
     // cross-engine contract), 6-dp round, equal [-1,1] bins

@@ -89,4 +89,40 @@ object Decontamination {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[contaminationPairs]]' n-gram matching: flag every corpus vector
+    * whose max cosine similarity to ANY eval-benchmark vector reaches
+    * `threshold` (paraphrased benchmark leakage that shares no
+    * 13-gram). Cosines use the q18 codegen expression rounded 6 dp
+    * (the established DuckDB `list_cosine_similarity DOUBLE[]`
+    * contract); the max is a map-side-combinable agg over the
+    * (corpus × eval) score stream.
+    *
+    * Output: `(idCol, max_cos6, contaminated)` — one row per corpus
+    * vector, `contaminated` a BIGINT 1/0.
+    *
+    * Scale: eval benchmarks are MBs against 100 TB — broadcast by
+    * default (`broadcastEval = false` degrades to a shuffle join, the
+    * [[contaminationPairs]] contract). The stream is corpus × |eval|
+    * rows, embarrassingly parallel, no driver state.
+    */
+  def semanticFlags(corpus: DataFrame, eval: DataFrame,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    broadcastEval: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val ev = eval.select(col(vecCol).as("__ev"))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(if (broadcastEval) broadcast(ev) else ev)
+      .select(col(idCol),
+        round(graft.functions.VectorMath.cosine(col("__cv"), col("__ev")),
+          6).as("__c"))
+    scored.groupBy(col(idCol))
+      .agg(max(col("__c")).as("max_cos6"))
+      .select(col(idCol), col("max_cos6"),
+        when(col("max_cos6") >= threshold, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
 }

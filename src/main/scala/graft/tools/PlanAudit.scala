@@ -69,6 +69,7 @@ object PlanAudit {
     AllowedBroadcast("Packing.scala", "n", "one-row count aggregate (curriculumOrder tier denominator)"),
     AllowedBroadcast("StreamingDrift.scala", "total", "one-row reference-count aggregate"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
+    AllowedBroadcast("Decontamination.scala", "ev", "eval-benchmark embeddings (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join (semanticFlags)"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
     AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 4),
     AllowedBroadcast("KMeans.scala", "cb", "k-means centroid frame — k rows, parameter-bounded (collected per iteration as a literal frame)"),

@@ -51,4 +51,38 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(Decontamination.contaminationPairs(train, eval_, shingleSize = 2,
       minShared = 2L).count() == 1)
   }
+
+  test("semanticFlags: max-cosine thresholding against the eval set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // eval = x-axis; corpus: parallel (cos 1), 45° (cos ~0.7071),
+    // orthogonal (cos 0)
+    val eval_ = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.0f, 3.0f))).toDF("vec_id", "embedding")
+    val out = Decontamination.semanticFlags(corpus, eval_,
+        threshold = 0.9).orderBy("vec_id")
+      .as[(Long, Double, Long)].collect()
+    assert(out(0) === ((1L, 1.0, 1L)))
+    assert(out(1)._2 === 0.707107 && out(1)._3 === 0L)
+    assert(out(2) === ((3L, 0.0, 0L)))
+    // multi-eval: the MAX governs
+    val eval2 = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out2 = Decontamination.semanticFlags(corpus, eval2,
+        threshold = 0.9).filter(col("vec_id") === 3L)
+      .as[(Long, Double, Long)].collect().head
+    assert(out2 === ((3L, 1.0, 1L)))
+    // shuffle-join path agrees with the broadcast path
+    val b = Decontamination.semanticFlags(corpus, eval2, threshold = 0.9,
+      broadcastEval = false).orderBy("vec_id").collect()
+    val a = Decontamination.semanticFlags(corpus, eval2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException] {
+      Decontamination.semanticFlags(corpus, eval_, threshold = 0.0)
+    }
+  }
 }
