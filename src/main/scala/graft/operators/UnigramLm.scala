@@ -125,6 +125,22 @@ object UnigramLm {
       .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
   }
 
+  // Train-once memo (the KMeans/Bpe fitMemo pattern lifted to frame
+  // state): the EM chain is deterministic in (input plan, params), and
+  // a battery asks for the SAME fit from q269/q270/q271/q272/q288 —
+  // five EM chains where one serves. Values are the localCheckpoint'ed
+  // frames (executor-side storage; the driver holds only plan
+  // references, so this stays within the no-driver-data rule — unlike
+  // KMeans' k-row collects, the unigram model is vocab-scale and is
+  // NEVER collected). Bounded LinkedHashMap, swept by TrackedCaches so
+  // COLD benches retrain per query; cross-query hits flag the bench
+  // row warm.
+  private val memoBound = 4
+  private val fitMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Int, String), ((DataFrame, DataFrame, DataFrame), Long)]
+  TrackedCaches.onRelease(() => fitMemo.synchronized(fitMemo.clear()))
+
   /** Internal fit: runs the EM chain and returns
     * (candidate counts c0, final log-probs, final segmentation frame).
     */
@@ -134,6 +150,16 @@ object UnigramLm {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       s"bad piece/word bounds ($maxPieceLen, $maxWordLen)")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val memoKey = (docs.queryExecution.analyzed.canonicalized,
+      maxPieceLen, maxWordLen, iterations, textCol)
+    val hit = fitMemo.synchronized(fitMemo.get(memoKey))
+    hit match {
+      case Some((frames, trainedEpoch)) =>
+        if (trainedEpoch < TrackedCaches.currentQueryEpoch)
+          TrackedCaches.noteMemoReuse()
+        return frames
+      case None => ()
+    }
     val wf = Bpe.wordFreqs(docs, textCol)
       .filter(length(col("word")) <= maxWordLen)
     val pcs = pieces(wf, maxPieceLen).localCheckpoint()
@@ -145,7 +171,16 @@ object UnigramLm {
       lp = logProbs(recount(seg, c0.select(col("piece"))))
         .localCheckpoint()
     }
-    (c0, lp, viterbi(pcs, lp).localCheckpoint())
+    val frames = (c0, lp, viterbi(pcs, lp).localCheckpoint())
+    // jobs above already ran; read the epoch into a local BEFORE taking
+    // the memo lock (the KMeans ABBA-deadlock lesson: release() holds
+    // the TrackedCaches lock while invoking the onRelease hook)
+    val epoch = TrackedCaches.currentQueryEpoch
+    fitMemo.synchronized {
+      if (fitMemo.size >= memoBound) fitMemo -= fitMemo.head._1
+      fitMemo(memoKey) = (frames, epoch)
+    }
+    frames
   }
 
   /** Fit the model: returns (final segmentation frame, final piece
