@@ -2064,6 +2064,15 @@ object SparkEntry {
     // embedding-space health: cosine histogram over the md5-ring
     // successor pairing — the collapse diagnostic to read before
     // trusting cosine-threshold dedup (q40) on a new encoder
+    // diverse exemplar selection (MMR): k greedy picks maximizing
+    // λ·centroid-relevance − (1−λ)·max-sim-to-selected, exact long
+    // micro-scores — top-k-by-relevance alone returns k near-copies
+    // of the corpus mode; the marginal term forces coverage
+    "q291_mmr_select" -> ((s, dir) =>
+      DiverseSelection.mmrSelect(t(s, dir, "embeddings"), k = 8,
+          lambdaTenths = 7)
+        .orderBy(col("rank"))),
+
     // semantic decontamination: the embedding-space complement of
     // q49's n-gram matching — corpus vectors flagged by max cosine to
     // a derived eval set (vec_id%50==0, 10 vecs at sf0.01; paraphrased
@@ -4542,6 +4551,52 @@ object SparkEntry {
        |wseg AS MATERIALIZED (
        |  SELECT g.word, w.freq, ltrim(g.path) AS seg
        |  FROM wg$maxWordLen g JOIN wwf w USING (word))""".stripMargin
+  }
+
+  /** q291: the MMR greedy loop unrolled to k steps. Each step scores
+    * the not-yet-selected vectors (correlated max over the selected
+    * CTE), picks the (score desc, vec_id) top row, and appends it to
+    * the selection.
+    */
+  private def mmrOracleSql(k: Int, lambdaTenths: Int): String = {
+    val lam = lambdaTenths
+    val mu = 10 - lambdaTenths
+    val steps = (1 to k).map { t =>
+      val prev = s"msel${t - 1}"
+      s"""mscore$t AS MATERIALIZED (
+         |  SELECT r.vec_id,
+         |    $lam * r.relu - $mu * coalesce((
+         |      SELECT max(CAST(floor(list_cosine_similarity(r.e, s.e)
+         |        * 1000000.0 + 0.5) AS BIGINT)) FROM $prev s), 0) AS score
+         |  FROM mrel r
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM $prev)),
+         |mpick$t AS MATERIALIZED (
+         |  SELECT CAST($t AS BIGINT) AS rank, vec_id,
+         |    CAST(score AS BIGINT) AS score
+         |  FROM mscore$t ORDER BY score DESC, vec_id LIMIT 1),
+         |msel$t AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT v.vec_id, v.e FROM mv v JOIN mpick$t USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k)
+      .map(t => s"SELECT rank, vec_id, score FROM mpick$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH mv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |mels AS (SELECT generate_subscripts(e, 1) AS j, unnest(e) AS x
+       |         FROM mv),
+       |mcent AS (SELECT list(s::DOUBLE / n ORDER BY j) AS c FROM (
+       |  SELECT j, SUM(CAST(x AS DECIMAL(28,12))) AS s, count(*) AS n
+       |  FROM mels GROUP BY j) st),
+       |mrel AS MATERIALIZED (
+       |  SELECT vec_id, e, CAST(floor(list_cosine_similarity(e,
+       |    (SELECT c FROM mcent)) * 1000000.0 + 0.5) AS BIGINT) AS relu
+       |  FROM mv),
+       |msel0 AS (SELECT vec_id, e FROM mv WHERE 1 = 0),
+       |$steps
+       |$finals
+       |ORDER BY rank""".stripMargin
   }
 
   /** Full WordPiece id-stream oracle (q276; reused aggregated by
@@ -9144,6 +9199,11 @@ object SparkEntry {
          |JOIN nbsc s ON s.doc_id = b.doc_id AND s.lang = d.lang
          |WHERE b.pred_label <> d.lang
          |ORDER BY doc_id""".stripMargin,
+
+    // q291: the greedy loop as a k-step unrolled CTE chain (the
+    // PageRank/BPE pattern) — decimal-exact centroid, 6-dp-micro
+    // cosines, integer-tenths λ, tie to the smaller id
+    "q291_mmr_select" -> mmrOracleSql(8, 7),
 
     // q290: cross-set max cosine + threshold flag
     "q290_semantic_decon" ->
