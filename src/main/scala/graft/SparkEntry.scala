@@ -2073,6 +2073,14 @@ object SparkEntry {
           lambdaTenths = 7)
         .orderBy(col("rank"))),
 
+    // greedy maximum-coverage selection: k docs each maximizing NEW
+    // distinct 3-gram shingles — the (1−1/e) submodular set-cover
+    // greedy, the lexical complement of q291's embedding diversity
+    "q292_coverage_select" -> ((s, dir) =>
+      DiverseSelection.greedyCoverage(t(s, dir, "documents"), k = 6,
+          n = 3)
+        .orderBy(col("rank"))),
+
     // semantic decontamination: the embedding-space complement of
     // q49's n-gram matching — corpus vectors flagged by max cosine to
     // a derived eval set (vec_id%50==0, 10 vecs at sf0.01; paraphrased
@@ -4594,6 +4602,51 @@ object SparkEntry {
        |    (SELECT c FROM mcent)) * 1000000.0 + 0.5) AS BIGINT) AS relu
        |  FROM mv),
        |msel0 AS (SELECT vec_id, e FROM mv WHERE 1 = 0),
+       |$steps
+       |$finals
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** q292: the greedy maximum-coverage loop unrolled to k steps —
+    * per step, gains over shingles not yet covered, argmax by
+    * (gain desc, doc_id), covered set grows by the pick's shingles.
+    */
+  private def coverageOracleSql(k: Int, n: Int): String = {
+    val steps = (1 to k).map { t =>
+      val pcov = s"gccov${t - 1}"
+      val psel = s"gcsel${t - 1}"
+      s"""gcga$t AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM gcsh
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM $psel)
+         |    AND sh NOT IN (SELECT sh FROM $pcov)
+         |  GROUP BY doc_id),
+         |gcp$t AS MATERIALIZED (
+         |  SELECT CAST($t AS BIGINT) AS rank, doc_id, gain
+         |  FROM gcga$t ORDER BY gain DESC, doc_id LIMIT 1),
+         |gcsel$t AS (
+         |  SELECT doc_id FROM $psel
+         |  UNION ALL SELECT doc_id FROM gcp$t),
+         |gccov$t AS MATERIALIZED (
+         |  SELECT sh FROM $pcov
+         |  UNION
+         |  SELECT s.sh FROM gcsh s JOIN gcp$t USING (doc_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k)
+      .map(t => s"SELECT rank, doc_id, gain FROM gcp$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH gctk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |gcsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i : i + ${n - 1}], ' ')
+       |      AS sh
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(1, greatest(len(tk) - ${n - 1}, 0) + 1)) AS i
+       |        FROM gctk) x),
+       |gcsel0 AS (SELECT doc_id FROM gcsh WHERE 1 = 0),
+       |gccov0 AS (SELECT sh FROM gcsh WHERE 1 = 0),
        |$steps
        |$finals
        |ORDER BY rank""".stripMargin
@@ -9204,6 +9257,9 @@ object SparkEntry {
     // PageRank/BPE pattern) — decimal-exact centroid, 6-dp-micro
     // cosines, integer-tenths λ, tie to the smaller id
     "q291_mmr_select" -> mmrOracleSql(8, 7),
+
+    // q292: the unrolled set-cover greedy
+    "q292_coverage_select" -> coverageOracleSql(6, 3),
 
     // q290: cross-set max cosine + threshold flag
     "q290_semantic_decon" ->

@@ -106,4 +106,78 @@ object DiverseSelection {
         StructField("vec_id", LongType, nullable = false),
         StructField("score", LongType, nullable = false))))
   }
+
+  /** Greedy maximum-coverage selection over word-shingle sets (the
+    * lexical complement of [[mmrSelect]]'s embedding diversity): pick
+    * `k` documents, each maximizing the number of DISTINCT `n`-gram
+    * shingles not covered by the picks so far — the classic
+    * (1 − 1/e)-approximate submodular set-cover greedy, the
+    * "seed the corpus with maximal vocabulary coverage" selection.
+    * Ties break to the smaller id. Documents shorter than `n` tokens
+    * have no shingles and are never picked.
+    *
+    * Scale design (100 TB): the covered-shingle state is a FRAME
+    * (checkpointed per step, shingle-type-bounded), never driver
+    * state — each of the k steps is one anti-join of the distinct
+    * (doc, shingle) frame against it, one map-side count per doc, and
+    * one `min(struct)` argmax. Driver state: k (id, gain) pairs.
+    *
+    * Output: `(rank, doc_id, gain)` — `gain` the exact new-shingle
+    * count at pick time.
+    */
+  def greedyCoverage(docs: DataFrame, k: Int = 6, n: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = docs.sparkSession
+    // distinct (doc, shingle): shingles built ROW-LOCALLY (a sliding
+    // window over the token array — no positional self-join), one
+    // distinct shuffle, checkpointed once for the k passes
+    val sh = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(expr(
+          // guarded: Spark's sequence(1, 0) DESCENDS rather than being
+          // empty, so a doc shorter than n tokens must short-circuit
+          s"""CASE WHEN size(split(trim(lower($textCol)), '\\\\s+')) < $n
+             |  THEN array()
+             |  ELSE transform(
+             |    sequence(1, size(split(trim(lower($textCol)),
+             |      '\\\\s+')) - ${n - 1}),
+             |    i -> array_join(slice(split(trim(lower($textCol)),
+             |      '\\\\s+'), i, $n), ' ')) END""".stripMargin)).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    var covered = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("sh", StringType))))
+    var picks = Vector.empty[(Long, Long)]
+    for (t <- 1 to k) {
+      val gains = sh
+        .filter(!col("doc_id").isin(picks.map(_._1): _*))
+        .join(covered, Seq("sh"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+      val best = gains
+        .agg(min(struct((-col("gain")).as("ng"), col("doc_id"))).as("b"))
+        .select(col("b.doc_id"), (-col("b.ng")).as("gain"))
+        .head()
+      if (!best.isNullAt(0)) {
+        val id = best.getLong(0)
+        picks :+= ((id, best.getLong(1)))
+        covered = covered
+          .union(sh.filter(col("doc_id") === id).select(col("sh")))
+          .localCheckpoint()
+      }
+    }
+    val rows = picks.zipWithIndex.map { case ((id, g), i) =>
+      Row((i + 1).toLong, id, g)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("gain", LongType, nullable = false))))
+  }
 }

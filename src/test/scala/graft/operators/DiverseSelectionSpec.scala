@@ -54,4 +54,37 @@ class DiverseSelectionSpec extends SparkSpecBase {
       DiverseSelection.mmrSelect(corpus, lambdaTenths = 11)
     }
   }
+
+  test("greedyCoverage: hand-traced picks, zero-gain docs never picked") {
+    import spark.implicits._
+    // d3 covers 3 shingles, d1 adds 2, d2's only shingle is then
+    // already covered -> with k=3 only 2 rows come back
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val out = DiverseSelection.greedyCoverage(docs, k = 3, n = 3)
+      .orderBy("rank").as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L, 3L), (2L, 1L, 2L)))
+  }
+
+  test("greedyCoverage: gains are non-increasing (submodularity)") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val gains = DiverseSelection.greedyCoverage(docs, k = 5, n = 3)
+      .orderBy("rank").select("gain").as[Long].collect()
+    assert(gains.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("greedyCoverage: docs shorter than n tokens are never picked") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val out = DiverseSelection.greedyCoverage(docs, k = 2, n = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(2L))
+    intercept[IllegalArgumentException] {
+      DiverseSelection.greedyCoverage(docs, k = 0)
+    }
+  }
 }
