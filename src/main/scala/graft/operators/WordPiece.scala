@@ -55,11 +55,6 @@ object WordPiece {
         concat(when(col("i") === 1, lit("")).otherwise(lit("##")),
           expr("substring(word, i, l)")))
 
-  /** Internal: the fitted vocabulary — `(form, cnt, is_char)` rows,
-    * every single-character form plus the top-`topK` multi-character
-    * forms by (cnt desc, form). `l` is carried so "single-character"
-    * means core length 1, not form length.
-    */
   /** Model words: the (word, freq) frame, length-capped and
     * checkpointed ONCE — every downstream pass (vocab counts, rank
     * core, greedy walk) reads the checkpoint instead of replaying the
@@ -71,6 +66,45 @@ object WordPiece {
       .filter(length(col("word")) <= maxWordLen)
       .localCheckpoint()
 
+  // Train-once memo (the UnigramLm frame-state pattern): (word frame,
+  // vocab frame) keyed by (input plan, params) — q275/q276/q288 ask
+  // for the same build. Checkpointed frames (executor-side), bounded,
+  // swept by TrackedCaches; cross-query hits flag the bench row warm.
+  private val memoBound = 4
+  private val buildMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Int, String), ((DataFrame, DataFrame), Long)]
+  TrackedCaches.onRelease(() => buildMemo.synchronized(buildMemo.clear()))
+
+  /** Memoized (modelWords, vocabCore) build for one corpus + params. */
+  private def built(docs: DataFrame, maxPieceLen: Int, maxWordLen: Int,
+                    topK: Int, textCol: String): (DataFrame, DataFrame) = {
+    val memoKey = (docs.queryExecution.analyzed.canonicalized,
+      maxPieceLen, maxWordLen, topK, textCol)
+    val hit = buildMemo.synchronized(buildMemo.get(memoKey))
+    hit match {
+      case Some((frames, trainedEpoch)) =>
+        if (trainedEpoch < TrackedCaches.currentQueryEpoch)
+          TrackedCaches.noteMemoReuse()
+        return frames
+      case None => ()
+    }
+    val wf = modelWords(docs, maxWordLen, textCol)
+    val frames = (wf, vocabCore(wf, maxPieceLen, topK))
+    // jobs already ran; epoch read before the lock (ABBA lesson)
+    val epoch = TrackedCaches.currentQueryEpoch
+    buildMemo.synchronized {
+      if (buildMemo.size >= memoBound) buildMemo -= buildMemo.head._1
+      buildMemo(memoKey) = (frames, epoch)
+    }
+    frames
+  }
+
+  /** Internal: the fitted vocabulary — `(form, cnt, is_char)` rows,
+    * every single-character form plus the top-`topK` multi-character
+    * forms by (cnt desc, form). `l` is carried so "single-character"
+    * means core length 1, not form length.
+    */
   private def vocabCore(wf: DataFrame, maxPieceLen: Int,
                         topK: Int): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
@@ -107,8 +141,7 @@ object WordPiece {
   def vocab(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
             topK: Int = 40, textCol: String = "text"): DataFrame = {
     checkBounds(maxPieceLen, maxWordLen)
-    idsFrame(vocabCore(modelWords(docs, maxWordLen, textCol),
-      maxPieceLen, topK))
+    idsFrame(built(docs, maxPieceLen, maxWordLen, topK, textCol)._2)
   }
 
   /** Row-local greedy longest-match walk: the accumulator is the
@@ -140,8 +173,8 @@ object WordPiece {
                    maxWordLen: Int = 12, topK: Int = 40,
                    textCol: String = "text"): DataFrame = {
     checkBounds(maxPieceLen, maxWordLen)
-    val wf = modelWords(docs, maxWordLen, textCol)
-    segCore(wf, vocabCore(wf, maxPieceLen, topK), maxPieceLen)
+    val (wf, vocabF) = built(docs, maxPieceLen, maxWordLen, topK, textCol)
+    segCore(wf, vocabF, maxPieceLen)
   }
 
   private def segCore(wf: DataFrame, vocabF: DataFrame,
@@ -165,8 +198,7 @@ object WordPiece {
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     checkBounds(maxPieceLen, maxWordLen)
-    val wf = modelWords(docs, maxWordLen, textCol)
-    val vocabF = vocabCore(wf, maxPieceLen, topK)
+    val (wf, vocabF) = built(docs, maxPieceLen, maxWordLen, topK, textCol)
     val ids = idsFrame(vocabF)
     val seg = segCore(wf, vocabF, maxPieceLen)
     val words = docs
