@@ -210,7 +210,17 @@ object PlanAudit {
       "l-diversity comes from the chained (quasi, sensitive) → quasi " +
         "hash aggregations — no Expand-based count_distinct widening " +
         "every input row",
-      Seq("HashAggregate"), Seq("Expand")))
+      Seq("HashAggregate"), Seq("Expand")),
+    Check("NB label grid broadcast", "q280_nb_classify",
+      "the (doc × label) grid comes from broadcasting the ≤|labels|-row " +
+        "stats frame (nation/region precedent) — never a shuffled " +
+        "cartesian; the argmax is a map-side-combinable min(struct)",
+      Seq("BroadcastNestedLoopJoin", "partial_min"),
+      Seq("CartesianProduct")),
+    Check("WordPiece doc-partitioned position window", "q276_wordpiece_encode",
+      "the only corpus-row window is the doc-partitioned position rank " +
+        "(doc-length-bounded groups) — no one-task global window",
+      Seq("Window"), Seq("SinglePartition")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
