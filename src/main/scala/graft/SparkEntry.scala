@@ -2073,6 +2073,26 @@ object SparkEntry {
           lambdaTenths = 7)
         .orderBy(col("rank"))),
 
+    // Zipf rank–frequency slope per source: ln(freq) regressed on
+    // ln(rank) through the rank core + q156's decimal-exact OLS — the
+    // corpus-health diagnostic (natural text reads slope ≈ −1;
+    // templated/synthetic text reads shallow, as here)
+    "q293_zipf_slope" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(TextAnalysis.tokensCol(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = Ranking.rangeRank(cnt.withColumn("__nc", -col("cnt")),
+        Seq("source"), Seq("__nc", "word"), "rank")
+      val xy = ranked.select(col("source"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      Stats.groupOls(xy, "x", "y", Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // greedy maximum-coverage selection: k docs each maximizing NEW
     // distinct 3-gram shingles — the (1−1/e) submodular set-cover
     // greedy, the lexical complement of q291's embedding diversity
@@ -9260,6 +9280,54 @@ object SparkEntry {
 
     // q292: the unrolled set-cover greedy
     "q292_coverage_select" -> coverageOracleSql(6, 3),
+
+    // q293: per-source ranks + the q156 five-sum OLS tail on
+    // (ln rank, ln freq)
+    "q293_zipf_slope" ->
+      """WITH zw AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |zc AS MATERIALIZED (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM zw GROUP BY source, word),
+        |zr AS MATERIALIZED (
+        |  SELECT source, cnt, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, word) AS BIGINT) AS rank
+        |  FROM zc),
+        |zxy AS (
+        |  SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM zr),
+        |zs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(30,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(30,6))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(30,6))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(30,6))) AS syy,
+        |    sum(CAST(x * y AS DECIMAL(30,6))) AS sxy
+        |  FROM zxy GROUP BY source HAVING count(*) >= 2),
+        |zt AS (
+        |  SELECT source, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM zs)
+        |SELECT source, n,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+        |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+        |  END AS slope,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 THEN
+        |    round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |      * sxd) / nd, 6)
+        |  END AS intercept,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+        |  THEN
+        |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd) /
+        |      ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |  END AS r2
+        |FROM zt
+        |ORDER BY source""".stripMargin,
 
     // q290: cross-set max cosine + threshold flag
     "q290_semantic_decon" ->
