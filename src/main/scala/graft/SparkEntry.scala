@@ -80,6 +80,23 @@ object SparkEntry {
     fs.mkdirs(p)
   }
 
+  /** The decode-roundtrip reference text (q298/q299): the tokenizer's
+    * own filtered word stream reassembled in order — what a lossless
+    * ids→text decode must reproduce exactly.
+    */
+  private def decodeExpected(docs: DataFrame, maxWordLen: Int): DataFrame =
+    docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(col("text")))
+          .as(Seq("wpos", "word")))
+      .filter(col("word").rlike("^[a-z0-9]+$") &&
+        length(col("word")) <= maxWordLen)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("wpos").as("p"),
+        col("word").as("w")))).as("__ws"))
+      .select(col("doc_id"),
+        array_join(expr("transform(__ws, x -> x.w)"), " ").as("expected"))
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1944,6 +1961,62 @@ object SparkEntry {
       NgramLm.pplBuckets(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // interpolated Kneser–Ney TRIGRAM perplexity (Chen & Goodman's
+    // smoothing, the CCNet-recipe upgrade over q273's add-one bigram):
+    // absolute discount off every seen count, mass redistributed by
+    // continuation diversity — exact type counts, fixed double tree,
+    // one 6-dp ln quantize per scored trigram
+    "q294_kn_trigram_nll" -> ((s, dir) =>
+      NgramLm.knTrigramNll(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // the q274 tercile twin under the KN trigram model — the honest
+    // tail smoothing changes which documents land in "head"
+    "q295_kn_ppl_buckets" -> ((s, dir) =>
+      NgramLm.knPplBuckets(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // held-out KN-trigram perplexity per source — the q282 twin under
+    // proper smoothing: unseen held-out grams score through the
+    // backoff chain (trigram → bigram continuation → floored unigram)
+    // instead of one flat add-one penalty
+    "q300_kn_heldout_ppl" -> ((s, dir) =>
+      NgramLm.knHeldOutNllBySource(t(s, dir, "documents"))
+        .orderBy(col("source"))),
+
+    // unigram decode — closes the tokenizer-triad round trip next to
+    // q264 (BPE): ids → model pieces → words by (wpos, pos) → text
+    // must reproduce the exact filtered word stream, per document
+    "q298_unigram_decode_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val decoded = UnigramLm.decodeIds(
+        UnigramLm.encodeIdsMarked(docs, maxPieceLen = 4, maxWordLen = 12,
+          iterations = 2),
+        UnigramLm.model(docs, maxPieceLen = 4, maxWordLen = 12,
+          iterations = 2))
+      decoded.join(decodeExpected(docs, maxWordLen = 12), Seq("doc_id"))
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === col("expected")).cast("bigint")
+            .as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece decode — the third round trip; the `##` continuation
+    // prefix is the boundary signal, and its stripping is exactly
+    // where silent corruption would hide
+    "q299_wordpiece_decode_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val decoded = WordPiece.decodeIds(
+        WordPiece.encodeIds(docs, maxPieceLen = 4, maxWordLen = 12,
+          topK = 40),
+        WordPiece.vocab(docs, maxPieceLen = 4, maxWordLen = 12, topK = 40))
+      decoded.join(decodeExpected(docs, maxWordLen = 12), Seq("doc_id"))
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === col("expected")).cast("bigint")
+            .as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style line filter (Raffel 2020 §2.2): the corpus is single-
     // line and punctuation-free, so the gate derives a doc-keyed
     // 5-line fixture (the q263 precedent) exercising every rule —
@@ -2112,6 +2185,37 @@ object SparkEntry {
           v.filter(col("vec_id") % 50 === 0),
           threshold = 0.35)
         .orderBy(col("vec_id"))
+    }),
+
+    // IVF-pruned semantic decontamination (q290's 100 TB scale path):
+    // each eval vector probes its 2 nearest coarse cells; unprobed
+    // corpus vectors honestly report null max_cos6. portable=true →
+    // decimal-exact centroids, so the oracle replays the probe
+    "q296_ivf_decon" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Decontamination.ivfFlags(
+          v.filter(col("vec_id") % 50 =!= 0),
+          v.filter(col("vec_id") % 50 === 0),
+          threshold = 0.35, nProbe = 2, portable = true)
+        .orderBy(col("vec_id"))
+    }),
+
+    // the q296-vs-q290 agreement rollup: how much of the exact flag set
+    // the probe-pruned path recovers (measured per SF in SCALING.md)
+    "q297_ivf_decon_agreement" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val corpus = v.filter(col("vec_id") % 50 =!= 0)
+      val ev = v.filter(col("vec_id") % 50 === 0)
+      val ex = Decontamination.semanticFlags(corpus, ev, threshold = 0.35)
+        .select(col("vec_id"), col("contaminated").as("__exf"))
+      val iv = Decontamination.ivfFlags(corpus, ev, threshold = 0.35,
+          nProbe = 2, portable = true)
+        .select(col("vec_id"), col("contaminated").as("__ivf"))
+      ex.join(iv, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("__exf")).as("n_exact"),
+          sum(col("__ivf")).as("n_ivf"),
+          sum(col("__exf") * col("__ivf")).as("n_hit"))
     }),
 
     "q287_cosine_histogram" -> ((s, dir) =>
@@ -4724,6 +4828,123 @@ object SparkEntry {
       |    CAST(sum(l.lp6) AS BIGINT) AS s
       |  FROM bg b JOIN blp l ON l.prev = b.prev AND l.cur = b.cur
       |  GROUP BY b.doc_id)""".stripMargin
+
+  /** Shared CTE chain for q294/q295/q300: the interpolated-KN trigram
+    * replay. Double-BOS mirrors `NgramLm.trigrams`; every N₁₊ is a
+    * type count off the trigram type table; the probability is the
+    * exact double tree `NgramLm.knScored` builds (same operation
+    * order), ln-quantized to 6 dp per scored trigram. Single-reference
+    * CTEs (kjoin/kp/kp2) stay un-MATERIALIZED; every multiply-
+    * referenced one is MATERIALIZED (the r8 q209 lesson).
+    * `trainWhere`/`scoreWhere` split the trigram stream for held-out
+    * scoring (q300); `TRUE`/`TRUE` is the self-scored q294/q295 form.
+    */
+  private def knTrigramCtesSplit(trainWhere: String,
+                                 scoreWhere: String): String =
+    s"""ktk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |ktg AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN i <= 2 THEN '<s>' ELSE tk[i - 2] END AS w1,
+      |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END AS w2,
+      |    tk[i] AS w3
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+      |        FROM ktk) x),
+      |ktr AS MATERIALIZED (SELECT * FROM ktg WHERE $trainWhere),
+      |kc3 AS MATERIALIZED (
+      |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      |  FROM ktr GROUP BY w1, w2, w3),
+      |kctx AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+      |    CAST(count(*) AS BIGINT) AS n3
+      |  FROM kc3 GROUP BY w1, w2),
+      |kbt AS MATERIALIZED (
+      |  SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1mid
+      |  FROM kc3 GROUP BY w2, w3),
+      |kmid AS MATERIALIZED (
+      |  SELECT w2, CAST(sum(n1mid) AS BIGINT) AS nmid,
+      |    CAST(count(*) AS BIGINT) AS ntyp2
+      |  FROM kbt GROUP BY w2),
+      |kuni AS MATERIALIZED (
+      |  SELECT w3, CAST(count(*) AS BIGINT) AS n1 FROM kbt GROUP BY w3),
+      |ktv AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM kbt) AS t_types,
+      |         (SELECT CAST(count(DISTINCT w3) AS BIGINT) FROM ktr) AS v),
+      |kjoin AS (
+      |  SELECT g.doc_id, c.c3, x.c12, x.n3, b.n1mid, m.nmid, m.ntyp2,
+      |    u.n1, t.t_types, t.v
+      |  FROM (SELECT * FROM ktg WHERE $scoreWhere) g
+      |  LEFT JOIN kc3 c ON c.w1 = g.w1 AND c.w2 = g.w2 AND c.w3 = g.w3
+      |  LEFT JOIN kctx x ON x.w1 = g.w1 AND x.w2 = g.w2
+      |  LEFT JOIN kbt b ON b.w2 = g.w2 AND b.w3 = g.w3
+      |  LEFT JOIN kmid m ON m.w2 = g.w2
+      |  LEFT JOIN kuni u ON u.w3 = g.w3
+      |  CROSS JOIN ktv t),
+      |kp AS (
+      |  SELECT doc_id, c3, c12, n3, n1mid, nmid, ntyp2,
+      |    CAST(coalesce(n1, 0) + 1 AS DOUBLE) /
+      |      CAST(t_types + v + 1 AS DOUBLE) AS puni
+      |  FROM kjoin),
+      |kp2 AS (
+      |  SELECT doc_id, c3, c12, n3,
+      |    CASE WHEN coalesce(nmid, 0) > 0 THEN
+      |      greatest(CAST(coalesce(n1mid, 0) AS DOUBLE) - 0.75, 0.0) /
+      |        CAST(nmid AS DOUBLE) +
+      |      ((0.75 * CAST(ntyp2 AS DOUBLE)) / CAST(nmid AS DOUBLE)) * puni
+      |    ELSE puni END AS pbi
+      |  FROM kp),
+      |kscore AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(floor(ln(
+      |      CASE WHEN coalesce(c12, 0) > 0 THEN
+      |        greatest(CAST(coalesce(c3, 0) AS DOUBLE) - 0.75, 0.0) /
+      |          CAST(c12 AS DOUBLE) +
+      |        ((0.75 * CAST(n3 AS DOUBLE)) / CAST(c12 AS DOUBLE)) * pbi
+      |      ELSE pbi END) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+      |  FROM kp2),
+      |kdnll AS MATERIALIZED (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(lp6) AS BIGINT) AS s
+      |  FROM kscore GROUP BY doc_id)""".stripMargin
+
+  /** The self-scored q294/q295 instance of [[knTrigramCtesSplit]]. */
+  private val knTrigramCtes: String = knTrigramCtesSplit("TRUE", "TRUE")
+
+  /** Shared CTE chain for q296/q297: the IVF-pruned decontamination
+    * replay — decimal-exact per-label centroids (the q20 recipe),
+    * per-eval-vector top-`nProbe` cells by centroid cosine (cell
+    * tie-break, mirroring `Decontamination.ivfFlags`'s window), 6-dp
+    * max-cosine over probed-cell corpus rows only.
+    */
+  private val ivfDeconCtes: String =
+    """idv AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |idco AS MATERIALIZED (
+      |  SELECT vec_id, label, e FROM idv WHERE vec_id % 50 <> 0),
+      |idev AS MATERIALIZED (
+      |  SELECT vec_id AS eid, e AS ev FROM idv WHERE vec_id % 50 = 0),
+      |idel AS (
+      |  SELECT label AS cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+      |  FROM idco),
+      |idcs AS (
+      |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+      |  FROM idel GROUP BY cell, j),
+      |idcent AS (
+      |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+      |  FROM idcs GROUP BY cell),
+      |idprobe AS MATERIALIZED (
+      |  SELECT cell, ev FROM (
+      |    SELECT v.eid, c.cell, v.ev,
+      |      row_number() OVER (PARTITION BY v.eid
+      |        ORDER BY list_cosine_similarity(v.ev, c.c) DESC, c.cell) AS pr
+      |    FROM idev v CROSS JOIN idcent c) x
+      |  WHERE pr <= 2),
+      |idsc AS MATERIALIZED (
+      |  SELECT k.vec_id,
+      |    max(round(list_cosine_similarity(k.e, p.ev), 6)) AS max_cos6
+      |  FROM idco k JOIN idprobe p ON p.cell = k.label
+      |  GROUP BY k.vec_id)""".stripMargin
 
   /** Shared by q20 (from-scratch IVF) and q129 (persisted-index IVF):
     * the two queries must be byte-identical, so they share one oracle.
@@ -9143,6 +9364,34 @@ object SparkEntry {
     "q271_unigram_ids" -> unigramIdsOracleSql(4, 12, 2),
     "q272_unigram_apply" -> unigramIdsOracleSql(4, 12, 2),
 
+    // q298: the q271 chain's segmentations reassembled — pieces to
+    // words by (wpos, spos), words to text by wpos — vs the filtered
+    // word stream (the q264 roundtrip shape)
+    "q298_unigram_decode_roundtrip" ->
+      s"""WITH ${unigramOracleCtes(4, 12, 2)},
+         |uwp AS MATERIALIZED (
+         |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
+         |    SELECT word,
+         |      unnest([{'spos': i, 'piece': sp[i]}
+         |              FOR i IN range(1, len(sp) + 1)]) AS u
+         |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM efseg) s0)),
+         |udecw AS (
+         |  SELECT d.doc_id, d.wpos,
+         |    string_agg(u.piece, '' ORDER BY u.spos) AS w
+         |  FROM dw d JOIN uwp u USING (word)
+         |  GROUP BY d.doc_id, d.wpos),
+         |udec AS (
+         |  SELECT doc_id, string_agg(w, ' ' ORDER BY wpos) AS decoded
+         |  FROM udecw GROUP BY doc_id),
+         |uorig AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS expected
+         |  FROM dw WHERE length(word) <= 12 GROUP BY doc_id)
+         |SELECT d.doc_id, d.decoded,
+         |  CAST(CASE WHEN d.decoded = o.expected THEN 1 ELSE 0 END
+         |    AS BIGINT) AS roundtrip_ok
+         |FROM udec d JOIN uorig o USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // q273: the bigram-LM replay — exact BIGINT counts, one ln
     // quantization per bigram type (floor(x*1e6+0.5), the quantize6
     // mirror), exact long sum per doc, then the two-rounding double
@@ -9154,6 +9403,51 @@ object SparkEntry {
          |  CAST(floor(exp(CAST(s AS DOUBLE) / (-1000000.0) / n_tokens)
          |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl6
          |FROM dnll ORDER BY doc_id""".stripMargin,
+
+    // q294: the q273 output shape under the interpolated-KN trigram
+    // chain (discount 0.75, continuation-count redistribution)
+    "q294_kn_trigram_nll" ->
+      s"""WITH $knTrigramCtes
+         |SELECT doc_id, n_tokens,
+         |  CAST(s AS DOUBLE) / (-1000000.0) / n_tokens AS nll,
+         |  CAST(floor(exp(CAST(s AS DOUBLE) / (-1000000.0) / n_tokens)
+         |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl6
+         |FROM kdnll ORDER BY doc_id""".stripMargin,
+
+    // q300: the split chain — train stats from the md5-ring bucket,
+    // scoring over the complement, per-source rollup (q282 shape)
+    "q300_kn_heldout_ppl" -> {
+      val b = Sampling.bucketSql("doc_id")
+      val thr = Sampling.hexThreshold(0.5)
+      s"""WITH ${knTrigramCtesSplit(s"$b < '$thr'", s"NOT ($b < '$thr')")},
+         |khsrc AS (
+         |  SELECT d.source,
+         |    CAST(count(DISTINCT k.doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(k.lp6) AS BIGINT) AS s
+         |  FROM kscore k JOIN documents d USING (doc_id)
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(s AS DOUBLE) / (-1000000.0) / n_tokens AS nll,
+         |  CAST(floor(exp(CAST(s AS DOUBLE) / (-1000000.0) / n_tokens)
+         |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ppl6
+         |FROM khsrc ORDER BY source""".stripMargin
+    },
+
+    // q295: the q274 tercile cut over the KN frame
+    "q295_kn_ppl_buckets" ->
+      s"""WITH $knTrigramCtes,
+         |knd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM kdnll),
+         |krk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY CAST(s AS DOUBLE) / (-1000000.0) / n_tokens,
+         |               doc_id) AS BIGINT) AS rank
+         |  FROM kdnll)
+         |SELECT r.doc_id, r.rank,
+         |  CASE WHEN r.rank * 3 <= nd THEN 'head'
+         |       WHEN r.rank * 3 <= 2 * nd THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM krk r, knd ORDER BY doc_id""".stripMargin,
 
     // q277: the same fixture + line predicate in DuckDB list lambdas;
     // empty-survivor coalesce mirrors Spark's array_join('') semantics
@@ -9344,6 +9638,37 @@ object SparkEntry {
         |       ELSE CAST(0 AS BIGINT) END AS contaminated
         |FROM sdm ORDER BY vec_id""".stripMargin,
 
+    // q296: full IVF replay — decimal-exact per-label centroids (the
+    // q20/q129 CTE recipe), top-2 probe per eval vector by centroid
+    // cosine (cell tie-break), max over probed-cell scores only;
+    // unprobed corpus vectors LEFT-join to null
+    "q296_ivf_decon" ->
+      s"""WITH $ivfDeconCtes
+         |SELECT c.vec_id, s.max_cos6,
+         |  CASE WHEN s.max_cos6 >= 0.35 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS contaminated
+         |FROM idco c LEFT JOIN idsc s USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
+
+    // q297: the q296 chain joined to the exact brute-force twin —
+    // agreement counts the probe-pruning story is measured by
+    "q297_ivf_decon_agreement" ->
+      s"""WITH $ivfDeconCtes,
+         |iaex AS (
+         |  SELECT c.vec_id,
+         |    CASE WHEN max(round(list_cosine_similarity(c.e, v.ev), 6))
+         |        >= 0.35 THEN 1 ELSE 0 END AS exf
+         |  FROM idco c CROSS JOIN idev v GROUP BY c.vec_id),
+         |iaiv AS (
+         |  SELECT c.vec_id,
+         |    CASE WHEN s.max_cos6 >= 0.35 THEN 1 ELSE 0 END AS ivf
+         |  FROM idco c LEFT JOIN idsc s USING (vec_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(e.exf) AS BIGINT) AS n_exact,
+         |  CAST(sum(i.ivf) AS BIGINT) AS n_ivf,
+         |  CAST(sum(e.exf * i.ivf) AS BIGINT) AS n_hit
+         |FROM iaex e JOIN iaiv i USING (vec_id)""".stripMargin,
+
     // q287: md5-rank successor pairs, DOUBLE[] cosine (the q18
     // cross-engine contract), 6-dp round, equal [-1,1] bins
     "q287_cosine_histogram" ->
@@ -9385,12 +9710,19 @@ object SparkEntry {
     },
 
     // q289: order-invariant Σ of 52-bit md5 row fingerprints + count;
-    // DECIMAL(38,0) on both sides (the engine's ANSI-safe accumulator
-    // type — a HUGEINT here would value-match but type-mismatch)
+    // columns joined with chr(1), NULL -> chr(0) sentinel (injective
+    // rendering), and the Σ gated as STRING on both sides — the value
+    // exceeds 2^53 and a DECIMAL(38,0) degrades to float64 on the
+    // driver's DuckDB->pandas hop (q157 precedent)
     "q289_corpus_checksum" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(('0x' || substr(md5(doc_id || text || lang || source ||
-        |    n_chars), 1, 13))::BIGINT) AS DECIMAL(38,0)) AS checksum
+        |  CAST(CAST(sum(('0x' || substr(md5(
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(1) ||
+        |    coalesce(text, chr(0)) || chr(1) ||
+        |    coalesce(lang, chr(0)) || chr(1) ||
+        |    coalesce(source, chr(0)) || chr(1) ||
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0))
+        |  ), 1, 13))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM documents""".stripMargin,
 
     // q286: dense zero-filled grid, smoothed ratios as doubles, 12-dp
@@ -9554,6 +9886,33 @@ object SparkEntry {
     // q276: the position-unrolled greedy walk off wseg, pieces
     // position-unnested per doc and id'd from wids
     "q276_wordpiece_encode" -> wordPieceIdsOracleSql(4, 12, 40),
+
+    // q299: the q276 chain's forms joined with spaces and every
+    // " ##" erased — the continuation-stripping decode — vs the
+    // filtered word stream
+    "q299_wordpiece_decode_roundtrip" ->
+      s"""WITH ${wordPieceOracleCtes(4, 12, 40)},
+         |wwp AS MATERIALIZED (
+         |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
+         |    SELECT word,
+         |      unnest([{'spos': i, 'piece': sp[i]}
+         |              FOR i IN range(1, len(sp) + 1)]) AS u
+         |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM wseg) s0)),
+         |wdec AS (
+         |  SELECT d.doc_id,
+         |    replace(string_agg(w.piece, ' ' ORDER BY d.wpos, w.spos),
+         |      ' ##', '') AS decoded
+         |  FROM wdw d JOIN wwp w USING (word)
+         |  WHERE length(d.word) <= 12
+         |  GROUP BY d.doc_id),
+         |worig AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS expected
+         |  FROM wdw WHERE length(word) <= 12 GROUP BY doc_id)
+         |SELECT d.doc_id, d.decoded,
+         |  CAST(CASE WHEN d.decoded = o.expected THEN 1 ELSE 0 END
+         |    AS BIGINT) AS roundtrip_ok
+         |FROM wdec d JOIN worig o USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q274: terciles over the q273 frame — rank by (nll, doc_id),
     // bucket by rank*3 against the doc count

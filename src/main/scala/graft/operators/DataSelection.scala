@@ -207,17 +207,43 @@ object DataSelection {
     * evenly sharded by the word key. The source-stats frame broadcasts
     * (≤|sources| rows); ratios divide as doubles (never integer cross-
     * products, which would overflow at petabyte token counts).
+    *
+    * `topV` caps the grid vocabulary at the `topV` corpus-most-frequent
+    * words (ties to the lexicographically smaller word, rank core) —
+    * the knob for HUNDRED-source mixtures, where |sources|² × |vocab|
+    * stops being cheap: the matrix becomes the truncated-support KL
+    * (counts AND totals AND |V| all restricted to the kept words, so
+    * the smoothed distributions stay proper on that support).
+    * Truncation-bias note: divergence concentrated in the tail BELOW
+    * the cap is invisible to the capped matrix — pick `topV` well above
+    * the head mass you care about. The default (Int.MaxValue) keeps the
+    * exact full-vocabulary semantics and plan.
     */
   def sourceKlMatrix(docs: DataFrame, groupCol: String = "source",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     topV: Int = Int.MaxValue): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
     val words = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(groupCol),
         explode(graft.operators.TextAnalysis.tokensCol(col(textCol)))
           .as("word"))
-    val csw = words.groupBy(col(groupCol), col("word"))
+    val cswAll = words.groupBy(col(groupCol), col("word"))
       .agg(count(lit(1)).as("c"))
-    val vocab = csw.select(col("word")).distinct()
+    val (vocab, csw) =
+      if (topV == Int.MaxValue) (cswAll.select(col("word")).distinct(), cswAll)
+      else {
+        // corpus-frequency rank over the vocab-scale frame (rank core,
+        // never a one-task OVER ()); checkpointed — both the grid and
+        // the count restriction re-read it
+        val v = Ranking.rangeRank(
+            cswAll.groupBy(col("word")).agg(sum(col("c")).as("__cf"))
+              .withColumn("__ncf", -col("__cf")),
+            Nil, Seq("__ncf", "word"), "__vr")
+          .filter(col("__vr") <= topV).select(col("word"))
+          .localCheckpoint()
+        (v, cswAll.join(v, Seq("word")))
+      }
     val vtot = vocab.agg(count(lit(1)).as("v"))
     val ss = csw.groupBy(col(groupCol)).agg(sum(col("c")).as("ts"))
     // dense grid: every (source, word), zero-filled

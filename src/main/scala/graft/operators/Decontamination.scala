@@ -107,6 +107,60 @@ object Decontamination {
     * [[contaminationPairs]] contract). The stream is corpus × |eval|
     * rows, embarrassingly parallel, no driver state.
     */
+  /** IVF-pruned [[semanticFlags]] — the 100 TB scale path when the
+    * eval registry grows past the point where corpus × eval is
+    * tolerable (consortium-scale registries run 10⁵⁺ vectors): each
+    * EVAL vector probes only its `nProbe` nearest coarse cells
+    * (per-`coarseCol` mean centroids, the [[Similarity.ivfTopK]]
+    * machinery), and only corpus rows of probed cells are scored —
+    * `nProbe/|cells|` of the corpus × eval product. Corpus vectors in
+    * cells no eval vector probes report `max_cos6 = null` (the index
+    * never scored them — an honest "not checked", not a fake 0) and
+    * `contaminated = 0`.
+    *
+    * Probing can miss a contaminated vector whose cell ranks below
+    * `nProbe` for every eval vector — measured agreement vs the exact
+    * twin is gated (q297) and tracked per SF in docs/SCALING.md.
+    *
+    * Scale: centroids are a cell-bounded broadcast; the probed frame is
+    * `|eval| × nProbe` rows (eval-scale — MBs), broadcast by default
+    * with the same `broadcastEval = false` degrade as the exact twin.
+    * The corpus is scanned once; no driver state.
+    */
+  def ivfFlags(corpus: DataFrame, eval: DataFrame, threshold: Double,
+               nProbe: Int = 2, coarseCol: String = "label",
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               portable: Boolean = false,
+               broadcastEval: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val centroids =
+      Similarity.coarseCentroids(corpus, coarseCol, vecCol, portable)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__eid")).orderBy(col("__cd").desc, col("cell"))
+    val probed = eval
+      .select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("__cd",
+        graft.functions.VectorMath.cosine(col("__ev"), col("centroid")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("cell"), col("__ev"))
+    val scored = corpus
+      .select(col(idCol), col(coarseCol).as("cell"), col(vecCol).as("__cv"))
+      .join(if (broadcastEval) broadcast(probed) else probed, Seq("cell"))
+      .select(col(idCol),
+        round(graft.functions.VectorMath.cosine(col("__cv"), col("__ev")),
+          6).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("max_cos6"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("max_cos6"),
+        when(col("max_cos6") >= threshold, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
+
   def semanticFlags(corpus: DataFrame, eval: DataFrame,
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding",

@@ -51,8 +51,12 @@ object DiverseSelection {
     require(lambdaTenths >= 0 && lambdaTenths <= 10,
       s"lambdaTenths must be in [0,10], got $lambdaTenths")
     val spark = corpus.sparkSession
-    val v = corpus.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("e"))
+    // null embeddings carry no cosine: drop them up front (and stop
+    // early below if k exceeds the remaining candidates) — the
+    // greedyCoverage contract
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
 
     // corpus centroid: decimal-exact per-dim means (the q243/q20
     // recipe), collected once — d doubles of driver state
@@ -76,7 +80,8 @@ object DiverseSelection {
       .localCheckpoint()
 
     var selected = Vector.empty[(Long, Seq[Double], Long)]
-    for (t <- 1 to k) {
+    var exhausted = false
+    for (t <- 1 to k if !exhausted) {
       val sim: Column =
         if (selected.isEmpty) lit(0L)
         else if (selected.size == 1)
@@ -92,10 +97,15 @@ object DiverseSelection {
         .agg(min(struct((-col("score")).as("ns"), col("vec_id"))).as("b"))
         .select(col("b.vec_id"), (-col("b.ns")).as("score"))
         .head()
-      val id = best.getLong(0)
-      val emb = cand.filter(col("vec_id") === id)
-        .select(col("e")).head().getSeq[Double](0)
-      selected :+= ((id, emb, best.getLong(1)))
+      // candidates ran out before k picks (k > corpus size): the argmax
+      // aggregate returns a null struct — stop, don't NPE
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        val id = best.getLong(0)
+        val emb = cand.filter(col("vec_id") === id)
+          .select(col("e")).head().getSeq[Double](0)
+        selected :+= ((id, emb, best.getLong(1)))
+      }
     }
     val rows = selected.zipWithIndex.map { case ((id, _, sc), i) =>
       Row((i + 1).toLong, id, sc)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Shared frame-shaping helpers for the statistics operators — ONE
   * definition of the two idioms they all lean on, so a semantics fix
@@ -66,6 +66,52 @@ private[operators] object FrameOps {
     * Extrema are single `min`/`max` comparisons over exact doubles — no
     * accumulation, so no quantization is needed for portability.
     */
+  /** Distributed 1-based rank + INCLUSIVE running long sum in
+    * `sortExprs` order, without the single-task `OVER ()` window: the
+    * [[orderedRunning]] scheme with (row-count, Σ) carries — one range
+    * exchange, a per-partition (rows, Σvalue) metadata agg (bounded at
+    * numPartitions rows on the driver), a driver prefix scan for the
+    * carry-ins, and one forward streaming pass per partition emitting
+    * both columns. Long arithmetic throughout — exact and loud on
+    * overflow. `sortExprs` must be a total order for deterministic
+    * ranks; `valueCol` must be LongType and non-null.
+    */
+  def orderedPrefixSum(df: DataFrame, sortExprs: Seq[Column],
+                       valueCol: String, rankCol: String,
+                       sumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(valueCol).dataType == LongType,
+      s"orderedPrefixSum needs a LongType $valueCol")
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = TrackedCaches.track(
+      df.repartitionByRange(nPart, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partStats = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // carry(pid) = (rows, Σ) over partitions BEFORE pid in sort order:
+    // scanLeft's N prefixes are exclusive by construction
+    val carryIn = partStats.map(_._1).zip(
+      partStats.scanLeft((0L, 0L)) { case ((an, as), (_, n, s)) =>
+        (an + n, as + s)
+      }).toMap
+    val bCarry = spark.sparkContext.broadcast(carryIn)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField(rankCol, LongType, nullable = false),
+      StructField(sumCol, LongType, nullable = false)))
+    val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var (rank, run) = bCarry.value.getOrElse(pid, (0L, 0L))
+      rows.map { r =>
+        rank += 1L
+        run = Math.addExact(run, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq ++ Seq(rank, run))
+      }
+    }
+    spark.createDataFrame(scanned, outSchema)
+  }
+
   def orderedRunning(df: DataFrame, sortExprs: Seq[Column],
                      valueCol: String, outCol: String, isMin: Boolean,
                      inclusive: Boolean): DataFrame = {

@@ -101,25 +101,35 @@ object Maintenance {
   }
 
   /** Order-invariant corpus checksum: Σ over rows of the 52-bit
-    * md5-ring fingerprint of the concatenated column renderings, plus
-    * the row count. Verifies two copies of a dataset are identical —
-    * across repartitions, replications, or engines — without sorting
-    * either one: the Σ is commutative, every engine renders the same
-    * string, and DuckDB replays it as
-    * `sum(('0x' || substr(md5(c1 || … || cn), 1, 13))::BIGINT)`.
+    * md5-ring fingerprint of the rendered row, plus the row count.
+    * Verifies two copies of a dataset are identical — across
+    * repartitions, replications, or engines — without sorting either
+    * one: the Σ is commutative, every engine renders the same string,
+    * and DuckDB replays it as
+    * `sum(('0x' || substr(md5(render), 1, 13))::BIGINT)`.
+    *
+    * Rendering is injective per column list: columns are joined with
+    * a U+0001 separator (so ("ab","c") and ("a","bc") fingerprint
+    * differently) and a NULL column renders as the U+0000 sentinel
+    * (plain concat is null-killing — one NULL would silently drop the
+    * whole row from the Σ while n_rows still counts it, voiding the
+    * "two copies are identical" guarantee).
+    *
     * The sum accumulates in DECIMAL(38,0) (Σ of 52-bit values
     * overflows i64 beyond ~2¹¹ row-mass at petabyte counts; ANSI would
-    * throw) — the [[ExactSum]] precedent, hash-equal to the oracle's
-    * HUGEINT.
+    * throw) and is emitted as STRING: the value exceeds 2⁵³, and a
+    * DECIMAL survives parquet exactly but degrades to float64 on a
+    * DuckDB→pandas hop (the q157 gate-typing precedent).
     */
   def corpusChecksum(df: org.apache.spark.sql.DataFrame,
                      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "corpusChecksum needs at least one column")
     import org.apache.spark.sql.functions._
-    val cat = concat(cols.map(c => col(c).cast("string")): _*)
+    val parts = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val cat = concat_ws("\u0001", parts: _*)
     df.select(conv(substring(md5(cat.cast("binary")), 1, 13), 16, 10)
         .cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h").cast("decimal(38,0)")).as("checksum"))
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
   }
 }

@@ -157,11 +157,14 @@ object NgramLm {
     * the lowest-perplexity third, the bucket CCNet keeps outright.
     */
   def pplBuckets(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text"): DataFrame =
+    bucketize(docNll(docs, idCol, textCol), idCol)
+
+  private def bucketize(nllFrame: DataFrame, idCol: String): DataFrame = {
     // the rank core makes several passes over its input (range sample,
     // counts, rank) — checkpoint the scored frame so the LM chain
     // (3 shuffles) is not replayed per pass
-    val nf = docNll(docs, idCol, textCol).localCheckpoint()
+    val nf = nllFrame.localCheckpoint()
     val ranked = Ranking.rangeRank(nf, Nil, Seq("nll", idCol), "rank")
     val nd = nf.agg(count(lit(1)).as("nd"))
     ranked.crossJoin(broadcast(nd))
@@ -169,5 +172,168 @@ object NgramLm {
         when(col("rank") * 3 <= col("nd"), lit("head"))
           .when(col("rank") * 3 <= col("nd") * 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+  }
+
+  // ---------------------------------------------------------------
+  // Interpolated Kneser–Ney trigram (Kneser & Ney 1995; Chen & Goodman
+  // 1999) — the properly-smoothed upgrade over [[docNll]]'s add-one
+  // bigram. Add-one gives every unseen/rare n-gram the SAME tiny mass
+  // 1/(c1+|V|), which over-penalizes the long tail real quality
+  // ranking depends on (the CCNet recipe trains a 5-gram KN LM for
+  // exactly this reason). KN instead discounts every seen count by a
+  // fixed `d` and redistributes that mass by CONTINUATION diversity —
+  // how many distinct contexts a word follows, not how often it
+  // occurs — so "francisco" (frequent, but only ever after "san")
+  // stops leaking probability into fresh contexts.
+  //
+  //   p(w₃|w₁w₂) = max(c₃−d,0)/c₁₂ + d·N₁₊(w₁w₂·)/c₁₂ · p(w₃|w₂)
+  //   p(w₃|w₂)   = max(N₁₊(·w₂w₃)−d,0)/N₁₊(·w₂·)
+  //                  + d·N₁₊(w₂·)/N₁₊(·w₂·) · p_cont(w₃)
+  //   p_cont(w₃) = (N₁₊(·w₃)+1)/(T+|V|+1)
+  //
+  // with every N₁₊ a TYPE count off the trigram type table, T = total
+  // bigram types, and the +1 floor on the continuation unigram the
+  // one "lite" deviation (it keeps unseen held-out tokens scoreable —
+  // a pure KN unigram assigns them zero). Unseen contexts back off
+  // wholesale to the next order (the CASE branches below).
+  //
+  // Everything is exact BIGINT counts feeding a FIXED double
+  // expression tree (divisions/multiplies of integer-cast doubles —
+  // IEEE-identical across engines), one 6-dp ln quantization per
+  // scored trigram, order-free long sums per document: the whole
+  // chain replays bit-identically in the DuckDB oracle.
+  //
+  // Scale: the trigram TYPE table is Heaps-bounded (far below corpus
+  // size); all derived stats frames are type-table aggregations.
+  // Scoring is the token stream left-joined to five bounded type
+  // frames — plain shuffle joins AQE can re-plan — plus one one-row
+  // (T, |V|) broadcast. Windows: per-document lags only.
+  // ---------------------------------------------------------------
+
+  /** Per-document trigram stream with double-BOS: every token is
+    * scored against its two predecessors (`<s> <s>` at position 0).
+    */
+  private def trigrams(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("wpos"))
+    docTokens(docs, idCol, textCol)
+      .withColumn("w1", lag(col("cur"), 2, "<s>").over(w))
+      .withColumn("w2", lag(col("cur"), 1, "<s>").over(w))
+      .withColumnRenamed("cur", "w3")
+  }
+
+  /** Training stats for [[knTrigramNll]]: (trigram counts, context
+    * stats, bigram-type continuation counts, middle stats, unigram
+    * continuation counts, one-row (T, V)). All type-table-bounded.
+    */
+  private def knParts(train: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tg = trigrams(train, idCol, textCol)
+    val c3t = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx = c3t.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3"))
+    val bt = c3t.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1mid"))
+    val mid = bt.groupBy(col("w2"))
+      .agg(sum(col("n1mid")).as("nmid"), count(lit(1)).as("ntyp2"))
+    val uni = bt.groupBy(col("w3")).agg(count(lit(1)).as("n1"))
+    val tv = bt.agg(count(lit(1)).as("t_types"))
+      .crossJoin(tg.agg(countDistinct(col("w3")).as("v")))
+    (c3t, ctx, bt, mid, uni, tv)
+  }
+
+  /** 6-dp-quantized ln p_KN per scored trigram of `score`, under the
+    * model trained on `train`. Returns `(idCol, lp6)` rows — one per
+    * token of `score` (double-BOS). Rare/unseen grams back off through
+    * the CASE chain; nothing drops.
+    */
+  private def knScored(train: DataFrame, score: DataFrame, idCol: String,
+                       textCol: String, discount: Double): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val (c3t, ctx, bt, mid, uni, tv) = knParts(train, idCol, textCol)
+    val d = lit(discount)
+    val dbl: String => Column = c => col(c).cast("double")
+    val pUni = (coalesce(col("n1"), lit(0L)) + lit(1L)).cast("double") /
+      (col("t_types") + col("v") + lit(1L)).cast("double")
+    val pBi = when(coalesce(col("nmid"), lit(0L)) > 0L,
+      greatest(coalesce(col("n1mid"), lit(0L)).cast("double") - d, lit(0d)) /
+        dbl("nmid") + ((d * dbl("ntyp2")) / dbl("nmid")) * pUni)
+      .otherwise(pUni)
+    val p = when(coalesce(col("c12"), lit(0L)) > 0L,
+      greatest(coalesce(col("c3"), lit(0L)).cast("double") - d, lit(0d)) /
+        dbl("c12") + ((d * dbl("n3")) / dbl("c12")) * pBi)
+      .otherwise(pBi)
+    trigrams(score, idCol, textCol)
+      .join(c3t, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(bt, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col(idCol), ExactSum.quantize6(log(p)).as("lp6"))
+  }
+
+  /** Per-document NLL/perplexity under the corpus's own interpolated-KN
+    * trigram model: `(idCol, n_tokens, nll, ppl6)` — the [[docNll]]
+    * shape, properly smoothed.
+    */
+  def knTrigramNll(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   discount: Double = 0.75): DataFrame = {
+    val nll = col("s").cast("double") / lit(-1000000.0) / col("n_tokens")
+    knScored(docs, docs, idCol, textCol, discount)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s"))
+      .select(col(idCol), col("n_tokens"), nll.as("nll"),
+        (ExactSum.quantize6(exp(nll)).cast("double") / lit(1000000.0))
+          .as("ppl6"))
+  }
+
+  /** CCNet terciles under the KN trigram model — the [[pplBuckets]]
+    * twin with honest tail smoothing.
+    */
+  def knPplBuckets(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   discount: Double = 0.75): DataFrame =
+    bucketize(knTrigramNll(docs, idCol, textCol, discount), idCol)
+
+  /** HELD-OUT KN-trigram perplexity per group — the
+    * [[heldOutNllBySource]] twin under proper smoothing, and the pair
+    * that shows WHY the smoothing choice matters: add-one gives every
+    * unseen held-out bigram the same 1/(c1+|V|) penalty, while KN's
+    * backoff chain scores it by how PLAUSIBLE its parts are (unseen
+    * trigram → bigram continuation → unigram continuation — the CASE
+    * chain in [[knScored]]), so a held-out document of natural-but-new
+    * word combinations stops being indistinguishable from noise.
+    * Same deterministic md5-ring split; no held-out token drops (the
+    * +1-floored continuation unigram covers even words the training
+    * split never saw). Output: `(groupCol, n_docs, n_tokens, nll,
+    * ppl6)`.
+    */
+  def knHeldOutNllBySource(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           groupCol: String = "source",
+                           trainFrac: Double = 0.5,
+                           discount: Double = 0.75): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac must be in (0,1), got $trainFrac")
+    val thr = Sampling.hexThreshold(trainFrac)
+    val bkt = substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    val held = docs.filter(!(bkt < lit(thr)))
+    val scored = knScored(docs.filter(bkt < lit(thr)), held,
+      idCol, textCol, discount)
+    val bySrc = scored
+      .join(held.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s"))
+    val nll = col("s").cast("double") / lit(-1000000.0) / col("n_tokens")
+    bySrc.select(col(groupCol), col("n_docs"), col("n_tokens"),
+      nll.as("nll"),
+      (ExactSum.quantize6(exp(nll)).cast("double") / lit(1000000.0))
+        .as("ppl6"))
   }
 }

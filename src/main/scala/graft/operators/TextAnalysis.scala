@@ -743,10 +743,13 @@ object TextAnalysis {
     * `freq`, `cum_freq`, `cum_share` (6-dp).
     *
     * Scale shape: one map-side-combined token count (the corpus's only
-    * shuffle), then rank + running sum as windows over the DISTINCT-
-    * token frame — Zipf-bounded, the same structurally-tiny class as
-    * [[frequencySpectrum]]'s spectrum, so its single-partition windows
-    * never see corpus-sized data.
+    * shuffle), then rank + cumulative mass via the distributed prefix
+    * core ([[FrameOps.orderedPrefixSum]]: one range exchange + a
+    * numPartitions-bounded carry scan) — the DISTINCT-token frame is
+    * VOCABULARY-scale (Heaps-bounded, billions of rows at 100 TB), not
+    * the structurally-tiny distinct-frequency class
+    * [[frequencySpectrum]] runs on, so a single-task `OVER ()` here
+    * would be the exact ceiling the rank core exists to remove.
     */
   def vocabCoverageCurve(docs: DataFrame,
                          textCol: String = "text"): DataFrame = {
@@ -755,20 +758,13 @@ object TextAnalysis {
       .select(explode(tokensCol(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val byFreq = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("token"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    counts
-      .select(
-        row_number().over(byFreq).cast("long").as("rank"),
-        col("token"), col("freq"),
-        sum(col("freq")).over(byFreq
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-          .as("cum_freq"),
-        sum(col("freq")).over(all).as("__total"))
-      .withColumn("cum_share", round(
-        col("cum_freq").cast("double") / col("__total").cast("double"), 6))
-      .drop("__total")
+    val total = counts.agg(sum(col("freq")).as("__total"))
+    FrameOps.orderedPrefixSum(counts,
+        Seq(col("freq").desc, col("token")), "freq", "rank", "cum_freq")
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"), col("cum_freq"),
+        round(col("cum_freq").cast("double") /
+          col("__total").cast("double"), 6).as("cum_share"))
   }
 
   def frequencySpectrum(docs: DataFrame,

@@ -195,12 +195,15 @@ object UnigramLm {
           textCol: String = "text"): (DataFrame, DataFrame) = {
     val (c0, lp, segFinal) =
       fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
-    val vocab = recount(segFinal, c0.select(col("piece")))
-      .filter(col("cnt") > 0)
-      .join(lp, Seq("piece"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("piece"))).cast("long"))
-      .select(col("rank"), col("piece"), col("cnt"),
+    // vocab-scale frame: rank via the distributed rank core, not a
+    // single-task OVER () — the same refusal modelFrame makes below
+    val vocab = Ranking.rangeRank(
+        recount(segFinal, c0.select(col("piece")))
+          .filter(col("cnt") > 0)
+          .join(lp, Seq("piece"))
+          .withColumn("__nc", -col("cnt")),
+        Nil, Seq("__nc", "piece"), "rank")
+      .select(col("rank").cast("long").as("rank"), col("piece"), col("cnt"),
         round(col("lp").cast("double"), 6).as("lp6"))
     (segFinal, vocab)
   }
@@ -295,12 +298,9 @@ object UnigramLm {
   def encodeIds(docs: DataFrame, maxPieceLen: Int = 4,
                 maxWordLen: Int = 12, iterations: Int = 2,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val (c0, lp, segFinal) =
-      fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
-    encodeCore(docs, segFinal.select(col("word"), col("segmentation")),
-      modelFrame(c0, lp, segFinal), maxWordLen, idCol, textCol)
-  }
+                textCol: String = "text"): DataFrame =
+    encodeIdsMarked(docs, maxPieceLen, maxWordLen, iterations, idCol,
+      textCol).drop("wpos")
 
   /** Tokenize a batch under a persisted model — one guarded Viterbi
     * pass, zero EM jobs. Words whose characters all lie in the model
@@ -319,7 +319,7 @@ object UnigramLm {
       .filter(length(col("word")) <= maxWordLen)
     val seg = viterbiGuarded(pieces(wf, maxPieceLen),
       model.select(col("piece"), col("lp")))
-    encodeCore(docs, seg, model, maxWordLen, idCol, textCol)
+    encodeCore(docs, seg, model, maxWordLen, idCol, textCol).drop("wpos")
   }
 
   private def encodeCore(docs: DataFrame, seg: DataFrame, model: DataFrame,
@@ -342,10 +342,53 @@ object UnigramLm {
       .orderBy(col("wpos"), col("spos"))
     words.join(wordPieces, Seq("word"))
       .select(col(idCol), col("wpos"), col("spos"), col("piece"))
-      .select(col(idCol),
+      .select(col(idCol), col("wpos").cast("long").as("wpos"),
         (row_number().over(w) - 1).cast("long").as("pos"), col("piece"))
       .join(model.select(col("piece"), col("token_id")),
         Seq("piece"), "left")
-      .select(col(idCol), col("pos"), col("piece"), col("token_id"))
+      .select(col(idCol), col("wpos"), col("pos"), col("piece"),
+        col("token_id"))
   }
+
+  /** [[encodeIds]] plus the word index (`wpos`) each piece came from —
+    * the boundary signal [[decodeIds]] needs. Unigram pieces are bare
+    * substrings (no `</w>` / `##` marker), so word boundaries are NOT
+    * recoverable from the flat piece stream alone; SentencePiece's ▁
+    * marker plays this role upstream, and here the explicit column
+    * does (the trained piece inventory — and so every gated id — stays
+    * untouched).
+    */
+  def encodeIdsMarked(docs: DataFrame, maxPieceLen: Int = 4,
+                      maxWordLen: Int = 12, iterations: Int = 2,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val (c0, lp, segFinal) =
+      fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
+    encodeCore(docs, segFinal.select(col("word"), col("segmentation")),
+      modelFrame(c0, lp, segFinal), maxWordLen, idCol, textCol)
+  }
+
+  /** Decode an [[encodeIdsMarked]] stream back to text through the
+    * MODEL's id→piece map (ids alone must suffice — the round-trip
+    * gate's point): pieces reassemble into words by (wpos, pos) and
+    * words join with single spaces. UNK positions (null `token_id`)
+    * are SKIPPED — their word decodes lossily — mirroring the
+    * [[Bpe.decodeIds]] contract. Order-free sorted-struct aggs keep
+    * both rollups combinable and partition-invariant; groups are
+    * word-/doc-length-bounded.
+    */
+  def decodeIds(ids: DataFrame, model: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    ids.join(model.select(col("token_id"), col("piece").as("__mp")),
+        Seq("token_id"))
+      .groupBy(col(idCol), col("wpos"))
+      .agg(array_sort(collect_list(struct(col("pos").as("p"),
+        col("__mp").as("s")))).as("__ps"))
+      .select(col(idCol), col("wpos"),
+        array_join(expr("transform(__ps, x -> x.s)"), "").as("__w"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("wpos").as("w"),
+        col("__w").as("s")))).as("__ws"))
+      .select(col(idCol),
+        array_join(expr("transform(__ws, x -> x.s)"), " ").as("decoded"))
 }

@@ -220,4 +220,26 @@ object WordPiece {
         Seq("piece"))
       .select(col(idCol), col("pos"), col("piece"), col("token_id"))
   }
+
+  /** Decode an [[encodeIds]] stream back to text through the
+    * vocabulary's id→form map (ids alone must suffice — the
+    * round-trip gate's point). The `##` continuation prefix IS the
+    * word-boundary signal: joining forms with single spaces and
+    * erasing every `" ##"` reattaches continuations to their word —
+    * exact because forms are `[a-z0-9]`-cored, so `" ##"` can only
+    * occur as an injected separator + continuation marker. One
+    * token_id join + one per-doc order-free sorted-struct agg
+    * (doc-length-bounded groups).
+    */
+  def decodeIds(ids: DataFrame, vocab: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    ids.join(vocab.select(col("token_id"), col("form").as("__f")),
+        Seq("token_id"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos").as("p"),
+        col("__f").as("s")))).as("__fs"))
+      .select(col(idCol),
+        regexp_replace(
+          array_join(expr("transform(__fs, x -> x.s)"), " "),
+          " ##", "").as("decoded"))
 }

@@ -37,7 +37,7 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
     AllowedBroadcast("TextAnalysis.scala", "global", "one-row global aggregate"),
     AllowedBroadcast("TextAnalysis.scala", "totals", "one-row global aggregate", count = 2),
-    AllowedBroadcast("TextAnalysis.scala", "total", "one-row token-count aggregate (phraseDetect/frequencySpectrum/goodTuring)", count = 3),
+    AllowedBroadcast("TextAnalysis.scala", "total", "one-row token-count aggregate (phraseDetect/frequencySpectrum/goodTuring/vocabCoverageCurve)", count = 4),
     AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "tBig", "one-row bigram-type-count aggregate (knBigram's T)"),
     AllowedBroadcast("DataSelection.scala", "totals", "one-row feature-count aggregate (dsir smoothing denominators)"),
@@ -65,11 +65,13 @@ object PlanAudit {
     AllowedBroadcast("Encoding.scala", "global", "one-row global-mean aggregate (targetEncode prior)"),
     AllowedBroadcast("Sampling.scala", "n", "one-row corpus-count aggregate (negativeSamples ring modulus)"),
     AllowedBroadcast("Sampling.scala", "minN", "one-row min-source-count aggregate (temperatureMix)"),
-    AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning)"),
+    AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning/orderedPrefixSum)", count = 2),
     AllowedBroadcast("Packing.scala", "n", "one-row count aggregate (curriculumOrder tier denominator)"),
     AllowedBroadcast("StreamingDrift.scala", "total", "one-row reference-count aggregate"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Decontamination.scala", "ev", "eval-benchmark embeddings (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join (semanticFlags)"),
+    AllowedBroadcast("Decontamination.scala", "centroids", "IVF coarse-centroid frame — one row per cell, cell-bounded (ivfFlags probe)"),
+    AllowedBroadcast("Decontamination.scala", "probed", "|eval| x nProbe probe rows — eval-scale (MBs); flag-guarded — broadcastEval=false degrades to shuffle join (ivfFlags)"),
     AllowedBroadcast("Embeddings.scala", "comps", "k PCA component rows — parameter-bounded"),
     AllowedBroadcast("Pq.scala", "cb", "PQ codebook — m × ks rows, parameter-bounded (collected per iteration as a literal frame)", count = 4),
     AllowedBroadcast("KMeans.scala", "cb", "k-means centroid frame — k rows, parameter-bounded (collected per iteration as a literal frame)"),
@@ -78,6 +80,7 @@ object PlanAudit {
     AllowedBroadcast("UnigramLm.scala", "tot", "one-row (Σcnt, |candidates|) smoothing-denominator aggregate"),
     AllowedBroadcast("NgramLm.scala", "v", "one-row |vocabulary| distinct-count aggregate (bigram smoothing denominator; heldOut unseen-mass twin)", count = 2),
     AllowedBroadcast("NgramLm.scala", "nd", "one-row doc-count aggregate (perplexity-tercile denominator)"),
+    AllowedBroadcast("NgramLm.scala", "tv", "one-row (T bigram types, |V|) aggregate (KN continuation-unigram denominator)"),
     AllowedBroadcast("NaiveBayes.scala", "v", "one-row |vocabulary| distinct-count aggregate (NB smoothing denominator)", count = 2),
     AllowedBroadcast("NaiveBayes.scala", "dt", "one-row doc-count aggregate (NB prior denominator)"),
     AllowedBroadcast("NaiveBayes.scala", "ls", "per-label prior/unknown-mass stats — ≤|labels| rows, schema-bounded dimension (nation/region precedent)"),

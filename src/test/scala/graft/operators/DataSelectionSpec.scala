@@ -129,4 +129,37 @@ class DataSelectionSpec extends SparkSpecBase {
     assert(out.length === 2)
     assert(out.forall(_._3 === 0.0))
   }
+
+  test("sourceKlMatrix topV: cap above |vocab| equals uncapped; a " +
+      "truncating cap computes the proper truncated-support KL") {
+    import spark.implicits._
+    def q12(x: Double): Long = math.floor(x * 1e12 + 0.5).toLong
+    // corpus frequencies: x 4, y 3, z 1 — top-2 = {x, y}, the z tail
+    // carries ALL the shift between A and B below the cap
+    val docs = Seq((1L, "A", "x x y z"), (2L, "B", "x x y y"))
+      .toDF("doc_id", "source", "text")
+    val full = DataSelection.sourceKlMatrix(docs)
+      .orderBy("src_a", "src_b").as[(String, String, Double)].collect()
+    val capped = DataSelection.sourceKlMatrix(docs, topV = 1000)
+      .orderBy("src_a", "src_b").as[(String, String, Double)].collect()
+    assert(capped.toSeq === full.toSeq,
+      "a cap above the vocabulary must reproduce the exact matrix")
+    // top-2 support {x, y}: A sees (x 2, y 1, t 3), B (x 2, y 2, t 4),
+    // V' = 2 — counts, totals AND |V| all restricted to the support
+    val t2 = DataSelection.sourceKlMatrix(docs, topV = 2)
+      .orderBy("src_a", "src_b").as[(String, String, Double)].collect()
+    val pAx = 3.0 / 5; val pAy = 2.0 / 5
+    val pBx = 3.0 / 6; val pBy = 3.0 / 6
+    val klAB = (q12(pAx * math.log(pAx / pBx)) +
+      q12(pAy * math.log(pAy / pBy))).toDouble / 1e12
+    val klBA = (q12(pBx * math.log(pBx / pAx)) +
+      q12(pBy * math.log(pBy / pAy))).toDouble / 1e12
+    assert(t2.toSeq === Seq(("A", "B", klAB), ("B", "A", klBA)))
+    // truncation bias, demonstrated: the full matrix sees the z shift,
+    // the capped one cannot
+    assert(full(0)._3 > t2(0)._3)
+    intercept[IllegalArgumentException] {
+      DataSelection.sourceKlMatrix(docs, topV = 0)
+    }
+  }
 }

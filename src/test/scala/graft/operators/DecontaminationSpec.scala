@@ -85,4 +85,38 @@ class DecontaminationSpec extends SparkSpecBase {
       Decontamination.semanticFlags(corpus, eval_, threshold = 0.0)
     }
   }
+
+  test("ivfFlags: probed cells score, unprobed cells report null") {
+    import spark.implicits._
+    // two tight cells on orthogonal axes: cell "a" ≈ x-axis,
+    // cell "b" ≈ y-axis; the eval vector is the x-axis, so with
+    // nProbe = 1 only cell "a" is scored
+    val corpus = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)),
+      (2L, "a", Seq(0.9f, 0.1f)),
+      (3L, "b", Seq(0.0f, 1.0f)),
+      (4L, "b", Seq(0.1f, 0.9f))).toDF("vec_id", "label", "embedding")
+    val eval_ = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val one = Decontamination.ivfFlags(corpus, eval_, threshold = 0.9,
+        nProbe = 1).orderBy("vec_id").collect()
+    assert(one(0).getDouble(1) === 1.0 && one(0).getLong(2) === 1L)
+    assert(one(1).getLong(2) === 1L) // 0.9938 ≥ 0.9
+    // cell "b" was never probed: honest null, flag 0
+    assert(one(2).isNullAt(1) && one(2).getLong(2) === 0L)
+    assert(one(3).isNullAt(1) && one(3).getLong(2) === 0L)
+    // probing every cell reproduces the exact twin's flags
+    val all = Decontamination.ivfFlags(corpus, eval_, threshold = 0.9,
+        nProbe = 2).orderBy("vec_id")
+      .select("vec_id", "max_cos6", "contaminated").collect()
+    val exact = Decontamination.semanticFlags(corpus, eval_,
+        threshold = 0.9).orderBy("vec_id").collect()
+    assert(all.toSeq === exact.toSeq)
+    // the shuffle-join path agrees with the broadcast path
+    val nb = Decontamination.ivfFlags(corpus, eval_, threshold = 0.9,
+        nProbe = 1, broadcastEval = false).orderBy("vec_id").collect()
+    assert(nb.toSeq === one.toSeq)
+    intercept[IllegalArgumentException] {
+      Decontamination.ivfFlags(corpus, eval_, threshold = 0.9, nProbe = 0)
+    }
+  }
 }

@@ -55,6 +55,24 @@ class DiverseSelectionSpec extends SparkSpecBase {
     }
   }
 
+  test("k past the corpus stops cleanly; null embeddings are dropped") {
+    import spark.implicits._
+    // k=5 over 3 vectors: 3 picks, no NPE from the empty argmax
+    val over = DiverseSelection.mmrSelect(corpus, k = 5, lambdaTenths = 5)
+      .orderBy("rank").as[(Long, Long, Long)].collect()
+    assert(over.length === 3)
+    assert(over.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // a null embedding never enters the selection (or the centroid:
+    // picks match the null-free corpus exactly)
+    val withNull = corpus.union(
+      Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val a = DiverseSelection.mmrSelect(withNull, k = 3, lambdaTenths = 5)
+      .collect().toSeq
+    val b = DiverseSelection.mmrSelect(corpus, k = 3, lambdaTenths = 5)
+      .collect().toSeq
+    assert(a === b)
+  }
+
   test("greedyCoverage: hand-traced picks, zero-gain docs never picked") {
     import spark.implicits._
     // d3 covers 3 shingles, d1 adds 2, d2's only shingle is then

@@ -91,20 +91,35 @@ class MaintenanceSpec extends SparkSpecBase {
     // any single-row change moves the checksum
     val tweaked = (1L to 100L)
       .map(i => (i, if (i == 50) "TEXT50" else s"text$i")).toDF("id", "t")
-    assert(ck(tweaked).getDecimal(1) !== base.getDecimal(1))
+    assert(ck(tweaked).getString(1) !== base.getString(1))
   }
 
   test("corpusChecksum replays the md5-ring fingerprint by hand") {
     import spark.implicits._
     val df = Seq((7L, "abc")).toDF("id", "t")
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest("7abc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      .digest("7abc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val expected = java.lang.Long.parseLong(hex.take(13), 16)
     val r = Maintenance.corpusChecksum(df, Seq("id", "t")).collect().head
     assert(r.getLong(0) === 1L)
-    assert(r.getDecimal(1).longValueExact() === expected)
+    assert(r.getString(1) === expected.toString)
     intercept[IllegalArgumentException] {
       Maintenance.corpusChecksum(df, Nil)
     }
+  }
+
+  test("corpusChecksum rendering is injective and null-safe") {
+    import spark.implicits._
+    def ck(rows: Seq[(String, String)]) =
+      Maintenance.corpusChecksum(rows.toDF("a", "b"), Seq("a", "b"))
+        .collect().head
+    // separator: ("ab","c") vs ("a","bc") must fingerprint differently
+    assert(ck(Seq(("ab", "c"))).getString(1)
+      !== ck(Seq(("a", "bc"))).getString(1))
+    // a NULL column keeps the row in the sum (n_rows == contributing
+    // rows) and differs from the empty string
+    val withNull = ck(Seq(("x", null), ("y", "z")))
+    assert(withNull.getLong(0) === 2L)
+    assert(withNull.getString(1) !== ck(Seq(("x", ""), ("y", "z"))).getString(1))
   }
 }

@@ -128,4 +128,27 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(rows.last._2.contains("aab") && rows.last._3 == 2L)
     assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
   }
+
+  test("decodeIds round-trips through ids and skips UNK positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "abab baba"), (2L, "ab abab"))
+      .toDF("doc_id", "text")
+    val marked = UnigramLm.encodeIdsMarked(docs, maxPieceLen = 2,
+      maxWordLen = 8, iterations = 1)
+    val model = UnigramLm.model(docs, maxPieceLen = 2, maxWordLen = 8,
+      iterations = 1)
+    val out = UnigramLm.decodeIds(marked, model).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "abab baba"), (2L, "ab abab")))
+    // an UNK position (null token_id — the encodeIdsWithModel OOV
+    // contract) is skipped: its word decodes lossily, neighbours intact
+    val withUnk = marked.withColumn("token_id",
+      when(col("doc_id") === 1L && col("wpos") === 1L && col("pos") >= 3,
+        lit(null).cast("long")).otherwise(col("token_id")))
+    val lossy = UnigramLm.decodeIds(withUnk, model)
+      .filter(col("doc_id") === 1L).select("decoded").as[String].head()
+    assert(lossy.startsWith("abab "))
+    assert(lossy !== "abab baba")
+  }
 }

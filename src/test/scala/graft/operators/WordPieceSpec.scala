@@ -94,4 +94,25 @@ class WordPieceSpec extends SparkSpecBase {
       WordPiece.vocab(docs, topK = -1)
     }
   }
+
+  test("decodeIds strips ## continuations and round-trips the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "hashing the hash"), (2L, "hash rehash"))
+      .toDF("doc_id", "text")
+    val vocab = WordPiece.vocab(docs, maxPieceLen = 4, topK = 6)
+    val ids = WordPiece.encodeIds(docs, maxPieceLen = 4, topK = 6)
+    // multi-piece words exist (no word fits one ≤4-char piece except
+    // "the"), so the ## path is genuinely exercised
+    assert(ids.filter(col("piece").startsWith("##")).count() > 0)
+    val out = WordPiece.decodeIds(ids, vocab).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "hashing the hash"), (2L, "hash rehash")))
+    // decode reads token_id only: corrupting one id changes the text
+    val swapped = ids.withColumn("token_id",
+      when(col("pos") === 0 && col("doc_id") === 2L,
+        col("token_id") + 1L).otherwise(col("token_id")))
+    val dec2 = WordPiece.decodeIds(swapped, vocab)
+      .filter(col("doc_id") === 2L).select("decoded").as[String].head()
+    assert(dec2 !== "hash rehash")
+  }
 }

@@ -21,13 +21,22 @@ BAD = re.compile(
 
 def scan_type(t: str):
     """Return the offending token or None. DECIMAL(p>38) also flagged:
-    Spark caps precision at 38."""
+    Spark caps precision at 38. DECIMAL whose integer part exceeds 15
+    digits (p-s > 15) is flagged too: such a value can exceed 2^53, and
+    while identical DECIMAL(38,0) values pass check.py's repr-compare,
+    the DRIVER's DuckDB->pandas hop degrades DECIMAL to float64 and its
+    hash diverges on identical numbers (q157 and q289, rounds 8/11) —
+    gate such outputs as STRING on both sides instead."""
     m = BAD.search(t)
     if m:
         return m.group(0)
-    for p, _s in re.findall(r"DECIMAL\((\d+),(\d+)\)", t, re.IGNORECASE):
+    for p, s in re.findall(r"DECIMAL\((\d+),(\d+)\)", t, re.IGNORECASE):
         if int(p) > 38:
             return f"DECIMAL({p},_) precision > 38"
+        if int(p) - int(s) > 15:
+            return (f"DECIMAL({p},{s}) integer part > 15 digits: can "
+                    "exceed 2^53, degrades to float64 on the driver's "
+                    "pandas hop — gate as STRING")
     return None
 
 def main(sf_dir: str, oracle_path: str) -> int:
