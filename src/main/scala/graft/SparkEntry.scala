@@ -268,6 +268,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // preference pairs from the q53 clusters scored by token count —
+    // the DPO/reward-model data-prep: near-identical content, so the
+    // chosen/rejected choice isolates quality; one min/max(struct) agg
+    "q306_preference_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.preferencePairs(
+          docs.select(col("doc_id"),
+            size(TextAnalysis.tokensCol(col("text"))).cast("double")
+              .as("score")),
+          Dedup.connectedComponents(
+            Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)))
+        .orderBy(col("cluster"))
+    }),
+
     // ---- B3 similarity search -------------------------------------------
     "q18_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1895,6 +1909,40 @@ object SparkEntry {
             (col("pad_seqs") * lit(512L)).cast("double"), 6))
     }),
 
+    // BPE merge-count sweep — the vocabulary-sizing curve: token count
+    // falls and used vocab grows as merges increase; the compression
+    // trade a tokenizer owner reads next to q266's coverage curve
+    "q303_bpe_merge_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Seq(2, 4, 8, 16).map { k =>
+        Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = k))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("token_id")).as("vocab_used"))
+          .select(lit(k.toLong).as("merges"), col("n_tokens"),
+            col("vocab_used"))
+      }.reduce(_ union _).orderBy(col("merges"))
+    }),
+
+    // length-bucketed inference batches over the q248 token counts:
+    // consecutive length ranks cut into 32-doc batches, per-batch
+    // padding waste — the dynamic-batching readout
+    "q301_length_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.lengthBatches(
+          Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+          batchSize = 32)
+        .orderBy(col("batch_no"))
+    }),
+
+    // the savings rollup: length-sorted batching vs the md5
+    // arrival-order dataloader baseline
+    "q302_batch_waste_saved" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.batchWasteSaved(
+        Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+        batchSize = 32)
+    }),
+
     // per-sequence document-segment map over the q254 packing — the
     // block-diagonal attention-mask spec: where each document's span
     // starts inside each packed sequence, and for how many tokens
@@ -2125,6 +2173,30 @@ object SparkEntry {
     "q289_corpus_checksum" -> ((s, dir) =>
       Maintenance.corpusChecksum(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // encoding-anomaly (mojibake) scan — the corpus is clean ASCII, so
+    // the gate derives a doc-keyed fixture (q277 precedent) injecting
+    // each anomaly class by doc_id%4: U+FFFD replacements, C1
+    // controls, and the UTF-8-read-as-Latin-1 pair
+    "q305_encoding_anomalies" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val tail = when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("\uFFFD\uFFFD"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit(" x\u0085y\u0092"))
+        .when(pmod(col("doc_id"), lit(4)) === 3, lit(" caf\u00C3\u00A9"))
+        .otherwise(lit(" clean tail"))
+      val synth = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), tail).as("text"))
+      Cleaning.encodingAnomalies(synth).orderBy(col("doc_id"))
+    }),
+
+    // per-partition checksums — the incremental replica audit: diff
+    // two copies' frames on the group key and re-sync only mismatched
+    // partitions, never the whole 100 TB table
+    "q304_partition_checksums" -> ((s, dir) =>
+      Maintenance.partitionChecksums(t(s, dir, "documents"), "source",
+          Seq("doc_id", "text", "lang", "n_chars"))
+        .orderBy(col("source"))),
 
     // pairwise source KL-divergence matrix over add-one-smoothed
     // unigram distributions (global-vocab grid, so every term is
@@ -7245,6 +7317,44 @@ object SparkEntry {
          |FROM j LEFT JOIN best b ON b.cluster = j.cluster
          |ORDER BY j.doc_id""".stripMargin,
 
+    // q306: the q53 closure + token scores + per-cluster min/max under
+    // the one (s DESC, id) total order — rn=1 is chosen, rn=last is
+    // rejected
+    "q306_preference_pairs" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None)}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |cc AS (
+         |  SELECT src AS doc, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src),
+         |psc AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS DOUBLE) AS s
+         |  FROM documents),
+         |pj AS (
+         |  SELECT cc.cluster, psc.doc_id, psc.s,
+         |    row_number() OVER (PARTITION BY cc.cluster
+         |      ORDER BY psc.s DESC, psc.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cc.cluster) AS nm
+         |  FROM psc JOIN cc ON cc.doc = psc.doc_id)
+         |SELECT c.cluster, CAST(c.nm AS BIGINT) AS n_members,
+         |  c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+         |  round(c.s, 6) AS chosen_score6, round(r.s, 6) AS rejected_score6,
+         |  round(c.s - r.s, 6) AS margin6
+         |FROM (SELECT * FROM pj WHERE rn = 1) c
+         |JOIN (SELECT * FROM pj WHERE rn = nm) r USING (cluster)
+         |ORDER BY cluster""".stripMargin,
+
     "q17_cosine_neardups" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -9725,6 +9835,44 @@ object SparkEntry {
         |  ), 1, 13))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM documents""".stripMargin,
 
+    // q305: same fixture + chr()-built patterns (regex chars never
+    // appear as raw literals — the r11 mangled-literal lesson)
+    "q305_encoding_anomalies" ->
+      """WITH synth AS (
+        |  SELECT doc_id, substring(text, 1, 40) ||
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 1 THEN chr(65533) || chr(65533)
+        |      WHEN 2 THEN ' x' || chr(133) || 'y' || chr(146)
+        |      WHEN 3 THEN ' caf' || chr(195) || chr(169)
+        |      ELSE ' clean tail' END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnts AS (
+        |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT) AS n_c1,
+        |    CAST(len(regexp_extract_all(t, chr(195) ||
+        |      '[' || chr(128) || '-' || chr(191) || ']')) AS BIGINT)
+        |      AS n_latin1_utf8
+        |  FROM synth)
+        |SELECT doc_id, n_chars, n_replacement, n_c1, n_latin1_utf8,
+        |  round(CAST(n_replacement + n_c1 + n_latin1_utf8 AS DOUBLE)
+        |    / n_chars, 6) AS anomaly_rate6
+        |FROM cnts ORDER BY doc_id""".stripMargin,
+
+    // q304: the q289 rendering per source (source keyed by the
+    // grouping, not re-rendered), same STRING gate type per group
+    "q304_partition_checksums" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(('0x' || substr(md5(
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(1) ||
+        |    coalesce(text, chr(0)) || chr(1) ||
+        |    coalesce(lang, chr(0)) || chr(1) ||
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0))
+        |  ), 1, 13))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // q286: dense zero-filled grid, smoothed ratios as doubles, 12-dp
     // term quantization, exact long Σ per ordered pair
     "q286_source_kl" ->
@@ -9982,6 +10130,93 @@ object SparkEntry {
           |      - (((total_tokens + 511) // 512) * 512 - total_tokens)
           |      AS DOUBLE) / (pad_seqs * 512), 6) AS saved_frac
           |FROM tot""".stripMargin
+    },
+
+    // q303: ONE merge cascade to 16 (materialized — every s_k feeds
+    // both the next round and its sweep point), sweep points read the
+    // intermediate segmentations s2/s4/s8/s16. Four separate cascades
+    // blow DuckDB's file-handle budget (the r8 q209 class) — the
+    // incremental structure of BPE makes one chain serve all four.
+    "q303_bpe_merge_sweep" -> {
+      val ks = Seq(2, 4, 8, 16)
+      val per = ks.map { k =>
+        s"""ws$k AS (
+           |  SELECT word, string_split(trim(seq), '  ') AS syms FROM s$k),
+           |m$k AS (
+           |  SELECT CAST($k AS BIGINT) AS merges,
+           |    (SELECT CAST(sum(len(w.syms)) AS BIGINT)
+           |     FROM dw d JOIN ws$k w USING (word)) AS n_tokens,
+           |    (SELECT CAST(count(DISTINCT s) AS BIGINT)
+           |     FROM (SELECT unnest(syms) AS s FROM ws$k) x) AS vocab_used)"""
+          .stripMargin
+      }.mkString(",\n")
+      val head =
+        s"""WITH ${bpeOracleCtes(16, materialize = true)},
+           |dtk AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+           |dw AS MATERIALIZED (
+           |  SELECT doc_id, u['wpos'] AS wpos, u['word'] AS word FROM (
+           |    SELECT doc_id,
+           |      unnest([{'wpos': i, 'word': tk[i]} FOR i IN range(1, len(tk) + 1)]) AS u
+           |    FROM dtk)
+           |  WHERE regexp_matches(u['word'], '^[a-z0-9]+$$')),""".stripMargin
+      val tail =
+        """SELECT * FROM m2 UNION ALL SELECT * FROM m4
+          |UNION ALL SELECT * FROM m8 UNION ALL SELECT * FROM m16
+          |ORDER BY merges""".stripMargin
+      head + "\n" + per + "\n" + tail
+    },
+
+    // q301/q302: the q268 length frame ranked by (n, doc_id) — or the
+    // md5 ring for the baseline — row_number replays the rank core;
+    // batch stats are exact integer arithmetic
+    "q301_length_batches" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          |       FROM ids GROUP BY doc_id),
+          |rk AS (
+          |  SELECT n, row_number() OVER (ORDER BY n, doc_id) AS r FROM pd)
+          |SELECT CAST((r - 1) // 32 AS BIGINT) AS batch_no,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(max(n) AS BIGINT) AS max_len,
+          |  CAST(sum(n) AS BIGINT) AS total_tokens,
+          |  CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_waste
+          |FROM rk GROUP BY 1 ORDER BY batch_no""".stripMargin
+    },
+
+    "q302_batch_waste_saved" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          |       FROM ids GROUP BY doc_id),
+          |srk AS (
+          |  SELECT n, row_number() OVER (ORDER BY n, doc_id) AS r FROM pd),
+          |sb AS (
+          |  SELECT CAST(count(*) * max(n) - sum(n) AS BIGINT) AS w
+          |  FROM srk GROUP BY (r - 1) // 32),
+          |hrk AS (
+          |  SELECT n, row_number() OVER (
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r FROM pd),
+          |hb AS (
+          |  SELECT CAST(count(*) * max(n) - sum(n) AS BIGINT) AS w,
+          |    CAST(count(*) * max(n) AS BIGINT) AS vol
+          |  FROM hrk GROUP BY (r - 1) // 32)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_batches,
+          |  (SELECT CAST(sum(w) AS BIGINT) FROM sb) AS sorted_waste,
+          |  (SELECT CAST(sum(w) AS BIGINT) FROM hb) AS shuffled_waste,
+          |  round(CAST((SELECT sum(w) FROM hb) - (SELECT sum(w) FROM sb)
+          |      AS DOUBLE) / (SELECT sum(vol) FROM hb), 6) AS saved_frac
+          |FROM (SELECT 1) one""".stripMargin
     },
 
     // q265: q254's idx replay grouped to (seq_no, doc) segments, the

@@ -71,4 +71,30 @@ object Cleaning {
         md5(array_join(col("__kept"), "\n").cast("binary")).as("kept_md5"),
         array_join(col("__kept"), "\n").as("cleaned"))
   }
+
+  /** Encoding-anomaly (mojibake) counts per document — the corpus-
+    * health check that catches broken ingestion before any text model
+    * does: U+FFFD replacement characters (a decoder already gave up),
+    * C1 control characters U+0080-U+009F (the classic cp1252-read-as-
+    * latin1 signature), and the "\u00C3 + high byte" pair (UTF-8 text
+    * decoded as Latin-1 — e.g. \u00C3\u00A9 where \u00E9 was meant).
+    * Row-local `regexp_count` — whole-stage codegen, zero shuffles.
+    * Output: `(idCol, n_chars, n_replacement, n_c1, n_latin1_utf8,
+    * anomaly_rate6)` with the rate an exact integer ratio over the
+    * char count, 6 dp.
+    */
+  def encodingAnomalies(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val nRep = regexp_count(c, lit("\uFFFD"))
+    val nC1 = regexp_count(c, lit("[\u0080-\u009F]"))
+    val nL1 = regexp_count(c, lit("\u00C3[\u0080-\u00BF]"))
+    df.filter(c.isNotNull && length(c) > 0)
+      .select(col(idCol), length(c).cast("long").as("n_chars"),
+        nRep.cast("long").as("n_replacement"),
+        nC1.cast("long").as("n_c1"),
+        nL1.cast("long").as("n_latin1_utf8"),
+        round((nRep + nC1 + nL1).cast("double") /
+          length(c).cast("double"), 6).as("anomaly_rate6"))
+  }
 }

@@ -707,4 +707,41 @@ object Dedup {
         (col("cluster").isNull || col(idCol) === col("__best"))
           .as("survivor"))
   }
+
+  /** Preference pairs from duplicate clusters — the DPO/reward-model
+    * data-prep step: within every near-dup cluster (near-identical
+    * content, so a preference between members is about QUALITY, not
+    * topic), `chosen` is the best-scored member and `rejected` the
+    * worst, under ONE total order (score desc, id asc) — chosen =
+    * its min(struct), rejected = its max(struct), so the two always
+    * differ (clusters have ≥ 2 members by construction) and ties
+    * break deterministically. Unscored members (null/NaN) never pair
+    * — filtered up front, documented contract (the [[keepBest]]
+    * null-rank subtleties don't arise).
+    *
+    * Output per cluster: `(cluster, n_members, chosen_id, rejected_id,
+    * chosen_score6, rejected_score6, margin6)`; margin ≥ 0.
+    *
+    * Scale: one join onto the cluster frame (∝ duplicate docs), one
+    * map-side-combinable min/max(struct) agg — no window, no driver
+    * state.
+    */
+  def preferencePairs(scored: DataFrame, clusters: DataFrame,
+                      idCol: String = "doc_id",
+                      scoreCol: String = "score"): DataFrame = {
+    val m = scored
+      .select(col(idCol), col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
+      .join(clusters.select(col("doc").as(idCol), col("cluster")),
+        Seq(idCol))
+    m.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("__s")).as("n"), col(idCol).as("id"))).as("c"),
+        max(struct((-col("__s")).as("n"), col(idCol).as("id"))).as("r"))
+      .select(col("cluster"), col("n_members"),
+        col("c.id").as("chosen_id"), col("r.id").as("rejected_id"),
+        round(-col("c.n"), 6).as("chosen_score6"),
+        round(-col("r.n"), 6).as("rejected_score6"),
+        round(col("r.n") - col("c.n"), 6).as("margin6"))
+  }
 }

@@ -125,11 +125,61 @@ object Maintenance {
                      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "corpusChecksum needs at least one column")
     import org.apache.spark.sql.functions._
-    val parts = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
-    val cat = concat_ws("\u0001", parts: _*)
-    df.select(conv(substring(md5(cat.cast("binary")), 1, 13), 16, 10)
-        .cast("long").as("h"))
+    df.select(rowFingerprint(cols).as("h"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
+  }
+
+  /** The [[corpusChecksum]] rendering: 52-bit md5-ring fingerprint of
+    * the U+0001-joined, U+0000-null-sentineled column renderings.
+    */
+  private def rowFingerprint(cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val parts = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    conv(substring(md5(concat_ws("\u0001", parts: _*).cast("binary")),
+      1, 13), 16, 10).cast("long")
+  }
+
+  /** Per-GROUP corpus checksums — the incremental form of
+    * [[corpusChecksum]] and the actual 100 TB replica-audit primitive:
+    * checksum each partition (source / date / shard) separately, diff
+    * the two copies' frames on the group key, and re-sync ONLY the
+    * groups whose (n_rows, checksum) differ — never re-reading the
+    * whole table. Same order-invariant Σ and STRING gate type per
+    * group; one map-side-combinable aggregation, |groups| output rows.
+    */
+  def partitionChecksums(df: org.apache.spark.sql.DataFrame,
+                         groupCol: String,
+                         cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "partitionChecksums needs at least one column")
+    require(!cols.contains(groupCol),
+      s"group column $groupCol is keyed by the grouping itself - " +
+        "checksum the data columns only")
+    import org.apache.spark.sql.functions._
+    df.select(col(groupCol), rowFingerprint(cols).as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum"))
+  }
+
+  /** Diff two [[partitionChecksums]] frames: groups present in only
+    * one copy or disagreeing on (n_rows, checksum) — the re-sync
+    * worklist. `status` is missing_left / missing_right / mismatch.
+    */
+  def checksumDiff(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame,
+                   groupCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = a.select(col(groupCol), col("n_rows").as("n_rows_a"),
+      col("checksum").as("checksum_a"))
+    val r = b.select(col(groupCol), col("n_rows").as("n_rows_b"),
+      col("checksum").as("checksum_b"))
+    l.join(r, Seq(groupCol), "full_outer")
+      .withColumn("status",
+        when(col("checksum_a").isNull, lit("missing_left"))
+          .when(col("checksum_b").isNull, lit("missing_right"))
+          .when(col("n_rows_a") =!= col("n_rows_b") ||
+            col("checksum_a") =!= col("checksum_b"), lit("mismatch")))
+      .filter(col("status").isNotNull)
   }
 }

@@ -222,25 +222,59 @@ object NgramLm {
       .withColumnRenamed("cur", "w3")
   }
 
+  // Train-once memo (the UnigramLm/KMeans fitMemo pattern): the KN
+  // type tables are deterministic in (train plan, params), and a
+  // battery asks for the same training from q294/q295/q300. Values are
+  // localCheckpoint'ed frames (executor-side; the driver holds plan
+  // references only). The checkpoints also serve WITHIN one query:
+  // knScored joins five frames all derived from c3t — without the
+  // checkpoint each join side would replay the corpus trigram shuffle.
+  // Bounded, swept by TrackedCaches (cold benches retrain per query);
+  // cross-query hits flag the bench row warm.
+  private val knMemoBound = 4
+  private val knMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, String),
+      ((DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame),
+        Long)]
+  TrackedCaches.onRelease(() => knMemo.synchronized(knMemo.clear()))
+
   /** Training stats for [[knTrigramNll]]: (trigram counts, context
     * stats, bigram-type continuation counts, middle stats, unigram
     * continuation counts, one-row (T, V)). All type-table-bounded.
+    * `V` derives from the TYPE table (every stream token type appears
+    * there) — value-identical to a stream distinct, one scan cheaper.
     */
   private def knParts(train: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val memoKey =
+      (train.queryExecution.analyzed.canonicalized, idCol, textCol)
+    knMemo.synchronized(knMemo.get(memoKey)) match {
+      case Some((frames, trainedEpoch)) =>
+        if (trainedEpoch < TrackedCaches.currentQueryEpoch)
+          TrackedCaches.noteMemoReuse()
+        return frames
+      case None => ()
+    }
     val tg = trigrams(train, idCol, textCol)
     val c3t = tg.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
+      .agg(count(lit(1)).as("c3")).localCheckpoint()
     val ctx = c3t.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3"))
     val bt = c3t.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("n1mid"))
+      .agg(count(lit(1)).as("n1mid")).localCheckpoint()
     val mid = bt.groupBy(col("w2"))
       .agg(sum(col("n1mid")).as("nmid"), count(lit(1)).as("ntyp2"))
     val uni = bt.groupBy(col("w3")).agg(count(lit(1)).as("n1"))
     val tv = bt.agg(count(lit(1)).as("t_types"))
-      .crossJoin(tg.agg(countDistinct(col("w3")).as("v")))
-    (c3t, ctx, bt, mid, uni, tv)
+      .crossJoin(c3t.agg(countDistinct(col("w3")).as("v")))
+      .localCheckpoint()
+    val frames = (c3t, ctx, bt, mid, uni, tv)
+    knMemo.synchronized {
+      if (knMemo.size >= knMemoBound) knMemo -= knMemo.head._1
+      knMemo(memoKey) = (frames, TrackedCaches.currentQueryEpoch)
+    }
+    frames
   }
 
   /** 6-dp-quantized ln p_KN per scored trigram of `score`, under the

@@ -169,6 +169,62 @@ object Packing {
         col("start_offset"), col("seg_len"))
   }
 
+  /** Length-bucketed inference/eval batches: rank documents by token
+    * count (rank core — never a one-task `OVER ()`), cut consecutive
+    * ranks into `batchSize`-doc batches, and report each batch's
+    * padding waste `n_docs·max_len − Σlen` — the dynamic-batching
+    * readout every inference/eval harness sizes batches with (a batch
+    * pads every member to its longest, so sorting by length first is
+    * the classic waste killer). `byLength = false` ranks by the md5
+    * ring instead — the arrival-order dataloader baseline the
+    * comparison rollup measures savings against.
+    *
+    * Exact integer arithmetic throughout; ties (n, id) / (hash, id)
+    * make the rank a total order, so batches are deterministic and
+    * engine-replayable. One (id) count agg + one rank pass + one
+    * batch agg — corpus-linear, no driver state.
+    */
+  def lengthBatches(ids: DataFrame, batchSize: Int,
+                    byLength: Boolean = true,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val lens = ids.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val ranked =
+      if (byLength) Ranking.rangeRank(lens, Nil, Seq("n", idCol), "__r")
+      else Ranking.rangeRank(
+        lens.withColumn("__h",
+          md5(col(idCol).cast("string").cast("binary"))),
+        Nil, Seq("__h", idCol), "__r")
+    ranked
+      .withColumn("batch_no", expr(s"(__r - 1) div $batchSize").cast("long"))
+      .groupBy(col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_len"),
+        sum(col("n")).as("total_tokens"))
+      .select(col("batch_no"), col("n_docs"), col("max_len"),
+        col("total_tokens"),
+        (col("n_docs") * col("max_len") - col("total_tokens"))
+          .as("pad_waste"))
+  }
+
+  /** One-row comparison of [[lengthBatches]] waste, sorted vs the
+    * md5-order baseline: `(n_batches, sorted_waste, shuffled_waste,
+    * saved_frac)` — saved_frac = (shuffled − sorted) / shuffled-padded
+    * volume, 6 dp exact integer ratio.
+    */
+  def batchWasteSaved(ids: DataFrame, batchSize: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    val s = lengthBatches(ids, batchSize, byLength = true, idCol)
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("pad_waste")).as("sorted_waste"))
+    val r = lengthBatches(ids, batchSize, byLength = false, idCol)
+      .agg(sum(col("pad_waste")).as("shuffled_waste"),
+        sum(col("n_docs") * col("max_len")).as("__vol"))
+    s.crossJoin(broadcast(r))
+      .select(col("n_batches"), col("sorted_waste"), col("shuffled_waste"),
+        round((col("shuffled_waste") - col("sorted_waste")).cast("double") /
+          col("__vol").cast("double"), 6).as("saved_frac"))
+  }
+
   def chunkTokenStream(ids: DataFrame, seqLen: Int,
                        idCol: String = "doc_id", posCol: String = "pos",
                        tokCol: String = "token_id"): DataFrame = {

@@ -67,6 +67,7 @@ object PlanAudit {
     AllowedBroadcast("Sampling.scala", "minN", "one-row min-source-count aggregate (temperatureMix)"),
     AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning/orderedPrefixSum)", count = 2),
     AllowedBroadcast("Packing.scala", "n", "one-row count aggregate (curriculumOrder tier denominator)"),
+    AllowedBroadcast("Packing.scala", "r", "one-row waste aggregate (batchWasteSaved baseline)"),
     AllowedBroadcast("StreamingDrift.scala", "total", "one-row reference-count aggregate"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Decontamination.scala", "ev", "eval-benchmark embeddings (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join (semanticFlags)"),
@@ -223,7 +224,19 @@ object PlanAudit {
     Check("WordPiece doc-partitioned position window", "q276_wordpiece_encode",
       "the only corpus-row window is the doc-partitioned position rank " +
         "(doc-length-bounded groups) — no one-task global window",
-      Seq("Window"), Seq("SinglePartition")))
+      Seq("Window"), Seq("SinglePartition")),
+    Check("KN trigram bounded-frame scoring", "q294_kn_trigram_nll",
+      "the token stream left-joins five checkpointed type frames as " +
+        "plain shuffle joins AQE can re-plan; the only nested-loop join " +
+        "is the one-row (T, |V|) broadcast — never a shuffled cartesian",
+      Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    Check("IVF decontamination probe pruning", "q296_ivf_decon",
+      "eval vectors meet the cell-bounded centroid frame through a " +
+        "broadcast nested loop; the corpus joins only the broadcast " +
+        "probe rows on the cell key — the corpus side is never " +
+        "cartesian-expanded against the full eval set",
+      Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+      Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -58,4 +58,27 @@ class CleaningSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Cleaning.c4LineFilter(df, banned = Nil) }
   }
+
+  test("encodingAnomalies: hand-counted mojibake classes; clean text " +
+      "and empty/null docs behave") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain clean text"),
+      (2L, "bad\uFFFD dec\uFFFDode"),                 // 2 replacements
+      (3L, "ctl \u0085 and \u0092 here"),             // 2 C1 controls
+      (4L, "caf\u00C3\u00A9 na\u00C3\u00AFve"),     // 2 latin1-utf8 pairs
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = Cleaning.encodingAnomalies(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.length === 4) // null and empty drop
+    assert(out(0) === ((1L, 16L, 0L, 0L, 0L, 0.0)))
+    assert(out(1)._3 === 2L && out(1)._4 === 0L && out(1)._5 === 0L)
+    assert(out(2)._4 === 2L && out(2)._3 === 0L)
+    assert(out(3)._5 === 2L && out(3)._3 === 0L && out(3)._4 === 0L)
+    // rate = anomalies / chars, 6 dp exact
+    assert(math.abs(out(1)._6 -
+      math.floor(2.0 / out(1)._2 * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
 }

@@ -364,4 +364,30 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Map(1L -> false, 2L -> true, 10L -> true, 11L -> false),
       out.toString)
   }
+
+  test("preferencePairs: chosen/rejected under one total order, ties " +
+      "break deterministically, unscored members never pair") {
+    import spark.implicits._
+    // cluster 1 = {1: 5.0, 2: 9.0, 3: 7.0} -> chosen 2, rejected 1
+    // cluster 10 = {10, 11, 12} all 4.0 -> chosen 10 (lowest id),
+    //   rejected 12 (highest id under the same order)
+    // cluster 20 = {20: 3.0, 21: null} -> null drops; 20 pairs with
+    //   itself? no — a one-SCORED-member cluster still emits (20, 20)?
+    //   it must NOT: min == max there, chosen == rejected — assert the
+    //   caller-visible contract instead: the row exists with margin 0
+    //   and equal ids, a degenerate pair the consumer filters on margin
+    val scored = Seq((1L, Some(5.0)), (2L, Some(9.0)), (3L, Some(7.0)),
+      (10L, Some(4.0)), (11L, Some(4.0)), (12L, Some(4.0)),
+      (20L, Some(3.0)), (21L, None: Option[Double]))
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc", "cluster")
+    val out = Dedup.preferencePairs(scored, clusters).orderBy("cluster")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(out(0) === ((1L, 3L, 2L, 1L, 9.0, 5.0, 4.0)))
+    assert(out(1) === ((10L, 3L, 10L, 12L, 4.0, 4.0, 0.0)))
+    // the null member dropped: n_members counts SCORED members only
+    assert(out(2) === ((20L, 1L, 20L, 20L, 3.0, 3.0, 0.0)))
+  }
 }

@@ -108,6 +108,35 @@ class MaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("partitionChecksums: a one-row change flips exactly its group; " +
+      "checksumDiff emits the re-sync worklist") {
+    import spark.implicits._
+    def frame(tweak: Boolean) = (1L to 60L).map { i =>
+      val t = if (tweak && i == 7) "CHANGED" else s"text$i"
+      (i, "g" + (i % 3), t)
+    }.toDF("id", "g", "t")
+    val base = Maintenance.partitionChecksums(frame(false), "g", Seq("id", "t"))
+    val tweaked = Maintenance.partitionChecksums(frame(true), "g", Seq("id", "t"))
+    // doc 7 lives in g1: only that group's checksum moves
+    val diff = Maintenance.checksumDiff(base, tweaked, "g").collect()
+    assert(diff.length === 1)
+    assert(diff.head.getAs[String]("g") === "g1")
+    assert(diff.head.getAs[String]("status") === "mismatch")
+    // group sums reconcile with the global checksum
+    val global = Maintenance.corpusChecksum(frame(false), Seq("id", "t"))
+      .collect().head.getString(1)
+    val summed = base.collect().map(r => BigInt(r.getString(2))).sum
+    assert(summed === BigInt(global))
+    // a dropped group surfaces as missing
+    val missing = Maintenance.checksumDiff(base,
+      tweaked.filter(col("g") =!= "g2"), "g").collect()
+    assert(missing.exists(r => r.getAs[String]("g") == "g2" &&
+      r.getAs[String]("status") == "missing_right"))
+    intercept[IllegalArgumentException] {
+      Maintenance.partitionChecksums(frame(false), "g", Seq("g", "t"))
+    }
+  }
+
   test("corpusChecksum rendering is injective and null-safe") {
     import spark.implicits._
     def ck(rows: Seq[(String, String)]) =

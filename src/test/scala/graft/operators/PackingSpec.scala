@@ -190,4 +190,43 @@ class PackingSpec extends SparkSpecBase {
       math.abs(a._3 - b._3) }.sum / 100.0
     assert(meanAbs > 20.0, s"mean |Δpos| $meanAbs — orders too correlated")
   }
+
+  test("lengthBatches: hand-traced length-sorted batches and waste") {
+    import spark.implicits._
+    // doc lengths: 1, 2, 3, 5 (ids 1..4); batchSize 2 sorted by length:
+    // batch 0 = {1, 2} (max 2, waste 1), batch 1 = {3, 5} (max 5, waste 2)
+    val ids = Seq.tabulate(1)(_ => ()).flatMap { _ =>
+      Seq((1L, 1), (2L, 2), (3L, 3), (4L, 5)).flatMap { case (d, n) =>
+        (0 until n).map(p => (d, p.toLong, 7L))
+      }
+    }.toDF("doc_id", "pos", "token_id")
+    val out = Packing.lengthBatches(ids, batchSize = 2).orderBy("batch_no")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 2L, 2L, 3L, 1L), (1L, 2L, 5L, 8L, 2L)))
+    // partition invariance (the rank core's contract)
+    val rep = Packing.lengthBatches(ids.repartition(5), batchSize = 2)
+      .orderBy("batch_no").as[(Long, Long, Long, Long, Long)].collect()
+    assert(rep.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Packing.lengthBatches(ids, batchSize = 0)
+    }
+  }
+
+  test("batchWasteSaved: sorted batching never wastes more than the " +
+      "md5 baseline; savings are an exact integer ratio") {
+    import spark.implicits._
+    // skewed lengths: sorted batching groups like with like
+    val ids = (1L to 20L).flatMap { d =>
+      val n = if (d % 4 == 0) 40 else 2
+      (0 until n).map(p => (d, p.toLong, 1L))
+    }.toDF("doc_id", "pos", "token_id")
+    val r = Packing.batchWasteSaved(ids, batchSize = 5).collect().head
+    val (nb, sw, hw, sf) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nb === 4L)
+    assert(sw <= hw, "length-sorting can only reduce padding waste")
+    assert(sf >= 0.0 && sf < 1.0)
+    // perfect split on this fixture: the 5 long docs fill one batch
+    assert(sw === 0L)
+  }
 }
