@@ -268,6 +268,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // one-row corpus report card — sizes, length envelope, exact-dup
+    // rate (0.0 here; spec exercises the dup path), source
+    // concentration, blanks
+    "q308_report_card" -> ((s, dir) =>
+      Curation.reportCard(t(s, dir, "documents"))),
+
+    // canary-string scan (BIG-bench convention): the corpus is clean,
+    // so the gate derives a fixture injecting one canary per doc_id%3
+    // class (doubled for %3==2) and scans for three canaries — one of
+    // which never occurs (the zero path is part of the contract)
+    "q307_canary_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val tail = when(pmod(col("doc_id"), lit(3)) === 1,
+          lit(" canary-8f2a-deadbeef-01"))
+        .when(pmod(col("doc_id"), lit(3)) === 2,
+          lit(" canary-77b3-cafebabe-02 canary-77b3-cafebabe-02"))
+        .otherwise(lit(""))
+      val synth = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), tail).as("text"))
+      Decontamination.canaryHits(synth,
+          Seq("canary-8f2a-deadbeef-01", "canary-77b3-cafebabe-02",
+            "canary-absent-feedface-03"))
+        .orderBy(col("canary"))
+    }),
+
     // preference pairs from the q53 clusters scored by token count —
     // the DPO/reward-model data-prep: near-identical content, so the
     // chosen/rejected choice isolates quality; one min/max(struct) agg
@@ -7316,6 +7341,67 @@ object SparkEntry {
          |  (j.cluster IS NULL OR j.doc_id = b.best) AS survivor
          |FROM j LEFT JOIN best b ON b.cluster = j.cluster
          |ORDER BY j.doc_id""".stripMargin,
+
+    // q308: one live-doc pass + blank count + top-source count, exact
+    // 6-dp ratios in the engine's operation order
+    "q308_report_card" ->
+      """WITH live AS (
+        |  SELECT * FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS total_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |    CAST(min(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS min_doc_tokens,
+        |    CAST(max(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS max_doc_tokens,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS ndist
+        |  FROM live),
+        |blank AS (
+        |  SELECT CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS blank_docs FROM documents),
+        |topsrc AS (
+        |  SELECT CAST(max(c) AS BIGINT) AS topc FROM (
+        |    SELECT count(*) AS c FROM live GROUP BY source))
+        |SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
+        |  min_doc_tokens, max_doc_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS mean_doc_tokens6,
+        |  round(1.0 - CAST(ndist AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS exact_dup_rate6,
+        |  round(CAST(topc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS top_source_share6,
+        |  blank_docs
+        |FROM base, blank, topsrc""".stripMargin,
+
+    // q307: same fixture; occurrences via the identical
+    // (len - len(replace)) / len(canary) integer arithmetic
+    "q307_canary_scan" -> {
+      val cs = Seq("canary-8f2a-deadbeef-01", "canary-77b3-cafebabe-02",
+        "canary-absent-feedface-03")
+      val synth =
+        """synth AS (
+          |  SELECT doc_id, substring(text, 1, 40) ||
+          |    CASE CAST(doc_id % 3 AS INTEGER)
+          |      WHEN 1 THEN ' canary-8f2a-deadbeef-01'
+          |      WHEN 2 THEN ' canary-77b3-cafebabe-02 canary-77b3-cafebabe-02'
+          |      ELSE '' END AS t
+          |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+      cs.map { c =>
+        s"""SELECT '$c' AS canary,
+           |  CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_docs,
+           |  CAST(sum(occ) AS BIGINT) AS n_hits
+           |FROM (
+           |  SELECT (length(t) - length(replace(t, '$c', '')))
+           |    // ${c.length} AS occ
+           |  FROM synth)""".stripMargin
+      }.mkString(s"WITH $synth\n", "\nUNION ALL\n", "\nORDER BY canary")
+    },
 
     // q306: the q53 closure + token scores + per-cluster min/max under
     // the one (s DESC, id) total order — rn=1 is chosen, rn=last is

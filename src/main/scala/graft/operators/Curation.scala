@@ -133,6 +133,49 @@ object Curation {
     counts.toDF("stage", "n_docs").orderBy(col("stage"))
   }
 
+  /** One-row corpus report card — the dashboard a dataset owner reads
+    * before anything else: sizes (docs/sources/langs/tokens/chars),
+    * the doc-length envelope, the exact full-text duplicate rate
+    * (1 − |distinct md5(text)|/n, 0.0 on this corpus — the spec
+    * exercises the non-zero path on a designed dup fixture), source
+    * concentration (top source's doc share), and the blank/null count.
+    * Everything is one corpus pass plus three one-row aggregates —
+    * exact integers and exact 6-dp ratios, fully SQL-replayable.
+    */
+  def reportCard(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", sourceCol: String = "source",
+                 langCol: String = "lang"): DataFrame = {
+    val live =
+      docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    val toks = size(TextAnalysis.tokensCol(col(textCol))).cast("long")
+    val base = live.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      sum(toks).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      min(toks).as("min_doc_tokens"),
+      max(toks).as("max_doc_tokens"),
+      countDistinct(md5(col(textCol).cast("binary"))).as("__ndist"))
+    val blank = docs.agg(
+      sum(when(col(textCol).isNull || trim(col(textCol)) === "", lit(1L))
+        .otherwise(lit(0L))).as("blank_docs"))
+    val topSrc = live.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__topc"))
+    base.crossJoin(broadcast(blank)).crossJoin(broadcast(topSrc))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("total_chars"),
+        col("min_doc_tokens"), col("max_doc_tokens"),
+        round(col("total_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_doc_tokens6"),
+        round(lit(1.0) - col("__ndist").cast("double") /
+          col("n_docs").cast("double"), 6).as("exact_dup_rate6"),
+        round(col("__topc").cast("double") /
+          col("n_docs").cast("double"), 6).as("top_source_share6"),
+        col("blank_docs"))
+  }
+
   /** The pipeline's LAST MILE: write the curated corpus as
     * shard-balanced, sequence-packed training data, and return the
     * per-shard manifest computed FROM THE WRITTEN FILES — so the

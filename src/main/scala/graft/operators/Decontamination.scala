@@ -161,6 +161,36 @@ object Decontamination {
           .as("contaminated"))
   }
 
+  /** Canary-string scan — the eval-hygiene counterpart of shingle
+    * matching: benchmark suites embed unique canary GUIDs (the
+    * BIG-bench convention) precisely so a training corpus can be
+    * audited for their presence with a plain substring scan. Per
+    * canary: how many documents contain it and the total occurrence
+    * count. Occurrences come from exact integer arithmetic —
+    * `(len(text) − len(replace(text, canary, ''))) / len(canary)` —
+    * identical in the DuckDB mirror, no regex escaping concerns.
+    * Row-local scan per canary, one one-row agg each; |canaries| is a
+    * handful by construction.
+    */
+  def canaryHits(docs: DataFrame, canaries: Seq[String],
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(canaries.nonEmpty, "canaryHits needs at least one canary")
+    require(canaries.forall(_.nonEmpty), "canaries must be non-empty")
+    require(canaries.distinct.size == canaries.size,
+      "canaries must be distinct")
+    canaries.map { c =>
+      val occ = ((length(col(textCol)) -
+        length(call_function("replace", col(textCol), lit(c), lit("")))) /
+        lit(c.length)).cast("long")
+      docs.filter(col(textCol).isNotNull)
+        .select(occ.as("__occ"))
+        .agg(sum(when(col("__occ") > 0L, lit(1L)).otherwise(lit(0L)))
+          .as("n_docs"), sum(col("__occ")).as("n_hits"))
+        .select(lit(c).as("canary"), col("n_docs"), col("n_hits"))
+    }.reduce(_ union _)
+  }
+
   def semanticFlags(corpus: DataFrame, eval: DataFrame,
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding",

@@ -68,6 +68,8 @@ object PlanAudit {
     AllowedBroadcast("FrameOps.scala", "carryIn", "sc.broadcast of a numPartitions-sized carry map (orderedRunning/orderedPrefixSum)", count = 2),
     AllowedBroadcast("Packing.scala", "n", "one-row count aggregate (curriculumOrder tier denominator)"),
     AllowedBroadcast("Packing.scala", "r", "one-row waste aggregate (batchWasteSaved baseline)"),
+    AllowedBroadcast("Curation.scala", "blank", "one-row blank-doc count aggregate (reportCard)"),
+    AllowedBroadcast("Curation.scala", "topSrc", "one-row max-source-count aggregate (reportCard)"),
     AllowedBroadcast("StreamingDrift.scala", "total", "one-row reference-count aggregate"),
     AllowedBroadcast("Decontamination.scala", "evalSh", "eval-benchmark shingles (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join"),
     AllowedBroadcast("Decontamination.scala", "ev", "eval-benchmark embeddings (MBs against 100 TB); flag-guarded — broadcastEval=false degrades to shuffle join (semanticFlags)"),

@@ -120,4 +120,26 @@ class CurationSpec extends SparkSpecBase {
     assert(shard0 == manifest.find(_.getAs[Int]("shard") == 0).get
       .getAs[Long]("n_docs"))
   }
+
+  test("reportCard: hand-computed sizes, dup rate, concentration, blanks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "en", "a b c"),
+      (2L, "srcA", "en", "a b c"),     // exact dup of 1
+      (3L, "srcA", "de", "d e"),
+      (4L, "srcB", "en", "f"),
+      (5L, "srcB", "en", null.asInstanceOf[String]),
+      (6L, "srcB", "en", "   ")
+    ).toDF("doc_id", "source", "lang", "text")
+    val r = Curation.reportCard(docs).collect().head
+    assert(r.getLong(0) === 4L)   // n_docs (live)
+    assert(r.getLong(1) === 2L)   // n_sources
+    assert(r.getLong(2) === 2L)   // n_langs
+    assert(r.getLong(3) === 9L)   // total_tokens 3+3+2+1
+    assert(r.getLong(5) === 1L && r.getLong(6) === 3L) // min/max tokens
+    assert(r.getDouble(7) === 2.25)      // mean tokens 9/4
+    assert(r.getDouble(8) === 0.25)      // dup rate: 3 distinct of 4
+    assert(r.getDouble(9) === 0.75)      // srcA carries 3 of 4
+    assert(r.getLong(10) === 2L)         // null + blank
+  }
 }

@@ -119,4 +119,23 @@ class DecontaminationSpec extends SparkSpecBase {
       Decontamination.ivfFlags(corpus, eval_, threshold = 0.9, nProbe = 0)
     }
   }
+
+  test("canaryHits: exact occurrence counts, absent canary reads zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text CANARY-X more"),
+      (2L, "CANARY-X twice CANARY-X"),
+      (3L, "nothing here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Decontamination.canaryHits(docs,
+        Seq("CANARY-X", "CANARY-Y")).orderBy("canary")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq === Seq(("CANARY-X", 2L, 3L), ("CANARY-Y", 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Decontamination.canaryHits(docs, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Decontamination.canaryHits(docs, Seq("a", "a"))
+    }
+  }
 }
