@@ -268,6 +268,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // decontaminated split: md5-ring eval bucket + train docs sharing
+    // an 8-gram with eval DROPPED (visibly, not silently) — the
+    // clean-held-out-set builder over q58's collision machinery
+    "q309_clean_split" -> ((s, dir) =>
+      Decontamination.cleanSplit(t(s, dir, "documents"), evalFrac = 0.2)
+        .orderBy(col("doc_id"))),
+
     // one-row corpus report card — sizes, length envelope, exact-dup
     // rate (0.0 here; spec exercises the dup path), source
     // concentration, blanks
@@ -7341,6 +7348,34 @@ object SparkEntry {
          |  (j.cluster IS NULL OR j.doc_id = b.best) AS survivor
          |FROM j LEFT JOIN best b ON b.cluster = j.cluster
          |ORDER BY j.doc_id""".stripMargin,
+
+    // q309: the q58 word-shingle replay with the eval/train ring split
+    // and a distinct-train-doc anti-set
+    "q309_clean_split" -> {
+      val b = Sampling.bucketSql("doc_id")
+      val thr = Sampling.hexThreshold(0.2)
+      val w = 8 - 1
+      s"""WITH csl AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |    CASE WHEN $b < '$thr' THEN 'eval' ELSE 'train' END AS raw
+         |  FROM documents),
+         |csarr AS (
+         |  SELECT doc_id, raw, list_distinct(list_transform(
+         |    generate_series(1, len(t) - $w),
+         |    i -> array_to_string(t[i:i+$w], ' '))) AS gs
+         |  FROM csl),
+         |cssh AS (SELECT doc_id, raw, unnest(gs) AS g FROM csarr),
+         |csdrop AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT * FROM cssh WHERE raw = 'train') tr
+         |  JOIN (SELECT * FROM cssh WHERE raw = 'eval') ev USING (g))
+         |SELECT l.doc_id,
+         |  CASE WHEN l.raw = 'eval' THEN 'eval'
+         |       WHEN d.doc_id IS NOT NULL THEN 'dropped'
+         |       ELSE 'train' END AS split
+         |FROM csl l LEFT JOIN csdrop d USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin
+    },
 
     // q308: one live-doc pass + blank count + top-source count, exact
     // 6-dp ratios in the engine's operation order

@@ -161,6 +161,45 @@ object Decontamination {
           .as("contaminated"))
   }
 
+  /** Decontaminated train/eval split — the "make a CLEAN held-out
+    * set" step in one call: split documents by the deterministic md5
+    * ring (`evalFrac` lowest buckets become eval), then DROP from the
+    * train side every document sharing ≥ `minShared` distinct
+    * `shingleSize`-gram shingles with any eval document (the
+    * [[contaminationPairs]] collision). Output one row per input doc:
+    * `(idCol, split)` with split ∈ eval / train / dropped — so
+    * attrition is visible, not silent. Docs shorter than the shingle
+    * size can never be dropped (no shingles — both engines agree).
+    *
+    * Scale: the ring split is row-local; the collision scan is the
+    * [[contaminationPairs]] plan (eval shingles broadcast, one train
+    * scan); the dropped set joins back ∝ contaminated docs.
+    */
+  def cleanSplit(docs: DataFrame, evalFrac: Double, shingleSize: Int = 8,
+                 minShared: Long = 1L, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 broadcastEval: Boolean = true): DataFrame = {
+    require(evalFrac > 0 && evalFrac < 1,
+      s"evalFrac must be in (0,1), got $evalFrac")
+    val thr = Sampling.hexThreshold(evalFrac)
+    val bkt = substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    val evalSide = docs.filter(bkt < lit(thr))
+    val trainSide = docs.filter(!(bkt < lit(thr)))
+    val dropped = contaminationPairs(trainSide, evalSide, idCol, textCol,
+        shingleSize, minShared, broadcastEval)
+      .select(col("train_doc").as(idCol)).distinct()
+      .withColumn("__d", lit(1L))
+    docs.select(col(idCol),
+        when(bkt < lit(thr), lit("eval")).otherwise(lit("train"))
+          .as("__raw"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__raw") === "eval", lit("eval"))
+          .when(col("__d").isNotNull, lit("dropped"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Canary-string scan — the eval-hygiene counterpart of shingle
     * matching: benchmark suites embed unique canary GUIDs (the
     * BIG-bench convention) precisely so a training corpus can be

@@ -277,10 +277,17 @@ object NgramLm {
     frames
   }
 
-  /** 6-dp-quantized ln p_KN per scored trigram of `score`, under the
-    * model trained on `train`. Returns `(idCol, lp6)` rows — one per
-    * token of `score` (double-BOS). Rare/unseen grams back off through
+  /** 6-dp-quantized ln p_KN per scored trigram TYPE of `score`, under
+    * the model trained on `train`: `(idCol, __m, lp6)` — `__m` the
+    * within-document occurrence count, so `Σ __m·lp6` equals the
+    * per-token sum exactly (lp6 is quantized per TYPE; integer
+    * multiplication loses nothing). Rare/unseen grams back off through
     * the CASE chain; nothing drops.
+    *
+    * Scale shape: the raw token stream collapses to (doc, trigram
+    * type) rows in ONE map-side-combinable shuffle BEFORE the five
+    * type-frame joins — without this the full 100 TB stream would ride
+    * five consecutive join exchanges (one per stats key).
     */
   private def knScored(train: DataFrame, score: DataFrame, idCol: String,
                        textCol: String, discount: Double): DataFrame = {
@@ -300,13 +307,16 @@ object NgramLm {
         dbl("c12") + ((d * dbl("n3")) / dbl("c12")) * pBi)
       .otherwise(pBi)
     trigrams(score, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__m"))
       .join(c3t, Seq("w1", "w2", "w3"), "left")
       .join(ctx, Seq("w1", "w2"), "left")
       .join(bt, Seq("w2", "w3"), "left")
       .join(mid, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
       .crossJoin(broadcast(tv))
-      .select(col(idCol), ExactSum.quantize6(log(p)).as("lp6"))
+      .select(col(idCol), col("__m"),
+        ExactSum.quantize6(log(p)).as("lp6"))
   }
 
   /** Per-document NLL/perplexity under the corpus's own interpolated-KN
@@ -319,7 +329,8 @@ object NgramLm {
     val nll = col("s").cast("double") / lit(-1000000.0) / col("n_tokens")
     knScored(docs, docs, idCol, textCol, discount)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s"))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(col("__m") * col("lp6")).as("s"))
       .select(col(idCol), col("n_tokens"), nll.as("nll"),
         (ExactSum.quantize6(exp(nll)).cast("double") / lit(1000000.0))
           .as("ppl6"))
@@ -363,7 +374,8 @@ object NgramLm {
       .join(held.select(col(idCol), col(groupCol)), Seq(idCol))
       .groupBy(col(groupCol))
       .agg(countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s"))
+        sum(col("__m")).as("n_tokens"),
+        sum(col("__m") * col("lp6")).as("s"))
     val nll = col("s").cast("double") / lit(-1000000.0) / col("n_tokens")
     bySrc.select(col(groupCol), col("n_docs"), col("n_tokens"),
       nll.as("nll"),

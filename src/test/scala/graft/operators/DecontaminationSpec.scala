@@ -120,6 +120,42 @@ class DecontaminationSpec extends SparkSpecBase {
     }
   }
 
+  private def evalSide(id: Long): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.take(2).map(b => f"$b%02x").mkString < "8000"
+  }
+
+  test("cleanSplit: contaminated train docs drop visibly; short docs " +
+      "and clean docs keep their ring split") {
+    import spark.implicits._
+    val ids = 1L to 30L
+    val ev = ids.find(evalSide).get
+    val contaminated = ids.filterNot(evalSide).take(1).head
+    val short_ = ids.filterNot(evalSide).drop(1).head
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = ids.map { i =>
+      val text =
+        if (i == ev) s"$shared eval tail"
+        else if (i == contaminated) s"prefix words $shared"
+        else if (i == short_) "s1 s2 s3" // subset, < 8 tokens
+        else s"unique$i a b c d e f g$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Decontamination.cleanSplit(docs, evalFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(ev) === "eval")
+    assert(out(contaminated) === "dropped")
+    assert(out(short_) === "train", "no shingles -> never dropped")
+    // every other doc keeps its raw ring side
+    ids.filterNot(Set(ev, contaminated, short_)).foreach { i =>
+      assert(out(i) === (if (evalSide(i)) "eval" else "train"), s"doc $i")
+    }
+    intercept[IllegalArgumentException] {
+      Decontamination.cleanSplit(docs, evalFrac = 1.0)
+    }
+  }
+
   test("canaryHits: exact occurrence counts, absent canary reads zero") {
     import spark.implicits._
     val docs = Seq(
