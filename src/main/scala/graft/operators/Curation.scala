@@ -133,8 +133,12 @@ object Curation {
     counts.toDF("stage", "n_docs").orderBy(col("stage"))
   }
 
-  /** One-row corpus report card — the dashboard a dataset owner reads
-    * before anything else: sizes (docs/sources/langs/tokens/chars),
+  /** One-row corpus report card — the WHOLE-CORPUS roll-up next to
+    * [[Profile.corpusCard]]'s per-source datasheet (q221): that one
+    * answers "what does each source look like", this one answers "what
+    * is the dataset" in one row, including the cross-source fields a
+    * per-source frame cannot carry (source CONCENTRATION, global
+    * length envelope): sizes (docs/sources/langs/tokens/chars),
     * the doc-length envelope, the exact full-text duplicate rate
     * (1 − |distinct md5(text)|/n, 0.0 on this corpus — the spec
     * exercises the non-zero path on a designed dup fixture), source

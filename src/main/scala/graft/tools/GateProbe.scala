@@ -32,6 +32,24 @@ object GateProbe {
       Similarity.pairAgreement(lsh, ex).show(false)
       println("-- q136 pca invariants --")
       Embeddings.pcaCheck(emb, k = 8).orderBy("component").show(20, false)
+      println("-- q297 ivf-decon vs exact flags (nProbe sweep) --")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val evl = emb.filter(col("vec_id") % 50 === 0)
+      val exF = graft.operators.Decontamination
+        .semanticFlags(corpus, evl, threshold = 0.35)
+        .select(col("vec_id"), col("contaminated").as("exf"))
+      for (np <- Seq(2, 3, 4, 5)) {
+        val ivF = graft.operators.Decontamination
+          .ivfFlags(corpus, evl, threshold = 0.35, nProbe = np,
+            portable = true)
+          .select(col("vec_id"), col("contaminated").as("ivf"))
+        exF.join(ivF, Seq("vec_id"))
+          .agg(sum(col("exf")).as("n_exact"), sum(col("ivf")).as("n_ivf"),
+            sum(col("exf") * col("ivf")).as("n_hit"))
+          .select(lit(np).as("nProbe"), col("n_exact"), col("n_ivf"),
+            col("n_hit"))
+          .show(false)
+      }
     }
     spark.stop()
   }
