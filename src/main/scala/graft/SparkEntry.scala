@@ -314,6 +314,28 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    // near-dup burden per source (q53's clusters rolled up): which
+    // sources are internally redundant — the mixture-weight
+    // double-count warning next to q105's cross-source overlap matrix
+    "q310_dup_rate_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5))
+      docs.select(col("doc_id"), col("source"))
+        .join(cc.select(col("doc").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_dup_members"),
+          countDistinct(col("cluster")).as("n_clusters_touched"))
+        .select(col("source"), col("n_docs"), col("n_dup_members"),
+          col("n_clusters_touched"),
+          round(col("n_dup_members").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_frac6"))
+        .orderBy(col("source"))
+    }),
+
     // ---- B3 similarity search -------------------------------------------
     "q18_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -7437,6 +7459,32 @@ object SparkEntry {
            |  FROM synth)""".stripMargin
       }.mkString(s"WITH $synth\n", "\nUNION ALL\n", "\nORDER BY canary")
     },
+
+    // q310: the q53 closure joined to documents, per-source rollup
+    "q310_dup_rate_by_source" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None)}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |cc AS (
+         |  SELECT src AS doc, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN c.cluster IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_members,
+         |  CAST(count(DISTINCT c.cluster) AS BIGINT) AS n_clusters_touched,
+         |  round(CAST(sum(CASE WHEN c.cluster IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac6
+         |FROM documents d LEFT JOIN cc c ON c.doc = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // q306: the q53 closure + token scores + per-cluster min/max under
     // the one (s DESC, id) total order — rn=1 is chosen, rn=last is
