@@ -240,10 +240,40 @@ object UnigramLm {
     * but still far too large for a one-task `OVER ()` at 100 TB.
     */
   def model(docs: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12,
-            iterations: Int = 2, textCol: String = "text"): DataFrame = {
+            iterations: Int = 2, textCol: String = "text"): DataFrame =
+    modelOf(docs, maxPieceLen, maxWordLen, iterations, textCol)
+
+  // Checkpointed-model memo next to fitMemo: the ranked model frame is
+  // derived from the memoized fit by a vocab-scale recount + rangeRank,
+  // but every caller re-ran those jobs per invocation — and the decode
+  // round-trip query invokes model() AND encodeIdsMarked() over the same
+  // corpus, i.e. twice in ONE query. Same key/bound/epoch discipline as
+  // fitMemo; same executor-side-frames-only storage.
+  private val modelMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Int, String), (DataFrame, Long)]
+  TrackedCaches.onRelease(() => modelMemo.synchronized(modelMemo.clear()))
+
+  private def modelOf(docs: DataFrame, maxPieceLen: Int, maxWordLen: Int,
+                      iterations: Int, textCol: String): DataFrame = {
+    val memoKey = (docs.queryExecution.analyzed.canonicalized,
+      maxPieceLen, maxWordLen, iterations, textCol)
+    modelMemo.synchronized(modelMemo.get(memoKey)) match {
+      case Some((m, trainedEpoch)) =>
+        if (trainedEpoch < TrackedCaches.currentQueryEpoch)
+          TrackedCaches.noteMemoReuse()
+        return m
+      case None => ()
+    }
     val (c0, lp, segFinal) =
       fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
-    modelFrame(c0, lp, segFinal)
+    val m = modelFrame(c0, lp, segFinal).localCheckpoint()
+    val epoch = TrackedCaches.currentQueryEpoch
+    modelMemo.synchronized {
+      if (modelMemo.size >= memoBound) modelMemo -= modelMemo.head._1
+      modelMemo(memoKey) = (m, epoch)
+    }
+    m
   }
 
   private def modelFrame(c0: DataFrame, lp: DataFrame,
@@ -362,10 +392,11 @@ object UnigramLm {
                       maxWordLen: Int = 12, iterations: Int = 2,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val (c0, lp, segFinal) =
+    val (_, _, segFinal) =
       fitted(docs, maxPieceLen, maxWordLen, iterations, textCol)
     encodeCore(docs, segFinal.select(col("word"), col("segmentation")),
-      modelFrame(c0, lp, segFinal), maxWordLen, idCol, textCol)
+      modelOf(docs, maxPieceLen, maxWordLen, iterations, textCol),
+      maxWordLen, idCol, textCol)
   }
 
   /** Decode an [[encodeIdsMarked]] stream back to text through the
