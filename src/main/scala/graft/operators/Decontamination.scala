@@ -208,8 +208,11 @@ object Decontamination {
     * count. Occurrences come from exact integer arithmetic —
     * `(len(text) − len(replace(text, canary, ''))) / len(canary)` —
     * identical in the DuckDB mirror, no regex escaping concerns.
-    * Row-local scan per canary, one one-row agg each; |canaries| is a
-    * handful by construction.
+    * ONE scan of the corpus for ALL canaries: a single projection
+    * computes every canary's per-row occurrence count, one combinable
+    * aggregate sums them element-wise, and the one-row result unpivots
+    * to a row per canary — at 100 TB a C-canary audit costs one pass,
+    * not C (the pre-round-13 shape was a C-way union of full scans).
     */
   def canaryHits(docs: DataFrame, canaries: Seq[String],
                  idCol: String = "doc_id",
@@ -218,16 +221,24 @@ object Decontamination {
     require(canaries.forall(_.nonEmpty), "canaries must be non-empty")
     require(canaries.distinct.size == canaries.size,
       "canaries must be distinct")
-    canaries.map { c =>
-      val occ = ((length(col(textCol)) -
+    val occ = canaries.map { c =>
+      ((length(col(textCol)) -
         length(call_function("replace", col(textCol), lit(c), lit("")))) /
         lit(c.length)).cast("long")
-      docs.filter(col(textCol).isNotNull)
-        .select(occ.as("__occ"))
-        .agg(sum(when(col("__occ") > 0L, lit(1L)).otherwise(lit(0L)))
-          .as("n_docs"), sum(col("__occ")).as("n_hits"))
-        .select(lit(c).as("canary"), col("n_docs"), col("n_hits"))
-    }.reduce(_ union _)
+    }
+    val aggs = canaries.indices.flatMap { i =>
+      Seq(sum(when(col(s"__o$i") > 0L, lit(1L)).otherwise(lit(0L)))
+            .as(s"__d$i"),
+          sum(col(s"__o$i")).as(s"__h$i"))
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(occ.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(canaries.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("canary"), col(s"__d$i").as("n_docs"),
+          col(s"__h$i").as("n_hits"))
+      }: _*)).as("__r"))
+      .select(col("__r.canary"), col("__r.n_docs"), col("__r.n_hits"))
   }
 
   def semanticFlags(corpus: DataFrame, eval: DataFrame,

@@ -16,7 +16,8 @@ import graft.SparkEntry
 object PlanAudit {
 
   private case class Check(name: String, query: String, what: String,
-                           mustContain: Seq[String], mustNotContain: Seq[String])
+                           mustContain: Seq[String], mustNotContain: Seq[String],
+                           atMostOnce: Seq[String] = Seq())
 
   /** SCALING.md principle 3 guardrail: every EXPLICIT broadcast in
     * src/main/scala must be on this list with a structural-smallness
@@ -238,7 +239,12 @@ object PlanAudit {
         "probe rows on the cell key — the corpus side is never " +
         "cartesian-expanded against the full eval set",
       Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
-      Seq("CartesianProduct")))
+      Seq("CartesianProduct")),
+    Check("single-scan canary audit", "q307_canary_scan",
+      "ALL canaries' occurrence counts come from ONE scan of documents " +
+        "(one projection + one combinable aggregate, unpivoted) — no " +
+        "per-canary union of full scans",
+      Seq(), Seq("Union"), atMostOnce = Seq("Scan parquet")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -276,12 +282,19 @@ object PlanAudit {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val missing = c.mustContain.filterNot(plan.contains)
       val present = c.mustNotContain.filter(plan.contains)
-      val ok = missing.isEmpty && present.isEmpty
+      // counts PHYSICAL NODES: the formatted detail section prints one
+      // "(N) <node>" header per plan node (the tree section repeats the
+      // node name, so a raw substring count would double-count)
+      val repeated = c.atMostOnce.filter { m =>
+        plan.linesIterator.count(_.matches(s"^\\(\\d+\\) \\Q$m\\E\\b.*")) > 1
+      }
+      val ok = missing.isEmpty && present.isEmpty && repeated.isEmpty
       if (!ok) failures += 1
       sb.append(s"## ${c.name} — `${c.query}` — ${if (ok) "OK" else "FAIL"}\n\n")
       sb.append(s"${c.what}\n\n")
       if (missing.nonEmpty) sb.append(s"MISSING markers: ${missing.mkString(", ")}\n\n")
       if (present.nonEmpty) sb.append(s"FORBIDDEN nodes present: ${present.mkString(", ")}\n\n")
+      if (repeated.nonEmpty) sb.append(s"AT-MOST-ONCE markers repeated: ${repeated.mkString(", ")}\n\n")
       // keep the artifact readable: only the node lines, not column lists
       val nodeLines = plan.linesIterator
         .filter(l => l.matches("^[=+*:\\-\\s]*\\(?\\d*\\)?\\s*[A-Z].*") &&
