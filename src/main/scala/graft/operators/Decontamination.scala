@@ -172,13 +172,19 @@ object Decontamination {
     * size can never be dropped (no shingles — both engines agree).
     *
     * Scale: the ring split is row-local; the collision scan is the
-    * [[contaminationPairs]] plan (eval shingles broadcast, one train
-    * scan); the dropped set joins back ∝ contaminated docs.
+    * [[contaminationPairs]] plan; the dropped set joins back
+    * ∝ contaminated docs. Unlike a benchmark decontamination, the
+    * "eval" side here is `evalFrac` OF THE CORPUS — corpus-
+    * proportional, not MB-scale — so `broadcastEval` defaults FALSE
+    * (a 20 % slice of a 100 TB corpus cannot broadcast; the shuffle
+    * join is the honest plan, and AQE still broadcasts it when the
+    * slice is genuinely small). Pass true only when the eval side is
+    * structurally tiny at every deployment scale.
     */
   def cleanSplit(docs: DataFrame, evalFrac: Double, shingleSize: Int = 8,
                  minShared: Long = 1L, idCol: String = "doc_id",
                  textCol: String = "text",
-                 broadcastEval: Boolean = true): DataFrame = {
+                 broadcastEval: Boolean = false): DataFrame = {
     require(evalFrac > 0 && evalFrac < 1,
       s"evalFrac must be in (0,1), got $evalFrac")
     val thr = Sampling.hexThreshold(evalFrac)

@@ -713,11 +713,16 @@ object Dedup {
     * content, so a preference between members is about QUALITY, not
     * topic), `chosen` is the best-scored member and `rejected` the
     * worst, under ONE total order (score desc, id asc) — chosen =
-    * its min(struct), rejected = its max(struct), so the two always
-    * differ (clusters have ≥ 2 members by construction) and ties
-    * break deterministically. Unscored members (null/NaN) never pair
-    * — filtered up front, documented contract (the [[keepBest]]
-    * null-rank subtleties don't arise).
+    * its min(struct), rejected = its max(struct); ties break
+    * deterministically. Unscored members (null/NaN) never pair —
+    * filtered up front, documented contract (the [[keepBest]]
+    * null-rank subtleties don't arise). CAVEAT that filter creates:
+    * a cluster with exactly ONE scored member survives as a
+    * degenerate row with `chosen_id == rejected_id` and margin 0
+    * (n_members counts scored members only, so it reads 1 there) —
+    * a DPO consumer must filter on `margin6 > 0` (or
+    * `n_members >= 2`) before training; DedupSpec pins this
+    * caller-visible shape.
     *
     * Output per cluster: `(cluster, n_members, chosen_id, rejected_id,
     * chosen_score6, rejected_score6, margin6)`; margin ≥ 0.

@@ -108,12 +108,21 @@ object Maintenance {
     * and DuckDB replays it as
     * `sum(('0x' || substr(md5(render), 1, 13))::BIGINT)`.
     *
-    * Rendering is injective per column list: columns are joined with
-    * a U+0001 separator (so ("ab","c") and ("a","bc") fingerprint
-    * differently) and a NULL column renders as the U+0000 sentinel
-    * (plain concat is null-killing — one NULL would silently drop the
-    * whole row from the Σ while n_rows still counts it, voiding the
-    * "two copies are identical" guarantee).
+    * Rendering is injective per column list PROVIDED values contain
+    * neither U+0001 nor U+0000: columns are joined with a U+0001
+    * separator (so ("ab","c") and ("a","bc") fingerprint differently)
+    * and a NULL column renders as the U+0000 sentinel (plain concat
+    * is null-killing — one NULL would silently drop the whole row
+    * from the Σ while n_rows still counts it, voiding the "two copies
+    * are identical" guarantee). A value CONTAINING the separator
+    * collides across column boundaries — ("a"+U+0001+"b", "c") and
+    * ("a", "b"+U+0001+"c") render identically — and a literal
+    * one-character U+0000 value collides with
+    * NULL — real corpora do carry control characters (that is what
+    * [[Cleaning.encodingAnomalies]] scans for), so run the checksum
+    * on id/length/hash-like columns, or on text AFTER a control-char
+    * scrub, when strict injectivity matters; the DuckDB mirror shares
+    * the rendering, so the gate is unaffected either way.
     *
     * The sum accumulates in DECIMAL(38,0) (Σ of 52-bit values
     * overflows i64 beyond ~2¹¹ row-mass at petabyte counts; ANSI would
