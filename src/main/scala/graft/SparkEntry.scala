@@ -336,6 +336,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // fastText-lite quality classifier: LogReg over HASHED signed
+    // bag-of-words features (q177's hashing trick, densified) instead
+    // of the 8 hand features — the production web-quality-filter shape
+    // (unbounded vocabulary, no dictionary to ship). Same training
+    // replay discipline as q237: fixed iterations, exact-sum gradients,
+    // fully unrolled CTE oracle. 16 buckets over the 31-term corpus
+    // vocabulary keeps the oracle chain readable while the token-mass
+    // label stays (near-)linearly recoverable from the signed sums.
+    "q311_fasttext_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = Encoding.hashFeatureVector(docs, "doc_id", "text", 16)
+      val lab = TextAnalysis.qualityFeatures(docs)
+        .select(col("doc_id"),
+          (col("n_tokens") >= 50L).cast("int").as("label"))
+      LogReg.train(feats.join(lab, Seq("doc_id")), "label",
+        (1 to 16).map(i => s"x$i"), iterations = 5, lr = 0.5)
+    }),
+
     // ---- B3 similarity search -------------------------------------------
     "q18_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -4127,8 +4145,8 @@ object SparkEntry {
     * fold from the SAME generator.
     */
   private def logRegChainCtes(src: String, px: String,
-                              iterations: Int, lr: Double): String = {
-    val d = LogRegFeatures.length
+                              iterations: Int, lr: Double,
+                              d: Int = LogRegFeatures.length): String = {
     val head =
       s"""${px}stats AS MATERIALIZED (
          |  SELECT CAST(count(*) AS BIGINT) AS sn,
@@ -4249,6 +4267,60 @@ object SparkEntry {
        |SELECT doc_id, round(p, 6) AS p_quality,
        |  CAST(p >= 0.5 AS INT) AS pred_quality
        |FROM lrfinal ORDER BY doc_id""".stripMargin
+
+  /** q311: the q237 training replay over HASHED features — the q177
+    * md5 bucket/sign CTEs densified to `x1..x{nBuckets}` (zero-filled),
+    * the q237 label (`len(toks) >= 50` over non-null text), then the
+    * shared [[logRegChainCtes]] generator at dimension `nBuckets`.
+    */
+  private def hashedLogRegOracleSql(nBuckets: Int, iterations: Int,
+                                    lr: Double): String = {
+    val bucketCols = (1 to nBuckets).map(i =>
+      s"    CAST(coalesce(sum(CASE WHEN bucket = ${i - 1} THEN sv END), 0) " +
+        s"AS DOUBLE) AS x$i").mkString(",\n")
+    val ws = (1 to nBuckets).map(j => s"round(w$j, 6) AS w_x$j")
+      .mkString(", ")
+    s"""WITH hdt AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |    FROM documents)
+       |  WHERE term <> ''
+       |  GROUP BY doc_id, term),
+       |hsv AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(term), 1, 13))::BIGINT % $nBuckets AS bucket,
+       |    (CASE WHEN ('0x' || substr(md5(term), 14, 1))::BIGINT % 2 = 0
+       |      THEN 1 ELSE -1 END) * tf AS sv
+       |  FROM hdt),
+       |hfx AS (
+       |  SELECT doc_id,
+       |$bucketCols
+       |  FROM hsv GROUP BY doc_id),
+       |hlab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 50
+       |      THEN 1.0e0 ELSE 0.0e0 END AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |hff AS MATERIALIZED (
+       |  SELECT hfx.doc_id AS doc_id, y,
+       |    ${(1 to nBuckets).map(i => s"x$i").mkString(", ")}
+       |  FROM hfx JOIN hlab USING (doc_id)),
+       |${logRegChainCtes("hff", "ft", iterations, lr, nBuckets)},
+       |fts AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CASE WHEN CAST(p >= 0.5 AS INT) = CAST(y AS INT)
+       |        THEN 1 ELSE 0 END) AS ok,
+       |    ${ExactSum.oracleSumPicos(
+      "CASE WHEN y >= 0.5 THEN ln(greatest(p, 1e-300)) " +
+        "ELSE ln(greatest(1.0e0 - p, 1e-300)) END")} AS qll
+       |  FROM ftfinal)
+       |SELECT n,
+       |  round(CAST(ok AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+       |  round((0.0e0 - CAST(qll AS DOUBLE) / 1000000000000.0)
+       |    / CAST(n AS DOUBLE), 6) AS log_loss,
+       |  round(b, 6) AS w0, $ws
+       |FROM fts CROSS JOIN ftw$iterations""".stripMargin
+  }
 
   /** Unrolled BPE-training replay shared by q207/q208: one CTE trio
     * (pair counts, best pair, rewritten sequences) per merge, the same
@@ -7485,6 +7557,11 @@ object SparkEntry {
          |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac6
          |FROM documents d LEFT JOIN cc c ON c.doc = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // q311: hashed-feature LogReg — q177 feature CTEs densified +
+    // q237 label + the shared unrolled chain at d = 16
+    "q311_fasttext_train" ->
+      hashedLogRegOracleSql(nBuckets = 16, iterations = 5, lr = 0.5),
 
     // q306: the q53 closure + token scores + per-cluster min/max under
     // the one (s DESC, id) total order — rn=1 is chosen, rn=last is

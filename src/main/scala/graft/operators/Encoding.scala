@@ -87,4 +87,39 @@ object Encoding {
       .agg(sum(col("__sv")).as("value"))
       .filter(col("value") =!= 0L)
   }
+
+  /** Dense fixed-width companion of [[hashFeatures]] for model
+    * training: one row per document with columns `x1..x{nBuckets}`
+    * (DOUBLE) holding the signed-hash bag-of-words bucket sums,
+    * zero-filled where no term lands — the feature frame a
+    * [[LogReg]] quality classifier trains on directly (the
+    * fastText-lite / DataComp web-filter shape: hashed BoW + linear
+    * model; no dictionary to build, ship, or grow stale). Same md5
+    * bucket/sign family as [[hashFeatures]] — deterministic and
+    * engine-replayable. Documents with no non-empty token produce no
+    * terms and drop out, matching the sparse form.
+    *
+    * Scale: one shuffle to (doc, term) tf, then ONE map-side-
+    * combinable aggregate to the dense row — the `nBuckets` per-bucket
+    * sums ride a single groupBy(doc), never a pivot or nBuckets
+    * passes. Bucket sums are bounded by document token count, far
+    * inside [[LogReg.MaxFeatureAbs]] for any chunked corpus.
+    */
+  def hashFeatureVector(df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1024,
+      s"nBuckets must be in [2, 1024], got $nBuckets")
+    val h = conv(substring(md5(col("term").cast("binary")), 1, 13),
+      16, 10).cast("long")
+    val sign = when(conv(substring(md5(col("term").cast("binary")), 14, 1),
+      16, 10).cast("long") % 2L === 0L, 1L).otherwise(-1L)
+    val base = TextAnalysis.docTerms(df, idCol, textCol)
+      .withColumn("bucket", pmod(h, lit(nBuckets.toLong)))
+      .withColumn("__sv", sign * col("tf"))
+    val aggs = (1 to nBuckets).map { i =>
+      coalesce(sum(when(col("bucket") === (i - 1).toLong, col("__sv"))),
+        lit(0L)).cast("double").as(s"x$i")
+    }
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

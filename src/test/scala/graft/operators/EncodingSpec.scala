@@ -101,4 +101,54 @@ class EncodingSpec extends SparkSpecBase {
     assert(out(1L) == out(2L))
     assert(out(1L).forall(_._2 != 0L))
   }
+
+  test("hashFeatureVector: dense rows agree with the sparse form, " +
+      "zero-filled elsewhere") {
+    val d = Seq((1L, "alpha beta beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val sparse = Encoding.hashFeatures(d, "doc_id", "text", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dense = Encoding.hashFeatureVector(d, "doc_id", "text", nBuckets = 16)
+      .collect()
+    assert(dense.length == 2)
+    dense.foreach { r =>
+      val id = r.getLong(0)
+      (1 to 16).foreach { j =>
+        assert(r.getAs[Double](s"x$j") ==
+          sparse.getOrElse((id, j - 1L), 0L).toDouble)
+      }
+    }
+  }
+
+  // the fastText-lite rationale, demonstrated: a junk source built by
+  // LENGTH-PRESERVING token substitution has hand features (avg token
+  // length, punct/stopword/alpha ratios) IDENTICAL to its clean twin
+  // doc-for-doc — a linear model over them cannot beat coin-flip — while
+  // the hashed bag-of-words sees the disjoint vocabulary and separates
+  test("hashed features separate a vocabulary-distinct junk source the " +
+      "hand features provably miss") {
+    import org.apache.spark.sql.functions._
+    val subst = Map("data" -> "zorp", "query" -> "flurm", "join" -> "qung",
+      "scan" -> "snrf", "merge" -> "plomp")
+    val vocab = subst.keys.toSeq.sorted
+    val good = (0 until 20).map { i =>
+      val toks = (0 until 30 + i % 5).map(j => vocab((i * 7 + j * 3) % 5))
+      (i.toLong, toks.mkString(" "), 0)
+    }
+    val junk = good.map { case (id, text, _) =>
+      (id + 100L, text.split(" ").map(subst).mkString(" "), 1)
+    }
+    val docs = (good ++ junk).toDF("doc_id", "text", "label")
+    val hand = LogReg.train(
+      TextAnalysis.qualityFeatures(docs), "label",
+      Seq("avg_token_len", "punct_ratio", "stopword_ratio", "alpha_ratio"),
+      iterations = 5, lr = 0.5).head()
+    // every (good, junk) pair shares one feature vector with opposite
+    // labels: any classifier gets exactly one of the two right
+    assert(hand.getAs[Double]("accuracy") == 0.5)
+    val hashed = LogReg.train(
+      Encoding.hashFeatureVector(docs, "doc_id", "text", nBuckets = 32)
+        .join(docs.select(col("doc_id"), col("label")), Seq("doc_id")),
+      "label", (1 to 32).map(j => s"x$j"), iterations = 5, lr = 0.5).head()
+    assert(hashed.getAs[Double]("accuracy") >= 0.9)
+  }
 }
