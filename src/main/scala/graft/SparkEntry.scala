@@ -1181,6 +1181,28 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // the incremental-maintenance twin of q141: the index is built on
+    // one THIRD of the corpus, GROWN to q141's two thirds by the
+    // append path (only the new batch is signed; band keys union in,
+    // the mega-bucket cap re-applies to touched buckets), and the same
+    // probe batch must then find the SAME pairs — the oracle is q141's
+    // verbatim (the q272 shared-oracle precedent), so a lost or
+    // misfiled appended band key fails the gate as a missed pair
+    "q312_minhash_index_append" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/minhash_append_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val docs = t(s, dir, "documents")
+      Dedup.writeMinhashIndex(docs.filter(pmod(col("doc_id"), lit(3L)) === 1L),
+        idx, "doc_id", "text")
+      Dedup.appendMinhashIndex(s, idx,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), "doc_id", "text")
+      Dedup.nearDupsFromIndex(s, idx,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // measured-recall LSH gate BELOW 1.0: every doc gets a truncated
     // twin (first ⌊2n/3⌋ tokens → shingle Jaccard 0.50–0.68, the
     // mid-band where 32-hash/4-row banding theory puts detection
@@ -5838,6 +5860,12 @@ object SparkEntry {
     // exhaustive ground truth over ALL docs, restricted to pairs with a
     // batch-side (doc_id % 3 = 0) member — gates index+batch recall
     "q141_minhash_index" ->
+      ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None,
+        pairWhere = "(doc_a % 3 = 0 OR doc_b % 3 = 0)"),
+
+    // q312: build(⅓) + append(⅓) + probe(⅓) must equal q141's
+    // build(⅔) + probe(⅓) — oracle shared verbatim
+    "q312_minhash_index_append" ->
       ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = None,
         pairWhere = "(doc_a % 3 = 0 OR doc_b % 3 = 0)"),
 

@@ -442,9 +442,93 @@ object Dedup {
     val banded = bandedOf(signaturesFromShingleArrays(arrays, numHashes),
       numHashes, rowsPerBand)
     val w = Window.partitionBy(col("band"), col("bucket"))
-    banded.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucket).drop("__n")
-      .write.mode("overwrite").parquet(s"$dir/bands")
+    // the over-cap (band, bucket) KEYS are persisted too (`dir/dropped`):
+    // an append can never recover a dropped bucket's members without
+    // re-signing the corpus, so the key set is the contract that keeps
+    // [[appendMinhashIndex]] ≡ rebuild exact — a batch doc landing in a
+    // once-dropped bucket must stay out of it, as it would in a rebuild
+    val counted = banded.withColumn("__n", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      counted.filter(col("__n") <= maxBucket).drop("__n")
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      counted.filter(col("__n") > maxBucket)
+        .select(col("band"), col("bucket")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/dropped")
+    } finally counted.unpersist()
+  }
+
+  /** Incremental index maintenance — the 100 TB append path: sign ONLY
+    * the new batch, union its band keys into the persisted index, and
+    * re-apply the mega-bucket cap to the TOUCHED (band, bucket) groups
+    * only; untouched groups pass through unrecounted. The result is
+    * EXACTLY the index [[writeMinhashIndex]] would build over
+    * corpus ∪ batch: kept buckets accumulate both sides' keys, a
+    * touched bucket pushed past `maxBucket` is dropped whole (and its
+    * key recorded), and a build-time-dropped bucket stays dropped —
+    * batch keys landing in it are discarded via the persisted
+    * `dir/dropped` key set, since the bucket's corpus members are
+    * unrecoverable without the re-sign this function exists to avoid.
+    *
+    * Parameters must match the build (same contract as
+    * [[nearDupsFromIndex]]); ids must be unique across corpus ∪ batch.
+    * The bands/dropped frames are index-KEY-scale (never corpus text):
+    * the rewrite is staged to sibling dirs and swapped via FS rename,
+    * because the new frames read the live dirs — an in-place overwrite
+    * would corrupt its own input. (A bucket-partitioned bands layout
+    * would rewrite only touched partitions; at the current layout the
+    * key frame rewrite is one shuffle of (doc, band, bucket) longs.)
+    * Batch shingle arrays append as new files — corpus arrays are
+    * never rewritten.
+    */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 32,
+                         rowsPerBand: Int = 4,
+                         maxBucket: Long = 1000L): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val bArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
+    val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
+      numHashes, rowsPerBand)
+    // pre-`dropped` indexes (none in this repo's history, but the read
+    // is guarded): treat the key set as empty
+    val dropped0 =
+      if (fs.exists(p(s"$dir/dropped"))) spark.read.parquet(s"$dir/dropped")
+      else bBands.select(col("band"), col("bucket")).limit(0)
+    val live = bBands.join(dropped0, Seq("band", "bucket"), "left_anti")
+    val iBands = spark.read.parquet(s"$dir/bands")
+    val touched = live.select(col("band"), col("bucket")).distinct()
+    val storedTouched = iBands.join(touched, Seq("band", "bucket"),
+      "left_semi")
+    val storedUntouched = iBands.join(touched, Seq("band", "bucket"),
+      "left_anti")
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val counted = storedTouched
+      .unionByName(live.select(iBands.columns.map(col): _*))
+      .withColumn("__n", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the Seq-key semi/anti joins reorder columns to (band, bucket,
+      // doc); restore the build layout so append preserves the schema
+      val newBands = storedUntouched.unionByName(
+        counted.filter(col("__n") <= maxBucket).drop("__n"))
+        .select(iBands.columns.map(col): _*)
+      val newDropped = dropped0.unionByName(
+        counted.filter(col("__n") > maxBucket)
+          .select(col("band"), col("bucket")).distinct())
+      newBands.write.mode("overwrite").parquet(s"$dir/bands__staged")
+      newDropped.write.mode("overwrite").parquet(s"$dir/dropped__staged")
+    } finally counted.unpersist()
+    fs.delete(p(s"$dir/bands"), true)
+    require(fs.rename(p(s"$dir/bands__staged"), p(s"$dir/bands")),
+      s"could not swap $dir/bands__staged into place")
+    fs.delete(p(s"$dir/dropped"), true)
+    require(fs.rename(p(s"$dir/dropped__staged"), p(s"$dir/dropped")),
+      s"could not swap $dir/dropped__staged into place")
+    bArrays.write.mode("append").parquet(s"$dir/shingles")
   }
 
   /** Near-dup pairs of a NEW batch: batch×index pairs (via equi-join of

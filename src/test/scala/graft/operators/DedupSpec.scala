@@ -124,6 +124,55 @@ class DedupSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("appendMinhashIndex ≡ rebuild, exactly: kept buckets accumulate, " +
+      "a touched bucket crossing the cap drops whole, a build-dropped " +
+      "bucket stays dropped against batch arrivals") {
+    import spark.implicits._
+    def clones(ids: Range, text: String) = ids.map(i => (i.toLong, text))
+    // bucket D: 5 identical docs in A (> cap 3 → dropped AT BUILD);
+    // bucket K: 2 in A (kept), +2 in B (4 > 3 → must drop ON APPEND);
+    // bucket P: a genuine near-dup pair split across A and B
+    val pairA = "alpha beta gamma delta epsilon zeta eta theta"
+    val pairB = "alpha beta gamma delta epsilon zeta eta iota"
+    val a = (clones(0 to 4, "dread dread dread dread dread dread") ++
+      clones(10 to 11, "keen keen keen keen keen keen") ++
+      Seq((20L, pairA))).toDF("doc_id", "text")
+    val b = (clones(5 to 6, "dread dread dread dread dread dread") ++
+      clones(12 to 13, "keen keen keen keen keen keen") ++
+      Seq((21L, pairB))).toDF("doc_id", "text")
+    val probe = Seq((30L, pairA), (31L, "dread dread dread dread dread dread"))
+      .toDF("doc_id", "text")
+    val incDir = java.nio.file.Files.createTempDirectory("mh_inc").toString
+    val rebDir = java.nio.file.Files.createTempDirectory("mh_reb").toString
+    Dedup.writeMinhashIndex(a, incDir, "doc_id", "text", maxBucket = 3L)
+    Dedup.appendMinhashIndex(spark, incDir, b, "doc_id", "text",
+      maxBucket = 3L)
+    Dedup.writeMinhashIndex(a.union(b), rebDir, "doc_id", "text",
+      maxBucket = 3L)
+    def keySet(d: String, sub: String, cols: Int) =
+      spark.read.parquet(s"$d/$sub").collect()
+        .map(r => (0 until cols).map(r.get).mkString("|")).toSet
+    assert(keySet(incDir, "bands", 3) == keySet(rebDir, "bands", 3))
+    assert(keySet(incDir, "dropped", 2) == keySet(rebDir, "dropped", 2))
+    assert(keySet(incDir, "dropped", 2).nonEmpty,
+      "the cap paths must actually fire in this fixture")
+    // band keys for BOTH clone groups are gone from both indexes
+    val bandDocs = spark.read.parquet(s"$incDir/bands")
+      .select("doc").as[Long].collect().toSet
+    assert(bandDocs == Set(20L, 21L))
+    // probing equal indexes finds equal pairs: the pair doc hits both
+    // sides, the dropped-bucket clone finds nothing (documented trade)
+    def probePairs(d: String) =
+      Dedup.nearDupsFromIndex(spark, d, probe, "doc_id", "text",
+          threshold = 0.5, maxBucket = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = probePairs(incDir)
+    assert(inc == probePairs(rebDir))
+    assert(inc.contains((20L, 30L)) && inc.contains((21L, 30L)))
+    assert(!inc.exists { case (x, y) => x == 31L || y == 31L })
+    Dedup.releaseCaches()
+  }
+
   test("containmentPairs: a quoted snippet scores full containment in " +
       "one direction while its Jaccard stays low") {
     import spark.implicits._
