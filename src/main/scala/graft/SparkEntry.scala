@@ -2017,6 +2017,23 @@ object SparkEntry {
       }.reduce(_ union _).orderBy(col("merges"))
     }),
 
+    // unigram vocab-size sweep (q303 parity for the second tokenizer
+    // family): ONE memoized EM fit; per V the model is cut to its
+    // top-V pieces (single-char floor kept — the SentencePiece pruning
+    // constraint), re-smoothed, and one DP pass re-segments — the
+    // compression curve that makes q288's bake-off comparable at
+    // matched token budgets
+    "q313_unigram_vocab_sweep" -> ((s, dir) =>
+      UnigramLm.vocabSweep(t(s, dir, "documents"), Seq(16, 24, 32, 40))
+        .orderBy(col("vocab_size"))),
+
+    // WordPiece top-K sweep: the nested top-K property means ONE
+    // counted-and-ranked vocabulary serves every sweep point as a
+    // rank filter; per K one greedy walk re-segments
+    "q314_wordpiece_topk_sweep" -> ((s, dir) =>
+      WordPiece.topKSweep(t(s, dir, "documents"), Seq(10, 20, 30, 40))
+        .orderBy(col("top_k"))),
+
     // length-bucketed inference batches over the q248 token counts:
     // consecutive length ranks cut into 32-doc batches, per-batch
     // padding waste — the dynamic-batching readout
@@ -4647,15 +4664,15 @@ object SparkEntry {
     * segmentations) and `ulpF` (final log-probs); callers append their
     * own tail.
     */
-  private def unigramOracleCtes(maxPieceLen: Int, maxWordLen: Int,
-                                iterations: Int): String = {
-    def lpCte(name: String, from: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT piece, CAST(ln(CAST(cnt + 1 AS DOUBLE) /
-         |      CAST(tot + np AS DOUBLE)) AS DECIMAL(28,12)) AS lp
-         |  FROM $from, (SELECT sum(cnt) AS tot, count(*) AS np
-         |               FROM $from) t)""".stripMargin
-    def eStep(p: String, lpTable: String): String = {
+  private def unigramLpCte(name: String, from: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, CAST(ln(CAST(cnt + 1 AS DOUBLE) /
+       |      CAST(tot + np AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+       |  FROM $from, (SELECT sum(cnt) AS tot, count(*) AS np
+       |               FROM $from) t)""".stripMargin
+
+  private def unigramEStep(p: String, lpTable: String, maxPieceLen: Int,
+                           maxWordLen: Int): String = {
       val b0 = s"""${p}b0 AS (
                   |  SELECT word, CAST(0 AS DECIMAL(28,12)) AS score, '' AS path
                   |  FROM uwf)""".stripMargin
@@ -4688,6 +4705,13 @@ object SparkEntry {
                    |  ) b JOIN uwf w USING (word))""".stripMargin
       (b0 +: bs :+ seg).mkString(",\n")
     }
+
+  private def unigramOracleCtes(maxPieceLen: Int, maxWordLen: Int,
+                                iterations: Int): String = {
+    def lpCte(name: String, from: String): String =
+      unigramLpCte(name, from)
+    def eStep(p: String, lpTable: String): String =
+      unigramEStep(p, lpTable, maxPieceLen, maxWordLen)
     def mStep(cName: String, segTable: String): String =
       s"""$cName AS MATERIALIZED (
          |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
@@ -4845,21 +4869,36 @@ object SparkEntry {
     * fixed (word, position) every candidate length yields a distinct
     * form, so the per-step argmax orders by length alone.
     */
-  private def wordPieceOracleCtes(maxPieceLen: Int, maxWordLen: Int,
-                                  topK: Int): String = {
+  /** The greedy longest-match walk CTE chain: `{px}0` (cursor start)
+    * through `{px}{maxWordLen}` (all words consumed), matching against
+    * candidate table `cand`. Shared by the single-vocab replay and the
+    * per-K sweep (one chain per pruned vocabulary).
+    */
+  private def wordPieceWalk(px: String, cand: String,
+                            maxWordLen: Int): String = {
     val steps = (1 to maxWordLen).map { t =>
-      s"""wg$t AS MATERIALIZED (
-         |  SELECT word, pos, path FROM wg${t - 1} WHERE pos > length(word)
+      s"""$px$t AS MATERIALIZED (
+         |  SELECT word, pos, path FROM $px${t - 1} WHERE pos > length(word)
          |  UNION ALL
          |  SELECT word, pos + l AS pos, path || ' ' || form AS path FROM (
          |    SELECT g.word, g.pos, g.path, c.l, c.form,
          |      row_number() OVER (PARTITION BY g.word
          |        ORDER BY c.l DESC) AS rn
-         |    FROM wg${t - 1} g JOIN wcand c
+         |    FROM $px${t - 1} g JOIN $cand c
          |      ON c.word = g.word AND c.i = g.pos
          |    WHERE g.pos <= length(g.word)) x
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    s"""${px}0 AS (SELECT word, 1 AS pos, '' AS path FROM wwf),
+       |$steps""".stripMargin
+  }
+
+  /** The corpus-side head of the WordPiece replay: word stream, model
+    * words, candidate occurrences, (form, is_char) counts — everything
+    * BEFORE a vocabulary is cut.
+    */
+  private def wordPieceHeadCtes(maxPieceLen: Int,
+                                maxWordLen: Int): String =
     s"""wtk AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
@@ -4883,7 +4922,11 @@ object SparkEntry {
        |          FROM wwf) ii) ll),
        |wcnt AS MATERIALIZED (
        |  SELECT form, (l = 1) AS is_char, CAST(sum(freq) AS BIGINT) AS cnt
-       |  FROM wocc GROUP BY form, (l = 1)),
+       |  FROM wocc GROUP BY form, (l = 1))""".stripMargin
+
+  private def wordPieceOracleCtes(maxPieceLen: Int, maxWordLen: Int,
+                                  topK: Int): String =
+    s"""${wordPieceHeadCtes(maxPieceLen, maxWordLen)},
        |wvocab AS MATERIALIZED (
        |  SELECT form, cnt FROM wcnt WHERE is_char
        |  UNION ALL
@@ -4898,11 +4941,90 @@ object SparkEntry {
        |wcand AS MATERIALIZED (
        |  SELECT o.word, o.i, o.l, o.form
        |  FROM wocc o JOIN wvocab v USING (form)),
-       |wg0 AS (SELECT word, 1 AS pos, '' AS path FROM wwf),
-       |$steps,
+       |${wordPieceWalk("wg", "wcand", maxWordLen)},
        |wseg AS MATERIALIZED (
        |  SELECT g.word, w.freq, ltrim(g.path) AS seg
        |  FROM wg$maxWordLen g JOIN wwf w USING (word))""".stripMargin
+
+  /** q314: the WordPiece top-K sweep — ONE head (counts never re-run),
+    * one ranked multi list, then per K a rank-filtered vocabulary, its
+    * candidate table, one greedy-walk chain, and the (n_vocab,
+    * n_tokens, vocab_used) readout.
+    */
+  private def wordPieceSweepOracleSql(ks: Seq[Int], maxPieceLen: Int,
+                                      maxWordLen: Int): String = {
+    val per = ks.map { k =>
+      s"""wv$k AS MATERIALIZED (
+         |  SELECT form, cnt FROM wcnt WHERE is_char
+         |  UNION ALL
+         |  SELECT form, cnt FROM wrank WHERE rn <= $k),
+         |wc$k AS MATERIALIZED (
+         |  SELECT o.word, o.i, o.l, o.form
+         |  FROM wocc o JOIN wv$k v USING (form)),
+         |${wordPieceWalk(s"wk${k}_", s"wc$k", maxWordLen)},
+         |wx$k AS MATERIALIZED (
+         |  SELECT w.freq, unnest(string_split(ltrim(g.path), ' ')) AS form
+         |  FROM wk${k}_$maxWordLen g JOIN wwf w USING (word)),
+         |wr$k AS (
+         |  SELECT CAST($k AS BIGINT) AS top_k,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM wv$k) AS n_vocab,
+         |    (SELECT CAST(sum(freq) AS BIGINT) FROM wx$k) AS n_tokens,
+         |    (SELECT CAST(count(DISTINCT form) AS BIGINT) FROM wx$k)
+         |      AS vocab_used)""".stripMargin
+    }.mkString(",\n")
+    val finals = ks.map(k => s"SELECT * FROM wr$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${wordPieceHeadCtes(maxPieceLen, maxWordLen)},
+       |wrank AS MATERIALIZED (
+       |  SELECT form, cnt, row_number() OVER (ORDER BY cnt DESC, form) AS rn
+       |  FROM wcnt WHERE NOT is_char),
+       |$per
+       |$finals
+       |ORDER BY top_k""".stripMargin
+  }
+
+  /** q313: the unigram vocab-size sweep — the ONE EM chain (shared
+    * with q269–q272), its final full-candidate counts ranked to dense
+    * ids, then per V a char-floor-preserving top-V cut, re-smoothed
+    * log-probs over the cut's own support, one DP chain, and the
+    * (n_kept, n_tokens, vocab_used) readout.
+    */
+  private def unigramSweepOracleSql(sizes: Seq[Int], maxPieceLen: Int,
+                                    maxWordLen: Int,
+                                    iterations: Int): String = {
+    val per = sizes.map { v =>
+      s"""kp$v AS MATERIALIZED (
+         |  SELECT f.piece, f.cnt FROM fcf f JOIN uids u USING (piece)
+         |  WHERE u.token_id <= $v OR length(f.piece) = 1),
+         |${unigramLpCte(s"kl$v", s"kp$v")},
+         |${unigramEStep(s"sw$v", s"kl$v", maxPieceLen, maxWordLen)},
+         |sx$v AS MATERIALIZED (
+         |  SELECT freq, unnest(string_split(seg, ' ')) AS piece
+         |  FROM sw${v}seg),
+         |sr$v AS (
+         |  SELECT CAST($v AS BIGINT) AS vocab_size,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM kp$v) AS n_kept,
+         |    (SELECT CAST(sum(freq) AS BIGINT) FROM sx$v) AS n_tokens,
+         |    (SELECT CAST(count(DISTINCT piece) AS BIGINT) FROM sx$v)
+         |      AS vocab_used)""".stripMargin
+    }.mkString(",\n")
+    val finals = sizes.map(v => s"SELECT * FROM sr$v")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${unigramOracleCtes(maxPieceLen, maxWordLen, iterations)},
+       |fcf AS MATERIALIZED (
+       |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+       |  FROM (SELECT piece FROM uc0) c
+       |  LEFT JOIN (
+       |    SELECT piece, sum(freq) AS used FROM (
+       |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
+       |      FROM efseg) x GROUP BY piece) u USING (piece)),
+       |uids AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+       |    AS BIGINT) AS token_id
+       |  FROM fcf),
+       |$per
+       |$finals
+       |ORDER BY vocab_size""".stripMargin
   }
 
   /** q291: the MMR greedy loop unrolled to k steps. Each step scores
@@ -7590,6 +7712,16 @@ object SparkEntry {
     // q237 label + the shared unrolled chain at d = 16
     "q311_fasttext_train" ->
       hashedLogRegOracleSql(nBuckets = 16, iterations = 5, lr = 0.5),
+
+    // q313/q314: tokenizer vocab-size sweeps — each rides ONE
+    // materialized training cascade (the q303 fd-limit lesson); only
+    // the per-point segmentation replays
+    "q313_unigram_vocab_sweep" ->
+      unigramSweepOracleSql(Seq(16, 24, 32, 40), maxPieceLen = 4,
+        maxWordLen = 12, iterations = 2),
+    "q314_wordpiece_topk_sweep" ->
+      wordPieceSweepOracleSql(Seq(10, 20, 30, 40), maxPieceLen = 4,
+        maxWordLen = 12),
 
     // q306: the q53 closure + token scores + per-cluster min/max under
     // the one (s DESC, id) total order — rn=1 is chosen, rn=last is

@@ -380,6 +380,47 @@ object UnigramLm {
         col("token_id"))
   }
 
+  /** Vocab-size compression curve — the unigram twin of the BPE merge
+    * sweep: the ONE fitted model (memoized; every sweep point shares
+    * it) pruned to its top-`V` pieces by the model's (cnt desc, piece)
+    * rank, KEEPING every single-character piece so coverage survives
+    * (the SentencePiece pruning constraint), each pruned vocabulary
+    * re-smoothed with the same add-one formula over its own support,
+    * and ONE guarded Viterbi pass per V re-segmenting the
+    * distinct-word frame. Output per V: `(vocab_size, n_kept,
+    * n_tokens, vocab_used)` — requested cut, actual kept count (char
+    * floor included), corpus token count (Σ freq·pieces — identical
+    * to counting the id stream), distinct pieces actually used.
+    *
+    * Scale: the EM chain runs once (memo); per sweep point only a
+    * vocab-scale filter + smooth and one distinct-word DP pass — no
+    * per-V corpus scan (`wf`/`pcs` are checkpointed once).
+    */
+  def vocabSweep(docs: DataFrame, sizes: Seq[Int], maxPieceLen: Int = 4,
+                 maxWordLen: Int = 12, iterations: Int = 2,
+                 textCol: String = "text"): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"sizes must be non-empty and >= 1, got $sizes")
+    val m = modelOf(docs, maxPieceLen, maxWordLen, iterations, textCol)
+    val wf = Bpe.wordFreqs(docs, textCol)
+      .filter(length(col("word")) <= maxWordLen).localCheckpoint()
+    val pcs = pieces(wf, maxPieceLen).localCheckpoint()
+    sizes.map { v =>
+      val kept = m.filter(col("token_id") <= v.toLong ||
+        length(col("piece")) === 1)
+      val seg = viterbiGuarded(pcs,
+        logProbs(kept.select(col("piece"), col("cnt"))))
+      seg.join(wf, Seq("word"))
+        .select(col("freq"),
+          explode(split(col("segmentation"), " ")).as("piece"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          countDistinct(col("piece")).as("vocab_used"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .select(lit(v.toLong).as("vocab_size"), col("n_kept"),
+          col("n_tokens"), col("vocab_used"))
+    }.reduce(_ union _)
+  }
+
   /** [[encodeIds]] plus the word index (`wpos`) each piece came from —
     * the boundary signal [[decodeIds]] needs. Unigram pieces are bare
     * substrings (no `</w>` / `##` marker), so word boundaries are NOT

@@ -187,6 +187,45 @@ object WordPiece {
       .select(col("word"), col("freq"), col("segmentation"),
         size(split(col("segmentation"), " ")).cast("long").as("n_pieces"))
 
+  /** Vocab-size (top-K) compression curve — the WordPiece twin of the
+    * BPE merge sweep. The top-K multi-character sets are NESTED
+    * (prefixes of one (cnt desc, form) ranked list), so ONE build at
+    * `ks.max` serves every sweep point: smaller vocabularies are
+    * rank-filters of the one ranked frame, never re-counts. Per K, one
+    * greedy walk over the distinct-word frame re-segments; readout
+    * `(top_k, n_vocab, n_tokens, vocab_used)` with `n_tokens` the
+    * corpus token count (Σ freq·pieces ≡ counting the id stream). The
+    * single-char floor keeps every K's walk total.
+    */
+  def topKSweep(docs: DataFrame, ks: Seq[Int], maxPieceLen: Int = 4,
+                maxWordLen: Int = 12, textCol: String = "text"): DataFrame = {
+    checkBounds(maxPieceLen, maxWordLen)
+    require(ks.nonEmpty && ks.forall(_ >= 0),
+      s"ks must be non-empty and >= 0, got $ks")
+    val (wf, vocabF) = built(docs, maxPieceLen, maxWordLen, ks.max, textCol)
+    val chars = vocabF.filter(col("is_char"))
+      .select(col("form"), col("is_char"), col("cnt"))
+    // rank the kept multi forms; the prefix property makes this the
+    // same rank they hold in the full multi list
+    val ranked = Ranking.rangeRank(vocabF.filter(!col("is_char"))
+          .withColumn("__nc", -col("cnt")),
+        Nil, Seq("__nc", "form"), "__rk")
+      .select(col("form"), col("is_char"), col("cnt"), col("__rk"))
+      .localCheckpoint()
+    ks.map { k =>
+      val vk = chars.union(
+        ranked.filter(col("__rk") <= k.toLong).drop("__rk"))
+      val seg = segCore(wf, vk, maxPieceLen)
+      seg.select(col("freq"),
+          explode(split(col("segmentation"), " ")).as("form"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          countDistinct(col("form")).as("vocab_used"))
+        .crossJoin(vk.agg(count(lit(1)).as("n_vocab")))
+        .select(lit(k.toLong).as("top_k"), col("n_vocab"),
+          col("n_tokens"), col("vocab_used"))
+    }.reduce(_ union _)
+  }
+
   /** Tokenize the corpus to dense ids: `(idCol, pos, piece, token_id)`,
     * `pos` 0-based per document — the WordPiece twin of
     * [[Bpe.encodeIds]] / [[UnigramLm.encodeIds]]. Per-DISTINCT-word
