@@ -336,6 +336,46 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // contrastive pair mining (SimCSE/E5 data prep): per anchor the
+    // exact nearest neighbor as positive and the hardest candidate at
+    // or below τ=0.35 as negative — τ chosen INSIDE the corpus's
+    // top-cosine spread (0.27–0.51), so both the strict-pair and the
+    // degenerate pos==neg paths fire
+    "q317_contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(t(s, dir, "embeddings"), tau = 0.35)
+        .orderBy(col("anchor_id"))),
+
+    // the mixture loop EXECUTED: q239's learned weights turned into
+    // fractional epoch factors at a 2×-corpus document budget and the
+    // replicated training stream emitted — the up-sampling complement
+    // of q242's down-sampler (Pile/LLaMA repeat-at-fractional-epochs)
+    "q316_recipe_replicate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataSelection.replicateRecipe(docs,
+          DataSelection.domainReweight(docs, eta = 5.0, smoothing = 0.1),
+          budgetDocs = 1000L)
+        .orderBy(col("doc_id"), col("rep"))
+    }),
+
+    // corpus-level line dedup (C4/RefinedWeb boilerplate removal):
+    // the corpus has no line structure, so the gate derives a 3-line
+    // fixture (q277 precedent) — a mostly-unique head line, a
+    // boilerplate footer every doc shares (survives ONLY in the
+    // global-minimum doc), and a 1-in-3 newsletter line — and every
+    // doc is rewritten from its surviving lines, attrition visible
+    "q315_line_dedup" -> ((s, dir) => {
+      val synth = concat_ws("\n",
+        substring(col("text"), 1, 40),
+        lit("all rights reserved copyright footer"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          lit("subscribe to our newsletter today"))
+          .otherwise(substring(col("text"), 41, 40)))
+      Dedup.lineDedup(
+          t(s, dir, "documents").filter(col("text").isNotNull)
+            .select(col("doc_id"), synth.as("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // fastText-lite quality classifier: LogReg over HASHED signed
     // bag-of-words features (q177's hashing trick, densified) instead
     // of the 8 hand features — the production web-quality-filter shape
@@ -7712,6 +7752,86 @@ object SparkEntry {
     // q237 label + the shared unrolled chain at d = 16
     "q311_fasttext_train" ->
       hashedLogRegOracleSql(nBuckets = 16, iterations = 5, lr = 0.5),
+
+    // q317: all-pairs 6-dp cosines; positive = rank 1 under
+    // (c DESC, id); negative = rank 1 of the ≤ τ subset
+    "q317_contrastive_pairs" ->
+      """WITH sc AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS bid,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |pos AS (
+        |  SELECT anchor_id, bid, c, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+        |  FROM sc),
+        |neg AS (
+        |  SELECT anchor_id, bid, c, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+        |  FROM sc WHERE c <= 0.35)
+        |SELECT p.anchor_id, p.bid AS pos_id, p.c AS pos_cos6,
+        |  n.bid AS neg_id, n.c AS neg_cos6
+        |FROM pos p LEFT JOIN neg n
+        |  ON n.anchor_id = p.anchor_id AND n.rn = 1
+        |WHERE p.rn = 1
+        |ORDER BY p.anchor_id""".stripMargin,
+
+    // q316: q239's replayed weights → micro-epoch factors → the
+    // deterministic md5-draw replication stream
+    "q316_recipe_replicate" ->
+      s"""WITH $domainReweightOracleCtes,
+         |rwt AS (
+         |  SELECT domain, round((1.0e0 - 0.1e0) * (w_raw / CAST(z AS DOUBLE))
+         |    + 0.1e0 / CAST(k AS DOUBLE), 6) AS weight
+         |  FROM ex CROSS JOIN nm),
+         |rnd AS (
+         |  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |re6 AS (
+         |  SELECT d.domain,
+         |    CAST(floor(w.weight * CAST(1000 AS DOUBLE) / CAST(d.n AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS e6
+         |  FROM rnd d JOIN rwt w USING (domain)),
+         |rrp AS (
+         |  SELECT doc.doc_id, e.domain,
+         |    (e.e6 // 1000000) + (CASE WHEN
+         |      (('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 13))::BIGINT
+         |        + 1.0) / 4503599627370496.0
+         |      < CAST(e.e6 % 1000000 AS DOUBLE) / 1000000.0
+         |      THEN 1 ELSE 0 END) AS nrep
+         |  FROM documents doc JOIN re6 e ON e.domain = doc.source)
+         |SELECT doc_id, domain, CAST(r AS BIGINT) AS rep FROM (
+         |  SELECT doc_id, domain, unnest(range(1, nrep + 1)) AS r
+         |  FROM rrp WHERE nrep > 0)
+         |ORDER BY doc_id, rep""".stripMargin,
+
+    // q315: the derived 3-line fixture replayed; keep = rn 1 under the
+    // (doc_id, lpos) order per exact line string; docs reassembled by
+    // position (string_agg skips the removed lines' NULLs)
+    "q315_line_dedup" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    [substr(text, 1, 40),
+        |     'all rights reserved copyright footer',
+        |     CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+        |          ELSE substr(text, 41, 40) END] AS ls
+        |  FROM documents WHERE text IS NOT NULL),
+        |ln AS (
+        |  SELECT doc_id, u['p'] AS lpos, u['s'] AS line FROM (
+        |    SELECT doc_id,
+        |      unnest([{'p': i, 's': ls[i]} FOR i IN range(1, len(ls) + 1)]) AS u
+        |    FROM fx)),
+        |fo AS (
+        |  SELECT doc_id, lpos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, lpos) AS rn
+        |  FROM ln)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY lpos), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removed
+        |FROM fo GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q313/q314: tokenizer vocab-size sweeps — each rides ONE
     // materialized training cascade (the q303 fd-limit lesson); only

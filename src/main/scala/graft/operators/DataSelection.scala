@@ -266,4 +266,47 @@ object DataSelection {
       .agg((sum(col("t12")).cast("double") / lit(1000000000000.0))
         .as("kl"))
   }
+
+  /** Data-recipe EXECUTOR — fractional-epoch replication, the
+    * up-sampling complement of the DoReMi down-sampler: given a
+    * per-domain weight frame (`(domain, weight)`, e.g.
+    * [[domainReweight]]'s output) and a document budget `B`, each
+    * domain's epoch factor is e_d = weight_d · B / n_d (micro-epoch
+    * quantized), and every document replicates ⌊e⌋ times plus one
+    * more when its md5-uniform draw falls below frac(e) — the
+    * Pile/LLaMA "repeat high-quality sources at fractional epochs"
+    * step, DETERMINISTIC so the emitted stream is engine-replayable
+    * and per-domain output counts concentrate on w_d·B exactly in
+    * expectation.
+    *
+    * Output: `(idCol, domain, rep)` — one row per replica, `rep`
+    * 1-based. Null-domain docs drop (no weight).
+    *
+    * Scale: one k-row count agg, one k-row epoch join (hint-free —
+    * AQE broadcasts the k-row side), one row-local sequence explode;
+    * output rows ∝ B, never corpus². No window, no driver state.
+    */
+  def replicateRecipe(docs: DataFrame, weights: DataFrame,
+                      budgetDocs: Long, idCol: String = "doc_id",
+                      domainCol: String = "source"): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be > 0, got $budgetDocs")
+    val base = docs.filter(col(domainCol).isNotNull)
+      .select(col(idCol), col(domainCol).as("domain"))
+    val n = base.groupBy(col("domain")).agg(count(lit(1)).as("__n"))
+    val e6 = n.join(weights.select(col("domain"), col("weight")),
+        Seq("domain"))
+      .select(col("domain"),
+        floor(col("weight") * lit(budgetDocs.toDouble) /
+          col("__n").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("__e6"))
+    base.join(e6, Seq("domain"))
+      .withColumn("__rep", expr("__e6 DIV 1000000") +
+        when(graft.functions.TextHashes.md5Uniform(
+            col(idCol).cast("string")) <
+          (col("__e6") % lit(1000000L)).cast("double") / lit(1e6),
+          lit(1L)).otherwise(lit(0L)))
+      .filter(col("__rep") > 0L)
+      .select(col(idCol), col("domain"),
+        explode(expr("sequence(1L, __rep)")).as("rep"))
+  }
 }

@@ -367,6 +367,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Contrastive training-pair mining — the embedding-model data-prep
+    * step (SimCSE/E5 family): for each anchor vector, `positive` = its
+    * exact nearest neighbor under (cosine desc, id asc), and
+    * `hard_negative` = the highest-cosine vector AT OR BELOW `tau` —
+    * hard enough to be informative, with τ keeping near-duplicates
+    * (false negatives) out of the negative slot. One row per anchor:
+    * `(anchor_id, pos_id, pos_cos6, neg_id, neg_cos6)`. Documented
+    * edge: an anchor whose nearest neighbor already sits ≤ τ emits
+    * `pos_id == neg_id` (no HARDER negative exists — the consumer
+    * filters on pos_cos6 > τ if it wants strict pairs); an anchor
+    * with NO candidate ≤ τ emits a null negative, visible not silent.
+    *
+    * Exact all-pairs by design at oracle scale (the q17/q18 exact-twin
+    * class); both rollups are map-side-combinable `min(struct)` argmax
+    * aggregates, so the pair stream collapses below the exchange. The
+    * scale path swaps IVF probing in for candidate generation
+    * unchanged (the q20 precedent).
+    */
+  def contrastivePairs(corpus: DataFrame, tau: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    val a = corpus.select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
+      .withColumn("na", normCol(col("va")))
+    val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("vb"))
+      .withColumn("nb", normCol(col("vb")))
+    a.join(b, col("anchor_id") =!= col("bid"))
+      .withColumn("__c",
+        round(dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .groupBy(col("anchor_id"))
+      .agg(
+        min(struct((-col("__c")).as("nc"), col("bid").as("id"))).as("p"),
+        min(when(col("__c") <= tau,
+          struct((-col("__c")).as("nc"), col("bid").as("id")))).as("n"))
+      .select(col("anchor_id"),
+        col("p.id").as("pos_id"), (-col("p.nc")).as("pos_cos6"),
+        col("n.id").as("neg_id"), (-col("n.nc")).as("neg_cos6"))
+  }
+
   /** Scale path for corpus×corpus cosine near-dup: candidates from
     * multi-table hyperplane-LSH buckets (equi-joins only — the quadratic
     * term is confined to within-bucket work, and high-cosine pairs almost

@@ -162,4 +162,32 @@ class DataSelectionSpec extends SparkSpecBase {
       DataSelection.sourceKlMatrix(docs, topV = 0)
     }
   }
+
+  test("replicateRecipe: hand-traced fractional epochs — integer domain " +
+      "replicates exactly, fractional domain follows its md5 draws, " +
+      "zero-weight domain drops") {
+    import spark.implicits._
+    // x ids chosen so the md5-uniform draws straddle 0.5 (u(6)=0.088,
+    // u(9)=0.273 below; u(1)=0.769, u(4)=0.658 above)
+    val docs = Seq((1L, "x"), (4L, "x"), (6L, "x"), (9L, "x"),
+      (21L, "y"), (22L, "y"), (30L, "z")).toDF("doc_id", "source")
+    // e_x = 0.6*10/4 = 1.5; e_y = 0.4*10/2 = 2.0 exactly; e_z = 0
+    val weights = Seq(("x", 0.6), ("y", 0.4), ("z", 0.0))
+      .toDF("domain", "weight")
+    val out = DataSelection.replicateRecipe(docs, weights,
+        budgetDocs = 10L).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).sorted.toSeq }
+    (21L to 22L).foreach(id => assert(out(id) == Seq(1L, 2L)))
+    assert(!out.contains(30L))
+    Seq(1L, 4L, 6L, 9L).foreach { id =>
+      val extra = graft.functions.TextHashes.md5UniformImpl(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          id.toString)) < 0.5
+      assert(out(id) == (if (extra) Seq(1L, 2L) else Seq(1L)))
+    }
+    // the fractional branch must actually split the x domain
+    assert(Seq(1L, 4L, 6L, 9L).map(id => out(id).size).toSet.size == 2,
+      "expected both 1- and 2-replica docs in the fractional domain")
+  }
 }

@@ -173,6 +173,25 @@ class DedupSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("lineDedup: first corpus occurrence survives per exact line, docs " +
+      "reassemble in order, a fully-duplicated doc empties visibly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nshared footer\nunique two"),
+      (2L, "unique three\nshared footer"),
+      // doc 3 = all lines seen before -> clean_text empty, all removed
+      (3L, "shared footer\nunique one"),
+      // in-doc repeat: second copy removed even inside one doc
+      (4L, "twice\ntwice\nunique four")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ("unique one\nshared footer\nunique two", 3L, 0L))
+    assert(out(2L) == ("unique three", 2L, 1L))
+    assert(out(3L) == ("", 2L, 2L))
+    assert(out(4L) == ("twice\nunique four", 3L, 1L))
+  }
+
   test("containmentPairs: a quoted snippet scores full containment in " +
       "one direction while its Jaccard stays low") {
     import spark.implicits._

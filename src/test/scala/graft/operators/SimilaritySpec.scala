@@ -305,4 +305,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.6, s"LSH pair recall $recall below spec floor 0.6 " +
       "(driver gate 0.5)")
   }
+
+  test("contrastivePairs: strict pair, degenerate pos==neg when the " +
+      "nearest neighbor is already below tau, null negative when no " +
+      "candidate is") {
+    import spark.implicits._
+    // unit-circle fixture, tau = 0.7:
+    //   v1·v2 = 0.8, v1·v3 = 0.6, v2·v3 = 0.96,
+    //   v4: (-0.6, 0.8) -> cos to v1/v2/v3 = -0.6 / 0.0 / 0.28
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(-0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.contrastivePairs(vecs, tau = 0.7).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == (2L, 3L)) // strict: pos 0.8, hardest <= 0.7 is v3
+    assert(out(2L) == (3L, 4L)) // strict: pos 0.96, only v4 (0.0) <= 0.7
+    assert(out(4L) == (3L, 3L)) // degenerate: best (0.28) already <= tau
+    // null negative: a tight 2-vector corpus has nothing <= tau
+    val tight = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.contrastivePairs(tight, tau = 0.7).collect()
+    assert(t.forall(r => r.getLong(1) != r.getLong(0) && r.isNullAt(3)))
+  }
 }
