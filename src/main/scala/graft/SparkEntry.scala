@@ -336,6 +336,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // SFT loss masking: the corpus as (prompt, response) pairs — the
+    // first 5 + doc_id%10 words are prompt (mask 0), the rest response
+    // (mask 1) — over the unigram marked id stream; word granularity
+    // is exact because no subword piece spans two words
+    "q318_prompt_mask" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.promptMask(
+          UnigramLm.encodeIdsMarked(docs, maxPieceLen = 4,
+            maxWordLen = 12, iterations = 2),
+          docs.select(col("doc_id"),
+            (lit(5L) + pmod(col("doc_id"), lit(10L)))
+              .as("n_prompt_words")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // contrastive pair mining (SimCSE/E5 data prep): per anchor the
     // exact nearest neighbor as positive and the hardest candidate at
     // or below τ=0.35 as negative — τ chosen INSIDE the corpus's
@@ -7752,6 +7767,36 @@ object SparkEntry {
     // q237 label + the shared unrolled chain at d = 16
     "q311_fasttext_train" ->
       hashedLogRegOracleSql(nBuckets = 16, iterations = 5, lr = 0.5),
+
+    // q318: q271's chain with the word index exposed (0-based like the
+    // marked encoder) and the prompt-length mask arithmetic
+    "q318_prompt_mask" ->
+      s"""WITH ${unigramOracleCtes(4, 12, 2)},
+         |fcf AS MATERIALIZED (
+         |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+         |  FROM (SELECT piece FROM uc0) c
+         |  LEFT JOIN (
+         |    SELECT piece, sum(freq) AS used FROM (
+         |      SELECT freq, unnest(string_split(seg, ' ')) AS piece
+         |      FROM efseg) x GROUP BY piece) u USING (piece)),
+         |uids AS MATERIALIZED (
+         |  SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+         |    AS BIGINT) AS token_id
+         |  FROM fcf),
+         |uwp AS MATERIALIZED (
+         |  SELECT word, u['spos'] AS spos, u['piece'] AS piece FROM (
+         |    SELECT word,
+         |      unnest([{'spos': i, 'piece': sp[i]}
+         |              FOR i IN range(1, len(sp) + 1)]) AS u
+         |    FROM (SELECT word, string_split(seg, ' ') AS sp FROM efseg) s0))
+         |SELECT d.doc_id, CAST(d.wpos - 1 AS BIGINT) AS wpos,
+         |  CAST(row_number() OVER (PARTITION BY d.doc_id
+         |    ORDER BY d.wpos, w.spos) - 1 AS BIGINT) AS pos,
+         |  w.piece, i.token_id,
+         |  CAST(CASE WHEN d.wpos - 1 < 5 + d.doc_id % 10
+         |    THEN 0 ELSE 1 END AS BIGINT) AS loss_mask
+         |FROM dw d JOIN uwp w USING (word) JOIN uids i ON i.piece = w.piece
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // q317: all-pairs 6-dp cosines; positive = rank 1 under
     // (c DESC, id); negative = rank 1 of the ≤ τ subset

@@ -242,4 +242,24 @@ object Packing {
         sum(col(tokCol) * (col("offset") + lit(1L))).cast("long")
           .as("checksum"))
   }
+
+  /** SFT loss masking — the instruction-tuning data-prep step: given a
+    * MARKED id stream (a word index `wpos` per token, the
+    * [[UnigramLm.encodeIdsMarked]] contract) and a per-document prompt
+    * length IN WORDS, adds `loss_mask` — 0 on prompt tokens (context
+    * the model conditions on) and 1 on response tokens (the ones the
+    * loss trains on). Word granularity is exact for word-boundary
+    * subword tokenizers: no piece ever spans two words, so no token
+    * straddles the mask boundary. One doc-keyed equi-join plus
+    * row-local arithmetic — the id stream keeps its partitioning.
+    */
+  def promptMask(idsMarked: DataFrame, promptLens: DataFrame,
+                 idCol: String = "doc_id"): DataFrame = {
+    val outCols = idsMarked.columns.map(col) :+
+      when(col("wpos") < col("n_prompt_words"), lit(0L))
+        .otherwise(lit(1L)).as("loss_mask")
+    idsMarked.join(promptLens.select(col(idCol), col("n_prompt_words")),
+        Seq(idCol))
+      .select(outCols: _*)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Dedup, TrackedCaches}
+
+/** Continuous near-dup detection against a PERSISTED MinHash index —
+  * the streaming closure of the incremental-dedup loop: each
+  * micro-batch (1) probes the index for near-dup pairs — batch ×
+  * already-indexed corpus plus within-batch — via
+  * [[Dedup.nearDupsFromIndex]], then (2) GROWS the index with
+  * [[Dedup.appendMinhashIndex]] so every later batch dedups against
+  * this one. Only the arriving batch is ever signed; the indexed
+  * corpus is never re-read beyond its band keys.
+  *
+  * Semantics notes, both deliberate:
+  *  - `onPairs` runs BEFORE the append and must MATERIALIZE its frame
+  *    (write/collect) synchronously — the append stage-and-swaps the
+  *    index dirs the pair frame lazily reads, so a deferred
+  *    materialization would read a moved directory.
+  *  - Failure-replayed batches re-append (foreachBatch is
+  *    at-least-once): duplicated index keys for the replayed docs,
+  *    the SAME at-least-once contract the reference append sink
+  *    documents (SURVEY §2A13). Production hardening is batchId
+  *    bookkeeping next to the index, orthogonal to the dedup logic.
+  *
+  * Per-batch internal caches (shingle arrays, candidate frames) are
+  * scoped-released so a long-running stream holds no growing cache.
+  */
+object StreamingNearDup {
+
+  def start(stream: DataFrame, indexDir: String,
+            onPairs: (DataFrame, Long) => Unit,
+            threshold: Double, idCol: String = "doc_id",
+            textCol: String = "text", shingleSize: Int = 3,
+            numHashes: Int = 32, rowsPerBand: Int = 4,
+            maxBucket: Long = 1000L,
+            checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        TrackedCaches.scopedRelease {
+          val pairs = Dedup.nearDupsFromIndex(spark, indexDir,
+            batch.toDF(), idCol, textCol, threshold, shingleSize,
+            numHashes, rowsPerBand, maxBucket)
+          onPairs(pairs, batchId)
+          Dedup.appendMinhashIndex(spark, indexDir, batch.toDF(),
+            idCol, textCol, shingleSize, numHashes, rowsPerBand,
+            maxBucket)
+        }
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+}
