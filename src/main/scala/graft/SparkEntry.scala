@@ -550,6 +550,19 @@ object SparkEntry {
       TextAnalysis.bm25Search(t(s, dir, "documents"),
         Seq("hash", "join", "scan"), topK = 25)),
 
+    // the same search answered FROM a persisted inverted index — the
+    // postings scan prunes to the query terms' md5-bucket partitions,
+    // ZERO corpus scan; byte-identical by contract, q66's oracle
+    // shared verbatim (the q129/q272/q312 precedent)
+    "q319_bm25_from_index" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/inverted_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      TextAnalysis.writeInvertedIndex(t(s, dir, "documents"), idx)
+      TextAnalysis.bm25FromIndex(s, idx, Seq("hash", "join", "scan"),
+        topK = 25)
+    }),
+
     "q26_doc_terms" -> ((s, dir) =>
       TextAnalysis.docTerms(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("term"))),
@@ -4361,6 +4374,40 @@ object SparkEntry {
        |SELECT doc_id, round(p, 6) AS p_quality,
        |  CAST(p >= 0.5 AS INT) AS pred_quality
        |FROM lrfinal ORDER BY doc_id""".stripMargin
+
+  private val bm25OracleSql: String = {
+      val terms = Seq("hash", "join", "scan").sorted
+      val k1 = 1.2
+      val b = 0.75
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val sumExpr = terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0e0)")
+        .mkString("\n      + ")
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+         |dt AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList)
+         |  GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |s AS (
+         |  SELECT dt.doc_id, dt.term,
+         |    ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * (tf * ${k1 + 1}e0) /
+         |      (tf + ${k1}e0 * (1.0e0 - ${b}e0 + ${b}e0 * dl * n_docs / sum_dl)) AS s
+         |  FROM dt JOIN lens USING (doc_id) JOIN dfs USING (term) CROSS JOIN g)
+         |SELECT doc_id,
+         |  round($sumExpr, 6) AS bm25,
+         |  count(*) AS n_matched
+         |FROM s
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 25""".stripMargin
+    }
 
   /** q311: the q237 training replay over HASHED features — the q177
     * md5 bucket/sign CTEs densified to `x1..x{nBuckets}` (zero-filled),
@@ -8184,39 +8231,9 @@ object SparkEntry {
     // constants interpolated from the same Scala doubles the query uses
     // (shortest-repr round-trip → both engines parse identical values);
     // expression trees mirror bm25Search exactly (IEEE non-associativity)
-    "q66_bm25_search" -> {
-      val terms = Seq("hash", "join", "scan").sorted
-      val k1 = 1.2
-      val b = 0.75
-      val inList = terms.map(t => s"'$t'").mkString(", ")
-      val sumExpr = terms.map(t =>
-        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0e0)")
-        .mkString("\n      + ")
-      s"""WITH lens AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
-         |  FROM documents),
-         |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
-         |dt AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-         |    FROM documents)
-         |  WHERE term IN ($inList)
-         |  GROUP BY doc_id, term),
-         |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
-         |s AS (
-         |  SELECT dt.doc_id, dt.term,
-         |    ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * (tf * ${k1 + 1}e0) /
-         |      (tf + ${k1}e0 * (1.0e0 - ${b}e0 + ${b}e0 * dl * n_docs / sum_dl)) AS s
-         |  FROM dt JOIN lens USING (doc_id) JOIN dfs USING (term) CROSS JOIN g)
-         |SELECT doc_id,
-         |  round($sumExpr, 6) AS bm25,
-         |  count(*) AS n_matched
-         |FROM s
-         |GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id
-         |LIMIT 25""".stripMargin
-    },
+    "q66_bm25_search" -> bm25OracleSql,
+
+    "q319_bm25_from_index" -> bm25OracleSql,
 
     "q26_doc_terms" ->
       """SELECT doc_id, term, count(*) AS tf FROM (

@@ -309,8 +309,19 @@ object TextAnalysis {
     val terms = queryTerms.distinct.sorted
     val lens = docs.select(col(idCol),
       wsTokenCountCol(col(textCol)).cast("long").as("dl"))
-    val global = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dt = docTerms(docs, idCol, textCol).filter(col("term").isin(terms: _*))
+    bm25Core(dt, lens, terms, idCol, k1, b, topK)
+  }
+
+  /** The shared BM25 tail: per-term document frequencies and the
+    * global (N, Σdl) row derive from the supplied frames, scoring uses
+    * ONE fixed expression tree (see [[bm25Search]]'s determinism
+    * notes). `dt` must already be restricted to the query terms.
+    */
+  private def bm25Core(dt: DataFrame, lens: DataFrame, terms: Seq[String],
+                       idCol: String, k1: Double, b: Double,
+                       topK: Int): DataFrame = {
+    val global = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfs = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = dt
       .join(lens, idCol)
@@ -331,6 +342,60 @@ object TextAnalysis {
       .select(col(idCol), col("bm25"), col("n_matched"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** Persist the lexical-retrieval index: `dir/postings` = the full
+    * (doc, term, tf) frame PARTITIONED by a 52-bit-md5 term bucket —
+    * so a query's scan prunes to its terms' bucket DIRECTORIES and
+    * never touches the corpus — plus `dir/lens` (doc lengths) and the
+    * stats a query needs. Bucketing by hash (not raw term) bounds the
+    * directory count at `nBuckets` regardless of vocabulary size; the
+    * residual in-bucket rows are filtered by the pushed term
+    * predicate. The md5 family is the repo's portable idiom
+    * ([[graft.operators.Encoding.hashFeatures]]).
+    */
+  def writeInvertedIndex(docs: DataFrame, dir: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val lens = docs.select(col(idCol),
+      wsTokenCountCol(col(textCol)).cast("long").as("dl"))
+    lens.write.mode("overwrite").parquet(s"$dir/lens")
+    val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
+      16, 10).cast("long"), lit(nBuckets.toLong))
+    docTerms(docs, idCol, textCol)
+      .withColumn("pbucket", bucket)
+      .write.mode("overwrite").partitionBy("pbucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** [[bm25Search]] answered FROM the persisted index — byte-identical
+    * scores with ZERO corpus scan: the postings read prunes to the
+    * query terms' bucket partitions (driver-side md5 of each term —
+    * the same 52-bit family the writer used), document frequencies
+    * and the global stats derive from the index frames exactly as the
+    * from-scratch path derives them from the corpus. `nBuckets` must
+    * match the build.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queryTerms: Seq[String], idCol: String = "doc_id",
+                    k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+                    nBuckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25FromIndex needs at least one query term")
+    val terms = queryTerms.distinct.sorted
+    val buckets = terms.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16) % nBuckets
+    }.distinct
+    val dt = spark.read.parquet(s"$dir/postings")
+      .filter(col("pbucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .select(col(idCol), col("term"), col("tf"))
+    bm25Core(dt, spark.read.parquet(s"$dir/lens"), terms, idCol, k1, b,
+      topK)
   }
 
   /** Per-document average unigram surprisal in nats — the classic

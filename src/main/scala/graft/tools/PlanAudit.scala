@@ -240,6 +240,11 @@ object PlanAudit {
         "cartesian-expanded against the full eval set",
       Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
       Seq("CartesianProduct")),
+    Check("inverted-index partition pruning", "q319_bm25_from_index",
+      "the postings scan prunes to the query terms' md5-bucket " +
+        "PARTITION directories and the plan never touches the corpus " +
+        "parquet — the zero-corpus-scan retrieval contract",
+      Seq("PartitionFilters: [pbucket"), Seq("documents.parquet")),
     Check("single-scan canary audit", "q307_canary_scan",
       "ALL canaries' occurrence counts come from ONE scan of documents " +
         "(one projection + one combinable aggregate, unpivoted) — no " +
