@@ -563,6 +563,23 @@ object SparkEntry {
         topK = 25)
     }),
 
+    // incremental index maintenance for retrieval: build on ⅔, APPEND
+    // the last third (new files under existing bucket partitions —
+    // nothing rewritten), probe — must equal q66/q319 exactly since
+    // df/global stats derive from the frames at query time
+    "q320_bm25_index_append" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/inverted_append_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.writeInvertedIndex(
+        docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), idx)
+      TextAnalysis.appendInvertedIndex(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), idx)
+      TextAnalysis.bm25FromIndex(s, idx, Seq("hash", "join", "scan"),
+        topK = 25)
+    }),
+
     "q26_doc_terms" -> ((s, dir) =>
       TextAnalysis.docTerms(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("term"))),
@@ -8234,6 +8251,8 @@ object SparkEntry {
     "q66_bm25_search" -> bm25OracleSql,
 
     "q319_bm25_from_index" -> bm25OracleSql,
+
+    "q320_bm25_index_append" -> bm25OracleSql,
 
     "q26_doc_terms" ->
       """SELECT doc_id, term, count(*) AS tf FROM (

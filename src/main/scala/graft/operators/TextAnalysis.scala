@@ -370,6 +370,33 @@ object TextAnalysis {
       .parquet(s"$dir/postings")
   }
 
+  /** Incremental index maintenance — the retrieval sibling of
+    * [[graft.operators.Dedup.appendMinhashIndex]], and STRICTLY
+    * simpler because every index frame is per-doc-derivable: the
+    * batch's postings append as NEW FILES under their existing bucket
+    * partition directories (nothing is rewritten — partitioned
+    * append-mode write), doc lengths append likewise, and document
+    * frequencies / global stats are derived at QUERY time from the
+    * frames, so `index(A) + append(B) ≡ build(A ∪ B)` exactly, with
+    * no cap bookkeeping. Ids must be new (same uniqueness contract as
+    * the dedup index); `nBuckets` must match the build.
+    */
+  def appendInvertedIndex(docs: DataFrame, dir: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    docs.select(col(idCol),
+        wsTokenCountCol(col(textCol)).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/lens")
+    val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
+      16, 10).cast("long"), lit(nBuckets.toLong))
+    docTerms(docs, idCol, textCol)
+      .withColumn("pbucket", bucket)
+      .write.mode("append").partitionBy("pbucket")
+      .parquet(s"$dir/postings")
+  }
+
   /** [[bm25Search]] answered FROM the persisted index — byte-identical
     * scores with ZERO corpus scan: the postings read prunes to the
     * query terms' bucket partitions (driver-side md5 of each term —
