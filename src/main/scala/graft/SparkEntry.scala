@@ -360,6 +360,34 @@ object SparkEntry {
       Similarity.contrastivePairs(t(s, dir, "embeddings"), tau = 0.35)
         .orderBy(col("anchor_id"))),
 
+    // per-doc memorization risk: fraction of each doc's distinct
+    // trigram shingles that occur in at least one OTHER document —
+    // the per-doc drill-down under q310's per-source dup burden
+    "q321_memorization_risk" -> ((s, dir) =>
+      Dedup.duplicatedShingleFraction(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // schema-drift audit between two parquet snapshots: v2 retypes the
+    // price, drops the priority, adds a flag — the report must read
+    // REAL footers and classify every column
+    "q322_schema_drift" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/schema_drift_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val orders = t(s, dir, "orders")
+      orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .limit(10).write.mode("overwrite").parquet(s"$base/v1")
+      orders.select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"),
+          col("o_orderdate"),
+          (pmod(col("o_orderkey"), lit(2L)) === 0L).cast("int")
+            .as("o_flag"))
+        .limit(10).write.mode("overwrite").parquet(s"$base/v2")
+      Maintenance.schemaDiff(s, s"$base/v1", s"$base/v2")
+        .orderBy(col("col_name"))
+    }),
+
     // the mixture loop EXECUTED: q239's learned weights turned into
     // fractional epoch factors at a 2×-corpus document budget and the
     // replicated training stream emitted — the up-sampling complement
@@ -7884,6 +7912,45 @@ object SparkEntry {
         |  ON n.anchor_id = p.anchor_id AND n.rn = 1
         |WHERE p.rn = 1
         |ORDER BY p.anchor_id""".stripMargin,
+
+    // q321: the q16 string-shingle CTEs (w.h.p.-equivalent to the
+    // hashed form, documented) + df >= 2 per-doc rollup
+    "q321_memorization_risk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |  FROM toks),
+        |tokf AS (
+        |  SELECT doc_id, unnest(shingles) AS term FROM sh WHERE true),
+        |tokn AS (SELECT doc_id, term FROM tokf WHERE term <> ''),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tokn GROUP BY term)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac6
+        |FROM tokn t JOIN dfq d USING (term)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // q322: the fixture's classification is hand-derivable, so the
+    // oracle pins it as literals — the operator must read REAL parquet
+    // footers to reproduce the type strings (q31's pinned-expectation
+    // precedent for validation surfaces)
+    "q322_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('o_flag', NULL, 'int', 'added'),
+        |  ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', 'same'),
+        |  ('o_orderkey', 'bigint', 'bigint', 'same'),
+        |  ('o_orderpriority', 'string', NULL, 'removed'),
+        |  ('o_totalprice', 'double', 'decimal(15,2)', 'retyped'))
+        |  AS t(col_name, type_a, type_b, status)
+        |ORDER BY col_name""".stripMargin,
 
     // q316: q239's replayed weights → micro-epoch factors → the
     // deterministic md5-draw replication stream

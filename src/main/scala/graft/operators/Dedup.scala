@@ -581,6 +581,35 @@ object Dedup {
     jaccardOfCandidates(cand, allArrays, threshold)
   }
 
+  /** Per-document memorization-risk readout — the CROSS-document
+    * complement of the Gopher within-doc repetition features: what
+    * fraction of each document's distinct n-gram shingles occurs in
+    * at least one OTHER document (per-doc shingles are distinct, so
+    * corpus df ≥ 2 ⟺ shared). High `shared_frac6` marks documents a
+    * model could reproduce verbatim from elsewhere in the corpus —
+    * the per-DOC drill-down under q310's per-source burden.
+    *
+    * One explode over the shared (cached) shingle arrays, one
+    * map-side-combinable df count, one join back, one per-doc rollup —
+    * no pair generation anywhere (this is a UNARY readout, not a
+    * pair detector).
+    */
+  def duplicatedShingleFraction(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                shingleSize: Int = 3): DataFrame = {
+    val tok = sharedShingleArrays(docs, idCol, textCol, shingleSize)
+      .select(col("doc"), explode(col("sh")).as("h"))
+    val dfq = tok.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    tok.join(dfq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2L, lit(1L)).otherwise(lit(0L)))
+          .as("n_shared"))
+      .select(col("doc").as(idCol), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          col("n_shingles").cast("double"), 6).as("shared_frac6"))
+  }
+
   /** Corpus-level exact LINE dedup with document rewrite — the
     * C4/RefinedWeb boilerplate-removal step at line granularity:
     * every distinct line (exact string key) keeps exactly its FIRST

@@ -100,6 +100,31 @@ object Maintenance {
     n
   }
 
+  /** Schema-drift report between two parquet snapshots — the
+    * ingestion-side audit a lake runs before a new data drop joins the
+    * table family (the batch complement of the sink's schema-subset
+    * validation, SURVEY §2A4): full-outer on column name, each column
+    * classified added / removed / same / retyped, with both snapshots'
+    * type strings shown. Driver-side METADATA only — parquet footer
+    * schemas, bounded by column count (the [[compactParquet]] listing
+    * precedent) — so the report costs zero data IO at any table size.
+    */
+  def schemaDiff(spark: SparkSession, dirA: String,
+                 dirB: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def fieldsOf(d: String) = spark.read.parquet(d).schema.fields
+      .map(f => (f.name, f.dataType.simpleString)).toSeq
+    val a = fieldsOf(dirA).toDF("col_name", "type_a")
+    val b = fieldsOf(dirB).toDF("col_name", "type_b")
+    a.join(b, Seq("col_name"), "full_outer")
+      .select(col("col_name"), col("type_a"), col("type_b"),
+        when(col("type_a").isNull, lit("added"))
+          .when(col("type_b").isNull, lit("removed"))
+          .when(col("type_a") === col("type_b"), lit("same"))
+          .otherwise(lit("retyped")).as("status"))
+  }
+
   /** Order-invariant corpus checksum: Σ over rows of the 52-bit
     * md5-ring fingerprint of the rendered row, plus the row count.
     * Verifies two copies of a dataset are identical — across

@@ -151,4 +151,22 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(withNull.getLong(0) === 2L)
     assert(withNull.getString(1) !== ck(Seq(("x", ""), ("y", "z"))).getString(1))
   }
+
+  test("schemaDiff: added/removed/same/retyped from real footers; " +
+      "identical snapshots report all-same") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sdiff").toString
+    Seq((1L, "a", 1.5)).toDF("id", "name", "score")
+      .write.parquet(s"$base/v1")
+    Seq((1L, 2, true)).toDF("id", "score", "active")
+      .selectExpr("CAST(id AS INT) AS id", "score", "active")
+      .write.parquet(s"$base/v2")
+    val out = Maintenance.schemaDiff(spark, s"$base/v1", s"$base/v2")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map("id" -> "retyped", "name" -> "removed",
+      "score" -> "retyped", "active" -> "added"))
+    val same = Maintenance.schemaDiff(spark, s"$base/v1", s"$base/v1")
+      .collect()
+    assert(same.length == 3 && same.forall(_.getString(3) == "same"))
+  }
 }
