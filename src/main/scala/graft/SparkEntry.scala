@@ -360,6 +360,38 @@ object SparkEntry {
       Similarity.contrastivePairs(t(s, dir, "embeddings"), tau = 0.35)
         .orderBy(col("anchor_id"))),
 
+    // active-learning loop: the 40 docs the q237 classifier is LEAST
+    // confident about (|p − 0.5| smallest) — what goes back to the
+    // annotators before the next training round
+    "q323_uncertainty_sample" -> ((s, dir) =>
+      DataSelection.uncertaintySample(
+          LogReg.trainAndScore(
+            TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+              .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+            "label", LogRegFeatures, iterations = 5, lr = 0.5),
+          k = 40)
+        .orderBy(col("margin6"), col("doc_id"))),
+
+    // filter-disagreement audit: the KN perplexity terciles crossed
+    // with the trained classifier's keep/drop verdicts — where the two
+    // quality signals contradict is exactly what a curation owner
+    // inspects before trusting either filter
+    "q324_filter_disagreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val buckets = NgramLm.knPplBuckets(docs)
+        .select(col("doc_id"), col("bucket"))
+      val preds = LogReg.trainAndScore(
+          TextAnalysis.qualityFeatures(docs)
+            .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+          "label", LogRegFeatures, iterations = 5, lr = 0.5)
+        .select(col("doc_id"),
+          col("pred_quality").cast("int").as("pred_quality"))
+      buckets.join(preds, Seq("doc_id"))
+        .groupBy(col("bucket"), col("pred_quality"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"), col("pred_quality"))
+    }),
+
     // per-doc memorization risk: fraction of each doc's distinct
     // trigram shingles that occur in at least one OTHER document —
     // the per-doc drill-down under q310's per-source dup burden
@@ -7912,6 +7944,38 @@ object SparkEntry {
         |  ON n.anchor_id = p.anchor_id AND n.rn = 1
         |WHERE p.rn = 1
         |ORDER BY p.anchor_id""".stripMargin,
+
+    // q323: the q237/q238 chain's final probabilities, 6-dp rounded,
+    // ordered by |p − 0.5| with id tiebreak, cut at 40
+    "q323_uncertainty_sample" ->
+      s"""WITH ${logRegOracleCtes(5, 0.5)}
+         |SELECT doc_id, p_quality,
+         |  round(abs(p_quality - 0.5e0), 6) AS margin6
+         |FROM (SELECT doc_id, round(p, 6) AS p_quality FROM lrfinal)
+         |ORDER BY abs(p_quality - 0.5e0), doc_id
+         |LIMIT 40""".stripMargin,
+
+    // q324: the KN tercile chain and the LogReg chain in ONE WITH
+    // (disjoint CTE prefixes), crossed per doc
+    "q324_filter_disagreement" ->
+      s"""WITH $knTrigramCtes,
+         |knd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM kdnll),
+         |krk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY CAST(s AS DOUBLE) / (-1000000.0) / n_tokens,
+         |               doc_id) AS BIGINT) AS rank
+         |  FROM kdnll),
+         |kbkt AS (
+         |  SELECT r.doc_id,
+         |    CASE WHEN r.rank * 3 <= nd THEN 'head'
+         |         WHEN r.rank * 3 <= 2 * nd THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM krk r, knd),
+         |${logRegOracleCtes(5, 0.5)}
+         |SELECT b.bucket, CAST(f.p >= 0.5 AS INT) AS pred_quality,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM kbkt b JOIN lrfinal f USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q321: the q16 string-shingle CTEs (w.h.p.-equivalent to the
     // hashed form, documented) + df >= 2 per-doc rollup

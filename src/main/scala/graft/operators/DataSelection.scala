@@ -267,6 +267,25 @@ object DataSelection {
         .as("kl"))
   }
 
+  /** Active-learning uncertainty sampling — the labeling-loop step of
+    * classifier bootstrapping (DataComp/fastText-filter practice:
+    * label a seed set, train, send the model's LEAST-CONFIDENT
+    * documents back to annotators): the k docs with the smallest
+    * |p − 0.5| under the trained classifier's probabilities, ties to
+    * the lowest id. k-bounded TakeOrdered — never a global sort of
+    * the corpus.
+    */
+  def uncertaintySample(scored: DataFrame, k: Int,
+                        idCol: String = "doc_id",
+                        probCol: String = "p_quality"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    scored.select(col(idCol), col(probCol),
+        abs(col(probCol) - lit(0.5)).as("__m"))
+      .orderBy(col("__m"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col(probCol), round(col("__m"), 6).as("margin6"))
+  }
+
   /** Data-recipe EXECUTOR — fractional-epoch replication, the
     * up-sampling complement of the DoReMi down-sampler: given a
     * per-domain weight frame (`(domain, weight)`, e.g.
