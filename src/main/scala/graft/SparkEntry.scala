@@ -360,6 +360,34 @@ object SparkEntry {
       Similarity.contrastivePairs(t(s, dir, "embeddings"), tau = 0.35)
         .orderBy(col("anchor_id"))),
 
+    // ensemble quality keep-list: three independent quality signals
+    // (bigram perplexity asc, classifier probability desc, 2-gram
+    // repetition asc), each rank-cored and TRUNCATED to its top-200
+    // candidates (rrfFuse's bounded-list contract — the fusion window
+    // never sees the corpus), RRF-fused to the top-50 — the ensemble
+    // filtering practice that outperforms any single signal
+    "q325_quality_ensemble" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def top200(df: DataFrame, order: Seq[String]) =
+        Ranking.rangeRank(df, Nil, order, "rank")
+          .select(col("doc_id"), col("rank").cast("long").as("rank"))
+          .filter(col("rank") <= 200L)
+      val ppl = top200(NgramLm.docNll(docs)
+        .select(col("doc_id"), col("nll")), Seq("nll", "doc_id"))
+      val clf = top200(LogReg.trainAndScore(
+          TextAnalysis.qualityFeatures(docs)
+            .withColumn("label", (col("n_tokens") >= 50L).cast("int")),
+          "label", LogRegFeatures, iterations = 5, lr = 0.5)
+        .select(col("doc_id"), (-col("p_quality")).as("__np")),
+        Seq("__np", "doc_id"))
+      val rep = top200(TextAnalysis.repetitionFeatures(
+          docs.filter(col("text").isNotNull && trim(col("text")) =!= ""))
+        .select(col("doc_id"), col("dup_2gram_ratio")),
+        Seq("dup_2gram_ratio", "doc_id"))
+      HybridSearch.rrfFuse(Seq("ppl" -> ppl, "clf" -> clf, "rep" -> rep),
+        topK = 50)
+    }),
+
     // active-learning loop: the 40 docs the q237 classifier is LEAST
     // confident about (|p − 0.5| smallest) — what goes back to the
     // annotators before the next training round
@@ -7944,6 +7972,57 @@ object SparkEntry {
         |  ON n.anchor_id = p.anchor_id AND n.rn = 1
         |WHERE p.rn = 1
         |ORDER BY p.anchor_id""".stripMargin,
+
+    // q325: three rank chains (bigram nll, classifier p, dup-2gram),
+    // each top-200, the q78 RRF arithmetic over their union
+    "q325_quality_ensemble" ->
+      s"""WITH $bigramNllCtes,
+         |pplr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY CAST(s AS DOUBLE) / (-1000000.0) / n_tokens, doc_id)
+         |    AS BIGINT) AS r
+         |  FROM dnll),
+         |eppl AS (SELECT doc_id, r FROM pplr WHERE r <= 200),
+         |${logRegOracleCtes(5, 0.5)},
+         |eclfr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY round(p, 6) DESC, doc_id) AS BIGINT) AS r
+         |  FROM lrfinal),
+         |eclf AS (SELECT doc_id, r FROM eclfr WHERE r <= 200),
+         |ertk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |erv AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(t) - 1, 0) - len(list_distinct(list_transform(
+         |      generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))))
+         |      AS DOUBLE) / greatest(len(t) - 1, 1) AS dr
+         |  FROM ertk),
+         |erepr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY dr, doc_id)
+         |    AS BIGINT) AS r
+         |  FROM erv),
+         |erep AS (SELECT doc_id, r FROM erepr WHERE r <= 200),
+         |euni AS (
+         |  SELECT doc_id FROM eppl UNION SELECT doc_id FROM eclf
+         |  UNION SELECT doc_id FROM erep),
+         |efuse AS (
+         |  SELECT u.doc_id, p.r AS ppl_rank, c.r AS clf_rank,
+         |    e.r AS rep_rank,
+         |    round(coalesce(1.0e0 / (60 + p.r), 0.0e0)
+         |      + coalesce(1.0e0 / (60 + c.r), 0.0e0)
+         |      + coalesce(1.0e0 / (60 + e.r), 0.0e0), 6) AS rrf_score
+         |  FROM euni u LEFT JOIN eppl p USING (doc_id)
+         |  LEFT JOIN eclf c USING (doc_id)
+         |  LEFT JOIN erep e USING (doc_id))
+         |SELECT doc_id, ppl_rank, clf_rank, rep_rank, rrf_score,
+         |  fused_rank
+         |FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+         |  FROM efuse)
+         |WHERE fused_rank <= 50
+         |ORDER BY fused_rank""".stripMargin,
 
     // q323: the q237/q238 chain's final probabilities, 6-dp rounded,
     // ordered by |p − 0.5| with id tiebreak, cut at 40
