@@ -245,6 +245,16 @@ object PlanAudit {
         "PARTITION directories and the plan never touches the corpus " +
         "parquet — the zero-corpus-scan retrieval contract",
       Seq("PartitionFilters: [pbucket"), Seq("documents.parquet")),
+    Check("line-dedup argmin shape", "q315_line_dedup",
+      "global keep-first line dedup runs as explode + min(struct) " +
+        "argmin + join-back + sorted-struct reassembly — no window " +
+        "over the corpus, no join product",
+      Seq(), Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("recipe-replication k-row joins", "q316_recipe_replicate",
+      "the epoch factors meet the doc stream through plain equi-joins " +
+        "(k-row sides hint-free for AQE); replication is a row-local " +
+        "sequence explode — no join product, no window",
+      Seq("Generate"), Seq("Window", "CartesianProduct")),
     Check("single-scan canary audit", "q307_canary_scan",
       "ALL canaries' occurrence counts come from ONE scan of documents " +
         "(one projection + one combinable aggregate, unpivoted) — no " +
