@@ -2687,6 +2687,20 @@ object SparkEntry {
         .orderBy(col("seq_no"))
     }),
 
+    // the training run's full data order, resumable: epochs 1–2 of the
+    // q258 sequences, each under its own md5 shuffle, globally step-
+    // numbered and sliced at step 10 — a crashed trainer's restart
+    // point, recomputation-free
+    "q326_training_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.trainingOrder(
+          Packing.chunkTokenStream(
+            Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+            seqLen = 512),
+          epochs = Seq(1, 2), resumeFrom = 10L)
+        .orderBy(col("step"))
+    }),
+
     // data-constrained mixture planning (Muennighoff 2023): per-domain
     // token availability vs a skewed target mixture ((N%4+1)/50 per
     // srcN — the corpus's equal sources make FLAT weights vacuous) at a
@@ -11206,6 +11220,37 @@ object SparkEntry {
           |  ch.checksum, o2.shard, o.epoch_pos, o2.shard_pos
           |FROM ch JOIN o USING (seq_no) JOIN o2 USING (seq_no)
           |ORDER BY seq_no""".stripMargin
+    },
+
+    // q326: the q258 chain to the ch frame, one md5 order per epoch,
+    // one global step rank, the resume slice as a filter
+    "q326_training_order" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |gx AS (
+          |  SELECT doc_id, token_id,
+          |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+          |  FROM ids),
+          |ch AS MATERIALIZED (
+          |  SELECT CAST(idx // 512 AS BIGINT) AS seq_no
+          |  FROM gx GROUP BY 1),
+          |eord AS (
+          |  SELECT CAST(e.e AS BIGINT) AS epoch, c.seq_no,
+          |    CAST(row_number() OVER (PARTITION BY e.e
+          |      ORDER BY md5(CAST(e.e AS VARCHAR) || '#'
+          |        || CAST(c.seq_no AS VARCHAR)), c.seq_no) - 1 AS BIGINT)
+          |      AS epoch_pos
+          |  FROM ch c CROSS JOIN (SELECT unnest([1, 2]) AS e) e)
+          |SELECT step, epoch, seq_no, epoch_pos FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY epoch, epoch_pos) - 1
+          |    AS BIGINT) AS step, epoch, seq_no, epoch_pos
+          |  FROM eord)
+          |WHERE step >= 10
+          |ORDER BY step""".stripMargin
     },
 
     "q209_hits" -> hitsOracleSql(3),

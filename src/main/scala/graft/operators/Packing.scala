@@ -105,6 +105,37 @@ object Packing {
       .drop("__eid", "__k", "__g", "__s")
   }
 
+  /** Multi-epoch training order with checkpoint RESUME — the data
+    * loader's restart contract: the full training-run order is the
+    * concatenation of each epoch's [[epochShuffle]] order (each epoch
+    * reshuffles under its own md5 key — no two epochs repeat an
+    * order), `step` numbers the whole run, and `resumeFrom` slices
+    * away already-consumed steps WITHOUT recomputing or re-shuffling
+    * anything — a crashed trainer resumes mid-epoch bit-identically.
+    * Output: `(step, epoch, seq_no, epoch_pos)`.
+    *
+    * Scale: one rank-core pass per epoch (epoch count is a small
+    * constant) plus one final rank-core pass over the union — no
+    * single-task window; the resume slice is a filter, not a skip
+    * loop.
+    */
+  def trainingOrder(seqs: DataFrame, epochs: Seq[Int],
+                    resumeFrom: Long = 0L,
+                    seqNoCol: String = "seq_no"): DataFrame = {
+    require(epochs.nonEmpty && epochs.distinct.size == epochs.size,
+      s"epochs must be non-empty and distinct, got $epochs")
+    require(resumeFrom >= 0L, s"resumeFrom must be >= 0, got $resumeFrom")
+    val uni = epochs.sorted.map { e =>
+      epochShuffle(seqs, e, numShards = 1, seqNoCol)
+        .select(col(seqNoCol), col("epoch_pos"))
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_ unionByName _)
+    Ranking.rangeRank(uni, Nil, Seq("epoch", "epoch_pos"), "__step")
+      .select((col("__step") - 1).cast("long").as("step"),
+        col("epoch"), col(seqNoCol), col("epoch_pos"))
+      .filter(col("step") >= resumeFrom)
+  }
+
   /** Curriculum ordering of training examples (Bengio et al. 2009, the
     * quality-annealed data schedules LLM trainers run): ascending-score
     * TIER schedule — equal-size tiers by the rank of `scoreCol`, low

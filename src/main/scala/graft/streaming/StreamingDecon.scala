@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Benchmark decontamination ON INGEST — the streaming closure of the
+  * eval-hygiene story (quality filter → near-dup → THIS): every
+  * arriving document is checked for `shingleSize`-gram overlap with
+  * the benchmark eval set before it can enter the corpus, so
+  * contamination is stopped at the door instead of audited after the
+  * fact.
+  *
+  * The eval side is structurally tiny (an MB-scale benchmark — the
+  * documented broadcast case of
+  * [[graft.operators.Decontamination.contaminationPairs]]), so its
+  * DISTINCT hashed shingles collapse to ONE sorted-array row that
+  * cross-joins the stream: per arriving row the check is a sorted
+  * array intersection — STATELESS, no state store, no watermark, any
+  * output mode. Documents shorter than the shingle size have no
+  * shingles and pass (same contract as the batch operator).
+  */
+object StreamingDecon {
+
+  /** Adds `n_shared` (distinct shingles shared with the eval set) and
+    * `contaminated` (n_shared ≥ minShared) to the stream.
+    */
+  def flag(stream: DataFrame, evalDocs: DataFrame, shingleSize: Int = 8,
+           minShared: Long = 1L, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val evalSh = evalDocs
+      .select(explode(graft.functions.TextHashes.hashedShingles(
+        TextAnalysis.tokensCol(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+      .agg(sort_array(collect_list(col("h"))).as("__ev"))
+    val sh = sort_array(graft.functions.TextHashes.hashedShingles(
+      TextAnalysis.tokensCol(col(textCol)), shingleSize))
+    stream.withColumn("__sh", sh)
+      .crossJoin(evalSh)
+      .withColumn("n_shared",
+        graft.functions.ArraySetOps.sortedIntersectCount(
+          col("__sh"), col("__ev")).cast("long"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+      .drop("__sh", "__ev")
+  }
+
+  /** The gating form: contaminated documents are DROPPED, clean ones
+    * pass through unchanged (flag columns removed).
+    */
+  def keep(stream: DataFrame, evalDocs: DataFrame, shingleSize: Int = 8,
+           minShared: Long = 1L, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame =
+    flag(stream, evalDocs, shingleSize, minShared, idCol, textCol)
+      .filter(!col("contaminated"))
+      .drop("n_shared", "contaminated")
+}
