@@ -2179,16 +2179,12 @@ object SparkEntry {
     // BPE merge-count sweep — the vocabulary-sizing curve: token count
     // falls and used vocab grows as merges increase; the compression
     // trade a tokenizer owner reads next to q266's coverage curve
-    "q303_bpe_merge_sweep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Seq(2, 4, 8, 16).map { k =>
-        Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = k))
-          .agg(count(lit(1)).as("n_tokens"),
-            countDistinct(col("token_id")).as("vocab_used"))
-          .select(lit(k.toLong).as("merges"), col("n_tokens"),
-            col("vocab_used"))
-      }.reduce(_ union _).orderBy(col("merges"))
-    }),
+    // ONE cascade, four readouts (round 13: formerly four separate
+    // trainings — 30 merge iterations where 16 suffice; the oracle has
+    // always read one cascade's s2/s4/s8/s16 intermediates)
+    "q303_bpe_merge_sweep" -> ((s, dir) =>
+      Bpe.mergeSweepStats(t(s, dir, "documents"), Seq(2, 4, 8, 16))
+        .orderBy(col("merges"))),
 
     // unigram vocab-size sweep (q303 parity for the second tokenizer
     // family): ONE memoized EM fit; per V the model is cut to its

@@ -168,6 +168,68 @@ object Bpe {
     (table, seqs)
   }
 
+  /** The merge-count sweep on ONE cascade — BPE merges are strictly
+    * incremental (the state after k merges is an intermediate of the
+    * state after k' > k), so training a separate cascade per sweep
+    * point is pure waste: this trains ONCE to `max(ks)` and snapshots
+    * the per-word sequence state at each requested k. Per k:
+    * `(merges, n_tokens, vocab_used)` where `n_tokens` =
+    * Σ freq · |symbols| (≡ counting the id stream — every model word
+    * comes from the corpus) and `vocab_used` = distinct symbols in
+    * use. The oracle has ALWAYS read one cascade's intermediates
+    * (s2/s4/s8/s16 — the r8 fd-limit lesson); this makes the engine
+    * side match it. Exhaustion before max(ks) freezes the remaining
+    * sweep points at the fully-merged state, same as per-k training
+    * would.
+    */
+  def mergeSweepStats(docs: DataFrame, ks: Seq[Int],
+                      textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
+      s"ks must be non-empty, distinct, >= 1: got $ks")
+    val sorted = ks.sorted
+    var seqs = wordFreqs(docs, textCol)
+      .select(col("word"), col("freq"), initialSeq(col("word")).as("seq"))
+      .localCheckpoint(true)
+    def statsAt(k: Int, s: DataFrame): DataFrame =
+      s.select(col("freq"), explode(symbols(col("seq"))).as("sym"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          countDistinct(col("sym")).as("vocab_used"))
+        .select(lit(k.toLong).as("merges"), col("n_tokens"),
+          col("vocab_used"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    var i = 1
+    while (i <= sorted.last) {
+      if (!exhausted) {
+        val sy = symbols(col("seq"))
+        val pairs = seqs
+          .select(col("freq"), sy.as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("freq"),
+            explode(sequence(lit(1), size(col("sy")) - 1)).as("i"),
+            col("sy"))
+          .select(col("freq"), element_at(col("sy"), col("i")).as("a"),
+            element_at(col("sy"), col("i") + 1).as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+        val best = pairs
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("sym_a"), col("b").as("sym_b"),
+            concat(col("a"), col("b")).as("merged"))
+          .localCheckpoint(true)
+        if (best.isEmpty) exhausted = true
+        else seqs = seqs
+          .crossJoin(broadcast(best))
+          .select(col("word"), col("freq"),
+            expr("replace(seq, concat(' ', sym_a, '  ', sym_b, ' '), " +
+              "concat(' ', merged, ' '))").as("seq"))
+          .localCheckpoint(true)
+      }
+      if (sorted.contains(i)) out += statsAt(i, seqs)
+      i += 1
+    }
+    out.reduce(_ union _)
+  }
+
   /** Apply the learned vocabulary back to the corpus: per document, the
     * word count, character count, BPE token count under the final merge
     * table, and the chars-per-token compression ratio — the standard
