@@ -4096,6 +4096,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the IVF append path — the THIRD index family's incremental
+    // maintenance next to q312/q320, and exact like them: the batch's
+    // decimal moments MERGE into the persisted ones (decimal addition
+    // is exact), centroids re-derive bit-identically to a rebuild's,
+    // list files append under their cell partitions — so build(⅔) +
+    // append(⅓) + probe shares q20/q129's oracle verbatim
+    "q327_ivf_index_append" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/ivf_append_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val emb = t(s, dir, "embeddings")
+      Similarity.writeIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0L), idx,
+        portable = true)
+      Similarity.appendIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0L))
+      Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 20),
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -8238,6 +8259,10 @@ object SparkEntry {
     // the loaded-index search must be byte-identical to the from-scratch
     // one — SAME oracle: any parquet round-trip drift fails this hash
     "q129_ann_ivf_index" -> ivfOracleSql,
+
+    // q327: append ≡ rebuild exactly (decimal moment merge), so the
+    // probe shares the from-scratch oracle — the q312/q320 precedent
+    "q327_ivf_index_append" -> ivfOracleSql,
 
     // full LSH replay: md5-derived hyperplanes → signatures → bucket
     // candidates → exact-cosine rerank, rank ties on neighbor_id

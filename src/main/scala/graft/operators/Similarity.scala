@@ -164,15 +164,9 @@ object Similarity {
   private[operators] def coarseCentroids(corpus: DataFrame, coarseCol: String,
                               vecCol: String, portable: Boolean): DataFrame =
     if (portable) {
-      corpus
-        .select(col(coarseCol).as("cell"), posexplode(col(vecCol)).as(Seq("j", "x")))
-        .groupBy(col("cell"), col("j"))
-        .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
-        .withColumn("comp", col("s").cast("double") / col("n"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("pc"))
-        // cells are few — the interpreted transform runs once per cell
-        .select(col("cell"), expr("transform(pc, p -> p.comp)").as("centroid"))
+      // cells are few — centroidsFromMoments' interpreted transform
+      // runs once per cell
+      centroidsFromMoments(cellMoments(corpus, coarseCol, vecCol))
     } else corpus
       .groupBy(col(coarseCol).as("cell"))
       .agg(graft.functions.VectorAvg.vectorAvg(col(vecCol)).as("centroid"))
@@ -235,9 +229,79 @@ object Similarity {
                     portable: Boolean = false): Unit = {
     coarseCentroids(corpus, coarseCol, vecCol, portable)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // the portable build ALSO persists the per-(cell, component)
+    // decimal MOMENTS (Σx, n) the centroids derive from: decimal sums
+    // are exactly mergeable, which is what lets [[appendIvfIndex]]
+    // update centroids append ≡ rebuild EXACT instead of approximating
+    // with frozen centroids (the usual IVF drift trade)
+    if (portable)
+      cellMoments(corpus, coarseCol, vecCol)
+        .write.mode("overwrite").parquet(s"$dir/moments")
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(coarseCol).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
+  /** Per-(cell, component) exact first moments: (cell, j, s, n). */
+  private def cellMoments(corpus: DataFrame, coarseCol: String,
+                          vecCol: String): DataFrame =
+    corpus
+      .select(col(coarseCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("x").cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** The portable centroid derivation from a moments frame — the
+    * exact tail of [[coarseCentroids]]' portable branch.
+    */
+  private def centroidsFromMoments(moments: DataFrame): DataFrame =
+    moments
+      .withColumn("comp", col("s").cast("double") / col("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, p -> p.comp)").as("centroid"))
+
+  /** Incremental IVF maintenance — the third index family's append
+    * path next to the MinHash (q312) and inverted-index (q320) ones,
+    * and EXACT like them: cells are coarse-label-derived (per-vector,
+    * batch-local), the batch's list rows land as new files under
+    * their cell partitions, and the persisted decimal moments merge
+    * by plain decimal addition — so the re-derived centroids are
+    * bit-identical to a full rebuild's, and probing the appended
+    * index ≡ probing build(corpus ∪ batch). Requires a
+    * `portable = true` build (the moments frame is the contract).
+    * Ids must be new; the moments/centroids rewrites are k·d-row
+    * frames (cell count × dimension — parameter-scale), staged and
+    * swapped; corpus list files are never rewritten.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     batch: DataFrame, coarseCol: String = "label",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    require(fs.exists(p(s"$dir/moments")),
+      s"$dir was not built with portable = true (no moments frame) — " +
+        "appendIvfIndex needs the exactly-mergeable decimal moments")
+    val merged = spark.read.parquet(s"$dir/moments")
+      .unionByName(cellMoments(batch, coarseCol, vecCol))
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("s")).cast("decimal(28,12)").as("s"),
+        sum(col("n")).as("n"))
+    merged.write.mode("overwrite").parquet(s"$dir/moments__staged")
+    centroidsFromMoments(spark.read.parquet(s"$dir/moments__staged"))
+      .write.mode("overwrite").parquet(s"$dir/centroids__staged")
+    fs.delete(p(s"$dir/moments"), true)
+    require(fs.rename(p(s"$dir/moments__staged"), p(s"$dir/moments")),
+      s"could not swap $dir/moments__staged into place")
+    fs.delete(p(s"$dir/centroids"), true)
+    require(fs.rename(p(s"$dir/centroids__staged"), p(s"$dir/centroids")),
+      s"could not swap $dir/centroids__staged into place")
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(coarseCol).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
   }
 
   /** Search a [[writeIvfIndex]] index. The partition-column read-back

@@ -306,6 +306,32 @@ class SimilaritySpec extends SparkSpecBase {
       "(driver gate 0.5)")
   }
 
+  test("appendIvfIndex ≡ rebuild: centroids re-derive bit-identically " +
+      "from merged decimal moments; a non-portable build is refused") {
+    import spark.implicits._
+    def vecs(rows: Seq[(Long, Seq[Float], Long)]) =
+      rows.toDF("vec_id", "embedding", "label")
+    val a = vecs(Seq((1L, Seq(1f, 0f), 0L), (2L, Seq(0f, 1f), 0L),
+      (3L, Seq(1f, 1f), 1L)))
+    val b = vecs(Seq((4L, Seq(0.5f, 0.25f), 0L), (5L, Seq(2f, 0f), 1L)))
+    val incDir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val rebDir = java.nio.file.Files.createTempDirectory("ivf_reb").toString
+    Similarity.writeIvfIndex(a, incDir, portable = true)
+    Similarity.appendIvfIndex(spark, incDir, b)
+    Similarity.writeIvfIndex(a.union(b), rebDir, portable = true)
+    def cents(d: String) = spark.read.parquet(s"$d/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(incDir) == cents(rebDir))
+    assert(spark.read.parquet(s"$incDir/lists").count() == 5L)
+    // non-portable build has no moments frame -> actionable refusal
+    val npDir = java.nio.file.Files.createTempDirectory("ivf_np").toString
+    Similarity.writeIvfIndex(a, npDir, portable = false)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(spark, npDir, b)
+    }
+    assert(e.getMessage.contains("portable"))
+  }
+
   test("contrastivePairs: strict pair, degenerate pos==neg when the " +
       "nearest neighbor is already below tau, null negative when no " +
       "candidate is") {
