@@ -58,7 +58,7 @@ object PlanAudit {
     AllowedBroadcast("Hits.scala", "anorm", "one-row L2-norm aggregate"),
     AllowedBroadcast("Hits.scala", "hnorm", "one-row L2-norm aggregate"),
     AllowedBroadcast("Hits.scala", "mx", "one-row max-abs aggregate (scaled L2 norm)"),
-    AllowedBroadcast("Bpe.scala", "best", "one-row best-pair aggregate (sort-limit 1)"),
+    AllowedBroadcast("Bpe.scala", "best", "one-row best-pair aggregate (sort-limit 1; learnMerges + mergeSweepStats)", count = 2),
     AllowedBroadcast("Stats.scala", "total", "one-row global aggregate", count = 3),
     AllowedBroadcast("Stats.scala", "entropy", "one-row entropy aggregate", count = 2),
     AllowedBroadcast("Stats.scala", "m", "one-row hypothesis-count aggregate (bhFdr)"),
