@@ -460,6 +460,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rep"))
     }),
 
+    // the training-mix AUDIT after replication: per source, what the
+    // model will ACTUALLY see — replicas, effective epochs, replicated
+    // token mass — the q316 executor's books, reconciled
+    "q328_replicated_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reps = DataSelection.replicateRecipe(docs,
+        DataSelection.domainReweight(docs, eta = 5.0, smoothing = 0.1),
+        budgetDocs = 1000L)
+      val toks = docs.select(col("doc_id"),
+        TextAnalysis.wsTokenCountCol(col("text")).cast("long")
+          .as("n_toks"))
+      val nIn = docs.filter(col("source").isNotNull)
+        .groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).as("n_in"))
+      reps.join(toks, Seq("doc_id"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_replicas"),
+          sum(col("n_toks")).as("n_tokens_replicated"))
+        .join(nIn, Seq("domain"))
+        .select(col("domain"), col("n_in"), col("n_replicas"),
+          col("n_tokens_replicated"),
+          round(col("n_replicas").cast("double") /
+            col("n_in").cast("double"), 6).as("effective_epochs6"))
+        .orderBy(col("domain"))
+    }),
+
     // corpus-level line dedup (C4/RefinedWeb boilerplate removal):
     // the corpus has no line structure, so the gate derives a 3-line
     // fixture (q277 precedent) — a mostly-unique head line, a
@@ -8154,6 +8180,44 @@ object SparkEntry {
          |  SELECT doc_id, domain, unnest(range(1, nrep + 1)) AS r
          |  FROM rrp WHERE nrep > 0)
          |ORDER BY doc_id, rep""".stripMargin,
+
+    // q328: q316's replication CTEs + whitespace token counts,
+    // per-source reconciliation
+    "q328_replicated_mix" ->
+      s"""WITH $domainReweightOracleCtes,
+         |rwt AS (
+         |  SELECT domain, round((1.0e0 - 0.1e0) * (w_raw / CAST(z AS DOUBLE))
+         |    + 0.1e0 / CAST(k AS DOUBLE), 6) AS weight
+         |  FROM ex CROSS JOIN nm),
+         |rnd AS (
+         |  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |re6 AS (
+         |  SELECT d.domain,
+         |    CAST(floor(w.weight * CAST(1000 AS DOUBLE) / CAST(d.n AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS e6
+         |  FROM rnd d JOIN rwt w USING (domain)),
+         |rrp AS (
+         |  SELECT doc.doc_id, e.domain,
+         |    (e.e6 // 1000000) + (CASE WHEN
+         |      (('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 13))::BIGINT
+         |        + 1.0) / 4503599627370496.0
+         |      < CAST(e.e6 % 1000000 AS DOUBLE) / 1000000.0
+         |      THEN 1 ELSE 0 END) AS nrep
+         |  FROM documents doc JOIN re6 e ON e.domain = doc.source),
+         |rtk AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT r.domain, d.n AS n_in,
+         |  CAST(sum(r.nrep) AS BIGINT) AS n_replicas,
+         |  CAST(sum(r.nrep * t.n_toks) AS BIGINT) AS n_tokens_replicated,
+         |  round(CAST(sum(r.nrep) AS DOUBLE) / CAST(d.n AS DOUBLE), 6)
+         |    AS effective_epochs6
+         |FROM rrp r JOIN rtk t USING (doc_id) JOIN rnd d ON d.domain = r.domain
+         |WHERE r.nrep > 0
+         |GROUP BY r.domain, d.n ORDER BY r.domain""".stripMargin,
 
     // q315: the derived 3-line fixture replayed; keep = rn 1 under the
     // (doc_id, lpos) order per exact line string; docs reassembled by
