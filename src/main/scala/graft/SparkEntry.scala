@@ -3338,6 +3338,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the PQ index persisted — the FOURTH index family's train-once /
+    // search-anywhere split: codebooks + 4-bit codes + meta on disk,
+    // the loaded search byte-identical to q149 (shared oracle)
+    "q329_pq_index" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/pq_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val emb = t(s, dir, "embeddings")
+      Pq.writePqIndex(emb, idx)
+      Pq.adcTopKFromIndex(s, idx,
+          emb.filter(pmod(col("vec_id"), lit(20L)) === 0L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the PQ APPEND path — FAISS `add` semantics, the one DOCUMENTED-
+    // INEXACT append of the four families: the batch encodes under the
+    // FROZEN persisted codebooks (no retrain — rebuild would move
+    // centroids under drift); the gate pins exactly that contract:
+    // probe(index(A) + append(B)) ≡ encode(A ∪ B) under codebooks(A)
+    "q330_pq_index_append" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/pq_append_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val emb = t(s, dir, "embeddings")
+      Pq.writePqIndex(emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0L), idx)
+      Pq.appendPqIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0L))
+      Pq.adcTopKFromIndex(s, idx,
+          emb.filter(pmod(col("vec_id"), lit(20L)) === 0L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-ADC: the q149 codes scored only inside each query's 2 nearest
     // coarse cells — search cost queries×(nProbe/nlist)×corpus, the
     // linear-scale composition the q149 gate's scaling note points to
@@ -7531,6 +7563,14 @@ object SparkEntry {
     // unrolled Lloyd iterations (assignment tree + decimal means),
     // encode, LUT, decimal-quantized ADC sums, row_number top-k
     "q149_pq_adc" -> pqOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5),
+
+    // q329: persisted-index identity — q149's oracle verbatim
+    "q329_pq_index" -> pqOracle(m = 8, ks = 16, dsub = 8, iters = 3, k = 5),
+
+    // q330: train on ⅔, encode everything under those frozen
+    // codebooks — the FAISS-add contract, pinned exactly
+    "q330_pq_index_append" -> pqOracle(m = 8, ks = 16, dsub = 8,
+      iters = 3, k = 5, trainWhere = "vec_id % 3 <> 0"),
 
     // q160: the q149 chain with the probed-cells restriction spliced
     // into the scoring join (nProbe = 2 coarse cells per query)
@@ -12340,7 +12380,12 @@ object SparkEntry {
     * generate_series = the codegen VecDot accumulation order).
     */
   private def pqOracle(m: Int, ks: Int, dsub: Int, iters: Int, k: Int,
-                       nProbe: Option[Int] = None): String = {
+                       nProbe: Option[Int] = None,
+                       trainWhere: String = ""): String = {
+    // trainWhere restricts the TRAINING inputs (init seed + Lloyd
+    // assignments) to a sub-corpus while the final encode still covers
+    // everything — the frozen-codebook append twin (q330)
+    val tw = if (trainWhere.isEmpty) "TRUE" else trainWhere
     // IVF-probed variant (q160): decimal-exact label centroids, each
     // query keeps nProbe cells by cosine, and the scoring join gains a
     // cell restriction — everything else is the q149 chain verbatim
@@ -12374,14 +12419,14 @@ object SparkEntry {
         |  JOIN cells cl ON cl.vec_id = a.vec_id
         |  JOIN probed p ON p.query_id = l.query_id AND p.cell = cl.cell"""
         .stripMargin).getOrElse("")
-    def assignCte(name: String, cbName: String) =
+    def assignCte(name: String, cbName: String, src: String = "tsubn") =
       s"""$name AS (
          |  SELECT vec_id, s, x, code FROM (
          |    SELECT n.vec_id, n.s, n.x, c.code,
          |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
          |        (n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
          |          j -> n.x[j] * c.cent[j]))) + c.cn2, c.code) AS rn
-         |    FROM subn n JOIN $cbName c ON c.s = n.s)
+         |    FROM $src n JOIN $cbName c ON c.s = n.s)
          |  WHERE rn = 1)"""
     def meanCtes(it: Int) =
       s"""mean$it AS (
@@ -12410,17 +12455,18 @@ object SparkEntry {
        |    list_sum(list_transform(generate_series(1, $dsub),
        |      j -> x[j] * x[j])) AS xn2
        |  FROM sub),
+       |tsubn AS (SELECT * FROM subn WHERE $tw),
        |init AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
        |      vec_id) AS INT) - 1 AS code
-       |  FROM e
+       |  FROM e WHERE $tw
        |  QUALIFY code < $ks),
        |cb0 AS (
        |  SELECT n.s, i.code, n.x AS cent, n.xn2 AS cn2
-       |  FROM init i JOIN subn n ON n.vec_id = i.vec_id),
+       |  FROM init i JOIN tsubn n ON n.vec_id = i.vec_id),
        |$iterCtes,
-       |${assignCte("enc", s"cb$iters")},
+       |${assignCte("enc", s"cb$iters", "subn")},
        |q AS (
        |  SELECT vec_id AS query_id, s, x FROM subn WHERE vec_id % 20 = 0),
        |lut AS (
@@ -12454,14 +12500,17 @@ object SparkEntry {
   private def pqResidualOracle(m: Int, ks: Int, dsub: Int, iters: Int,
                                k: Int, nProbe: Int): String = {
     val d = m * dsub
-    def assignCte(name: String, cbName: String) =
+    // this generator took the shared tsubn head edit too; it always
+    // trains on the full residual frame
+    val tw = "TRUE"
+    def assignCte(name: String, cbName: String, src: String = "tsubn") =
       s"""$name AS (
          |  SELECT vec_id, s, x, code FROM (
          |    SELECT n.vec_id, n.s, n.x, c.code,
          |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
          |        (n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
          |          j -> n.x[j] * c.cent[j]))) + c.cn2, c.code) AS rn
-         |    FROM subn n JOIN $cbName c ON c.s = n.s)
+         |    FROM $src n JOIN $cbName c ON c.s = n.s)
          |  WHERE rn = 1)"""
     def meanCtes(it: Int) =
       s"""mean$it AS (
@@ -12508,17 +12557,18 @@ object SparkEntry {
        |    list_sum(list_transform(generate_series(1, $dsub),
        |      j -> x[j] * x[j])) AS xn2
        |  FROM sub),
+       |tsubn AS (SELECT * FROM subn WHERE $tw),
        |init AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
        |      vec_id) AS INT) - 1 AS code
-       |  FROM e
+       |  FROM e WHERE $tw
        |  QUALIFY code < $ks),
        |cb0 AS (
        |  SELECT n.s, i.code, n.x AS cent, n.xn2 AS cn2
-       |  FROM init i JOIN subn n ON n.vec_id = i.vec_id),
+       |  FROM init i JOIN tsubn n ON n.vec_id = i.vec_id),
        |$iterCtes,
-       |${assignCte("enc", s"cb$iters")},
+       |${assignCte("enc", s"cb$iters", "subn")},
        |qfull AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        |  FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL),

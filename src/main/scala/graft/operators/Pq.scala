@@ -157,6 +157,18 @@ object Pq {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cb = trainOnSubn(subn, ks, iters)
     val codes = assign(subn, cb).select(col("vec_id"), col("s"), col("code"))
+    adcScoreTail(codes, cb, queries, m, dsub, k, idCol, vecCol)
+  }
+
+  /** The shared ADC scoring tail: LUT from queries × codebooks,
+    * per-(s, code) partial dots decimal-quantized before the
+    * order-free sum, bounded top-k. Used by [[adcTopK]] (fresh
+    * training) and [[adcTopKFromIndex]] (persisted codes) — one code
+    * path, so the two are byte-identical by construction.
+    */
+  private def adcScoreTail(codes: DataFrame, cb: DataFrame,
+                           queries: DataFrame, m: Int, dsub: Int, k: Int,
+                           idCol: String, vecCol: String): DataFrame = {
     val lut = subvectors(queries, m, dsub, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("s"), col("x"))
       .join(broadcast(cb), Seq("s"))
@@ -172,6 +184,65 @@ object Pq {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),
         (round(col("col.score"), 6) + lit(0.0)).as("approx_dot"))
+  }
+
+  /** Persist the PQ index — the fourth index family's train-once /
+    * search-anywhere split next to MinHash, inverted-postings and IVF:
+    * `dir/codebooks` (m × ks rows — parameter-scale; double centroids
+    * survive parquet bit-exact) and `dir/codes` (one (vec_id, s, code)
+    * row per subspace — the 4-bit-per-subspace compressed corpus, the
+    * thing PQ exists to ship instead of raw vectors). `dir/meta` pins
+    * (m, dsub) so a reader needs no out-of-band parameters.
+    */
+  def writePqIndex(corpus: DataFrame, dir: String, m: Int = 8,
+                   ks: Int = 16, iters: Int = 3, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val dsub = subDim(corpus, m, vecCol)
+    val subn = TrackedCaches.track(
+      subvectors(corpus, m, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = trainOnSubn(subn, ks, iters)
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    assign(subn, cb).select(col("vec_id"), col("s"), col("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    import spark.implicits._
+    Seq((m, dsub)).toDF("m", "dsub")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[adcTopK]] answered FROM the persisted index — byte-identical by
+    * contract (same scoring tail over the same codebooks and codes;
+    * zero training jobs, zero raw-vector reads on the corpus side).
+    */
+  def adcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    adcScoreTail(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebooks"), queries,
+      meta.getAs[Int]("m"), meta.getAs[Int]("dsub"), k, idCol, vecCol)
+  }
+
+  /** Incremental PQ maintenance — the frozen-codebook append every
+    * production PQ deployment runs (FAISS `add` semantics): the batch
+    * encodes under the PERSISTED codebooks and its code rows append as
+    * new files; the codebooks do NOT retrain, so — unlike the exact
+    * q312/q320/q327 appends — append ≠ rebuild when the data
+    * distribution drifts (a rebuild would move centroids). That drift
+    * trade is the documented contract: probing the appended index IS
+    * byte-identical to encoding corpus ∪ batch under the ORIGINAL
+    * codebooks, which is what the gate pins; periodic re-training is
+    * the [[writePqIndex]] call itself.
+    */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    batch: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    encode(batch, spark.read.parquet(s"$dir/codebooks"),
+        meta.getAs[Int]("m"), idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/codes")
   }
 
   /** IVF-ADC: the composition that makes PQ scale — each query scores
