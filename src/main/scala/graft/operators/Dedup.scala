@@ -423,6 +423,10 @@ object Dedup {
       .select(col("bucket"), col("n_new"), col("cum_new"))
   }
 
+  /** The MinHash index's swap-managed generation frames (the
+    * append-only `shingles` frame is NOT one — see [[IndexSwap]]). */
+  private val minhashFrames = Seq("bands", "dropped")
+
   /** Persist a MinHash-LSH near-dup index of a corpus, so later batches
     * dedup AGAINST it without re-signing the corpus — the incremental
     * form every production dedup service needs (the near-dup sibling of
@@ -437,6 +441,9 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 32,
                         rowsPerBand: Int = 4,
                         maxBucket: Long = 1000L): Unit = {
+    IndexSwap.clean(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration),
+      dir, minhashFrames)
     val arrays = sharedShingleArrays(docs, idCol, textCol, shingleSize)
     arrays.write.mode("overwrite").parquet(s"$dir/shingles")
     val banded = bandedOf(signaturesFromShingleArrays(arrays, numHashes),
@@ -490,6 +497,7 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    IndexSwap.recover(fs, dir, minhashFrames)
     val bArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
     val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
       numHashes, rowsPerBand)
@@ -519,15 +527,14 @@ object Dedup {
       val newDropped = dropped0.unionByName(
         counted.filter(col("__n") > maxBucket)
           .select(col("band"), col("bucket")).distinct())
-      newBands.write.mode("overwrite").parquet(s"$dir/bands__staged")
-      newDropped.write.mode("overwrite").parquet(s"$dir/dropped__staged")
+      newBands.write.mode("overwrite")
+        .parquet(IndexSwap.stagedPath(dir, "bands"))
+      newDropped.write.mode("overwrite")
+        .parquet(IndexSwap.stagedPath(dir, "dropped"))
     } finally counted.unpersist()
-    fs.delete(p(s"$dir/bands"), true)
-    require(fs.rename(p(s"$dir/bands__staged"), p(s"$dir/bands")),
-      s"could not swap $dir/bands__staged into place")
-    fs.delete(p(s"$dir/dropped"), true)
-    require(fs.rename(p(s"$dir/dropped__staged"), p(s"$dir/dropped")),
-      s"could not swap $dir/dropped__staged into place")
+    // both frames staged complete → publish as ONE generation (no
+    // crash point leaves bands/dropped mixed or missing)
+    IndexSwap.swapAll(fs, dir, minhashFrames)
     bArrays.write.mode("append").parquet(s"$dir/shingles")
   }
 
@@ -548,6 +555,9 @@ object Dedup {
                         threshold: Double, shingleSize: Int = 3,
                         numHashes: Int = 32, rowsPerBand: Int = 4,
                         maxBucket: Long = 1000L): DataFrame = {
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, minhashFrames)
     val bArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
     val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
       numHashes, rowsPerBand)

@@ -240,8 +240,16 @@ object Pq {
                     batch: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    encode(batch, spark.read.parquet(s"$dir/codebooks"),
-        meta.getAs[Int]("m"), idCol, vecCol)
+    val m = meta.getAs[Int]("m")
+    // encode() re-derives dsub from the batch's own vector length, so a
+    // batch with a different embedding dimension would append garbage
+    // codes SILENTLY — pin it to the build's persisted dsub instead
+    val batchDsub = subDim(batch, m, vecCol)
+    require(batchDsub == meta.getAs[Int]("dsub"),
+      s"appendPqIndex: batch subvector dim $batchDsub (m = $m) != the " +
+        s"index's persisted dsub ${meta.getAs[Int]("dsub")} — the batch's " +
+        "embedding dimension does not match the build corpus")
+    encode(batch, spark.read.parquet(s"$dir/codebooks"), m, idCol, vecCol)
       .write.mode("append").parquet(s"$dir/codes")
   }
 

@@ -399,8 +399,9 @@ object UnigramLm {
   def vocabSweep(docs: DataFrame, sizes: Seq[Int], maxPieceLen: Int = 4,
                  maxWordLen: Int = 12, iterations: Int = 2,
                  textCol: String = "text"): DataFrame = {
-    require(sizes.nonEmpty && sizes.forall(_ >= 1),
-      s"sizes must be non-empty and >= 1, got $sizes")
+    require(sizes.nonEmpty && sizes.forall(_ >= 1) &&
+        sizes.distinct.size == sizes.size,
+      s"sizes must be non-empty, distinct, >= 1: got $sizes")
     val m = modelOf(docs, maxPieceLen, maxWordLen, iterations, textCol)
     val wf = Bpe.wordFreqs(docs, textCol)
       .filter(length(col("word")) <= maxWordLen).localCheckpoint()

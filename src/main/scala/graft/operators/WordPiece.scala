@@ -200,8 +200,8 @@ object WordPiece {
   def topKSweep(docs: DataFrame, ks: Seq[Int], maxPieceLen: Int = 4,
                 maxWordLen: Int = 12, textCol: String = "text"): DataFrame = {
     checkBounds(maxPieceLen, maxWordLen)
-    require(ks.nonEmpty && ks.forall(_ >= 0),
-      s"ks must be non-empty and >= 0, got $ks")
+    require(ks.nonEmpty && ks.forall(_ >= 0) && ks.distinct.size == ks.size,
+      s"ks must be non-empty, distinct, >= 0: got $ks")
     val (wf, vocabF) = built(docs, maxPieceLen, maxWordLen, ks.max, textCol)
     val chars = vocabF.filter(col("is_char"))
       .select(col("form"), col("is_char"), col("cnt"))

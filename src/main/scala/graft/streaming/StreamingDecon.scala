@@ -38,11 +38,15 @@ object StreamingDecon {
       .agg(sort_array(collect_list(col("h"))).as("__ev"))
     val sh = sort_array(graft.functions.TextHashes.hashedShingles(
       TextAnalysis.tokensCol(col(textCol)), shingleSize))
+    // null text null-propagates through the shingle pipeline; the
+    // documented policy (shared with the batch operator) is that a
+    // document with NO shingles passes, so coalesce instead of letting
+    // NULL n_shared make `!contaminated` silently drop the row in keep()
     stream.withColumn("__sh", sh)
       .crossJoin(evalSh)
       .withColumn("n_shared",
-        graft.functions.ArraySetOps.sortedIntersectCount(
-          col("__sh"), col("__ev")).cast("long"))
+        coalesce(graft.functions.ArraySetOps.sortedIntersectCount(
+          col("__sh"), col("__ev")).cast("long"), lit(0L)))
       .withColumn("contaminated", col("n_shared") >= minShared)
       .drop("__sh", "__ev")
   }

@@ -55,4 +55,26 @@ class StreamingDeconSpec extends SparkSpecBase {
       assert(kept == Set(2L, 3L))
     } finally q2.stop()
   }
+
+  test("null-text docs pass like shingle-less docs (batch-policy parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val input = MemoryStream[SdcDoc]
+    val q = StreamingDecon.flag(input.toDF(), evalDocs)
+      .writeStream.format("memory").queryName("sdc_null")
+      .outputMode("append").start()
+    try {
+      input.addData(SdcDoc(1L, null), SdcDoc(2L, leaky))
+      q.processAllAvailable()
+      val got = spark.table("sdc_null").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated")))
+        .toMap
+      // pre-fix, the null row's n_shared/contaminated were NULL and
+      // keep()'s !contaminated filter silently dropped it
+      assert(got(1L) == (0L, false))
+      assert(got(2L)._2)
+    } finally q.stop()
+  }
 }
