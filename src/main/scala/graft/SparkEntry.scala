@@ -360,6 +360,61 @@ object SparkEntry {
       Similarity.contrastivePairs(t(s, dir, "embeddings"), tau = 0.35)
         .orderBy(col("anchor_id"))),
 
+    // q317's SCALE path, portable twin: candidates restricted to each
+    // anchor's nProbe=2 nearest label cells (decimal-exact centroids),
+    // so the oracle regenerates the centroids and replays probe
+    // selection + both argmax rollups in SQL — a FULL hash gate on the
+    // candidate-restricted semantics (the q20 pattern)
+    "q331_contrastive_ivf" -> ((s, dir) =>
+      Similarity.contrastivePairsIvf(t(s, dir, "embeddings"), tau = 0.35,
+          nProbe = 2, portable = true)
+        .orderBy(col("anchor_id"))),
+
+    // the PRODUCTION fast-float path of the same operator (VectorAvg
+    // centroids — not engine-replayable), gated by the q127/q128
+    // derived-agreement convention: IVF mining runs over the FULL
+    // corpus; exactness is measured against the all-candidates twin on
+    // a FIXED 100-anchor panel (linear twin cost — the twin is why
+    // q317 could never scale). Replayable integers (n_anchors, n_panel,
+    // n_strict from the deterministic exact twin) + BIGINT flags with
+    // GateProbe-measured margins: pos agreement 0.25–0.30, neg
+    // 0.24–0.31 at nProbe=2 across sf0.001/0.01/0.1 (the corpus is
+    // weakly label-clustered — same regime as q127's 0.28 recall@5;
+    // nProbe 3/4 measured 0.36–0.44/0.46–0.53). Gates 0.10 are the
+    // q127-convention catastrophic floors: broken centroids or a
+    // candidate-losing bug degrade agreement to ~0
+    "q332_contrastive_ivf_fast" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Similarity.contrastivePairsIvf(emb, tau = 0.35, nProbe = 2)
+      val exact = Similarity.contrastivePairsFor(
+        emb.filter(col("vec_id") < 100), emb, tau = 0.35)
+      val j = ivf.join(
+        exact.select(col("anchor_id"), col("pos_id").as("__ep"),
+          col("neg_id").as("__en")),
+        Seq("anchor_id"))
+      // one-row aggregates on both crossJoin sides — no hint needed,
+      // AQE broadcasts trivially small sides on its own
+      j.agg(
+          count(lit(1)).as("__np"),
+          sum(when(col("pos_id") === col("__ep"), 1L).otherwise(0L))
+            .as("__ph"),
+          sum(when(col("__en").isNotNull, 1L).otherwise(0L)).as("__ns"),
+          sum(when(col("neg_id") === col("__en"), 1L).otherwise(0L))
+            .as("__nh"))
+        .crossJoin(ivf.agg(count(lit(1)).as("__n_ivf")))
+        .crossJoin(emb.agg(count(lit(1)).as("__n_emb")))
+        .select(
+          col("__n_emb").as("n_anchors"),
+          col("__np").as("n_panel"),
+          col("__ns").as("n_strict"),
+          (col("__n_ivf") === col("__n_emb")).cast("long")
+            .as("coverage_ok"),
+          (col("__ph") / col("__np") >= 0.10).cast("long").as("pos_ok"),
+          when(col("__ns") === 0L, 1L)
+            .otherwise((col("__nh") / col("__ns") >= 0.10).cast("long"))
+            .as("neg_ok"))
+    }),
+
     // ensemble quality keep-list: three independent quality signals
     // (bigram perplexity asc, classifier probability desc, 2-gram
     // repetition asc), each rank-cored and TRUNCATED to its top-200
@@ -8069,6 +8124,71 @@ object SparkEntry {
         |  ON n.anchor_id = p.anchor_id AND n.rn = 1
         |WHERE p.rn = 1
         |ORDER BY p.anchor_id""".stripMargin,
+
+    // q331: q20's decimal-exact centroid chain + per-anchor probe
+    // ranking, then q317's two argmax windows over the probed
+    // candidates only
+    "q331_contrastive_ivf" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |probed AS (
+        |  SELECT anchor_id, cell FROM (
+        |    SELECT v.vec_id AS anchor_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.e, c.c) DESC, c.cell) AS pr
+        |    FROM vecs v CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |sc AS (
+        |  SELECT p.anchor_id, b.vec_id AS bid,
+        |    round(list_cosine_similarity(a.e, b.e), 6) AS c
+        |  FROM probed p
+        |  JOIN vecs b ON b.label = p.cell AND b.vec_id <> p.anchor_id
+        |  JOIN vecs a ON a.vec_id = p.anchor_id),
+        |pos AS (
+        |  SELECT anchor_id, bid, c, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+        |  FROM sc),
+        |neg AS (
+        |  SELECT anchor_id, bid, c, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+        |  FROM sc WHERE c <= 0.35)
+        |SELECT p.anchor_id, p.bid AS pos_id, p.c AS pos_cos6,
+        |  n.bid AS neg_id, n.c AS neg_cos6
+        |FROM pos p LEFT JOIN neg n
+        |  ON n.anchor_id = p.anchor_id AND n.rn = 1
+        |WHERE p.rn = 1
+        |ORDER BY p.anchor_id""".stripMargin,
+
+    // q332: n_anchors/n_panel recomputed by count; n_strict replayed
+    // from the exact PANEL twin (all-candidates argmax for vec_id <
+    // 100 anchors — linear); the fast-float agreement fractions are
+    // asserted as flags per the q127/q128 convention
+    "q332_contrastive_ivf_fast" ->
+      """WITH sc AS (
+        |  SELECT a.vec_id AS anchor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100),
+        |strict AS (
+        |  SELECT anchor_id FROM sc GROUP BY anchor_id
+        |  HAVING SUM(CASE WHEN c <= 0.35 THEN 1 ELSE 0 END) > 0)
+        |SELECT
+        |  (SELECT count(*) FROM embeddings) AS n_anchors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 100) AS n_panel,
+        |  (SELECT count(*) FROM strict) AS n_strict,
+        |  CAST(1 AS BIGINT) AS coverage_ok,
+        |  CAST(1 AS BIGINT) AS pos_ok,
+        |  CAST(1 AS BIGINT) AS neg_ok""".stripMargin,
 
     // q325: three rank chains (bigram nll, classifier p, dup-2gram),
     // each top-200, the q78 RRF arithmetic over their union

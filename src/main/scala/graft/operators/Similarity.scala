@@ -209,6 +209,10 @@ object Similarity {
     ivfProbeRerank(centroids, cells, queries, k, nProbe, idCol, vecCol)
   }
 
+  /** The IVF index's swap-managed generation frames (the `lists`
+    * layout is append-only and excluded — see [[IndexSwap]]). */
+  private val ivfFrames = Seq("moments", "centroids")
+
   /** Persist the IVF index for repeated-query use: `dir/centroids/` holds
     * the per-cell mean vectors, `dir/lists/` the inverted lists as a
     * HIVE-PARTITIONED layout (`cell=N/...`). The layout is the scale
@@ -227,6 +231,9 @@ object Similarity {
                     coarseCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     portable: Boolean = false): Unit = {
+    IndexSwap.clean(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration),
+      dir, ivfFrames)
     coarseCentroids(corpus, coarseCol, vecCol, portable)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     // the portable build ALSO persists the per-(cell, component)
@@ -282,6 +289,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    IndexSwap.recover(fs, dir, ivfFrames)
     require(fs.exists(p(s"$dir/moments")),
       s"$dir was not built with portable = true (no moments frame) — " +
         "appendIvfIndex needs the exactly-mergeable decimal moments")
@@ -290,15 +298,16 @@ object Similarity {
       .groupBy(col("cell"), col("j"))
       .agg(sum(col("s")).cast("decimal(28,12)").as("s"),
         sum(col("n")).as("n"))
-    merged.write.mode("overwrite").parquet(s"$dir/moments__staged")
-    centroidsFromMoments(spark.read.parquet(s"$dir/moments__staged"))
-      .write.mode("overwrite").parquet(s"$dir/centroids__staged")
-    fs.delete(p(s"$dir/moments"), true)
-    require(fs.rename(p(s"$dir/moments__staged"), p(s"$dir/moments")),
-      s"could not swap $dir/moments__staged into place")
-    fs.delete(p(s"$dir/centroids"), true)
-    require(fs.rename(p(s"$dir/centroids__staged"), p(s"$dir/centroids")),
-      s"could not swap $dir/centroids__staged into place")
+    merged.write.mode("overwrite")
+      .parquet(IndexSwap.stagedPath(dir, "moments"))
+    centroidsFromMoments(
+        spark.read.parquet(IndexSwap.stagedPath(dir, "moments")))
+      .write.mode("overwrite")
+      .parquet(IndexSwap.stagedPath(dir, "centroids"))
+    // both frames staged complete → publish as ONE generation (a crash
+    // can no longer pair new moments with stale centroids, or lose a
+    // frame outright)
+    IndexSwap.swapAll(fs, dir, ivfFrames)
     batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(coarseCol).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
@@ -313,6 +322,9 @@ object Similarity {
                        queries: DataFrame, k: Int, nProbe: Int = 2,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, ivfFrames)
     val centroids = spark.read.parquet(s"$dir/centroids")
     val lists = spark.read.parquet(s"$dir/lists")
       .withColumn("cell", col("cell").cast(centroids.schema("cell").dataType))
@@ -446,18 +458,89 @@ object Similarity {
     * Exact all-pairs by design at oracle scale (the q17/q18 exact-twin
     * class); both rollups are map-side-combinable `min(struct)` argmax
     * aggregates, so the pair stream collapses below the exchange. The
-    * scale path swaps IVF probing in for candidate generation
-    * unchanged (the q20 precedent).
+    * scale path is [[contrastivePairsIvf]] — IVF probing swapped in for
+    * candidate generation, rollups unchanged (the q20 precedent).
     */
   def contrastivePairs(corpus: DataFrame, tau: Double,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding"): DataFrame =
+    contrastivePairsFor(corpus, corpus, tau, idCol, vecCol)
+
+  /** [[contrastivePairs]] over a SEPARATE anchor frame: candidates are
+    * always the full corpus, but pairs are mined only for `anchors`
+    * rows (self-pairs excluded by id). This is the linear-cost exact
+    * twin the q332 agreement gate runs against a bounded anchor panel —
+    * |anchors| × |corpus| pairs instead of |corpus|².
+    */
+  def contrastivePairsFor(anchors: DataFrame, corpus: DataFrame, tau: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
-    val a = corpus.select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
       .withColumn("na", normCol(col("va")))
     val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("vb"))
       .withColumn("nb", normCol(col("vb")))
     a.join(b, col("anchor_id") =!= col("bid"))
+      .withColumn("__c",
+        round(dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .groupBy(col("anchor_id"))
+      .agg(
+        min(struct((-col("__c")).as("nc"), col("bid").as("id"))).as("p"),
+        min(when(col("__c") <= tau,
+          struct((-col("__c")).as("nc"), col("bid").as("id")))).as("n"))
+      .select(col("anchor_id"),
+        col("p.id").as("pos_id"), (-col("p.nc")).as("pos_cos6"),
+        col("n.id").as("neg_id"), (-col("n.nc")).as("neg_cos6"))
+  }
+
+  /** The contrastive-mining SCALE path — [[contrastivePairs]] with IVF
+    * candidate generation instead of the all-pairs theta join: each
+    * anchor considers only the corpus rows of its `nProbe` nearest
+    * coarse cells (the q20 quantizer), so the scored-pair count drops
+    * from n² to ~n²·nProbe/nCells and the quadratic term is confined
+    * within probed cells. Positive = argmax cosine over the probed
+    * candidates; hard negative = argmax at-or-below τ over the same
+    * set — the candidate-restricted reading of the exact operator's
+    * semantics (recall < 1 by construction: a true nearest neighbor
+    * living outside the probed cells is missed; gated by agreement
+    * counts against the exact twin with measured margins, q331).
+    *
+    * Scale shape: the anchor side here is the CORPUS (unlike
+    * [[ivfTopK]]'s small query side), so probing must not shuffle —
+    * the cell centroids collapse to ONE collected row (cell count is
+    * parameter-bounded) that cross-joins the anchors, and each anchor
+    * picks its `nProbe` cells ROW-LOCALLY (array_sort + slice over the
+    * centroid array; the dot products run interpreted inside the
+    * lambda, over nCells rows per anchor — a vanishing fraction of the
+    * within-cell scoring). Total: one equi-join shuffle on `cell` and
+    * one map-side-combinable min(struct) agg — same exchange count as
+    * the exact path, on an nProbe/nCells fraction of the pairs.
+    */
+  def contrastivePairsIvf(corpus: DataFrame, tau: Double, nProbe: Int = 2,
+                          coarseCol: String = "label",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          portable: Boolean = false): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val centroids = coarseCentroids(corpus, coarseCol, vecCol, portable)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("__cents"))
+    val a = corpus.select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
+      .withColumn("na", normCol(col("va")))
+      // one-row centroid array — structurally tiny (PlanAudit-listed)
+      .crossJoin(broadcast(centroids))
+      .select(col("anchor_id"), col("va"), col("na"),
+        explode(slice(array_sort(transform(col("__cents"), c =>
+            struct((-cosineCol(col("va"), c.getField("centroid"))).as("nc"),
+              c.getField("cell").as("cell")))),
+          1, nProbe)).as("pr"))
+      .select(col("anchor_id"), col("va"), col("na"),
+        col("pr.cell").as("cell"))
+    val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("vb"),
+        col(coarseCol).as("cell"))
+      .withColumn("nb", normCol(col("vb")))
+    a.join(b, Seq("cell"))
+      .filter(col("anchor_id") =!= col("bid"))
       .withColumn("__c",
         round(dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .groupBy(col("anchor_id"))

@@ -50,6 +50,24 @@ object GateProbe {
             col("n_hit"))
           .show(false)
       }
+      println("-- q332 contrastive ivf-fast vs exact panel (nProbe sweep) --")
+      val panel = emb.filter(col("vec_id") < 100)
+      val exCp = Similarity.contrastivePairsFor(panel, emb, tau = 0.35)
+        .select(col("anchor_id"), col("pos_id").as("__ep"),
+          col("neg_id").as("__en"))
+      for (np <- Seq(2, 3, 4)) {
+        Similarity.contrastivePairsIvf(emb, tau = 0.35, nProbe = np)
+          .join(exCp, Seq("anchor_id"))
+          .agg(count(lit(1)).as("n_panel"),
+            sum(when(col("pos_id") === col("__ep"), 1L).otherwise(0L))
+              .as("pos_hit"),
+            sum(when(col("__en").isNotNull, 1L).otherwise(0L)).as("n_strict"),
+            sum(when(col("neg_id") === col("__en"), 1L).otherwise(0L))
+              .as("neg_hit"))
+          .select(lit(np).as("nProbe"), col("n_panel"), col("pos_hit"),
+            col("n_strict"), col("neg_hit"))
+          .show(false)
+      }
     }
     spark.stop()
   }

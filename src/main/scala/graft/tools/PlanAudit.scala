@@ -32,7 +32,9 @@ object PlanAudit {
                                       count: Int = 1)
   private val allowedBroadcasts = Seq(
     AllowedBroadcast("Similarity.scala", "q", "query set — API contract: structurally small (a query batch, not a corpus)"),
-    AllowedBroadcast("Similarity.scala", "centroids", "k centroid rows — parameter-bounded", count = 2),
+    AllowedBroadcast("Similarity.scala", "centroids",
+      "k centroid rows — parameter-bounded (3rd site: contrastivePairsIvf's " +
+        "ONE collected centroid-array row)", count = 3),
     AllowedBroadcast("Similarity.scala", "probed", "queries × nProbe rows — parameter-bounded"),
     AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),

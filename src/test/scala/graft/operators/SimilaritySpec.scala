@@ -354,4 +354,44 @@ class SimilaritySpec extends SparkSpecBase {
     val t = Similarity.contrastivePairs(tight, tau = 0.7).collect()
     assert(t.forall(r => r.getLong(1) != r.getLong(0) && r.isNullAt(3)))
   }
+
+  test("contrastivePairsIvf equals the exact twin on a cleanly " +
+      "clustered corpus, and restricts candidates to probed cells") {
+    import spark.implicits._
+    // two tight unit-circle clusters around (1,0) and (0,1); label =
+    // cluster, so nProbe=2 probes BOTH cells -> candidate set = all
+    // vectors -> IVF must match the exact twin row-for-row
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.995f, 0.0998f), 0),
+      (3L, Seq(0.98f, 0.199f), 0),
+      (11L, Seq(0f, 1f), 1), (12L, Seq(0.0998f, 0.995f), 1),
+      (13L, Seq(0.199f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val exact = asMap(Similarity.contrastivePairs(vecs, tau = 0.5))
+    val ivf2 = asMap(Similarity.contrastivePairsIvf(vecs, tau = 0.5,
+      nProbe = 2))
+    assert(ivf2 == exact)
+    // nProbe=1 probes only the own cluster's cell: positives stay
+    // in-cluster, and no cross-cluster candidate (the only ones <= tau)
+    // is visible -> every negative is null
+    val ivf1 = Similarity.contrastivePairsIvf(vecs, tau = 0.5, nProbe = 1)
+      .collect()
+    assert(ivf1.length == 6)
+    assert(ivf1.forall { r =>
+      val a = r.getLong(0); val p = r.getLong(1)
+      (a < 10L) == (p < 10L) && r.isNullAt(3)
+    })
+    // portable path (decimal centroids) agrees with the fast path here
+    val port = asMap(Similarity.contrastivePairsIvf(vecs, tau = 0.5,
+      nProbe = 2, portable = true))
+    assert(port == exact)
+    // contrastivePairsFor: panel anchors only, candidates = full corpus
+    val panel = Similarity.contrastivePairsFor(
+      vecs.filter(col("vec_id") < 3), vecs, tau = 0.5)
+    assert(panel.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(asMap(panel) == exact.filter(_._1 < 3L))
+  }
 }
