@@ -3425,6 +3425,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the staleness monitor that makes q329/q330's documented-INEXACT
+    // frozen-codebook append OPERABLE: per-side reconstruction error
+    // under the persisted codebooks (floor-quantized to 6-dp micro-unit
+    // longs before the order-free sums — the whole readout replays in
+    // SQL, training chain included); the in-distribution %3 batch reads
+    // ratio ≈ 1 and stale = 0, a drifted batch fires the flag (PqSpec)
+    "q333_pq_staleness" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/pq_stale_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val emb = t(s, dir, "embeddings")
+      val build = emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0L)
+      val batch = emb.filter(pmod(col("vec_id"), lit(3L)) === 0L)
+      Pq.writePqIndex(build, idx)
+      Pq.appendPqIndex(s, idx, batch)
+      Pq.stalenessAudit(s, idx, build, batch, ratioThreshold = 2.0)
+    }),
+
     // IVF-ADC: the q149 codes scored only inside each query's 2 nearest
     // coarse cells — search cost queries×(nProbe/nlist)×corpus, the
     // linear-scale composition the q149 gate's scaling note points to
@@ -7626,6 +7644,13 @@ object SparkEntry {
     // codebooks — the FAISS-add contract, pinned exactly
     "q330_pq_index_append" -> pqOracle(m = 8, ks = 16, dsub = 8,
       iters = 3, k = 5, trainWhere = "vec_id % 3 <> 0"),
+
+    // q333: the q330 training chain, then per-(vec, s) assignment
+    // distances under the trained codebooks, decimal-quantized and
+    // summed per side
+    "q333_pq_staleness" -> pqStalenessOracle(m = 8, ks = 16, dsub = 8,
+      iters = 3, trainWhere = "vec_id % 3 <> 0",
+      batchWhere = "vec_id % 3 = 0", threshold = 2.0),
 
     // q160: the q149 chain with the probed-cells restriction spliced
     // into the scoring join (nProbe = 2 coarse cells per query)
@@ -12499,6 +12524,108 @@ object SparkEntry {
     * mirrors Spark's element-order fold (list_sum over an ascending
     * generate_series = the codegen VecDot accumulation order).
     */
+  /** The q149 assignment CTE: nearest code per (vec_id, s) under the
+    * `xn² − 2·x·c + cn²` tree, ties to the lowest code — shared by the
+    * training iterations, the final encode, and the q333 error CTEs.
+    */
+  private def pqAssignCte(dsub: Int, name: String, cbName: String,
+                          src: String = "tsubn"): String =
+    s"""$name AS (
+       |  SELECT vec_id, s, x, code FROM (
+       |    SELECT n.vec_id, n.s, n.x, c.code,
+       |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
+       |        (n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
+       |          j -> n.x[j] * c.cent[j]))) + c.cn2, c.code) AS rn
+       |    FROM $src n JOIN $cbName c ON c.s = n.s)
+       |  WHERE rn = 1)"""
+
+  /** The shared PQ TRAINING chain (e → subn → tsubn → init → cb0 →
+    * Lloyd iterations → cb`iters`) — the common prefix of the
+    * q149/q160/q329/q330 search oracles and the q333 staleness oracle.
+    */
+  private def pqTrainCtes(m: Int, ks: Int, dsub: Int, iters: Int,
+                          tw: String): String = {
+    def meanCtes(it: Int) =
+      s"""mean$it AS (
+         |  SELECT s, code, j,
+         |    CAST(SUM(CAST(x[j] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS comp
+         |  FROM a$it, (SELECT unnest(generate_series(1, $dsub)) AS j) jj
+         |  GROUP BY s, code, j),
+         |cbl$it AS (
+         |  SELECT s, code, list(comp ORDER BY j) AS cent
+         |  FROM mean$it GROUP BY s, code),
+         |cb$it AS (
+         |  SELECT s, code, cent,
+         |    list_sum(list_transform(generate_series(1, $dsub),
+         |      j -> cent[j] * cent[j])) AS cn2
+         |  FROM cbl$it)"""
+    val iterCtes = (1 to iters).map(it =>
+      pqAssignCte(dsub, s"a$it", s"cb${it - 1}") + ",\n" + meanCtes(it))
+      .mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sub AS (
+       |  SELECT vec_id, s, v[s * $dsub + 1 : s * $dsub + $dsub] AS x
+       |  FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS s) ss),
+       |subn AS (
+       |  SELECT vec_id, s, x,
+       |    list_sum(list_transform(generate_series(1, $dsub),
+       |      j -> x[j] * x[j])) AS xn2
+       |  FROM sub),
+       |tsubn AS (SELECT * FROM subn WHERE $tw),
+       |init AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
+       |      vec_id) AS INT) - 1 AS code
+       |  FROM e WHERE $tw
+       |  QUALIFY code < $ks),
+       |cb0 AS (
+       |  SELECT n.s, i.code, n.x AS cent, n.xn2 AS cn2
+       |  FROM init i JOIN tsubn n ON n.vec_id = i.vec_id),
+       |$iterCtes""".stripMargin
+
+  }
+
+  /** q333: the [[pqTrainCtes]] chain, then the assignment DISTANCE of
+    * every (vec, s) row under the trained codebooks, decimal-quantized
+    * and summed per side (build = NOT batchWhere, batch = batchWhere);
+    * error sums STRING-cast, mean-error ratio in double, `stale` at
+    * `threshold` — mirrors [[graft.operators.Pq.stalenessAudit]].
+    */
+  private def pqStalenessOracle(m: Int, ks: Int, dsub: Int, iters: Int,
+                                trainWhere: String, batchWhere: String,
+                                threshold: Double): String = {
+    val distExpr =
+      s"""(n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
+         |          j -> n.x[j] * c.cent[j]))) + c.cn2""".stripMargin
+    s"""WITH ${pqTrainCtes(m, ks, dsub, iters, trainWhere)},
+       |errs AS (
+       |  SELECT vec_id, s, dist FROM (
+       |    SELECT n.vec_id, n.s,
+       |      $distExpr AS dist,
+       |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
+       |        $distExpr, c.code) AS rn
+       |    FROM subn n JOIN cb$iters c ON c.s = n.s)
+       |  WHERE rn = 1),
+       |aggd AS (
+       |  SELECT
+       |    COUNT(*) FILTER (WHERE NOT ($batchWhere) AND s = 0) AS nb,
+       |    COUNT(*) FILTER (WHERE ($batchWhere) AND s = 0) AS na,
+       |    SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))
+       |      FILTER (WHERE NOT ($batchWhere)) AS eb,
+       |    SUM(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))
+       |      FILTER (WHERE ($batchWhere)) AS ea
+       |  FROM errs)
+       |SELECT CAST(nb AS BIGINT) AS n_build, CAST(na AS BIGINT) AS n_batch,
+       |  CAST(eb AS BIGINT) AS err_build_u6, CAST(ea AS BIGINT) AS err_batch_u6,
+       |  round((CAST(ea AS DOUBLE) / na) / (CAST(eb AS DOUBLE) / nb), 6) + 0
+       |    AS err_ratio,
+       |  CAST(CASE WHEN (CAST(ea AS DOUBLE) / na) / (CAST(eb AS DOUBLE) / nb)
+       |      >= $threshold THEN 1 ELSE 0 END AS BIGINT) AS stale
+       |FROM aggd""".stripMargin
+  }
+
   private def pqOracle(m: Int, ks: Int, dsub: Int, iters: Int, k: Int,
                        nProbe: Option[Int] = None,
                        trainWhere: String = ""): String = {
@@ -12539,54 +12666,8 @@ object SparkEntry {
         |  JOIN cells cl ON cl.vec_id = a.vec_id
         |  JOIN probed p ON p.query_id = l.query_id AND p.cell = cl.cell"""
         .stripMargin).getOrElse("")
-    def assignCte(name: String, cbName: String, src: String = "tsubn") =
-      s"""$name AS (
-         |  SELECT vec_id, s, x, code FROM (
-         |    SELECT n.vec_id, n.s, n.x, c.code,
-         |      row_number() OVER (PARTITION BY n.vec_id, n.s ORDER BY
-         |        (n.xn2 - 2.0 * list_sum(list_transform(generate_series(1, $dsub),
-         |          j -> n.x[j] * c.cent[j]))) + c.cn2, c.code) AS rn
-         |    FROM $src n JOIN $cbName c ON c.s = n.s)
-         |  WHERE rn = 1)"""
-    def meanCtes(it: Int) =
-      s"""mean$it AS (
-         |  SELECT s, code, j,
-         |    CAST(SUM(CAST(x[j] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS comp
-         |  FROM a$it, (SELECT unnest(generate_series(1, $dsub)) AS j) jj
-         |  GROUP BY s, code, j),
-         |cbl$it AS (
-         |  SELECT s, code, list(comp ORDER BY j) AS cent
-         |  FROM mean$it GROUP BY s, code),
-         |cb$it AS (
-         |  SELECT s, code, cent,
-         |    list_sum(list_transform(generate_series(1, $dsub),
-         |      j -> cent[j] * cent[j])) AS cn2
-         |  FROM cbl$it)"""
-    val iterCtes = (1 to iters).map(it =>
-      assignCte(s"a$it", s"cb${it - 1}") + ",\n" + meanCtes(it)).mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |  WHERE embedding IS NOT NULL),
-       |sub AS (
-       |  SELECT vec_id, s, v[s * $dsub + 1 : s * $dsub + $dsub] AS x
-       |  FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS s) ss),
-       |subn AS (
-       |  SELECT vec_id, s, x,
-       |    list_sum(list_transform(generate_series(1, $dsub),
-       |      j -> x[j] * x[j])) AS xn2
-       |  FROM sub),
-       |tsubn AS (SELECT * FROM subn WHERE $tw),
-       |init AS (
-       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
-       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT,
-       |      vec_id) AS INT) - 1 AS code
-       |  FROM e WHERE $tw
-       |  QUALIFY code < $ks),
-       |cb0 AS (
-       |  SELECT n.s, i.code, n.x AS cent, n.xn2 AS cn2
-       |  FROM init i JOIN tsubn n ON n.vec_id = i.vec_id),
-       |$iterCtes,
-       |${assignCte("enc", s"cb$iters", "subn")},
+    s"""WITH ${pqTrainCtes(m, ks, dsub, iters, tw)},
+       |${pqAssignCte(dsub, "enc", s"cb$iters", "subn")},
        |q AS (
        |  SELECT vec_id AS query_id, s, x FROM subn WHERE vec_id % 20 = 0),
        |lut AS (

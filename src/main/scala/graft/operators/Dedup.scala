@@ -635,20 +635,27 @@ object Dedup {
     * argmin per distinct line, one join back, one order-free
     * sorted-struct reassembly per doc (doc-length-bounded groups) —
     * no window over the corpus, no driver state. The first-occurrence
-    * join keys on the exact line string (correctness-first; a 128-bit
-    * hash key would narrow the shuffle at 100 TB with the usual
-    * w.h.p. caveat — the wjaccard precedent — and drops in here
-    * without changing the contract).
+    * group/join keys on a 128-BIT HASH of the line (md5 → 16-byte
+    * binary) by default: the argmin frame and the join shuffle carry a
+    * fixed-width key instead of arbitrary-length line strings — at
+    * 100 TB that is the difference between shuffling keys and
+    * shuffling the corpus — with the usual w.h.p. collision caveat
+    * (the wjaccard precedent; 2⁻⁶⁴-scale at any feasible line count).
+    * `hashKey = false` keeps the exact-string key (correctness-first
+    * twin; DedupSpec pins the two forms equal).
     */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text",
+                hashKey: Boolean = true): DataFrame = {
     val lines = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("lpos", "line")))
-    val first = lines.groupBy(col("line"))
+    val key = if (hashKey) unhex(md5(col("line").cast("binary"))) else col("line")
+    val keyed = lines.withColumn("__k", key)
+    val first = keyed.groupBy(col("__k"))
       .agg(min(struct(col(idCol).as("d"), col("lpos").as("p"))).as("f"))
-      .select(col("line"), col("f.d").as("__fd"), col("f.p").as("__fp"))
-    lines.join(first, Seq("line"))
+      .select(col("__k"), col("f.d").as("__fd"), col("f.p").as("__fp"))
+    keyed.join(first, Seq("__k"))
       .withColumn("__keep",
         col(idCol) === col("__fd") && col("lpos") === col("__fp"))
       .groupBy(col(idCol))

@@ -72,7 +72,7 @@ object Pq {
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("dist"), col("code"), col("x"))).as("b"))
       .select(col("vec_id"), col("s"), col("b.code").as("code"),
-        col("b.x").as("x"))
+        col("b.x").as("x"), col("b.dist").as("dist"))
 
   /** Train per-subspace codebooks; returns (s, code, cent, cn2) with
     * `code` ∈ [0, ks) (codes whose cluster empties out drop — the
@@ -251,6 +251,58 @@ object Pq {
         "embedding dimension does not match the build corpus")
     encode(batch, spark.read.parquet(s"$dir/codebooks"), m, idCol, vecCol)
       .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Staleness audit for the frozen-codebook append — the monitor that
+    * makes [[appendPqIndex]]'s documented-inexact contract OPERABLE:
+    * the quantization (reconstruction) error each batch vector pays
+    * under the persisted codebooks, compared against the build
+    * corpus's own error. An in-distribution batch reconstructs about
+    * as well as the data the codebooks were trained on (ratio ≈ 1); a
+    * drifted batch lands far from every centroid and the ratio blows
+    * up — the signal that it is time to pay the [[writePqIndex]]
+    * retrain. Per-subvector error is the assignment distance itself
+    * (`xn² − 2·x·c + cn²` to the CHOSEN code), floor-quantized to
+    * 6-dp MICRO-UNITS (`floor(d·1e6 + 0.5)` — the q157 exact-long
+    * pattern; a straight decimal cast diverges cross-engine in the
+    * last digit over thousands of rows) before the order-free per-side
+    * BIGINT sum, so the whole readout is engine-replayable; the
+    * mean-error ratio is double arithmetic over exact operands, and
+    * `stale` fires at `ratioThreshold`.
+    *
+    * One row: (n_build, n_batch, err_build, err_batch, err_ratio,
+    * stale). Scale shape: one broadcast-codebook join + one combinable
+    * agg per side — the encode pass's own cost, no extra shuffle.
+    */
+  def stalenessAudit(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     buildCorpus: DataFrame, batch: DataFrame,
+                     ratioThreshold: Double = 2.0,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val dsub = meta.getAs[Int]("dsub")
+    require(subDim(buildCorpus, m, vecCol) == dsub &&
+      subDim(batch, m, vecCol) == dsub,
+      s"stalenessAudit: corpus/batch subvector dims must match the " +
+        s"index's persisted dsub $dsub (m = $m)")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    def errOf(df: DataFrame, e: String, n: String) =
+      assign(subvectors(df, m, dsub, idCol, vecCol), cb)
+        .agg(sum(floor(col("dist") * lit(1e6) + lit(0.5)).cast("long"))
+            .as(e),
+          count(when(col("s") === 0, 1)).as(n))
+    errOf(buildCorpus, "__eb", "__nb")
+      .crossJoin(errOf(batch, "__ea", "__na"))
+      .withColumn("__ratio",
+        (col("__ea").cast("double") / col("__na")) /
+          (col("__eb").cast("double") / col("__nb")))
+      .select(
+        col("__nb").as("n_build"), col("__na").as("n_batch"),
+        col("__eb").as("err_build_u6"),
+        col("__ea").as("err_batch_u6"),
+        (round(col("__ratio"), 6) + lit(0.0)).as("err_ratio"),
+        (col("__ratio") >= ratioThreshold).cast("long").as("stale"))
   }
 
   /** IVF-ADC: the composition that makes PQ scale — each query scores

@@ -190,6 +190,12 @@ class DedupSpec extends SparkSpecBase {
     assert(out(2L) == ("unique three", 2L, 1L))
     assert(out(3L) == ("", 2L, 2L))
     assert(out(4L) == ("twice\nunique four", 3L, 1L))
+    // the hash-key (default) and exact-string shuffle keys are the
+    // same operator — key form must not change a single row
+    val stringKeyed = Dedup.lineDedup(docs, hashKey = false).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(stringKeyed == out)
   }
 
   test("containmentPairs: a quoted snippet scores full containment in " +

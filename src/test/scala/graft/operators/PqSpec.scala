@@ -187,4 +187,36 @@ class PqSpec extends SparkSpecBase {
       .filter(col("nlabel") =!= col("cell")).count()
     assert(escapees == 0L)
   }
+
+  test("stalenessAudit: an in-distribution batch reads ratio ~ 1 and " +
+      "does not fire; a drifted batch fires stale = 1; dimension " +
+      "mismatch is rejected loudly") {
+    val emb = Tables.embeddings(spark, sf())
+    val build = emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0L)
+    val inDist = emb.filter(pmod(col("vec_id"), lit(3L)) === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("pq_stale").toString
+    Pq.writePqIndex(build, dir)
+    val ok = Pq.stalenessAudit(spark, dir, build, inDist,
+      ratioThreshold = 2.0).head()
+    assert(ok.getAs[Long]("stale") == 0L)
+    val okRatio = ok.getAs[Double]("err_ratio")
+    assert(okRatio > 0.5 && okRatio < 2.0)
+    // drift: shift every component by +3 — far from every centroid
+    val drifted = inDist.withColumn("embedding",
+      expr("transform(embedding, v -> v + CAST(3.0 AS FLOAT))"))
+    val bad = Pq.stalenessAudit(spark, dir, build, drifted,
+      ratioThreshold = 2.0).head()
+    assert(bad.getAs[Long]("stale") == 1L)
+    assert(bad.getAs[Double]("err_ratio") > okRatio)
+    // the monitored symptom: frozen-codebook search quality on the
+    // drifted slice collapses — its ADC scores rank the TRUE nearest
+    // (by exact dot) worse than the in-distribution batch's do. Checked
+    // via reconstruction error being the upper bound ADC inherits; the
+    // numeric agreement drop is covered by the adcTopK recall spec.
+    val mism = inDist.withColumn("embedding", slice(col("embedding"), 1, 32))
+    val e = intercept[IllegalArgumentException] {
+      Pq.stalenessAudit(spark, dir, build, mism)
+    }
+    assert(e.getMessage.contains("dsub"))
+  }
 }
