@@ -370,6 +370,24 @@ object SparkEntry {
           nProbe = 2, portable = true)
         .orderBy(col("anchor_id"))),
 
+    // the QUANTIZER-SCALING form of q331 — the "nlist grows with the
+    // corpus" sizing as code, not prose: cells = label × 2-bit md5
+    // hyperplane bucket (40 cells instead of 10; at 100 TB the bit
+    // count is the knob that keeps per-anchor candidates bounded —
+    // cells ∝ n makes the mining pass linear). Portable everywhere, so
+    // the FULL output hash-gates: the q19 plane family replays the
+    // bucket bits, the q20 decimal chain the per-cell centroids, and
+    // q317's two argmaxes the rollups
+    "q337_contrastive_ivf_scaled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("cell2", concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"), numBits = 2,
+            seed = 0, portable = true).cast("string")))
+      Similarity.contrastivePairsIvf(emb, tau = 0.35, nProbe = 2,
+          coarseCol = "cell2", portable = true)
+        .orderBy(col("anchor_id"))
+    }),
+
     // the PRODUCTION fast-float path of the same operator (VectorAvg
     // centroids — not engine-replayable), gated by the q127/q128
     // derived-agreement convention: IVF mining runs over the FULL
@@ -498,6 +516,31 @@ object SparkEntry {
           col("o_orderdate"),
           (pmod(col("o_orderkey"), lit(2L)) === 0L).cast("int")
             .as("o_flag"))
+        .limit(10).write.mode("overwrite").parquet(s"$base/v2")
+      Maintenance.schemaDiff(s, s"$base/v1", s"$base/v2")
+        .orderBy(col("col_name"))
+    }),
+
+    // the NESTED twin of q322 (r13 verdict ask): a change deep inside a
+    // struct must surface as its LEAF path's own row — v2 retypes
+    // meta.year, removes meta.author, adds meta.tag while the
+    // array-of-struct tags and the scalar key stay identical; pre-r14
+    // the whole meta column read as one opaque `retyped` blob
+    "q335_schema_drift_nested" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/schema_nested_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val orders = t(s, dir, "orders")
+      orders.select(col("o_orderkey"),
+          struct(col("o_orderpriority").as("author"),
+            pmod(col("o_custkey"), lit(3000L)).cast("int").as("year"))
+            .as("meta"),
+          array(struct(lit("a").as("k"), lit(1).as("v"))).as("tags"))
+        .limit(10).write.mode("overwrite").parquet(s"$base/v1")
+      orders.select(col("o_orderkey"),
+          struct(pmod(col("o_custkey"), lit(3000L)).cast("bigint").as("year"),
+            lit("x").as("tag")).as("meta"),
+          array(struct(lit("a").as("k"), lit(1).as("v"))).as("tags"))
         .limit(10).write.mode("overwrite").parquet(s"$base/v2")
       Maintenance.schemaDiff(s, s"$base/v1", s"$base/v2")
         .orderBy(col("col_name"))
@@ -2263,8 +2306,12 @@ object SparkEntry {
     // ONE cascade, four readouts (round 13: formerly four separate
     // trainings — 30 merge iterations where 16 suffice; the oracle has
     // always read one cascade's s2/s4/s8/s16 intermediates)
+    // (the k=24 point lands BPE's used-vocab at ~46 — the matched
+    // ~50-piece budget the r13 bake-off note compared unigram 51 and
+    // WordPiece 49 at; SCALING.md's bake-off table reads all three
+    // families at one operating point since r14)
     "q303_bpe_merge_sweep" -> ((s, dir) =>
-      Bpe.mergeSweepStats(t(s, dir, "documents"), Seq(2, 4, 8, 16))
+      Bpe.mergeSweepStats(t(s, dir, "documents"), Seq(2, 4, 8, 16, 24))
         .orderBy(col("merges"))),
 
     // unigram vocab-size sweep (q303 parity for the second tokenizer
@@ -2776,6 +2823,20 @@ object SparkEntry {
             seqLen = 512),
           epochs = Seq(1, 2), resumeFrom = 10L)
         .orderBy(col("step"))
+    }),
+
+    // the DATA-PARALLEL resume twin of q326 (r13 verdict ask): three
+    // rendezvous shards, each worker's stream stepped independently,
+    // resume = the same LOCAL step 5 on every shard — the synchronized
+    // DDP checkpoint restart; rides the q326/q248 BPE memo in battery
+    "q336_training_order_sharded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Packing.trainingOrder(
+          Packing.chunkTokenStream(
+            Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+            seqLen = 512),
+          epochs = Seq(1, 2), resumeFrom = 5L, numShards = 3)
+        .orderBy(col("shard"), col("step"))
     }),
 
     // data-constrained mixture planning (Muennighoff 2023): per-domain
@@ -3441,6 +3502,85 @@ object SparkEntry {
       Pq.writePqIndex(build, idx)
       Pq.appendPqIndex(s, idx, batch)
       Pq.stalenessAudit(s, idx, build, batch, ratioThreshold = 2.0)
+    }),
+
+    // streaming ingest ≡ batch backfill, gated on REAL data (the r13
+    // verdict ask; the 3-doc spec fixture covers order, this covers
+    // the corpus): the documents table minus a seed slice runs through
+    // StreamingIngest.pipeline as THREE MemoryStream micro-batches
+    // (fixed n_chars≥300 quality model — SQL-replayable, no training
+    // chain; 8-gram decon vs a derived eval slice; MinHash probe +
+    // append per batch), and through the same three policies as ONE
+    // batch. Derived frame: n_seed/n_survivors/n_pairs are replayed by
+    // the oracle (quality + decon predicates + the q141 exact-Jaccard
+    // pair chain); survivors_match/pairs_match assert the streaming
+    // and backfill SETS symmetric-difference-0 (the append ≡ rebuild
+    // exactness is what makes multi-batch ≡ one-batch provable)
+    "q334_streaming_ingest_parity" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = "/tmp/graft_scratch/ingest_parity_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val seed = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      val arriving = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(50L)) === 3L)
+        .select(col("doc_id"), col("text"))
+      val model = LogReg.Model(Seq("n_chars"), Seq((300.0, 100.0)),
+        Array(0.0, 1.0))
+      // -- live ingest: three micro-batches through the assembled stream
+      Dedup.writeMinhashIndex(seed, s"$base/stream_idx", "doc_id", "text")
+      val pairBuf =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.StreamingIngest.pipeline(
+        input.toDF().toDF("doc_id", "text", "n_chars"), model, evalDocs,
+        s"$base/stream_idx",
+        (pairs, _) => pairs.collect()
+          .foreach(r => pairBuf.add((r.getLong(0), r.getLong(1)))))
+      try {
+        for (b <- 0L to 2L) {
+          // bounded collect: one third of the (fixed-budget) doc table
+          input.addData(arriving
+            .filter(pmod(col("doc_id"), lit(3L)) === b)
+            .as[(Long, String, Long)].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamSurv = s.read.parquet(s"$base/stream_idx/shingles")
+        .select(col("doc").as("doc_id"))
+        .join(seed.select("doc_id"), Seq("doc_id"), "left_anti")
+      import scala.jdk.CollectionConverters._
+      val streamPairs = pairBuf.asScala.toSeq.distinct
+        .toDF("doc_a", "doc_b")
+      // -- backfill twin: the same three policies as one batch
+      val bq = arriving.filter(model.probability >= 0.5)
+      val contaminated = Decontamination.contaminationPairs(bq, evalDocs,
+          "doc_id", "text", shingleSize = 8)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val batchSurv = bq.join(contaminated, Seq("doc_id"), "left_anti")
+      Dedup.writeMinhashIndex(seed, s"$base/batch_idx", "doc_id", "text")
+      val batchPairs = Dedup.nearDupsFromIndex(s, s"$base/batch_idx",
+          batchSurv, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // -- derived parity frame (driver-side counts are COUNTS — bounded)
+      val survDiff = streamSurv.withColumn("__s", lit(1))
+        .join(batchSurv.select(col("doc_id")).withColumn("__b", lit(1)),
+          Seq("doc_id"), "full_outer")
+        .filter(col("__s").isNull || col("__b").isNull).count()
+      val pairDiff = streamPairs.withColumn("__s", lit(1))
+        .join(batchPairs.withColumn("__b", lit(1)),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .filter(col("__s").isNull || col("__b").isNull).count()
+      Seq((seed.count(), streamSurv.count(),
+          if (survDiff == 0L) 1L else 0L,
+          streamPairs.count(),
+          if (pairDiff == 0L) 1L else 0L))
+        .toDF("n_seed", "n_survivors", "survivors_match", "n_pairs",
+          "pairs_match")
     }),
 
     // IVF-ADC: the q149 codes scored only inside each query's 2 nearest
@@ -7652,6 +7792,78 @@ object SparkEntry {
       iters = 3, trainWhere = "vec_id % 3 <> 0",
       batchWhere = "vec_id % 3 = 0", threshold = 2.0),
 
+    // q334: survivors = quality (σ monotone ⟺ n_chars ≥ 300) ∧ no
+    // 8-gram shared with the eval slice (q309's gram chain); pairs =
+    // the q141 exact-Jaccard chain over seed ∪ survivors with at least
+    // one survivor endpoint; the *_match flags assert the in-engine
+    // streaming-vs-backfill symmetric differences are zero
+    "q334_streaming_ingest_parity" ->
+      """WITH arr AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |q AS (SELECT doc_id, text FROM arr WHERE n_chars >= 300),
+        |tq AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM q),
+        |gq AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 7),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM tq),
+        |tev AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 50 = 3),
+        |gev AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 7),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM tev),
+        |cont AS (SELECT DISTINCT gq.doc_id FROM gq JOIN gev USING (g)),
+        |surv AS (
+        |  SELECT q.doc_id FROM q LEFT JOIN cont USING (doc_id)
+        |  WHERE cont.doc_id IS NULL),
+        |pool AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN d.doc_id % 7 = 0 THEN 0 ELSE 1 END AS is_surv
+        |  FROM documents d
+        |  WHERE d.doc_id % 7 = 0 OR d.doc_id IN (SELECT doc_id FROM surv)),
+        |toks AS (
+        |  SELECT doc_id, is_surv,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM pool),
+        |sh AS (
+        |  SELECT doc_id, is_surv, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS shingles
+        |  FROM toks),
+        |tokf AS MATERIALIZED (
+        |  SELECT doc_id, is_surv, unnest(shingles) AS term FROM sh
+        |  WHERE true),
+        |tokc AS (SELECT doc_id, is_surv, term FROM tokf WHERE term <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n_terms FROM tokc GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.is_surv + b.is_surv AS ns
+        |  FROM tokc a JOIN tokc b ON a.term = b.term AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, c.ns, count(*) AS i
+        |  FROM cand c
+        |  JOIN tokc ta ON ta.doc_id = c.doc_a
+        |  JOIN tokc tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        |  GROUP BY c.doc_a, c.doc_b, c.ns),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n_terms + sb.n_terms - i) >= 0.5
+        |    AND ns >= 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 7 = 0) AS n_seed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors,
+        |  CAST(1 AS BIGINT) AS survivors_match,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_pairs,
+        |  CAST(1 AS BIGINT) AS pairs_match""".stripMargin,
+
     // q160: the q149 chain with the probed-cells restriction spliced
     // into the scoring join (nProbe = 2 coarse cells per query)
     // q259: the residual-encoded IVFADC replay (coarse centroids →
@@ -8193,6 +8405,55 @@ object SparkEntry {
         |WHERE p.rn = 1
         |ORDER BY p.anchor_id""".stripMargin,
 
+    // q337: q331's chain over label × md5-plane-bucket composite cells
+    // — the q19 sig CTEs feed the cell key, the rest is q331 verbatim
+    // with the string cell as the probe tie-break
+    "q337_contrastive_ivf_scaled" ->
+      s"""WITH ${lshSigCtes(numTables = 1, numBits = 2, dim = 64)},
+         |vc AS MATERIALIZED (
+         |  SELECT v.vec_id, v.e,
+         |    CAST(e.label AS VARCHAR) || '#' || CAST(s.sig AS VARCHAR)
+         |      AS cell
+         |  FROM vecs v
+         |  JOIN embeddings e ON e.vec_id = v.vec_id
+         |  JOIN sigs s ON s.vec_id = v.vec_id),
+         |elems AS (
+         |  SELECT cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+         |  FROM vc),
+         |cstats AS (
+         |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+         |  FROM elems GROUP BY cell, j),
+         |centroids AS (
+         |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+         |  FROM cstats GROUP BY cell),
+         |probed AS (
+         |  SELECT anchor_id, cell FROM (
+         |    SELECT v.vec_id AS anchor_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_cosine_similarity(v.e, c.c) DESC, c.cell) AS pr
+         |    FROM vc v CROSS JOIN centroids c)
+         |  WHERE pr <= 2),
+         |sc AS (
+         |  SELECT p.anchor_id, b.vec_id AS bid,
+         |    round(list_cosine_similarity(a.e, b.e), 6) AS c
+         |  FROM probed p
+         |  JOIN vc b ON b.cell = p.cell AND b.vec_id <> p.anchor_id
+         |  JOIN vc a ON a.vec_id = p.anchor_id),
+         |pos AS (
+         |  SELECT anchor_id, bid, c, row_number() OVER (
+         |    PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+         |  FROM sc),
+         |neg AS (
+         |  SELECT anchor_id, bid, c, row_number() OVER (
+         |    PARTITION BY anchor_id ORDER BY c DESC, bid) AS rn
+         |  FROM sc WHERE c <= 0.35)
+         |SELECT p.anchor_id, p.bid AS pos_id, p.c AS pos_cos6,
+         |  n.bid AS neg_id, n.c AS neg_cos6
+         |FROM pos p LEFT JOIN neg n
+         |  ON n.anchor_id = p.anchor_id AND n.rn = 1
+         |WHERE p.rn = 1
+         |ORDER BY p.anchor_id""".stripMargin,
+
     // q332: n_anchors/n_panel recomputed by count; n_strict replayed
     // from the exact PANEL twin (all-candidates argmax for vec_id <
     // 100 anchors — linear); the fast-float agreement fractions are
@@ -8334,6 +8595,19 @@ object SparkEntry {
         |  ('o_orderkey', 'bigint', 'bigint', 'same'),
         |  ('o_orderpriority', 'string', NULL, 'removed'),
         |  ('o_totalprice', 'double', 'decimal(15,2)', 'retyped'))
+        |  AS t(col_name, type_a, type_b, status)
+        |ORDER BY col_name""".stripMargin,
+
+    // q335: leaf-path classifications pinned as literals — the
+    // operator must flatten REAL nested footers to reproduce them
+    "q335_schema_drift_nested" ->
+      """SELECT * FROM (VALUES
+        |  ('meta.author', 'string', NULL, 'removed'),
+        |  ('meta.tag', NULL, 'string', 'added'),
+        |  ('meta.year', 'int', 'bigint', 'retyped'),
+        |  ('o_orderkey', 'bigint', 'bigint', 'same'),
+        |  ('tags[].k', 'string', 'string', 'same'),
+        |  ('tags[].v', 'int', 'int', 'same'))
         |  AS t(col_name, type_a, type_b, status)
         |ORDER BY col_name""".stripMargin,
 
@@ -11239,7 +11513,7 @@ object SparkEntry {
     // blow DuckDB's file-handle budget (the r8 q209 class) — the
     // incremental structure of BPE makes one chain serve all four.
     "q303_bpe_merge_sweep" -> {
-      val ks = Seq(2, 4, 8, 16)
+      val ks = Seq(2, 4, 8, 16, 24)
       val per = ks.map { k =>
         s"""ws$k AS (
            |  SELECT word, string_split(trim(seq), '  ') AS syms FROM s$k),
@@ -11252,7 +11526,7 @@ object SparkEntry {
           .stripMargin
       }.mkString(",\n")
       val head =
-        s"""WITH ${bpeOracleCtes(16, materialize = true)},
+        s"""WITH ${bpeOracleCtes(24, materialize = true)},
            |dtk AS (
            |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
            |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
@@ -11262,10 +11536,8 @@ object SparkEntry {
            |      unnest([{'wpos': i, 'word': tk[i]} FOR i IN range(1, len(tk) + 1)]) AS u
            |    FROM dtk)
            |  WHERE regexp_matches(u['word'], '^[a-z0-9]+$$')),""".stripMargin
-      val tail =
-        """SELECT * FROM m2 UNION ALL SELECT * FROM m4
-          |UNION ALL SELECT * FROM m8 UNION ALL SELECT * FROM m16
-          |ORDER BY merges""".stripMargin
+      val tail = ks.map(k => s"SELECT * FROM m$k")
+        .mkString("", "\nUNION ALL ", "\nORDER BY merges")
       head + "\n" + per + "\n" + tail
     },
 
@@ -11515,12 +11787,63 @@ object SparkEntry {
           |        || CAST(c.seq_no AS VARCHAR)), c.seq_no) - 1 AS BIGINT)
           |      AS epoch_pos
           |  FROM ch c CROSS JOIN (SELECT unnest([1, 2]) AS e) e)
-          |SELECT step, epoch, seq_no, epoch_pos FROM (
+          |SELECT step, epoch, seq_no, epoch_pos,
+          |  CAST(0 AS BIGINT) AS shard, epoch_pos AS shard_pos FROM (
           |  SELECT CAST(row_number() OVER (ORDER BY epoch, epoch_pos) - 1
           |    AS BIGINT) AS step, epoch, seq_no, epoch_pos
           |  FROM eord)
           |WHERE step >= 10
           |ORDER BY step""".stripMargin
+    },
+
+    // q336: the q326 chain with THREE rendezvous shards — the shard map
+    // replays as the q219 argmax over the epoch-salted id, shard_pos as
+    // a per-(epoch, shard) rank consistent with the global md5 order,
+    // and step as the per-shard epoch concatenation; resume slices
+    // every shard at local step 5
+    "q336_training_order_sharded" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |gx AS (
+          |  SELECT doc_id, token_id,
+          |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+          |  FROM ids),
+          |ch AS MATERIALIZED (
+          |  SELECT CAST(idx // 512 AS BIGINT) AS seq_no
+          |  FROM gx GROUP BY 1),
+          |es AS MATERIALIZED (
+          |  SELECT CAST(e.e AS BIGINT) AS epoch, c.seq_no,
+          |    CAST(e.e AS VARCHAR) || '#' || CAST(c.seq_no AS VARCHAR) AS eid
+          |  FROM ch c CROSS JOIN (SELECT unnest([1, 2]) AS e) e),
+          |shw AS (
+          |  SELECT epoch, seq_no, s,
+          |    row_number() OVER (PARTITION BY epoch, seq_no
+          |      ORDER BY md5(eid || '#' || CAST(s AS VARCHAR)) DESC, s DESC)
+          |      AS rn
+          |  FROM es CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS s)),
+          |sh AS (
+          |  SELECT es.epoch, es.seq_no, es.eid,
+          |    CAST(shw.s AS BIGINT) AS shard
+          |  FROM es JOIN shw ON shw.epoch = es.epoch
+          |    AND shw.seq_no = es.seq_no AND shw.rn = 1),
+          |eord AS (
+          |  SELECT epoch, seq_no, shard,
+          |    CAST(row_number() OVER (PARTITION BY epoch
+          |      ORDER BY md5(eid), seq_no) - 1 AS BIGINT) AS epoch_pos,
+          |    CAST(row_number() OVER (PARTITION BY epoch, shard
+          |      ORDER BY md5(eid), seq_no) - 1 AS BIGINT) AS shard_pos
+          |  FROM sh)
+          |SELECT step, epoch, seq_no, epoch_pos, shard, shard_pos FROM (
+          |  SELECT CAST(row_number() OVER (PARTITION BY shard
+          |      ORDER BY epoch, shard_pos) - 1 AS BIGINT) AS step,
+          |    epoch, seq_no, epoch_pos, shard, shard_pos
+          |  FROM eord)
+          |WHERE step >= 5
+          |ORDER BY shard, step""".stripMargin
     },
 
     "q209_hits" -> hitsOracleSql(3),

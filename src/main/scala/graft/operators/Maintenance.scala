@@ -108,13 +108,32 @@ object Maintenance {
     * type strings shown. Driver-side METADATA only — parquet footer
     * schemas, bounded by column count (the [[compactParquet]] listing
     * precedent) — so the report costs zero data IO at any table size.
+    *
+    * NESTED schemas flatten to LEAF paths before the join (`a.b.c`;
+    * array-of-struct elements as `a[].b`), so a change deep inside a
+    * struct surfaces as that one leaf's row — added/removed/retyped —
+    * instead of the whole top-level column reading as one opaque
+    * `retyped` blob (and a 40-field struct growing one field no longer
+    * hides which). Arrays of scalars and maps stay leaves (their
+    * simpleString is already atomic). Flat schemas flatten to
+    * themselves, so the flat report is unchanged.
     */
   def schemaDiff(spark: SparkSession, dirA: String,
                  dirB: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    def leaves(name: String,
+               dt: org.apache.spark.sql.types.DataType): Seq[(String, String)] =
+      dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.toSeq.flatMap(f => leaves(s"$name.${f.name}", f.dataType))
+        case org.apache.spark.sql.types.ArrayType(
+            et: org.apache.spark.sql.types.StructType, _) =>
+          et.fields.toSeq.flatMap(f => leaves(s"$name[].${f.name}", f.dataType))
+        case other => Seq(name -> other.simpleString)
+      }
     def fieldsOf(d: String) = spark.read.parquet(d).schema.fields
-      .map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toSeq.flatMap(f => leaves(f.name, f.dataType))
     val a = fieldsOf(dirA).toDF("col_name", "type_a")
     val b = fieldsOf(dirB).toDF("col_name", "type_b")
     a.join(b, Seq("col_name"), "full_outer")

@@ -112,7 +112,17 @@ object Packing {
     * order), `step` numbers the whole run, and `resumeFrom` slices
     * away already-consumed steps WITHOUT recomputing or re-shuffling
     * anything — a crashed trainer resumes mid-epoch bit-identically.
-    * Output: `(step, epoch, seq_no, epoch_pos)`.
+    *
+    * DATA-PARALLEL form (`numShards` > 1): real multi-node training
+    * resumes PER SHARD — each data-parallel worker consumes its own
+    * rendezvous shard's stream ([[epochShuffle]]'s epoch-salted shard
+    * map) and counts its own steps, so `step` is the 0-based index
+    * WITHIN the shard's run (concatenated epochs in shard order) and
+    * `resumeFrom` slices every shard's stream at the same local step —
+    * the synchronized-checkpoint restart a DDP trainer actually does.
+    * With one shard this degenerates to the global order (shard = 0,
+    * shard_pos = epoch_pos). Output:
+    * `(step, epoch, seq_no, epoch_pos, shard, shard_pos)`.
     *
     * Scale: one rank-core pass per epoch (epoch count is a small
     * constant) plus one final rank-core pass over the union — no
@@ -121,18 +131,26 @@ object Packing {
     */
   def trainingOrder(seqs: DataFrame, epochs: Seq[Int],
                     resumeFrom: Long = 0L,
-                    seqNoCol: String = "seq_no"): DataFrame = {
+                    seqNoCol: String = "seq_no",
+                    numShards: Int = 1): DataFrame = {
     require(epochs.nonEmpty && epochs.distinct.size == epochs.size,
       s"epochs must be non-empty and distinct, got $epochs")
     require(resumeFrom >= 0L, s"resumeFrom must be >= 0, got $resumeFrom")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val uni = epochs.sorted.map { e =>
-      epochShuffle(seqs, e, numShards = 1, seqNoCol)
-        .select(col(seqNoCol), col("epoch_pos"))
+      epochShuffle(seqs, e, numShards, seqNoCol)
+        .select(col(seqNoCol), col("shard"), col("epoch_pos"),
+          col("shard_pos"))
         .withColumn("epoch", lit(e.toLong))
     }.reduce(_ unionByName _)
-    Ranking.rangeRank(uni, Nil, Seq("epoch", "epoch_pos"), "__step")
+    // per-shard step: rank within shard by (epoch, shard_pos) — one
+    // rank-core pass; (epoch, shard_pos) is unique within a shard, the
+    // trailing seqNo only pins cross-shard tie order inside the sort
+    Ranking.rangeRankMulti(uni, Seq("epoch", "shard_pos", seqNoCol),
+        Seq(Seq("shard")), Seq("__step"))
       .select((col("__step") - 1).cast("long").as("step"),
-        col("epoch"), col(seqNoCol), col("epoch_pos"))
+        col("epoch"), col(seqNoCol), col("epoch_pos"),
+        col("shard").cast("long").as("shard"), col("shard_pos"))
       .filter(col("step") >= resumeFrom)
   }
 

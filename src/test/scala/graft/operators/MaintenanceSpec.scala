@@ -169,4 +169,36 @@ class MaintenanceSpec extends SparkSpecBase {
       .collect()
     assert(same.length == 3 && same.forall(_.getString(3) == "same"))
   }
+
+  test("schemaDiff flattens nested structs to leaf paths: a deep field " +
+      "change classifies at its own a.b.c row, arrays of structs " +
+      "descend as a[].b, scalar arrays stay atomic leaves") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sdiffn").toString
+    Seq((1L, ("ann", 7), Seq(("k1", 1)), Seq(1.0)))
+      .toDF("id", "meta", "tags", "ws")
+      .select(col("id"),
+        col("meta").cast("struct<author:string,year:int>").as("meta"),
+        col("tags").cast("array<struct<k:string,v:int>>").as("tags"),
+        col("ws"))
+      .write.parquet(s"$base/v1")
+    Seq((1L, (7L, "x"), Seq(("k1", 1)), Seq(1.0f)))
+      .toDF("id", "meta", "tags", "ws")
+      .select(col("id"),
+        col("meta").cast("struct<year:bigint,tag:string>").as("meta"),
+        col("tags").cast("array<struct<k:string,v:int>>").as("tags"),
+        col("ws"))
+      .write.parquet(s"$base/v2")
+    val out = Maintenance.schemaDiff(spark, s"$base/v1", s"$base/v2")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map(
+      "id" -> "same",
+      "meta.author" -> "removed",
+      "meta.year" -> "retyped",
+      "meta.tag" -> "added",
+      "tags[].k" -> "same",
+      "tags[].v" -> "same",
+      "ws" -> "retyped")) // array<double> -> array<float>: atomic leaf
+  }
 }

@@ -191,6 +191,45 @@ class PackingSpec extends SparkSpecBase {
     assert(meanAbs > 20.0, s"mean |Δpos| $meanAbs — orders too correlated")
   }
 
+  test("trainingOrder with shards: each shard's stream is the epoch " +
+      "concatenation of its own shard_pos order, resume slices every " +
+      "shard at the same LOCAL step, and the one-shard form is the " +
+      "global order with shard 0") {
+    import spark.implicits._
+    val seqs = (0L until 40L).map(Tuple1(_)).toDF("seq_no")
+    val full = Packing.trainingOrder(seqs, epochs = Seq(1, 2),
+      numShards = 3).collect()
+      .map(r => (r.getLong(4), r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    // shard map: both epochs' rows of a seq land on that epoch's
+    // rendezvous shard; per shard, steps are 0..n-1 dense and ordered
+    // by (epoch, shard_pos)
+    val byShard = full.groupBy(_._1)
+    assert(byShard.keySet.subsetOf(Set(0L, 1L, 2L)) && byShard.size == 3)
+    byShard.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong).toSeq,
+        "per-shard steps must be dense from 0")
+      assert(sorted.map(r => (r._3, r._6)).toSeq ==
+        sorted.map(r => (r._3, r._6)).sortBy(identity).toSeq,
+        "per-shard step order must follow (epoch, shard_pos)")
+    }
+    // every (epoch, seq) appears exactly once across shards
+    assert(full.map(r => (r._3, r._4)).distinct.length == 80)
+    // resume: the same local step filter on every shard
+    val resumed = Packing.trainingOrder(seqs, epochs = Seq(1, 2),
+      resumeFrom = 4L, numShards = 3).collect()
+      .map(r => (r.getLong(4), r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toSet
+    assert(resumed == full.filter(_._2 >= 4L).toSet,
+      "sharded resume must be the full order minus each shard's first 4 steps")
+    // one shard degenerates to the global order
+    val one = Packing.trainingOrder(seqs, epochs = Seq(1, 2)).collect()
+    assert(one.forall(r => r.getLong(4) == 0L &&
+      r.getLong(5) == r.getLong(3)),
+      "numShards = 1: shard 0, shard_pos == epoch_pos")
+  }
+
   test("lengthBatches: hand-traced length-sorted batches and waste") {
     import spark.implicits._
     // doc lengths: 1, 2, 3, 5 (ids 1..4); batchSize 2 sorted by length:
