@@ -478,7 +478,13 @@ object Dedup {
     * unrecoverable without the re-sign this function exists to avoid.
     *
     * Parameters must match the build (same contract as
-    * [[nearDupsFromIndex]]); ids must be unique across corpus ∪ batch.
+    * [[nearDupsFromIndex]]). Ids already IN the index are dropped from
+    * the batch (`dedupeBatch`, default on): a failure-replayed batch —
+    * foreachBatch is at-least-once — re-appends as a NO-OP instead of
+    * duplicating keys, which upgrades the streaming path from
+    * at-least-once to effectively-once. The guard is one column-pruned
+    * anti-join against the stored doc ids; a bulk loader that
+    * guarantees fresh ids can pass `dedupeBatch = false` and skip it.
     * The bands/dropped frames are index-KEY-scale (never corpus text):
     * the rewrite is staged to sibling dirs and swapped via FS rename,
     * because the new frames read the live dirs — an in-place overwrite
@@ -493,12 +499,18 @@ object Dedup {
                          idCol: String, textCol: String,
                          shingleSize: Int = 3, numHashes: Int = 32,
                          rowsPerBand: Int = 4,
-                         maxBucket: Long = 1000L): Unit = {
+                         maxBucket: Long = 1000L,
+                         dedupeBatch: Boolean = true): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     IndexSwap.recover(fs, dir, minhashFrames)
-    val bArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
+    val fresh =
+      if (!dedupeBatch) batch
+      else batch.join(spark.read.parquet(s"$dir/shingles")
+          .select(col("doc").as(idCol)),
+        Seq(idCol), "left_anti")
+    val bArrays = sharedShingleArrays(fresh, idCol, textCol, shingleSize)
     val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
       numHashes, rowsPerBand)
     // pre-`dropped` indexes (none in this repo's history, but the read

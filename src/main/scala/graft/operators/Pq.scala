@@ -238,7 +238,8 @@ object Pq {
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     batch: DataFrame, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    dedupeBatch: Boolean = true): Unit = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val m = meta.getAs[Int]("m")
     // encode() re-derives dsub from the batch's own vector length, so a
@@ -249,8 +250,19 @@ object Pq {
       s"appendPqIndex: batch subvector dim $batchDsub (m = $m) != the " +
         s"index's persisted dsub ${meta.getAs[Int]("dsub")} — the batch's " +
         "embedding dimension does not match the build corpus")
-    encode(batch, spark.read.parquet(s"$dir/codebooks"), m, idCol, vecCol)
-      .write.mode("append").parquet(s"$dir/codes")
+    // ids already encoded drop out (replay-safe append — a re-delivered
+    // batch would otherwise duplicate its code rows and double-score in
+    // ADC); one column-pruned anti-join against the stored vec ids
+    val fresh =
+      if (!dedupeBatch) batch
+      else batch.join(spark.read.parquet(s"$dir/codes")
+          .select(col("vec_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    // a fully-replayed batch dedupes to empty — a no-op append, not a
+    // crash in encode's vector-length derivation
+    if (!fresh.isEmpty)
+      encode(fresh, spark.read.parquet(s"$dir/codebooks"), m, idCol, vecCol)
+        .write.mode("append").parquet(s"$dir/codes")
   }
 
   /** Staleness audit for the frozen-codebook append — the monitor that

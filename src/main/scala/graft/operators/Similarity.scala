@@ -278,14 +278,20 @@ object Similarity {
     * bit-identical to a full rebuild's, and probing the appended
     * index ≡ probing build(corpus ∪ batch). Requires a
     * `portable = true` build (the moments frame is the contract).
-    * Ids must be new; the moments/centroids rewrites are k·d-row
+    * Ids already in the index are dropped from the batch
+    * (`dedupeBatch`, default on) — without the guard a failure-REPLAYED
+    * batch would merge its moments twice and silently move every
+    * touched centroid, the exact corruption the decimal-merge design
+    * exists to prevent; with it, replay is a no-op and the append is
+    * effectively-once. The moments/centroids rewrites are k·d-row
     * frames (cell count × dimension — parameter-scale), staged and
     * swapped; corpus list files are never rewritten.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame, coarseCol: String = "label",
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Unit = {
+                     vecCol: String = "embedding",
+                     dedupeBatch: Boolean = true): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -293,8 +299,13 @@ object Similarity {
     require(fs.exists(p(s"$dir/moments")),
       s"$dir was not built with portable = true (no moments frame) — " +
         "appendIvfIndex needs the exactly-mergeable decimal moments")
+    val fresh =
+      if (!dedupeBatch) batch
+      else batch.join(spark.read.parquet(s"$dir/lists")
+          .select(col("neighbor_id").as(idCol)),
+        Seq(idCol), "left_anti")
     val merged = spark.read.parquet(s"$dir/moments")
-      .unionByName(cellMoments(batch, coarseCol, vecCol))
+      .unionByName(cellMoments(fresh, coarseCol, vecCol))
       .groupBy(col("cell"), col("j"))
       .agg(sum(col("s")).cast("decimal(28,12)").as("s"),
         sum(col("n")).as("n"))
@@ -308,7 +319,7 @@ object Similarity {
     // can no longer pair new moments with stale centroids, or lose a
     // frame outright)
     IndexSwap.swapAll(fs, dir, ivfFrames)
-    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    fresh.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(coarseCol).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
   }

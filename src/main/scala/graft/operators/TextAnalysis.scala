@@ -378,20 +378,34 @@ object TextAnalysis {
     * append-mode write), doc lengths append likewise, and document
     * frequencies / global stats are derived at QUERY time from the
     * frames, so `index(A) + append(B) ≡ build(A ∪ B)` exactly, with
-    * no cap bookkeeping. Ids must be new (same uniqueness contract as
-    * the dedup index); `nBuckets` must match the build.
+    * no cap bookkeeping. Ids already indexed drop out of the batch
+    * (`dedupeBatch`, default on — a failure-replayed batch would
+    * otherwise double its tf rows and doc length, inflating BM25 for
+    * exactly the replayed docs): one anti-join against the doc-count-
+    * scale lens frame. `nBuckets` must match the build.
     */
   def appendInvertedIndex(docs: DataFrame, dir: String,
                           idCol: String = "doc_id",
                           textCol: String = "text",
-                          nBuckets: Int = 64): Unit = {
+                          nBuckets: Int = 64,
+                          dedupeBatch: Boolean = true): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    docs.select(col(idCol),
+    val spark = docs.sparkSession
+    // materialized BEFORE the first append: the anti-join reads lens,
+    // and the lazy plan would otherwise re-execute for the postings
+    // write AFTER the lens append — seeing the batch's own ids as
+    // "already indexed" and writing empty postings
+    val fresh =
+      if (!dedupeBatch) docs
+      else docs.join(spark.read.parquet(s"$dir/lens").select(col(idCol)),
+          Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+    fresh.select(col(idCol),
         wsTokenCountCol(col(textCol)).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/lens")
     val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
       16, 10).cast("long"), lit(nBuckets.toLong))
-    docTerms(docs, idCol, textCol)
+    docTerms(fresh, idCol, textCol)
       .withColumn("pbucket", bucket)
       .write.mode("append").partitionBy("pbucket")
       .parquet(s"$dir/postings")

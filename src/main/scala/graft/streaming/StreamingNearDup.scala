@@ -20,10 +20,12 @@ import graft.operators.{Dedup, TrackedCaches}
   *    index dirs the pair frame lazily reads, so a deferred
   *    materialization would read a moved directory.
   *  - Failure-replayed batches re-append (foreachBatch is
-  *    at-least-once): duplicated index keys for the replayed docs,
-  *    the SAME at-least-once contract the reference append sink
-  *    documents (SURVEY §2A13). Production hardening is batchId
-  *    bookkeeping next to the index, orthogonal to the dedup logic.
+  *    at-least-once), but the append itself is IDEMPOTENT since r14:
+  *    [[Dedup.appendMinhashIndex]]'s `dedupeBatch` guard drops
+  *    already-indexed ids, so a replay is a no-op and the index is
+  *    effectively-once — strictly stronger than the reference append
+  *    sink's documented at-least-once (SURVEY §2A13). The reported
+  *    PAIRS still re-emit on replay (deterministically identical).
   *
   * Per-batch internal caches (shingle arrays, candidate frames) are
   * scoped-released so a long-running stream holds no growing cache.
