@@ -423,9 +423,12 @@ object Dedup {
       .select(col("bucket"), col("n_new"), col("cum_new"))
   }
 
-  /** The MinHash index's swap-managed generation frames (the
-    * append-only `shingles` frame is NOT one — see [[IndexSwap]]). */
-  private val minhashFrames = Seq("bands", "dropped")
+  /** The MinHash index's swap-managed generation frames. A REBUILD
+    * rewrites all three as one generation; an append swaps only
+    * bands/dropped (shingles is append-only there — new files, no
+    * generation hazard). See [[IndexSwap]]. */
+  private val minhashFrames = Seq("shingles", "bands", "dropped")
+  private val minhashAppendFrames = Seq("bands", "dropped")
 
   /** Persist a MinHash-LSH near-dup index of a corpus, so later batches
     * dedup AGAINST it without re-signing the corpus — the incremental
@@ -441,11 +444,12 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 32,
                         rowsPerBand: Int = 4,
                         maxBucket: Long = 1000L): Unit = {
-    IndexSwap.clean(new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration),
-      dir, minhashFrames)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    IndexSwap.clean(fs, dir, minhashFrames)
     val arrays = sharedShingleArrays(docs, idCol, textCol, shingleSize)
-    arrays.write.mode("overwrite").parquet(s"$dir/shingles")
+    arrays.write.mode("overwrite")
+      .parquet(IndexSwap.stagedPath(dir, "shingles"))
     val banded = bandedOf(signaturesFromShingleArrays(arrays, numHashes),
       numHashes, rowsPerBand)
     val w = Window.partitionBy(col("band"), col("bucket"))
@@ -458,11 +462,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       counted.filter(col("__n") <= maxBucket).drop("__n")
-        .write.mode("overwrite").parquet(s"$dir/bands")
+        .write.mode("overwrite")
+        .parquet(IndexSwap.stagedPath(dir, "bands"))
       counted.filter(col("__n") > maxBucket)
         .select(col("band"), col("bucket")).distinct()
-        .write.mode("overwrite").parquet(s"$dir/dropped")
+        .write.mode("overwrite")
+        .parquet(IndexSwap.stagedPath(dir, "dropped"))
     } finally counted.unpersist()
+    // a REBUILD over a live index publishes as one generation too — a
+    // crash mid-build can no longer pair new shingles with old bands
+    IndexSwap.swapAll(fs, dir, minhashFrames)
   }
 
   /** Incremental index maintenance — the 100 TB append path: sign ONLY
@@ -546,7 +555,7 @@ object Dedup {
     } finally counted.unpersist()
     // both frames staged complete → publish as ONE generation (no
     // crash point leaves bands/dropped mixed or missing)
-    IndexSwap.swapAll(fs, dir, minhashFrames)
+    IndexSwap.swapAll(fs, dir, minhashAppendFrames)
     bArrays.write.mode("append").parquet(s"$dir/shingles")
   }
 

@@ -194,21 +194,34 @@ object Pq {
     * thing PQ exists to ship instead of raw vectors). `dir/meta` pins
     * (m, dsub) so a reader needs no out-of-band parameters.
     */
+  /** The PQ index's swap-managed generation frames — a rebuild
+    * publishes all three as one generation; the append adds code FILES
+    * only (no swap). */
+  private val pqFrames = Seq("codebooks", "codes", "meta")
+
   def writePqIndex(corpus: DataFrame, dir: String, m: Int = 8,
                    ks: Int = 16, iters: Int = 3, idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.clean(fs, dir, pqFrames)
     val dsub = subDim(corpus, m, vecCol)
     val subn = TrackedCaches.track(
       subvectors(corpus, m, dsub, idCol, vecCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cb = trainOnSubn(subn, ks, iters)
-    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    cb.write.mode("overwrite")
+      .parquet(IndexSwap.stagedPath(dir, "codebooks"))
     assign(subn, cb).select(col("vec_id"), col("s"), col("code"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(IndexSwap.stagedPath(dir, "codes"))
     import spark.implicits._
     Seq((m, dsub)).toDF("m", "dsub")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .write.mode("overwrite").parquet(IndexSwap.stagedPath(dir, "meta"))
+    // a RETRAIN over a live index publishes one generation — a crash
+    // can no longer pair new codebooks with old codes (whose ADC
+    // lookups would silently score garbage)
+    IndexSwap.swapAll(fs, dir, pqFrames)
   }
 
   /** [[adcTopK]] answered FROM the persisted index — byte-identical by
@@ -219,6 +232,9 @@ object Pq {
                        dir: String, queries: DataFrame, k: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, pqFrames)
     val meta = spark.read.parquet(s"$dir/meta").head()
     adcScoreTail(spark.read.parquet(s"$dir/codes"),
       spark.read.parquet(s"$dir/codebooks"), queries,
@@ -240,6 +256,9 @@ object Pq {
                     batch: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     dedupeBatch: Boolean = true): Unit = {
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, pqFrames)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val m = meta.getAs[Int]("m")
     // encode() re-derives dsub from the batch's own vector length, so a
@@ -291,6 +310,9 @@ object Pq {
                      ratioThreshold: Double = 2.0,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, pqFrames)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val m = meta.getAs[Int]("m")
     val dsub = meta.getAs[Int]("dsub")

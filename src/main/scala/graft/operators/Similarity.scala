@@ -209,9 +209,11 @@ object Similarity {
     ivfProbeRerank(centroids, cells, queries, k, nProbe, idCol, vecCol)
   }
 
-  /** The IVF index's swap-managed generation frames (the `lists`
-    * layout is append-only and excluded — see [[IndexSwap]]). */
+  /** The IVF index's swap-managed generation frames: an APPEND swaps
+    * moments+centroids (lists appends new files — no generation
+    * hazard); a REBUILD publishes all three as one generation. */
   private val ivfFrames = Seq("moments", "centroids")
+  private val ivfAllFrames = Seq("moments", "centroids", "lists")
 
   /** Persist the IVF index for repeated-query use: `dir/centroids/` holds
     * the per-cell mean vectors, `dir/lists/` the inverted lists as a
@@ -231,11 +233,12 @@ object Similarity {
                     coarseCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     portable: Boolean = false): Unit = {
-    IndexSwap.clean(new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration),
-      dir, ivfFrames)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    IndexSwap.clean(fs, dir, ivfAllFrames)
     coarseCentroids(corpus, coarseCol, vecCol, portable)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite")
+      .parquet(IndexSwap.stagedPath(dir, "centroids"))
     // the portable build ALSO persists the per-(cell, component)
     // decimal MOMENTS (Σx, n) the centroids derive from: decimal sums
     // are exactly mergeable, which is what lets [[appendIvfIndex]]
@@ -243,10 +246,21 @@ object Similarity {
     // with frozen centroids (the usual IVF drift trade)
     if (portable)
       cellMoments(corpus, coarseCol, vecCol)
-        .write.mode("overwrite").parquet(s"$dir/moments")
+        .write.mode("overwrite")
+        .parquet(IndexSwap.stagedPath(dir, "moments"))
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(coarseCol).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(IndexSwap.stagedPath(dir, "lists"))
+    // a rebuild over a live index publishes one generation (crash-safe)
+    IndexSwap.swapAll(fs, dir,
+      if (portable) ivfAllFrames else Seq("centroids", "lists"))
+    // a NON-portable rebuild over a previously-portable index must not
+    // leave the old moments frame behind — a later append would merge
+    // against stale state (the moments/lists consistency check in
+    // [[appendIvfIndex]] backstops the crash window before this delete)
+    if (!portable)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/moments"), true)
   }
 
   /** Per-(cell, component) exact first moments: (cell, j, s, n). */
@@ -295,10 +309,21 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    IndexSwap.recover(fs, dir, ivfFrames)
+    IndexSwap.recover(fs, dir, ivfAllFrames)
     require(fs.exists(p(s"$dir/moments")),
       s"$dir was not built with portable = true (no moments frame) — " +
         "appendIvfIndex needs the exactly-mergeable decimal moments")
+    // staleness guard: the moments frame must account for EXACTLY the
+    // vectors in the lists — a non-portable rebuild that crashed before
+    // clearing an older portable build's moments (or any other mixed
+    // state) refuses loudly instead of merging against stale moments
+    val momentsVecs = spark.read.parquet(s"$dir/moments")
+      .filter(col("j") === 0).agg(sum(col("n"))).head().getLong(0)
+    val listVecs = spark.read.parquet(s"$dir/lists").count()
+    require(momentsVecs == listVecs,
+      s"$dir: moments account for $momentsVecs vectors but lists hold " +
+        s"$listVecs — stale moments (non-portable rebuild?); rebuild " +
+        "with portable = true before appending")
     val fresh =
       if (!dedupeBatch) batch
       else batch.join(spark.read.parquet(s"$dir/lists")
@@ -335,7 +360,7 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      dir, ivfFrames)
+      dir, ivfAllFrames)
     val centroids = spark.read.parquet(s"$dir/centroids")
     val lists = spark.read.parquet(s"$dir/lists")
       .withColumn("cell", col("cell").cast(centroids.schema("cell").dataType))

@@ -354,20 +354,31 @@ object TextAnalysis {
     * predicate. The md5 family is the repo's portable idiom
     * ([[graft.operators.Encoding.hashFeatures]]).
     */
+  /** The inverted index's swap-managed generation frames (rebuilds
+    * publish both as one generation; appends add files only). */
+  private val invertedFrames = Seq("lens", "postings")
+
   def writeInvertedIndex(docs: DataFrame, dir: String,
                          idCol: String = "doc_id",
                          textCol: String = "text",
                          nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    IndexSwap.clean(fs, dir, invertedFrames)
     val lens = docs.select(col(idCol),
       wsTokenCountCol(col(textCol)).cast("long").as("dl"))
-    lens.write.mode("overwrite").parquet(s"$dir/lens")
+    lens.write.mode("overwrite").parquet(IndexSwap.stagedPath(dir, "lens"))
     val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
       16, 10).cast("long"), lit(nBuckets.toLong))
     docTerms(docs, idCol, textCol)
       .withColumn("pbucket", bucket)
       .write.mode("overwrite").partitionBy("pbucket")
-      .parquet(s"$dir/postings")
+      .parquet(IndexSwap.stagedPath(dir, "postings"))
+    // a rebuild over a live index publishes one generation — a crash
+    // can no longer pair new lens (doc lengths) with old postings,
+    // which would skew every BM25 length normalization
+    IndexSwap.swapAll(fs, dir, invertedFrames)
   }
 
   /** Incremental index maintenance — the retrieval sibling of
@@ -391,6 +402,9 @@ object TextAnalysis {
                           dedupeBatch: Boolean = true): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, invertedFrames)
     // materialized BEFORE the first append: the anti-join reads lens,
     // and the lazy plan would otherwise re-execute for the postings
     // write AFTER the lens append — seeing the batch's own ids as
@@ -424,6 +438,9 @@ object TextAnalysis {
                     k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
                     nBuckets: Int = 64): DataFrame = {
     require(queryTerms.nonEmpty, "bm25FromIndex needs at least one query term")
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, invertedFrames)
     val terms = queryTerms.distinct.sorted
     val buckets = terms.map { t =>
       val hex = java.security.MessageDigest.getInstance("MD5")

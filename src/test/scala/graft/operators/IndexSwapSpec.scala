@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkSpecBase
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** Crash-state recovery for the staged index swap: every interruption
   * point of [[IndexSwap.swapAll]] must heal to ONE consistent
@@ -127,6 +128,52 @@ class IndexSwapSpec extends SparkSpecBase {
     assert(liveGens(dir) == Seq(2, 2))
     assert(!fs.exists(new Path(s"$dir/bands__old")))
     assert(!fs.exists(new Path(s"$dir/dropped__staged")))
+  }
+
+  test("rebuild over a LIVE index publishes one generation: a torn " +
+      "rebuild rolls back whole, a completed staged set rolls forward, " +
+      "and a clean rebuild leaves no debris") {
+    import spark.implicits._
+    val v1 = Seq((1L, "spark engines process data"),
+      (2L, "ducks process queries")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "spark engines process data"),
+      (2L, "ducks process queries"),
+      (3L, "fresh document arrives")).toDF("doc_id", "text")
+    val d = freshDir() + "/inv"
+    TextAnalysis.writeInvertedIndex(v1, d)
+    def lensCount() = spark.read.parquet(s"$d/lens").count()
+    // torn rebuild: staged lens complete, staged postings torn, live
+    // v1 untouched -> the next reader rolls the torn generation back
+    spark.read.parquet(s"$d/lens")
+      .write.parquet(IndexSwap.stagedPath(d, "lens"))
+    spark.read.parquet(s"$d/postings").limit(1).write
+      .parquet(IndexSwap.stagedPath(d, "postings"))
+    fs.delete(new Path(IndexSwap.stagedPath(d, "postings") + "/_SUCCESS"),
+      false)
+    assert(TextAnalysis.bm25FromIndex(spark, d, Seq("process"))
+      .count() == 2L) // v1 intact
+    assert(lensCount() == 2L)
+    names.foreach(_ => ()) // (minhash names unused here)
+    assert(!fs.exists(new Path(IndexSwap.stagedPath(d, "lens"))))
+    // clean rebuild over the live index: new corpus served, no debris
+    TextAnalysis.writeInvertedIndex(v2, d)
+    assert(lensCount() == 3L)
+    Seq("lens", "postings").foreach { n =>
+      assert(!fs.exists(new Path(IndexSwap.stagedPath(d, n))))
+      assert(!fs.exists(new Path(s"$d/${n}__old")))
+    }
+    // PQ retrain over live: one generation, served consistently
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val pd = freshDir() + "/pq"
+    Pq.writePqIndex(emb.filter(col("vec_id") < 100L), pd)
+    Pq.writePqIndex(emb.filter(col("vec_id") < 200L), pd) // retrain
+    assert(spark.read.parquet(s"$pd/codes")
+      .select("vec_id").distinct().count() ==
+      emb.filter(col("vec_id") < 200L).count())
+    Seq("codebooks", "codes", "meta").foreach { n =>
+      assert(!fs.exists(new Path(IndexSwap.stagedPath(pd, n))))
+      assert(!fs.exists(new Path(s"$pd/${n}__old")))
+    }
   }
 
   test("appendMinhashIndex after an injected mid-swap crash ≡ rebuild") {
