@@ -370,6 +370,40 @@ object SparkEntry {
           nProbe = 2, portable = true)
         .orderBy(col("anchor_id"))),
 
+    // the vector-side streaming closure (q334's sibling for the ANN
+    // shelf): the corpus's ⅔ streams into a LIVE portable IVF index as
+    // two micro-batches through StreamingAnnIngest (probe top-k, then
+    // grow via the exact moment-merge append), and searching the GROWN
+    // index must be byte-identical to q20's one-shot build over
+    // everything — the oracle is ivfOracleSql VERBATIM (the q327
+    // shared-oracle convention, now reached through the streaming path)
+    "q338_streaming_ann_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idx = "/tmp/graft_scratch/ann_ingest_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val emb = t(s, dir, "embeddings")
+      Similarity.writeIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0L), idx,
+        portable = true)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float], Int)]
+      val q = graft.streaming.StreamingAnnIngest.start(
+        input.toDF().toDF("vec_id", "embedding", "label"), idx,
+        (hits, _) => { hits.collect(); () })
+      try {
+        for (b <- 1L to 2L) {
+          input.addData(emb.filter(pmod(col("vec_id"), lit(3L)) === b)
+            .as[(Long, Seq[Float], Int)].collect().toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 20),
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the QUANTIZER-SCALING form of q331 — the "nlist grows with the
     // corpus" sizing as code, not prose: cells = label × 2-bit md5
     // hyperplane bucket (40 cells instead of 10; at 100 TB the bit
@@ -8786,6 +8820,10 @@ object SparkEntry {
     // q327: append ≡ rebuild exactly (decimal moment merge), so the
     // probe shares the from-scratch oracle — the q312/q320 precedent
     "q327_ivf_index_append" -> ivfOracleSql,
+
+    // q338: build(⅓) + STREAMED growth(⅔, two micro-batches) + probe
+    // must equal one-shot build(all) + probe — oracle shared verbatim
+    "q338_streaming_ann_ingest" -> ivfOracleSql,
 
     // full LSH replay: md5-derived hyperplanes → signatures → bucket
     // candidates → exact-cosine rerank, rank ties on neighbor_id

@@ -261,7 +261,15 @@ object PlanAudit {
       "ALL canaries' occurrence counts come from ONE scan of documents " +
         "(one projection + one combinable aggregate, unpivoted) — no " +
         "per-canary union of full scans",
-      Seq(), Seq("Union"), atMostOnce = Seq("Scan parquet")))
+      Seq(), Seq("Union"), atMostOnce = Seq("Scan parquet")),
+    Check("contrastive-IVF zero-shuffle probe", "q331_contrastive_ivf",
+      "each anchor picks its nProbe cells ROW-LOCALLY from the one-row " +
+        "collected centroid array (broadcast nested loop + explode) — " +
+        "no window, no per-anchor rank exchange; the only quadratic " +
+        "surface is the within-cell equi-join; both argmaxes are " +
+        "combinable min(struct) aggregates",
+      Seq("BroadcastNestedLoopJoin", "Generate"),
+      Seq("Window", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
