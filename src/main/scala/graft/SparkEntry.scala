@@ -370,6 +370,23 @@ object SparkEntry {
           nProbe = 2, portable = true)
         .orderBy(col("anchor_id"))),
 
+    // the SERVING config of the persisted IVF index — FAISS IVF+SQ8:
+    // inverted lists store (scale, int8 codes) instead of raw floats
+    // (4× the IO/storage at 100 TB), search dequantizes candidates
+    // with exact int→double math, so the WHOLE quantized search
+    // replays in SQL (q56's quantization chain + q20's probe chain)
+    "q339_ann_ivf_sq8" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/ivf_sq8_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      val emb = t(s, dir, "embeddings")
+      Similarity.writeIvfIndex(emb, idx, portable = true,
+        quantizeLists = true)
+      Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 20),
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the vector-side streaming closure (q334's sibling for the ANN
     // shelf): the corpus's ⅔ streams into a LIVE portable IVF index as
     // two micro-batches through StreamingAnnIngest (probe top-k, then
@@ -8824,6 +8841,54 @@ object SparkEntry {
     // q338: build(⅓) + STREAMED growth(⅔, two micro-batches) + probe
     // must equal one-shot build(all) + probe — oracle shared verbatim
     "q338_streaming_ann_ingest" -> ivfOracleSql,
+
+    // q339: q20's centroid/probe chain over RAW vectors + q56's
+    // quantize, then candidates scored on the DEQUANTIZED lists
+    "q339_ann_ivf_sq8" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM vecs WHERE vec_id < 20),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.c) DESC, c.cell) AS pr
+        |    FROM q CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |sq AS (
+        |  SELECT vec_id, label, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM vecs),
+        |dq AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+        |         ELSE list_transform(e, x ->
+        |           CAST(round(x * 127.0 / scale) AS DOUBLE) * scale / 127.0)
+        |         END AS de
+        |  FROM sq),
+        |scored AS (
+        |  SELECT p.query_id, v.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qq.qv, v.de) AS cosine
+        |  FROM probed p
+        |  JOIN dq v ON v.label = p.cell
+        |  JOIN q qq ON qq.query_id = p.query_id
+        |  WHERE v.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // full LSH replay: md5-derived hyperplanes → signatures → bucket
     // candidates → exact-cosine rerank, rank ties on neighbor_id

@@ -232,7 +232,8 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, dir: String,
                     coarseCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    portable: Boolean = false): Unit = {
+                    portable: Boolean = false,
+                    quantizeLists: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     IndexSwap.clean(fs, dir, ivfAllFrames)
@@ -248,8 +249,13 @@ object Similarity {
       cellMoments(corpus, coarseCol, vecCol)
         .write.mode("overwrite")
         .parquet(IndexSwap.stagedPath(dir, "moments"))
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col(coarseCol).as("cell"))
+    // quantizeLists = the FAISS IVF+SQ8 serving config: the inverted
+    // lists store (scale, int8 codes) instead of raw floats — the 4×
+    // IO/storage lever at 100 TB (centroids/moments stay raw: the
+    // quantizer trains on the raw corpus; only the BULK is compressed).
+    // Search dequantizes candidates (exact int→double math), so the
+    // quantized search replays in SQL like everything else.
+    quantizedListRows(corpus, coarseCol, idCol, vecCol, quantizeLists)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(IndexSwap.stagedPath(dir, "lists"))
     // a rebuild over a live index publishes one generation (crash-safe)
@@ -262,6 +268,25 @@ object Similarity {
     if (!portable)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/moments"), true)
   }
+
+  /** The list-row projection shared by build and append: raw
+    * (neighbor_id, cv, cell) or SQ8-quantized
+    * (neighbor_id, scale, quant, cell). */
+  private def quantizedListRows(corpus: DataFrame, coarseCol: String,
+                                idCol: String, vecCol: String,
+                                quantize: Boolean): DataFrame =
+    if (!quantize)
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(coarseCol).as("cell"))
+    else {
+      val sc = graft.functions.VectorMath.maxAbs(col(vecCol))
+      corpus
+        .withColumn("scale", sc)
+        .select(col(idCol).as("neighbor_id"), col("scale"),
+          graft.functions.VectorMath.quantize8(col(vecCol), col("scale"))
+            .as("quant"),
+          col(coarseCol).as("cell"))
+    }
 
   /** Per-(cell, component) exact first moments: (cell, j, s, n). */
   private def cellMoments(corpus: DataFrame, coarseCol: String,
@@ -344,8 +369,11 @@ object Similarity {
     // can no longer pair new moments with stale centroids, or lose a
     // frame outright)
     IndexSwap.swapAll(fs, dir, ivfFrames)
-    fresh.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col(coarseCol).as("cell"))
+    // match the index's list layout: an SQ8 index gets the batch
+    // quantized the same way (raw rows would silently mix schemas)
+    val quantized = spark.read.parquet(s"$dir/lists")
+      .columns.contains("quant")
+    quantizedListRows(fresh, coarseCol, idCol, vecCol, quantized)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
   }
 
@@ -362,7 +390,17 @@ object Similarity {
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
       dir, ivfAllFrames)
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val lists = spark.read.parquet(s"$dir/lists")
+    val raw = spark.read.parquet(s"$dir/lists")
+    // an SQ8 index (quantizeLists build) dequantizes candidates to
+    // double ONCE per list row — exact int→double math, so the
+    // quantized search replays in SQL (q339) just like the raw one
+    val shaped =
+      if (raw.columns.contains("quant"))
+        raw.select(col("neighbor_id"),
+          expr("transform(quant, q -> q * scale / 127.0)").as("cv"),
+          col("cell"))
+      else raw
+    val lists = shaped
       .withColumn("cell", col("cell").cast(centroids.schema("cell").dataType))
     ivfProbeRerank(centroids, lists, queries, k, nProbe, idCol, vecCol)
   }

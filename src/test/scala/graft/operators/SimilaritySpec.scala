@@ -355,6 +355,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(t.forall(r => r.getLong(1) != r.getLong(0) && r.isNullAt(3)))
   }
 
+  test("SQ8 IVF index: quantized-list search matches the raw index's " +
+      "neighbor sets on well-separated data; appends keep the " +
+      "quantized layout; per-element dequant error is bounded") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf())
+    val a = emb.filter(col("vec_id") % 3 =!= 0L)
+    val b = emb.filter(col("vec_id") % 3 === 0L).limit(20)
+    val qs = emb.filter(col("vec_id") < 10L)
+    val rawDir = java.nio.file.Files.createTempDirectory("ivf_raw").toString
+    val sqDir = java.nio.file.Files.createTempDirectory("ivf_sq").toString
+    Similarity.writeIvfIndex(a, rawDir, portable = true)
+    Similarity.writeIvfIndex(a, sqDir, portable = true,
+      quantizeLists = true)
+    def keys(d: String) = Similarity
+      .ivfTopKFromIndex(spark, d, qs, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = keys(rawDir)
+    val sq = keys(sqDir)
+    // int8 error is ~scale/254 per element — tiny against the top-5
+    // cosine gaps here; allow a small tie-flip budget rather than
+    // asserting equality of float rankings
+    val agree = (raw intersect sq).size.toDouble / raw.size
+    assert(agree >= 0.9, s"SQ8 recall vs raw index: $agree")
+    // append matches the index's quantized layout (no schema mix)
+    Similarity.appendIvfIndex(spark, sqDir, b)
+    val lists = spark.read.parquet(s"$sqDir/lists")
+    assert(lists.columns.contains("quant") && !lists.columns.contains("cv"))
+    assert(lists.count() == a.count() + b.count())
+    // dequant error bound: |x - q*scale/127| <= scale/254 + ulp slack
+    val errOk = spark.read.parquet(s"$sqDir/lists")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding")), "neighbor_id")
+      .withColumn("maxerr", expr(
+        "aggregate(zip_with(embedding, quant, (x, q) -> " +
+          "abs(CAST(x AS DOUBLE) - q * scale / 127.0)), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e))"))
+      .filter(col("maxerr") > col("scale") / 254.0 * 1.0001)
+      .count()
+    assert(errOk == 0L)
+  }
+
   test("contrastivePairsIvf equals the exact twin on a cleanly " +
       "clustered corpus, and restricts candidates to probed cells") {
     import spark.implicits._
