@@ -370,6 +370,33 @@ object SparkEntry {
           nProbe = 2, portable = true)
         .orderBy(col("anchor_id"))),
 
+    // referential-integrity audit between the doc table and its
+    // embedding store. The corpus is perfectly aligned at the gate SF
+    // (all-zero counts = vacuous), so the gate derives the q307-canary
+    // fixture: vec_id%4==0 dropped (unembedded docs), %97==1 shifted
+    // past the id range (orphans), %53==2 nulled, %59==3 NaN-poisoned
+    // in component 0, %61==4 truncated to 32 dims (bad dim vs the
+    // 64-dim mode) — every counter fires, every mutation keyed on the
+    // ORIGINAL id so the oracle replays the same CASE chain
+    "q340_embedding_coverage" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
+        .withColumn("embedding",
+          when(pmod(col("vec_id"), lit(53L)) === 2L,
+            lit(null).cast("array<float>"))
+          .when(pmod(col("vec_id"), lit(59L)) === 3L,
+            expr("transform(embedding, (x, i) -> " +
+              "CASE WHEN i = 0 THEN CAST('NaN' AS FLOAT) ELSE x END)"))
+          .when(pmod(col("vec_id"), lit(61L)) === 4L,
+            slice(col("embedding"), 1, 32))
+          .otherwise(col("embedding")))
+        .withColumn("vec_id",
+          when(pmod(col("vec_id"), lit(97L)) === 1L,
+            col("vec_id") + lit(1000000L))
+          .otherwise(col("vec_id")))
+      Maintenance.embeddingCoverage(t(s, dir, "documents"), emb)
+    }),
+
     // the SERVING config of the persisted IVF index — FAISS IVF+SQ8:
     // inverted lists store (scale, int8 codes) instead of raw floats
     // (4× the IO/storage at 100 TB), search dequantizes candidates
@@ -8841,6 +8868,46 @@ object SparkEntry {
     // q338: build(⅓) + STREAMED growth(⅔, two micro-batches) + probe
     // must equal one-shot build(all) + probe — oracle shared verbatim
     "q338_streaming_ann_ingest" -> ivfOracleSql,
+
+    // q340: the same CASE chain over original ids, then the six
+    // counters + two anti-join counts + the modal-dim argmax
+    "q340_embedding_coverage" ->
+      """WITH mut AS (
+        |  SELECT
+        |    CASE WHEN vec_id % 97 = 1 THEN vec_id + 1000000
+        |         ELSE vec_id END AS vid,
+        |    CASE WHEN vec_id % 53 = 2 THEN NULL
+        |         WHEN vec_id % 59 = 3 THEN
+        |           list_concat([CAST('NaN' AS FLOAT)], embedding[2:])
+        |         WHEN vec_id % 61 = 4 THEN embedding[1:32]
+        |         ELSE embedding END AS v
+        |  FROM embeddings WHERE vec_id % 4 <> 0),
+        |modal AS (
+        |  SELECT len(v) AS dim FROM mut WHERE v IS NOT NULL
+        |  GROUP BY 1 ORDER BY count(*) DESC, dim LIMIT 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_vec,
+        |    CAST(sum(CASE WHEN v IS NOT NULL AND len(v) <> modal.dim
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |    CAST(sum(CASE WHEN v IS NOT NULL AND
+        |      len(list_filter(v, x -> isnan(x))) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+        |  FROM mut CROSS JOIN modal),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |nu AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_unembedded FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM mut WHERE mut.vid = d.doc_id)),
+        |no AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orphan_vecs FROM mut
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |    WHERE d.doc_id = mut.vid))
+        |SELECT n_docs, n_vecs, n_unembedded, n_orphan_vecs, n_null_vec,
+        |  n_bad_dim, n_nonfinite,
+        |  round(CAST(n_docs - n_unembedded AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE), 6) AS coverage6
+        |FROM nd CROSS JOIN st CROSS JOIN nu CROSS JOIN no""".stripMargin,
 
     // q339: q20's centroid/probe chain over RAW vectors + q56's
     // quantize, then candidates scored on the DEQUANTIZED lists

@@ -144,6 +144,59 @@ object Maintenance {
           .otherwise(lit("retyped")).as("status"))
   }
 
+  /** Referential-integrity audit between a document table and its
+    * embedding store — the pre-flight every retrieval/dedup pipeline
+    * needs before trusting joins on the id: per run, one row of
+    * counts — docs without a vector (stale embedding job), vectors
+    * without a doc (orphans from deleted docs), NULL vectors, vectors
+    * whose dimension differs from the MODAL dimension (a mixed-model
+    * drop — modal, not first-seen, so the majority defines "right"),
+    * and vectors containing NaN components (a training-job blowup
+    * that poisons every downstream cosine silently). `coverage6` =
+    * embedded-doc share, 6 dp.
+    *
+    * Scale shape: two column-pruned anti-join counts on the id plus
+    * one conditional-aggregate pass over the vector frame; the modal
+    * dimension is a distinct-dimension-bounded argmax (min-struct on
+    * (−count, dim) — ties to the smaller dim, deterministic).
+    */
+  def embeddingCoverage(docs: org.apache.spark.sql.DataFrame,
+                        emb: org.apache.spark.sql.DataFrame,
+                        idCol: String = "doc_id",
+                        vecIdCol: String = "vec_id",
+                        vecCol: String = "embedding"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col(idCol).as("__id"))
+    val v = emb.select(col(vecIdCol).as("__vid"), col(vecCol).as("__v"))
+    val modal = v.filter(col("__v").isNotNull)
+      .groupBy(size(col("__v")).as("__dim")).agg(count(lit(1)).as("__c"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__dim").as("d"))).as("m"))
+      .select(col("m.d").as("__modal"))
+    val stats = v.crossJoin(modal)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_null_vec"),
+        sum(when(col("__v").isNotNull &&
+          size(col("__v")) =!= col("__modal"), 1L).otherwise(0L))
+          .as("n_bad_dim"),
+        sum(when(col("__v").isNotNull &&
+          exists(col("__v"), x => isnan(x)), 1L).otherwise(0L))
+          .as("n_nonfinite"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val nUnemb = d.join(v.select(col("__vid").as("__id")),
+        Seq("__id"), "left_anti")
+      .agg(count(lit(1)).as("n_unembedded"))
+    val nOrph = v.select(col("__vid").as("__id"))
+      .join(d, Seq("__id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+    nDocs.crossJoin(stats).crossJoin(nUnemb).crossJoin(nOrph)
+      .select(col("n_docs"), col("n_vecs"), col("n_unembedded"),
+        col("n_orphan_vecs"), col("n_null_vec"), col("n_bad_dim"),
+        col("n_nonfinite"),
+        round((col("n_docs") - col("n_unembedded")).cast("double") /
+          col("n_docs").cast("double"), 6).as("coverage6"))
+  }
+
   /** Order-invariant corpus checksum: Σ over rows of the 52-bit
     * md5-ring fingerprint of the rendered row, plus the row count.
     * Verifies two copies of a dataset are identical — across

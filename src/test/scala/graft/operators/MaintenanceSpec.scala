@@ -170,6 +170,32 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(same.length == 3 && same.forall(_.getString(3) == "same"))
   }
 
+  test("embeddingCoverage: each counter fires on a hand fixture; a " +
+      "perfectly aligned store reads all-zero anomalies") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val emb = Seq(
+      (1L, Seq(1f, 2f)),           // fine
+      (2L, Seq(3f, 4f)),           // fine
+      (3L, null),                  // null vector
+      (4L, Seq(5f)),               // bad dim (modal is 2)
+      (5L, Seq(Float.NaN, 6f)),    // NaN component
+      (99L, Seq(7f, 8f))           // orphan; doc 6 unembedded
+    ).toDF("vec_id", "embedding")
+    val r = Maintenance.embeddingCoverage(docs, emb).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((6L, 6L, 1L, 1L, 1L, 1L, 1L)))
+    assert(r.getDouble(7) == 0.833333)
+    val clean = Maintenance.embeddingCoverage(docs,
+      docs.select(col("doc_id").as("vec_id"),
+        array(lit(1f), lit(2f)).as("embedding"))).head()
+    assert((clean.getLong(2), clean.getLong(3), clean.getLong(4),
+      clean.getLong(5), clean.getLong(6)) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(clean.getDouble(7) == 1.0)
+  }
+
   test("schemaDiff flattens nested structs to leaf paths: a deep field " +
       "change classifies at its own a.b.c row, arrays of structs " +
       "descend as a[].b, scalar arrays stay atomic leaves") {
