@@ -535,8 +535,14 @@ object Dedup {
     val storedUntouched = iBands.join(touched, Seq("band", "bucket"),
       "left_anti")
     val w = Window.partitionBy(col("band"), col("bucket"))
+    // distinct before the cap recount: in the crash window where a
+    // prior append's SWAP landed but its shingle-append did not, the
+    // replayed batch (not deduped — its docs are missing from shingles)
+    // re-delivers band keys the stored side already holds; without the
+    // distinct those keys would duplicate and inflate bucket counts
     val counted = storedTouched
       .unionByName(live.select(iBands.columns.map(col): _*))
+      .dropDuplicates(iBands.columns.toIndexedSeq)
       .withColumn("__n", count(lit(1)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -390,10 +390,15 @@ object TextAnalysis {
     * frequencies / global stats are derived at QUERY time from the
     * frames, so `index(A) + append(B) ≡ build(A ∪ B)` exactly, with
     * no cap bookkeeping. Ids already indexed drop out of the batch
-    * (`dedupeBatch`, default on — a failure-replayed batch would
-    * otherwise double its tf rows and doc length, inflating BM25 for
-    * exactly the replayed docs): one anti-join against the doc-count-
-    * scale lens frame. `nBuckets` must match the build.
+    * PER FRAME (`dedupeBatch`, default on): the lens append anti-joins
+    * the lens frame, the postings append anti-joins the postings
+    * frame's distinct doc ids — so a failure replay never doubles tf
+    * rows or doc lengths (BM25 inflation), AND a crash BETWEEN the two
+    * appends self-heals (the replay fills exactly the missing frame; a
+    * single shared dedupe key would either skip the missing frame
+    * forever or duplicate the landed one, depending on write order).
+    * Each frame's anti-join reads only that frame — no cross-frame
+    * lazy-plan self-invalidation. `nBuckets` must match the build.
     */
   def appendInvertedIndex(docs: DataFrame, dir: String,
                           idCol: String = "doc_id",
@@ -405,21 +410,21 @@ object TextAnalysis {
     IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
       dir, invertedFrames)
-    // materialized BEFORE the first append: the anti-join reads lens,
-    // and the lazy plan would otherwise re-execute for the postings
-    // write AFTER the lens append — seeing the batch's own ids as
-    // "already indexed" and writing empty postings
-    val fresh =
+    val freshLens =
       if (!dedupeBatch) docs
       else docs.join(spark.read.parquet(s"$dir/lens").select(col(idCol)),
-          Seq(idCol), "left_anti")
-        .localCheckpoint(true)
-    fresh.select(col(idCol),
+        Seq(idCol), "left_anti")
+    freshLens.select(col(idCol),
         wsTokenCountCol(col(textCol)).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/lens")
+    val freshPost =
+      if (!dedupeBatch) docs
+      else docs.join(spark.read.parquet(s"$dir/postings")
+          .select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
     val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
       16, 10).cast("long"), lit(nBuckets.toLong))
-    docTerms(fresh, idCol, textCol)
+    docTerms(freshPost, idCol, textCol)
       .withColumn("pbucket", bucket)
       .write.mode("append").partitionBy("pbucket")
       .parquet(s"$dir/postings")

@@ -72,6 +72,69 @@ class IndexAppendReplaySpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$d/codes").count() == n1)
   }
 
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def partFiles(p: String): Set[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+
+  test("appendMinhashIndex: a crash AFTER the band swap but BEFORE the " +
+      "shingle append heals on replay — bands never duplicate, the " +
+      "missing shingles land") {
+    import spark.implicits._
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val d = dir()
+    Dedup.writeMinhashIndex(a, d, "doc_id", "text")
+    val before = partFiles(s"$d/shingles")
+    Dedup.appendMinhashIndex(spark, d, b, "doc_id", "text")
+    // simulate the crash window: un-append the batch's shingle files
+    (partFiles(s"$d/shingles") -- before).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/shingles/$f"), false))
+    spark.catalog.refreshByPath(s"$d/shingles")
+    val bandsAfterSwap = spark.read.parquet(s"$d/bands").collect()
+      .map(_.toString).sorted.toSeq
+    // replay: batch not in shingles -> not deduped -> its band keys
+    // re-deliver; the distinct-before-recount keeps bands identical
+    Dedup.appendMinhashIndex(spark, d, b, "doc_id", "text")
+    assert(spark.read.parquet(s"$d/bands").collect()
+      .map(_.toString).sorted.toSeq == bandsAfterSwap)
+    assert(spark.read.parquet(s"$d/shingles")
+      .filter(col("doc") === 10L).count() == 1L)
+  }
+
+  test("appendInvertedIndex: a crash BETWEEN the two frame appends " +
+      "heals on replay — per-frame dedupe fills exactly the missing " +
+      "frame") {
+    import spark.implicits._
+    val a = Seq((1L, "spark engines process data")).toDF("doc_id", "text")
+    val b = Seq((10L, "spark queries scale out")).toDF("doc_id", "text")
+    val d = dir()
+    TextAnalysis.writeInvertedIndex(a, d)
+    val before = partFiles(s"$d/lens")
+    TextAnalysis.appendInvertedIndex(b, d)
+    val wantBm25 = TextAnalysis.bm25FromIndex(spark, d, Seq("spark"))
+      .collect().map(_.toString).sorted.toSeq
+    // simulate: postings landed, the lens append was lost in the crash
+    (partFiles(s"$d/lens") -- before).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/lens/$f"), false))
+    spark.catalog.refreshByPath(s"$d/lens")
+    assert(spark.read.parquet(s"$d/lens").count() == 1L)
+    TextAnalysis.appendInvertedIndex(b, d) // replay
+    assert(spark.read.parquet(s"$d/lens").count() == 2L)
+    // postings did NOT duplicate, and the healed index scores as the
+    // uncrashed one did
+    assert(spark.read.parquet(s"$d/postings")
+      .filter(col("doc_id") === 10L).select("term").distinct().count() ==
+      spark.read.parquet(s"$d/postings")
+        .filter(col("doc_id") === 10L).count())
+    assert(TextAnalysis.bm25FromIndex(spark, d, Seq("spark"))
+      .collect().map(_.toString).sorted.toSeq == wantBm25)
+  }
+
   test("appendInvertedIndex: replay adds nothing and BM25 is unchanged; " +
       "a mixed batch appends only its new docs") {
     import spark.implicits._
