@@ -370,6 +370,30 @@ object SparkEntry {
           nProbe = 2, portable = true)
         .orderBy(col("anchor_id"))),
 
+    // BATCHED retrieval from the persisted inverted index — a FRAME of
+    // queries (each doc_id%100==7 doc under id 1000: its first 4
+    // tokens) scored in one pass: term explode → equi-join on
+    // (bucket, term) with runtime partition pruning → per-(query, doc)
+    // decimal-quantized term sums → bounded top-10 per query. The
+    // panel is id-capped so the SCALING row isolates corpus growth
+    // (an uncapped panel grows queries × corpus = 100× work at 10×
+    // data — measured 3.7× wall, noted in SCALING.md)
+    "q341_bm25_batch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = "/tmp/graft_scratch/bm25_batch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      TextAnalysis.writeInvertedIndex(docs, idx)
+      val queries = docs.filter(pmod(col("doc_id"), lit(100L)) === 7L &&
+          col("doc_id") < 1000L)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(TextAnalysis.tokensCol(col("text")), 1, 4)).as("qtext"))
+      TextAnalysis.bm25BatchFromIndex(s, idx, queries, textCol = "qtext",
+          topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // referential-integrity audit between the doc table and its
     // embedding store. The corpus is perfectly aligned at the gate SF
     // (all-zero counts = vacuous), so the gate derives the q307-canary
@@ -8868,6 +8892,53 @@ object SparkEntry {
     // q338: build(⅓) + STREAMED growth(⅔, two micro-batches) + probe
     // must equal one-shot build(all) + probe — oracle shared verbatim
     "q338_streaming_ann_ingest" -> ivfOracleSql,
+
+    // q341: q66's lens/df/score chain with DYNAMIC per-query terms —
+    // per-(query, doc) sums through DECIMAL(28,12) (order-free; the
+    // single-query oracle's fixed per-term column sum has no dynamic
+    // equivalent), ranks by the exact cast-double sum
+    "q341_bm25_batch" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS dl
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |      FROM lens),
+        |qt AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(
+        |      regexp_split_to_array(trim(lower(text)), '\s+')[1:4])) AS term
+        |  FROM documents WHERE doc_id % 100 = 7 AND doc_id < 1000),
+        |qtf AS (SELECT query_id, term FROM qt WHERE term <> ''),
+        |dt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term IN (SELECT DISTINCT term FROM qtf)
+        |  GROUP BY doc_id, term),
+        |dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |s AS (
+        |  SELECT q.query_id, dt.doc_id,
+        |    ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * (tf * 2.2e0) /
+        |      (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl * n_docs / sum_dl))
+        |      AS s
+        |  FROM qtf q JOIN dt USING (term) JOIN lens USING (doc_id)
+        |  JOIN dfs USING (term) CROSS JOIN g),
+        |pd AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n_matched
+        |  FROM s GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, rank, round(sv, 6) AS bm25, n_matched
+        |FROM (
+        |  SELECT query_id, doc_id, sv, n_matched,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sv DESC, doc_id) AS BIGINT) AS rank
+        |  FROM pd)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // q340: the same CASE chain over original ids, then the six
     // counters + two anti-join counts + the modal-dim argmax

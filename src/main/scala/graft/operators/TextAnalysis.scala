@@ -344,6 +344,80 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BATCHED BM25 retrieval from the persisted index — the shape a
+    * retrieval-eval or RAG harness actually runs: a FRAME of queries
+    * (not one driver-literal term list) scored in one pass. Query
+    * terms explode to (query, term, bucket) rows; the postings scan
+    * meets the batch's DISTINCT (bucket, term) keys through a plain
+    * equi-join — the partition column is in the join key, so runtime
+    * (dynamic) partition pruning bounds the scan by the batch's bucket
+    * set, and the driver never needs literal terms. Document
+    * frequencies and global stats derive from the index frames exactly
+    * as [[bm25FromIndex]] derives them.
+    *
+    * Per-(query, doc) scores use [[bm25Search]]'s expression tree per
+    * term, DECIMAL(28,12)-quantized before the order-free sum (the
+    * dynamic-term replacement for the single-query path's fixed
+    * per-term column sum — a query frame has no driver-known term
+    * order), then a bounded per-query top-k
+    * ([[graft.functions.TopKAgg]] — map-side k-bounded, no global
+    * window). Output: (queryIdCol, idCol, rank, bm25, n_matched); a
+    * query with no indexed term emits no rows (visible, not padded).
+    */
+  def bm25BatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: DataFrame,
+                         queryIdCol: String = "query_id",
+                         textCol: String = "text",
+                         idCol: String = "doc_id",
+                         k1: Double = 1.2, b: Double = 0.75,
+                         topK: Int = 10, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, invertedFrames)
+    val lens = spark.read.parquet(s"$dir/lens")
+    val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
+      16, 10).cast("long"), lit(nBuckets.toLong))
+    val qt = queries.select(col(queryIdCol).as("__qid"),
+        explode(array_distinct(tokensCol(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("pbucket", bucket)
+    // postings restricted to the batch's terms — df computed on THIS
+    // frame is the term's full document frequency (the term filter
+    // restricts terms, never docs); cached: it feeds dfs + scoring
+    val matched = TrackedCaches.track(
+      spark.read.parquet(s"$dir/postings")
+        .join(qt.select(col("pbucket"), col("term")).distinct(),
+          Seq("pbucket", "term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfs = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val global = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val scored = matched.join(qt, Seq("pbucket", "term"))
+      .join(lens, idCol)
+      .join(dfs, "term")
+      .crossJoin(global) // one-row aggregate — AQE broadcasts unhinted
+      .withColumn("s",
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") * col("n_docs") / col("sum_dl"))))
+    val perDoc = scored.groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("s").cast("decimal(28,12)")).as("__ssum"),
+        count(lit(1)).as("n_matched"))
+      .withColumn("__sv", col("__ssum").cast("double"))
+    val top = perDoc.groupBy(col("__qid"))
+      .agg(graft.functions.TopKAgg.topK(col("__sv"), col(idCol), topK)
+        .as("nn"))
+      .select(col("__qid"), posexplode(col("nn")))
+      .select(col("__qid"), col("col.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"))
+    top.join(perDoc.select(col("__qid"), col(idCol), col("__sv"),
+        col("n_matched")), Seq("__qid", idCol))
+      .select(col("__qid").as(queryIdCol), col(idCol), col("rank"),
+        round(col("__sv"), 6).as("bm25"), col("n_matched"))
+  }
+
   /** Persist the lexical-retrieval index: `dir/postings` = the full
     * (doc, term, tf) frame PARTITIONED by a 52-bit-md5 term bucket —
     * so a query's scan prunes to its terms' bucket DIRECTORIES and

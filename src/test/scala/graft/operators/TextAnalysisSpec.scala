@@ -196,6 +196,40 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!out.contains(3L), "docs matching no query term are absent")
   }
 
+  test("bm25BatchFromIndex: per-query scores equal the single-query " +
+      "index path (modulo the decimal-vs-per-term-column sum, which is " +
+      "exact either way); unmatched queries emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25b").toString
+    TextAnalysis.writeInvertedIndex(docs, dir)
+    val queries = Seq(
+      (100L, "apple banana"),
+      (200L, "cherry"),
+      (300L, "quince")).toDF("query_id", "text")
+    val got = TextAnalysis.bm25BatchFromIndex(spark, dir, queries)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("bm25"), r.getLong(4)))
+      .toMap
+    // single-query twins from the same index
+    def single(terms: Seq[String]) =
+      TextAnalysis.bm25FromIndex(spark, dir, terms)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Double]("bm25"), r.getAs[Long]("n_matched"))).toMap
+    val q100 = single(Seq("apple", "banana"))
+    assert(got((100L, 1L))._2 == q100(1L)._1 &&
+      got((100L, 1L))._3 == q100(1L)._2)
+    assert(got((100L, 2L))._2 == q100(2L)._1)
+    assert(got((100L, 1L))._1 == 1L && got((100L, 2L))._1 == 2L)
+    assert(got((200L, 3L))._2 == single(Seq("cherry"))(3L)._1)
+    assert(!got.keys.exists(_._1 == 300L),
+      "a query with no indexed term emits no rows")
+  }
+
   test("bm25 ranks higher-tf shorter docs first, topK truncates") {
     import spark.implicits._
     val docs = Seq(
