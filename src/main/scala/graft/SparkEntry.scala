@@ -623,6 +623,77 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // PII scrub before release (the C4-style cleanup every corpus
+    // publication runs first): the synthetic corpus carries no real
+    // PII, so the gate injects typed fixtures deterministically per
+    // doc_id residue — emails with doc-unique local parts, dotted
+    // quads from doc_id arithmetic, a phone shape, a 9-digit run —
+    // then pins per-type counts AND the exact redacted text (as md5).
+    // Row-local codegen'd regexp scan: zero shuffles at any scale
+    "q342_pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val synth = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4L)) === 0L,
+          concat(lit(" from 192.168."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+            pmod(col("doc_id") * 7, lit(256L)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          lit(" call +1 555 867 5309")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          lit(" ref 123456789 code")).otherwise(lit("")))
+      Privacy.piiScrub(docs.select(col("doc_id"), synth.as("text")))
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          col("n_ipv4"), col("n_idnum"), col("pii_total"),
+          md5(col("redacted")).as("redacted_md5"),
+          (length(col("text")) - length(col("redacted"))).cast("long")
+            .as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // what is each embedding cluster ABOUT: q243's fitted clusters
+    // labeled with their 5 most distinctive terms via class-based
+    // TF-IDF (the BERTopic weighting) — the corpus-cartography readout
+    // an owner runs after clustering 100 TB; the oracle replays the
+    // full Lloyd chain (q243's) then the (cluster, term) scoring
+    "q343_cluster_topics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assign = KMeans.assign(emb, KMeans.fit(emb, k = 8, iters = 3))
+        .select(col("vec_id").as("doc_id"), col("cluster"))
+      TextAnalysis.clusterTerms(t(s, dir, "documents"), assign, m = 5)
+        .orderBy(col("cluster"), col("rank"))
+    }),
+
+    // the sizing card of the MinHash index family (numHashes 32 /
+    // rowsPerBand 4 = 8 bands — the q14/q141/q312 configuration):
+    // theoretical banding S-curve + the 50%-collision threshold, read
+    // BEFORE building an index, next to q233/q236's MEASURED detector
+    // PRF1 read after. s points derive as i/20 (one IEEE division —
+    // identical in any engine); parameter-bounded, zero data touched
+    "q344_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(s, numHashes = 32, rowsPerBand = 4,
+          sPoints = (1 to 19).map(_ / 20.0))
+        .orderBy(col("s"))),
+
+    // does the rendezvous shard map starve any DDP worker: per
+    // (epoch, shard) step count + token mass of the q336 training
+    // order (full stream, resume 0) with load_ratio vs the epoch's
+    // mean shard tokens — the launch pre-check of the sharded-resume
+    // contract; rides the q248/q326 BPE memo in battery
+    "q345_shard_balance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seqs = Packing.chunkTokenStream(
+        Bpe.encodeIds(docs, Bpe.learnMerges(docs, merges = 8)),
+        seqLen = 512)
+      Packing.shardBalance(
+          Packing.trainingOrder(seqs, epochs = Seq(1, 2), numShards = 3),
+          seqs)
+        .orderBy(col("epoch"), col("shard"))
+    }),
+
     // the NESTED twin of q322 (r13 verdict ask): a change deep inside a
     // struct must surface as its LEAF path's own row — v2 retypes
     // meta.year, removes meta.author, adds meta.tag while the
@@ -8700,6 +8771,50 @@ object SparkEntry {
         |  AS t(col_name, type_a, type_b, status)
         |ORDER BY col_name""".stripMargin,
 
+    // q342: the same residue-injection fixture, then RE2 twins of the
+    // four Java patterns (the rule dialect is deliberately confined to
+    // the Java∩RE2 subset so one string serves both engines); counts
+    // on the original text, redaction nested in rule order, the exact
+    // scrubbed text pinned via md5
+    "q342_pii_scrub" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' from 192.168.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 867 5309'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ref 123456789 code'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS n_ipv4,
+        |    CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT)
+        |      AS n_idnum,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{9,}\b', '<ID>', 'g') AS redacted
+        |  FROM synth)
+        |SELECT doc_id, n_email, n_phone, n_ipv4, n_idnum,
+        |  n_email + n_phone + n_ipv4 + n_idnum AS pii_total,
+        |  md5(redacted) AS redacted_md5,
+        |  CAST(len(text) - len(redacted) AS BIGINT) AS len_delta
+        |FROM red ORDER BY doc_id""".stripMargin,
+
     // q335: leaf-path classifications pinned as literals — the
     // operator must flatten REAL nested footers to reproduce them
     "q335_schema_drift_nested" ->
@@ -12087,6 +12202,53 @@ object SparkEntry {
           |ORDER BY shard, step""".stripMargin
     },
 
+    // q345: the q336 shard chain (ch now carrying per-seq token
+    // counts), rolled up to (epoch, shard) mass + ratio vs the epoch
+    // mean — two exact integers divided in double
+    "q345_shard_balance" -> {
+      val inner = bpeTokenIdsOracleSql(8)
+      val body = inner.substring(0, inner.lastIndexOf("SELECT p.doc_id"))
+      body.stripTrailing() + ",\n" +
+        """ids AS (
+          |  SELECT p.doc_id, p.pos, v.token_id
+          |  FROM pos p LEFT JOIN voc v USING (symbol)),
+          |gx AS (
+          |  SELECT doc_id, token_id,
+          |    row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+          |  FROM ids),
+          |ch AS MATERIALIZED (
+          |  SELECT CAST(idx // 512 AS BIGINT) AS seq_no,
+          |    CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM gx GROUP BY 1),
+          |es AS MATERIALIZED (
+          |  SELECT CAST(e.e AS BIGINT) AS epoch, c.seq_no,
+          |    CAST(e.e AS VARCHAR) || '#' || CAST(c.seq_no AS VARCHAR) AS eid
+          |  FROM ch c CROSS JOIN (SELECT unnest([1, 2]) AS e) e),
+          |shw AS (
+          |  SELECT epoch, seq_no, s,
+          |    row_number() OVER (PARTITION BY epoch, seq_no
+          |      ORDER BY md5(eid || '#' || CAST(s AS VARCHAR)) DESC, s DESC)
+          |      AS rn
+          |  FROM es CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS s)),
+          |sh AS (
+          |  SELECT es.epoch, es.seq_no, CAST(shw.s AS BIGINT) AS shard
+          |  FROM es JOIN shw ON shw.epoch = es.epoch
+          |    AND shw.seq_no = es.seq_no AND shw.rn = 1),
+          |g AS (
+          |  SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_steps,
+          |    CAST(sum(c.n_tokens) AS BIGINT) AS shard_tokens
+          |  FROM sh JOIN ch c USING (seq_no)
+          |  GROUP BY epoch, shard),
+          |mm AS (
+          |  SELECT epoch, CAST(sum(shard_tokens) AS DOUBLE) /
+          |    CAST(count(*) AS DOUBLE) AS mean_t
+          |  FROM g GROUP BY epoch)
+          |SELECT epoch, shard, n_steps, shard_tokens,
+          |  round(CAST(shard_tokens AS DOUBLE) / mean_t, 6) AS load_ratio
+          |FROM g JOIN mm USING (epoch)
+          |ORDER BY epoch, shard""".stripMargin
+    },
+
     "q209_hits" -> hitsOracleSql(3),
 
     "q210_zorder_skipping" ->
@@ -12252,6 +12414,25 @@ object SparkEntry {
     "q241_logreg_cv" -> logRegCvOracleSql(k = 3, iterations = 5, lr = 0.5),
 
     "q243_kmeans" -> kmeansAssignOracleSql(k = 8, d = 64, iters = 3),
+
+    // q343: the q243 chain + class-based TF-IDF labeling
+    "q343_cluster_topics" ->
+      kmeansClusterTermsOracleSql(k = 8, d = 64, iters = 3, m = 5),
+
+    // q344: the S-curve formula with integer powers written as the
+    // same left-associated IEEE multiply chains the engine emits;
+    // ln (natural log — DuckDB's log is base 10) on exact ratios
+    "q344_lsh_calibration" ->
+      """WITH pts AS (
+        |  SELECT CAST(i AS DOUBLE) / 20.0 AS s
+        |  FROM (SELECT unnest(generate_series(1, 19)) AS i)),
+        |c AS (SELECT s, 1.0 - (s * s * s * s) AS ms FROM pts)
+        |SELECT s, CAST(8 AS BIGINT) AS bands,
+        |  CAST(4 AS BIGINT) AS rows_per_band,
+        |  round(1.0 - (ms * ms * ms * ms * ms * ms * ms * ms), 6)
+        |    AS p_collide,
+        |  round(exp(ln(1.0 / 8) / 4), 6) AS threshold
+        |FROM c ORDER BY s""".stripMargin,
 
     // q251 assigns from PERSISTED centroids and must be byte-identical
     // to q243 — one oracle, two queries (the q20/q129 precedent)
@@ -13439,6 +13620,45 @@ object SparkEntry {
     kmeansOracle(k, d, iters,
       """SELECT vec_id, cluster, round(dist2, 6) + 0 AS dist2
         |FROM fin ORDER BY vec_id""".stripMargin)
+
+  /** q343: the q243 Lloyd chain, then class-based TF-IDF over the
+    * fitted clusters — tf(t,c) from the doc-terms unnest joined to
+    * `fin` on vec_id = doc_id, f(t) and A from the (cluster, term)
+    * frame, top-m per cluster by (score DESC, term). */
+  private def kmeansClusterTermsOracleSql(k: Int, d: Int, iters: Int,
+                                          m: Int): String =
+    kmeansOracle(k, d, iters,
+      s""",
+         |dt AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE term <> ''
+         |  GROUP BY doc_id, term),
+         |tfc AS MATERIALIZED (
+         |  SELECT f.cluster, d.term, CAST(sum(d.tf) AS BIGINT) AS tf_c
+         |  FROM dt d JOIN fin f ON f.vec_id = d.doc_id
+         |  GROUP BY f.cluster, d.term),
+         |ftt AS (
+         |  SELECT term, CAST(sum(tf_c) AS BIGINT) AS f_t
+         |  FROM tfc GROUP BY term),
+         |av AS (
+         |  SELECT CAST(sum(tf_c) AS DOUBLE) /
+         |    CAST(count(DISTINCT cluster) AS DOUBLE) AS a
+         |  FROM tfc),
+         |sc AS (
+         |  SELECT cluster, term, tf_c, f_t,
+         |    CAST(tf_c AS DOUBLE) * ln(1.0 + a / CAST(f_t AS DOUBLE)) AS score
+         |  FROM tfc JOIN ftt USING (term) CROSS JOIN av)
+         |SELECT cluster,
+         |  CAST(row_number() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, term) AS BIGINT) AS rank,
+         |  term, round(score, 6) + 0 AS score, tf_c, f_t
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY cluster
+         |  ORDER BY score DESC, term) <= $m
+         |ORDER BY cluster, rank""".stripMargin)
 
   /** q244: L2 centroid silhouette — nearest + runner-up centroid per
     * point (rn ≤ 2 mirrors the TopKAgg(k=2) element order), a/b = the

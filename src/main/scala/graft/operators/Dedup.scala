@@ -132,6 +132,39 @@ object Dedup {
     arrays.select(col("doc"),
       graft.functions.TextHashes.minhashSigs(col("sh"), numHashes).as("sig"))
 
+  /** LSH S-curve sizing card for a (b bands × r rows) MinHash family
+    * (Leskovec/Rajaraman/Ullman, MMDS §3.4.2): per Jaccard similarity
+    * s in `sPoints`, the banding collision probability
+    * 1 − (1 − s^r)^b, plus the family's 50 %-collision threshold
+    * ≈ (1/b)^(1/r) — the card an index owner reads BEFORE picking
+    * numHashes/rowsPerBand, next to the MEASURED detector PRF1
+    * (q233/q236) read after. Integer powers expand to explicit IEEE
+    * multiply chains (b and r are small config ints) so the curve
+    * replays bit-identically in any engine; the threshold's fractional
+    * power goes through exp/ln on exact integer ratios, rounded to 6
+    * (the entropyLDiversity convention). Parameter-bounded frame —
+    * |sPoints| rows, no data touched at any corpus size.
+    */
+  def lshCalibration(spark: org.apache.spark.sql.SparkSession,
+                     numHashes: Int, rowsPerBand: Int,
+                     sPoints: Seq[Double]): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    require(sPoints.nonEmpty && sPoints.forall(s => s >= 0.0 && s <= 1.0),
+      s"sPoints must be in [0, 1], got $sPoints")
+    require(sPoints.distinct.size == sPoints.size,
+      s"sPoints must be distinct, got $sPoints")
+    val b = numHashes / rowsPerBand
+    import spark.implicits._
+    val pts = sPoints.toDF("s")
+    val sr = (1 to rowsPerBand).map(_ => col("s")).reduce(_ * _)
+    val miss = lit(1.0) - sr
+    val pNone = (1 to b).map(_ => miss).reduce(_ * _)
+    pts.select(col("s"),
+        lit(b.toLong).as("bands"), lit(rowsPerBand.toLong).as("rows_per_band"),
+        round(lit(1.0) - pNone, 6).as("p_collide"),
+        round(exp(log(lit(1.0) / b) / rowsPerBand), 6).as("threshold"))
+  }
+
   /** LSH banding: docs agreeing on all `rowsPerBand` signature slots of any
     * band land in the same (band, bucket). Returns candidate doc pairs
     * (a < b), deduplicated across bands, with hot buckets capped at

@@ -154,6 +154,37 @@ object Packing {
       .filter(col("step") >= resumeFrom)
   }
 
+  /** Data-parallel load audit of a [[trainingOrder]] stream: per
+    * (epoch, shard), the step count and token mass each DDP worker
+    * will consume, plus `load_ratio` = shard tokens / the epoch's mean
+    * shard tokens — the "is any worker starved or overloaded by the
+    * rendezvous shard map" readout a trainer checks before launching.
+    * `seqs` is the packed-sequence frame the order was built from
+    * (supplies `tokenCol` per `seqNoCol`).
+    *
+    * Scale shape: one seq-keyed equi-join (order rows ≈ epochs ×
+    * sequences), then everything lives on the (epoch, shard) frame —
+    * bounded by epochs × numShards, never the corpus. The mean divides
+    * two exact integers in double, so ratios replay bit-identically.
+    */
+  def shardBalance(order: DataFrame, seqs: DataFrame,
+                   seqNoCol: String = "seq_no",
+                   tokenCol: String = "n_tokens"): DataFrame = {
+    val g = order.select(col("epoch"), col("shard"), col(seqNoCol))
+      .join(seqs.select(col(seqNoCol), col(tokenCol)), Seq(seqNoCol))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col(tokenCol)).as("shard_tokens"))
+    val m = g.groupBy(col("epoch"))
+      .agg((sum(col("shard_tokens")).cast("double") /
+        count(lit(1)).cast("double")).as("__mean"))
+    g.join(m, Seq("epoch"))
+      .select(col("epoch"), col("shard"), col("n_steps"),
+        col("shard_tokens"),
+        round(col("shard_tokens").cast("double") / col("__mean"), 6)
+          .as("load_ratio"))
+  }
+
   /** Curriculum ordering of training examples (Bengio et al. 2009, the
     * quality-annealed data schedules LLM trainers run): ascending-score
     * TIER schedule — equal-size tiers by the rank of `scoreCol`, low

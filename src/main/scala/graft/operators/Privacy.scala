@@ -83,4 +83,69 @@ object Privacy {
       .withColumn("entropy_l", round(exp(col("entropy_h")), 6))
       .withColumn("diverse", col("entropy_l") >= lit(l))
   }
+
+  /** One PII detector: `regex` finds it, `placeholder` replaces it.
+    * Patterns must stay inside the Java∩RE2 common dialect (no
+    * lookaround, no backreferences, no capturing groups) so the same
+    * string runs under Spark's Java engine and an RE2-based oracle. */
+  final case class PiiRule(name: String, regex: String, placeholder: String)
+
+  /** The scrub rules every pre-training corpus release runs first
+    * (C4 §2.2-style cleanup; emails/IPs/phones/long ID numbers).
+    * Order matters for redaction: email first (its local part can
+    * contain digits and dots that the looser numeric rules would
+    * otherwise bite into), then phone, then IPv4, then bare 9+-digit
+    * runs (SSN/account-number shaped).
+    *
+    * Relation to [[TextAnalysis.redactPiiCol]] (q50): that is the
+    * fixed three-pattern redaction COLUMN (email/dashed-phone/SSN) for
+    * inline use in select lists; this family is the rule-DRIVEN
+    * release gate — caller-extensible ordered rules, per-type match
+    * census, and the audit frame a corpus publication signs off on.
+    */
+  val defaultPiiRules: Seq[PiiRule] = Seq(
+    PiiRule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    PiiRule("phone", "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}", "<PHONE>"),
+    PiiRule("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+      "<IP>"),
+    PiiRule("idnum", "\\b\\d{9,}\\b", "<ID>"))
+
+  /** Per-document PII census: adds one `n_<rule>` LONG per rule
+    * (match count on the ORIGINAL text, so counts are independent of
+    * redaction order) plus their sum `pii_total`.
+    *
+    * Scale: row-local `regexp_count` per rule — whole-stage codegen,
+    * zero shuffles, zero state; the scan cost is one pass over the
+    * text bytes regardless of corpus size, and Parquet column pruning
+    * means only the text column is read.
+    */
+  def piiScan(df: DataFrame, textCol: String = "text",
+              rules: Seq[PiiRule] = defaultPiiRules): DataFrame = {
+    require(rules.nonEmpty, "piiScan needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "piiScan rule names must be unique")
+    val counted = rules.foldLeft(df) { (acc, r) =>
+      acc.withColumn(s"n_${r.name}",
+        regexp_count(col(textCol), lit(r.regex)).cast("long"))
+    }
+    counted.withColumn("pii_total",
+      rules.map(r => col(s"n_${r.name}")).reduce(_ + _))
+  }
+
+  /** Typed-placeholder redaction: adds `redacted` = the text with each
+    * rule's matches replaced by its placeholder, applied in rule order
+    * (see [[defaultPiiRules]] for why order is part of the contract).
+    * Row-local nested `regexp_replace` — codegen, no shuffle. */
+  def piiRedact(df: DataFrame, textCol: String = "text",
+                rules: Seq[PiiRule] = defaultPiiRules): DataFrame =
+    df.withColumn("redacted",
+      rules.foldLeft(col(textCol)) { (c, r) =>
+        regexp_replace(c, lit(r.regex), lit(r.placeholder)) })
+
+  /** [[piiScan]] + [[piiRedact]] in one pass — the release-gate frame:
+    * per-doc typed counts, total, and the scrubbed text. */
+  def piiScrub(df: DataFrame, textCol: String = "text",
+               rules: Seq[PiiRule] = defaultPiiRules): DataFrame =
+    piiRedact(piiScan(df, textCol, rules), textCol, rules)
 }

@@ -790,6 +790,51 @@ object TextAnalysis {
       .drop("n_docs")
   }
 
+  /** Cluster topic labeling via class-based TF-IDF (the BERTopic
+    * weighting, Grootendorst 2022 §2.3): treat each embedding-space
+    * cluster as ONE pseudo-document and surface its `m` most
+    * DISTINCTIVE terms — what a corpus owner reads to learn what a
+    * 100 TB partition is actually about. W(t,c) = tf(t,c) · ln(1 + A /
+    * f(t)) with tf(t,c) = term count inside cluster c, f(t) = corpus-
+    * wide count, A = mean tokens per cluster; unlike [[topKeywords]]
+    * (per-document tf-idf) the idf-like factor dampens terms common
+    * ACROSS clusters, so cluster labels separate even when every doc
+    * shares a core vocabulary.
+    *
+    * `assign` maps `idCol` → `clusterCol` (e.g. [[KMeans.assign]]
+    * renamed to the doc key). Shape at scale: docTerms' single
+    * explode→partial-agg shuffle, then everything downstream lives on
+    * the (cluster, term) frame — bounded by k × vocabulary (Heaps), not
+    * the corpus. The top-m window partitions by cluster over that
+    * vocab-bounded frame (the [[topKeywords]]/goodTuring boundedness
+    * class); A arrives as a broadcast one-row frame. Exact-integer
+    * divisions in double → engine-replayable scores.
+    */
+  def clusterTerms(docs: DataFrame, assign: DataFrame, m: Int,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   clusterCol: String = "cluster"): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val tfc = docTerms(docs, idCol, textCol)
+      .join(assign.select(col(idCol), col(clusterCol)), Seq(idCol))
+      .groupBy(col(clusterCol), col("term"))
+      .agg(sum(col("tf")).as("tf_c"))
+    val ft = tfc.groupBy(col("term")).agg(sum(col("tf_c")).as("f_t"))
+    val a = tfc.agg((sum(col("tf_c")).cast("double") /
+      countDistinct(col(clusterCol)).cast("double")).as("__a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col("__score").desc, col("term"))
+    tfc.join(ft, "term")
+      .crossJoin(broadcast(a))
+      .withColumn("__score", col("tf_c").cast("double") *
+        log(lit(1.0) + col("__a") / col("f_t").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col(clusterCol), col("rank"), col("term"),
+        (round(col("__score"), 6) + lit(0.0)).as("score"),
+        col("tf_c"), col("f_t"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, §A1.1): the
     * word- and line-level repetition/format signals the original filter
     * thresholds, plus the combined `keep` verdict. Complements

@@ -43,6 +43,7 @@ object PlanAudit {
     AllowedBroadcast("TextAnalysis.scala", "total", "one-row token-count aggregate (phraseDetect/frequencySpectrum/goodTuring/vocabCoverageCurve)", count = 4),
     AllowedBroadcast("TextAnalysis.scala", "n", "one-row global aggregate", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "tBig", "one-row bigram-type-count aggregate (knBigram's T)"),
+    AllowedBroadcast("TextAnalysis.scala", "a", "one-row mean-tokens-per-cluster aggregate (clusterTerms' A)"),
     AllowedBroadcast("DataSelection.scala", "totals", "one-row feature-count aggregate (dsir smoothing denominators)"),
     AllowedBroadcast("DataSelection.scala", "stats", "hashed-bucket profile — B rows, parameter-bounded (buckets)"),
     AllowedBroadcast("DataSelection.scala", "gt", "one-row global LM totals (domainReweight)"),
@@ -269,7 +270,19 @@ object PlanAudit {
         "surface is the within-cell equi-join; both argmaxes are " +
         "combinable min(struct) aggregates",
       Seq("BroadcastNestedLoopJoin", "Generate"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    Check("PII scrub pure-map shape", "q342_pii_scrub",
+      "scan+regexp census+redaction stays one map stage over the " +
+        "2-column scan — no join, no aggregate, no window anywhere " +
+        "(the only exchange is the output-order sort)",
+      Seq("ReadSchema: struct<doc_id:bigint,text:string>"),
+      Seq("Join", "Aggregate", "Window", "CartesianProduct")),
+    Check("cluster-topic vocab-bounded labeling", "q343_cluster_topics",
+      "after the one doc-terms shuffle, scoring and the top-m rank live " +
+        "on the (cluster, term) frame — the window partitions by " +
+        "cluster over Heaps-bounded vocab rows, and A joins as a " +
+        "one-row broadcast, never a corpus-keyed exchange",
+      Seq("Window"), Seq("CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -464,4 +464,25 @@ class DedupSpec extends SparkSpecBase {
     // the null member dropped: n_members counts SCORED members only
     assert(out(2) === ((20L, 1L, 20L, 20L, 3.0, 3.0, 0.0)))
   }
+
+  test("lshCalibration: hand-computed S-curve at b=2 bands, r=2 rows") {
+    val out = Dedup.lshCalibration(spark, numHashes = 4, rowsPerBand = 2,
+        sPoints = Seq(0.0, 0.5, 1.0))
+      .orderBy("s").collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // s=0.5: 1 − (1 − 0.25)² = 0.4375; threshold = (1/2)^(1/2)
+    assert(out(0.0) == ((2L, 2L, 0.0, 0.707107)))
+    assert(out(0.5) == ((2L, 2L, 0.4375, 0.707107)))
+    assert(out(1.0) == ((2L, 2L, 1.0, 0.707107)))
+  }
+
+  test("lshCalibration rejects bad inputs") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibration(spark, 5, 2, Seq(0.5)) } // 5 % 2 != 0
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibration(spark, 4, 2, Seq(1.5)) } // out of [0,1]
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibration(spark, 4, 2, Seq(0.5, 0.5)) } // duplicate
+  }
 }

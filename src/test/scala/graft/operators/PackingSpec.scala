@@ -268,4 +268,26 @@ class PackingSpec extends SparkSpecBase {
     // perfect split on this fixture: the 5 long docs fill one batch
     assert(sw === 0L)
   }
+
+  test("shardBalance: per-(epoch, shard) mass and ratio vs epoch mean") {
+    import spark.implicits._
+    val order = Seq(
+      // epoch 1: shard 0 gets seqs 0,1; shard 1 gets seq 2
+      (1L, 0L, 0L), (1L, 0L, 1L), (1L, 1L, 2L),
+      // epoch 2: shard 0 gets seq 0; shard 1 gets seqs 1,2
+      (2L, 0L, 0L), (2L, 1L, 1L), (2L, 1L, 2L)
+    ).toDF("epoch", "shard", "seq_no")
+    val seqs = Seq((0L, 100L), (1L, 50L), (2L, 30L))
+      .toDF("seq_no", "n_tokens")
+    val out = Packing.shardBalance(order, seqs)
+      .orderBy("epoch", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // epoch 1: shard0 150, shard1 30; mean 90 → 1.666667 / 0.333333
+    assert(out((1L, 0L)) == ((2L, 150L, 1.666667)))
+    assert(out((1L, 1L)) == ((1L, 30L, 0.333333)))
+    // epoch 2: shard0 100, shard1 80; mean 90
+    assert(out((2L, 0L)) == ((1L, 100L, 1.111111)))
+    assert(out((2L, 1L)) == ((2L, 80L, 0.888889)))
+  }
 }

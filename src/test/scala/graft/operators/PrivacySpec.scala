@@ -85,4 +85,47 @@ class PrivacySpec extends SparkSpecBase {
     assert(out((1, "A"))._1 == 3L)
     assert(!out((1, "A"))._2) // 1.889... < 2
   }
+
+  private lazy val piiDocs = Seq(
+    (1L, "mail me at jo.ann+x@sub.example.org or jo@ex.io thanks"),
+    (2L, "server 10.0.255.3 answered, backup at 192.168.1.17"),
+    (3L, "call +1 555 123 4567 ref 123456789 in row"),
+    (4L, "nothing sensitive here, just 1234 and 10.5 percent"),
+    (5L, "mixed: a@b.co from 8.8.8.8 id 999999999012")
+  ).toDF("doc_id", "text")
+
+  test("piiScan counts each rule on the original text") {
+    val out = Privacy.piiScan(piiDocs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"),
+          r.getAs[Long]("n_ipv4"), r.getAs[Long]("n_idnum"),
+          r.getAs[Long]("pii_total"))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, 0L, 2L)))
+    assert(out(2L) == ((0L, 0L, 2L, 0L, 2L)))
+    assert(out(3L) == ((0L, 1L, 0L, 1L, 2L)))
+    // "1234" is too short for idnum; "10.5" has only two dot groups
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out(5L) == ((1L, 0L, 1L, 1L, 3L)))
+  }
+
+  test("piiRedact replaces matches with typed placeholders in rule order") {
+    val out = Privacy.piiRedact(piiDocs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted")).toMap
+    assert(out(1L) == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L) == "server <IP> answered, backup at <IP>")
+    assert(out(3L) == "call <PHONE> ref <ID> in row")
+    assert(out(4L) == piiDocs.filter($"doc_id" === 4L).head.getString(1))
+    assert(out(5L) == "mixed: <EMAIL> from <IP> id <ID>")
+  }
+
+  test("piiScrub email-first order keeps digit rules out of addresses") {
+    // the email local part contains a 9-digit run and an IP-shaped
+    // dotted quad; email redaction must win because it applies first
+    val doc = Seq((1L, "x123456789@1.2.3.4mail.com end"))
+      .toDF("doc_id", "text")
+    val row = Privacy.piiScrub(doc).head()
+    assert(row.getAs[String]("redacted") == "<EMAIL> end")
+    assert(row.getAs[Long]("n_email") == 1L)
+    assert(row.getAs[Long]("pii_total") >= 1L)
+  }
 }

@@ -606,4 +606,26 @@ class TextAnalysisSpec extends SparkSpecBase {
       (3L, "c", 1L, 7L, 0.875), (4L, "d", 1L, 8L, 1.0)), out)
     assert(run(docs.repartition(4)) == out, "partitioning leaked in")
   }
+
+  test("clusterTerms: class-based TF-IDF scores, top-m per cluster, " +
+    "tie by term") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple apple banana"), (1L, "apple fruit"),
+      (2L, "car car road"), (3L, "car engine")).toDF("doc_id", "text")
+    val assign = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("doc_id", "cluster")
+    // tf_c: c0 {apple 3, banana 1, fruit 1}, c1 {car 3, road 1,
+    // engine 1}; f_t: apple 3, car 3, others 1; A = 10/2 = 5
+    // score(apple|c0) = 3·ln(1+5/3) = 2.942488; ln(1+5) = 1.791759
+    val out = TextAnalysis.clusterTerms(docs, assign, m = 2)
+      .orderBy("cluster", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0, 1L, "apple", 2.942488, 3L, 3L),
+      (0, 2L, "banana", 1.791759, 1L, 1L), // fruit ties, term asc
+      (1, 1L, "car", 2.942488, 3L, 3L),
+      (1, 2L, "engine", 1.791759, 1L, 1L)), out)
+  }
 }
