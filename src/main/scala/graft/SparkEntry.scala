@@ -678,6 +678,80 @@ object SparkEntry {
           sPoints = (1 to 19).map(_ / 20.0))
         .orderBy(col("s"))),
 
+    // chat-format audit for SFT data — the validation q318's masking
+    // takes for granted: the corpus has no conversations, so the gate
+    // derives one per doc (system/user/assistant turns cut from the
+    // first 44 chars — under every SF's min doc length) and plants one
+    // violation class per doc_id residue: %19 bad role, %11 user twice
+    // in a row, %13 blank turn, %23 mid-conversation system, %17 ends
+    // on the user. Every flag fires AND every flag passes somewhere
+    "q346_chat_format_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def turn(df: DataFrame, ix: Long, role: org.apache.spark.sql.Column,
+               content: org.apache.spark.sql.Column): DataFrame =
+        df.select(col("doc_id").as("conv_id"), lit(ix).as("turn_ix"),
+          role.as("role"), content.as("content"))
+      val turns =
+        turn(d.filter(pmod(col("doc_id"), lit(5L)) === 0L), 0L,
+          lit("system"), lit("be concise"))
+        .unionByName(turn(d, 1L,
+          when(pmod(col("doc_id"), lit(19L)) === 0L, lit("tool"))
+            .otherwise(lit("user")),
+          substring(col("text"), 1, 10)))
+        .unionByName(turn(d, 2L,
+          when(pmod(col("doc_id"), lit(11L)) === 0L, lit("user"))
+            .otherwise(lit("assistant")),
+          when(pmod(col("doc_id"), lit(13L)) === 0L, lit(""))
+            .otherwise(substring(col("text"), 12, 10))))
+        .unionByName(turn(d, 3L,
+          when(pmod(col("doc_id"), lit(23L)) === 0L, lit("system"))
+            .otherwise(lit("user")),
+          substring(col("text"), 23, 10)))
+        .unionByName(turn(d.filter(pmod(col("doc_id"), lit(17L)) =!= 0L),
+          4L, lit("assistant"), substring(col("text"), 34, 10)))
+      Packing.chatFormatAudit(turns).orderBy(col("conv_id"))
+    }),
+
+    // embedding-geometry card: the one-row QC an index owner reads
+    // before trusting cosine anywhere — norm² envelope (normalized?
+    // zero vectors?), mean-vector norm², anisotropy = ‖μ‖²/mean‖x‖²
+    // (the cone-effect readout; high ⇒ center before similarity)
+    "q347_embedding_geometry" -> ((s, dir) =>
+      Embeddings.geometryCard(t(s, dir, "embeddings"))),
+
+    // hubness audit of the ANN graph: in-degree histogram of the
+    // IVF self-kNN (k=5) — hub vectors that appear in everyone's
+    // neighbor list distort retrieval and dedup verdicts; the
+    // never-cited (degree-0) population is part of the readout
+    "q348_ann_hubness" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val deg = Similarity.selfKnnIvf(emb, k = 5, nProbe = 2,
+          portable = true)
+        .groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("in_degree"))
+      emb.select(col("vec_id"))
+        .join(deg, Seq("vec_id"), "left")
+        .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .groupBy(col("in_degree"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("in_degree"))
+    }),
+
+    // kNN-graph clustering — the graph companion of SemDeDup (q245):
+    // mutual top-5 edges at cosine6 ≥ 0.3 (mutuality strips the
+    // hub-induced asymmetric edges q348 measures; 121 of 360 mutual
+    // pairs survive the threshold at sf0.01), then the q53 min-id
+    // label propagation — embedding-space dup clusters without a
+    // parametric k-means fit
+    "q349_knn_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.connectedComponents(
+          Similarity.mutualKnnEdges(
+            Similarity.selfKnnIvf(emb, k = 5, nProbe = 2, portable = true),
+            minCos = 0.35))
+        .orderBy(col("doc"))
+    }),
+
     // does the rendezvous shard map starve any DDP worker: per
     // (epoch, shard) step count + token mass of the q336 training
     // order (full stream, resume 0) with load_ratio vs the epoch's
@@ -12418,6 +12492,201 @@ object SparkEntry {
     // q343: the q243 chain + class-based TF-IDF labeling
     "q343_cluster_topics" ->
       kmeansClusterTermsOracleSql(k = 8, d = 64, iters = 3, m = 5),
+
+    // q346: the same residue fixture, flags replayed relationally —
+    // per-conv bool_and rollups, the alternation pair via lag over the
+    // non-system stream (≡ the engine's array zip_with adjacency)
+    "q346_chat_format_audit" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |turns AS (
+        |  SELECT doc_id AS conv_id, CAST(0 AS BIGINT) AS turn_ix,
+        |    'system' AS role, 'be concise' AS content
+        |  FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    CASE WHEN doc_id % 19 = 0 THEN 'tool' ELSE 'user' END,
+        |    substr(text, 1, 10) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'user' ELSE 'assistant' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN ''
+        |         ELSE substr(text, 12, 10) END FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |    CASE WHEN doc_id % 23 = 0 THEN 'system' ELSE 'user' END,
+        |    substr(text, 23, 10) FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'assistant', substr(text, 34, 10)
+        |  FROM d WHERE doc_id % 17 <> 0),
+        |base AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    bool_and(role IN ('system', 'user', 'assistant')) AS role_ok,
+        |    bool_and(NOT (role = 'system' AND rn > 1)) AS system_ok,
+        |    arg_max(role, turn_ix) = 'assistant' AS ends_ok,
+        |    bool_and(content IS NOT NULL AND trim(content) <> '')
+        |      AS nonempty_ok
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY turn_ix) AS rn FROM turns)
+        |  GROUP BY conv_id),
+        |ns AS (
+        |  SELECT conv_id,
+        |    max(CASE WHEN nrn = 1 THEN role END) AS first_role,
+        |    bool_and(prev IS NULL OR prev <> role) AS no_repeat
+        |  FROM (
+        |    SELECT conv_id, role,
+        |      row_number() OVER (PARTITION BY conv_id ORDER BY turn_ix)
+        |        AS nrn,
+        |      lag(role) OVER (PARTITION BY conv_id ORDER BY turn_ix)
+        |        AS prev
+        |    FROM turns WHERE role <> 'system')
+        |  GROUP BY conv_id)
+        |SELECT b.conv_id, b.n_turns, b.role_ok, b.system_ok,
+        |  coalesce(ns.first_role = 'user' AND ns.no_repeat, FALSE)
+        |    AS alternation_ok,
+        |  b.ends_ok, b.nonempty_ok,
+        |  b.role_ok AND b.system_ok
+        |    AND coalesce(ns.first_role = 'user' AND ns.no_repeat, FALSE)
+        |    AND b.ends_ok AND b.nonempty_ok AS valid
+        |FROM base b LEFT JOIN ns USING (conv_id)
+        |ORDER BY conv_id""".stripMargin,
+
+    // q347: per-row norm² as the engine's sequential dot
+    // (list_sum∘list_transform — the kmeansOracle dot precedent),
+    // cross-row sums DECIMAL(28,12), μ from per-dim decimal sums
+    "q347_embedding_geometry" ->
+      """WITH e AS (
+        |  SELECT embedding::DOUBLE[] AS x FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |n2 AS (
+        |  SELECT CAST(len(x) AS BIGINT) AS d,
+        |    list_sum(list_transform(x, v -> v * v)) AS n2
+        |  FROM e),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, max(d) AS d,
+        |    SUM(CAST(n2 AS DECIMAL(28,12))) AS s2,
+        |    min(n2) AS mn, max(n2) AS mx
+        |  FROM n2),
+        |dims AS (
+        |  SELECT j, SUM(CAST(x[j] AS DECIMAL(28,12))) AS sj,
+        |    count(*) AS nj
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS j) jj
+        |  GROUP BY j),
+        |mu AS (
+        |  SELECT SUM(CAST(m * m AS DECIMAL(28,12))) AS m2q FROM (
+        |    SELECT CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE) AS m
+        |    FROM dims))
+        |SELECT n, d,
+        |  round(CAST(s2 AS DOUBLE) / n, 6) AS mean_norm2,
+        |  round(CAST(m2q AS DOUBLE), 6) AS mu_norm2,
+        |  round(CAST(m2q AS DOUBLE) / (CAST(s2 AS DOUBLE) / n), 6)
+        |    AS anisotropy,
+        |  round(mn, 6) AS min_norm2, round(mx, 6) AS max_norm2
+        |FROM st CROSS JOIN mu""".stripMargin,
+
+    // q348: the q20 probe chain with the CORPUS as the query side and
+    // cosine ROUNDED to 6 before ranking (the TopKAgg order), then the
+    // in-degree rollup with the never-cited zero row kept
+    "q348_ann_hubness" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j,
+        |    unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s,
+        |    COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |probed AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.vec_id AS query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.e, c.c) DESC, c.cell)
+        |        AS pr
+        |    FROM vecs q CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, v.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qq.e, v.e), 6) AS cos6
+        |  FROM probed p
+        |  JOIN vecs v ON v.label = p.cell
+        |  JOIN vecs qq ON qq.vec_id = p.query_id
+        |  WHERE v.vec_id <> p.query_id),
+        |topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos6 DESC, neighbor_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |deg AS (
+        |  SELECT neighbor_id, CAST(count(*) AS BIGINT) AS in_degree
+        |  FROM topk GROUP BY neighbor_id),
+        |ad AS (
+        |  SELECT coalesce(d.in_degree, 0) AS in_degree
+        |  FROM vecs v LEFT JOIN deg d ON d.neighbor_id = v.vec_id)
+        |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM ad GROUP BY in_degree ORDER BY in_degree""".stripMargin,
+
+    // q349: the q348 probe/topk chain (cos6 kept), the mutual
+    // pair-key self-join, then the q53 recursive closure
+    "q349_knn_clusters" ->
+      """WITH RECURSIVE vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |elems AS (
+        |  SELECT label AS cell, generate_subscripts(e, 1) AS j,
+        |    unnest(e) AS x
+        |  FROM vecs),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s,
+        |    COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |probed AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.vec_id AS query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.e, c.c) DESC, c.cell)
+        |        AS pr
+        |    FROM vecs q CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, v.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qq.e, v.e), 6) AS cos6
+        |  FROM probed p
+        |  JOIN vecs v ON v.label = p.cell
+        |  JOIN vecs qq ON qq.vec_id = p.query_id
+        |  WHERE v.vec_id <> p.query_id),
+        |topk AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, cos6 FROM (
+        |    SELECT query_id, neighbor_id, cos6,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos6 DESC, neighbor_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |medges AS (
+        |  SELECT l.query_id AS a, l.neighbor_id AS b
+        |  FROM topk l
+        |  JOIN topk r ON r.query_id = l.neighbor_id
+        |    AND r.neighbor_id = l.query_id
+        |  WHERE l.query_id < l.neighbor_id AND l.cos6 >= 0.35),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM medges
+        |  UNION
+        |  SELECT b, a FROM medges),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |  WHERE e.dst <> r.src)
+        |SELECT src AS doc, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src
+        |ORDER BY doc""".stripMargin,
 
     // q344: the S-curve formula with integer powers written as the
     // same left-associated IEEE multiply chains the engine emits;

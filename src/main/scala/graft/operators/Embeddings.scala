@@ -297,6 +297,47 @@ object Embeddings {
     * the reference itself). Slices are dropped if the reference slice
     * is absent.
     */
+  /** One-row embedding-GEOMETRY card — the QC an index owner reads
+    * before trusting cosine anywhere (ANN, SemDeDup, decon): vector
+    * count and width, the norm² envelope (mean/min/max — are vectors
+    * normalized? any zero vectors?), the mean-vector norm² and
+    * `anisotropy` = ‖μ‖² / mean‖x‖² (Ethayarajh 2019's cone effect:
+    * ≈0 for a centered, isotropic space; → 1 as all vectors collapse
+    * onto one direction — high values mean raw cosine is dominated by
+    * the common component and centering should precede similarity).
+    *
+    * Exactness at scale: per-row norm² is the sequential codegen dot
+    * (row-local, replayable); every cross-row sum routes through
+    * DECIMAL(28,12) (order-free); μ comes from per-dim decimal sums
+    * (d-bounded frame), its norm² from decimal-quantized squared
+    * means. One corpus pass + one d-row rollup.
+    */
+  def geometryCard(corpus: DataFrame,
+                   vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("x"))
+    val n2 = vecs.select(size(col("x")).cast("long").as("d"),
+      graft.functions.VectorMath.dot(col("x"), col("x")).as("n2"))
+    val stats = n2.agg(count(lit(1)).as("n"), max(col("d")).as("d"),
+      sum(col("n2").cast("decimal(28,12)")).as("s2"),
+      min(col("n2")).as("mn"), max(col("n2")).as("mx"))
+    val mu2 = vecs.select(posexplode(col("x")).as(Seq("j", "xi")))
+      .groupBy(col("j"))
+      .agg(sum(col("xi").cast("double").cast("decimal(28,12)")).as("sj"),
+        count(lit(1)).as("nj"))
+      .select((col("sj").cast("double") / col("nj").cast("double"))
+        .as("m"))
+      .agg(sum((col("m") * col("m")).cast("decimal(28,12)")).as("m2q"))
+    stats.join(broadcast(mu2), lit(true))
+      .select(col("n"), col("d"),
+        round(col("s2").cast("double") / col("n"), 6).as("mean_norm2"),
+        round(col("m2q").cast("double"), 6).as("mu_norm2"),
+        round(col("m2q").cast("double") /
+          (col("s2").cast("double") / col("n")), 6).as("anisotropy"),
+        round(col("mn"), 6).as("min_norm2"),
+        round(col("mx"), 6).as("max_norm2"))
+  }
+
   def centroidDrift(corpus: DataFrame, sliceCol: String, refSlice: Any,
                     vecCol: String = "embedding"): DataFrame = {
     val el = corpus.filter(col(vecCol).isNotNull && col(sliceCol).isNotNull)

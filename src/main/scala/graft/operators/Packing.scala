@@ -342,4 +342,49 @@ object Packing {
         Seq(idCol))
       .select(outCols: _*)
   }
+
+  /** Chat-format audit for SFT/RLHF conversation data — the validation
+    * every chat-template renderer assumes and [[promptMask]]'s masking
+    * takes for granted: per conversation,
+    *
+    *   - `role_ok` — every role ∈ {system, user, assistant};
+    *   - `system_ok` — system appears only as the opening turn;
+    *   - `alternation_ok` — ignoring system turns, the first speaker is
+    *     the user and no speaker repeats back-to-back;
+    *   - `ends_ok` — the final turn is the assistant's (a trailing user
+    *     turn trains on nothing; a trailing system is malformed);
+    *   - `nonempty_ok` — no null/whitespace-only turn content;
+    *   - `valid` — all of the above.
+    *
+    * Scale shape: ONE conversation-keyed aggregation collects each
+    * conversation's turns into a sorted struct array (bounded by
+    * conversation LENGTH — tens of turns, never the corpus), then every
+    * flag is a row-local higher-order-function pass over that array —
+    * codegen, no window, no second shuffle. Flags are plain boolean
+    * algebra on deterministic arrays → engine-replayable.
+    */
+  def chatFormatAudit(turns: DataFrame, convCol: String = "conv_id",
+                      ixCol: String = "turn_ix", roleCol: String = "role",
+                      contentCol: String = "content"): DataFrame = {
+    val arr = turns.groupBy(col(convCol))
+      .agg(array_sort(collect_list(struct(
+        col(ixCol).as("i"), col(roleCol).as("r"),
+        (col(contentCol).isNull ||
+          trim(col(contentCol)) === "").as("blank")))).as("ts"))
+    val roles = "transform(ts, t -> t.r)"
+    val nonSys = s"filter($roles, r -> r != 'system')"
+    arr.select(col(convCol),
+      size(col("ts")).cast("long").as("n_turns"),
+      expr(s"forall($roles, r -> r IN ('system', 'user', 'assistant'))")
+        .as("role_ok"),
+      expr(s"!exists(slice($roles, 2, size(ts)), r -> r = 'system')")
+        .as("system_ok"),
+      expr(s"size($nonSys) > 0 AND element_at($nonSys, 1) = 'user' AND " +
+        s"!exists(zip_with($nonSys, slice($nonSys, 2, size($nonSys)), " +
+        "(a, b) -> a = b), x -> coalesce(x, false))").as("alternation_ok"),
+      expr(s"element_at($roles, -1) = 'assistant'").as("ends_ok"),
+      expr("!exists(ts, t -> t.blank)").as("nonempty_ok"))
+      .withColumn("valid", col("role_ok") && col("system_ok") &&
+        col("alternation_ok") && col("ends_ok") && col("nonempty_ok"))
+  }
 }

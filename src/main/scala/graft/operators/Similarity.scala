@@ -627,6 +627,76 @@ object Similarity {
         col("n.id").as("neg_id"), (-col("n.nc")).as("neg_cos6"))
   }
 
+  /** Self-kNN graph over the corpus — every vector's `k` nearest
+    * neighbors under (cosine6 desc, id asc) with IVF candidate
+    * generation: the building block of graph-based dedup/clustering
+    * and the frame hubness audits read. Same probe mechanics as
+    * [[contrastivePairsIvf]] (the anchor side IS the corpus, so cells
+    * are picked row-locally from the ONE collected centroid row — no
+    * probe shuffle), but the rollup is the bounded
+    * [[graft.functions.TopKAgg]] instead of the pair argmax: each map
+    * task pre-reduces to ≤ k neighbors per anchor before the single
+    * cell-keyed exchange. Cosine rounds to 6 dp BEFORE ranking so the
+    * (score, id) order replays in any engine. Recall < 1 by
+    * construction (the [[ivfTopK]] contract); each neighbor appears
+    * at most once per anchor — a corpus row lives in exactly one cell.
+    */
+  def selfKnnIvf(corpus: DataFrame, k: Int, nProbe: Int = 2,
+                 coarseCol: String = "label", idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val centroids = coarseCentroids(corpus, coarseCol, vecCol, portable)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("__cents"))
+    val a = corpus.select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
+      .withColumn("na", normCol(col("va")))
+      // one-row centroid array — structurally tiny (PlanAudit-listed)
+      .crossJoin(broadcast(centroids))
+      .select(col("anchor_id"), col("va"), col("na"),
+        explode(slice(array_sort(transform(col("__cents"), c =>
+            struct((-cosineCol(col("va"), c.getField("centroid"))).as("nc"),
+              c.getField("cell").as("cell")))),
+          1, nProbe)).as("pr"))
+      .select(col("anchor_id"), col("va"), col("na"),
+        col("pr.cell").as("cell"))
+    val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("vb"),
+        col(coarseCol).as("cell"))
+      .withColumn("nb", normCol(col("vb")))
+    a.join(b, Seq("cell"))
+      .filter(col("anchor_id") =!= col("bid"))
+      .withColumn("__c",
+        round(dotCol(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .groupBy(col("anchor_id").as(idCol))
+      .agg(graft.functions.TopKAgg.topK(col("__c"), col("bid"), k).as("nn"))
+      .select(col(idCol), posexplode(col("nn")).as(Seq("__r", "__x")))
+      .select(col(idCol), col("__x.id").as("neighbor_id"),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__x.score").as("cosine6"))
+  }
+
+  /** Mutual-kNN edge list from a [[selfKnnIvf]] frame: undirected
+    * (a, b) kept iff each vector appears in the OTHER's top-k AND
+    * cosine6 ≥ `minCos` — the standard kNN-graph construction for
+    * graph clustering: mutuality removes the asymmetric edges hub
+    * vectors induce (the q348 hubness audit measures exactly that
+    * pathology). One self-equi-join on the (anchor, neighbor) pair
+    * key — the kNN frame is k·n rows, so the join is linear in the
+    * corpus, never quadratic. Cosine is symmetric and already rounded,
+    * so filtering one side suffices.
+    */
+  def mutualKnnEdges(knn: DataFrame, minCos: Double): DataFrame = {
+    require(minCos > -1.0 && minCos < 1.0,
+      s"minCos must be in (-1, 1), got $minCos")
+    val l = knn.select(col("vec_id").as("doc_a"),
+      col("neighbor_id").as("doc_b"), col("cosine6"))
+    val r = knn.select(col("vec_id").as("__rb"),
+      col("neighbor_id").as("__ra"))
+    l.join(r, col("doc_a") === col("__ra") && col("doc_b") === col("__rb"))
+      .filter(col("doc_a") < col("doc_b") && col("cosine6") >= minCos)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Scale path for corpus×corpus cosine near-dup: candidates from
     * multi-table hyperplane-LSH buckets (equi-joins only — the quadratic
     * term is confined to within-bucket work, and high-cosine pairs almost

@@ -33,8 +33,11 @@ object PlanAudit {
   private val allowedBroadcasts = Seq(
     AllowedBroadcast("Similarity.scala", "q", "query set — API contract: structurally small (a query batch, not a corpus)"),
     AllowedBroadcast("Similarity.scala", "centroids",
-      "k centroid rows — parameter-bounded (3rd site: contrastivePairsIvf's " +
-        "ONE collected centroid-array row)", count = 3),
+      "k centroid rows — parameter-bounded (3rd/4th sites: " +
+        "contrastivePairsIvf's and selfKnnIvf's ONE collected " +
+        "centroid-array row)", count = 4),
+    AllowedBroadcast("Embeddings.scala", "mu2",
+      "one-row μ-norm² aggregate (geometryCard)"),
     AllowedBroadcast("Similarity.scala", "probed", "queries × nProbe rows — parameter-bounded"),
     AllowedBroadcast("Similarity.scala", "cents", "k centroid rows — parameter-bounded", count = 2),
     AllowedBroadcast("TextAnalysis.scala", "dfs", "df stats AFTER the query-term isin filter — |queryTerms| rows, parameter-bounded"),
@@ -282,7 +285,15 @@ object PlanAudit {
         "on the (cluster, term) frame — the window partitions by " +
         "cluster over Heaps-bounded vocab rows, and A joins as a " +
         "one-row broadcast, never a corpus-keyed exchange",
-      Seq("Window"), Seq("CartesianProduct")))
+      Seq("Window"), Seq("CartesianProduct")),
+    Check("self-kNN hubness row-local probe + bounded top-k",
+      "q348_ann_hubness",
+      "the corpus-as-queries kNN probes cells from the one-row " +
+        "collected centroid broadcast (no probe shuffle) and the " +
+        "neighbor lists come from the partial TopKAgg — no window, no " +
+        "all-pairs product anywhere",
+      Seq("partial_topkagg", "BroadcastNestedLoopJoin"),
+      Seq("Window", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -210,4 +210,20 @@ class EmbeddingsSpec extends SparkSpecBase {
       Embeddings.cosineHistogram(vs, bins = 0)
     }
   }
+
+  test("geometryCard: hand-computed envelope, μ-norm and anisotropy") {
+    import spark.implicits._
+    val vs = Seq((1L, Seq(3f, 0f)), (2L, Seq(1f, 2f)),
+      (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val r = Embeddings.geometryCard(vs).head()
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Long]("d") == 2L)
+    // norms² 9 and 5 → mean 7; μ = (2, 1) → ‖μ‖² = 5; 5/7 = 0.714286
+    assert(r.getAs[Double]("mean_norm2") == 7.0)
+    assert(r.getAs[Double]("mu_norm2") == 5.0)
+    assert(r.getAs[Double]("anisotropy") == 0.714286)
+    assert(r.getAs[Double]("min_norm2") == 5.0)
+    assert(r.getAs[Double]("max_norm2") == 9.0)
+  }
 }

@@ -269,6 +269,38 @@ class PackingSpec extends SparkSpecBase {
     assert(sw === 0L)
   }
 
+  test("chatFormatAudit: each malformation trips exactly its flag") {
+    import spark.implicits._
+    val turns = Seq(
+      // conv 1: well-formed with a system opener
+      (1L, 0L, "system", "s"), (1L, 1L, "user", "u"),
+      (1L, 2L, "assistant", "a"),
+      // conv 2: user speaks twice in a row
+      (2L, 0L, "user", "u"), (2L, 1L, "user", "u2"),
+      (2L, 2L, "assistant", "a"),
+      // conv 3: ends on the user
+      (3L, 0L, "user", "u"), (3L, 1L, "assistant", "a"),
+      (3L, 2L, "user", "u2"),
+      // conv 4: whitespace-only assistant turn
+      (4L, 0L, "user", "u"), (4L, 1L, "assistant", "  "),
+      // conv 5: unknown role as the opener
+      (5L, 0L, "tool", "t"), (5L, 1L, "assistant", "a"),
+      // conv 6: system in the middle (otherwise fine)
+      (6L, 0L, "user", "u"), (6L, 1L, "system", "s"),
+      (6L, 2L, "assistant", "a")
+    ).toDF("conv_id", "turn_ix", "role", "content")
+    val out = Packing.chatFormatAudit(turns).orderBy("conv_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(1L) == ((3L, true, true, true, true, true, true)))
+    assert(out(2L) == ((3L, true, true, false, true, true, false)))
+    assert(out(3L) == ((3L, true, true, true, false, true, false)))
+    assert(out(4L) == ((2L, true, true, true, true, false, false)))
+    assert(out(5L) == ((2L, false, true, false, true, true, false)))
+    assert(out(6L) == ((3L, true, false, true, true, true, false)))
+  }
+
   test("shardBalance: per-(epoch, shard) mass and ratio vs epoch mean") {
     import spark.implicits._
     val order = Seq(

@@ -436,4 +436,59 @@ class SimilaritySpec extends SparkSpecBase {
     assert(panel.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     assert(asMap(panel) == exact.filter(_._1 < 3L))
   }
+
+  test("selfKnnIvf: nProbe covering all cells equals brute-force kNN; " +
+      "nProbe=1 confines neighbors to the own cell") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.995f, 0.0998f), 0),
+      (3L, Seq(0.98f, 0.199f), 0),
+      (11L, Seq(0f, 1f), 1), (12L, Seq(0.0998f, 0.995f), 1),
+      (13L, Seq(0.199f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val knn = Similarity.selfKnnIvf(vecs, k = 2, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // brute-force expectation on the unit circle: nearest = angular
+    // neighbor; rank 2 = next one out
+    assert(knn((1L, 1L))._1 == 2L)
+    assert(knn((1L, 2L))._1 == 3L)
+    assert(knn((2L, 1L))._1 == 3L || knn((2L, 1L))._1 == 1L)
+    assert(knn((11L, 1L))._1 == 12L)
+    assert(knn((13L, 1L))._1 == 12L)
+    // every anchor present, exactly k rows each
+    assert(knn.size == 12)
+    // cosine6 is the rounded cosine and descends with rank
+    assert(knn.forall { case ((_, r), (_, c)) => c <= 1.0 && r <= 2L })
+    // nProbe=1: neighbors never cross the cluster boundary
+    val own = Similarity.selfKnnIvf(vecs, k = 2, nProbe = 1).collect()
+    assert(own.forall(r => (r.getLong(0) < 10L) == (r.getLong(1) < 10L)))
+    // portable decimal centroids pick the same cells here
+    val port = Similarity.selfKnnIvf(vecs, k = 2, nProbe = 2,
+        portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(port == knn)
+  }
+
+  test("mutualKnnEdges: hub-induced asymmetric edges are dropped, " +
+      "threshold filters") {
+    import spark.implicits._
+    // A at 0°, B at 12°, C at 20° on the unit circle: with k=1,
+    // A→B but B→C (8° < 12°) and C→B — only (B, C) is mutual
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9781f, 0.2079f), 0),
+      (3L, Seq(0.9397f, 0.3420f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val knn = Similarity.selfKnnIvf(vecs, k = 1, nProbe = 1)
+    val edges = Similarity.mutualKnnEdges(knn, minCos = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges == Seq((2L, 3L)))
+    // a threshold above every cosine empties the edge list
+    assert(Similarity.mutualKnnEdges(knn, minCos = 0.9999).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdges(knn, minCos = 1.5) }
+  }
 }
