@@ -752,6 +752,18 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    // the per-document ledger of q72's pipeline: for every input doc,
+    // the FIRST stage whose survivor set no longer contains it — the
+    // "why did my document vanish" answer a pipeline debugger asks;
+    // purely set-derived, so s4 exits mean "left the training stream
+    // there" (held out by the split OR contaminated, by construction)
+    "q350_curation_disposition" -> ((s, dir) =>
+      Curation.dispositionLedger(t(s, dir, "documents"), Curation.Config(
+          mixFractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5,
+            "src3" -> 0.1),
+          mixDefaultFraction = 0.25))
+        .orderBy(col("doc_id"))),
+
     // does the rendezvous shard map starve any DDP worker: per
     // (epoch, shard) step count + token mass of the q336 training
     // order (full stream, resume 0) with load_ratio vs the epoch's
@@ -9744,53 +9756,9 @@ object SparkEntry {
     // stage formulas are the proven q21/q57/q52/q16/q53/q58/q48/q65
     // oracle fragments composed over CTEs (the pair CTE reuses the same
     // generator as q16/q53 pointed at the s2 stage)
-    "q72_curation_report" -> {
-      val b = Sampling.bucketSql("doc_id")
+    "q72_curation_report" ->
       s"""WITH RECURSIVE
-         |tokq AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
-         |s1 AS (
-         |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-         |  FROM documents d JOIN tokq q USING (doc_id)
-         |  WHERE len(q.t) >= 20
-         |    AND CAST(len(regexp_extract_all(lower(d.text), '[a-z]')) AS DOUBLE)
-         |      / greatest(length(d.text), 1) >= 0.5
-         |    AND CAST(greatest(len(q.t) - 1, 0) - len(list_distinct(list_transform(
-         |        generate_series(1, len(q.t) - 1), i -> array_to_string(q.t[i:i+1], ' '))))
-         |      AS DOUBLE) / greatest(len(q.t) - 1, 1) <= 0.3),
-         |s2 AS (
-         |  SELECT doc_id, text, lang, source, n_chars FROM (
-         |    SELECT s1.*, row_number() OVER (
-         |      PARTITION BY md5(array_to_string(q.t, ' ')) ORDER BY s1.doc_id) AS rn
-         |    FROM s1 JOIN tokq q USING (doc_id))
-         |  WHERE rn = 1),
-         |pairs AS (
-         |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(5L), source = "s2")}
-         |),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
-         |losers AS (SELECT src AS doc FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
-         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc FROM losers)),
-         |tr AS (SELECT * FROM s3 WHERE $b < '${Sampling.hexThreshold(0.8)}'),
-         |ev AS (SELECT * FROM s3 WHERE $b >= '${Sampling.hexThreshold(0.9)}'),
-         |trsh AS (
-         |  SELECT s.doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(q.t) - 7), i -> array_to_string(q.t[i:i+7], ' ')))) AS g
-         |  FROM tr s JOIN tokq q USING (doc_id)),
-         |evsh AS (
-         |  SELECT s.doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(q.t) - 7), i -> array_to_string(q.t[i:i+7], ' ')))) AS g
-         |  FROM ev s JOIN tokq q USING (doc_id)),
-         |contaminated AS (SELECT DISTINCT a.doc_id FROM trsh a JOIN evsh b USING (g)),
-         |s4 AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |s5 AS (SELECT * FROM s4 WHERE $b < CASE source
-         |  WHEN 'src0' THEN '${Sampling.hexThreshold(1.0)}'
-         |  WHEN 'src1' THEN '${Sampling.hexThreshold(0.5)}'
-         |  WHEN 'src2' THEN '${Sampling.hexThreshold(0.5)}'
-         |  WHEN 'src3' THEN '${Sampling.hexThreshold(0.1)}'
-         |  ELSE '${Sampling.hexThreshold(0.25)}' END)
+         |$curationStagesOracleCtes
          |SELECT stage, n_docs FROM (
          |  SELECT 's0_input' AS stage, count(*) AS n_docs FROM documents
          |  UNION ALL SELECT 's1_quality', count(*) FROM s1
@@ -9798,8 +9766,27 @@ object SparkEntry {
          |  UNION ALL SELECT 's3_near_dedup', count(*) FROM s3
          |  UNION ALL SELECT 's4_decontaminated', count(*) FROM s4
          |  UNION ALL SELECT 's5_mixed', count(*) FROM s5)
-         |ORDER BY stage""".stripMargin
-    },
+         |ORDER BY stage""".stripMargin,
+
+    // q350: the q72 stage chain, read per document — the first stage
+    // whose survivor set no longer contains the doc
+    "q350_curation_disposition" ->
+      s"""WITH RECURSIVE
+         |$curationStagesOracleCtes
+         |SELECT d.doc_id,
+         |  CASE WHEN s1.doc_id IS NULL THEN 's1_quality'
+         |       WHEN s2.doc_id IS NULL THEN 's2_exact_dedup'
+         |       WHEN s3.doc_id IS NULL THEN 's3_near_dedup'
+         |       WHEN s4.doc_id IS NULL THEN 's4_decontaminated'
+         |       WHEN s5.doc_id IS NULL THEN 's5_mixed'
+         |       ELSE 'kept' END AS dropped_at
+         |FROM documents d
+         |LEFT JOIN s1 ON s1.doc_id = d.doc_id
+         |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+         |LEFT JOIN s3 ON s3.doc_id = d.doc_id
+         |LEFT JOIN s4 ON s4.doc_id = d.doc_id
+         |LEFT JOIN s5 ON s5.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q65_weighted_mix" -> {
       val b = Sampling.bucketSql("doc_id")
@@ -13981,6 +13968,58 @@ object SparkEntry {
          |  coalesce(m.mx >= ${threshold}e0, false) AS dropped
          |FROM fin f LEFT JOIN lower_max m USING (vec_id)
          |ORDER BY f.vec_id""".stripMargin)
+
+  /** The full Curation.stages replay (s1 quality → s5 mixed) at the
+    * q72 configuration, shared by q72 (stage counts) and q350
+    * (per-doc disposition). Callers prepend `WITH RECURSIVE` and
+    * append their own final SELECT. */
+  private lazy val curationStagesOracleCtes: String = {
+    val b = Sampling.bucketSql("doc_id")
+    s"""tokq AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |s1 AS (
+       |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |  FROM documents d JOIN tokq q USING (doc_id)
+       |  WHERE len(q.t) >= 20
+       |    AND CAST(len(regexp_extract_all(lower(d.text), '[a-z]')) AS DOUBLE)
+       |      / greatest(length(d.text), 1) >= 0.5
+       |    AND CAST(greatest(len(q.t) - 1, 0) - len(list_distinct(list_transform(
+       |        generate_series(1, len(q.t) - 1), i -> array_to_string(q.t[i:i+1], ' '))))
+       |      AS DOUBLE) / greatest(len(q.t) - 1, 1) <= 0.3),
+       |s2 AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM (
+       |    SELECT s1.*, row_number() OVER (
+       |      PARTITION BY md5(array_to_string(q.t, ' ')) ORDER BY s1.doc_id) AS rn
+       |    FROM s1 JOIN tokq q USING (doc_id))
+       |  WHERE rn = 1),
+       |pairs AS (
+       |${ngramJaccardOracle(threshold = 0.5, n = 3, maxDf = Some(5L), source = "s2")}
+       |),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+       |losers AS (SELECT src AS doc FROM reach GROUP BY src HAVING least(src, min(dst)) <> src),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc FROM losers)),
+       |tr AS (SELECT * FROM s3 WHERE $b < '${Sampling.hexThreshold(0.8)}'),
+       |ev AS (SELECT * FROM s3 WHERE $b >= '${Sampling.hexThreshold(0.9)}'),
+       |trsh AS (
+       |  SELECT s.doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(q.t) - 7), i -> array_to_string(q.t[i:i+7], ' ')))) AS g
+       |  FROM tr s JOIN tokq q USING (doc_id)),
+       |evsh AS (
+       |  SELECT s.doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(q.t) - 7), i -> array_to_string(q.t[i:i+7], ' ')))) AS g
+       |  FROM ev s JOIN tokq q USING (doc_id)),
+       |contaminated AS (SELECT DISTINCT a.doc_id FROM trsh a JOIN evsh b USING (g)),
+       |s4 AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |s5 AS (SELECT * FROM s4 WHERE $b < CASE source
+       |  WHEN 'src0' THEN '${Sampling.hexThreshold(1.0)}'
+       |  WHEN 'src1' THEN '${Sampling.hexThreshold(0.5)}'
+       |  WHEN 'src2' THEN '${Sampling.hexThreshold(0.5)}'
+       |  WHEN 'src3' THEN '${Sampling.hexThreshold(0.1)}'
+       |  ELSE '${Sampling.hexThreshold(0.25)}' END)""".stripMargin
+  }
 
   private def ngramJaccardOracle(threshold: Double, n: Int,
                                  maxDf: Option[Long],

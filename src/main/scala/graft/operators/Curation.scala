@@ -96,6 +96,50 @@ object Curation {
       "s3_near_dedup" -> s3, "s4_decontaminated" -> s4, "s5_mixed" -> s5)
   }
 
+  /** Per-document disposition over a [[stages]] chain (or ANY
+    * monotone pipeline expressed as named survivor frames): for each
+    * input doc, `dropped_at` = the FIRST stage whose survivor set no
+    * longer contains it, or `kept` — the "why did my document vanish"
+    * ledger a pipeline debugger asks for. Purely set-derived, so the
+    * semantics are the pipeline's own: a doc leaving at
+    * `s4_decontaminated` left the TRAINING stream there (held out by
+    * the split or dropped as contaminated — both are s4 exits by
+    * construction).
+    *
+    * Scale shape: one id-keyed left join per stage on id-only
+    * projections (column-pruned to the key), then a row-local CASE —
+    * no stage frame is scanned twice beyond its id column.
+    */
+  def disposition(built: Seq[(String, DataFrame)],
+                  idCol: String = "doc_id"): DataFrame = {
+    require(built.nonEmpty, "disposition needs at least the input stage")
+    val joined = built.tail.foldLeft(built.head._2.select(col(idCol))) {
+      case (acc, (name, df)) =>
+        acc.join(df.select(col(idCol)).withColumn(s"__in_$name", lit(1L)),
+          Seq(idCol), "left")
+    }
+    val firstAbsent = built.tail.map(_._1)
+      .foldRight(lit("kept")) { (name, rest) =>
+        when(col(s"__in_$name").isNull, lit(name)).otherwise(rest) }
+    joined.select(col(idCol), firstAbsent.as("dropped_at"))
+  }
+
+  /** [[disposition]] over a freshly-built [[stages]] chain, with the
+    * stage caches scoped to this call: the ledger is materialized
+    * (localCheckpoint — per-doc (id, stage) rows, tiny relative to
+    * the corpus) BEFORE the stage frames unpersist, so the caller
+    * gets a frame that neither recomputes the pipeline nor pins five
+    * caches for the session's lifetime.
+    */
+  def dispositionLedger(docs: DataFrame, cfg: Config = Config(),
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    TrackedCaches.scopedRelease {
+      val built = stages(docs, cfg, idCol, textCol)
+      try disposition(built, idCol).localCheckpoint(eager = true)
+      finally unpersist(built)
+    }
+
   /** The curated training set (the last stage's frame). The persisted
     * stage caches back the returned frame — release them with
     * [[unpersist]] once the result has been consumed/written.

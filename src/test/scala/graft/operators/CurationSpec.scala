@@ -43,6 +43,32 @@ class CurationSpec extends SparkSpecBase {
     assert(ids("s5_mixed") == Set(3L, 5L, 7L), "fraction 1.0 keeps everything")
   }
 
+  test("disposition: every doc reports the FIRST stage that dropped it") {
+    val nearA = prose(1)
+    val nearB = prose(1).replace("tok1x0", "zzz")
+    val docs = docsOf(
+      (1L, "too short", "s"),
+      (2L, ("rep rep " * 20).trim, "s"),
+      (3L, prose(7), "s"),
+      (4L, prose(7), "s"),       // exact dup of 3 → s2 exit
+      (5L, nearA, "s"),
+      (6L, nearB, "s"),          // near dup of 5 → s3 exit
+      (7L, prose(9), "s"))
+    val out = Curation.dispositionLedger(docs, cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "s1_quality", 2L -> "s1_quality",
+      3L -> "kept", 4L -> "s2_exact_dedup",
+      5L -> "kept", 6L -> "s3_near_dedup", 7L -> "kept"))
+    // generic over any named survivor chain, not just Curation's
+    val chain = Seq(
+      "in" -> docsOf((1L, "a", "s"), (2L, "b", "s")),
+      "only1" -> docsOf((1L, "a", "s")))
+    val small = Curation.disposition(chain)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == Map(1L -> "kept", 2L -> "only1"))
+  }
+
   test("decontamination drops the train doc sharing an 8-gram with eval") {
     // choose ids whose md5 split lands one in train, one in test, for
     // the 0.8/0.1 split — derive from the split itself so the test

@@ -301,6 +301,24 @@ class PackingSpec extends SparkSpecBase {
     assert(out(6L) == ((3L, true, false, true, true, true, false)))
   }
 
+  test("chatFormatAudit edges: single-turn and all-system conversations") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "user", "hi"),              // lone user turn
+      (2L, 0L, "assistant", "hello"),      // lone assistant turn
+      (3L, 0L, "system", "s"), (3L, 1L, "system", "s2") // system only
+    ).toDF("conv_id", "turn_ix", "role", "content")
+    val out = Packing.chatFormatAudit(turns).orderBy("conv_id").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(3), r.getBoolean(7))).toMap
+    // (alternation_ok, ends_ok, system_ok, valid)
+    assert(out(1L) == ((true, false, true, false))) // user-only: no reply
+    assert(out(2L) == ((false, true, true, false))) // first speaker not user
+    // all-system: no non-system turn -> alternation false; second system
+    // is mid-conversation -> system_ok false; ends on system
+    assert(out(3L) == ((false, false, false, false)))
+  }
+
   test("shardBalance: per-(epoch, shard) mass and ratio vs epoch mean") {
     import spark.implicits._
     val order = Seq(
