@@ -752,6 +752,14 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    // tokenizer fairness by slice: tokens/word and chars/token per
+    // source under the q247/q248 trained BPE — the per-slice context-
+    // budget readout multilingual corpus owners publish; rides the
+    // q248 merge-table memo in battery
+    "q351_fertility_by_source" -> ((s, dir) =>
+      Bpe.fertilityBySlice(t(s, dir, "documents"), merges = 8)
+        .orderBy(col("slice"))),
+
     // the per-document ledger of q72's pipeline: for every input doc,
     // the FIRST stage whose survivor set no longer contains it — the
     // "why did my document vanish" answer a pipeline debugger asks;
@@ -5382,6 +5390,33 @@ object SparkEntry {
        |FROM dwf JOIN wt USING (word)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** q351: the q207 training chain's segmented vocab, joined back to
+    * the (source, word) explode and rolled up per source. */
+  private def bpeFertilityOracleSql(merges: Int): String =
+    s"""WITH ${bpeOracleCtes(merges)},
+       |dwf AS (
+       |  SELECT doc_id, slice, word FROM (
+       |    SELECT doc_id, source AS slice,
+       |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents
+       |    WHERE text IS NOT NULL AND trim(text) <> ''
+       |      AND source IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |wt AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS word_tokens
+       |  FROM s$merges)
+       |SELECT slice, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(word_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(word_tokens) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(sum(length(word)) AS DOUBLE) /
+       |    CAST(sum(word_tokens) AS DOUBLE), 6) AS chars_per_token
+       |FROM dwf JOIN wt USING (word)
+       |GROUP BY slice
+       |ORDER BY slice""".stripMargin
 
   /** q248: the q207 training chain, then the corpus tokenized to ids —
     * per-word positions via list-comprehension unnest (wpos over the
@@ -13144,6 +13179,10 @@ object SparkEntry {
 
     // argmax over the shard ring replayed as row_number over (h DESC,
     // s DESC) — the same (hash, shard) struct-max tiebreak
+    // q351: the q207/q208 BPE chain's segmented vocab, per-source
+    // fertility rollup
+    "q351_fertility_by_source" -> bpeFertilityOracleSql(8),
+
     // q247: q219's rendezvous CTE + q55's recursive packing per shard +
     // the q157 additive checksum, rolled to the per-shard manifest
     "q247_training_export" ->

@@ -252,6 +252,47 @@ object Bpe {
       idCol, textCol)
   }
 
+  /** Tokenizer fertility per corpus SLICE (source/language): tokens
+    * per word and chars per token by slice — the tokenizer-fairness
+    * readout multilingual corpus owners publish (a slice whose
+    * fertility is 2× the corpus mean pays 2× the context budget per
+    * word, SentencePiece/NLLB reporting convention). Same word
+    * contract as [[compressionStats]] ([a-z0-9]+ only, trained on the
+    * same corpus, so every word is in the vocab frame); null slices
+    * excluded.
+    *
+    * Scale shape: the corpus explode joins the Zipf-bounded vocab
+    * frame on the word key, then ONE slice-keyed rollup (map-side
+    * combinable; distinct doc count via the slice, doc two-level
+    * group — no count_distinct set state through the shuffle).
+    */
+  def fertilityBySlice(docs: DataFrame, merges: Int,
+                       sliceCol: String = "source",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val wt = learned(docs, merges, textCol)._2
+      .select(col("word"), size(symbols(col("seq"))).cast("long")
+        .as("word_tokens"))
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "" &&
+        col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"), col(idCol),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
+      .filter(col("word").rlike(WordRe))
+      .join(wt, Seq("word"))
+      .groupBy(col("slice"), col(idCol))
+      .agg(count(lit(1)).as("__w"), sum(length(col("word"))).as("__c"),
+        sum(col("word_tokens")).as("__t"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).cast("long").as("n_words"),
+        sum(col("__t")).cast("long").as("n_tokens"),
+        round(sum(col("__t")).cast("double") /
+          sum(col("__w")).cast("double"), 6).as("fertility"),
+        round(sum(col("__c")).cast("double") /
+          sum(col("__t")).cast("double"), 6).as("chars_per_token"))
+  }
+
   /** Persist a [[learnMerges]] table for train-once / apply-anywhere
     * tokenization (the writeIvfIndex / LogReg.Model precedent): merges
     * are the WHOLE tokenizer state, k rows, so new batches encode

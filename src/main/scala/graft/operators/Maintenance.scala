@@ -288,4 +288,43 @@ object Maintenance {
             col("checksum_a") =!= col("checksum_b"), lit("mismatch")))
       .filter(col("status").isNotNull)
   }
+
+  /** On-disk inventory of a persisted index directory (any of the four
+    * swap-managed families — MinHash bands, IVF, PQ, inverted): one
+    * row per expected frame with presence, file/byte footprint, and
+    * the two [[IndexSwap]] debris classes an operator pages on —
+    * `staged_leftover` (a `__staged` dir: a rebuild died before its
+    * swap, or an older generation's stage was never cleaned) and
+    * `old_leftover` (an `__old` dir: a swap died mid-promote; readers
+    * self-heal via recover, but the debris means the LAST mutation did
+    * not complete cleanly). Driver-side listing only — bounded by the
+    * index's own file count (parameter/key-scale), zero data read;
+    * file-physical state, so the contract is spec-gated (the A12/A14
+    * class), not oracle-gated.
+    */
+  def indexCard(spark: SparkSession, dir: String,
+                frames: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(frames.nonEmpty, "indexCard needs the family's frame names")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def footprint(p: Path): (Long, Long) = {
+      val it = fs.listFiles(p, true)
+      var n = 0L; var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) { n += 1L; b += f.getLen }
+      }
+      (n, b)
+    }
+    val rows = frames.map { f =>
+      val live = new Path(s"$dir/$f")
+      val present = fs.exists(live)
+      val (n, b) = if (present) footprint(live) else (0L, 0L)
+      (f, present, fs.exists(new Path(s"$dir/${f}__staged")),
+        fs.exists(new Path(s"$dir/${f}__old")), n, b)
+    }
+    import spark.implicits._
+    rows.toDF("frame", "present", "staged_leftover", "old_leftover",
+      "n_files", "bytes")
+  }
 }

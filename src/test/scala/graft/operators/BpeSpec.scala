@@ -276,4 +276,35 @@ class BpeSpec extends SparkSpecBase {
     assert(rep.head.getString(1) == dec.head.getString(1),
       "partitioning leaked into decode order")
   }
+
+  test("fertilityBySlice: per-slice rollup reconciles with the per-doc " +
+    "stats; null slices drop") {
+    val docs = Seq(
+      (1L, "low low low low low", "a"), (2L, "lower lower", "a"),
+      (3L, "newest newest newest newest newest newest", "b"),
+      (4L, "widest widest widest", "b"),
+      (5L, "low", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val out = Bpe.fertilityBySlice(docs, merges = 5)
+      .orderBy("slice").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("a", "b"), "null slice must drop")
+    // reconcile against the gated per-doc frame joined back to slices
+    val perDoc = Bpe.compressionStats(docs.filter($"source".isNotNull),
+        merges = 5)
+      .join(docs.select($"doc_id", $"source".as("slice")), Seq("doc_id"))
+      .groupBy($"slice")
+      .agg(org.apache.spark.sql.functions.count($"doc_id").as("d"),
+        org.apache.spark.sql.functions.sum($"n_words").as("w"),
+        org.apache.spark.sql.functions.sum($"n_bpe_tokens").as("t"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    out.foreach { case (s, (d, w, t, f)) =>
+      assert(perDoc(s) == ((d, w, t)), s"slice $s mismatch")
+      assert(f == BigDecimal(t.toDouble / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }

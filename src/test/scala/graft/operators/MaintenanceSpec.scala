@@ -227,4 +227,36 @@ class MaintenanceSpec extends SparkSpecBase {
       "tags[].v" -> "same",
       "ws" -> "retyped")) // array<double> -> array<float>: atomic leaf
   }
+
+  test("indexCard: frame inventory, swap-debris flags, footprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_index_card").toString
+    val corpus = Seq((1L, "a b c d e f"), (2L, "b c d e f g"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, dir, "doc_id", "text")
+    val frames = Seq("bands", "dropped")
+    val clean = Maintenance.indexCard(spark, dir, frames).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4))).toMap
+    assert(clean.keySet == frames.toSet)
+    frames.foreach { f =>
+      val (present, staged, old, n) = clean(f)
+      assert(present && !staged && !old, s"$f should be clean")
+      assert(n > 0L, s"$f should have files")
+    }
+    // a dead rebuild's staged dir and a dead swap's old dir are flagged
+    java.nio.file.Files
+      .createDirectory(java.nio.file.Paths.get(s"$dir/bands__staged"))
+    java.nio.file.Files
+      .createDirectory(java.nio.file.Paths.get(s"$dir/dropped__old"))
+    val debris = Maintenance.indexCard(spark, dir, frames).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(debris("bands") == ((true, false)))
+    assert(debris("dropped") == ((false, true)))
+    // a missing frame reports absent with zero footprint
+    val missing = Maintenance.indexCard(spark, dir, Seq("nosuch"))
+      .collect().head
+    assert(!missing.getBoolean(1) && missing.getLong(4) == 0L)
+  }
 }
