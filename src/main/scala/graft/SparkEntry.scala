@@ -752,6 +752,41 @@ object SparkEntry {
         .orderBy(col("doc"))
     }),
 
+    // the release report's per-source cut of q342 (the q310/q328
+    // burden-rollup convention): which source carries the PII load,
+    // by type — same residue-injection fixture so every counter is
+    // non-vacuous, plus docs_with_pii and the per-source rate
+    "q352_pii_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val synth = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4L)) === 0L,
+          concat(lit(" from 192.168."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+            pmod(col("doc_id") * 7, lit(256L)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          lit(" call +1 555 867 5309")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          lit(" ref 123456789 code")).otherwise(lit("")))
+      Privacy.piiScan(docs.select(col("doc_id"), col("source"),
+          synth.as("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("n_ipv4")).as("n_ipv4"),
+          sum(col("n_idnum")).as("n_idnum"),
+          sum(when(col("pii_total") > 0L, lit(1L)).otherwise(lit(0L)))
+            .as("docs_with_pii"))
+        .withColumn("pii_doc_rate",
+          round(col("docs_with_pii").cast("double") /
+            col("n_docs").cast("double"), 6))
+        .orderBy(col("source"))
+    }),
+
     // tokenizer fairness by slice: tokens/word and chars/token per
     // source under the q247/q248 trained BPE — the per-slice context-
     // budget readout multilingual corpus owners publish; rides the
@@ -8935,6 +8970,48 @@ object SparkEntry {
         |  md5(redacted) AS redacted_md5,
         |  CAST(len(text) - len(redacted) AS BIGINT) AS len_delta
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // q352: the q342 census CTEs rolled to the per-source burden
+    "q352_pii_by_source" ->
+      """WITH synth AS (
+        |  SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' from 192.168.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 867 5309'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ref 123456789 code'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS BIGINT)
+        |      AS n_phone,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS n_ipv4,
+        |    CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT)
+        |      AS n_idnum
+        |  FROM synth)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS n_email,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+        |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(n_idnum) AS BIGINT) AS n_idnum,
+        |  CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 + n_idnum > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  round(CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 + n_idnum > 0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS pii_doc_rate
+        |FROM cnt
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // q335: leaf-path classifications pinned as literals — the
     // operator must flatten REAL nested footers to reproduce them
