@@ -438,6 +438,121 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the SIGN-OFF an owner needs before SERVING from SQ8 (the r14
+    // verdict ask): how much does the int8 probe move the answers vs
+    // the float probe, on the same index build? Both indexes share the
+    // portable decimal centroids, so the probed cells are identical
+    // and every disagreement is the quantizer's. q127/q128 convention:
+    // replayable integers (n_queries, n_slots — the probed cells hold
+    // ≥ 5 candidates at all gated SFs, the q127 precedent) + BIGINT
+    // flags with GateProbe-measured margins — top-5 SET agreement
+    // 0.992–0.996 and exact RANK-SLOT agreement 0.958–0.968 across
+    // sf0.001/0.01/0.1 (gates 0.90/0.85: a broken scale or a
+    // candidate-losing dequantize collapses both toward ~k/n)
+    "q353_sq8_agreement" -> ((s, dir) => {
+      val idxF = "/tmp/graft_scratch/sq8agr_f_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idxQ = "/tmp/graft_scratch/sq8agr_q_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idxF); freshDir(s, idxQ)
+      val emb = t(s, dir, "embeddings")
+      Similarity.writeIvfIndex(emb, idxF, portable = true)
+      Similarity.writeIvfIndex(emb, idxQ, portable = true,
+        quantizeLists = true)
+      val panel = emb.filter(col("vec_id") < 100)
+      val f = Similarity.ivfTopKFromIndex(s, idxF, panel, k = 5,
+        nProbe = 2)
+      val q8 = Similarity.ivfTopKFromIndex(s, idxQ, panel, k = 5,
+        nProbe = 2)
+      val setAgr = Similarity.topKAgreement(q8, f)
+        .agg(sum(col("n_approx")).as("__slots"),
+          sum(col("n_hit")).as("__hit"))
+      val rankAgr = f.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__fn"))
+        .join(q8.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__qn")), Seq("query_id", "rank"))
+        .agg(count(lit(1)).as("__rslots"),
+          sum(when(col("__fn") === col("__qn"), 1L).otherwise(0L))
+            .as("__rhit"))
+      // one-row aggregates on every crossJoin side — AQE broadcasts
+      setAgr.crossJoin(rankAgr)
+        .crossJoin(panel.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"), col("__slots").as("n_slots"),
+          (col("__hit") / col("__slots") >= 0.90).cast("long")
+            .as("set_ok"),
+          (col("__rhit") / col("__rslots") >= 0.85).cast("long")
+            .as("rank_ok"))
+    }),
+
+    // the INDEX-side balance audit of the serving path (r14 verdict
+    // ask): q348 audits the GRAPH for hubs, this audits the persisted
+    // SQ8 inverted LISTS for hot cells — the straggler factor
+    // (p99/p50 list size) a capacity planner reads before serving
+    // from the index; one count pass over the list keys, k-row
+    // summary, fully hash-gated (counts and discrete percentiles are
+    // integers, the ratio one IEEE division)
+    "q354_ivf_list_balance" -> ((s, dir) => {
+      val idx = "/tmp/graft_scratch/ivf_bal_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, idx)
+      Similarity.writeIvfIndex(t(s, dir, "embeddings"), idx,
+        portable = true, quantizeLists = true)
+      Similarity.ivfListBalance(s, idx).orderBy(col("cell"))
+    }),
+
+    // the MinHash cap-ledger GROWTH gate (r14 verdict ask — the dedup
+    // sibling of q333's PQ staleness): the corpus has no natural
+    // mega-buckets, so the fixture injects them per doc_id residue
+    // (the q315/q342 convention — %5 docs get an identical copy in
+    // the build and a second in the append; at maxBucket = 2 every
+    // such bucket saturates ON the append). Replayable integers
+    // (slice counts) + structural flags verified distributed:
+    // growth_fired (the append grew `dropped`), monotone_ok (a
+    // dropped key never resurrects), rebuild_match (append ≡ rebuild
+    // on the dropped SET — the family exactness applied to the
+    // ledger), rate_ok (the post-append dropped_rate is a real
+    // fraction). Dedup.droppedAudit is the production readout.
+    "q355_minhash_dropped_growth" -> ((s, dir) => {
+      import s.implicits._
+      val base = "/tmp/graft_scratch/mh_drop_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def copies(off: Long) =
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+          .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+      val build = docs.unionByName(copies(10000000L))
+      val batch = copies(20000000L)
+      Dedup.writeMinhashIndex(build, s"$base/idx", "doc_id", "text",
+        maxBucket = 2L)
+      s.read.parquet(s"$base/idx/dropped")
+        .write.parquet(s"$base/before_dropped")
+      Dedup.appendMinhashIndex(s, s"$base/idx", batch, "doc_id", "text",
+        maxBucket = 2L)
+      Dedup.writeMinhashIndex(build.unionByName(batch), s"$base/rebuild",
+        "doc_id", "text", maxBucket = 2L)
+      val before = s.read.parquet(s"$base/before_dropped")
+      val after = s.read.parquet(s"$base/idx/dropped")
+      val rebuilt = s.read.parquet(s"$base/rebuild/dropped")
+      val nBefore = before.count()
+      val nAfter = after.count()
+      val monotoneViol = before.join(after, Seq("band", "bucket"),
+        "left_anti").count()
+      val rebuildDiff = after.withColumn("__a", lit(1))
+        .join(rebuilt.withColumn("__r", lit(1)),
+          Seq("band", "bucket"), "full_outer")
+        .filter(col("__a").isNull || col("__r").isNull).count()
+      val rate = Dedup.droppedAudit(s, s"$base/idx")
+        .collect()(0).getAs[Double]("dropped_rate")
+      Seq((build.count(), batch.count(),
+          if (nAfter > nBefore) 1L else 0L,
+          if (monotoneViol == 0L) 1L else 0L,
+          if (rebuildDiff == 0L) 1L else 0L,
+          if (rate > 0.0 && rate < 1.0) 1L else 0L))
+        .toDF("n_docs_build", "n_docs_batch", "growth_fired",
+          "monotone_ok", "rebuild_match", "rate_ok")
+    }),
+
     // the vector-side streaming closure (q334's sibling for the ANN
     // shelf): the corpus's ⅔ streams into a LIVE portable IVF index as
     // two micro-batches through StreamingAnnIngest (probe top-k, then
@@ -722,11 +837,18 @@ object SparkEntry {
     // hubness audit of the ANN graph: in-degree histogram of the
     // IVF self-kNN (k=5) — hub vectors that appear in everyone's
     // neighbor list distort retrieval and dedup verdicts; the
-    // never-cited (degree-0) population is part of the readout
+    // never-cited (degree-0) population is part of the readout.
+    // Runs over the q337 SCALED quantizer (label × 2-bit md5-plane
+    // bucket — nlist ∝ n sizing), so the within-cell quadratic stays
+    // bounded as the corpus grows; the fixed-10-cell form measured
+    // 4.6× wall at 10× data, this one ~2× (SCALING.md)
     "q348_ann_hubness" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .withColumn("cell2", concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"), numBits = 2,
+            seed = 0, portable = true).cast("string")))
       val deg = Similarity.selfKnnIvf(emb, k = 5, nProbe = 2,
-          portable = true)
+          coarseCol = "cell2", portable = true)
         .groupBy(col("neighbor_id").as("vec_id"))
         .agg(count(lit(1)).as("in_degree"))
       emb.select(col("vec_id"))
@@ -738,16 +860,20 @@ object SparkEntry {
     }),
 
     // kNN-graph clustering — the graph companion of SemDeDup (q245):
-    // mutual top-5 edges at cosine6 ≥ 0.3 (mutuality strips the
-    // hub-induced asymmetric edges q348 measures; 121 of 360 mutual
-    // pairs survive the threshold at sf0.01), then the q53 min-id
-    // label propagation — embedding-space dup clusters without a
-    // parametric k-means fit
+    // mutual top-5 edges at cosine6 ≥ 0.35 (mutuality strips the
+    // hub-induced asymmetric edges q348 measures), then the q53
+    // min-id label propagation — embedding-space dup clusters
+    // without a parametric k-means fit. Same q337 scaled-quantizer
+    // cells as q348 (nlist ∝ n keeps the candidate pass linear)
     "q349_knn_clusters" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .withColumn("cell2", concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"), numBits = 2,
+            seed = 0, portable = true).cast("string")))
       Dedup.connectedComponents(
           Similarity.mutualKnnEdges(
-            Similarity.selfKnnIvf(emb, k = 5, nProbe = 2, portable = true),
+            Similarity.selfKnnIvf(emb, k = 5, nProbe = 2,
+              coarseCol = "cell2", portable = true),
             minCos = 0.35))
         .orderBy(col("doc"))
     }),
@@ -3809,15 +3935,19 @@ object SparkEntry {
     // streaming ingest ≡ batch backfill, gated on REAL data (the r13
     // verdict ask; the 3-doc spec fixture covers order, this covers
     // the corpus): the documents table minus a seed slice runs through
-    // StreamingIngest.pipeline as THREE MemoryStream micro-batches
-    // (fixed n_chars≥300 quality model — SQL-replayable, no training
-    // chain; 8-gram decon vs a derived eval slice; MinHash probe +
-    // append per batch), and through the same three policies as ONE
-    // batch. Derived frame: n_seed/n_survivors/n_pairs are replayed by
-    // the oracle (quality + decon predicates + the q141 exact-Jaccard
-    // pair chain); survivors_match/pairs_match assert the streaming
-    // and backfill SETS symmetric-difference-0 (the append ≡ rebuild
-    // exactness is what makes multi-batch ≡ one-batch provable)
+    // StreamingIngest.pipeline as three MemoryStream micro-batch
+    // slices (fixed n_chars≥300 quality model — SQL-replayable, no
+    // training chain; 8-gram decon vs a derived eval slice; MinHash
+    // probe + append per batch), and through the same three policies
+    // as ONE batch. Derived frame: n_seed/n_survivors/n_pairs/n_ledger
+    // are replayed by the oracle (quality + decon predicates + the
+    // q141 exact-Jaccard pair chain); survivors_match/pairs_match/
+    // ledger_match assert the streaming and backfill SETS symmetric-
+    // difference-0 (the append ≡ rebuild exactness is what makes
+    // multi-batch ≡ one-batch provable). The ledger leg is the r14
+    // verdict ask: the stream's per-batch (doc_id, dropped_at)
+    // disposition sink must agree ROW-FOR-ROW with the batch
+    // Curation.disposition over the same stage frames.
     "q334_streaming_ingest_parity" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -3832,7 +3962,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val model = LogReg.Model(Seq("n_chars"), Seq((300.0, 100.0)),
         Array(0.0, 1.0))
-      // -- live ingest: three micro-batches through the assembled stream
+      // -- live ingest: three micro-batch slices through the stream
       Dedup.writeMinhashIndex(seed, s"$base/stream_idx", "doc_id", "text")
       val pairBuf =
         new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
@@ -3842,13 +3972,26 @@ object SparkEntry {
         input.toDF().toDF("doc_id", "text", "n_chars"), model, evalDocs,
         s"$base/stream_idx",
         (pairs, _) => pairs.collect()
-          .foreach(r => pairBuf.add((r.getLong(0), r.getLong(1)))))
+          .foreach(r => pairBuf.add((r.getLong(0), r.getLong(1)))),
+        onLedger = Some((led, _) =>
+          led.write.mode("append").parquet(s"$base/stream_ledger")))
       try {
         for (b <- 0L to 2L) {
-          // bounded collect: one third of the (fixed-budget) doc table
-          input.addData(arriving
-            .filter(pmod(col("doc_id"), lit(3L)) === b)
-            .as[(Long, String, Long)].collect().toSeq)
+          // each slice streams through the driver one chunk at a time
+          // (toLocalIterator) instead of one bulk collect — driver
+          // residency is a chunk, not the whole slice; chunk splits
+          // only segment addData calls, and every compared quantity is
+          // a SET (normalized pairs, survivor ids, per-doc ledger
+          // rows), so segmentation cannot move the result
+          val it = arriving.filter(pmod(col("doc_id"), lit(3L)) === b)
+            .as[(Long, String, Long)].toLocalIterator()
+          val buf = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, String, Long)]
+          while (it.hasNext) {
+            buf += it.next()
+            if (buf.size >= 256) { input.addData(buf.toSeq); buf.clear() }
+          }
+          if (buf.nonEmpty) input.addData(buf.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -3858,6 +4001,7 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       val streamPairs = pairBuf.asScala.toSeq.distinct
         .toDF("doc_a", "doc_b")
+      val streamLedger = s.read.parquet(s"$base/stream_ledger")
       // -- backfill twin: the same three policies as one batch
       val bq = arriving.filter(model.probability >= 0.5)
       val contaminated = Decontamination.contaminationPairs(bq, evalDocs,
@@ -3868,6 +4012,10 @@ object SparkEntry {
       val batchPairs = Dedup.nearDupsFromIndex(s, s"$base/batch_idx",
           batchSurv, "doc_id", "text", threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
+      val batchLedger = Curation.disposition(Seq(
+        ("input", arriving),
+        ("s1_quality", bq),
+        ("s2_decontaminated", batchSurv)))
       // -- derived parity frame (driver-side counts are COUNTS — bounded)
       val survDiff = streamSurv.withColumn("__s", lit(1))
         .join(batchSurv.select(col("doc_id")).withColumn("__b", lit(1)),
@@ -3877,12 +4025,18 @@ object SparkEntry {
         .join(batchPairs.withColumn("__b", lit(1)),
           Seq("doc_a", "doc_b"), "full_outer")
         .filter(col("__s").isNull || col("__b").isNull).count()
+      val ledgerDiff = streamLedger.withColumn("__s", lit(1))
+        .join(batchLedger.withColumn("__b", lit(1)),
+          Seq("doc_id", "dropped_at"), "full_outer")
+        .filter(col("__s").isNull || col("__b").isNull).count()
       Seq((seed.count(), streamSurv.count(),
           if (survDiff == 0L) 1L else 0L,
           streamPairs.count(),
-          if (pairDiff == 0L) 1L else 0L))
+          if (pairDiff == 0L) 1L else 0L,
+          streamLedger.count(),
+          if (ledgerDiff == 0L) 1L else 0L))
         .toDF("n_seed", "n_survivors", "survivors_match", "n_pairs",
-          "pairs_match")
+          "pairs_match", "n_ledger", "ledger_match")
     }),
 
     // IVF-ADC: the q149 codes scored only inside each query's 2 nearest
@@ -8191,7 +8345,9 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors,
         |  CAST(1 AS BIGINT) AS survivors_match,
         |  (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_pairs,
-        |  CAST(1 AS BIGINT) AS pairs_match""".stripMargin,
+        |  CAST(1 AS BIGINT) AS pairs_match,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM arr) AS n_ledger,
+        |  CAST(1 AS BIGINT) AS ledger_match""".stripMargin,
 
     // q160: the q149 chain with the probed-cells restriction spliced
     // into the scoring join (nProbe = 2 coarse cells per query)
@@ -9295,6 +9451,62 @@ object SparkEntry {
 
     // q339: q20's centroid/probe chain over RAW vectors + q56's
     // quantize, then candidates scored on the DEQUANTIZED lists
+    // q353: replayable panel counts (the probed cells hold >= 5
+    // candidates at every gated SF — the q127 precedent, so n_slots
+    // is exactly 5 per panel query); the agreement fractions are
+    // asserted as measured-margin flags per the q127/q128 convention
+    "q353_sq8_agreement" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 100) AS n_queries,
+        |  (SELECT CAST(5 * count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 100) AS n_slots,
+        |  CAST(1 AS BIGINT) AS set_ok,
+        |  CAST(1 AS BIGINT) AS rank_ok""".stripMargin,
+
+    // q354: the lists frame is one row per corpus vector keyed by its
+    // label cell, so per-cell counts replay straight off embeddings;
+    // discrete upper percentiles = the ceil(q*k)-th smallest count
+    "q354_ivf_list_balance" ->
+      """WITH per AS (
+        |  SELECT CAST(label AS VARCHAR) AS cell,
+        |    CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM embeddings GROUP BY label),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_cells,
+        |    list(n_vectors ORDER BY n_vectors) AS cs
+        |  FROM per),
+        |m AS (
+        |  SELECT k_cells,
+        |    cs[CAST(ceil(k_cells * 0.5) AS INT)] AS p50_size,
+        |    cs[CAST(ceil(k_cells * 0.99) AS INT)] AS p99_size
+        |  FROM s),
+        |r AS (
+        |  SELECT k_cells, p50_size, p99_size,
+        |    round(CAST(p99_size AS DOUBLE) / CAST(p50_size AS DOUBLE), 6)
+        |      AS skew_ratio
+        |  FROM m)
+        |SELECT per.cell, per.n_vectors, r.k_cells, r.p50_size,
+        |  r.p99_size, r.skew_ratio,
+        |  CAST(CASE WHEN r.skew_ratio <= 4.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS balanced
+        |FROM per CROSS JOIN r ORDER BY cell""".stripMargin,
+
+    // q355: the slice counts replay off documents; the ledger flags
+    // are structural truths of the append (verified distributed
+    // in-engine against the rebuild twin) asserted as constants
+    "q355_minhash_dropped_growth" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) +
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 5 = 0) AS n_docs_build,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 5 = 0) AS n_docs_batch,
+        |  CAST(1 AS BIGINT) AS growth_fired,
+        |  CAST(1 AS BIGINT) AS monotone_ok,
+        |  CAST(1 AS BIGINT) AS rebuild_match,
+        |  CAST(1 AS BIGINT) AS rate_ok""".stripMargin,
+
     "q339_ann_ivf_sq8" ->
       """WITH vecs AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -12666,9 +12878,10 @@ object SparkEntry {
         |    min(n2) AS mn, max(n2) AS mx
         |  FROM n2),
         |dims AS (
-        |  SELECT j, SUM(CAST(x[j] AS DECIMAL(28,12))) AS sj,
+        |  SELECT j, SUM(CAST(xj AS DECIMAL(28,12))) AS sj,
         |    count(*) AS nj
-        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS j) jj
+        |  FROM (SELECT generate_subscripts(x, 1) AS j, unnest(x) AS xj
+        |        FROM e)
         |  GROUP BY j),
         |mu AS (
         |  SELECT SUM(CAST(m * m AS DECIMAL(28,12))) AS m2q FROM (
@@ -12682,16 +12895,23 @@ object SparkEntry {
         |  round(mn, 6) AS min_norm2, round(mx, 6) AS max_norm2
         |FROM st CROSS JOIN mu""".stripMargin,
 
-    // q348: the q20 probe chain with the CORPUS as the query side and
-    // cosine ROUNDED to 6 before ranking (the TopKAgg order), then the
-    // in-degree rollup with the never-cited zero row kept
+    // q348: the q337 scaled-cell probe chain (q19 sig CTEs feed the
+    // label×bucket cell key) with the CORPUS as the query side and
+    // cosine ROUNDED to 6 before ranking (the TopKAgg order), then
+    // the in-degree rollup with the never-cited zero row kept
     "q348_ann_hubness" ->
-      """WITH vecs AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH ${lshSigCtes(numTables = 1, numBits = 2, dim = 64)},
+        |vc AS MATERIALIZED (
+        |  SELECT v.vec_id, v.e,
+        |    CAST(e.label AS VARCHAR) || '#' || CAST(s.sig AS VARCHAR)
+        |      AS cell
+        |  FROM vecs v
+        |  JOIN embeddings e ON e.vec_id = v.vec_id
+        |  JOIN sigs s ON s.vec_id = v.vec_id),
         |elems AS (
-        |  SELECT label AS cell, generate_subscripts(e, 1) AS j,
+        |  SELECT cell, generate_subscripts(e, 1) AS j,
         |    unnest(e) AS x
-        |  FROM vecs),
+        |  FROM vc),
         |cstats AS (
         |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s,
         |    COUNT(*) AS n
@@ -12705,14 +12925,14 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY list_cosine_similarity(q.e, c.c) DESC, c.cell)
         |        AS pr
-        |    FROM vecs q CROSS JOIN centroids c)
+        |    FROM vc q CROSS JOIN centroids c)
         |  WHERE pr <= 2),
         |scored AS (
         |  SELECT p.query_id, v.vec_id AS neighbor_id,
         |    round(list_cosine_similarity(qq.e, v.e), 6) AS cos6
         |  FROM probed p
-        |  JOIN vecs v ON v.label = p.cell
-        |  JOIN vecs qq ON qq.vec_id = p.query_id
+        |  JOIN vc v ON v.cell = p.cell
+        |  JOIN vc qq ON qq.vec_id = p.query_id
         |  WHERE v.vec_id <> p.query_id),
         |topk AS (
         |  SELECT query_id, neighbor_id FROM (
@@ -12730,15 +12950,21 @@ object SparkEntry {
         |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
         |FROM ad GROUP BY in_degree ORDER BY in_degree""".stripMargin,
 
-    // q349: the q348 probe/topk chain (cos6 kept), the mutual
-    // pair-key self-join, then the q53 recursive closure
+    // q349: the q348 scaled-cell probe/topk chain (cos6 kept), the
+    // mutual pair-key self-join, then the q53 recursive closure
     "q349_knn_clusters" ->
-      """WITH RECURSIVE vecs AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH RECURSIVE ${lshSigCtes(numTables = 1, numBits = 2, dim = 64)},
+        |vc AS MATERIALIZED (
+        |  SELECT v.vec_id, v.e,
+        |    CAST(e.label AS VARCHAR) || '#' || CAST(s.sig AS VARCHAR)
+        |      AS cell
+        |  FROM vecs v
+        |  JOIN embeddings e ON e.vec_id = v.vec_id
+        |  JOIN sigs s ON s.vec_id = v.vec_id),
         |elems AS (
-        |  SELECT label AS cell, generate_subscripts(e, 1) AS j,
+        |  SELECT cell, generate_subscripts(e, 1) AS j,
         |    unnest(e) AS x
-        |  FROM vecs),
+        |  FROM vc),
         |cstats AS (
         |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s,
         |    COUNT(*) AS n
@@ -12752,14 +12978,14 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY list_cosine_similarity(q.e, c.c) DESC, c.cell)
         |        AS pr
-        |    FROM vecs q CROSS JOIN centroids c)
+        |    FROM vc q CROSS JOIN centroids c)
         |  WHERE pr <= 2),
         |scored AS (
         |  SELECT p.query_id, v.vec_id AS neighbor_id,
         |    round(list_cosine_similarity(qq.e, v.e), 6) AS cos6
         |  FROM probed p
-        |  JOIN vecs v ON v.label = p.cell
-        |  JOIN vecs qq ON qq.vec_id = p.query_id
+        |  JOIN vc v ON v.cell = p.cell
+        |  JOIN vc qq ON qq.vec_id = p.query_id
         |  WHERE v.vec_id <> p.query_id),
         |topk AS MATERIALIZED (
         |  SELECT query_id, neighbor_id, cos6 FROM (

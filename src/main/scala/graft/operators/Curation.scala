@@ -130,6 +130,16 @@ object Curation {
     * the corpus) BEFORE the stage frames unpersist, so the caller
     * gets a frame that neither recomputes the pipeline nor pins five
     * caches for the session's lifetime.
+    *
+    * Cluster caveat: `localCheckpoint` blocks live on executors and
+    * are NOT recomputable (the lineage is cut); losing an executor
+    * that holds ledger blocks before the caller consumes the frame
+    * fails the job (loudly — never silent corruption). On a real
+    * cluster, consume/write the ledger promptly, or write it through
+    * to storage (`.write.parquet`) when it must survive executor
+    * churn — reliable `checkpoint()` needs a checkpoint dir and a
+    * full shuffle-write, so the write-through is the cheaper durable
+    * variant.
     */
   def dispositionLedger(docs: DataFrame, cfg: Config = Config(),
                         idCol: String = "doc_id",

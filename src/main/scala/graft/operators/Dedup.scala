@@ -598,6 +598,41 @@ object Dedup {
     bArrays.write.mode("append").parquet(s"$dir/shingles")
   }
 
+  /** One-row recall-cap ledger of a persisted MinHash index — the
+    * dedup-family staleness monitor next to the PQ append's
+    * reconstruction-error audit ([[Pq.stalenessAudit]]): the banded
+    * index drops over-cap (band, bucket) keys (the skew guard that
+    * bounds within-bucket pair cost) and persists the key set in
+    * `dir/dropped`; as appends grow the index, the operating question
+    * is how much candidate surface the caps are costing — a rising
+    * `dropped_rate` means recall is quietly leaking and the cap (or
+    * the banding) needs re-sizing BEFORE the next 10× of corpus.
+    * `n_buckets` = live kept bucket keys, `n_dropped` = dropped keys,
+    * `dropped_rate` = n_dropped / (n_buckets + n_dropped) (one IEEE
+    * division, 6 dp). Run it after each append and alarm on the
+    * trend, exactly like the PQ `stale` flag.
+    *
+    * Scale: two column-pruned KEY-frame scans with map-side-combinable
+    * counts — the shingle store (the corpus-scale frame) is never
+    * read.
+    */
+  def droppedAudit(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, minhashFrames)
+    val kept = spark.read.parquet(s"$dir/bands")
+      .select(col("band"), col("bucket")).distinct()
+      .agg(count(lit(1)).as("n_buckets"))
+    val dropped = spark.read.parquet(s"$dir/dropped")
+      .agg(count(lit(1)).as("n_dropped"))
+    kept.crossJoin(dropped) // one-row sides — AQE broadcasts
+      .select(col("n_buckets"), col("n_dropped"),
+        round(col("n_dropped").cast("double") /
+          (col("n_buckets") + col("n_dropped")).cast("double"), 6)
+          .as("dropped_rate"))
+  }
+
   /** Near-dup pairs of a NEW batch: batch×index pairs (via equi-join of
     * the batch's band keys against the stored bands — the corpus is
     * never re-signed) plus within-batch pairs, all exact-Jaccard

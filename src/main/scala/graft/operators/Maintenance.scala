@@ -320,11 +320,19 @@ object Maintenance {
       val live = new Path(s"$dir/$f")
       val present = fs.exists(live)
       val (n, b) = if (present) footprint(live) else (0L, 0L)
+      // hive-partition count (`cell=N/` dirs): the cell/bucket fan-out
+      // an IVF/inverted-list reader sizes probes by — 0 for
+      // unpartitioned frames. Feeds the list-balance story (q354):
+      // the card says HOW MANY cells, the balance frame how even.
+      val nPart =
+        if (!present) 0L
+        else fs.listStatus(live).count(s =>
+          s.isDirectory && s.getPath.getName.contains("=")).toLong
       (f, present, fs.exists(new Path(s"$dir/${f}__staged")),
-        fs.exists(new Path(s"$dir/${f}__old")), n, b)
+        fs.exists(new Path(s"$dir/${f}__old")), n, b, nPart)
     }
     import spark.implicits._
     rows.toDF("frame", "present", "staged_leftover", "old_leftover",
-      "n_files", "bytes")
+      "n_files", "bytes", "n_partitions")
   }
 }

@@ -136,12 +136,23 @@ object Privacy {
   /** Typed-placeholder redaction: adds `redacted` = the text with each
     * rule's matches replaced by its placeholder, applied in rule order
     * (see [[defaultPiiRules]] for why order is part of the contract).
-    * Row-local nested `regexp_replace` — codegen, no shuffle. */
+    * Row-local nested `regexp_replace` — codegen, no shuffle.
+    *
+    * Idempotence (re-redacting output is a no-op) holds only when no
+    * placeholder can itself be bitten by a LATER rule's regex — e.g. a
+    * caller placeholder `<ID-9>` would be re-matched by a digit rule.
+    * The require below checks exactly that, so the zero-residual
+    * guarantee the release gate depends on is enforced, not assumed. */
   def piiRedact(df: DataFrame, textCol: String = "text",
-                rules: Seq[PiiRule] = defaultPiiRules): DataFrame =
+                rules: Seq[PiiRule] = defaultPiiRules): DataFrame = {
+    for (p <- rules; r <- rules)
+      require(r.regex.r.findFirstIn(p.placeholder).isEmpty,
+        s"placeholder '${p.placeholder}' of rule '${p.name}' matches " +
+          s"rule '${r.name}' regex — redaction would not be idempotent")
     df.withColumn("redacted",
       rules.foldLeft(col(textCol)) { (c, r) =>
         regexp_replace(c, lit(r.regex), lit(r.placeholder)) })
+  }
 
   /** [[piiScan]] + [[piiRedact]] in one pass — the release-gate frame:
     * per-doc typed counts, total, and the scrubbed text. */

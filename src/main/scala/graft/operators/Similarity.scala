@@ -405,6 +405,54 @@ object Similarity {
     ivfProbeRerank(centroids, lists, queries, k, nProbe, idCol, vecCol)
   }
 
+  /** Per-cell balance card of a persisted IVF index's inverted lists —
+    * the INDEX-side health audit next to q348's graph-side hubness
+    * (the r14 verdict ask): a skewed list distribution is the IVF
+    * scale-killer at 100 TB — every probe of a hot cell is one
+    * straggler task, and the p99/p50 list-size ratio IS the straggler
+    * factor a capacity planner reads before trusting the index. Works
+    * on raw and SQ8 (`quantizeLists`) builds alike — only the list
+    * KEYS are touched, never the vectors.
+    *
+    * One row per cell: (cell, n_vectors) plus the one-row summary
+    * replicated across rows — k_cells, p50/p99 list sizes (discrete
+    * upper percentiles: the ⌈q·k⌉-th smallest of the k per-cell
+    * counts — exact integers, engine-portable), skew_ratio = p99/p50
+    * (ONE IEEE division, 6 dp) and `balanced` = ratio ≤ `maxSkew`.
+    *
+    * Scale shape: per-cell counts are one map-side-combinable
+    * aggregate over the list keys (column-pruned — the vector/code
+    * columns are never read); the summary sorts the k-row count list
+    * inside ONE collected array (k = cell count, parameter-scale),
+    * and rejoins as a one-row frame AQE broadcasts. Nothing here is
+    * corpus-scale beyond the single count pass.
+    */
+  def ivfListBalance(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, maxSkew: Double = 4.0): DataFrame = {
+    require(maxSkew >= 1.0, s"maxSkew must be >= 1, got $maxSkew")
+    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, ivfAllFrames)
+    val per = spark.read.parquet(s"$dir/lists")
+      .groupBy(col("cell").cast("string").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val summ = per
+      .agg(sort_array(collect_list(col("n_vectors"))).as("__cs"),
+        count(lit(1)).as("k_cells"))
+      .select(col("k_cells"),
+        element_at(col("__cs"),
+          ceil(col("k_cells") * lit(0.5)).cast("int")).as("p50_size"),
+        element_at(col("__cs"),
+          ceil(col("k_cells") * lit(0.99)).cast("int")).as("p99_size"))
+      .withColumn("skew_ratio",
+        round(col("p99_size").cast("double") /
+          col("p50_size").cast("double"), 6))
+    per.crossJoin(summ) // one-row summary — AQE broadcasts
+      .select(col("cell"), col("n_vectors"), col("k_cells"),
+        col("p50_size"), col("p99_size"), col("skew_ratio"),
+        (col("skew_ratio") <= maxSkew).cast("long").as("balanced"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage/IO lever for a 100 TB embedding store: per vector, `scale =
     * max |x_i|` and `q_i = round(x_i · 127 / scale)` (half away from
@@ -683,14 +731,17 @@ object Similarity {
     * pathology). One self-equi-join on the (anchor, neighbor) pair
     * key — the kNN frame is k·n rows, so the join is linear in the
     * corpus, never quadratic. Cosine is symmetric and already rounded,
-    * so filtering one side suffices.
+    * so filtering one side suffices. `idCol` names the anchor column
+    * (mirror [[selfKnnIvf]]'s `idCol`); `neighbor_id`/`cosine6` are
+    * fixed by the kNN-frame contract.
     */
-  def mutualKnnEdges(knn: DataFrame, minCos: Double): DataFrame = {
+  def mutualKnnEdges(knn: DataFrame, minCos: Double,
+                     idCol: String = "vec_id"): DataFrame = {
     require(minCos > -1.0 && minCos < 1.0,
       s"minCos must be in (-1, 1), got $minCos")
-    val l = knn.select(col("vec_id").as("doc_a"),
+    val l = knn.select(col(idCol).as("doc_a"),
       col("neighbor_id").as("doc_b"), col("cosine6"))
-    val r = knn.select(col("vec_id").as("__rb"),
+    val r = knn.select(col(idCol).as("__rb"),
       col("neighbor_id").as("__ra"))
     l.join(r, col("doc_a") === col("__ra") && col("doc_b") === col("__rb"))
       .filter(col("doc_a") < col("doc_b") && col("cosine6") >= minCos)

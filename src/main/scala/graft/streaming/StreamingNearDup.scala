@@ -41,19 +41,34 @@ object StreamingNearDup {
             checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
         TrackedCaches.scopedRelease {
-          val pairs = Dedup.nearDupsFromIndex(spark, indexDir,
-            batch.toDF(), idCol, textCol, threshold, shingleSize,
+          processBatch(batch.sparkSession, batch.toDF(), indexDir,
+            onPairs, batchId, threshold, idCol, textCol, shingleSize,
             numHashes, rowsPerBand, maxBucket)
-          onPairs(pairs, batchId)
-          Dedup.appendMinhashIndex(spark, indexDir, batch.toDF(),
-            idCol, textCol, shingleSize, numHashes, rowsPerBand,
-            maxBucket)
         }
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
+  }
+
+  /** The per-micro-batch body of [[start]] — probe, report, append —
+    * exposed so composed sinks ([[StreamingIngest]]'s ledgered path)
+    * reuse the exact same sequence instead of re-stating it. The
+    * caller owns cache scoping (`TrackedCaches.scopedRelease`) and the
+    * `onPairs` materialization contract documented on [[start]].
+    */
+  def processBatch(spark: org.apache.spark.sql.SparkSession,
+                   batch: DataFrame, indexDir: String,
+                   onPairs: (DataFrame, Long) => Unit, batchId: Long,
+                   threshold: Double, idCol: String = "doc_id",
+                   textCol: String = "text", shingleSize: Int = 3,
+                   numHashes: Int = 32, rowsPerBand: Int = 4,
+                   maxBucket: Long = 1000L): Unit = {
+    val pairs = Dedup.nearDupsFromIndex(spark, indexDir, batch, idCol,
+      textCol, threshold, shingleSize, numHashes, rowsPerBand, maxBucket)
+    onPairs(pairs, batchId)
+    Dedup.appendMinhashIndex(spark, indexDir, batch, idCol, textCol,
+      shingleSize, numHashes, rowsPerBand, maxBucket)
   }
 }

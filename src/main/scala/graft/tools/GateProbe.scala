@@ -68,6 +68,33 @@ object GateProbe {
             col("n_strict"), col("neg_hit"))
           .show(false)
       }
+      println("-- q353 sq8 vs float ivf top-5 agreement --")
+      val idxF = s"/tmp/graft_probe/sq8f_$sf"
+      val idxQ = s"/tmp/graft_probe/sq8q_$sf"
+      Similarity.writeIvfIndex(emb, idxF, portable = true)
+      Similarity.writeIvfIndex(emb, idxQ, portable = true,
+        quantizeLists = true)
+      val sqPanel = emb.filter(col("vec_id") < 100)
+      val fTop = Similarity.ivfTopKFromIndex(spark, idxF, sqPanel,
+        k = 5, nProbe = 2)
+      val qTop = Similarity.ivfTopKFromIndex(spark, idxQ, sqPanel,
+        k = 5, nProbe = 2)
+      Similarity.topKAgreement(qTop, fTop)
+        .agg(sum(col("n_approx")).as("n_slots"),
+          sum(col("n_hit")).as("n_hit"))
+        .withColumn("set_agree",
+          col("n_hit").cast("double") / col("n_slots"))
+        .show(false)
+      fTop.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__fn"))
+        .join(qTop.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__qn")), Seq("query_id", "rank"))
+        .agg(count(lit(1)).as("n_slots"),
+          sum(when(col("__fn") === col("__qn"), 1L).otherwise(0L))
+            .as("rank_hit"))
+        .withColumn("rank_agree",
+          col("rank_hit").cast("double") / col("n_slots"))
+        .show(false)
     }
     spark.stop()
   }

@@ -286,6 +286,14 @@ object PlanAudit {
         "cluster over Heaps-bounded vocab rows, and A joins as a " +
         "one-row broadcast, never a corpus-keyed exchange",
       Seq("Window"), Seq("CartesianProduct")),
+    Check("IVF list-balance column-pruned key scan",
+      "q354_ivf_list_balance",
+      "per-cell counts come off the lists' hive partition keys only — " +
+        "the quantized vector/code columns are never read (empty data " +
+        "ReadSchema on the lists scan); the k-row summary rejoins as a " +
+        "broadcast, no window, no corpus product anywhere",
+      Seq("ReadSchema: struct<>"),
+      Seq("Window", "CartesianProduct")),
     Check("self-kNN hubness row-local probe + bounded top-k",
       "q348_ann_hubness",
       "the corpus-as-queries kNN probes cells from the one-row " +

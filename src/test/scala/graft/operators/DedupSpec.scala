@@ -173,6 +173,30 @@ class DedupSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("droppedAudit: a cap-saturated append grows the dropped ledger " +
+      "and the rate readout fires") {
+    import spark.implicits._
+    def clones(ids: Range, text: String) = ids.map(i => (i.toLong, text))
+    val a = (clones(10 to 11, "keen keen keen keen keen keen") ++
+      Seq((20L, "alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val b = clones(12 to 13, "keen keen keen keen keen keen")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_aud").toString
+    Dedup.writeMinhashIndex(a, dir, "doc_id", "text", maxBucket = 3L)
+    val before = Dedup.droppedAudit(spark, dir).collect().head
+    assert(before.getLong(1) == 0L && before.getDouble(2) == 0.0,
+      "nothing saturates at build in this fixture")
+    assert(before.getLong(0) > 0L)
+    // +2 clones push every 'keen' bucket to 4 > 3 — dropped grows
+    Dedup.appendMinhashIndex(spark, dir, b, "doc_id", "text",
+      maxBucket = 3L)
+    val after = Dedup.droppedAudit(spark, dir).collect().head
+    assert(after.getLong(1) > 0L, "the saturated append must fire")
+    assert(after.getDouble(2) > 0.0 && after.getDouble(2) < 1.0)
+    Dedup.releaseCaches()
+  }
+
   test("lineDedup: first corpus occurrence survives per exact line, docs " +
       "reassemble in order, a fully-duplicated doc empties visibly") {
     import spark.implicits._

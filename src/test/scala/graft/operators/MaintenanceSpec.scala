@@ -258,5 +258,17 @@ class MaintenanceSpec extends SparkSpecBase {
     val missing = Maintenance.indexCard(spark, dir, Seq("nosuch"))
       .collect().head
     assert(!missing.getBoolean(1) && missing.getLong(4) == 0L)
+    // unpartitioned frames report zero partitions; a hive-partitioned
+    // IVF lists frame reports its cell fan-out
+    assert(clean.keySet.forall { f =>
+      Maintenance.indexCard(spark, dir, Seq(f)).collect()
+        .head.getLong(6) == 0L })
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_index_card_ivf").toString
+    graft.operators.Similarity.writeIvfIndex(
+      Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 1))
+        .toDF("vec_id", "embedding", "label"), ivfDir)
+    assert(Maintenance.indexCard(spark, ivfDir, Seq("lists")).collect()
+      .head.getLong(6) == 2L)
   }
 }

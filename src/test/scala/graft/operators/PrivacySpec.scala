@@ -128,4 +128,18 @@ class PrivacySpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_email") == 1L)
     assert(row.getAs[Long]("pii_total") >= 1L)
   }
+
+  test("piiRedact rejects a placeholder a rule regex would re-bite") {
+    // "found@example.com" matches the email rule — a later pass (or a
+    // second scrub of already-redacted text) would mangle it, so the
+    // idempotence require must fire before any plan is built
+    val rules = Privacy.defaultPiiRules :+
+      Privacy.PiiRule("custom", "\\bsecret\\b", "found@example.com")
+    val doc = Seq((1L, "a secret here")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.piiRedact(doc, rules = rules) }
+    assert(ex.getMessage.contains("idempotent"))
+    // the defaults themselves pass their own check
+    Privacy.piiRedact(doc)
+  }
 }

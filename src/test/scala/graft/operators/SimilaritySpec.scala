@@ -472,6 +472,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(port == knn)
   }
 
+  test("ivfListBalance: per-cell counts, discrete p50/p99, skew flag " +
+      "fires on a hot cell") {
+    import spark.implicits._
+    // 4 cells sized 1,1,2,8: sorted [1,1,2,8] -> p50 = 2nd = 1,
+    // p99 = 4th = 8, ratio 8.0 > 4.0 default -> unbalanced
+    val rows = (1L to 1L).map(i => (i, Seq(1f, 0f), 0)) ++
+      (11L to 11L).map(i => (i, Seq(0f, 1f), 1)) ++
+      (21L to 22L).map(i => (i, Seq(1f, 1f), 2)) ++
+      (31L to 38L).map(i => (i, Seq(1f, 2f), 3))
+    val vecs = rows.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivfbal").toString
+    Similarity.writeIvfIndex(vecs, dir, portable = true)
+    val bal = Similarity.ivfListBalance(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(bal.keySet == Set("0", "1", "2", "3"))
+    assert(bal("3").getLong(1) == 8L)
+    assert(bal.values.forall(r => r.getLong(2) == 4L &&
+      r.getLong(3) == 1L && r.getLong(4) == 8L &&
+      r.getDouble(5) == 8.0 && r.getLong(6) == 0L))
+    // a tolerant threshold flips the flag, counts unchanged
+    val ok = Similarity.ivfListBalance(spark, dir, maxSkew = 10.0)
+      .collect()
+    assert(ok.forall(_.getLong(6) == 1L))
+    // the SQ8 build reads identically — only list keys are touched
+    val dirQ = java.nio.file.Files.createTempDirectory("ivfbalq").toString
+    Similarity.writeIvfIndex(vecs, dirQ, portable = true,
+      quantizeLists = true)
+    assert(Similarity.ivfListBalance(spark, dirQ).collect().toSeq
+      .map(_.toSeq).sortBy(_.head.toString) ==
+      bal.values.toSeq.map(_.toSeq).sortBy(_.head.toString))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfListBalance(spark, dir, maxSkew = 0.5) }
+  }
+
   test("mutualKnnEdges: hub-induced asymmetric edges are dropped, " +
       "threshold filters") {
     import spark.implicits._
@@ -490,5 +524,13 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.mutualKnnEdges(knn, minCos = 0.9999).count() == 0L)
     intercept[IllegalArgumentException] {
       Similarity.mutualKnnEdges(knn, minCos = 1.5) }
+    // a non-default anchor column threads through idCol
+    val renamed = Similarity.selfKnnIvf(
+      vecs.withColumnRenamed("vec_id", "id"), k = 1, nProbe = 1,
+      idCol = "id")
+    val viaId = Similarity.mutualKnnEdges(renamed, minCos = 0.5,
+        idCol = "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaId == Seq((2L, 3L)))
   }
 }

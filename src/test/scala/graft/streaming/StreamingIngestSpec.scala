@@ -53,4 +53,52 @@ class StreamingIngestSpec extends SparkSpecBase {
     } finally q.stop()
     Dedup.releaseCaches()
   }
+
+  test("the ledgered pipeline accounts for EVERY arriving doc with the " +
+      "batch disposition's stage labels, and the stream ledger equals " +
+      "Curation.disposition over the same stage frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, coalesce}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingled").toString
+    Dedup.writeMinhashIndex(Seq((10L, tA)).toDF("doc_id", "text"),
+      dir, "doc_id", "text")
+    val model = LogReg.Model(Seq("len_score"), Seq((0.0, 1.0)),
+      Array(0.0, 5.0))
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val ledger = scala.collection.mutable.Map.empty[Long, String]
+    val input = MemoryStream[IngDoc]
+    val q = StreamingIngest.pipeline(input.toDF(), model, evalDocs, dir,
+      (pairs, _) => { pairs.collect(); () },
+      onLedger = Some((led, _) => led.collect().foreach(r =>
+        ledger(r.getLong(0)) = r.getString(1))))
+    val arriving = Seq(
+      IngDoc(1L, tB, 1.0),                       // kept
+      IngDoc(2L, tB, -1.0),                      // s1_quality
+      IngDoc(3L, evalText + " tail words", 1.0), // s2_decontaminated
+      IngDoc(4L, novel, 1.0))                    // kept
+    try {
+      input.addData(arriving.take(2))
+      q.processAllAvailable()
+      input.addData(arriving.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ledger == Map(1L -> "kept", 2L -> "s1_quality",
+      3L -> "s2_decontaminated", 4L -> "kept"),
+      "every arriving doc gets exactly one disposition row")
+    // the batch twin over the SAME policy frames — row-for-row equal
+    val arr = arriving.toDF()
+    val bq = arr.filter(coalesce(model.probability >= 0.5, lit(false)))
+    val cont = graft.operators.Decontamination.contaminationPairs(
+        bq.select(col("doc_id"), col("text")), evalDocs,
+        "doc_id", "text", shingleSize = 8)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val surv = bq.join(cont, Seq("doc_id"), "left_anti")
+    val batchLedger = graft.operators.Curation.disposition(Seq(
+        ("input", arr), ("s1_quality", bq), ("s2_decontaminated", surv)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchLedger == ledger.toMap,
+      "stream ledger must equal the batch disposition")
+    Dedup.releaseCaches()
+  }
 }
