@@ -56,7 +56,34 @@ object Bench {
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val warm = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Battery CONTROLS (round-14 judge ask): the same three stable,
+    // cache-neutral queries re-run at battery start / middle / end and
+    // reported per position, so a reader (and bench_delta.py) can
+    // measure THIS run's box-contention inflation instead of
+    // adjudicating phantom regressions against a quiet baseline. The
+    // control runs are extra — never counted into "value" or the
+    // per-query map (their in-battery timings still appear there like
+    // every round). Skipped for SPARK_GRAFT_ONLY iteration runs.
+    val controlNames = Seq("q03_revenue_by_nation", "q66_bm25_search",
+      "q112_range_rank")
+    val controls =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
+    def runControls(tag: String): Unit = if (only.isEmpty) {
+      controls(tag) = controlNames.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          n.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+    }
+    runControls("start")
+    val half = selected.size / 2
+    var i = 0
     val results = selected.map { case (name, fn) =>
+      if (i == half && i > 0) runControls("mid")
+      i += 1
       if (cold) graft.operators.TrackedCaches.release()
       graft.operators.TrackedCaches.beginQuery()
       val reuse0 = graft.operators.TrackedCaches.crossQueryReuseCount
@@ -68,6 +95,7 @@ object Bench {
         warm += name.takeWhile(_ != '_')
       name -> dt
     }
+    runControls("end")
     graft.operators.Dedup.releaseCaches()
     // Keep the JSON line SHORT: the harness records only a bounded tail of
     // the process output (2000 chars), and at 150+ queries even "qNN" keys
@@ -79,6 +107,10 @@ object Bench {
     // bench_full.json alongside, so nothing is lost — only the line is
     // bounded.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val controlsJson = "{" + controls.map { case (tag, rs) =>
+      s""""$tag":{${rs.map { case (q, v) => s""""$q":${f3(v)}""" }
+        .mkString(",")}}"""
+    }.mkString(",") + "}"
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmJson = warm.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -102,9 +134,11 @@ object Bench {
     val fullOut = if (only.isDefined) "bench_partial.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm":$warmJson,"queries":$fullJson,"rows":$rowsJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm":$warmJson,"controls":$controlsJson,"queries":$fullJson,"rows":$rowsJson,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () } // best-effort write
-    val budget = 1500 // chars for the queries map — line stays ≤ ~1700
+    // chars for the queries map — line stays ≤ ~1700 including the
+    // ~170-char controls block (the harness records a 2000-char tail)
+    val budget = 1330
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     var smallN = 0; var smallSum = 0.0
@@ -123,7 +157,7 @@ object Bench {
     // the budgeted line carries only the warm COUNT (the full name list
     // lives in bench_full.json) so warm-heavy batteries cannot blow the
     // harness's bounded output window
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm_n":${warm.size},"small":$smallJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm_n":${warm.size},"controls":$controlsJson,"small":$smallJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

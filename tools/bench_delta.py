@@ -10,17 +10,29 @@ rows land in "warm_shifted" and stay OUT of the adjudication list.
 Rows flagged in both directions of warmth land in "true_deltas" and
 follow the usual fresh-battery adjudication protocol (BENCH_adjudicate_*).
 
+Since round 15 the bench embeds CONTROLS — three stable queries re-run
+at battery start/middle/end. When both snapshots carry them, the median
+new/old ratio over the control runs estimates THIS comparison's
+box-contention inflation, the new-side times are deflated by it before
+flagging, and the factor is reported as "control_inflation" — so a
+uniformly contended battery no longer floods the list with phantom
+regressions (the round-14 adjudication problem).
+
 Usage: tools/bench_delta.py OLD_bench_full.json NEW_bench_full.json [out.json]
 """
 import json
+import statistics
 import sys
 
 RATIO = 1.4
 ABS_S = 1.0
 
 
-def rows(path):
-    d = json.load(open(path))
+def load(path):
+    return json.load(open(path))
+
+
+def rows(d):
     if "rows" in d:
         return {q: (v["sec"], bool(v["warm"])) for q, v in d["rows"].items()}
     # pre-round-10 snapshot: no per-row warm attribution — treat every
@@ -29,24 +41,49 @@ def rows(path):
     return {q: (v, q in warm) for q, v in d.get("queries", {}).items()}
 
 
+def control_inflation(old_d, new_d):
+    """Median new/old ratio over matching (position, control) runs, or
+    None when either snapshot lacks controls."""
+    oc, nc = old_d.get("controls") or {}, new_d.get("controls") or {}
+    ratios = []
+    for tag in oc:
+        for q, ov in (oc[tag] or {}).items():
+            nv = (nc.get(tag) or {}).get(q)
+            if nv is not None and ov > 0:
+                ratios.append(nv / ov)
+    return round(statistics.median(ratios), 3) if ratios else None
+
+
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
-    old, new = rows(old_path), rows(new_path)
+    old_d, new_d = load(old_path), load(new_path)
+    old, new = rows(old_d), rows(new_d)
+    inflation = control_inflation(old_d, new_d)
+    # deflate the new side only when the battery ran HOT — a calm or
+    # faster battery (<= 1) must not manufacture regressions by
+    # inflating the new numbers
+    scale = inflation if inflation is not None and inflation > 1.0 else 1.0
     true_deltas, warm_shifted, improved = {}, {}, {}
     for q in sorted(set(old) & set(new)):
         (o, ow), (n, nw) = old[q], new[q]
+        adj = n / scale
         entry = {"old": o, "new": n, "ratio": round(n / o, 2) if o else None,
+                 "adj_new": round(adj, 3),
+                 "adj_ratio": round(adj / o, 2) if o else None,
                  "old_warm": ow, "new_warm": nw}
-        if n > o * RATIO and n - o > ABS_S:
+        if adj > o * RATIO and adj - o > ABS_S:
             (warm_shifted if ow != nw else true_deltas)[q] = entry
         elif o > n * RATIO and o - n > ABS_S:
             improved[q] = entry
     out = {
         "old": old_path, "new": new_path,
-        "flag_rule": f">{RATIO}x and >{ABS_S}s",
+        "flag_rule": f">{RATIO}x and >{ABS_S}s after control deflation",
+        "control_inflation": inflation,
         "note": "warm_shifted rows changed memo attribution between runs "
                 "(cache artifact, excluded from adjudication); true_deltas "
-                "need the fresh-battery adjudication protocol",
+                "need the fresh-battery adjudication protocol; new-side "
+                "times were divided by control_inflation (when > 1) "
+                "before flagging",
         "true_deltas": true_deltas,
         "warm_shifted": warm_shifted,
         "improved": improved,
