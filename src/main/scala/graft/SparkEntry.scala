@@ -500,6 +500,66 @@ object SparkEntry {
       Similarity.ivfListBalance(s, idx).orderBy(col("cell"))
     }),
 
+    // the nlist ∝ n sizing as a GATED code path (closing the
+    // q331→q337→q348 arc): the LSH bit budget is DERIVED from the
+    // corpus — Similarity.sizedPlaneBits picks the smallest b with
+    // expected cell population ≤ 50 by pure integer comparison, so
+    // the same query runs 20 cells at sf0.01, 40 at sf0.1, 640 at
+    // sf1 without a config change, and the within-cell quadratic
+    // stays bounded at every scale. FULL hash gate: the oracle
+    // re-derives b with the identical integer scan, builds the
+    // 16-bit md5 signatures once and MASKS to the low b bits
+    // (sig & (2^b − 1) ≡ the b-bit signature — the plane family is
+    // p-indexed), then replays the q348 chain verbatim
+    "q356_sized_quantizer_hubness" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // two bounded driver-side COUNTS (the q334 convention) feed the
+      // integer sizing — n and the coarse-cell count
+      val bits = Similarity.sizedPlaneBits(
+        emb.count(),
+        emb.select(countDistinct(col("label"))).head().getLong(0),
+        targetCellSize = 50L)
+      val cells = emb.withColumn("cell2",
+        concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"),
+            numBits = bits, seed = 0, portable = true).cast("string")))
+      val deg = Similarity.selfKnnIvf(cells, k = 5, nProbe = 2,
+          coarseCol = "cell2", portable = true)
+        .groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("in_degree"))
+      emb.select(col("vec_id"))
+        .join(deg, Seq("vec_id"), "left")
+        .select(lit(bits.toLong).as("bits"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .groupBy(col("bits"), col("in_degree"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("in_degree"))
+    }),
+
+    // SemDeDup over the SIZED quantizer — the q356 sizing threaded
+    // through a second family member via the same coarseCol seam:
+    // cells multiply with the corpus, so the paper's within-cluster
+    // quadratic stays at the target population at any scale; verdict
+    // semantics unchanged (nearest-centroid assignment + keep-lowest-
+    // id cosine). Threshold 0.35: at the finer sized cells the
+    // measured within-cell max cosine still crosses it at every gated
+    // SF, so both verdict classes stay present (the q79 0.4 re-key
+    // precedent)
+    "q358_sized_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.sizedPlaneBits(
+        emb.count(),
+        emb.select(countDistinct(col("label"))).head().getLong(0),
+        targetCellSize = 50L)
+      val cells = emb.withColumn("cell2",
+        concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"),
+            numBits = bits, seed = 0, portable = true).cast("string")))
+      Similarity.semDedup(cells, threshold = 0.35, coarseCol = "cell2",
+          portable = true)
+        .orderBy(col("vec_id"))
+    }),
+
     // the MinHash cap-ledger GROWTH gate (r14 verdict ask — the dedup
     // sibling of q333's PQ staleness): the corpus has no natural
     // mega-buckets, so the fixture injects them per doc_id residue
@@ -9491,6 +9551,69 @@ object SparkEntry {
         |  CAST(CASE WHEN r.skew_ratio <= 4.0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS balanced
         |FROM per CROSS JOIN r ORDER BY cell""".stripMargin,
+
+    // q356: bits re-derived by the identical integer comparison scan;
+    // 16-bit signatures masked to the low b bits (the md5 plane
+    // family is p-indexed, so the mask IS the b-bit signature); then
+    // the q348 probe/topk/degree chain verbatim over the sized cells
+    "q356_sized_quantizer_hubness" ->
+      s"""WITH ${lshSigCtes(numTables = 1, numBits = 16, dim = 64)},
+        |bitsel AS (
+        |  SELECT coalesce(min(b), 16) AS bits
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE (SELECT count(DISTINCT label) FROM embeddings) *
+        |        (CAST(1 AS BIGINT) << b)
+        |    >= ((SELECT count(*) FROM embeddings) + 49) // 50),
+        |vc AS MATERIALIZED (
+        |  SELECT v.vec_id, v.e,
+        |    CAST(e.label AS VARCHAR) || '#' ||
+        |    CAST((s.sig & ((CAST(1 AS BIGINT) <<
+        |      (SELECT bits FROM bitsel)) - 1)) AS VARCHAR) AS cell
+        |  FROM vecs v
+        |  JOIN embeddings e ON e.vec_id = v.vec_id
+        |  JOIN sigs s ON s.vec_id = v.vec_id),
+        |elems AS (
+        |  SELECT cell, generate_subscripts(e, 1) AS j,
+        |    unnest(e) AS x
+        |  FROM vc),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s,
+        |    COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |probed AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.vec_id AS query_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.e, c.c) DESC, c.cell)
+        |        AS pr
+        |    FROM vc q CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, v.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qq.e, v.e), 6) AS cos6
+        |  FROM probed p
+        |  JOIN vc v ON v.cell = p.cell
+        |  JOIN vc qq ON qq.vec_id = p.query_id
+        |  WHERE v.vec_id <> p.query_id),
+        |topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos6 DESC, neighbor_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |deg AS (
+        |  SELECT neighbor_id, CAST(count(*) AS BIGINT) AS in_degree
+        |  FROM topk GROUP BY neighbor_id),
+        |ad AS (
+        |  SELECT coalesce(d.in_degree, 0) AS in_degree
+        |  FROM vecs v LEFT JOIN deg d ON d.neighbor_id = v.vec_id)
+        |SELECT (SELECT CAST(bits AS BIGINT) FROM bitsel) AS bits,
+        |  in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM ad GROUP BY in_degree ORDER BY in_degree""".stripMargin,
 
     // q355: the slice counts replay off documents; the ledger flags
     // are structural truths of the append (verified distributed

@@ -335,4 +335,28 @@ object Maintenance {
     rows.toDF("frame", "present", "staged_leftover", "old_leftover",
       "n_files", "bytes", "n_partitions")
   }
+
+  /** Heal-and-report companion of [[indexCard]]: the card DETECTS swap
+    * debris, this runs the family's deterministic recovery
+    * ([[IndexSwap.recover]] — finish a mid-promote swap, roll a
+    * completed staged generation FORWARD, drop a torn one) and reports
+    * what was found as one (frame, kind) row per debris dir, so the
+    * operator action is auditable next to the card that prompted it.
+    * After a sweep the card reads clean; sweeping a clean index
+    * returns zero rows (recover is idempotent and metadata-cheap).
+    * Driver-side FS metadata ops only — bounded by the frame list.
+    */
+  def sweepIndexDebris(spark: SparkSession, dir: String,
+                       frames: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(frames.nonEmpty, "sweepIndexDebris needs the family's frames")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found = frames.flatMap { f =>
+      Seq("staged", "old").filter(k =>
+        fs.exists(new Path(s"$dir/${f}__$k"))).map(k => (f, k))
+    }
+    IndexSwap.recover(fs, dir, frames)
+    import spark.implicits._
+    found.toDF("frame", "kind")
+  }
 }

@@ -405,6 +405,40 @@ object Similarity {
     ivfProbeRerank(centroids, lists, queries, k, nProbe, idCol, vecCol)
   }
 
+  /** The `nlist ∝ n` quantizer sizing as CODE — closing the
+    * q331→q337→q348 arc where the LSH bit budget was a hand-set knob:
+    * the smallest per-coarse-cell hyperplane bit count `b` such that
+    * the EXPECTED refined-cell population n / (nCoarse · 2^b) is at
+    * most `targetCellSize`, i.e. cells multiply as the corpus grows so
+    * the within-cell quadratic term of every IVF-candidate operator
+    * ([[contrastivePairsIvf]], [[selfKnnIvf]], [[semDedup]]) stays
+    * bounded at any scale — the standard FAISS nlist ≈ n/target
+    * sizing, derived instead of configured.
+    *
+    * Pure INTEGER arithmetic (a comparison scan, no float log): the
+    * result replays exactly in any engine — which is what lets a
+    * DuckDB oracle gate a query whose quantizer RESIZES with the data
+    * (q356). Clamped to [1, maxBits]; overflow-safe for any corpus
+    * countable in a long.
+    */
+  def sizedPlaneBits(n: Long, nCoarse: Long, targetCellSize: Long,
+                     maxBits: Int = 16): Int = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    require(nCoarse >= 1, s"nCoarse must be >= 1, got $nCoarse")
+    require(targetCellSize >= 1,
+      s"targetCellSize must be >= 1, got $targetCellSize")
+    require(maxBits >= 1 && maxBits <= 62,
+      s"maxBits must be in [1, 62], got $maxBits")
+    var b = 1
+    // capacity guard instead of multiplying into overflow
+    def covers(bb: Int): Boolean = {
+      val cells = nCoarse * (1L << bb)
+      cells >= n / targetCellSize + (if (n % targetCellSize == 0) 0 else 1)
+    }
+    while (b < maxBits && !covers(b)) b += 1
+    b
+  }
+
   /** Per-cell balance card of a persisted IVF index's inverted lists —
     * the INDEX-side health audit next to q348's graph-side hubness
     * (the r14 verdict ask): a skewed list distribution is the IVF

@@ -271,4 +271,46 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(Maintenance.indexCard(spark, ivfDir, Seq("lists")).collect()
       .head.getLong(6) == 2L)
   }
+
+  test("sweepIndexDebris: reports and heals what the card flags; a " +
+      "clean index sweeps to zero rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sweep").toString
+    val corpus = Seq((1L, "a b c d e f"), (2L, "b c d e f g"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, dir, "doc_id", "text")
+    val frames = Seq("bands", "dropped")
+    assert(Maintenance.sweepIndexDebris(spark, dir, frames).count() == 0L)
+    def files(f: String) = Maintenance.indexCard(spark, dir, Seq(f))
+      .collect().head.getLong(4)
+    val bandsFiles = files("bands")
+    // state 1 — a writer died MID-STAGE (torn staged dir, no swap
+    // started): sweep must report it and roll it BACK, live untouched
+    java.nio.file.Files
+      .createDirectory(java.nio.file.Paths.get(s"$dir/bands__staged"))
+    assert(Maintenance.indexCard(spark, dir, frames).collect()
+      .find(_.getString(0) == "bands").get.getBoolean(2),
+      "card flags the torn stage")
+    val swept1 = Maintenance.sweepIndexDebris(spark, dir, frames).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(swept1 == Set(("bands", "staged")))
+    assert(files("bands") == bandsFiles,
+      "rollback must not touch the live frame")
+    // state 2 — a swap died between aside-delete steps (an __old
+    // leftover, live frames whole): sweep reports and clears it
+    java.nio.file.Files
+      .createDirectory(java.nio.file.Paths.get(s"$dir/dropped__old"))
+    val swept2 = Maintenance.sweepIndexDebris(spark, dir, frames).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(swept2 == Set(("dropped", "old")))
+    val after = Maintenance.indexCard(spark, dir, frames).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(after.forall { case (present, staged, old) =>
+      present && !staged && !old }, "sweep heals; frames stay live")
+    assert(files("bands") == bandsFiles && files("dropped") > 0L)
+    // idempotent: the next sweep finds nothing
+    assert(Maintenance.sweepIndexDebris(spark, dir, frames).count() == 0L)
+    Dedup.releaseCaches()
+  }
 }

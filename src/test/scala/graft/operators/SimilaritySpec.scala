@@ -472,6 +472,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(port == knn)
   }
 
+  test("sizedPlaneBits: smallest bit budget covering ceil(n/target) " +
+      "cells, monotone in n, clamped") {
+    // 10 coarse cells, target 50: 500 rows fit in 10*2^1 = 20 cells
+    assert(Similarity.sizedPlaneBits(500L, 10L, 50L) == 1)
+    // 2 000 rows need ceil(2000/50) = 40 cells -> b = 2
+    assert(Similarity.sizedPlaneBits(2000L, 10L, 50L) == 2)
+    // 20 000 rows need 400 cells -> 10*2^6 = 640 -> b = 6
+    assert(Similarity.sizedPlaneBits(20000L, 10L, 50L) == 6)
+    // exact boundary: 1 000 rows = exactly 20 cells of 50 -> still b=1
+    assert(Similarity.sizedPlaneBits(1000L, 10L, 50L) == 1)
+    // one row past the boundary doubles the cells
+    assert(Similarity.sizedPlaneBits(1001L, 10L, 50L) == 2)
+    // never below 1 bit, even when the coarse cells alone suffice
+    assert(Similarity.sizedPlaneBits(5L, 10L, 50L) == 1)
+    // clamp at maxBits for absurd corpora
+    assert(Similarity.sizedPlaneBits(Long.MaxValue / 4, 10L, 50L,
+      maxBits = 8) == 8)
+    // monotone in n across a sweep
+    val bs = (1L to 100L).map(i =>
+      Similarity.sizedPlaneBits(i * 1000L, 10L, 50L))
+    assert(bs == bs.sorted)
+    intercept[IllegalArgumentException] {
+      Similarity.sizedPlaneBits(10L, 0L, 50L) }
+    intercept[IllegalArgumentException] {
+      Similarity.sizedPlaneBits(10L, 10L, 0L) }
+  }
+
   test("ivfListBalance: per-cell counts, discrete p50/p99, skew flag " +
       "fires on a hot cell") {
     import spark.implicits._
