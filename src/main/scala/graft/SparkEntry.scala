@@ -560,6 +560,47 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the sized quantizer's OPERATING CURVE — measured recall@5 vs
+    // nProbe on a fixed 100-query panel, the card an owner reads
+    // after q356's resize to pick the probe budget (q344's S-curve
+    // convention, measured instead of closed-form). q127/q128 flags:
+    // n_queries/n_slots replayable (every probed cell set held ≥ 5
+    // candidates at all gated SFs — coverage_ok pins it), recall
+    // floors are the catastrophic class far under the measured band
+    // (GateProbe: np1 0.08–0.114, np2 0.138–0.21, np3 0.182–0.28,
+    // np4 0.232–0.358 across sf0.001/0.01/0.1; broken centroids
+    // degrade to ~0.003 random). Recall is structurally MONOTONE in
+    // nProbe (candidate sets nest, and a global-top-5 member can
+    // never be displaced by a non-member — SimilaritySpec pins it)
+    "q360_sized_probe_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.sizedPlaneBits(
+        emb.count(),
+        emb.select(countDistinct(col("label"))).head().getLong(0),
+        targetCellSize = 50L)
+      val cells = emb.withColumn("cell2",
+        concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"),
+            numBits = bits, seed = 0, portable = true).cast("string")))
+      val panel = emb.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopK(emb, panel, k = 5)
+      val floors = Map(1 -> 0.02, 2 -> 0.04, 3 -> 0.06, 4 -> 0.08)
+      (1 to 4).map { np =>
+        Similarity.topKAgreement(
+            Similarity.ivfTopK(cells, panel, k = 5, nProbe = np,
+              coarseCol = "cell2", portable = true), exact)
+          .agg(count(lit(1)).as("__nq"), sum(col("n_approx")).as("__sl"),
+            sum(col("n_hit")).as("__h"))
+          .select(lit(np.toLong).as("n_probe"),
+            col("__nq").as("n_queries"),
+            (col("__nq") * 5L).as("n_slots"),
+            (col("__sl") === col("__nq") * 5L).cast("long")
+              .as("coverage_ok"),
+            (col("__h").cast("double") / col("__sl") >= floors(np))
+              .cast("long").as("recall_ok"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_probe"))
+    }),
+
     // the MinHash cap-ledger GROWTH gate (r14 verdict ask — the dedup
     // sibling of q333's PQ staleness): the corpus has no natural
     // mega-buckets, so the fixture injects them per doc_id residue
@@ -637,8 +678,22 @@ object SparkEntry {
         (hits, _) => { hits.collect(); () })
       try {
         for (b <- 1L to 2L) {
-          input.addData(emb.filter(pmod(col("vec_id"), lit(3L)) === b)
-            .as[(Long, Seq[Float], Int)].collect().toSeq)
+          // chunked feed (the q334 convention): driver residency is a
+          // chunk, not the batch; the probe-then-exact-append sequence
+          // makes the grown index invariant to segmentation
+          val it = emb.filter(pmod(col("vec_id"), lit(3L)) === b)
+            .as[(Long, Seq[Float], Int)].toLocalIterator()
+          val buf = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, Seq[Float], Int)]
+          while (it.hasNext) {
+            buf += it.next()
+            // 2048-doc chunks: driver residency stays MB-scale while a
+            // slice segments into ~1 chunk per micro-batch at the gated
+            // SFs — each extra chunk pays a full probe+append cycle, so
+            // over-segmenting multiplies index passes for no memory win
+            if (buf.size >= 2048) { input.addData(buf.toSeq); buf.clear() }
+          }
+          if (buf.nonEmpty) input.addData(buf.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -4049,7 +4104,11 @@ object SparkEntry {
             .ArrayBuffer.empty[(Long, String, Long)]
           while (it.hasNext) {
             buf += it.next()
-            if (buf.size >= 256) { input.addData(buf.toSeq); buf.clear() }
+            // 2048-doc chunks: driver residency stays MB-scale while a
+            // slice segments into ~1 chunk per micro-batch at the gated
+            // SFs — each extra chunk pays a full probe+append cycle, so
+            // over-segmenting multiplies index passes for no memory win
+            if (buf.size >= 2048) { input.addData(buf.toSeq); buf.clear() }
           }
           if (buf.nonEmpty) input.addData(buf.toSeq)
           q.processAllAvailable()
@@ -4784,6 +4843,34 @@ object SparkEntry {
           labeled.filter(col("split") === "test"),
           shingleSize = 8)
         .orderBy(col("train_doc"), col("eval_doc"))
+    }),
+
+    // the release report's per-source cut of decontamination (the
+    // q310/q352 burden-rollup convention): which SOURCE is leaking
+    // eval content into the training split, at what rate — the
+    // q58 pair chain rolled up per train-doc source; 5 contaminated
+    // docs at sf0.01 land in distinct sources, so both the zero and
+    // non-zero counter classes are present
+    "q359_decon_by_source" -> ((s, dir) => {
+      val labeled = Sampling.deterministicSplit(t(s, dir, "documents"),
+        "doc_id", trainFraction = 0.8, valFraction = 0.1)
+      val train = labeled.filter(col("split") === "train")
+      val burden = Decontamination.contaminationPairs(
+          train, labeled.filter(col("split") === "test"),
+          shingleSize = 8)
+        .groupBy(col("train_doc").as("doc_id"))
+        .agg(count(lit(1)).as("__np"))
+      train.select(col("doc_id"), col("source"))
+        .join(burden, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("__np").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          coalesce(sum(col("__np")), lit(0L)).as("n_pairs"))
+        .withColumn("contamination_rate",
+          round(col("n_contaminated").cast("double") /
+            col("n_train_docs").cast("double"), 6))
+        .orderBy(col("source"))
     }),
 
     // per-source quota cap — "at most N docs per source" training mix;
@@ -9615,6 +9702,65 @@ object SparkEntry {
         |  in_degree, CAST(count(*) AS BIGINT) AS n_vectors
         |FROM ad GROUP BY in_degree ORDER BY in_degree""".stripMargin,
 
+    // q360: panel counts replay off embeddings; the curve's recall
+    // fractions are asserted as measured-margin flags per row
+    "q360_sized_probe_curve" ->
+      """SELECT CAST(np AS BIGINT) AS n_probe,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 100) AS n_queries,
+        |  (SELECT CAST(5 * count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id < 100) AS n_slots,
+        |  CAST(1 AS BIGINT) AS coverage_ok,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM (SELECT unnest(generate_series(1, 4)) AS np)
+        |ORDER BY n_probe""".stripMargin,
+
+    // q358: the q356 bitsel/mask cell derivation feeding the q79
+    // semdedup chain verbatim (nearest-centroid assignment over the
+    // sized cells, keep-lowest-id cosine verdict)
+    "q358_sized_semdedup" ->
+      s"""WITH ${lshSigCtes(numTables = 1, numBits = 16, dim = 64)},
+        |bitsel AS (
+        |  SELECT coalesce(min(b), 16) AS bits
+        |  FROM (SELECT unnest(generate_series(1, 16)) AS b)
+        |  WHERE (SELECT count(DISTINCT label) FROM embeddings) *
+        |        (CAST(1 AS BIGINT) << b)
+        |    >= ((SELECT count(*) FROM embeddings) + 49) // 50),
+        |vc AS MATERIALIZED (
+        |  SELECT v.vec_id, v.e,
+        |    CAST(e.label AS VARCHAR) || '#' ||
+        |    CAST((s.sig & ((CAST(1 AS BIGINT) <<
+        |      (SELECT bits FROM bitsel)) - 1)) AS VARCHAR) AS cell
+        |  FROM vecs v
+        |  JOIN embeddings e ON e.vec_id = v.vec_id
+        |  JOIN sigs s ON s.vec_id = v.vec_id),
+        |elems AS (
+        |  SELECT cell, generate_subscripts(e, 1) AS j, unnest(e) AS x
+        |  FROM vc),
+        |cstats AS (
+        |  SELECT cell, j, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+        |  FROM elems GROUP BY cell, j),
+        |centroids AS (
+        |  SELECT cell, list(s::DOUBLE / n ORDER BY j) AS c
+        |  FROM cstats GROUP BY cell),
+        |assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.e, c.c) DESC, c.cell)
+        |        AS ar
+        |    FROM vc v CROSS JOIN centroids c)
+        |  WHERE ar = 1),
+        |lower_max AS (
+        |  SELECT b.vec_id, max(list_cosine_similarity(a.e, b.e)) AS mx
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  GROUP BY b.vec_id)
+        |SELECT v.vec_id, v.cell, round(m.mx, 6) AS max_lower_cos,
+        |  coalesce(m.mx >= 0.35e0, false) AS dropped
+        |FROM assigned v LEFT JOIN lower_max m USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
     // q355: the slice counts replay off documents; the ledger flags
     // are structural truths of the append (verified distributed
     // in-engine against the rebuild twin) asserted as constants
@@ -10289,6 +10435,46 @@ object SparkEntry {
          |JOIN (SELECT * FROM sh WHERE split = 'test') ev USING (g)
          |GROUP BY 1, 2
          |ORDER BY train_doc, eval_doc""".stripMargin
+    },
+
+    // q359: the q58 chain (same split, same 8-gram distinct-shingle
+    // join) reduced to DISTINCT contaminated (train, eval) doc pairs,
+    // then rolled up per train-doc source with zero-filled counters
+    "q359_decon_by_source" -> {
+      val b = Sampling.bucketSql("doc_id")
+      val w = 8 - 1
+      s"""WITH lab AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |    CASE WHEN $b < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |      WHEN $b < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents),
+         |arr AS (
+         |  SELECT doc_id, split, list_distinct(list_transform(
+         |    generate_series(1, len(t) - $w),
+         |    i -> array_to_string(t[i:i+$w], ' '))) AS gs
+         |  FROM lab WHERE split IN ('train', 'test')),
+         |sh AS (SELECT doc_id, split, unnest(gs) AS g FROM arr),
+         |pairs AS (
+         |  SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+         |  FROM (SELECT * FROM sh WHERE split = 'train') tr
+         |  JOIN (SELECT * FROM sh WHERE split = 'test') ev USING (g)),
+         |pd AS (
+         |  SELECT train_doc AS doc_id, CAST(count(*) AS BIGINT) AS np
+         |  FROM pairs GROUP BY train_doc),
+         |tr AS (
+         |  SELECT l.doc_id, d.source FROM lab l
+         |  JOIN documents d USING (doc_id) WHERE l.split = 'train')
+         |SELECT tr.source,
+         |  CAST(count(*) AS BIGINT) AS n_train_docs,
+         |  CAST(sum(CASE WHEN pd.np IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(sum(pd.np), 0) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CASE WHEN pd.np IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS contamination_rate
+         |FROM tr LEFT JOIN pd USING (doc_id)
+         |GROUP BY tr.source
+         |ORDER BY tr.source""".stripMargin
     },
 
     "q54_quota_sample" ->

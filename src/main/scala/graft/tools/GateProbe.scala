@@ -95,6 +95,26 @@ object GateProbe {
         .withColumn("rank_agree",
           col("rank_hit").cast("double") / col("n_slots"))
         .show(false)
+      println("-- q360 sized-cell recall@5 vs nProbe (100-query panel) --")
+      val szBits = Similarity.sizedPlaneBits(emb.count(),
+        emb.select(count_distinct(col("label"))).head().getLong(0), 50L)
+      val szCells = emb.withColumn("cell2",
+        concat(col("label").cast("string"), lit("#"),
+          Similarity.hyperplaneSignatureCol(col("embedding"),
+            numBits = szBits, seed = 0, portable = true).cast("string")))
+      val szPanel = emb.filter(col("vec_id") < 100)
+      val szExact = Similarity.bruteForceTopK(emb, szPanel, k = 5)
+      for (np <- Seq(1, 2, 3, 4)) {
+        Similarity.topKAgreement(
+            Similarity.ivfTopK(szCells, szPanel, k = 5, nProbe = np,
+              coarseCol = "cell2", portable = true), szExact)
+          .agg(count(lit(1)).as("nq"), sum(col("n_approx")).as("slots"),
+            sum(col("n_hit")).as("hits"))
+          .select(lit(szBits).as("bits"), lit(np).as("nProbe"),
+            col("nq"), col("slots"), col("hits"),
+            (col("hits").cast("double") / col("slots")).as("recall"))
+          .show(false)
+      }
     }
     spark.stop()
   }

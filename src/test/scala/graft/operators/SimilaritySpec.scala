@@ -499,6 +499,29 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.sizedPlaneBits(10L, 10L, 0L) }
   }
 
+  test("ivfTopK recall is monotone in nProbe: candidate sets nest and " +
+      "a global-top-k member is never displaced by a non-member") {
+    import spark.implicits._
+    // 4 cells of 3 vectors spread on the unit circle — at low nProbe
+    // the probed cells miss true neighbors, so recall strictly climbs
+    val vecs = (0 until 12).map { i =>
+      val a = i * math.Pi / 2 / 12 * 4
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat), i / 3)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = vecs.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 3)
+    val recalls = (1 to 4).map { np =>
+      Similarity.topKAgreement(
+          Similarity.ivfTopK(vecs, qs, k = 3, nProbe = np,
+            portable = true), exact)
+        .agg(org.apache.spark.sql.functions.sum(col("n_hit"))).head.getLong(0)
+    }
+    assert(recalls == recalls.sorted, s"recall must be monotone: $recalls")
+    assert(recalls.last == 18L, "probing every cell is exact")
+    assert(recalls.head < recalls.last,
+      "the fixture must make low nProbe actually lossy")
+  }
+
   test("ivfListBalance: per-cell counts, discrete p50/p99, skew flag " +
       "fires on a hot cell") {
     import spark.implicits._
