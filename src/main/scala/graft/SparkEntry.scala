@@ -545,7 +545,7 @@ object SparkEntry {
     // measured within-cell max cosine still crosses it at every gated
     // SF, so both verdict classes stay present (the q79 0.4 re-key
     // precedent)
-    "q358_sized_semdedup" -> ((s, dir) => {
+    "q357_sized_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val bits = Similarity.sizedPlaneBits(
         emb.count(),
@@ -572,7 +572,7 @@ object SparkEntry {
     // degrade to ~0.003 random). Recall is structurally MONOTONE in
     // nProbe (candidate sets nest, and a global-top-5 member can
     // never be displaced by a non-member — SimilaritySpec pins it)
-    "q360_sized_probe_curve" -> ((s, dir) => {
+    "q359_sized_probe_curve" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val bits = Similarity.sizedPlaneBits(
         emb.count(),
@@ -4851,7 +4851,7 @@ object SparkEntry {
     // q58 pair chain rolled up per train-doc source; 5 contaminated
     // docs at sf0.01 land in distinct sources, so both the zero and
     // non-zero counter classes are present
-    "q359_decon_by_source" -> ((s, dir) => {
+    "q358_decon_by_source" -> ((s, dir) => {
       val labeled = Sampling.deterministicSplit(t(s, dir, "documents"),
         "doc_id", trainFraction = 0.8, valFraction = 0.1)
       val train = labeled.filter(col("split") === "train")
@@ -9702,9 +9702,9 @@ object SparkEntry {
         |  in_degree, CAST(count(*) AS BIGINT) AS n_vectors
         |FROM ad GROUP BY in_degree ORDER BY in_degree""".stripMargin,
 
-    // q360: panel counts replay off embeddings; the curve's recall
+    // q359: panel counts replay off embeddings; the curve's recall
     // fractions are asserted as measured-margin flags per row
-    "q360_sized_probe_curve" ->
+    "q359_sized_probe_curve" ->
       """SELECT CAST(np AS BIGINT) AS n_probe,
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id < 100) AS n_queries,
@@ -9715,10 +9715,10 @@ object SparkEntry {
         |FROM (SELECT unnest(generate_series(1, 4)) AS np)
         |ORDER BY n_probe""".stripMargin,
 
-    // q358: the q356 bitsel/mask cell derivation feeding the q79
+    // q357: the q356 bitsel/mask cell derivation feeding the q79
     // semdedup chain verbatim (nearest-centroid assignment over the
     // sized cells, keep-lowest-id cosine verdict)
-    "q358_sized_semdedup" ->
+    "q357_sized_semdedup" ->
       s"""WITH ${lshSigCtes(numTables = 1, numBits = 16, dim = 64)},
         |bitsel AS (
         |  SELECT coalesce(min(b), 16) AS bits
@@ -10437,10 +10437,10 @@ object SparkEntry {
          |ORDER BY train_doc, eval_doc""".stripMargin
     },
 
-    // q359: the q58 chain (same split, same 8-gram distinct-shingle
+    // q358: the q58 chain (same split, same 8-gram distinct-shingle
     // join) reduced to DISTINCT contaminated (train, eval) doc pairs,
     // then rolled up per train-doc source with zero-filled counters
-    "q359_decon_by_source" -> {
+    "q358_decon_by_source" -> {
       val b = Sampling.bucketSql("doc_id")
       val w = 8 - 1
       s"""WITH lab AS (

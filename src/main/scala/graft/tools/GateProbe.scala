@@ -95,7 +95,7 @@ object GateProbe {
         .withColumn("rank_agree",
           col("rank_hit").cast("double") / col("n_slots"))
         .show(false)
-      println("-- q360 sized-cell recall@5 vs nProbe (100-query panel) --")
+      println("-- q359 sized-cell recall@5 vs nProbe (100-query panel) --")
       val szBits = Similarity.sizedPlaneBits(emb.count(),
         emb.select(count_distinct(col("label"))).head().getLong(0), 50L)
       val szCells = emb.withColumn("cell2",
