@@ -70,11 +70,19 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     def runControls(tag: String): Unit = if (only.isEmpty) {
       controls(tag) = controlNames.flatMap { n =>
-        SparkEntry.queries.get(n).map { fn =>
+        SparkEntry.queries.get(n).flatMap { fn =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          n.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
+          // a THROWN control must not record its elapsed-until-throw as
+          // a timing — a bogus near-zero value would silently poison
+          // bench_delta's inflation median; drop the run and flag it
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some(n.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case _: Throwable =>
+              failed += s"ctl-$tag:${n.takeWhile(_ != '_')}"
+              None
+          }
         }
       }
     }

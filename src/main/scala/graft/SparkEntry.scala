@@ -513,16 +513,7 @@ object SparkEntry {
     // p-indexed), then replays the q348 chain verbatim
     "q356_sized_quantizer_hubness" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // two bounded driver-side COUNTS (the q334 convention) feed the
-      // integer sizing — n and the coarse-cell count
-      val bits = Similarity.sizedPlaneBits(
-        emb.count(),
-        emb.select(countDistinct(col("label"))).head().getLong(0),
-        targetCellSize = 50L)
-      val cells = emb.withColumn("cell2",
-        concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"),
-            numBits = bits, seed = 0, portable = true).cast("string")))
+      val (cells, bits) = Similarity.sizedLabelPlaneCells(emb)
       val deg = Similarity.selfKnnIvf(cells, k = 5, nProbe = 2,
           coarseCol = "cell2", portable = true)
         .groupBy(col("neighbor_id").as("vec_id"))
@@ -546,15 +537,8 @@ object SparkEntry {
     // SF, so both verdict classes stay present (the q79 0.4 re-key
     // precedent)
     "q357_sized_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val bits = Similarity.sizedPlaneBits(
-        emb.count(),
-        emb.select(countDistinct(col("label"))).head().getLong(0),
-        targetCellSize = 50L)
-      val cells = emb.withColumn("cell2",
-        concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"),
-            numBits = bits, seed = 0, portable = true).cast("string")))
+      val (cells, _) = Similarity.sizedLabelPlaneCells(
+        t(s, dir, "embeddings"))
       Similarity.semDedup(cells, threshold = 0.35, coarseCol = "cell2",
           portable = true)
         .orderBy(col("vec_id"))
@@ -574,14 +558,7 @@ object SparkEntry {
     // never be displaced by a non-member — SimilaritySpec pins it)
     "q359_sized_probe_curve" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val bits = Similarity.sizedPlaneBits(
-        emb.count(),
-        emb.select(countDistinct(col("label"))).head().getLong(0),
-        targetCellSize = 50L)
-      val cells = emb.withColumn("cell2",
-        concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"),
-            numBits = bits, seed = 0, portable = true).cast("string")))
+      val (cells, _) = Similarity.sizedLabelPlaneCells(emb)
       val panel = emb.filter(col("vec_id") < 100)
       val exact = Similarity.bruteForceTopK(emb, panel, k = 5)
       val floors = Map(1 -> 0.02, 2 -> 0.04, 3 -> 0.06, 4 -> 0.08)
@@ -712,9 +689,7 @@ object SparkEntry {
     // q317's two argmaxes the rollups
     "q337_contrastive_ivf_scaled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .withColumn("cell2", concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"), numBits = 2,
-            seed = 0, portable = true).cast("string")))
+        .withColumn("cell2", Similarity.labelPlaneCellCol(numBits = 2))
       Similarity.contrastivePairsIvf(emb, tau = 0.35, nProbe = 2,
           coarseCol = "cell2", portable = true)
         .orderBy(col("anchor_id"))
@@ -959,9 +934,7 @@ object SparkEntry {
     // 4.6× wall at 10× data, this one ~2× (SCALING.md)
     "q348_ann_hubness" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .withColumn("cell2", concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"), numBits = 2,
-            seed = 0, portable = true).cast("string")))
+        .withColumn("cell2", Similarity.labelPlaneCellCol(numBits = 2))
       val deg = Similarity.selfKnnIvf(emb, k = 5, nProbe = 2,
           coarseCol = "cell2", portable = true)
         .groupBy(col("neighbor_id").as("vec_id"))
@@ -982,9 +955,7 @@ object SparkEntry {
     // cells as q348 (nlist ∝ n keeps the candidate pass linear)
     "q349_knn_clusters" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .withColumn("cell2", concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"), numBits = 2,
-            seed = 0, portable = true).cast("string")))
+        .withColumn("cell2", Similarity.labelPlaneCellCol(numBits = 2))
       Dedup.connectedComponents(
           Similarity.mutualKnnEdges(
             Similarity.selfKnnIvf(emb, k = 5, nProbe = 2,

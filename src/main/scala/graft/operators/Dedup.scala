@@ -618,14 +618,19 @@ object Dedup {
     */
   def droppedAudit(spark: org.apache.spark.sql.SparkSession,
                    dir: String): DataFrame = {
-    IndexSwap.recover(new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      dir, minhashFrames)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, dir, minhashFrames)
     val kept = spark.read.parquet(s"$dir/bands")
       .select(col("band"), col("bucket")).distinct()
       .agg(count(lit(1)).as("n_buckets"))
-    val dropped = spark.read.parquet(s"$dir/dropped")
-      .agg(count(lit(1)).as("n_dropped"))
+    // pre-`dropped` indexes: same guard as [[appendMinhashIndex]]'s
+    // dropped0 — the audit must report zero, not throw path-not-found
+    val dropped =
+      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/dropped")))
+         spark.read.parquet(s"$dir/dropped")
+       else spark.range(0).select(col("id").as("band")))
+        .agg(count(lit(1)).as("n_dropped"))
     kept.crossJoin(dropped) // one-row sides — AQE broadcasts
       .select(col("n_buckets"), col("n_dropped"),
         round(col("n_dropped").cast("double") /

@@ -139,16 +139,25 @@ object Privacy {
     * Row-local nested `regexp_replace` — codegen, no shuffle.
     *
     * Idempotence (re-redacting output is a no-op) holds only when no
-    * placeholder can itself be bitten by a LATER rule's regex — e.g. a
+    * placeholder can itself be bitten by a rule's regex — e.g. a
     * caller placeholder `<ID-9>` would be re-matched by a digit rule.
-    * The require below checks exactly that, so the zero-residual
-    * guarantee the release gate depends on is enforced, not assumed. */
+    * The require below probes each placeholder in isolation AND
+    * flanked by digit/letter context ("0…0", "a…a"), which catches
+    * the compositional class too (a placeholder like `ID-` that only
+    * matches once the SURROUNDING text supplies the digits). The
+    * probe is a guard, not a proof — a regex keyed on characters
+    * outside [0-9a-z] adjacency can still slip it, so keep
+    * placeholders out of every rule's alphabet (the defaults' `<…>`
+    * convention). */
   def piiRedact(df: DataFrame, textCol: String = "text",
                 rules: Seq[PiiRule] = defaultPiiRules): DataFrame = {
-    for (p <- rules; r <- rules)
-      require(r.regex.r.findFirstIn(p.placeholder).isEmpty,
+    for (p <- rules; r <- rules;
+         probe <- Seq(p.placeholder, s"0${p.placeholder}0",
+           s"a${p.placeholder}a"))
+      require(r.regex.r.findFirstIn(probe).isEmpty,
         s"placeholder '${p.placeholder}' of rule '${p.name}' matches " +
-          s"rule '${r.name}' regex — redaction would not be idempotent")
+          s"rule '${r.name}' regex (probe '$probe') — redaction would " +
+          "not be idempotent")
     df.withColumn("redacted",
       rules.foldLeft(col(textCol)) { (c, r) =>
         regexp_replace(c, lit(r.regex), lit(r.placeholder)) })

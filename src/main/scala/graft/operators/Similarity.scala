@@ -430,13 +430,42 @@ object Similarity {
     require(maxBits >= 1 && maxBits <= 62,
       s"maxBits must be in [1, 62], got $maxBits")
     var b = 1
-    // capacity guard instead of multiplying into overflow
-    def covers(bb: Int): Boolean = {
-      val cells = nCoarse * (1L << bb)
-      cells >= n / targetCellSize + (if (n % targetCellSize == 0) 0 else 1)
-    }
+    val need = n / targetCellSize + (if (n % targetCellSize == 0) 0 else 1)
+    // shift-based capacity guard: nCoarse << bb would wrap for large
+    // nCoarse·2^bb, so compare against the shifted headroom instead of
+    // multiplying into overflow
+    def covers(bb: Int): Boolean =
+      nCoarse > (Long.MaxValue >> bb) || nCoarse * (1L << bb) >= need
     while (b < maxBits && !covers(b)) b += 1
     b
+  }
+
+  /** The `label#md5-plane-bucket` refined-cell column shared by every
+    * scaled IVF-candidate gate (q337/q348/q349/q356/q357/q359): ONE
+    * definition of the cell-key format — separator, seed 0, the
+    * portable md5 plane family — so the engine side can never drift
+    * from the shared oracle CTEs that replay it.
+    */
+  def labelPlaneCellCol(numBits: Int, coarseCol: String = "label",
+                        vecCol: String = "embedding"): Column =
+    concat(col(coarseCol).cast("string"), lit("#"),
+      hyperplaneSignatureCol(col(vecCol), numBits, seed = 0,
+        portable = true).cast("string"))
+
+  /** [[labelPlaneCellCol]] with the bit budget DERIVED from the corpus
+    * ([[sizedPlaneBits]] over two bounded driver-side counts — the
+    * q334 convention): returns the frame with the sized `cell2`
+    * column plus the chosen bit count.
+    */
+  def sizedLabelPlaneCells(corpus: DataFrame,
+                           targetCellSize: Long = 50L,
+                           coarseCol: String = "label",
+                           vecCol: String = "embedding"): (DataFrame, Int) = {
+    val bits = sizedPlaneBits(corpus.count(),
+      corpus.select(countDistinct(col(coarseCol))).head().getLong(0),
+      targetCellSize)
+    (corpus.withColumn("cell2",
+      labelPlaneCellCol(bits, coarseCol, vecCol)), bits)
   }
 
   /** Per-cell balance card of a persisted IVF index's inverted lists —

@@ -96,12 +96,7 @@ object GateProbe {
           col("rank_hit").cast("double") / col("n_slots"))
         .show(false)
       println("-- q359 sized-cell recall@5 vs nProbe (100-query panel) --")
-      val szBits = Similarity.sizedPlaneBits(emb.count(),
-        emb.select(count_distinct(col("label"))).head().getLong(0), 50L)
-      val szCells = emb.withColumn("cell2",
-        concat(col("label").cast("string"), lit("#"),
-          Similarity.hyperplaneSignatureCol(col("embedding"),
-            numBits = szBits, seed = 0, portable = true).cast("string")))
+      val (szCells, szBits) = Similarity.sizedLabelPlaneCells(emb)
       val szPanel = emb.filter(col("vec_id") < 100)
       val szExact = Similarity.bruteForceTopK(emb, szPanel, k = 5)
       for (np <- Seq(1, 2, 3, 4)) {

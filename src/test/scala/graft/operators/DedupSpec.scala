@@ -194,6 +194,13 @@ class DedupSpec extends SparkSpecBase {
     val after = Dedup.droppedAudit(spark, dir).collect().head
     assert(after.getLong(1) > 0L, "the saturated append must fire")
     assert(after.getDouble(2) > 0.0 && after.getDouble(2) < 1.0)
+    // a pre-`dropped` index (the appendMinhashIndex dropped0 class)
+    // audits to zero instead of throwing path-not-found
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dropped"), true)
+    val legacy = Dedup.droppedAudit(spark, dir).collect().head
+    assert(legacy.getLong(1) == 0L && legacy.getDouble(2) == 0.0)
     Dedup.releaseCaches()
   }
 

@@ -139,6 +139,15 @@ class PrivacySpec extends SparkSpecBase {
     val ex = intercept[IllegalArgumentException] {
       Privacy.piiRedact(doc, rules = rules) }
     assert(ex.getMessage.contains("idempotent"))
+    // COMPOSITIONAL re-bite: 'ID-' alone matches nothing, but with the
+    // surrounding text's digits ('ID-' + '123') a later digit-keyed
+    // rule would bite it — the flanked probes must catch this class
+    val comp = Seq(
+      Privacy.PiiRule("tag", "\\bsecret\\b", "ID-"),
+      Privacy.PiiRule("idish", "ID-\\d+", "<X>"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Privacy.piiRedact(doc, rules = comp) }
+    assert(ex2.getMessage.contains("idempotent"))
     // the defaults themselves pass their own check
     Privacy.piiRedact(doc)
   }

@@ -489,6 +489,13 @@ class SimilaritySpec extends SparkSpecBase {
     // clamp at maxBits for absurd corpora
     assert(Similarity.sizedPlaneBits(Long.MaxValue / 4, 10L, 50L,
       maxBits = 8) == 8)
+    // a huge coarse-cell count must not overflow the capacity product
+    // (the shift guard): one bit already covers
+    assert(Similarity.sizedPlaneBits(100L, Long.MaxValue / 2, 1L) == 1)
+    // nCoarse*2 = MaxValue-1 just misses need = MaxValue at b=1; the
+    // shift guard (not a wrapped product) answers b=2
+    assert(Similarity.sizedPlaneBits(Long.MaxValue, Long.MaxValue / 2,
+      1L, maxBits = 62) == 2)
     // monotone in n across a sweep
     val bs = (1L to 100L).map(i =>
       Similarity.sizedPlaneBits(i * 1000L, 10L, 50L))

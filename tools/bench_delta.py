@@ -59,10 +59,13 @@ def main():
     old_d, new_d = load(old_path), load(new_path)
     old, new = rows(old_d), rows(new_d)
     inflation = control_inflation(old_d, new_d)
-    # deflate the new side only when the battery ran HOT — a calm or
-    # faster battery (<= 1) must not manufacture regressions by
-    # inflating the new numbers
-    scale = inflation if inflation is not None and inflation > 1.0 else 1.0
+    # SYMMETRIC normalization: inflation estimates h_new/h_old (the two
+    # boxes' contention ratio), so dividing the new side by it makes
+    # the sides comparable in BOTH directions — > 1 deflates a hot new
+    # battery (no phantom regressions), < 1 inflates a calm new battery
+    # back to the hot old baseline (a real regression the old side's
+    # contention would otherwise mask, and no phantom 'improved' flood)
+    scale = inflation if inflation else 1.0
     true_deltas, warm_shifted, improved = {}, {}, {}
     for q in sorted(set(old) & set(new)):
         (o, ow), (n, nw) = old[q], new[q]
@@ -73,7 +76,7 @@ def main():
                  "old_warm": ow, "new_warm": nw}
         if adj > o * RATIO and adj - o > ABS_S:
             (warm_shifted if ow != nw else true_deltas)[q] = entry
-        elif o > n * RATIO and o - n > ABS_S:
+        elif o > adj * RATIO and o - adj > ABS_S:
             improved[q] = entry
     out = {
         "old": old_path, "new": new_path,
@@ -82,8 +85,8 @@ def main():
         "note": "warm_shifted rows changed memo attribution between runs "
                 "(cache artifact, excluded from adjudication); true_deltas "
                 "need the fresh-battery adjudication protocol; new-side "
-                "times were divided by control_inflation (when > 1) "
-                "before flagging",
+                "times were divided by control_inflation (in both "
+                "directions) before flagging",
         "true_deltas": true_deltas,
         "warm_shifted": warm_shifted,
         "improved": improved,
