@@ -9132,13 +9132,21 @@ object SparkEntry {
 
     // q323: the q237/q238 chain's final probabilities, 6-dp rounded,
     // ordered by |p − 0.5| with id tiebreak, cut at 40
+    // selection cut on the UNROUNDED margin (the operator's internal
+    // order — identical IEEE doubles in both engines), display order
+    // on the ROUNDED margin6 + doc_id mirroring the engine query's
+    // outer sort: at sf0.1 four docs tie at margin6 = 0.000183 with
+    // distinct unrounded margins, and sorting the display by the
+    // unrounded value put the tie group in a different row order
     "q323_uncertainty_sample" ->
       s"""WITH ${logRegOracleCtes(5, 0.5)}
-         |SELECT doc_id, p_quality,
-         |  round(abs(p_quality - 0.5e0), 6) AS margin6
-         |FROM (SELECT doc_id, round(p, 6) AS p_quality FROM lrfinal)
-         |ORDER BY abs(p_quality - 0.5e0), doc_id
-         |LIMIT 40""".stripMargin,
+         |SELECT * FROM (
+         |  SELECT doc_id, p_quality,
+         |    round(abs(p_quality - 0.5e0), 6) AS margin6
+         |  FROM (SELECT doc_id, round(p, 6) AS p_quality FROM lrfinal)
+         |  ORDER BY abs(p_quality - 0.5e0), doc_id
+         |  LIMIT 40)
+         |ORDER BY margin6, doc_id""".stripMargin,
 
     // q324: the KN tercile chain and the LogReg chain in ONE WITH
     // (disjoint CTE prefixes), crossed per doc
