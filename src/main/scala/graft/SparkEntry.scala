@@ -578,6 +578,101 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy(col("n_probe"))
     }),
 
+    // image near-dup on the REAL decode path (r15 verdict ask #5 — the
+    // multimodal-dedup row q212's md5-fake gate doesn't cover): 60
+    // deterministic step-edge PNGs (10 scenes × 6 rendition sizes,
+    // rendered executor-side from doc_id — Multimodal.edgeScenePng
+    // places every scene's edge in a FIXED dHash grid column, so
+    // renditions of a scene hash identically and distinct scenes sit
+    // ≥8 hamming apart BY CONSTRUCTION) run the full decode → dHash →
+    // 16-bit pigeonhole blocking → hamming-verify pipeline. The
+    // fixture is doc_id < 60 at every SF (the q215 bounding style), so
+    // the oracle derives the exact expected pair set relationally:
+    // found pairs ≡ within-scene pairs, zero cross-scene, max hamming
+    // 0. No GateProbe margin needed — the counts are exact, not
+    // thresholded.
+    "q360_image_neardup_real" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.edgeScenePng(
+          (id % 10).toInt, 18 + 9 * (id / 10).toInt))))
+        .toDF("asset_id", "payload")
+      val pairs = Multimodal.perceptualNearDups(assets, "asset_id")
+      val cls = pairs.withColumn("__w",
+        (pmod(col("id_a"), lit(10L)) === pmod(col("id_b"), lit(10L)))
+          .cast("long"))
+      assets.agg(count(lit(1)).as("n_assets"))
+        .crossJoin(cls.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("__w")), lit(0L)).as("n_within_scene"),
+          coalesce(max(col("hamming").cast("long")), lit(0L))
+            .as("max_hamming")))
+        .select(col("n_assets"), col("n_pairs"), col("n_within_scene"),
+          (col("n_pairs") - col("n_within_scene")).as("n_cross_scene"),
+          col("max_hamming"))
+    }),
+
+    // cross-modal retrieval readout (r15 verdict ask #6): the sign-off
+    // that extractFeatures' embedding column is RETRIEVAL-GRADE — each
+    // label's exact centroid roundtrips through a REAL 8×8 gray PNG
+    // (affine to pixel range → encode → the real grayGrid decode →
+    // inverse affine) and queries the embedding corpus, scored two
+    // ways per the q127 derived-agreement convention: top-5 set
+    // agreement vs the pre-roundtrip exact twin (pixel quantization is
+    // the only difference; GateProbe measured 0.94–1.0 across
+    // sf0.001/0.01/0.1, gate 0.7 — a broken decode path degrades to
+    // ~0), and label-match precision@5 (measured 0.36–0.60, gate 0.2 =
+    // 2× the 10-label chance floor; near-isotropic embeddings still
+    // rank own-label members above chance because each member
+    // contributes 1/n of itself to the centroid). Query ids are
+    // label+1000000 so bruteForceTopK's self-exclusion can't collide
+    // with corpus vec_ids.
+    "q361_crossmodal_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label").cast("int").as("_1"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("_2"))
+      val exactQ = cents.select((col("_1") + lit(1000000L)).as("vec_id"),
+        col("_2").as("embedding"))
+      val pxScale = 6.0f // keeps 0.5 + scale·centroid inside [0,1] with
+                         // margin at every SF (max |component| ≤ 0.058)
+      val imgQ = cents.as[(Int, Array[Float])].mapPartitions(_.map {
+        case (lab, v) =>
+          (lab, Multimodal.grayVecPng(v.map(x => 0.5f + pxScale * x)))
+      }).toDF("label", "payload")
+        .withColumn("embedding", lit(null).cast("array<float>"))
+      val roundQ = Multimodal.extractFeatures(imgQ, dim = 64)
+        .select((col("label") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => ((x - lit(0.5f)) / lit(pxScale)).cast("float"))
+            .as("embedding"))
+      val fromImg = Similarity.bruteForceTopK(emb, roundQ, k = 5)
+      val fromExact = Similarity.bruteForceTopK(emb, exactQ, k = 5)
+      val agree = Similarity.topKAgreement(fromImg, fromExact)
+        .agg(count(lit(1)).as("__nq"), sum(col("n_approx")).as("__sl"),
+          sum(col("n_hit")).as("__h"))
+      val prec = fromImg
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), Seq("neighbor_id"))
+        .agg(sum((col("query_id") - lit(1000000L) ===
+            col("__nl").cast("long")).cast("long")).as("__lh"),
+          count(lit(1)).as("__n"))
+      agree.crossJoin(prec).select(
+        col("__nq").as("n_labels"),
+        col("__sl").as("n_results"),
+        (col("__sl") === col("__nq") * 5L).cast("long").as("coverage_ok"),
+        (col("__h").cast("double") / col("__sl") >= 0.7).cast("long")
+          .as("roundtrip_ok"),
+        (col("__lh").cast("double") / col("__n") >= 0.2).cast("long")
+          .as("precision_ok"))
+    }),
+
     // the MinHash cap-ledger GROWTH gate (r14 verdict ask — the dedup
     // sibling of q333's PQ staleness): the corpus has no natural
     // mega-buckets, so the fixture injects them per doc_id residue
@@ -4040,7 +4135,14 @@ object SparkEntry {
       val base = "/tmp/graft_scratch/ingest_parity_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       freshDir(s, base)
+      // parity UNIVERSE is the odd-doc_id residue slice (r15 verdict ask
+      // #3's battery-diet option, the q315/q342/q355 fixture precedent):
+      // the gate proves streaming ≡ batch POLICY equivalence, which a
+      // half-corpus universe witnesses exactly as well — every stage
+      // (sign, decon, probe, ledger) and every parity diff runs at half
+      // cost, and the oracle slices identically
       val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2L)) === 1L)
         .select(col("doc_id"), col("text"), col("n_chars"))
       val seed = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
       val arriving = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
@@ -4048,17 +4150,30 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val model = LogReg.Model(Seq("n_chars"), Seq((300.0, 100.0)),
         Array(0.0, 1.0))
-      // -- live ingest: three micro-batch slices through the stream
-      Dedup.writeMinhashIndex(seed, s"$base/stream_idx", "doc_id", "text")
-      val pairBuf =
-        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      // -- live ingest: three micro-batch slices through the stream.
+      // ONE seed signing pass (r15 verdict ask #3): the seed index is
+      // built once as batch_idx and FS-COPIED to stream_idx — the two
+      // sides start from byte-identical generations without paying the
+      // MinHash signature pass twice (a copy moves bytes, not compute;
+      // the stream then appends only to ITS copy, the backfill probe
+      // reads the pristine original)
+      Dedup.writeMinhashIndex(seed, s"$base/batch_idx", "doc_id", "text")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val pfs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(pfs,
+        new org.apache.hadoop.fs.Path(s"$base/batch_idx"), pfs,
+        new org.apache.hadoop.fs.Path(s"$base/stream_idx"), false, hconf)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Long)]
+      // pair sink is SCALE-SHAPED (r15 verdict ask #4): per-batch pairs
+      // append to parquet and are compared as frames — the ledger leg's
+      // own pattern — so the gate exercises no driver-side data-sized
+      // sink (the old ConcurrentLinkedQueue collect is gone)
       val q = graft.streaming.StreamingIngest.pipeline(
         input.toDF().toDF("doc_id", "text", "n_chars"), model, evalDocs,
         s"$base/stream_idx",
-        (pairs, _) => pairs.collect()
-          .foreach(r => pairBuf.add((r.getLong(0), r.getLong(1)))),
+        (pairs, _) => pairs.select(col("doc_a"), col("doc_b"))
+          .write.mode("append").parquet(s"$base/stream_pairs"),
         onLedger = Some((led, _) =>
           led.write.mode("append").parquet(s"$base/stream_ledger")))
       try {
@@ -4088,9 +4203,11 @@ object SparkEntry {
       val streamSurv = s.read.parquet(s"$base/stream_idx/shingles")
         .select(col("doc").as("doc_id"))
         .join(seed.select("doc_id"), Seq("doc_id"), "left_anti")
-      import scala.jdk.CollectionConverters._
-      val streamPairs = pairBuf.asScala.toSeq.distinct
-        .toDF("doc_a", "doc_b")
+      // explicit schema: a run whose every micro-batch found zero pairs
+      // leaves only _SUCCESS markers behind, and schema inference would
+      // fail on them — the compared quantity must be an empty frame
+      val streamPairs = s.read.schema("doc_a LONG, doc_b LONG")
+        .parquet(s"$base/stream_pairs").distinct()
       val streamLedger = s.read.parquet(s"$base/stream_ledger")
       // -- backfill twin: the same three policies as one batch
       val bq = arriving.filter(model.probability >= 0.5)
@@ -4098,7 +4215,6 @@ object SparkEntry {
           "doc_id", "text", shingleSize = 8)
         .select(col("train_doc").as("doc_id")).distinct()
       val batchSurv = bq.join(contaminated, Seq("doc_id"), "left_anti")
-      Dedup.writeMinhashIndex(seed, s"$base/batch_idx", "doc_id", "text")
       val batchPairs = Dedup.nearDupsFromIndex(s, s"$base/batch_idx",
           batchSurv, "doc_id", "text", threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
@@ -8400,7 +8516,8 @@ object SparkEntry {
     // streaming-vs-backfill symmetric differences are zero
     "q334_streaming_ingest_parity" ->
       """WITH arr AS (
-        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0),
         |q AS (SELECT doc_id, text FROM arr WHERE n_chars >= 300),
         |tq AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -8412,7 +8529,7 @@ object SparkEntry {
         |  FROM tq),
         |tev AS (
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id % 50 = 3),
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 50 = 3),
         |gev AS (
         |  SELECT DISTINCT unnest(list_distinct(list_transform(
         |    generate_series(1, len(t) - 7),
@@ -8426,7 +8543,8 @@ object SparkEntry {
         |  SELECT d.doc_id, d.text,
         |    CASE WHEN d.doc_id % 7 = 0 THEN 0 ELSE 1 END AS is_surv
         |  FROM documents d
-        |  WHERE d.doc_id % 7 = 0 OR d.doc_id IN (SELECT doc_id FROM surv)),
+        |  WHERE d.doc_id % 2 = 1 AND
+        |    (d.doc_id % 7 = 0 OR d.doc_id IN (SELECT doc_id FROM surv))),
         |toks AS (
         |  SELECT doc_id, is_surv,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
@@ -8459,7 +8577,7 @@ object SparkEntry {
         |    AND ns >= 1)
         |SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
-        |   WHERE doc_id % 7 = 0) AS n_seed,
+        |   WHERE doc_id % 2 = 1 AND doc_id % 7 = 0) AS n_seed,
         |  (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_survivors,
         |  CAST(1 AS BIGINT) AS survivors_match,
         |  (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_pairs,
@@ -9693,6 +9811,34 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS recall_ok
         |FROM (SELECT unnest(generate_series(1, 4)) AS np)
         |ORDER BY n_probe""".stripMargin,
+
+    // q360: the fixture's expected pair set is derivable relationally —
+    // scenes are doc_id % 10, so found pairs ≡ within-scene pairs among
+    // doc_id < 60 (dHash is rendition-invariant by construction and
+    // scenes sit ≥8 hamming apart, both pinned in MultimodalSpec); no
+    // thresholds, exact counts
+    "q360_image_neardup_real" ->
+      """WITH fx AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |wp AS (SELECT count(*) AS c FROM fx a JOIN fx b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fx) AS n_assets,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_pairs,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_within_scene,
+        |  CAST(0 AS BIGINT) AS n_cross_scene,
+        |  CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
+
+    // q361: structural counts replay off embeddings; the two quality
+    // flags are the q127 measured-margin class (agreement 0.94–1.0 vs
+    // gate 0.7, label precision 0.36–0.60 vs gate 0.2)
+    "q361_crossmodal_retrieval" ->
+      """SELECT
+        |  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM embeddings)
+        |    AS n_labels,
+        |  (SELECT CAST(5 * count(DISTINCT label) AS BIGINT)
+        |   FROM embeddings) AS n_results,
+        |  CAST(1 AS BIGINT) AS coverage_ok,
+        |  CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS precision_ok""".stripMargin,
 
     // q357: the q356 bitsel/mask cell derivation feeding the q79
     // semdedup chain verbatim (nearest-centroid assignment over the
@@ -12599,7 +12745,12 @@ object SparkEntry {
         """ids AS (
           |  SELECT p.doc_id, p.pos, v.token_id
           |  FROM pos p LEFT JOIN voc v USING (symbol)),
-          |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          |pd AS MATERIALIZED (
+          |       -- MATERIALIZED is load-bearing: pd is reached through
+          |       -- five subquery paths below, and DuckDB inlines plain
+          |       -- CTEs — without it the whole upstream BPE chain
+          |       -- re-evaluates per path (>10 min; 9 s with it)
+          |       SELECT doc_id, CAST(count(*) AS BIGINT) AS n
           |       FROM ids GROUP BY doc_id),
           |srk AS (
           |  SELECT n, row_number() OVER (ORDER BY n, doc_id) AS r FROM pd),

@@ -459,8 +459,12 @@ object Dedup {
   /** The MinHash index's swap-managed generation frames. A REBUILD
     * rewrites all three as one generation; an append swaps only
     * bands/dropped (shingles is append-only there — new files, no
-    * generation hazard). See [[IndexSwap]]. */
-  private val minhashFrames = Seq("shingles", "bands", "dropped")
+    * generation hazard). See [[IndexSwap]]. PUBLIC so maintenance
+    * tooling ([[Maintenance.sweepIndexDebris]], [[Maintenance.indexCard]])
+    * can name the canonical family instead of hand-listing a subset —
+    * recovery's all-staged-complete check only spans the frames it is
+    * given, so a partial list can promote half a torn generation. */
+  val minhashFrames = Seq("shingles", "bands", "dropped")
   private val minhashAppendFrames = Seq("bands", "dropped")
 
   /** Persist a MinHash-LSH near-dup index of a corpus, so later batches

@@ -345,7 +345,17 @@ object Maintenance {
     * After a sweep the card reads clean; sweeping a clean index
     * returns zero rows (recover is idempotent and metadata-cheap).
     * Driver-side FS metadata ops only — bounded by the frame list.
-    */
+    *
+    * CAUTION (frame-list overload): [[IndexSwap.recover]]'s
+    * all-staged-complete check only spans the frames it is GIVEN.
+    * Passing a subset of an index's family (e.g. bands+dropped
+    * without shingles for a MinHash index) after a crashed full
+    * rebuild can promote the listed frames while the unlisted frame's
+    * complete `__staged` is later discarded — new bands paired with
+    * old shingles, a silent generation tear. A partial list VOIDS the
+    * one-generation guarantee; sweep with the family name (the
+    * overload below) or the family's canonical list
+    * ([[Dedup.minhashFrames]], [[Similarity.ivfAllFrames]]). */
   def sweepIndexDebris(spark: SparkSession, dir: String,
                        frames: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(frames.nonEmpty, "sweepIndexDebris needs the family's frames")
@@ -358,5 +368,26 @@ object Maintenance {
     IndexSwap.recover(fs, dir, frames)
     import spark.implicits._
     found.toDF("frame", "kind")
+  }
+
+  /** The canonical swap-managed frame families, by name — the safe
+    * currency for [[sweepIndexDebris]]/[[indexCard]] callers who
+    * should never hand-maintain a frame list. */
+  val indexFamilies: Map[String, Seq[String]] = Map(
+    "minhash" -> Dedup.minhashFrames,
+    "ivf" -> Similarity.ivfAllFrames)
+
+  /** Family-keyed [[sweepIndexDebris]]: sweeps the WHOLE canonical
+    * family, so recovery's all-staged-complete check always spans
+    * every frame a rebuild publishes together — the only form that
+    * preserves the one-generation guarantee without the caller
+    * knowing the family's frame names. */
+  def sweepIndexFamily(spark: SparkSession, dir: String,
+                       family: String): org.apache.spark.sql.DataFrame = {
+    val frames = indexFamilies.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown index family '$family' — known: " +
+          indexFamilies.keys.toSeq.sorted.mkString(", ")))
+    sweepIndexDebris(spark, dir, frames)
   }
 }

@@ -651,4 +651,63 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
   }
+
+  // ---- fixture renderers (gates + specs) ---------------------------------
+  // The synthetic corpus carries no image payloads, so the REAL-decode
+  // gates build their own: deterministic JDK-rendered PNGs whose dHash /
+  // grayGrid behavior is derivable by construction. These are fixture
+  // GENERATORS, not operators — they live here because they are the
+  // encode twins of this file's decode path and every byte they produce
+  // flows straight into it.
+
+  /** Step-edge scene PNG for the q360 image near-dup gate: scenes 0–8 are
+    * black-left/white-right with the edge centered in dHash grid column
+    * `scene` (edge pixel = (scene+0.5)·size/9, so every rendition size
+    * puts the edge in the SAME grid cell → dHash is rendition-invariant
+    * and scenes map to pairwise-distinct bit patterns ≥8 hamming apart);
+    * scene 9 is all-white (dHash 0). `size` must be a multiple of 9 ≥ 18
+    * so grid cells hold ≥2 pixels and the edge cell stays strictly
+    * partial (its average luma in (0,1), never rounding to a flip).
+    */
+  private[graft] def edgeScenePng(scene: Int, size: Int): Array[Byte] = {
+    require(scene >= 0 && scene <= 9, s"scene must be 0..9, got $scene")
+    require(size >= 18 && size % 9 == 0,
+      s"size must be a multiple of 9 >= 18, got $size")
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    val edge = if (scene == 9) 0.0 else (scene + 0.5) * size / 9.0
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        img.setRGB(x, y, if (x < edge) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8×8 gray PNG whose pixel (i mod 8, i div 8) carries `v(i)` as an
+    * 8-bit gray level (clamped to [0,1], quantized to 1/255) — the
+    * encode twin of [[extractFeatures]]'s dim=64 path: `grayGrid(img, 8)`
+    * on an 8×8 image is one pixel per cell, so the decoded feature
+    * vector recovers `v` to within the 1/255 quantization. Used by the
+    * q361 cross-modal retrieval gate to roundtrip label centroids
+    * through real pixels.
+    */
+  private[graft] def grayVecPng(v: Array[Float]): Array[Byte] = {
+    require(v.length == 64, s"grayVecPng needs 64 values, got ${v.length}")
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val p = math.min(255, math.max(0, math.round(v(i) * 255f)))
+      img.setRGB(i % 8, i / 8, (p << 16) | (p << 8) | p)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -144,20 +144,33 @@ object Privacy {
     * The require below probes each placeholder in isolation AND
     * flanked by digit/letter context ("0…0", "a…a"), which catches
     * the compositional class too (a placeholder like `ID-` that only
-    * matches once the SURROUNDING text supplies the digits). The
+    * matches once the SURROUNDING text supplies the digits). A match
+    * only fails the guard when its span OVERLAPS the placeholder's
+    * characters — a rule like `\d+` biting the synthetic flank alone
+    * is the rule doing its normal job on neighboring text, not a
+    * threat to the placeholder, so such rule sets stay accepted. The
     * probe is a guard, not a proof — a regex keyed on characters
     * outside [0-9a-z] adjacency can still slip it, so keep
     * placeholders out of every rule's alphabet (the defaults' `<…>`
     * convention). */
   def piiRedact(df: DataFrame, textCol: String = "text",
                 rules: Seq[PiiRule] = defaultPiiRules): DataFrame = {
-    for (p <- rules; r <- rules;
-         probe <- Seq(p.placeholder, s"0${p.placeholder}0",
-           s"a${p.placeholder}a"))
-      require(r.regex.r.findFirstIn(probe).isEmpty,
-        s"placeholder '${p.placeholder}' of rule '${p.name}' matches " +
-          s"rule '${r.name}' regex (probe '$probe') — redaction would " +
-          "not be idempotent")
+    // compile each rule ONCE (O(rules)), not per (placeholder, flank) pair
+    val compiled = rules.map(r => r -> r.regex.r.pattern)
+    for (p <- rules; flank <- Seq("", "0", "a")) {
+      val probe = flank + p.placeholder + flank
+      val (lo, hi) = (flank.length, flank.length + p.placeholder.length)
+      for ((r, pat) <- compiled) {
+        val m = pat.matcher(probe)
+        var overlap = false
+        while (!overlap && m.find())
+          overlap = m.start < hi && m.end > lo
+        require(!overlap,
+          s"placeholder '${p.placeholder}' of rule '${p.name}' matches " +
+            s"rule '${r.name}' regex (probe '$probe') — redaction would " +
+            "not be idempotent")
+      }
+    }
     df.withColumn("redacted",
       rules.foldLeft(col(textCol)) { (c, r) =>
         regexp_replace(c, lit(r.regex), lit(r.placeholder)) })

@@ -211,9 +211,12 @@ object Similarity {
 
   /** The IVF index's swap-managed generation frames: an APPEND swaps
     * moments+centroids (lists appends new files — no generation
-    * hazard); a REBUILD publishes all three as one generation. */
+    * hazard); a REBUILD publishes all three as one generation.
+    * `ivfAllFrames` is PUBLIC for the same reason as
+    * [[Dedup.minhashFrames]]: maintenance tooling must sweep the
+    * whole family, never a hand-listed subset. */
   private val ivfFrames = Seq("moments", "centroids")
-  private val ivfAllFrames = Seq("moments", "centroids", "lists")
+  val ivfAllFrames = Seq("moments", "centroids", "lists")
 
   /** Persist the IVF index for repeated-query use: `dir/centroids/` holds
     * the per-cell mean vectors, `dir/lists/` the inverted lists as a

@@ -67,9 +67,15 @@ object StreamingIngest {
           TrackedCaches.scopedRelease {
             val q = batch.toDF().withColumn("__qk",
               coalesce(model.probability >= qualityThreshold, lit(false)))
-            val flagged = StreamingDecon.flag(
+            // flagged feeds BOTH the ledger union and the survivor set
+            // handed to processBatch — persist it (tracked, so the
+            // scopedRelease above frees it with the batch) so the
+            // quality-score + decon broadcast-join subtree runs once
+            // per micro-batch, not twice
+            val flagged = TrackedCaches.track(StreamingDecon.flag(
               q.filter(col("__qk")).drop("__qk"),
               evalDocs, deconShingleSize, minShared = 1L, idCol, textCol)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             ledger(
               q.filter(!col("__qk"))
                 .select(col(idCol), lit("s1_quality").as("dropped_at"))

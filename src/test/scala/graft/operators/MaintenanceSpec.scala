@@ -280,8 +280,11 @@ class MaintenanceSpec extends SparkSpecBase {
     val corpus = Seq((1L, "a b c d e f"), (2L, "b c d e f g"))
       .toDF("doc_id", "text")
     Dedup.writeMinhashIndex(corpus, dir, "doc_id", "text")
-    val frames = Seq("bands", "dropped")
-    assert(Maintenance.sweepIndexDebris(spark, dir, frames).count() == 0L)
+    // sweep by FAMILY NAME — the safe form; a hand-listed subset would
+    // void the one-generation guarantee (see sweepIndexDebris caution)
+    def sweep() = Maintenance.sweepIndexFamily(spark, dir, "minhash")
+    val frames = Dedup.minhashFrames
+    assert(sweep().count() == 0L)
     def files(f: String) = Maintenance.indexCard(spark, dir, Seq(f))
       .collect().head.getLong(4)
     val bandsFiles = files("bands")
@@ -292,7 +295,7 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(Maintenance.indexCard(spark, dir, frames).collect()
       .find(_.getString(0) == "bands").get.getBoolean(2),
       "card flags the torn stage")
-    val swept1 = Maintenance.sweepIndexDebris(spark, dir, frames).collect()
+    val swept1 = sweep().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(swept1 == Set(("bands", "staged")))
     assert(files("bands") == bandsFiles,
@@ -301,7 +304,7 @@ class MaintenanceSpec extends SparkSpecBase {
     // leftover, live frames whole): sweep reports and clears it
     java.nio.file.Files
       .createDirectory(java.nio.file.Paths.get(s"$dir/dropped__old"))
-    val swept2 = Maintenance.sweepIndexDebris(spark, dir, frames).collect()
+    val swept2 = sweep().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(swept2 == Set(("dropped", "old")))
     val after = Maintenance.indexCard(spark, dir, frames).collect()
@@ -310,7 +313,10 @@ class MaintenanceSpec extends SparkSpecBase {
       present && !staged && !old }, "sweep heals; frames stay live")
     assert(files("bands") == bandsFiles && files("dropped") > 0L)
     // idempotent: the next sweep finds nothing
-    assert(Maintenance.sweepIndexDebris(spark, dir, frames).count() == 0L)
+    assert(sweep().count() == 0L)
+    // unknown family must fail loudly, not sweep nothing
+    intercept[IllegalArgumentException] {
+      Maintenance.sweepIndexFamily(spark, dir, "nope") }
     Dedup.releaseCaches()
   }
 }

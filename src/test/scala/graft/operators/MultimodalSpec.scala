@@ -369,6 +369,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L, 0)))
   }
 
+  test("edgeScenePng: dHash is rendition-invariant within a scene and " +
+    ">3 hamming across scenes (the q360 fixture contract)") {
+    def h(scene: Int, size: Int) = Multimodal.dHash64(
+      Multimodal.decodeImage(Multimodal.edgeScenePng(scene, size)).get)
+    val sizes = Seq(18, 27, 36, 45, 54, 63)
+    for (scene <- 0 to 9) {
+      val hs = sizes.map(h(scene, _)).distinct
+      assert(hs.size == 1, s"scene $scene renditions must hash identically")
+    }
+    for (a <- 0 to 9; b <- (a + 1) to 9)
+      assert(java.lang.Long.bitCount(h(a, 18) ^ h(b, 18)) > 3,
+        s"scenes $a and $b must be >3 hamming apart")
+    // the flat scene hashes to zero; an edge scene does not
+    assert(h(9, 18) == 0L && h(0, 18) != 0L)
+    intercept[IllegalArgumentException] { Multimodal.edgeScenePng(10, 18) }
+    intercept[IllegalArgumentException] { Multimodal.edgeScenePng(0, 20) }
+  }
+
+  test("perceptualNearDups on the edge-scene fixture set finds exactly " +
+    "the within-scene pairs at hamming 0") {
+    import spark.implicits._
+    val assets = (0L until 60L).map(id => (id, Multimodal.edgeScenePng(
+        (id % 10).toInt, 18 + 9 * (id / 10).toInt)))
+      .toDF("asset_id", "payload")
+    val pairs = Multimodal.perceptualNearDups(assets, "asset_id").collect()
+    assert(pairs.length == 10 * 15) // 10 scenes x C(6,2)
+    assert(pairs.forall(r => r.getLong(0) % 10 == r.getLong(1) % 10))
+    assert(pairs.forall(_.getInt(2) == 0))
+  }
+
+  test("grayVecPng roundtrips a 64-vector through the real decode path " +
+    "to within the 1/255 pixel quantization (the q361 fixture contract)") {
+    val v = Array.tabulate(64)(i => (0.1f + 0.8f * i / 63f))
+    val img = Multimodal.decodeImage(Multimodal.grayVecPng(v)).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    val back = Multimodal.grayGrid(img, 8)
+    v.indices.foreach { i =>
+      assert(math.abs(back(i) - v(i)) <= 1.0f / 255f + 1e-4f,
+        s"component $i: ${back(i)} vs ${v(i)}")
+    }
+    // out-of-range values clamp instead of wrapping
+    val clamped = Multimodal.grayGrid(Multimodal.decodeImage(
+      Multimodal.grayVecPng(Array.fill(64)(2.0f))).get, 8)
+    assert(clamped.forall(x => math.abs(x - 1.0f) < 1e-4f))
+    intercept[IllegalArgumentException] {
+      Multimodal.grayVecPng(Array.fill(16)(0.5f))
+    }
+  }
+
   test("perceptualHash fake path: non-image payloads collide only when " +
     "byte-identical; null payload hashes null") {
     import org.apache.spark.sql.{Row => R}

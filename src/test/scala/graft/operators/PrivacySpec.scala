@@ -151,4 +151,30 @@ class PrivacySpec extends SparkSpecBase {
     // the defaults themselves pass their own check
     Privacy.piiRedact(doc)
   }
+
+  test("piiRedact accepts rules that only bite the probe's flank, not " +
+    "the placeholder (match-overlap guard, round-15 advice)") {
+    // a bare \d+ rule matches the synthetic '0…0' flank of EVERY
+    // placeholder probe, but never overlaps the digit-free placeholders
+    // themselves — the rule set IS idempotent and must be accepted
+    val rules = Seq(
+      Privacy.PiiRule("email",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      Privacy.PiiRule("anynum", "\\d+", "<NUM>"))
+    val doc = Seq((1L, "call 5551234 or mail a@b.co")).toDF("doc_id", "text")
+    val out = Privacy.piiRedact(doc, rules = rules)
+      .select("redacted").collect().head.getString(0)
+    assert(out == "call <NUM> or mail <EMAIL>")
+    // …and re-redacting the output is a no-op (the property the guard
+    // exists to protect)
+    val again = Privacy.piiRedact(
+        Seq((1L, out)).toDF("doc_id", "text"), rules = rules)
+      .select("redacted").collect().head.getString(0)
+    assert(again == out)
+    // a digit INSIDE a placeholder still overlaps a \d+ match → rejected
+    val bad = rules :+ Privacy.PiiRule("tag", "\\bx\\b", "<ID9>")
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.piiRedact(doc, rules = bad) }
+    assert(ex.getMessage.contains("idempotent"))
+  }
 }
