@@ -673,6 +673,198 @@ object SparkEntry {
           .as("precision_ok"))
     }),
 
+    // audio near-dup on the REAL decode path (the q360 recipe moved to
+    // the loudness domain): 60 deterministic amplitude-ladder WAVs (10
+    // scenes × 6 renditions varying samples-per-window, sample rate and
+    // gain — Multimodal.stepSceneWav aligns 65 DC segments 1:1 with
+    // rmsEnvelope's windows, so audioHash64 is rendition-invariant BY
+    // CONSTRUCTION and distinct scenes sit ≥32 hamming apart via the
+    // balanced 8-bit gradient codes) through decode → envelope hash →
+    // 16-bit pigeonhole blocking → hamming verify. Exact-count oracle:
+    // found pairs ≡ within-scene pairs, zero cross-scene, max hamming 0.
+    "q362_audio_neardup_real" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val r = (id / 10).toInt
+          (id, Multimodal.stepSceneWav((id % 10).toInt,
+            spw = 40 + 15 * r, sampleRate = 8000 + 1000 * r,
+            gain = 1.0f - 0.08f * r))
+        })
+        .toDF("asset_id", "payload")
+      val pairs = Multimodal.perceptualNearDups(assets, "asset_id")
+      val cls = pairs.withColumn("__w",
+        (pmod(col("id_a"), lit(10L)) === pmod(col("id_b"), lit(10L)))
+          .cast("long"))
+      assets.agg(count(lit(1)).as("n_assets"))
+        .crossJoin(cls.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("__w")), lit(0L)).as("n_within_scene"),
+          coalesce(max(col("hamming").cast("long")), lit(0L))
+            .as("max_hamming")))
+        .select(col("n_assets"), col("n_pairs"), col("n_within_scene"),
+          (col("n_pairs") - col("n_within_scene")).as("n_cross_scene"),
+          col("max_hamming"))
+    }),
+
+    // video near-dup on the REAL frame-decode path (closes the modality
+    // matrix: text q15, image q360, audio q362, video here): 40
+    // deterministic 5-frame animated GIFs (10 video scenes × 4 rendition
+    // sizes; frame j of scene s shows edge scene (s+j)%10, so renditions
+    // sample identical per-frame dHashes while distinct scenes disagree
+    // ≥8 hamming at EVERY aligned frame) through sampleFramesDecoded →
+    // per-frame dHash → aligned-sequence hamming with first-frame
+    // pigeonhole blocking. Exact-count oracle as q360/q362.
+    "q363_video_neardup_real" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.edgeSceneGif((id % 10).toInt,
+            18 + 9 * (id / 10).toInt, nFrames = 5))
+        })
+        .toDF("asset_id", "payload")
+        .withColumn("media_type", lit("video"))
+        .withColumn("meta",
+          map().cast(org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .withColumn("embedding", lit(null).cast("array<float>"))
+      val pairs = Multimodal.videoPerceptualNearDups(assets, "asset_id",
+        nFrames = 3)
+      val cls = pairs.withColumn("__w",
+        (pmod(col("id_a"), lit(10L)) === pmod(col("id_b"), lit(10L)))
+          .cast("long"))
+      assets.agg(count(lit(1)).as("n_assets"))
+        .crossJoin(cls.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("__w")), lit(0L)).as("n_within_scene"),
+          coalesce(max(col("hamming").cast("long")), lit(0L))
+            .as("max_hamming")))
+        .select(col("n_assets"), col("n_pairs"), col("n_within_scene"),
+          (col("n_pairs") - col("n_within_scene")).as("n_cross_scene"),
+          col("max_hamming"))
+    }),
+
+    // persisted perceptual-hash index + incremental append — the
+    // MULTIMODAL member of the persisted-index family (q141/q312 text
+    // shingles, q333 PQ embeddings): 40 image renditions (10 edge
+    // scenes × 4 sizes) are indexed once, the index GROWS by the
+    // size-54 generation through PhashIndex.append (only the new batch
+    // decodes), and the size-63 probe batch then dedups against
+    // corpus ∪ append without re-decoding a stored payload. Gates:
+    // exact relational pair counts (each probe asset pairs with its
+    // scene's 5 indexed renditions, zero cross-scene, hamming 0),
+    // append ≡ rebuild on ALL THREE frames (the family-exactness flag,
+    // diffed distributed via exceptAll counts), and the dropped-ledger
+    // audit (clean fixture → 0 keys).
+    "q364_phash_index_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val idx = "/tmp/graft_scratch/phash_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val reb = idx + "_rebuild"
+      freshDir(s, idx); freshDir(s, reb)
+      val all = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.edgeScenePng(
+          (id % 10).toInt, 18 + 9 * (id / 10).toInt))))
+        .toDF("asset_id", "payload")
+      PhashIndex.write(all.filter(col("asset_id") < 40), idx)
+      PhashIndex.append(s, idx,
+        all.filter(col("asset_id") >= 40 && col("asset_id") < 50))
+      PhashIndex.write(all.filter(col("asset_id") < 50), reb)
+      val pairs = PhashIndex.nearDups(s, idx,
+        all.filter(col("asset_id") >= 50))
+      val diffs = PhashIndex.phashFrames.map { f =>
+        val a = s.read.parquet(s"$idx/$f")
+        val b = s.read.parquet(s"$reb/$f")
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+          .agg(count(lit(1)).as(s"__d_$f"))
+      }.reduce(_.crossJoin(_))
+      val cls = pairs.withColumn("__w",
+        (pmod(col("id_a"), lit(10L)) === pmod(col("id_b"), lit(10L)))
+          .cast("long"))
+      cls.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("__w")), lit(0L)).as("n_within_scene"),
+          coalesce(max(col("hamming").cast("long")), lit(0L))
+            .as("max_hamming"))
+        .crossJoin(diffs)
+        .crossJoin(PhashIndex.droppedAudit(s, idx)
+          .select(col("n_dropped").as("n_dropped_keys")))
+        .select(col("n_pairs"), col("n_within_scene"),
+          (col("n_pairs") - col("n_within_scene")).as("n_cross_scene"),
+          col("max_hamming"),
+          (col("__d_sigs") + col("__d_chunks") + col("__d_dropped") === 0L)
+            .cast("long").as("rebuild_match"),
+          col("n_dropped_keys"))
+    }),
+
+    // streaming multimodal ingest parity — the q334/q338 closure for
+    // the media shelf: a seed phash index (image renditions ids < 40)
+    // grows by two streamed micro-batches through StreamingPhashDedup
+    // (probe → report pairs to a parquet sink, frames not driver
+    // memory → append), and the UNION of streamed pair reports must
+    // set-equal the one-shot in-memory detector's pairs touching a
+    // streamed asset (Multimodal.perceptualNearDups over all 60,
+    // id_b ≥ 40 — orientation makes "touches the stream" ≡ the larger
+    // id is streamed) — a genuinely independent evaluation path: no
+    // index, no append, no swap. Exact relational pair count + the
+    // distributed-verified parity flag.
+    "q365_streaming_phash_parity" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = "/tmp/graft_scratch/phash_stream_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val all = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.edgeScenePng(
+          (id % 10).toInt, 18 + 9 * (id / 10).toInt))))
+        .toDF("asset_id", "payload")
+      PhashIndex.write(all.filter(col("asset_id") < 40), s"$base/idx")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Byte])]
+      val q = graft.streaming.StreamingPhashDedup.start(
+        input.toDF().toDF("asset_id", "payload"), s"$base/idx",
+        // the scale-shaped pair sink (the q334 convention): append to
+        // parquet per batch, compare as frames afterwards
+        (pairs, bid) => pairs.withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$base/pairs"))
+      try {
+        for (b <- 0L to 1L) {
+          val lo = 40L + 10L * b
+          val it = all.filter(col("asset_id") >= lo &&
+              col("asset_id") < lo + 10L)
+            .as[(Long, Array[Byte])].toLocalIterator()
+          val buf = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, Array[Byte])]
+          while (it.hasNext) {
+            buf += it.next()
+            if (buf.size >= 2048) { input.addData(buf.toSeq); buf.clear() }
+          }
+          if (buf.nonEmpty) input.addData(buf.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamPairs = s.read.parquet(s"$base/pairs")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      val twin = Multimodal.perceptualNearDups(all, "asset_id")
+        .filter(col("id_b") >= 40L)
+      val d = streamPairs.exceptAll(twin)
+        .unionByName(twin.exceptAll(streamPairs))
+        .agg(count(lit(1)).as("__d"))
+      streamPairs.agg(count(lit(1)).as("n_stream_pairs"),
+          coalesce(max(col("hamming").cast("long")), lit(0L))
+            .as("max_hamming"))
+        .crossJoin(twin.agg(count(lit(1)).as("n_twin_pairs")))
+        .crossJoin(d)
+        .select(col("n_stream_pairs"), col("n_twin_pairs"),
+          (col("__d") === 0L).cast("long").as("parity_match"),
+          col("max_hamming"))
+    }),
+
     // the MinHash cap-ledger GROWTH gate (r14 verdict ask — the dedup
     // sibling of q333's PQ staleness): the corpus has no natural
     // mega-buckets, so the fixture injects them per doc_id residue
@@ -9839,6 +10031,63 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS coverage_ok,
         |  CAST(1 AS BIGINT) AS roundtrip_ok,
         |  CAST(1 AS BIGINT) AS precision_ok""".stripMargin,
+
+    // q362: q360's relational oracle verbatim — scenes are doc_id % 10,
+    // envelope-hash rendition invariance and the ≥32-hamming scene
+    // separation are pinned by construction in MultimodalSpec
+    "q362_audio_neardup_real" ->
+      """WITH fx AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |wp AS (SELECT count(*) AS c FROM fx a JOIN fx b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fx) AS n_assets,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_pairs,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_within_scene,
+        |  CAST(0 AS BIGINT) AS n_cross_scene,
+        |  CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
+
+    // q364: the probe batch (doc_id 50..59, one per scene) pairs with
+    // exactly its scene's five indexed renditions — relational count;
+    // rebuild-match and the clean dropped ledger are distributed-
+    // verified flags (literal here), MultimodalSpec/PhashIndexSpec pin
+    // the fixture contract
+    "q364_phash_index_incremental" ->
+      """WITH fxi AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |fxp AS (SELECT doc_id FROM documents
+        |        WHERE doc_id >= 50 AND doc_id < 60),
+        |wp AS (SELECT count(*) AS c FROM fxi a JOIN fxp b
+        |  ON a.doc_id % 10 = b.doc_id % 10)
+        |SELECT (SELECT CAST(c AS BIGINT) FROM wp) AS n_pairs,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_within_scene,
+        |  CAST(0 AS BIGINT) AS n_cross_scene,
+        |  CAST(0 AS BIGINT) AS max_hamming,
+        |  CAST(1 AS BIGINT) AS rebuild_match,
+        |  CAST(0 AS BIGINT) AS n_dropped_keys""".stripMargin,
+
+    // q365: streamed pair reports ≡ pairs touching a streamed asset —
+    // relationally, same-scene pairs whose larger id is ≥ 40; the
+    // parity flag is distributed-verified (exceptAll both ways)
+    "q365_streaming_phash_parity" ->
+      """WITH fx AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |wp AS (SELECT count(*) AS c FROM fx a JOIN fx b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10
+        |  AND b.doc_id >= 40)
+        |SELECT (SELECT CAST(c AS BIGINT) FROM wp) AS n_stream_pairs,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_twin_pairs,
+        |  CAST(1 AS BIGINT) AS parity_match,
+        |  CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
+
+    // q363: same family over the 40-GIF video fixture — within-scene
+    // renditions sample identical frame-hash sequences (hamming 0),
+    // cross-scene videos differ at every aligned frame
+    "q363_video_neardup_real" ->
+      """WITH fx AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |wp AS (SELECT count(*) AS c FROM fx a JOIN fx b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 10 = b.doc_id % 10)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fx) AS n_assets,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_pairs,
+        |  (SELECT CAST(c AS BIGINT) FROM wp) AS n_within_scene,
+        |  CAST(0 AS BIGINT) AS n_cross_scene,
+        |  CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
 
     // q357: the q356 bitsel/mask cell derivation feeding the q79
     // semdedup chain verbatim (nearest-centroid assignment over the

@@ -604,9 +604,32 @@ object Multimodal {
     bits
   }
 
+  /** 64-bit perceptual hash of decoded PCM audio: RMS energy envelope
+    * over 65 equal windows, one bit per consecutive-window loudness
+    * gradient — the audio analogue of [[dHash64]] (temporal energy shape
+    * instead of spatial luma shape). Invariant to sample rate, duration
+    * and any strictly-monotone gain change (bits COMPARE adjacent
+    * windows, they never measure them), so renditions of the same
+    * recording hash identically while unrelated recordings land ~32 bits
+    * apart. Needs at least one sample per window (≥ 65) to be
+    * meaningful — shorter clips take the md5 fallback in
+    * [[perceptualHash]].
+    */
+  private[graft] def audioHash64(samples: Array[Float]): Long = {
+    val env = rmsEnvelope(samples, 65)
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (env(k + 1) > env(k)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
   /** Adds a `phash` LongType column: real dHash for decodable images,
-    * md5-top-64 fake otherwise (null payload → null). mapPartitions,
-    * zero shuffle.
+    * real envelope hash ([[audioHash64]]) for decodable PCM WAV with at
+    * least 65 samples, md5-top-64 fake otherwise (null payload → null).
+    * mapPartitions, zero shuffle.
     */
   def perceptualHash(assets: DataFrame): DataFrame = {
     val enc = Encoders.row(assets.schema.add("phash", LongType))
@@ -619,19 +642,26 @@ object Multimodal {
           if (payload == null || payload.isEmpty) null
           else decodeImage(payload) match {
             case Some(img) => dHash64(img)
-            case None => graft.functions.TextHashes.md5Top64(
-              org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+            case None => decodeWav(payload) match {
+              case Some(wi) if wi.samples.length >= 65 =>
+                audioHash64(wi.samples)
+              case _ => graft.functions.TextHashes.md5Top64(
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+            }
           }
         Row.fromSeq(r.toSeq :+ h)
       }
     }(enc)
   }
 
-  /** Near-duplicate image pairs by perceptual hash: 16-bit pigeonhole
-    * blocking over the four phash chunks (a pair within `maxHamming` ≤ 3
-    * bits MUST share an untouched chunk), hot chunks capped, then the
-    * exact hamming verify — [[Dedup.simhashNearDups]]'s scale shape
-    * applied to the image modality. Output: (id_a, id_b, hamming).
+  /** Near-duplicate pairs by perceptual hash — images via [[dHash64]],
+    * PCM audio via [[audioHash64]] (both REAL decode paths; other
+    * payloads carry the uniform md5 fake, so only byte-identical ones
+    * pair): 16-bit pigeonhole blocking over the four phash chunks (a
+    * pair within `maxHamming` ≤ 3 bits MUST share an untouched chunk),
+    * hot chunks capped, then the exact hamming verify —
+    * [[Dedup.simhashNearDups]]'s scale shape applied to the pixel and
+    * loudness domains. Output: (id_a, id_b, hamming).
     */
   def perceptualNearDups(assets: DataFrame, idCol: String = "asset_id",
                          maxHamming: Int = 3,
@@ -648,6 +678,59 @@ object Multimodal {
       .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+  }
+
+  /** Near-duplicate VIDEO pairs on the real frame-decode path: sample
+    * `nFrames` evenly spaced frames per asset ([[sampleFramesDecoded]] —
+    * real for animated GIF and MJPEG-AVI), dHash each frame, and compare
+    * videos by their aligned frame-hash sequences. Two videos pair iff
+    * they sampled the SAME number of frames and the total hamming
+    * distance summed over aligned positions is ≤ `maxHamming` — so a
+    * re-encode/resize of the same clip (per-frame dHash is resolution-
+    * invariant) qualifies while a clip that shares only some frames, or
+    * a truncation, does not.
+    *
+    * Scale shape: candidate blocking is 16-bit pigeonhole over the FIRST
+    * sampled frame's four hash chunks — sound because a qualifying
+    * pair's first-frame hamming ≤ total ≤ `maxHamming` < 4, so one of
+    * its four chunks is untouched. Per-video state is one `nFrames`-long
+    * long array (never the frame pixels); the frame explode is 1→≤n;
+    * hot chunks are capped like every banding path. Payloads with no
+    * video codec fall through [[sampleFrames]]' passthrough stub and
+    * carry uniform fake frame hashes — only byte-identical ones pair.
+    * Output: (id_a, id_b, hamming).
+    */
+  def videoPerceptualNearDups(assets: DataFrame, idCol: String = "asset_id",
+                              nFrames: Int = 3, maxHamming: Int = 3,
+                              maxChunkBucket: Long = 100000L): DataFrame = {
+    require(maxHamming < 4, "chunk blocking assumes hamming <= 3")
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val frameSigs = perceptualHash(sampleFramesDecoded(assets, nFrames))
+      .filter(col("phash").isNotNull)
+      .select(col(idCol).as("doc"), col("frame_no"), col("phash"))
+    // one row per video: frame hashes ordered by frame index — alignment
+    // is by sampled POSITION, so renditions that sample the same count
+    // line up even when raw frame indices differ
+    val vids = frameSigs.groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("frame_no"), col("phash"))))
+        .as("__fs"))
+      .select(col("doc"),
+        transform(col("__fs"), f => f.getField("phash")).as("sig"))
+    val chunked = vids.select(col("doc"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        k => call_function("shiftright", element_at(col("sig"), 1), k * 16)
+          .bitwiseAND(0xFFFFL)))
+      .as(Seq("chunk", "ck")))
+    Dedup.groupedPairs(chunked, Seq("chunk", "ck"), maxChunkBucket)
+      .join(vids.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(vids.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(size(col("sig_a")) === size(col("sig_b")))
+      .withColumn("hamming", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => bit_count(a.bitwiseXOR(b))),
+        lit(0), (acc, x) => acc + x))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
   }
@@ -670,6 +753,12 @@ object Multimodal {
     * partial (its average luma in (0,1), never rounding to a flip).
     */
   private[graft] def edgeScenePng(scene: Int, size: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(edgeSceneImage(scene, size), "png", bos)
+    bos.toByteArray
+  }
+
+  private def edgeSceneImage(scene: Int, size: Int): BufferedImage = {
     require(scene >= 0 && scene <= 9, s"scene must be 0..9, got $scene")
     require(size >= 18 && size % 9 == 0,
       s"size must be a multiple of 9 >= 18, got $size")
@@ -684,8 +773,95 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Animated-GIF video scene for the q363 video near-dup gate: frame
+    * `j` shows edge scene `(scene + j) % 10` at `size` px — so renditions
+    * of a video scene (same `scene`, different `size`) sample IDENTICAL
+    * per-frame dHashes (the [[edgeSceneImage]] rendition invariance),
+    * while two distinct video scenes disagree at EVERY aligned frame by
+    * ≥8 hamming (distinct image scenes mod 10, and an edge moving one
+    * grid column flips one bit in all 8 rows — all four 16-bit chunks
+    * touched, so cross-scene videos do not even share a blocking
+    * bucket). Black/white frames survive the GIF palette losslessly.
+    */
+  private[graft] def edgeSceneGif(scene: Int, size: Int,
+                                  nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { j =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(
+            edgeSceneImage((scene + j) % 10, size), null, null),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** The ten 8-bit gradient codes behind [[stepSceneWav]]: each is
+    * BALANCED (weight 4, so the amplitude walk returns to its start
+    * after every 8 segments and stays within ±4 levels) and every pair
+    * is ≥4 hamming apart — repeated 8× across the 64 envelope gradients
+    * that makes distinct audio scenes ≥32 hamming apart while
+    * [[audioHash64]] of scene `s` is exactly `code(s)` replicated in
+    * each of the hash's 8 bytes.
+    */
+  private[graft] val audioSceneCodes: Array[Int] =
+    Array(0x0F, 0xF0, 0x33, 0xCC, 0x55, 0xAA, 0x3C, 0xC3, 0x69, 0x96)
+
+  /** Amplitude-ladder scene WAV for the q362 audio near-dup gate: 65
+    * equal DC-valued segments whose 64 consecutive-segment loudness
+    * gradients encode `audioSceneCodes(scene)` repeated 8 times. With
+    * `spw` samples per segment the clip is exactly 65·spw samples, so
+    * [[rmsEnvelope]]'s 65 windows align 1:1 with the segments and the
+    * window RMS equals the segment amplitude — renditions varying `spw`,
+    * `sampleRate` and `gain` (≥ 0.5, keeping adjacent levels ≥256
+    * 16-bit quantization steps apart so strict ordering survives
+    * PCM rounding) all hash identically by construction.
+    */
+  private[graft] def stepSceneWav(scene: Int, spw: Int,
+                                  sampleRate: Int = 8000,
+                                  gain: Float = 1.0f): Array[Byte] = {
+    require(scene >= 0 && scene <= 9, s"scene must be 0..9, got $scene")
+    require(spw >= 1, s"spw must be >= 1, got $spw")
+    require(gain >= 0.5f && gain <= 1.0f,
+      s"gain must be in [0.5, 1.0], got $gain")
+    val code = audioSceneCodes(scene)
+    val levels = new Array[Int](65)
+    levels(0) = 32
+    var k = 0
+    while (k < 64) {
+      levels(k + 1) = levels(k) +
+        (if (((code >> (k & 7)) & 1) == 1) 1 else -1)
+      k += 1
+    }
+    val pcm = new Array[Byte](65 * spw * 2)
+    var w = 0
+    while (w < 65) {
+      val s = math.round(gain * levels(w) / 64.0f * 32767).toShort
+      var i = 0
+      while (i < spw) {
+        val off = (w * spw + i) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, 65L * spw)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

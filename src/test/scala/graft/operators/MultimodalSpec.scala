@@ -439,4 +439,104 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  test("audioHash64 scene WAVs: rendition-invariant, exact byte-replicated " +
+    "code, >=32 hamming across scenes (the q362 fixture contract)") {
+    def h(bytes: Array[Byte]) = Multimodal.audioHash64(
+      Multimodal.decodeWav(bytes).get.samples)
+    for (scene <- 0 to 9) {
+      val want = Multimodal.audioSceneCodes(scene).toLong * 0x0101010101010101L
+      val renditions = Seq(
+        Multimodal.stepSceneWav(scene, spw = 40),
+        Multimodal.stepSceneWav(scene, spw = 100, sampleRate = 16000),
+        Multimodal.stepSceneWav(scene, spw = 73, sampleRate = 11025,
+          gain = 0.6f))
+      renditions.foreach(b => assert(h(b) == want,
+        s"scene $scene rendition must hash to the replicated code"))
+    }
+    for (a <- 0 to 9; b <- (a + 1) to 9) {
+      val d = java.lang.Long.bitCount(
+        h(Multimodal.stepSceneWav(a, 40)) ^ h(Multimodal.stepSceneWav(b, 40)))
+      assert(d >= 32, s"scenes $a and $b must be >=32 hamming apart, got $d")
+    }
+    intercept[IllegalArgumentException] { Multimodal.stepSceneWav(10, 40) }
+    intercept[IllegalArgumentException] {
+      Multimodal.stepSceneWav(0, 40, gain = 0.3f)
+    }
+  }
+
+  test("perceptualHash routes PCM WAV to the REAL envelope hash; clips " +
+    "shorter than one sample per window fall back to the md5 fake") {
+    import org.apache.spark.sql.{Row => R}
+    val real = Multimodal.stepSceneWav(3, spw = 40)
+    val short = wavBytes(8000, 30, 440.0) // 30 samples < 65 windows
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        R(1L, real, "audio", Map.empty[String, String], null),
+        R(2L, short, "audio", Map.empty[String, String], null)), 2),
+      Multimodal.schema)
+    val hashed = Multimodal.perceptualHash(assets)
+      .select("asset_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) ==
+      Multimodal.audioSceneCodes(3).toLong * 0x0101010101010101L)
+    assert(hashed(2L) == graft.functions.TextHashes.md5Top64(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(short)))
+  }
+
+  test("perceptualNearDups on the audio scene fixture finds exactly the " +
+    "within-scene pairs at hamming 0") {
+    import spark.implicits._
+    val assets = (0L until 60L).map { id =>
+      val r = (id / 10).toInt
+      (id, Multimodal.stepSceneWav((id % 10).toInt, spw = 40 + 15 * r,
+        sampleRate = 8000 + 1000 * r, gain = 1.0f - 0.08f * r))
+    }.toDF("asset_id", "payload")
+    val pairs = Multimodal.perceptualNearDups(assets, "asset_id").collect()
+    assert(pairs.length == 10 * 15) // 10 scenes x C(6,2)
+    assert(pairs.forall(r => r.getLong(0) % 10 == r.getLong(1) % 10))
+    assert(pairs.forall(_.getInt(2) == 0))
+  }
+
+  test("videoPerceptualNearDups pairs re-rendered GIF clips, not " +
+    "different scenes or truncations (the q363 fixture contract)") {
+    import org.apache.spark.sql.{Row => R}
+    val rows = Seq(
+      R(1L, Multimodal.edgeSceneGif(0, 18, 5), "video",
+        Map.empty[String, String], null),
+      R(2L, Multimodal.edgeSceneGif(0, 36, 5), "video",
+        Map.empty[String, String], null),
+      R(3L, Multimodal.edgeSceneGif(1, 18, 5), "video",
+        Map.empty[String, String], null),
+      // same scene but only 2 frames: samples 2 < 3 -> length-mismatch,
+      // a truncation must NOT pair with the full clip
+      R(4L, Multimodal.edgeSceneGif(0, 18, 2), "video",
+        Map.empty[String, String], null))
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.schema)
+    val pairs = Multimodal.videoPerceptualNearDups(assets, nFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
+  test("edgeSceneGif renditions sample identical per-frame dHash " +
+    "sequences; distinct video scenes disagree at every aligned frame") {
+    import org.apache.spark.sql.{Row => R}
+    def frameHashes(scene: Int, size: Int): Seq[Long] = {
+      val assets = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          R(1L, Multimodal.edgeSceneGif(scene, size, 5), "video",
+            Map.empty[String, String], null)), 1),
+        Multimodal.schema)
+      Multimodal.perceptualHash(Multimodal.sampleFramesDecoded(assets, 3))
+        .orderBy("frame_no").select("phash").collect().map(_.getLong(0)).toSeq
+    }
+    val a18 = frameHashes(0, 18)
+    assert(a18.length == 3 && a18 == frameHashes(0, 45))
+    val b18 = frameHashes(7, 18)
+    a18.zip(b18).foreach { case (x, y) =>
+      assert(java.lang.Long.bitCount(x ^ y) >= 8,
+        "aligned frames of distinct scenes must be >=8 hamming apart")
+    }
+  }
 }
