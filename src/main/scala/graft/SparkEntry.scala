@@ -97,6 +97,45 @@ object SparkEntry {
       .select(col("doc_id"),
         array_join(expr("transform(__ws, x -> x.w)"), " ").as("expected"))
 
+  /** Deterministic crawl-URL fixture (q366/q367): 6 surface variants
+    * (`doc_id / 50`) of 50 canonical pages (`doc_id % 50`) spread over
+    * 7 hosts in 3 registered domains — scheme/host case, `www.`,
+    * userinfo, default port, duplicate/trailing slashes, fragments and
+    * tracking params, every one of which must collapse to the scene's
+    * single canonical URL. `doc_id < 300` at every SF (the q215
+    * bounding style); the DuckDB oracle re-derives the identical
+    * strings from the same modular arithmetic.
+    */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        (col("doc_id") % 50).as("__s"),
+        floor(col("doc_id") / 50).as("__v"),
+        (col("doc_id") % 50 % 7).as("__h"))
+    val host = when(col("__h") <= 3,
+        concat(lit("site"), col("__h"), lit(".example.com")))
+      .when(col("__h") === 4, lit("blog.acme-a.co.uk"))
+      .when(col("__h") === 5, lit("docs.acme-a.co.uk"))
+      .otherwise(lit("cdn.other-b.net"))
+    d.withColumn("__host", host)
+      .withColumn("url",
+        when(col("__v") === 0, concat(lit("http://"), col("__host"),
+          lit("/p/"), col("__s"), lit("?id="), col("__s")))
+        .when(col("__v") === 1, concat(lit("HTTP://WWW."),
+          upper(col("__host")), lit("/p/"), col("__s"),
+          lit("?id="), col("__s")))
+        .when(col("__v") === 2, concat(lit("http://"), col("__host"),
+          lit("/p/"), col("__s"), lit("?id="), col("__s"),
+          lit("&utm_source=feed&fbclid=xyz")))
+        .when(col("__v") === 3, concat(lit("http://"), col("__host"),
+          lit("/p/"), col("__s"), lit("/?id="), col("__s"), lit("#frag")))
+        .when(col("__v") === 4, concat(lit("http://"), col("__host"),
+          lit(":80/p/"), col("__s"), lit("?id="), col("__s")))
+        .otherwise(concat(lit("http://user@"), col("__host"),
+          lit("//p//"), col("__s"), lit("?id="), col("__s"))))
+      .select(col("doc_id"), col("url"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5268,6 +5307,74 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 20),
           k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // crawl URL dedup (r16 — the curation stage BEFORE any content
+    // pass: URL hygiene collapses crawl duplicates with zero content
+    // reads): the urlFixture's 6 surface variants of 50 pages must
+    // collapse to exactly 50 canonical URLs with survivor = min
+    // doc_id = the scene index; the oracle replays the ENTIRE
+    // canonicalizer in DuckDB SQL (regex extracts + list_filter +
+    // list_sort), not just the expected counts — a full SQL mirror
+    "q366_url_canonical_dedup" -> ((s, dir) =>
+      WebCuration.urlDedup(urlFixture(s, dir))
+        .orderBy(col("canonical_url"))),
+
+    // registered-domain rollup + blocklist (r16): the urlFixture's 7
+    // hosts fold into 3 registered domains under the eTLD+1 heuristic
+    // (co.uk keeps three labels); per-domain url/canonical/host counts
+    // drive blocklists, and the broadcast anti-join leg drops
+    // other-b.net's every host. Oracle derives all counts relationally
+    // from the same modular arithmetic (canonicalizer exactness is
+    // q366's full-replay contract)
+    "q367_domain_rollup_block" -> ((s, dir) => {
+      import s.implicits._
+      val urls = urlFixture(s, dir)
+      val kept = WebCuration.filterBlockedDomains(urls,
+          Seq("other-b.net").toDF("domain"))
+        .agg(count(lit(1)).as("n_kept_after_block"))
+      WebCuration.domainRollup(urls)
+        .crossJoin(kept)
+        .orderBy(col("domain"))
+    }),
+
+    // per-document sliding-window chunking (r16 — the RAG/long-context
+    // prep step Packing.chunkTokenStream's corpus-stream mode is not):
+    // windows of ≤64 house tokens with 16 carried between consecutive
+    // windows, never crossing a doc boundary; DATA-SIZED (every
+    // document at the SF), full chunk text dumped and mirrored in SQL
+    "q368_sliding_chunks" -> ((s, dir) =>
+      Chunking.slidingChunks(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // HTML → text extraction (r16 — the content pass after q366's URL
+    // hygiene): every document wrapped in one of 4 deterministic markup
+    // variants (title+entities / script+links / comment+style /
+    // anchor+encoded-text), then extracted — title, visible text,
+    // link count, link density. DATA-SIZED; the oracle replays BOTH
+    // the wrapping and the entire extractor (same regexes, 'g'-flagged)
+    // in DuckDB — a full SQL mirror in the q366 style
+    "q369_html_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__v", col("doc_id") % 4)
+      val html = when(col("__v") === 0, concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit(" &amp; notes</title></head><body><p>"), col("text"),
+          lit("</p></body></html>")))
+        .when(col("__v") === 1, concat(
+          lit("<HTML><BODY><SCRIPT type=\"t\">var x = 1 < 2;</SCRIPT><P>"),
+          col("text"), lit("</P><a href=\"/p/"), col("doc_id"),
+          lit("\">more "), col("doc_id"),
+          lit("</a> <a href=\"/q\">q&nbsp;ref</a></BODY></HTML>")))
+        .when(col("__v") === 2, concat(
+          lit("<html><!-- nav --><style type=\"c\">.x{color:red}</style><div>"),
+          col("text"), lit("</div></html>")))
+        .otherwise(concat(
+          lit("<html><body><a href=\"#\">anchor "), col("doc_id"),
+          lit("</a><p>"), col("text"),
+          lit(" &lt;raw&gt; &quot;q&quot;</p></body></html>")))
+      Html.extract(d.select(col("doc_id"), html.as("html")))
+        .orderBy(col("doc_id"))
     }),
 
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
@@ -14459,7 +14566,179 @@ object SparkEntry {
          |          + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
          |      ELSE 0.0e0 END
          |  END AS f1
-         |FROM r ORDER BY label""".stripMargin
+         |FROM r ORDER BY label""".stripMargin,
+
+    // q366: FULL SQL replay — the oracle re-derives the fixture URLs
+    // from the same modular arithmetic, then runs the entire
+    // canonicalizer (scheme/host lowering, userinfo/www/default-port
+    // strip, slash squash + trailing-slash strip, fragment drop,
+    // tracking-param filter + param sort) in DuckDB and groups; note
+    // the 'g' flag on the slash squash (DuckDB replaces first match
+    // only by default; Spark replaces all)
+    "q366_url_canonical_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 50 AS s, doc_id // 50 AS v,
+        |    doc_id % 50 % 7 AS h
+        |  FROM documents WHERE doc_id < 300),
+        |hosts AS (SELECT doc_id, s, v,
+        |  CASE WHEN h <= 3 THEN 'site' || h || '.example.com'
+        |       WHEN h = 4 THEN 'blog.acme-a.co.uk'
+        |       WHEN h = 5 THEN 'docs.acme-a.co.uk'
+        |       ELSE 'cdn.other-b.net' END AS host
+        |  FROM f),
+        |urls AS (SELECT doc_id,
+        |  CASE v
+        |    WHEN 0 THEN 'http://' || host || '/p/' || s || '?id=' || s
+        |    WHEN 1 THEN 'HTTP://WWW.' || upper(host) || '/p/' || s
+        |      || '?id=' || s
+        |    WHEN 2 THEN 'http://' || host || '/p/' || s || '?id=' || s
+        |      || '&utm_source=feed&fbclid=xyz'
+        |    WHEN 3 THEN 'http://' || host || '/p/' || s || '/?id=' || s
+        |      || '#frag'
+        |    WHEN 4 THEN 'http://' || host || ':80/p/' || s || '?id=' || s
+        |    ELSE 'http://user@' || host || '//p//' || s || '?id=' || s
+        |  END AS url FROM hosts),
+        |p1 AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_replace(lower(regexp_replace(
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |    '^[^@]*@', '')), '^www\.', '') AS nowww,
+        |  regexp_replace(
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |    '/{2,}', '/', 'g') AS squash,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM urls),
+        |p2 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$', '')
+        |       ELSE nowww END AS host,
+        |  CASE WHEN regexp_replace(squash, '^(.+?)/$', '\1') = '' THEN '/'
+        |       ELSE regexp_replace(squash, '^(.+?)/$', '\1') END AS path,
+        |  array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(lower(p),
+        |      '^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)='))),
+        |    '&') AS q
+        |  FROM p1),
+        |canon AS (SELECT doc_id,
+        |  scheme || '://' || host || path
+        |    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+        |  FROM p2 WHERE scheme <> '' AND host <> '')
+        |SELECT canonical_url, min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
+    // q367: relational derivation from the same arithmetic — the
+    // canonicalizer's variant-collapse exactness is q366's full-replay
+    // contract, so distinct canonical pages per domain = distinct
+    // scenes; the blocklist leg excludes other-b.net's rows
+    "q367_domain_rollup_block" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 50 AS s, doc_id % 50 % 7 AS h
+        |  FROM documents WHERE doc_id < 300),
+        |lab AS (SELECT doc_id, s, h,
+        |  CASE WHEN h <= 3 THEN 'example.com'
+        |       WHEN h IN (4, 5) THEN 'acme-a.co.uk'
+        |       ELSE 'other-b.net' END AS domain,
+        |  CASE WHEN h <= 3 THEN 'site' || h || '.example.com'
+        |       WHEN h = 4 THEN 'blog.acme-a.co.uk'
+        |       WHEN h = 5 THEN 'docs.acme-a.co.uk'
+        |       ELSE 'cdn.other-b.net' END AS host
+        |  FROM f)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS n_canonical,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lab
+        |   WHERE domain <> 'other-b.net') AS n_kept_after_block
+        |FROM lab GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q368: full SQL mirror of the sliding window — same house
+    // tokenization, same chunk-count formula, same 1-based inclusive
+    // slicing (maxTokens 64, overlap 16, stride 48)
+    "q368_sliding_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |  unnest(generate_series(0,
+        |    CAST(ceil(greatest(n - 16, 1) / 48.0) AS BIGINT) - 1))
+        |    AS chunk_id
+        |  FROM n),
+        |w AS (SELECT doc_id, chunk_id,
+        |  toks[chunk_id * 48 + 1 : least(n, chunk_id * 48 + 64)] AS wtoks
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(wtoks) AS BIGINT) AS n_tokens,
+        |  array_to_string(wtoks, ' ') AS chunk_text
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q369: FULL SQL replay — the oracle re-derives the 4 markup
+    // variants from the same doc_id arithmetic, then runs the entire
+    // extractor (comment/script/style removal, tag strip, 6-entity
+    // decode with &amp; last, whitespace collapse, title, anchors,
+    // link density) in DuckDB; every regexp_replace carries 'g'
+    // (DuckDB replaces first-match-only by default; Spark replaces all)
+    "q369_html_extract" ->
+      """WITH src AS (
+        |  SELECT doc_id, doc_id % 4 AS v, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  CASE v
+        |    WHEN 0 THEN '<html><head><title>Doc ' || doc_id
+        |      || ' &amp; notes</title></head><body><p>' || text
+        |      || '</p></body></html>'
+        |    WHEN 1 THEN
+        |      '<HTML><BODY><SCRIPT type="t">var x = 1 < 2;</SCRIPT><P>'
+        |      || text || '</P><a href="/p/' || doc_id || '">more '
+        |      || doc_id || '</a> <a href="/q">q&nbsp;ref</a></BODY></HTML>'
+        |    WHEN 2 THEN
+        |      '<html><!-- nav --><style type="c">.x{color:red}</style><div>'
+        |      || text || '</div></html>'
+        |    ELSE '<html><body><a href="#">anchor ' || doc_id || '</a><p>'
+        |      || text || ' &lt;raw&gt; &quot;q&quot;</p></body></html>'
+        |  END AS html FROM src),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS ch FROM h),
+        |raw AS (SELECT doc_id,
+        |  regexp_replace(ch, '<[^>]*>', ' ', 'g') AS btag,
+        |  regexp_replace(
+        |    regexp_extract(ch, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |    '<[^>]*>', ' ', 'g') AS ttag,
+        |  regexp_extract_all(ch, '(?is)<a\b[^>]*>(.*?)</a>', 1) AS anchors
+        |  FROM c),
+        |dec AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(btag,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(ttag,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS title,
+        |  len(anchors) AS n_links,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(coalesce(array_to_string(anchors, ' '), ''),
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS atext
+        |  FROM raw)
+        |SELECT doc_id, title, text, CAST(n_links AS BIGINT) AS n_links,
+        |  CASE WHEN length(text) = 0 THEN 0.0e0
+        |       ELSE round(CAST(length(atext) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE), 6) END AS link_density
+        |FROM dec ORDER BY doc_id""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -105,7 +105,10 @@ object PlanAudit {
     AllowedBroadcast("SparkEntry.scala", "reg", "region — fixed 5-row dimension by schema contract", count = 3),
     AllowedBroadcast("SparkEntry.scala", "tot", "one-row grand-total aggregate (q167, q127 recall)", count = 2),
     AllowedBroadcast("SparkEntry.scala", "hits", "one-row detected-pair count aggregate (q260 recall)"),
-    AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"))
+    AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"),
+    AllowedBroadcast("WebCuration.scala", "blocked",
+      "domain blocklist — operator contract: a curated block set, " +
+        "always small relative to the corpus it filters"))
 
   /** Returns (violations, inventory). A violation is an explicit
     * broadcast call in src/main/scala not on [[allowedBroadcasts]], or
@@ -301,7 +304,30 @@ object PlanAudit {
         "neighbor lists come from the partial TopKAgg — no window, no " +
         "all-pairs product anywhere",
       Seq("partial_topkagg", "BroadcastNestedLoopJoin"),
-      Seq("Window", "CartesianProduct")))
+      Seq("Window", "CartesianProduct")),
+    Check("URL dedup single-aggregate shape", "q366_url_canonical_dedup",
+      "the whole canonicalizer is ONE codegen'd projection (regex + " +
+        "array ops, no UDF) and dedup is a single hash aggregate on " +
+        "the canonical string — one corpus scan, no join, no window",
+      Seq("HashAggregate"),
+      Seq("Join", "Window", "CartesianProduct"),
+      atMostOnce = Seq("Scan parquet")),
+    Check("sliding-chunk pure-map shape", "q368_sliding_chunks",
+      "tokenize → explode(sequence) → slice stays a projection + " +
+        "Generate over one 2-column scan — no join, no aggregate, no " +
+        "window (the only exchange is the output-order sort)",
+      Seq("Generate", "ReadSchema: struct<doc_id:bigint,text:string>"),
+      Seq("Join", "Window", "CartesianProduct", "HashAggregate")),
+    Check("HTML extraction pure-projection shape", "q369_html_extract",
+      "the whole extractor (comment/script/style strip, tag strip, " +
+        "entity decode, anchors, link density) is chained regex " +
+        "projections over one 2-column scan — no join, no aggregate, " +
+        "no window, no generate (the only exchange is the output-order " +
+        "sort)",
+      Seq("ReadSchema: struct<doc_id:bigint,text:string>"),
+      Seq("Join", "Window", "CartesianProduct", "HashAggregate",
+        "Generate"),
+      atMostOnce = Seq("Scan parquet")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
