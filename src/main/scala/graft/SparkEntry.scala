@@ -5377,6 +5377,107 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming crawl-frontier URL dedup (r16 — the crawl-family
+    // member of the q334/q338/q365 streaming-ingest shelf): a seed
+    // seen-set (scenes < 30 of the urlFixture) grows by two streamed
+    // micro-batches through StreamingUrlDedup (probe → report NEW
+    // canonical URLs to a parquet sink, frames not driver memory →
+    // append), then a REPLAY of the last batch must report zero (URL
+    // dedup is effectively-once on both the index and the report —
+    // the report is defined against index state). The streamed
+    // reports must set-equal the one-shot urlDedup survivors outside
+    // the seed — an independent evaluation path with no index, no
+    // append, no swap — and the final seen frame must equal a full
+    // rebuild. Exact relational counts + distributed parity flags.
+    "q370_streaming_url_frontier" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = "/tmp/graft_scratch/url_stream_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val all = urlFixture(s, dir)
+      def scene = col("doc_id") % 50
+      WebCuration.writeUrlIndex(all.filter(scene < 30), s"$base/idx")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingUrlDedup.start(
+        input.toDF().toDF("doc_id", "url"), s"$base/idx",
+        (fresh, bid) => fresh.withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$base/new"))
+      try {
+        // two scene-sliced batches, then a verbatim replay of the last
+        for (b <- 0 to 2) {
+          val lo = if (b == 2) 40 else 30 + 10 * b
+          val it = all.filter(scene >= lo && scene < lo + 10)
+            .select(col("doc_id"), col("url"))
+            .as[(Long, String)].toLocalIterator()
+          val buf = scala.collection.mutable
+            .ArrayBuffer.empty[(Long, String)]
+          while (it.hasNext) {
+            buf += it.next()
+            if (buf.size >= 2048) { input.addData(buf.toSeq); buf.clear() }
+          }
+          if (buf.nonEmpty) input.addData(buf.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val reports = s.read.parquet(s"$base/new")
+      val seedCanon = WebCuration.urlDedup(all.filter(scene < 30))
+        .select(col("canonical_url"))
+      val twin = WebCuration.urlDedup(all).drop("n_dups")
+        .join(seedCanon, Seq("canonical_url"), "left_anti")
+      val streamed = reports.filter(col("batch_id") <= 1L)
+        .select(col("canonical_url"), col("doc_id"))
+      val pd = streamed.exceptAll(twin)
+        .unionByName(twin.exceptAll(streamed))
+        .agg(count(lit(1)).as("__pd"))
+      val seen = s.read.parquet(s"$base/idx/seen")
+      val rebuild = WebCuration.urlDedup(all)
+        .select(col("canonical_url"), col("doc_id"))
+      val rd = seen.exceptAll(rebuild).unionByName(rebuild.exceptAll(seen))
+        .agg(count(lit(1)).as("__rd"))
+      seedCanon.agg(count(lit(1)).as("n_seed"))
+        .crossJoin(reports.filter(col("batch_id") === 0L)
+          .agg(count(lit(1)).as("n_new_b1")))
+        .crossJoin(reports.filter(col("batch_id") === 1L)
+          .agg(count(lit(1)).as("n_new_b2")))
+        .crossJoin(reports.filter(col("batch_id") === 2L)
+          .agg(count(lit(1)).as("__rn")))
+        .crossJoin(pd).crossJoin(rd)
+        .select(col("n_seed"), col("n_new_b1"), col("n_new_b2"),
+          (col("__pd") === 0L).cast("long").as("parity_match"),
+          (col("__rd") === 0L).cast("long").as("rebuild_match"),
+          (col("__rn") === 0L).cast("long").as("replay_noop"))
+    }),
+
+    // WARC ingestion roundtrip (r16 — the wire format crawl corpora
+    // arrive in, the seam in front of q366/q369's curation stack):
+    // every document's text becomes a WARC response record (uri from
+    // doc_id arithmetic, Content-Length-framed payload), written as
+    // one WARC file per partition via the Hadoop FS API, then read
+    // back one-task-per-file and verified row-for-row — DATA-SIZED;
+    // the oracle derives uri/type/length/md5 from the same documents
+    // relation (md5 of the text = md5 of the payload bytes, both
+    // engines hash UTF-8)
+    "q371_warc_roundtrip" -> ((s, dir) => {
+      val base = "/tmp/graft_scratch/warc_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      freshDir(s, base)
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(
+          concat(lit("http://site"), col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id")).as("uri"),
+          encode(col("text"), "UTF-8").as("payload"))
+      graft.sources.Warc.write(docs, s"$base/warc")
+      graft.sources.Warc.read(s, s"$base/warc")
+        .select(
+          regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -14738,7 +14839,38 @@ object SparkEntry {
         |  CASE WHEN length(text) = 0 THEN 0.0e0
         |       ELSE round(CAST(length(atext) AS DOUBLE)
         |         / CAST(length(text) AS DOUBLE), 6) END AS link_density
-        |FROM dec ORDER BY doc_id""".stripMargin
+        |FROM dec ORDER BY doc_id""".stripMargin,
+
+    // q370: relational derivation from the urlFixture arithmetic — one
+    // canonical URL per scene (q366's full-replay contract carries the
+    // canonicalizer's exactness), so seed/batch new-URL counts are
+    // distinct-scene counts; the parity/rebuild/replay flags are
+    // structural invariants verified DISTRIBUTED on the Spark side
+    // (exceptAll diffs), fixed 1 here
+    "q370_streaming_url_frontier" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 50 AS s
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM f
+        |    WHERE s < 30) AS n_seed,
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM f
+        |    WHERE s >= 30 AND s < 40) AS n_new_b1,
+        |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM f
+        |    WHERE s >= 40) AS n_new_b2,
+        |  CAST(1 AS BIGINT) AS parity_match,
+        |  CAST(1 AS BIGINT) AS rebuild_match,
+        |  CAST(1 AS BIGINT) AS replay_noop""".stripMargin,
+
+    // q371: relational twin of the WARC roundtrip — uri arithmetic,
+    // Content-Length = byte length of the text (strlen = octets in
+    // DuckDB), md5 over the same UTF-8 bytes
+    "q371_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

@@ -149,4 +149,68 @@ object WebCuration {
         Seq("__dom"), "left_anti")
       .drop("__dom")
   }
+
+  // ------------------------------------------- persisted URL seen-set
+
+  /** The URL index's one frame: `seen` = (canonical_url, survivor id).
+    * Append-only after the initial build (new canonical URLs arrive as
+    * new parquet files), so only the build/rebuild needs the
+    * [[IndexSwap]] generation guard. */
+  val urlSeenFrames: Seq[String] = Seq("seen")
+
+  private def fsOf(df: DataFrame, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Persist the canonical-URL seen-set of a crawl corpus — the
+    * incremental form of [[urlDedup]] that a continuously-fed frontier
+    * needs: later batches probe/append WITHOUT rescanning the corpus.
+    * `dir/seen` holds one (canonical_url, id) row per canonical URL
+    * with the min-id survivor. A rebuild over a live index publishes
+    * through [[IndexSwap]] as one generation.
+    *
+    * Survivorship contract: the index keeps the FIRST-SEEN id per
+    * canonical URL across appends (within a build or batch, min id) —
+    * equal to global min-id whenever ingestion is id-ordered, which is
+    * the crawl reality (ids grow with arrival). At 100 TB the seen
+    * frame is canonical-URL-scale (one short row per page, never
+    * payloads) and every probe/append is one string-keyed anti-join;
+    * bucketing `seen` by url hash co-locates that join when the frame
+    * itself outgrows a shuffle. */
+  def writeUrlIndex(df: DataFrame, dir: String, urlCol: String = "url",
+                    idCol: String = "doc_id"): Unit = {
+    val fs = fsOf(df, dir)
+    IndexSwap.clean(fs, dir, urlSeenFrames)
+    urlDedup(df, urlCol, idCol).select(col("canonical_url"), col(idCol))
+      .write.mode("overwrite")
+      .parquet(IndexSwap.stagedPath(dir, "seen"))
+    IndexSwap.swapAll(fs, dir, urlSeenFrames)
+  }
+
+  /** Canonical URLs of `batch` NOT yet in the index — one
+    * (canonical_url, id) row per new canonical URL, min-id survivor
+    * within the batch. One projection + one anti-join against the
+    * stored seen set; the batch never re-reads the corpus. */
+  def newUrls(spark: org.apache.spark.sql.SparkSession, dir: String,
+              batch: DataFrame, urlCol: String = "url",
+              idCol: String = "doc_id"): DataFrame = {
+    IndexSwap.recover(fsOf(batch, dir), dir, urlSeenFrames)
+    urlDedup(batch, urlCol, idCol).drop("n_dups")
+      .join(spark.read.parquet(s"$dir/seen").select(col("canonical_url")),
+        Seq("canonical_url"), "left_anti")
+  }
+
+  /** Grow the index with `batch`'s new canonical URLs (the
+    * [[newUrls]] frame appends as new files; known URLs anti-join
+    * away, so a failure-replayed batch — foreachBatch is
+    * at-least-once — re-appends as a NO-OP: the index is
+    * effectively-once). The snapshot read of `seen` lists files
+    * before the append writes new ones, the same read-while-append
+    * discipline as [[Dedup.appendMinhashIndex]]'s shingle frame. */
+  def appendUrlIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, batch: DataFrame,
+                     urlCol: String = "url",
+                     idCol: String = "doc_id"): Unit =
+    newUrls(spark, dir, batch, urlCol, idCol)
+      .write.mode("append").parquet(s"$dir/seen")
 }
