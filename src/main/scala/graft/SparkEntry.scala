@@ -5478,6 +5478,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt filtering (r16 — the crawl permission gate between
+    // q366's URL hygiene and any fetch/keep decision): 7 deterministic
+    // robots bodies (an exact-agent group that must override '*', a
+    // wildcard + longest-match/allow-tie group with comments, and an
+    // allow-all group with an empty Disallow, an unknown field and a
+    // $-anchored rule) applied to the urlFixture's 50 variant-0 pages
+    // as agent 'graftbot'; the oracle replays the DECISION table from
+    // the same arithmetic (parser exactness is RobotsSpec's contract,
+    // the q367 convention)
+    "q372_robots_filter" -> ((s, dir) => {
+      val hf = t(s, dir, "documents").filter(col("doc_id") < 7)
+        .select(col("doc_id").as("__h"))
+      val host = when(col("__h") <= 3,
+          concat(lit("site"), col("__h"), lit(".example.com")))
+        .when(col("__h") === 4, lit("blog.acme-a.co.uk"))
+        .when(col("__h") === 5, lit("docs.acme-a.co.uk"))
+        .otherwise(lit("cdn.other-b.net"))
+      val robots = when(col("__h") % 3 === 1, lit(
+          "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"))
+        .when(col("__h") % 3 === 2, lit(
+          "# global\nUser-agent: *\nDisallow:\nDisallow: /p/44?id=44$\n" +
+            "Sitemap: http://example.org/s.xml\n"))
+        .otherwise(lit(
+          "User-agent: *\nDisallow: /p/1\nDisallow: /p/*3\n" +
+            "Allow: /p/14?\n# note\n"))
+      val rules = Robots.parseRules(
+        hf.select(host.as("host"), robots.as("robots_txt")),
+        agent = "graftbot")
+      Robots.filterAllowed(
+          urlFixture(s, dir).filter(col("doc_id") < 50), rules)
+        .orderBy(col("doc_id"))
+    }),
+
     // SQL surface of the custom codegen expressions (SparkSessionExtensions)
     "q44_sql_vector_funcs" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -14870,7 +14903,34 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) AS content_length,
         |  md5(text) AS payload_md5
         |FROM documents WHERE text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q372: the decision table from the same arithmetic — variant B
+    // hosts (h%3=1) are fully blocked for graftbot (the exact group's
+    // 'Disallow: /' overrides the *-group allow), variant C (h%3=2)
+    // allows all but the $-anchored s=44, variant A blocks
+    // '1'-prefixed and '3'-containing scenes except the longer Allow
+    // rescues s=14; parser exactness is RobotsSpec's contract
+    "q372_robots_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 50 AS s, doc_id % 50 % 7 AS h
+        |  FROM documents WHERE doc_id < 50),
+        |lab AS (SELECT doc_id, s, h,
+        |  CASE WHEN h <= 3 THEN 'site' || h || '.example.com'
+        |       WHEN h = 4 THEN 'blog.acme-a.co.uk'
+        |       WHEN h = 5 THEN 'docs.acme-a.co.uk'
+        |       ELSE 'cdn.other-b.net' END AS host
+        |  FROM f)
+        |SELECT doc_id,
+        |  'http://' || host || '/p/' || s || '?id=' || s AS url,
+        |  host,
+        |  '/p/' || s || '?id=' || s AS path,
+        |  CASE WHEN h % 3 = 1 THEN FALSE
+        |       WHEN h % 3 = 2 THEN s <> 44
+        |       ELSE (NOT (CAST(s AS VARCHAR) LIKE '1%'
+        |                  OR CAST(s AS VARCHAR) LIKE '%3%'))
+        |            OR s = 14 END AS allowed
+        |FROM lab ORDER BY doc_id""".stripMargin
   )
 
   /** Shared LSH-signature oracle CTEs (planes → per-(table,plane) lists →

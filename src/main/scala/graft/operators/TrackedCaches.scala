@@ -60,18 +60,36 @@ private[graft] object TrackedCaches {
   }
 
   def track(df: DataFrame): DataFrame = synchronized {
-    if (queryEpoch > 0) {
-      val analyzed = df.queryExecution.analyzed
-      val reused = tracked.iterator.zip(entryEpochs.iterator).exists {
-        case (t, e) => e < queryEpoch &&
+    // Dedupe by plan: when a STILL-CACHED entry already covers this
+    // plan, the caller's persist() was a no-op on someone else's cache
+    // and this registration must NOT create a second entry — a later
+    // scopedRelease ending the RE-registering scope would otherwise
+    // unpersist the shared cache out from under every later consumer
+    // (round-16: the mid-battery bench control re-registered the
+    // corpus shingle cache inside its scope and its scope-end swept
+    // it; each downstream consumer then paid the full interpreted
+    // shingle rebuild — a ~2x battery-total regression). Ownership
+    // stays with the original registrant; global release() still
+    // reclaims through that entry.
+    val analyzed = df.queryExecution.analyzed
+    val prior = tracked.iterator.zip(entryEpochs.iterator).find {
+      case (t, _) =>
+        // schema compare first: cheap reject before the plan-tree walk
+        t.queryExecution.analyzed.schema == analyzed.schema &&
           t.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
           t.queryExecution.analyzed.sameResult(analyzed)
-      }
-      if (reused) crossQueryReuse += 1
     }
-    tracked += df
-    entryEpochs += queryEpoch
-    df
+    prior match {
+      case Some((_, e)) =>
+        // within-query re-registration (one operator calling another
+        // over the same frame) does not count as warm assistance
+        if (queryEpoch > 0 && e < queryEpoch) crossQueryReuse += 1
+        df
+      case None =>
+        tracked += df
+        entryEpochs += queryEpoch
+        df
+    }
   }
 
   def count: Int = synchronized(tracked.size)

@@ -108,7 +108,10 @@ object PlanAudit {
     AllowedBroadcast("SparkEntry.scala", "<hint>", "q77 broadcast range join — the custom strategy fires ONLY on a user-explicit hint; contract documented in plans/BroadcastRangeJoin.scala"),
     AllowedBroadcast("WebCuration.scala", "blocked",
       "domain blocklist — operator contract: a curated block set, " +
-        "always small relative to the corpus it filters"))
+        "always small relative to the corpus it filters"),
+    AllowedBroadcast("Robots.scala", "rules",
+      "parsed robots rule set — host-scale (a few rules per site), " +
+        "always small next to the URL corpus it gates"))
 
   /** Returns (violations, inventory). A violation is an explicit
     * broadcast call in src/main/scala not on [[allowedBroadcasts]], or
