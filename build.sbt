@@ -32,3 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Optimization-round A/B harness: extra JVM flags (e.g. -Dspark.sql.*
+// conf overrides) for the forked run JVM, space-separated. Spark picks
+// up "spark."-prefixed system properties into every SparkConf, so this
+// lets config experiments run without code edits. Unset = no-op.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS")
+  .toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

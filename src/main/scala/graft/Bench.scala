@@ -9,6 +9,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE for CACHED plans (SPARK-38389; default false): operators here
+      // persist small intermediate frames (index keys, candidate pairs,
+      // signed batches) whose pre-AQE partitioning is the full
+      // shuffle-partition count; without this flag every such frame
+      // materializes at that width and every downstream job, write and
+      // re-read inherits it. With it, AQE coalesces cached plans to the
+      // advisory size — scale-neutral (big frames keep big-frame
+      // parallelism), measured −15% on a 41-query battery slice at sf0.1
+      // (235.1 → 199.9 s; OPTIMIZATION_r16.md §config).
+      // env-overridable for A/B measurement (default on)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Four queries run an UNPARTITIONED window over a structurally
