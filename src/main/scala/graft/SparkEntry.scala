@@ -632,8 +632,9 @@ object SparkEntry {
     // thresholded.
     "q360_image_neardup_real" -> ((s, dir) => {
       import s.implicits._
-      val assets = t(s, dir, "documents").filter(col("doc_id") < 60)
-        .select(col("doc_id")).as[Long]
+      val assets = FrameOps.parallelized(
+          t(s, dir, "documents").filter(col("doc_id") < 60)
+            .select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.edgeScenePng(
           (id % 10).toInt, 18 + 9 * (id / 10).toInt))))
         .toDF("asset_id", "payload")
@@ -723,8 +724,9 @@ object SparkEntry {
     // found pairs ≡ within-scene pairs, zero cross-scene, max hamming 0.
     "q362_audio_neardup_real" -> ((s, dir) => {
       import s.implicits._
-      val assets = t(s, dir, "documents").filter(col("doc_id") < 60)
-        .select(col("doc_id")).as[Long]
+      val assets = FrameOps.parallelized(
+          t(s, dir, "documents").filter(col("doc_id") < 60)
+            .select(col("doc_id"))).as[Long]
         .mapPartitions(_.map { id =>
           val r = (id / 10).toInt
           (id, Multimodal.stepSceneWav((id % 10).toInt,
@@ -757,8 +759,9 @@ object SparkEntry {
     // pigeonhole blocking. Exact-count oracle as q360/q362.
     "q363_video_neardup_real" -> ((s, dir) => {
       import s.implicits._
-      val assets = t(s, dir, "documents").filter(col("doc_id") < 40)
-        .select(col("doc_id")).as[Long]
+      val assets = FrameOps.parallelized(
+          t(s, dir, "documents").filter(col("doc_id") < 40)
+            .select(col("doc_id"))).as[Long]
         .mapPartitions(_.map { id =>
           (id, Multimodal.edgeSceneGif((id % 10).toInt,
             18 + 9 * (id / 10).toInt, nFrames = 5))
@@ -804,11 +807,18 @@ object SparkEntry {
         dir.replaceAll("[^A-Za-z0-9]", "_")
       val reb = idx + "_rebuild"
       freshDir(s, idx); freshDir(s, reb)
-      val all = t(s, dir, "documents").filter(col("doc_id") < 60)
-        .select(col("doc_id")).as[Long]
+      // persisted: the 60-asset PNG fixture feeds FIVE separate actions
+      // below (build, append, rebuild twin, probe, frame diffs) and the
+      // mapPartitions encode is opaque to the CacheManager — without the
+      // persist every action re-encodes its slice from scratch
+      val all = TrackedCaches.track(FrameOps.parallelized(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 60)
+            .select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.edgeScenePng(
           (id % 10).toInt, 18 + 9 * (id / 10).toInt))))
         .toDF("asset_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       PhashIndex.write(all.filter(col("asset_id") < 40), idx)
       PhashIndex.append(s, idx,
         all.filter(col("asset_id") >= 40 && col("asset_id") < 50))
@@ -857,11 +867,16 @@ object SparkEntry {
       val base = "/tmp/graft_scratch/phash_stream_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       freshDir(s, base)
-      val all = t(s, dir, "documents").filter(col("doc_id") < 60)
-        .select(col("doc_id")).as[Long]
+      // persisted for the same reason as q364's fixture: seed build, two
+      // streamed slices and the one-shot twin all re-encode otherwise
+      val all = TrackedCaches.track(FrameOps.parallelized(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 60)
+            .select(col("doc_id"))).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.edgeScenePng(
           (id % 10).toInt, 18 + 9 * (id / 10).toInt))))
         .toDF("asset_id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       PhashIndex.write(all.filter(col("asset_id") < 40), s"$base/idx")
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Array[Byte])]

@@ -237,7 +237,10 @@ object Dedup {
     */
   private def docShingleArrays(docs: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int): DataFrame =
-    docs.filter(trim(col(textCol)) =!= "")
+    // single-file corpora otherwise tokenize+shingle on ONE core —
+    // FrameOps.parallelized is the guide-§2.5 unsplittable-input fix,
+    // an identity at production scan widths
+    FrameOps.parallelized(docs).filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
       .select(col("doc"), hashedShinglesFromTokens(col("toks"), shingleSize).as("sh"))
 
@@ -551,12 +554,22 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     IndexSwap.recover(fs, dir, minhashFrames)
-    val fresh =
-      if (!dedupeBatch) batch
-      else batch.join(spark.read.parquet(s"$dir/shingles")
-          .select(col("doc").as(idCol)),
-        Seq(idCol), "left_anti")
-    val bArrays = sharedShingleArrays(fresh, idCol, textCol, shingleSize)
+    // Sign the FULL batch first, then anti-join the SIGNED arrays
+    // against the stored doc ids: per-doc signing commutes with the
+    // already-indexed filter, so the result is unchanged — but the
+    // full-batch shingle plan is exactly the one a just-run probe
+    // ([[nearDupsFromIndex]]) has already signed and cached, so the
+    // probe-then-append sequence every streaming micro-batch executes
+    // ([[graft.streaming.StreamingNearDup.processBatch]]) tokenizes,
+    // shingles and sorts the batch ONCE instead of twice. (The old
+    // shape — anti-join the raw batch, then sign the remainder — built
+    // a second, plan-distinct shingle cache per micro-batch.)
+    val allArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
+    val bArrays =
+      if (!dedupeBatch) allArrays
+      else allArrays.join(spark.read.parquet(s"$dir/shingles")
+          .select(col("doc")),
+        Seq("doc"), "left_anti")
     val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
       numHashes, rowsPerBand)
     // pre-`dropped` indexes (none in this repo's history, but the read

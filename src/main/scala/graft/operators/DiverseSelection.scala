@@ -144,7 +144,10 @@ object DiverseSelection {
     // distinct (doc, shingle): shingles built ROW-LOCALLY (a sliding
     // window over the token array — no positional self-join), one
     // distinct shuffle, checkpointed once for the k passes
-    val sh = docs
+    // the sliding-window shingle transform is the heavy per-row stage
+    // of the whole operator; a single-file corpus would build it in
+    // one task (guide §2.5 — identity at production scan widths)
+    val sh = FrameOps.parallelized(docs)
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).cast("long").as("doc_id"),
         explode(expr(

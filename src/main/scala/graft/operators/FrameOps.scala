@@ -7,9 +7,57 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 /** Shared frame-shaping helpers for the statistics operators — ONE
   * definition of the two idioms they all lean on, so a semantics fix
-  * lands everywhere at once.
+  * lands everywhere at once. (private[graft]: [[parallelized]] is also
+  * used by query bodies and fixture builders outside this package.)
   */
-private[operators] object FrameOps {
+private[graft] object FrameOps {
+
+  /** Un-starve a scan-backed frame whose input is too few files to
+    * feed the session's cores — the optimization guide's §2.5
+    * "one huge unsplittable file" input-skew case, which is ALSO the
+    * shape of a compacted snapshot table smaller than
+    * `maxPartitionBytes`: Spark plans one task per packed file split,
+    * so a single-file parquet corpus runs every downstream per-row
+    * computation (tokenize+shingle+MinHash, payload decode, vector
+    * math) on ONE core no matter how many the box has. The fix the
+    * guide prescribes — "repartition immediately after the read" — is
+    * applied HERE, conditionally:
+    *
+    *  - only when the frame is scan-backed with a knowable file list
+    *    (`inputFiles`; mid-pipeline/post-shuffle frames return empty
+    *    and pass through untouched — they already carry the session's
+    *    shuffle parallelism);
+    *  - only when that file count is below the session's core count —
+    *    at production scale the scan has hundreds+ of splits and this
+    *    is the identity, so nothing here is a local-mode constant;
+    *  - with an EXPLICIT partition count (`repartition(n)` =
+    *    REPARTITION_BY_NUM), which AQE never coalesces — a
+    *    size-targeted rebalance would immediately re-fuse a small
+    *    corpus back to one partition and re-starve the build.
+    *
+    * Cost when it fires: one round-robin exchange of the scan's bytes
+    * (the corpus rows, never derived/expanded data). Callers are the
+    * HEAVY per-row compute entry points, where that one exchange buys
+    * core-count parallelism for the dominant stage.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // idempotence: a frame that already flowed through a repartition /
+    // rebalance (e.g. the table loader un-starved it at read time)
+    // must not pay a second exchange here
+    val repartitioned = df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression => r
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .RebalancePartitions => r
+    }.isDefined
+    // inputFiles is metadata-only (no job, no physical planning); a
+    // frame shape it cannot answer for is left untouched
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (!repartitioned && nFiles > 0 && nFiles < cores) df.repartition(cores)
+    else df
+  }
 
   /** Null-safe equi-join of a per-group stats frame onto `d`: the stats
     * keys are prefixed (`__k_`) to avoid capture, compared with `<=>`

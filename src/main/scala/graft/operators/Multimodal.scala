@@ -273,7 +273,8 @@ object Multimodal {
     // Deserialized rows inside mapPartitions may carry no schema — resolve
     // field positions on the driver, access by index on the executor.
     val payloadIdx = assets.schema.fieldIndex("payload")
-    assets.mapPartitions { rows =>
+    // same un-starving as [[perceptualHash]]: the decode is the stage
+    FrameOps.parallelized(assets).mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(payloadIdx)) null
           else r.getAs[Array[Byte]](payloadIdx)
@@ -634,7 +635,11 @@ object Multimodal {
   def perceptualHash(assets: DataFrame): DataFrame = {
     val enc = Encoders.row(assets.schema.add("phash", LongType))
     val payloadIdx = assets.schema.fieldIndex("payload")
-    assets.mapPartitions { rows =>
+    // payload decode is the expensive per-row stage of every phash
+    // consumer; a single-file asset table otherwise decodes the whole
+    // corpus in ONE task (FrameOps.parallelized = the guide-§2.5
+    // unsplittable-input fix, identity at production scan widths)
+    FrameOps.parallelized(assets).mapPartitions { rows =>
       rows.map { r =>
         val payload = if (r.isNullAt(payloadIdx)) null
           else r.getAs[Array[Byte]](payloadIdx)

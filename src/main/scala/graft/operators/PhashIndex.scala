@@ -102,14 +102,23 @@ object PhashIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexSwap.recover(fs, dir, phashFrames)
-    val fresh =
-      if (!dedupeBatch) batch
-      else batch.join(spark.read.parquet(s"$dir/sigs")
-          .select(col("doc").as(idCol)),
-        Seq(idCol), "left_anti")
-    val bSigs = sigsOf(fresh, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // Decode+hash the FULL batch first, then anti-join the (doc, sig)
+    // rows against the stored ids: per-asset hashing commutes with the
+    // already-indexed filter, and the full-batch plan is the one a
+    // just-run probe ([[nearDups]]) has already decoded and cached —
+    // the probe-then-append sequence of every streaming micro-batch
+    // ([[graft.streaming.StreamingPhashDedup.processBatch]]) pays the
+    // payload decode ONCE instead of twice. Registered via
+    // [[TrackedCaches.track]] (which dedupes against the probe's
+    // registration) rather than persist/unpersist-in-finally: a local
+    // unpersist here would sweep the probe's still-live shared cache.
+    val allSigs = TrackedCaches.track(sigsOf(batch, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bSigs =
+      if (!dedupeBatch) allSigs
+      else allSigs.join(spark.read.parquet(s"$dir/sigs")
+          .select(col("doc")), Seq("doc"), "left_anti")
+    locally {
       val dropped0 = spark.read.parquet(s"$dir/dropped")
       val live = chunkKeys(bSigs)
         .join(dropped0, Seq("chunk", "ck"), "left_anti")
@@ -143,7 +152,7 @@ object PhashIndex {
       } finally counted.unpersist()
       IndexSwap.swapAll(fs, dir, phashAppendFrames)
       bSigs.write.mode("append").parquet(s"$dir/sigs")
-    } finally bSigs.unpersist()
+    }
   }
 
   /** Near-dup pairs of a NEW batch against the index plus within the

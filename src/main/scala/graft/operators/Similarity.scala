@@ -664,7 +664,11 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
-    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
+    // the |anchors| × |corpus| theta join runs at the STREAM (anchor)
+    // side's parallelism — a single-file anchor scan would score every
+    // pair in one task (guide §2.5); identity at production widths
+    val a = FrameOps.parallelized(anchors)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("va"))
       .withColumn("na", normCol(col("va")))
     val b = corpus.select(col(idCol).as("bid"), col(vecCol).as("vb"))
       .withColumn("nb", normCol(col("vb")))

@@ -52,7 +52,11 @@ object SubstringDedup {
           i => struct(i.cast("long").as("pos"),
             xxhash64(array_join(slice(ws, i, lit(k)), " ")).as("h"))))
       .otherwise(array().cast("array<struct<pos:long,h:long>>"))
-    docs.select(col(idCol), explode(grams).as("g"))
+    // the window-hash transform is a higher-order-function subtree
+    // (interpreted, not codegen) — on a single-file corpus it otherwise
+    // builds the whole gram cache in ONE task (the round-16 battery
+    // forensics' 232 s-CPU stall); FrameOps.parallelized un-starves it
+    FrameOps.parallelized(docs).select(col(idCol), explode(grams).as("g"))
       .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
   }
 

@@ -39,9 +39,32 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else cachedRaw(spark, sfDir, name)
 
+  /** MEASURED AND REJECTED as a default (kept opt-in for profiling):
+    * blanket-repartitioning the corpus tables at load time un-starves
+    * heavy per-row consumers of a single-file snapshot (guide §2.5),
+    * but it taxes EVERY query over those tables with one extra
+    * exchange + AQE stage — full battery 530.6 → 670.1 s at sf0.1
+    * (median per-query ratio 1.22; the q66 bm25 control alone +60%),
+    * because ~300 cheap tail queries pay ~0.3 s each for wins on a
+    * handful of compute-heavy rows. The targeted fix lives at the
+    * heavy per-row entry points instead ([[graft.operators.FrameOps
+    * .parallelized]] at shingle/decode/train builds), which the
+    * battery confirms as a net win. `SPARK_GRAFT_PARA_TABLES=1`
+    * re-enables the blanket form for A/B.
+    */
+  private val parallelizedTables: Set[String] =
+    if (sys.env.get("SPARK_GRAFT_PARA_TABLES").contains("1"))
+      Set("documents", "embeddings")
+    else Set.empty
+
   private def cachedRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      (k: (SparkSession, String)) => k._1.read.parquet(k._2))
+      (k: (SparkSession, String)) => {
+        val raw = k._1.read.parquet(k._2)
+        if (parallelizedTables.contains(name))
+          graft.operators.FrameOps.parallelized(raw)
+        else raw
+      })
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -26,16 +26,29 @@ object StreamingDecon {
   /** Adds `n_shared` (distinct shingles shared with the eval set) and
     * `contaminated` (n_shared ≥ minShared) to the stream.
     */
+  /** The one-row sorted eval-shingle frame the per-row check
+    * cross-joins. Exposed (package-private) so a long-running stream
+    * owner ([[StreamingIngest.pipeline]]) can persist it ONCE at
+    * stream setup: [[flag]] rebuilds the identical plan every
+    * micro-batch, so the CacheManager substitutes the warmed frame and
+    * the eval-side explode+distinct+collect aggregation runs once per
+    * stream instead of once per micro-batch.
+    */
+  private[streaming] def evalShingles(evalDocs: DataFrame,
+                                      shingleSize: Int,
+                                      textCol: String): DataFrame =
+    evalDocs
+      .select(explode(graft.functions.TextHashes.hashedShingles(
+        TextAnalysis.tokensCol(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+      .agg(sort_array(collect_list(col("h"))).as("__ev"))
+
   def flag(stream: DataFrame, evalDocs: DataFrame, shingleSize: Int = 8,
            minShared: Long = 1L, idCol: String = "doc_id",
            textCol: String = "text"): DataFrame = {
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val evalSh = evalDocs
-      .select(explode(graft.functions.TextHashes.hashedShingles(
-        TextAnalysis.tokensCol(col(textCol)), shingleSize)).as("h"))
-      .distinct()
-      .agg(sort_array(collect_list(col("h"))).as("__ev"))
+    val evalSh = evalShingles(evalDocs, shingleSize, textCol)
     val sh = sort_array(graft.functions.TextHashes.hashedShingles(
       TextAnalysis.tokensCol(col(textCol)), shingleSize))
     // null text null-propagates through the shingle pipeline; the

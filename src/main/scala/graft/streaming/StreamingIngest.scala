@@ -48,7 +48,18 @@ object StreamingIngest {
                idCol: String = "doc_id",
                textCol: String = "text",
                onLedger: Option[(DataFrame, Long) => Unit] = None)
-      : StreamingQuery = onLedger match {
+      : StreamingQuery = {
+    // Warm the eval-shingle frame ONCE at stream setup: every
+    // micro-batch's decon check rebuilds the identical one-row
+    // aggregate plan, so persisting it here lets the CacheManager
+    // substitute the cached frame per batch instead of re-running the
+    // eval-side explode+distinct+collect each time. Registered OUTSIDE
+    // the per-batch scopedRelease, so batch scopes dedupe against it
+    // and never sweep it; the session-wide release reclaims it.
+    TrackedCaches.track(
+      StreamingDecon.evalShingles(evalDocs, deconShingleSize, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    onLedger match {
     case None =>
       val cleaned = StreamingDecon.keep(
         StreamingQualityFilter.keep(stream, model, qualityThreshold),
@@ -91,5 +102,6 @@ object StreamingIngest {
           ()
         }
       writer.start()
+    }
   }
 }
