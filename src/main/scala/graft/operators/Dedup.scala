@@ -255,7 +255,18 @@ object Dedup {
     */
   private def sharedShingleArrays(docs: DataFrame, idCol: String, textCol: String,
                                   shingleSize: Int): DataFrame =
-    tracked(docShingleArrays(docs, idCol, textCol, shingleSize)
+    tracked(sharedShingleArraysPlan(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The exact (un-persisted) plan [[sharedShingleArrays]] caches —
+    * split out so [[appendMinhashIndex]] can probe the CacheManager for
+    * it (via the public `Dataset.storageLevel`) without registering a
+    * cache entry of its own.
+    */
+  private def sharedShingleArraysPlan(docs: DataFrame, idCol: String,
+                                      textCol: String,
+                                      shingleSize: Int): DataFrame =
+    docShingleArrays(docs, idCol, textCol, shingleSize)
       // sorted ONCE per doc here (n log n on the cached build side) so the
       // verify join can count intersections with a zero-allocation
       // primitive merge per candidate pair instead of building a boxed
@@ -263,7 +274,6 @@ object Dedup {
       // O(docs) intersections. Shingle values are distinct already;
       // MinHash signatures are order-invariant, so sorting is free there.
       .select(col("doc"), sort_array(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Shared tail: exact Jaccard for candidate pairs via the native
     * [[graft.functions.ArraySetOps.SortedIntersectCount]] codegen
@@ -554,22 +564,46 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     IndexSwap.recover(fs, dir, minhashFrames)
-    // Sign the FULL batch first, then anti-join the SIGNED arrays
-    // against the stored doc ids: per-doc signing commutes with the
-    // already-indexed filter, so the result is unchanged — but the
-    // full-batch shingle plan is exactly the one a just-run probe
-    // ([[nearDupsFromIndex]]) has already signed and cached, so the
-    // probe-then-append sequence every streaming micro-batch executes
-    // ([[graft.streaming.StreamingNearDup.processBatch]]) tokenizes,
-    // shingles and sorts the batch ONCE instead of twice. (The old
-    // shape — anti-join the raw batch, then sign the remainder — built
-    // a second, plan-distinct shingle cache per micro-batch.)
-    val allArrays = sharedShingleArrays(batch, idCol, textCol, shingleSize)
+    // Two shapes, picked by whether a just-run probe already signed the
+    // batch. Per-doc signing commutes with the already-indexed filter,
+    // so both compute the same rows:
+    //  - PROBE-WARM (streaming probe-then-append,
+    //    [[graft.streaming.StreamingNearDup.processBatch]]): the probe
+    //    ([[nearDupsFromIndex]]) cached the full-batch shingle frame.
+    //    Sign the FULL batch (CacheManager substitutes the probe's
+    //    cache — tokenize+shingle+sort runs ONCE per micro-batch) and
+    //    anti-join the SIGNED arrays against the stored ids.
+    //  - COLD (one-shot bulk append, no probe): signing the full batch
+    //    first would tokenize+shingle rows the anti-join is about to
+    //    drop AND shuffle the heavy shingle-array payload through the
+    //    anti-join. Anti-join the cheap raw (id, text) rows first and
+    //    sign only the remainder — the r15 shape, which a blanket
+    //    sign-first rewrite regressed 31% on the batch path (r16
+    //    verdict); the probe-cache guard keeps both paths optimal.
+    // Dataset.storageLevel does the CacheManager lookup (sameResult on
+    // the canonicalized plan) without touching private Spark API.
+    val signedPlan = sharedShingleArraysPlan(batch, idCol, textCol,
+      shingleSize)
+    val probeWarm = signedPlan.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
     val bArrays =
-      if (!dedupeBatch) allArrays
-      else allArrays.join(spark.read.parquet(s"$dir/shingles")
-          .select(col("doc")),
-        Seq("doc"), "left_anti")
+      if (!dedupeBatch)
+        sharedShingleArrays(batch, idCol, textCol, shingleSize)
+      else if (probeWarm)
+        sharedShingleArrays(batch, idCol, textCol, shingleSize)
+          .join(spark.read.parquet(s"$dir/shingles").select(col("doc")),
+            Seq("doc"), "left_anti")
+      else
+        // parallelize the BATCH side before the anti-join: the joined
+        // frame's inputFiles includes the index dir, so the downstream
+        // un-starve check inside docShingleArrays would see >= cores
+        // files and leave the signing stage at the 1-task scan's width
+        sharedShingleArrays(
+          FrameOps.parallelized(batch.select(col(idCol), col(textCol)))
+            .join(spark.read.parquet(s"$dir/shingles")
+                .select(col("doc").as(idCol)),
+              Seq(idCol), "left_anti"),
+          idCol, textCol, shingleSize)
     val bBands = bandedOf(signaturesFromShingleArrays(bArrays, numHashes),
       numHashes, rowsPerBand)
     // pre-`dropped` indexes (none in this repo's history, but the read

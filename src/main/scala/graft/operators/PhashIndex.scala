@@ -102,22 +102,47 @@ object PhashIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexSwap.recover(fs, dir, phashFrames)
-    // Decode+hash the FULL batch first, then anti-join the (doc, sig)
-    // rows against the stored ids: per-asset hashing commutes with the
-    // already-indexed filter, and the full-batch plan is the one a
-    // just-run probe ([[nearDups]]) has already decoded and cached —
-    // the probe-then-append sequence of every streaming micro-batch
-    // ([[graft.streaming.StreamingPhashDedup.processBatch]]) pays the
-    // payload decode ONCE instead of twice. Registered via
-    // [[TrackedCaches.track]] (which dedupes against the probe's
-    // registration) rather than persist/unpersist-in-finally: a local
-    // unpersist here would sweep the probe's still-live shared cache.
-    val allSigs = TrackedCaches.track(sigsOf(batch, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Two shapes, picked by whether a just-run probe already decoded
+    // the batch (the [[Dedup.appendMinhashIndex]] guard on the phash
+    // domain — per-asset hashing commutes with the already-indexed
+    // filter, so both compute the same rows):
+    //  - PROBE-WARM (streaming probe-then-append,
+    //    [[graft.streaming.StreamingPhashDedup.processBatch]]): the
+    //    probe ([[nearDups]]) cached the full-batch (doc, sig) frame;
+    //    hash the FULL batch (CacheManager substitutes the cache — the
+    //    payload decode runs ONCE per micro-batch) and anti-join the
+    //    hashed rows against the stored ids.
+    //  - COLD (one-shot bulk append): decode only what survives — the
+    //    raw-id anti-join runs first, so already-indexed payloads are
+    //    never decoded (sign-first on this path was the r16 q312-class
+    //    regression).
+    // Registered via [[TrackedCaches.track]] (which dedupes against the
+    // probe's registration) rather than persist/unpersist-in-finally: a
+    // local unpersist here would sweep the probe's still-live shared
+    // cache. Dataset.storageLevel does the CacheManager lookup
+    // (sameResult on the canonicalized plan) via public API only.
+    val probeWarm = sigsOf(batch, idCol).storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
     val bSigs =
-      if (!dedupeBatch) allSigs
-      else allSigs.join(spark.read.parquet(s"$dir/sigs")
-          .select(col("doc")), Seq("doc"), "left_anti")
+      if (!dedupeBatch)
+        TrackedCaches.track(sigsOf(batch, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else if (probeWarm)
+        TrackedCaches.track(sigsOf(batch, idCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .join(spark.read.parquet(s"$dir/sigs")
+            .select(col("doc")), Seq("doc"), "left_anti")
+      else
+        // parallelize the BATCH side before the anti-join: the joined
+        // frame's inputFiles includes the index dir, so perceptualHash's
+        // internal un-starve check would see >= cores files and leave
+        // the payload decode at the 1-task scan's width
+        TrackedCaches.track(
+          sigsOf(FrameOps.parallelized(batch)
+              .join(spark.read.parquet(s"$dir/sigs")
+                .select(col("doc").as(idCol)), Seq(idCol), "left_anti"),
+            idCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     locally {
       val dropped0 = spark.read.parquet(s"$dir/dropped")
       val live = chunkKeys(bSigs)
