@@ -48,7 +48,12 @@ object Bpe {
     * restricted to [a-z0-9]+. One shuffle, Zipf-bounded output.
     */
   def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    // THE shared corpus pass of every tokenizer trainer (BPE, unigram,
+    // WordPiece): tokenize+explode is per-row heavy, and a single-file
+    // corpus otherwise runs it on ONE core (guide §2.5 — parallelized
+    // is an identity at production scan widths)
+    FrameOps.parallelized(docs)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
       .filter(col("word").rlike(WordRe))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -107,6 +112,7 @@ object Bpe {
         return (table, seqs)
       case None => ()
     }
+    val spark = docs.sparkSession
     var seqs = wordFreqs(docs, textCol)
       .select(col("word"), col("freq"), initialSeq(col("word")).as("seq"))
       .localCheckpoint(true) // referenced twice per iteration: scan once
@@ -125,21 +131,30 @@ object Bpe {
         .select(col("freq"), element_at(col("sy"), col("i")).as("a"),
           element_at(col("sy"), col("i") + 1).as("b"))
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-      val best = pairs
+      val bestPlan = pairs
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .select(lit(i).as("iteration"), col("a").as("sym_a"),
           col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
           col("cnt").as("pair_count"))
-        .localCheckpoint(true) // one row; feeds output AND the rewrite
+      // COLLECT the winner (≤ 1 row — driver-bounded by construction)
+      // instead of localCheckpoint + isEmpty: one job per iteration
+      // where the checkpointed form paid two (materialize + head-check),
+      // and the LocalRelation-backed `best` makes the rewrite's
+      // broadcast, the merge-table union and every later
+      // composedReplace collect job-free. The driver loop is the BPE
+      // algorithm's inherent serial spine; this halves its per-step
+      // job count without touching what it computes.
+      val bestRows = bestPlan.collect()
+      val best = spark.createDataFrame(
+        java.util.Arrays.asList(bestRows: _*), bestPlan.schema)
       table = if (table == null) best else table.union(best)
-      if (best.isEmpty) {
+      if (bestRows.isEmpty) {
         // merges > achievable: every word is a single symbol, so no
         // pair exists anywhere. STOP — rewriting against the empty
         // best frame would cross-join `seqs` down to zero rows and
         // silently empty every downstream consumer (compressionStats
         // inner-joins the vocab). `seqs` keeps the fully-merged
-        // sequences; the merge table just ends short. (Head-check on
-        // the one-row checkpointed frame — no extra job.)
+        // sequences; the merge table just ends short.
         exhausted = true
       } else {
         seqs = seqs
@@ -152,9 +167,10 @@ object Bpe {
       }
       i += 1
     }
-    // table/seqs are localCheckpoint-backed — storing the frames keeps
-    // the checkpoints alive for session reuse; the release hook drops
-    // the references and the ContextCleaner reclaims them
+    // seqs is localCheckpoint-backed (table is LocalRelation-backed —
+    // ≤ merges driver rows) — storing the frames keeps the checkpoint
+    // alive for session reuse; the release hook drops the references
+    // and the ContextCleaner reclaims them
     // Read the epoch into a LOCAL before taking the memo lock:
     // TrackedCaches.release() holds ITS lock while invoking the onRelease
     // hook (which takes this lock), so nesting the TrackedCaches lock
@@ -211,14 +227,17 @@ object Bpe {
           .select(col("freq"), element_at(col("sy"), col("i")).as("a"),
             element_at(col("sy"), col("i") + 1).as("b"))
           .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-        val best = pairs
+        val bestPlan = pairs
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
           .select(col("a").as("sym_a"), col("b").as("sym_b"),
             concat(col("a"), col("b")).as("merged"))
-          .localCheckpoint(true)
-        if (best.isEmpty) exhausted = true
+        // one-row collect instead of localCheckpoint + isEmpty — the
+        // [[learned]] per-iteration job-count fix, same reasoning
+        val bestRows = bestPlan.collect()
+        if (bestRows.isEmpty) exhausted = true
         else seqs = seqs
-          .crossJoin(broadcast(best))
+          .crossJoin(broadcast(seqs.sparkSession.createDataFrame(
+            java.util.Arrays.asList(bestRows: _*), bestPlan.schema)))
           .select(col("word"), col("freq"),
             expr("replace(seq, concat(' ', sym_a, '  ', sym_b, ' '), " +
               "concat(' ', merged, ' '))").as("seq"))
@@ -353,7 +372,9 @@ object Bpe {
   }
 
   private def distinctWords(docs: DataFrame, textCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    // same §2.5 un-starve as [[wordFreqs]] — tokenize on all cores
+    FrameOps.parallelized(docs)
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(explode(TextAnalysis.tokensCol(col(textCol))).as("word"))
       .filter(col("word").rlike(WordRe))
       .distinct()
@@ -408,7 +429,7 @@ object Bpe {
   private def encodeIdsCore(docs: DataFrame, mergeTable: DataFrame,
                             vocab: DataFrame, idCol: String,
                             textCol: String): DataFrame = {
-    val words = docs
+    val words = FrameOps.parallelized(docs)
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
         posexplode(TextAnalysis.tokensCol(col(textCol))).as(Seq("wpos", "word")))

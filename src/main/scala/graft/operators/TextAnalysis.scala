@@ -445,7 +445,10 @@ object TextAnalysis {
     lens.write.mode("overwrite").parquet(IndexSwap.stagedPath(dir, "lens"))
     val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),
       16, 10).cast("long"), lit(nBuckets.toLong))
-    docTerms(docs, idCol, textCol)
+    // tokenize+explode is the heavy per-row stage of the build; a
+    // single-file corpus otherwise tokenizes on ONE core (guide §2.5 —
+    // FrameOps.parallelized is an identity at production scan widths)
+    docTerms(FrameOps.parallelized(docs), idCol, textCol)
       .withColumn("pbucket", bucket)
       .write.mode("overwrite").partitionBy("pbucket")
       .parquet(IndexSwap.stagedPath(dir, "postings"))
@@ -491,9 +494,14 @@ object TextAnalysis {
     freshLens.select(col(idCol),
         wsTokenCountCol(col(textCol)).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/lens")
+    // parallelize the BATCH side BEFORE the anti-join, not the joined
+    // frame (whose inputFiles includes the index dir, defeating the
+    // downstream un-starve check — the appendMinhashIndex lesson):
+    // single-file batches otherwise tokenize on one core (guide §2.5)
     val freshPost =
-      if (!dedupeBatch) docs
-      else docs.join(spark.read.parquet(s"$dir/postings")
+      if (!dedupeBatch) FrameOps.parallelized(docs)
+      else FrameOps.parallelized(docs)
+        .join(spark.read.parquet(s"$dir/postings")
           .select(col(idCol)).distinct(),
         Seq(idCol), "left_anti")
     val bucket = pmod(conv(substring(md5(col("term").cast("binary")), 1, 13),

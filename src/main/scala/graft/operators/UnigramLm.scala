@@ -355,7 +355,7 @@ object UnigramLm {
   private def encodeCore(docs: DataFrame, seg: DataFrame, model: DataFrame,
                          maxWordLen: Int, idCol: String,
                          textCol: String): DataFrame = {
-    val words = docs
+    val words = graft.operators.FrameOps.parallelized(docs)
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
         posexplode(TextAnalysis.tokensCol(col(textCol)))

@@ -240,7 +240,7 @@ object WordPiece {
     val (wf, vocabF) = built(docs, maxPieceLen, maxWordLen, topK, textCol)
     val ids = idsFrame(vocabF)
     val seg = segCore(wf, vocabF, maxPieceLen)
-    val words = docs
+    val words = graft.operators.FrameOps.parallelized(docs)
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
         posexplode(TextAnalysis.tokensCol(col(textCol)))
