@@ -3,25 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // AQE for CACHED plans (SPARK-38389; default false): operators here
-      // persist small intermediate frames (index keys, candidate pairs,
-      // signed batches) whose pre-AQE partitioning is the full
-      // shuffle-partition count; without this flag every such frame
-      // materializes at that width and every downstream job, write and
-      // re-read inherits it. With it, AQE coalesces cached plans to the
-      // advisory size — scale-neutral (big frames keep big-frame
-      // parallelism), measured −15% on a 41-query battery slice at sf0.1
-      // (235.1 → 199.9 s; OPTIMIZATION_r16.md §config).
-      // env-overridable for A/B measurement (default on)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "true"))
-      .getOrCreate()
+    // tuned session shape (cached-plan AQE etc.) lives in GraftSession —
+    // ONE definition shared with Verify, the tools, and the test harness
+    val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     // Four queries run an UNPARTITIONED window over a structurally
     // k-bounded frame (top-K fusion, calendar days, frequency shelf,
@@ -66,6 +50,19 @@ object Bench {
     // time is still recorded, but its name lands in the "failed" list so
     // a broken query can never improve the bench total unnoticed.
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    // Resident-cache BOUND (r16 verdict ask #5): the warm-reuse design
+    // keeps operator caches across queries, but unbounded accumulation
+    // runs the battery tail under the working set of 350 earlier
+    // queries' surviving caches (r16 driver: end heavy-control 6.68 s
+    // vs mid 3.77, q156 stalling 13×). Between queries, sweep
+    // OLDEST-first while total cached bytes exceed the budget —
+    // default 2.5 GiB ≈ half the 8g-heap session's storage pool, so
+    // recent (hot) caches survive and the tail stops paying eviction
+    // pressure. Env-overridable for A/B; the disclosed warm semantics
+    // are unchanged for everything under the budget.
+    val cacheBudget = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "2560")
+      .toLong * 1024L * 1024L
+    var sweptTotal = 0
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val warm = scala.collection.mutable.ArrayBuffer.empty[String]
     // Battery CONTROLS (round-14 judge ask): the same three stable,
@@ -140,6 +137,8 @@ object Bench {
       if (i == half && i > 0) runControls("mid")
       i += 1
       if (cold) graft.operators.TrackedCaches.release()
+      else sweptTotal +=
+        graft.operators.TrackedCaches.sweepToBudget(cacheBudget)
       graft.operators.TrackedCaches.beginQuery()
       val reuse0 = graft.operators.TrackedCaches.crossQueryReuseCount
       val t0 = System.nanoTime()
@@ -189,7 +188,7 @@ object Bench {
     val fullOut = if (only.isDefined) "bench_partial.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullOut),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm":$warmJson,"controls":$controlsJson,"queries":$fullJson,"rows":$rowsJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm":$warmJson,"swept":$sweptTotal,"controls":$controlsJson,"queries":$fullJson,"rows":$rowsJson,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () } // best-effort write
     // chars for the queries map — line stays ≤ ~1700 including the
     // ~170-char controls block (the harness records a 2000-char tail)
@@ -212,7 +211,7 @@ object Bench {
     // the budgeted line carries only the warm COUNT (the full name list
     // lives in bench_full.json) so warm-heavy batteries cannot blow the
     // harness's bounded output window
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm_n":${warm.size},"controls":$controlsJson,"small":$smallJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cold":$cold,"failed":$failedJson,"warm_n":${warm.size},"swept":$sweptTotal,"controls":$controlsJson,"small":$smallJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

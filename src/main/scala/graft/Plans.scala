@@ -13,12 +13,7 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_filter_project", "q03_revenue_by_nation", "q10_sessions",
         "q14_minhash_neardups", "q18_ann_bruteforce")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {

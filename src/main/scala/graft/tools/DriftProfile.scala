@@ -11,13 +11,8 @@ import org.apache.spark.sql.functions._
 object DriftProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .appName("graft-drift-profile")
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("local[32]", "32")
+      .appName("graft-drift-profile").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(name: String)(f: => Unit): Unit = {
       val t = System.nanoTime(); f

@@ -8,11 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * so suites don't pay repeated context startup.
   */
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+  // the shared tuned-session shape (GraftSession) so tests exercise the
+  // same session config the bench and verify mains run under
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4")
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
