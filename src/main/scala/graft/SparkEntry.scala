@@ -4455,12 +4455,17 @@ object SparkEntry {
       val streamPairs = s.read.schema("doc_a LONG, doc_b LONG")
         .parquet(s"$base/stream_pairs").distinct()
       val streamLedger = s.read.parquet(s"$base/stream_ledger")
-      // -- backfill twin: the same three policies as one batch
+      // -- backfill twin: the same three policies as one batch.
+      // batchSurv is persisted (tracked): it feeds the survivor diff,
+      // the pair probe AND the ledger — un-persisted, the contamination
+      // shingle pass recomputed once per consumer (3× per run)
       val bq = arriving.filter(model.probability >= 0.5)
       val contaminated = Decontamination.contaminationPairs(bq, evalDocs,
           "doc_id", "text", shingleSize = 8)
         .select(col("train_doc").as("doc_id")).distinct()
-      val batchSurv = bq.join(contaminated, Seq("doc_id"), "left_anti")
+      val batchSurv = graft.operators.TrackedCaches.track(
+        bq.join(contaminated, Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val batchPairs = Dedup.nearDupsFromIndex(s, s"$base/batch_idx",
           batchSurv, "doc_id", "text", threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
@@ -4468,27 +4473,40 @@ object SparkEntry {
         ("input", arriving),
         ("s1_quality", bq),
         ("s2_decontaminated", batchSurv)))
-      // -- derived parity frame (driver-side counts are COUNTS — bounded)
-      val survDiff = streamSurv.withColumn("__s", lit(1))
+      // -- derived parity frame, assembled RELATIONALLY: the old form
+      // ran SEVEN eager driver actions (three full-outer diff counts +
+      // four size counts), each re-planning its whole leg; one-row
+      // aggregates cross-joined into the result frame compute the same
+      // seven values in ONE action (AQE broadcasts one-row sides), so
+      // the shared legs run once (guide §1.2: fewer actions)
+      val survDiffF = streamSurv.withColumn("__s", lit(1))
         .join(batchSurv.select(col("doc_id")).withColumn("__b", lit(1)),
           Seq("doc_id"), "full_outer")
-        .filter(col("__s").isNull || col("__b").isNull).count()
-      val pairDiff = streamPairs.withColumn("__s", lit(1))
+        .filter(col("__s").isNull || col("__b").isNull)
+        .agg(count(lit(1)).as("__surv_diff"))
+      val pairDiffF = streamPairs.withColumn("__s", lit(1))
         .join(batchPairs.withColumn("__b", lit(1)),
           Seq("doc_a", "doc_b"), "full_outer")
-        .filter(col("__s").isNull || col("__b").isNull).count()
-      val ledgerDiff = streamLedger.withColumn("__s", lit(1))
+        .filter(col("__s").isNull || col("__b").isNull)
+        .agg(count(lit(1)).as("__pair_diff"))
+      val ledgerDiffF = streamLedger.withColumn("__s", lit(1))
         .join(batchLedger.withColumn("__b", lit(1)),
           Seq("doc_id", "dropped_at"), "full_outer")
-        .filter(col("__s").isNull || col("__b").isNull).count()
-      Seq((seed.count(), streamSurv.count(),
-          if (survDiff == 0L) 1L else 0L,
-          streamPairs.count(),
-          if (pairDiff == 0L) 1L else 0L,
-          streamLedger.count(),
-          if (ledgerDiff == 0L) 1L else 0L))
-        .toDF("n_seed", "n_survivors", "survivors_match", "n_pairs",
-          "pairs_match", "n_ledger", "ledger_match")
+        .filter(col("__s").isNull || col("__b").isNull)
+        .agg(count(lit(1)).as("__ledger_diff"))
+      seed.agg(count(lit(1)).as("n_seed"))
+        .crossJoin(streamSurv.agg(count(lit(1)).as("n_survivors")))
+        .crossJoin(survDiffF)
+        .crossJoin(streamPairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(pairDiffF)
+        .crossJoin(streamLedger.agg(count(lit(1)).as("n_ledger")))
+        .crossJoin(ledgerDiffF)
+        .select(col("n_seed"), col("n_survivors"),
+          (col("__surv_diff") === 0L).cast("long").as("survivors_match"),
+          col("n_pairs"),
+          (col("__pair_diff") === 0L).cast("long").as("pairs_match"),
+          col("n_ledger"),
+          (col("__ledger_diff") === 0L).cast("long").as("ledger_match"))
     }),
 
     // IVF-ADC: the q149 codes scored only inside each query's 2 nearest

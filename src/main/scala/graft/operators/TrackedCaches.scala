@@ -109,6 +109,34 @@ private[graft] object TrackedCaches {
     releaseHooks.foreach(_.apply())
   }
 
+  /** Release the OLDEST tracked caches while the session's total cached
+    * storage (memory + disk, from the public `getRDDStorageInfo`) sits
+    * above `budgetBytes` — the battery's resident-cache bound: a
+    * long-running session deliberately keeps operator caches warm
+    * ACROSS queries (disclosed reuse), but un-bounded accumulation
+    * means the battery tail runs under the working set of hundreds of
+    * earlier queries' surviving caches (the r16 driver run's
+    * end-of-battery heavy-control inflation, and its q156 29 s stall).
+    * Oldest-first preserves the hottest reuse (recent corpus frames);
+    * a swept cache is never a correctness event — the next consumer
+    * recomputes and re-registers. Blocking unpersist so the storage
+    * signal reflects each release before the next is decided. Call
+    * BETWEEN queries only, like every release path here.
+    */
+  def sweepToBudget(budgetBytes: Long): Int = synchronized {
+    def cachedBytes: Long = tracked.headOption.map(
+      _.sparkSession.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum).getOrElse(0L)
+    var swept = 0
+    while (tracked.nonEmpty && cachedBytes > budgetBytes) {
+      tracked.head.unpersist(blocking = true)
+      tracked.remove(0)
+      entryEpochs.remove(0)
+      swept += 1
+    }
+    swept
+  }
+
   /** Run `f` and release ONLY the caches registered during it — the shape
     * [[Curation.report]] needs: its internal near-dup caches are reclaimed
     * without touching caches other queries registered earlier. Caches

@@ -87,6 +87,8 @@ object StreamingIngest {
               q.filter(col("__qk")).drop("__qk"),
               evalDocs, deconShingleSize, minShared = 1L, idCol, textCol)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            batch.sparkSession.sparkContext
+              .setJobDescription(s"ingest b$batchId: ledger")
             ledger(
               q.filter(!col("__qk"))
                 .select(col(idCol), lit("s1_quality").as("dropped_at"))

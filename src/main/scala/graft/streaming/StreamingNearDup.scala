@@ -65,10 +65,16 @@ object StreamingNearDup {
                    textCol: String = "text", shingleSize: Int = 3,
                    numHashes: Int = 32, rowsPerBand: Int = 4,
                    maxBucket: Long = 1000L): Unit = {
+    // §1.5 job labels: the per-batch probe/append job counts are THE
+    // cost driver of the streaming ingest gates — label them so a job
+    // profile attributes each job to its phase
+    spark.sparkContext.setJobDescription(s"neardup b$batchId: probe")
     val pairs = Dedup.nearDupsFromIndex(spark, indexDir, batch, idCol,
       textCol, threshold, shingleSize, numHashes, rowsPerBand, maxBucket)
     onPairs(pairs, batchId)
+    spark.sparkContext.setJobDescription(s"neardup b$batchId: append")
     Dedup.appendMinhashIndex(spark, indexDir, batch, idCol, textCol,
       shingleSize, numHashes, rowsPerBand, maxBucket)
+    spark.sparkContext.setJobDescription(null)
   }
 }
