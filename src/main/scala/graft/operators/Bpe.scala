@@ -234,10 +234,11 @@ object Bpe {
         // one-row collect instead of localCheckpoint + isEmpty — the
         // [[learned]] per-iteration job-count fix, same reasoning
         val bestRows = bestPlan.collect()
+        val best = seqs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(bestRows: _*), bestPlan.schema)
         if (bestRows.isEmpty) exhausted = true
         else seqs = seqs
-          .crossJoin(broadcast(seqs.sparkSession.createDataFrame(
-            java.util.Arrays.asList(bestRows: _*), bestPlan.schema)))
+          .crossJoin(broadcast(best))
           .select(col("word"), col("freq"),
             expr("replace(seq, concat(' ', sym_a, '  ', sym_b, ' '), " +
               "concat(' ', merged, ' '))").as("seq"))
